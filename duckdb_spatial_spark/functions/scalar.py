@@ -1,0 +1,1158 @@
+"""Scalar ST_* function surface — Spark Column API.
+
+Two execution tiers, mirroring the reference's native-vs-GEOS split
+(SURVEY §2):
+
+* **col-expr** — pure ``pyspark.sql.functions`` Column arithmetic that stays
+  inside whole-stage codegen (JVM, no Python worker). Used for everything
+  point/bbox shaped: ``st_distance_sphere``, ``st_hilbert``, ``st_quadkey``,
+  bbox predicates, POINT_2D struct accessors. These are the 100-TB hot paths.
+* **pUDF** — Arrow-batched pandas UDFs wrapping the NumPy kernels in
+  ``..geom.kernels`` for general GEOMETRY (WKB ``BinaryType``) semantics.
+  This replaces the reference's GEOS binding (its per-thread
+  ``GEOSFunctionLocalState``, geos/functions/common.hpp → our per-batch
+  parse).
+
+GEOMETRY convention: ISO WKB in a BinaryType column. POINT_2D/BOX_2D
+conventions: ``struct<x,y>`` / ``struct<xmin,ymin,xmax,ymax>`` (SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..geom import kernels as K
+from ..geom.core import Geometry
+from ..geom import wkb as Wkb
+from ..geom import wkt as Wkt
+from ..geom.wkb import from_wkb, to_wkb
+from ..geom.wkt import from_wkt, to_wkt
+
+ColumnOrName = Union[Column, str]
+
+BOX2D_TYPE = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+POINT2D_TYPE = T.StructType(
+    [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+)
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _geoms(s: pd.Series) -> List[Optional[Geometry]]:
+    return [None if b is None else from_wkb(b) for b in s]
+
+
+# ============================================================ vectorized WKB point codec
+
+_PT_HDR = np.frombuffer(b"\x01\x01\x00\x00\x00", dtype=np.uint8)
+
+
+def _points_to_wkb(x: np.ndarray, y: np.ndarray) -> List[Optional[bytes]]:
+    """Vectorized little-endian WKB POINT builder (no per-row struct packs)."""
+    n = len(x)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, :5] = _PT_HDR
+    buf[:, 5:13] = np.ascontiguousarray(x, dtype="<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.ascontiguousarray(y, dtype="<f8").view(np.uint8).reshape(n, 8)
+    return [r.tobytes() for r in buf]
+
+
+@pandas_udf(T.BinaryType())
+def _st_point_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    xa = x.to_numpy(dtype=np.float64, na_value=np.nan)
+    ya = y.to_numpy(dtype=np.float64, na_value=np.nan)
+    out = _points_to_wkb(xa, ya)
+    mask = x.isna() | y.isna()
+    if mask.any():
+        out = [None if m else v for m, v in zip(mask.to_numpy(), out)]
+    return pd.Series(out, dtype=object)
+
+
+def st_point(x: ColumnOrName, y: ColumnOrName) -> Column:
+    """GEOMETRY point from x/y doubles (reference scalar/st_point.cpp)."""
+    return _st_point_udf(_col(x).cast("double"), _col(y).cast("double"))
+
+
+def st_point2d(x: ColumnOrName, y: ColumnOrName) -> Column:
+    """POINT_2D struct — the columnar fast-path type (types.cpp:11-15)."""
+    return F.struct(_col(x).cast("double").alias("x"), _col(y).cast("double").alias("y"))
+
+
+st_makepoint = st_point
+
+
+# ============================================================ generic UDF factories
+
+def _unary_geom_to(ret_type, fn, name=None):
+    @pandas_udf(ret_type)
+    def f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+            else:
+                out.append(fn(from_wkb(b)))
+        return pd.Series(out, dtype=object if ret_type == T.BinaryType() else None)
+
+    return f
+
+
+def _unary_geom_to_geom(fn):
+    @pandas_udf(T.BinaryType())
+    def f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+            else:
+                g = fn(from_wkb(b))
+                out.append(None if g is None else to_wkb(g))
+        return pd.Series(out, dtype=object)
+
+    return f
+
+
+def _binary_geom_pred(fn):
+    @pandas_udf(T.BooleanType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+            else:
+                out.append(bool(fn(from_wkb(ba), from_wkb(bb))))
+        return pd.Series(out)
+
+    return f
+
+
+def _binary_geom_to_geom(fn):
+    @pandas_udf(T.BinaryType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+            else:
+                g = fn(from_wkb(ba), from_wkb(bb))
+                out.append(None if g is None else to_wkb(g))
+        return pd.Series(out, dtype=object)
+
+    return f
+
+
+# ============================================================ constructors / text I/O
+
+@pandas_udf(T.BinaryType())
+def _st_geomfromtext_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for w in s:
+        if w is None:
+            out.append(None)
+        else:
+            try:
+                out.append(to_wkb(from_wkt(w)))
+            except ValueError:
+                out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def st_geomfromtext(wkt: ColumnOrName) -> Column:
+    """WKT → GEOMETRY. Invalid WKT → NULL (reference's ignore_invalid mode;
+    strict errors are a driver-side concern in Spark)."""
+    return _st_geomfromtext_udf(_col(wkt))
+
+
+@pandas_udf(T.StringType())
+def _st_astext_udf(s: pd.Series) -> pd.Series:
+    return pd.Series([None if b is None else to_wkt(from_wkb(b)) for b in s])
+
+
+def st_astext(geom: ColumnOrName) -> Column:
+    return _st_astext_udf(_col(geom))
+
+
+def st_geomfromwkb(wkb_col: ColumnOrName) -> Column:
+    """WKB_BLOB → GEOMETRY: identity in this engine (WKB is native);
+    validation happens lazily at first parse."""
+    return _col(wkb_col)
+
+
+def st_aswkb(geom: ColumnOrName) -> Column:
+    return _col(geom)
+
+
+def st_geomfromhexwkb(hex_col: ColumnOrName) -> Column:
+    return F.unhex(_col(hex_col))
+
+
+def st_ashexwkb(geom: ColumnOrName) -> Column:
+    return F.upper(F.hex(_col(geom)))
+
+
+@pandas_udf(T.BinaryType())
+def _st_geomfromgeojson_udf(s: pd.Series) -> pd.Series:
+    import json
+
+    from ..geom.geojson import geojson_to_geometry
+
+    out = []
+    for j in s:
+        if j is None:
+            out.append(None)
+        else:
+            try:
+                out.append(to_wkb(geojson_to_geometry(json.loads(j))))
+            except (ValueError, KeyError):
+                out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def st_geomfromgeojson(json_col: ColumnOrName) -> Column:
+    return _st_geomfromgeojson_udf(_col(json_col))
+
+
+@pandas_udf(T.StringType())
+def _st_asgeojson_udf(s: pd.Series) -> pd.Series:
+    import json
+
+    from ..geom.geojson import geometry_to_geojson
+
+    return pd.Series(
+        [None if b is None else json.dumps(geometry_to_geojson(from_wkb(b)),
+                                           separators=(",", ":")) for b in s]
+    )
+
+
+def st_asgeojson(geom: ColumnOrName) -> Column:
+    return _st_asgeojson_udf(_col(geom))
+
+
+def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
+    """4 doubles → GEOMETRY rectangle (scalar/st_makeenvelope.cpp)."""
+    @pandas_udf(T.BinaryType())
+    def f(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(a, b, c, d):
+            if any(v is None for v in vals):
+                out.append(None)
+            else:
+                out.append(to_wkb(Geometry.box_polygon(*[float(v) for v in vals])))
+        return pd.Series(out, dtype=object)
+
+    cols = [
+        _col(v).cast("double") if isinstance(v, (Column, str)) else F.lit(float(v))
+        for v in (xmin, ymin, xmax, ymax)
+    ]
+    return f(*cols)
+
+
+@pandas_udf(T.BinaryType())
+def _st_makeline_list_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for arr in s:
+        if arr is None:
+            out.append(None)
+            continue
+        pts = [from_wkb(b) for b in arr if b is not None]
+        coords = [p.coords[:2] for p in pts if p.type_id == Wkb.POINT and p.coords is not None]
+        if len(coords) < 2:
+            out.append(None)
+        else:
+            out.append(to_wkb(Geometry.linestring(np.asarray(coords))))
+    return pd.Series(out, dtype=object)
+
+
+def st_makeline(a: ColumnOrName, b: Optional[ColumnOrName] = None) -> Column:
+    """(list<GEOMETRY>) or (GEOMETRY, GEOMETRY) → LINESTRING
+    (scalar/st_makeline.cpp:120-130)."""
+    if b is None:
+        return _st_makeline_list_udf(_col(a))
+    return _st_makeline_list_udf(F.array(_col(a), _col(b)))
+
+
+@pandas_udf(T.BinaryType())
+def _st_makepolygon_udf(shell: pd.Series) -> pd.Series:
+    out = []
+    for b in shell:
+        if b is None:
+            out.append(None)
+            continue
+        g = from_wkb(b)
+        if g.type_id != Wkb.LINESTRING or len(g.coords) < 4 or not np.array_equal(
+            g.coords[0, :2], g.coords[-1, :2]
+        ):
+            out.append(None)
+        else:
+            out.append(to_wkb(Geometry(Wkb.POLYGON, rings=[g.coords.copy()],
+                                       has_z=g.has_z, has_m=g.has_m)))
+    return pd.Series(out, dtype=object)
+
+
+def st_makepolygon(shell: ColumnOrName) -> Column:
+    return _st_makepolygon_udf(_col(shell))
+
+
+@pandas_udf(T.BinaryType())
+def _st_collect_udf(s: pd.Series) -> pd.Series:
+    from ..geom.core import collect as collect_k
+
+    out = []
+    for arr in s:
+        if arr is None:
+            out.append(None)
+        else:
+            out.append(to_wkb(collect_k([from_wkb(b) for b in arr if b is not None])))
+    return pd.Series(out, dtype=object)
+
+
+def st_collect(geom_array: ColumnOrName) -> Column:
+    """list<GEOMETRY> → narrowest MULTI*/GEOMETRYCOLLECTION
+    (st_collect.cpp:132-140)."""
+    return _st_collect_udf(_col(geom_array))
+
+
+# ============================================================ accessors
+
+_st_x_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[0]) if g.type_id == 1 and g.coords is not None else None)
+_st_y_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[1]) if g.type_id == 1 and g.coords is not None else None)
+_st_z_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[2]) if g.type_id == 1 and g.has_z and g.coords is not None else None)
+_st_m_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[2 + int(g.has_z)]) if g.type_id == 1 and g.has_m and g.coords is not None else None)
+
+
+def _is_struct(c: Column) -> bool:
+    return False  # callers pass structs through dedicated *2d functions
+
+
+def st_x(geom: ColumnOrName) -> Column:
+    return _st_x_udf(_col(geom))
+
+
+def st_y(geom: ColumnOrName) -> Column:
+    return _st_y_udf(_col(geom))
+
+
+def st_z(geom: ColumnOrName) -> Column:
+    return _st_z_udf(_col(geom))
+
+
+def st_m(geom: ColumnOrName) -> Column:
+    return _st_m_udf(_col(geom))
+
+
+@pandas_udf(BOX2D_TYPE)
+def _st_extent_udf(s: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in s:
+        if b is None:
+            rows.append((None, None, None, None))
+        else:
+            bd = from_wkb(b).bounds()
+            rows.append(bd if bd is not None else (None, None, None, None))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+def st_extent(geom: ColumnOrName) -> Column:
+    """GEOMETRY → BOX_2D struct. The materialized replacement for the
+    reference's cached header bbox (geometry_type.hpp:100-146)."""
+    return _st_extent_udf(_col(geom))
+
+
+st_bbox = st_extent
+
+
+def st_xmin(box_or_geom: ColumnOrName, is_box: bool = False) -> Column:
+    c = _col(box_or_geom)
+    return c["xmin"] if is_box else _st_extent_udf(c)["xmin"]
+
+
+def st_xmax(box_or_geom: ColumnOrName, is_box: bool = False) -> Column:
+    c = _col(box_or_geom)
+    return c["xmax"] if is_box else _st_extent_udf(c)["xmax"]
+
+
+def st_ymin(box_or_geom: ColumnOrName, is_box: bool = False) -> Column:
+    c = _col(box_or_geom)
+    return c["ymin"] if is_box else _st_extent_udf(c)["ymin"]
+
+
+def st_ymax(box_or_geom: ColumnOrName, is_box: bool = False) -> Column:
+    c = _col(box_or_geom)
+    return c["ymax"] if is_box else _st_extent_udf(c)["ymax"]
+
+
+def _pointn_k(g: Geometry, n: int):
+    if g.type_id != Wkb.LINESTRING:
+        return None
+    ln = len(g.coords)
+    idx = n - 1 if n > 0 else ln + n
+    if idx < 0 or idx >= ln:
+        return None
+    p = Geometry(Wkb.POINT, coords=g.coords[idx].copy(), has_z=g.has_z, has_m=g.has_m)
+    return to_wkb(p)
+
+
+@pandas_udf(T.BinaryType())
+def _st_pointn_udf(s: pd.Series, n: pd.Series) -> pd.Series:
+    out = []
+    for b, k in zip(s, n):
+        if b is None or k is None:
+            out.append(None)
+        else:
+            out.append(_pointn_k(from_wkb(b), int(k)))
+    return pd.Series(out, dtype=object)
+
+
+def st_pointn(geom: ColumnOrName, n) -> Column:
+    nn = _col(n) if isinstance(n, (Column, str)) else F.lit(int(n))
+    return _st_pointn_udf(_col(geom), nn.cast("int"))
+
+
+def st_startpoint(geom: ColumnOrName) -> Column:
+    return st_pointn(geom, 1)
+
+
+def st_endpoint(geom: ColumnOrName) -> Column:
+    return st_pointn(geom, -1)
+
+
+_st_npoints_udf = _unary_geom_to(T.IntegerType(), lambda g: g.num_points())
+_st_ngeometries_udf = _unary_geom_to(T.IntegerType(), lambda g: g.num_geometries())
+_st_ninteriorrings_udf = _unary_geom_to(
+    T.IntegerType(),
+    lambda g: (len(g.rings) - 1 if g.rings else None) if g.type_id == Wkb.POLYGON else None,
+)
+_st_geometrytype_udf = _unary_geom_to(T.StringType(), lambda g: g.type_name)
+_st_dimension_udf = _unary_geom_to(T.IntegerType(), lambda g: g.topo_dimension())
+_st_isempty_udf = _unary_geom_to(T.BooleanType(), lambda g: g.is_empty())
+_st_isclosed_udf = _unary_geom_to(T.BooleanType(), K.is_closed)
+_st_haz_udf = _unary_geom_to(T.BooleanType(), lambda g: g.has_z)
+_st_ham_udf = _unary_geom_to(T.BooleanType(), lambda g: g.has_m)
+_st_zmflag_udf = _unary_geom_to(
+    T.IntegerType(), lambda g: (2 if g.has_z else 0) + (1 if g.has_m else 0) if (g.has_z or g.has_m) else 0
+)
+
+
+def st_npoints(geom: ColumnOrName) -> Column:
+    return _st_npoints_udf(_col(geom))
+
+
+st_numpoints = st_npoints
+
+
+def st_ngeometries(geom: ColumnOrName) -> Column:
+    return _st_ngeometries_udf(_col(geom))
+
+
+st_numgeometries = st_ngeometries
+
+
+def st_ninteriorrings(geom: ColumnOrName) -> Column:
+    return _st_ninteriorrings_udf(_col(geom))
+
+
+st_numinteriorrings = st_ninteriorrings
+
+
+def st_geometrytype(geom: ColumnOrName) -> Column:
+    return _st_geometrytype_udf(_col(geom))
+
+
+def st_dimension(geom: ColumnOrName) -> Column:
+    return _st_dimension_udf(_col(geom))
+
+
+def st_isempty(geom: ColumnOrName) -> Column:
+    return _st_isempty_udf(_col(geom))
+
+
+def st_isclosed(geom: ColumnOrName) -> Column:
+    return _st_isclosed_udf(_col(geom))
+
+
+def st_hasz(geom: ColumnOrName) -> Column:
+    return _st_haz_udf(_col(geom))
+
+
+def st_hasm(geom: ColumnOrName) -> Column:
+    return _st_ham_udf(_col(geom))
+
+
+def st_zmflag(geom: ColumnOrName) -> Column:
+    return _st_zmflag_udf(_col(geom))
+
+
+def _exteriorring_k(g: Geometry):
+    if g.type_id != Wkb.POLYGON or not g.rings:
+        return None
+    return Geometry(Wkb.LINESTRING, coords=g.rings[0].copy(), has_z=g.has_z, has_m=g.has_m)
+
+
+_st_exteriorring_udf = _unary_geom_to_geom(_exteriorring_k)
+
+
+def st_exteriorring(geom: ColumnOrName) -> Column:
+    return _st_exteriorring_udf(_col(geom))
+
+
+def _points_k(g: Geometry) -> Geometry:
+    pts = [
+        Geometry(Wkb.POINT, coords=row.copy(), has_z=g.has_z, has_m=g.has_m)
+        for arr in g.vertex_arrays()
+        for row in arr
+    ]
+    out = Geometry(Wkb.MULTIPOINT, parts=pts, has_z=g.has_z, has_m=g.has_m)
+    return out
+
+
+_st_points_udf = _unary_geom_to_geom(_points_k)
+
+
+def st_points(geom: ColumnOrName) -> Column:
+    """All vertices as MULTIPOINT (scalar/st_points.cpp)."""
+    return _st_points_udf(_col(geom))
+
+
+DUMP_TYPE = T.ArrayType(
+    T.StructType(
+        [T.StructField("geom", T.BinaryType()), T.StructField("path", T.ArrayType(T.IntegerType()))]
+    )
+)
+
+
+@pandas_udf(DUMP_TYPE)
+def _st_dump_udf(s: pd.Series) -> pd.Series:
+    def rec(g: Geometry, path):
+        if g.parts is not None:
+            out = []
+            for i, p in enumerate(g.parts):
+                out.extend(rec(p, path + [i + 1]))
+            return out
+        return [(to_wkb(g), path)]
+
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+        else:
+            out.append(rec(from_wkb(b), []))
+    return pd.Series(out, dtype=object)
+
+
+def st_dump(geom: ColumnOrName) -> Column:
+    """Recursive decomposition → array<struct<geom,path>> (st_dump.cpp:134-141).
+    Usually followed by ``F.explode``."""
+    return _st_dump_udf(_col(geom))
+
+
+# ============================================================ measures
+
+_st_area_udf = _unary_geom_to(T.DoubleType(), K.area)
+_st_length_udf = _unary_geom_to(T.DoubleType(), K.length)
+_st_perimeter_udf = _unary_geom_to(T.DoubleType(), K.perimeter)
+_st_centroid_udf = _unary_geom_to_geom(K.centroid)
+
+
+def st_area(geom: ColumnOrName) -> Column:
+    return _st_area_udf(_col(geom))
+
+
+def st_length(geom: ColumnOrName) -> Column:
+    return _st_length_udf(_col(geom))
+
+
+def st_perimeter(geom: ColumnOrName) -> Column:
+    return _st_perimeter_udf(_col(geom))
+
+
+def st_centroid(geom: ColumnOrName) -> Column:
+    return _st_centroid_udf(_col(geom))
+
+
+@pandas_udf(T.DoubleType())
+def _st_distance_geom_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+        else:
+            out.append(K.distance(from_wkb(ba), from_wkb(bb)))
+    return pd.Series(out)
+
+
+def st_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_distance_geom_udf(_col(a), _col(b))
+
+
+def st_distance_point2d(ax: ColumnOrName, ay: ColumnOrName, bx: ColumnOrName, by: ColumnOrName) -> Column:
+    """Point-point fast path — pure col-expr (reference's native overload,
+    st_distance.cpp:48)."""
+    dx = _col(ax) - _col(bx)
+    dy = _col(ay) - _col(by)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def st_distance_sphere(x1: ColumnOrName, y1: ColumnOrName, x2: ColumnOrName, y2: ColumnOrName) -> Column:
+    """Haversine on lon/lat degrees — pure col-expr, no UDF
+    (st_distance_sphere.cpp:18-38, R=6371000)."""
+    rx1, ry1 = F.radians(_col(x1)), F.radians(_col(y1))
+    rx2, ry2 = F.radians(_col(x2)), F.radians(_col(y2))
+    dlat = ry2 - ry1
+    dlon = rx2 - rx1
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(ry1) * F.cos(ry2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * K.EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+st_haversine = st_distance_sphere
+
+
+def st_quadkey_xy(lon: ColumnOrName, lat: ColumnOrName, level) -> Column:
+    """Bing-maps quadkey string — pure col-expr (st_quadkey.cpp:145)."""
+    lvl = int(level)
+    lon_c, lat_c = _col(lon), _col(lat)
+    sin_lat = F.sin(F.radians(lat_c))
+    xf = (lon_c + F.lit(180.0)) / F.lit(360.0)
+    yf = F.lit(0.5) - F.log((F.lit(1.0) + sin_lat) / (F.lit(1.0) - sin_lat)) / F.lit(
+        4.0 * math.pi
+    )
+    n = F.lit(float(1 << lvl))
+    tx = F.floor(xf * n).cast("long")
+    ty = F.floor(yf * n).cast("long")
+    tx = F.greatest(F.lit(0), F.least(tx, F.lit((1 << lvl) - 1)))
+    ty = F.greatest(F.lit(0), F.least(ty, F.lit((1 << lvl) - 1)))
+    digits = []
+    for i in range(lvl, 0, -1):
+        mask = 1 << (i - 1)
+        d = (
+            F.when((tx.bitwiseAND(F.lit(mask)) != 0) & (ty.bitwiseAND(F.lit(mask)) != 0), "3")
+            .when(ty.bitwiseAND(F.lit(mask)) != 0, "2")
+            .when(tx.bitwiseAND(F.lit(mask)) != 0, "1")
+            .otherwise("0")
+        )
+        digits.append(d)
+    return F.concat(*digits) if digits else F.lit("")
+
+
+# ---- Hilbert curve (col-expr, 16 bits/axis → 32-bit key) --------------------
+
+_HILBERT_BITS = 16
+
+
+def _hilbert_xy_to_d(order: int, x: Column, y: Column) -> Column:
+    """Classic xy2d Hilbert index as a Catalyst higher-order ``aggregate``
+    over the bit levels. The naive unrolled ``F.when`` chain duplicates the
+    x/y subtree per level (exponential plan size); folding over
+    ``sequence(order-1 … 0)`` keeps the expression tree linear and fully
+    JVM-side (reference st_hilbert.cpp computes the same curve natively)."""
+    levels = F.sequence(F.lit(order - 1), F.lit(0), F.lit(-1))
+    init = F.struct(
+        x.cast("long").alias("x"), y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, i):
+        s = F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = acc["d"] + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        xi = F.when(refl, s - 1 - acc["x"]).otherwise(acc["x"])
+        yi = F.when(refl, s - 1 - acc["y"]).otherwise(acc["y"])
+        return F.struct(
+            F.when(swap, yi).otherwise(xi).alias("x"),
+            F.when(swap, xi).otherwise(yi).alias("y"),
+            d2.alias("d"),
+        )
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def st_hilbert_xy(
+    x: ColumnOrName,
+    y: ColumnOrName,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    order: int = _HILBERT_BITS,
+) -> Column:
+    """Hilbert index of (x,y) within a bounding box — pure col-expr
+    (st_hilbert.cpp:240-249). The cornerstone of ``st_cluster`` layout
+    (SURVEY §4.2)."""
+    xs = (
+        ((_col(x) - F.lit(float(xmin))) / F.lit(float(xmax - xmin)))
+        * F.lit(float((1 << order) - 1))
+    )
+    ys = (
+        ((_col(y) - F.lit(float(ymin))) / F.lit(float(ymax - ymin)))
+        * F.lit(float((1 << order) - 1))
+    )
+    xi = F.greatest(F.lit(0), F.least(F.floor(xs).cast("long"), F.lit((1 << order) - 1)))
+    yi = F.greatest(F.lit(0), F.least(F.floor(ys).cast("long"), F.lit((1 << order) - 1)))
+    return _hilbert_xy_to_d(order, xi, yi)
+
+
+def hilbert_xy_py(order: int, x: int, y: int) -> int:
+    """Driver-side reference implementation (for tests and literals)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+# ============================================================ predicates
+
+_st_intersects_udf = _binary_geom_pred(K.intersects)
+_st_disjoint_udf = _binary_geom_pred(K.disjoint)
+_st_contains_udf = _binary_geom_pred(K.contains)
+_st_containsproperly_udf = _binary_geom_pred(K.contains_properly)
+_st_within_udf = _binary_geom_pred(K.within)
+_st_covers_udf = _binary_geom_pred(K.covers)
+_st_coveredby_udf = _binary_geom_pred(K.covered_by)
+_st_crosses_udf = _binary_geom_pred(K.crosses)
+_st_touches_udf = _binary_geom_pred(K.touches)
+_st_overlaps_udf = _binary_geom_pred(K.overlaps)
+_st_equals_udf = _binary_geom_pred(K.equals)
+
+
+def st_intersects(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_intersects_udf(_col(a), _col(b))
+
+
+def st_disjoint(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_disjoint_udf(_col(a), _col(b))
+
+
+def st_contains(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_contains_udf(_col(a), _col(b))
+
+
+def st_containsproperly(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_containsproperly_udf(_col(a), _col(b))
+
+
+def st_within(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_within_udf(_col(a), _col(b))
+
+
+def st_covers(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_covers_udf(_col(a), _col(b))
+
+
+def st_coveredby(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_coveredby_udf(_col(a), _col(b))
+
+
+def st_crosses(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_crosses_udf(_col(a), _col(b))
+
+
+def st_touches(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_touches_udf(_col(a), _col(b))
+
+
+def st_overlaps(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_overlaps_udf(_col(a), _col(b))
+
+
+def st_equals(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_equals_udf(_col(a), _col(b))
+
+
+@pandas_udf(T.BooleanType())
+def _st_dwithin_udf(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb, dd in zip(a, b, d):
+        if ba is None or bb is None or dd is None:
+            out.append(None)
+        else:
+            out.append(K.dwithin(from_wkb(ba), from_wkb(bb), float(dd)))
+    return pd.Series(out)
+
+
+def st_dwithin(a: ColumnOrName, b: ColumnOrName, dist) -> Column:
+    d = _col(dist) if isinstance(dist, (Column, str)) else F.lit(float(dist))
+    return _st_dwithin_udf(_col(a), _col(b), d.cast("double"))
+
+
+def st_intersects_extent(abox: ColumnOrName, bbox: ColumnOrName) -> Column:
+    """`&&` — bbox-only intersects on BOX_2D structs, pure col-expr
+    (core/.../st_intersects_extent.cpp)."""
+    a, b = _col(abox), _col(bbox)
+    return (
+        (a["xmin"] <= b["xmax"]) & (a["xmax"] >= b["xmin"])
+        & (a["ymin"] <= b["ymax"]) & (a["ymax"] >= b["ymin"])
+    )
+
+
+def st_point_in_box(x: ColumnOrName, y: ColumnOrName, xmin, ymin, xmax, ymax, strict: bool = True) -> Column:
+    """Point-within-envelope fast path, pure col-expr. ``strict`` matches
+    ST_Within's open-interior semantics (boundary → false)."""
+    xc, yc = _col(x), _col(y)
+    if strict:
+        return (xc > F.lit(xmin)) & (xc < F.lit(xmax)) & (yc > F.lit(ymin)) & (yc < F.lit(ymax))
+    return (xc >= F.lit(xmin)) & (xc <= F.lit(xmax)) & (yc >= F.lit(ymin)) & (yc <= F.lit(ymax))
+
+
+_st_isvalid_udf = _unary_geom_to(T.BooleanType(), K.is_valid)
+_st_issimple_udf = _unary_geom_to(T.BooleanType(), K.is_simple)
+_st_isring_udf = _unary_geom_to(T.BooleanType(), K.is_ring)
+
+
+def st_isvalid(geom: ColumnOrName) -> Column:
+    return _st_isvalid_udf(_col(geom))
+
+
+def st_issimple(geom: ColumnOrName) -> Column:
+    return _st_issimple_udf(_col(geom))
+
+
+def st_isring(geom: ColumnOrName) -> Column:
+    return _st_isring_udf(_col(geom))
+
+
+# ============================================================ processing
+
+_st_convexhull_udf = _unary_geom_to_geom(K.convex_hull)
+_st_boundary_udf = _unary_geom_to_geom(K.boundary)
+_st_envelope_udf = _unary_geom_to_geom(K.envelope)
+_st_pointonsurface_udf = _unary_geom_to_geom(K.point_on_surface)
+_st_makevalid_udf = _unary_geom_to_geom(K.make_valid)
+_st_normalize_udf = _unary_geom_to_geom(K.normalize)
+_st_reverse_udf = _unary_geom_to_geom(K.reverse)
+_st_flipcoordinates_udf = _unary_geom_to_geom(K.flip_coordinates)
+_st_linemerge_udf = _unary_geom_to_geom(K.line_merge)
+_st_force2d_udf = _unary_geom_to_geom(lambda g: K.force_dims(g, False, False))
+_st_shortestline_udf = _binary_geom_to_geom(K.shortest_line)
+_st_intersection_udf = _binary_geom_to_geom(K.intersection)
+_st_union_udf = _binary_geom_to_geom(K.union)
+_st_difference_udf = _binary_geom_to_geom(K.difference)
+
+
+def st_convexhull(geom: ColumnOrName) -> Column:
+    return _st_convexhull_udf(_col(geom))
+
+
+def st_boundary(geom: ColumnOrName) -> Column:
+    return _st_boundary_udf(_col(geom))
+
+
+def st_envelope(geom: ColumnOrName) -> Column:
+    return _st_envelope_udf(_col(geom))
+
+
+def st_pointonsurface(geom: ColumnOrName) -> Column:
+    return _st_pointonsurface_udf(_col(geom))
+
+
+def st_makevalid(geom: ColumnOrName) -> Column:
+    return _st_makevalid_udf(_col(geom))
+
+
+def st_normalize(geom: ColumnOrName) -> Column:
+    return _st_normalize_udf(_col(geom))
+
+
+def st_reverse(geom: ColumnOrName) -> Column:
+    return _st_reverse_udf(_col(geom))
+
+
+def st_flipcoordinates(geom: ColumnOrName) -> Column:
+    return _st_flipcoordinates_udf(_col(geom))
+
+
+def st_linemerge(geom: ColumnOrName) -> Column:
+    return _st_linemerge_udf(_col(geom))
+
+
+def st_force2d(geom: ColumnOrName) -> Column:
+    return _st_force2d_udf(_col(geom))
+
+
+def st_force3dz(geom: ColumnOrName, z: float = 0.0) -> Column:
+    return _unary_geom_to_geom(lambda g: K.force_dims(g, True, False, z=z))(_col(geom))
+
+
+def st_force3dm(geom: ColumnOrName, m: float = 0.0) -> Column:
+    return _unary_geom_to_geom(lambda g: K.force_dims(g, False, True, m=m))(_col(geom))
+
+
+def st_force4d(geom: ColumnOrName, z: float = 0.0, m: float = 0.0) -> Column:
+    return _unary_geom_to_geom(lambda g: K.force_dims(g, True, True, z=z, m=m))(_col(geom))
+
+
+def st_shortestline(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_shortestline_udf(_col(a), _col(b))
+
+
+def st_intersection(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_intersection_udf(_col(a), _col(b))
+
+
+def st_union(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_union_udf(_col(a), _col(b))
+
+
+def st_difference(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _st_difference_udf(_col(a), _col(b))
+
+
+def st_simplify(geom: ColumnOrName, tol) -> Column:
+    t = float(tol)
+    return _unary_geom_to_geom(lambda g: K.simplify(g, t))(_col(geom))
+
+
+st_simplifypreservetopology = st_simplify  # DP variant; topology preservation TODO
+
+
+def st_reduceprecision(geom: ColumnOrName, grid) -> Column:
+    gr = float(grid)
+    return _unary_geom_to_geom(lambda g: K.reduce_precision(g, gr))(_col(geom))
+
+
+def st_removerepeatedpoints(geom: ColumnOrName, tol: float = 0.0) -> Column:
+    t = float(tol)
+    return _unary_geom_to_geom(lambda g: K.remove_repeated_points(g, t))(_col(geom))
+
+
+def st_buffer(geom: ColumnOrName, dist, segments: int = 8) -> Column:
+    d = float(dist)
+    seg = int(segments)
+    return _unary_geom_to_geom(lambda g: K.buffer(g, d, seg))(_col(geom))
+
+
+def _multi_k(g: Geometry) -> Geometry:
+    from ..geom.core import _MULTI_OF
+
+    if g.type_id in _MULTI_OF:
+        return Geometry.collection(_MULTI_OF[g.type_id], [] if g.is_empty() else [g])
+    return g
+
+
+_st_multi_udf = _unary_geom_to_geom(_multi_k)
+
+
+def st_multi(geom: ColumnOrName) -> Column:
+    return _st_multi_udf(_col(geom))
+
+
+def st_collectionextract(geom: ColumnOrName, dim: Optional[int] = None) -> Column:
+    d = dim
+    return _unary_geom_to_geom(lambda g: K.collection_extract(g, d))(_col(geom))
+
+
+# ============================================================ transforms (PROJ tier)
+
+def _web_mercator_fwd(arr: np.ndarray) -> np.ndarray:
+    R = 6378137.0
+    out = arr.copy()
+    out[:, 0] = np.radians(arr[:, 0]) * R
+    out[:, 1] = R * np.log(np.tan(np.pi / 4 + np.radians(arr[:, 1]) / 2))
+    return out
+
+
+def _web_mercator_inv(arr: np.ndarray) -> np.ndarray:
+    R = 6378137.0
+    out = arr.copy()
+    out[:, 0] = np.degrees(arr[:, 0] / R)
+    out[:, 1] = np.degrees(2 * np.arctan(np.exp(arr[:, 1] / R)) - np.pi / 2)
+    return out
+
+
+_NATIVE_TRANSFORMS = {
+    ("EPSG:4326", "EPSG:3857"): _web_mercator_fwd,
+    ("EPSG:3857", "EPSG:4326"): _web_mercator_inv,
+}
+
+
+def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True) -> Column:
+    """CRS reprojection (proj/functions.cpp:487-513). Native spherical
+    Web-Mercator pair ships built-in; everything else needs pyproj, gated
+    behind an import (not present in this environment)."""
+    key = (src.upper(), dst.upper())
+    if key[0] == key[1]:
+        return _col(geom)
+    if key in _NATIVE_TRANSFORMS:
+        fn = _NATIVE_TRANSFORMS[key]
+        return _unary_geom_to_geom(lambda g: g.map_coords(fn))(_col(geom))
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            f"ST_Transform {src}->{dst} requires pyproj (not installed); "
+            "native support: EPSG:4326 <-> EPSG:3857"
+        ) from e
+
+    def make(s=src, d=dst, xy=always_xy):
+        import pyproj
+
+        tr = pyproj.Transformer.from_crs(s, d, always_xy=xy)
+
+        def f(arr):
+            x, y = tr.transform(arr[:, 0], arr[:, 1])
+            out = arr.copy()
+            out[:, 0], out[:, 1] = x, y
+            return out
+
+        return f
+
+    fn = make()
+    return _unary_geom_to_geom(lambda g: g.map_coords(fn))(_col(geom))
+
+
+# ------ spheroid (GeographicLib tier) — WGS84 geodesics, native impl --------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+
+
+def _geodesic_inverse_m(lon1, lat1, lon2, lat2) -> float:
+    """Vincenty inverse on WGS84 (replaces GeographicLib; accurate to ~mm
+    except nearly-antipodal where it falls back to haversine)."""
+    a, f = _WGS84_A, _WGS84_F
+    b = (1 - f) * a
+    L = math.radians(lon2 - lon1)
+    U1 = math.atan((1 - f) * math.tan(math.radians(lat1)))
+    U2 = math.atan((1 - f) * math.tan(math.radians(lat2)))
+    sU1, cU1 = math.sin(U1), math.cos(U1)
+    sU2, cU2 = math.sin(U2), math.cos(U2)
+    lam = L
+    for _ in range(100):
+        sl, cl = math.sin(lam), math.cos(lam)
+        s_sig = math.sqrt((cU2 * sl) ** 2 + (cU1 * sU2 - sU1 * cU2 * cl) ** 2)
+        if s_sig == 0:
+            return 0.0
+        c_sig = sU1 * sU2 + cU1 * cU2 * cl
+        sig = math.atan2(s_sig, c_sig)
+        s_alpha = cU1 * cU2 * sl / s_sig
+        c2_alpha = 1 - s_alpha**2
+        c2sm = c_sig - 2 * sU1 * sU2 / c2_alpha if c2_alpha != 0 else 0.0
+        C = f / 16 * c2_alpha * (4 + f * (4 - 3 * c2_alpha))
+        lam_prev = lam
+        lam = L + (1 - C) * f * s_alpha * (
+            sig + C * s_sig * (c2sm + C * c_sig * (-1 + 2 * c2sm**2))
+        )
+        if abs(lam - lam_prev) < 1e-12:
+            break
+    else:
+        return K.haversine(lon1, lat1, lon2, lat2)
+    u2 = c2_alpha * (a**2 - b**2) / b**2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    d_sig = B * s_sig * (
+        c2sm + B / 4 * (c_sig * (-1 + 2 * c2sm**2) - B / 6 * c2sm * (-3 + 4 * s_sig**2) * (-3 + 4 * c2sm**2))
+    )
+    return b * A * (sig - d_sig)
+
+
+@pandas_udf(T.DoubleType())
+def _st_distance_spheroid_udf(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c, d in zip(x1, y1, x2, y2):
+        if any(v is None for v in (a, b, c, d)):
+            out.append(None)
+        else:
+            out.append(_geodesic_inverse_m(a, b, c, d))
+    return pd.Series(out)
+
+
+def st_distance_spheroid(x1, y1, x2, y2) -> Column:
+    """Geodesic distance on the WGS84 ellipsoid
+    (geographiclib/.../st_distance_spheroid)."""
+    return _st_distance_spheroid_udf(
+        _col(x1).cast("double"), _col(y1).cast("double"),
+        _col(x2).cast("double"), _col(y2).cast("double"),
+    )
+
+
+def _spheroid_len(g: Geometry) -> float:
+    total = 0.0
+    if g.type_id == Wkb.LINESTRING:
+        arr = g.coords
+        for i in range(len(arr) - 1):
+            total += _geodesic_inverse_m(arr[i, 0], arr[i, 1], arr[i + 1, 0], arr[i + 1, 1])
+    elif g.parts is not None:
+        total = sum(_spheroid_len(p) for p in g.parts)
+    return total
+
+
+_st_length_spheroid_udf = _unary_geom_to(T.DoubleType(), _spheroid_len)
+
+
+def st_length_spheroid(geom: ColumnOrName) -> Column:
+    return _st_length_spheroid_udf(_col(geom))
+
+
+def _spheroid_area(g: Geometry) -> float:
+    """Ellipsoidal polygon area via the spherical excess on the authalic
+    sphere (good to ~0.1% — GeographicLib parity is round-2)."""
+    R = 6371007.1809  # WGS84 authalic radius
+
+    def ring_area(r: np.ndarray) -> float:
+        lon = np.radians(r[:, 0])
+        lat = np.radians(r[:, 1])
+        if len(lon) < 4:
+            return 0.0
+        s = 0.0
+        for i in range(len(lon) - 1):
+            s += (lon[i + 1] - lon[i]) * (2 + math.sin(lat[i]) + math.sin(lat[i + 1]))
+        return abs(s * R * R / 2.0)
+
+    total = 0.0
+    for p in g.flatten():
+        if p.type_id == Wkb.POLYGON and p.rings:
+            total += ring_area(p.rings[0])
+            for h in p.rings[1:]:
+                total -= ring_area(h)
+    return total
+
+
+_st_area_spheroid_udf = _unary_geom_to(T.DoubleType(), _spheroid_area)
+
+
+def st_area_spheroid(geom: ColumnOrName) -> Column:
+    return _st_area_spheroid_udf(_col(geom))
+
+
+def st_perimeter_spheroid(geom: ColumnOrName) -> Column:
+    def per(g: Geometry) -> float:
+        total = 0.0
+        for p in g.flatten():
+            if p.type_id == Wkb.POLYGON:
+                for r in p.rings:
+                    ls = Geometry(Wkb.LINESTRING, coords=r)
+                    total += _spheroid_len(ls)
+        return total
+
+    return _unary_geom_to(T.DoubleType(), per)(_col(geom))
+
+
+def st_dwithin_spheroid(x1, y1, x2, y2, dist) -> Column:
+    return st_distance_spheroid(x1, y1, x2, y2) <= F.lit(float(dist))

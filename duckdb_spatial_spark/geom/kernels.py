@@ -1140,3 +1140,185 @@ def _lb_clip(p0, p1, xmin, ymin, xmax, ymax):
                 return None
             t1 = min(t1, r)
     return (x0 + t0 * dx, y0 + t0 * dy), (x0 + t1 * dx, y0 + t1 * dy)
+
+
+# ============================================================ misc processing
+
+def normalize(g: Geometry) -> Geometry:
+    """Canonical form: shells CCW, holes CW, rings start at lexicographically
+    smallest vertex, collection parts sorted by WKB bytes (stable canonical
+    order; matches GEOS normalize in spirit)."""
+
+    def norm_ring(r: np.ndarray, want_ccw: bool) -> np.ndarray:
+        if len(r) < 4:
+            return r
+        ccw = ring_area_signed(r) > 0
+        rr = r if ccw == want_ccw else r[::-1]
+        body = rr[:-1]
+        idx = np.lexsort((body[:, 1], body[:, 0]))[0]
+        rolled = np.vstack([body[idx:], body[:idx], body[idx : idx + 1]])
+        return rolled
+
+    if g.type_id == POLYGON:
+        rings = [norm_ring(r, i == 0) for i, r in enumerate(g.rings)]
+        out = Geometry(POLYGON, rings=rings, has_z=g.has_z, has_m=g.has_m)
+        return out
+    if g.parts is not None:
+        from .wkb import to_wkb
+
+        parts = sorted((normalize(p) for p in g.parts), key=lambda p: to_wkb(p))
+        out = Geometry(g.type_id, parts=parts, has_z=g.has_z, has_m=g.has_m)
+        return out
+    return g
+
+
+def _nearest_on_path(px, py, x, y):
+    """(dist, qx, qy): closest point on polyline to (px,py)."""
+    if len(x) == 1:
+        return math.hypot(px - x[0], py - y[0]), float(x[0]), float(y[0])
+    ax, ay = x[:-1], y[:-1]
+    bx, by = x[1:], y[1:]
+    dx, dy = bx - ax, by - ay
+    ll = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / ll
+    t = np.where(ll == 0, 0.0, np.clip(t, 0.0, 1.0))
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    k = int(np.argmin(d2))
+    return float(math.sqrt(d2[k])), float(cx[k]), float(cy[k])
+
+
+def shortest_line(a: Geometry, b: Geometry) -> Optional[Geometry]:
+    """LINESTRING between nearest points of a and b (GEOS ST_ShortestLine)."""
+    if a is None or b is None or a.is_empty() or b.is_empty():
+        return None
+    best = (math.inf, 0.0, 0.0, 0.0, 0.0)
+
+    def probe(src: Geometry, dst: Geometry, flip: bool):
+        nonlocal best
+        for arr in src.vertex_arrays():
+            for row in arr:
+                px, py = float(row[0]), float(row[1])
+                if _point_loc(px, py, dst) > 0:
+                    cand = (0.0, px, py, px, py)
+                    if cand[0] < best[0]:
+                        best = cand
+                    return
+                for part in dst.flatten():
+                    if part.is_empty():
+                        continue
+                    if part.type_id == POINT:
+                        d = math.hypot(px - part.coords[0], py - part.coords[1])
+                        q = (d, px, py, float(part.coords[0]), float(part.coords[1]))
+                    elif part.type_id == LINESTRING:
+                        d, qx, qy = _nearest_on_path(px, py, part.coords[:, 0], part.coords[:, 1])
+                        q = (d, px, py, qx, qy)
+                    else:
+                        d = math.inf
+                        q = None
+                        for ring in part.rings:
+                            dd, qx, qy = _nearest_on_path(px, py, ring[:, 0], ring[:, 1])
+                            if dd < d:
+                                d = dd
+                                q = (dd, px, py, qx, qy)
+                        if q is None:
+                            continue
+                    if q[0] < best[0]:
+                        best = q if not flip else (q[0], q[3], q[4], q[1], q[2])
+
+    if intersects(a, b):
+        # pick a shared point: representative of a inside b or vice versa
+        ra = _rep_point(a)
+        if ra and _point_loc(ra[0], ra[1], b) > 0:
+            p = ra
+        else:
+            p = _rep_point(b)
+        return Geometry(LINESTRING, coords=np.array([[p[0], p[1]], [p[0], p[1]]]))
+    probe(a, b, False)
+    probe(b, a, True)
+    return Geometry(
+        LINESTRING, coords=np.array([[best[1], best[2]], [best[3], best[4]]])
+    )
+
+
+def _is_axis_box(g: Geometry) -> Optional[Tuple[float, float, float, float]]:
+    """If g is a single-ring axis-aligned rectangle, return its bounds."""
+    if g.type_id != POLYGON or len(g.rings) != 1:
+        return None
+    r = g.rings[0]
+    if len(r) != 5 or not np.array_equal(r[0, :2], r[-1, :2]):
+        return None
+    xs = np.unique(r[:, 0])
+    ys = np.unique(r[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+
+def intersection(a: Geometry, b: Geometry) -> Geometry:
+    """Binary intersection — v1 tiers: (1) disjoint → EMPTY, (2) either side
+    an axis-aligned box → clip, (3) point/multipoint vs anything → point
+    selection, else NotImplementedError (general overlay is round-2;
+    reference delegates to GEOS, st_intersection.cpp)."""
+    if a is None or b is None:
+        return None
+    if not intersects(a, b):
+        return Geometry.empty(GEOMETRYCOLLECTION)
+    if a.topo_dimension() == 0:
+        pts = [p for p in a.flatten() if not p.is_empty()
+               and _point_loc(p.coords[0], p.coords[1], b) > 0]
+        return pts[0] if len(pts) == 1 else collect(pts)
+    if b.topo_dimension() == 0:
+        return intersection(b, a)
+    box = _is_axis_box(b)
+    if box is not None:
+        return clip_to_box(a, *box)
+    box = _is_axis_box(a)
+    if box is not None:
+        return clip_to_box(b, *box)
+    if equals(a, b):
+        return a
+    raise NotImplementedError(
+        "general polygon overlay not yet implemented (box/point tiers work)"
+    )
+
+
+def union(a: Geometry, b: Geometry) -> Geometry:
+    """Binary union — v1: disjoint or touching inputs → collected multi;
+    equal/contained inputs → the container; else NotImplementedError."""
+    if a is None or b is None:
+        return None
+    if a.is_empty():
+        return b
+    if b.is_empty():
+        return a
+    if covers(a, b):
+        return a
+    if covers(b, a):
+        return b
+    if not intersects(a, b) or touches(a, b):
+        parts = [p for g in (a, b) for p in g.flatten() if not p.is_empty()]
+        return collect(parts)
+    raise NotImplementedError(
+        "general dissolving union not yet implemented (disjoint/contained tiers work)"
+    )
+
+
+def difference(a: Geometry, b: Geometry) -> Geometry:
+    """Binary difference — v1: disjoint → a; a covered by b → EMPTY;
+    points minus anything → point selection; else NotImplementedError."""
+    if a is None or b is None:
+        return None
+    if not intersects(a, b):
+        return a
+    if covered_by(a, b):
+        return Geometry.empty(a.type_id, a.has_z, a.has_m)
+    if a.topo_dimension() == 0:
+        pts = [p for p in a.flatten() if not p.is_empty()
+               and _point_loc(p.coords[0], p.coords[1], b) == 0]
+        if not pts:
+            return Geometry.empty(a.type_id, a.has_z, a.has_m)
+        return pts[0] if len(pts) == 1 else collect(pts)
+    raise NotImplementedError("general difference not yet implemented")

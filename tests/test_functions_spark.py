@@ -1,0 +1,225 @@
+"""Spark-layer function tests (DataFrame API + spark.sql registration).
+
+Golden values mirror the reference's sqllogictests (SURVEY §5 tier 1).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import duckdb_spatial_spark.functions as ST
+from duckdb_spatial_spark import register_sql_functions
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    rows = [
+        (1, "POINT (1 2)"),
+        (2, "LINESTRING (0 0, 3 4)"),
+        (3, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        (4, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+        (5, "MULTIPOINT (0 0, 10 0)"),
+        (6, "GEOMETRYCOLLECTION (POINT (1 1), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"),
+        (7, "POINT EMPTY"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "wkt"])
+    return df.withColumn("geom", ST.st_geomfromtext("wkt")).cache()
+
+
+def _vals(df, col):
+    return {r["id"]: r[col] for r in df.collect()}
+
+
+def test_roundtrip_wkt(geo_df):
+    out = _vals(geo_df.select("id", ST.st_astext("geom").alias("t")), "t")
+    assert out[1] == "POINT (1 2)"
+    assert out[3] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert out[7] == "POINT EMPTY"
+    assert out[8] is None
+
+
+def test_area_length(geo_df):
+    a = _vals(geo_df.select("id", ST.st_area("geom").alias("a")), "a")
+    assert a[3] == 100.0 and a[4] == 96.0 and a[1] == 0.0 and a[6] == 4.0
+    ln = _vals(geo_df.select("id", ST.st_length("geom").alias("l")), "l")
+    assert ln[2] == 5.0 and ln[3] == 0.0
+
+
+def test_accessors(geo_df):
+    x = _vals(geo_df.select("id", ST.st_x("geom").alias("x")), "x")
+    assert x[1] == 1.0 and x[2] is None
+    t = _vals(geo_df.select("id", ST.st_geometrytype("geom").alias("t")), "t")
+    assert t[3] == "POLYGON" and t[6] == "GEOMETRYCOLLECTION"
+    n = _vals(geo_df.select("id", ST.st_npoints("geom").alias("n")), "n")
+    assert n[3] == 5 and n[4] == 10 and n[7] == 0
+    r = _vals(geo_df.select("id", ST.st_ninteriorrings("geom").alias("r")), "r")
+    assert r[4] == 1 and r[1] is None
+
+
+def test_extent_struct(geo_df):
+    b = _vals(geo_df.select("id", ST.st_extent("geom").alias("b")), "b")
+    assert b[3]["xmin"] == 0.0 and b[3]["xmax"] == 10.0
+    assert b[7]["xmin"] is None
+
+
+def test_predicates_constructed(spark):
+    df = spark.createDataFrame([(5.0, 5.0), (0.0, 5.0), (20.0, 20.0)], ["x", "y"])
+    df = df.withColumn("pt", ST.st_point("x", "y")).withColumn(
+        "env", ST.st_makeenvelope(0, 0, 10, 10)
+    )
+    rows = df.select(
+        ST.st_within("pt", "env").alias("w"),
+        ST.st_intersects("pt", "env").alias("i"),
+    ).collect()
+    assert [r["w"] for r in rows] == [True, False, False]
+    assert [r["i"] for r in rows] == [True, True, False]
+
+
+def test_distance_and_sphere(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 3.0, 4.0)], ["x1", "y1", "x2", "y2"])
+    r = df.select(
+        ST.st_distance(ST.st_point("x1", "y1"), ST.st_point("x2", "y2")).alias("d"),
+        ST.st_distance_point2d("x1", "y1", "x2", "y2").alias("d2"),
+        ST.st_distance_sphere("x1", "y1", "x2", "y2").alias("ds"),
+    ).collect()[0]
+    assert r["d"] == 5.0 and r["d2"] == 5.0
+    assert r["ds"] == pytest.approx(556000, rel=0.01)  # ~5 degrees on sphere
+
+
+def test_hilbert_colexpr_matches_python(spark):
+    from duckdb_spatial_spark.functions.scalar import hilbert_xy_py
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x in (0, 100, 9999) for y in (0, 5000, 9999)],
+        ["x", "y"],
+    )
+    out = df.select(
+        "x", "y", ST.st_hilbert_xy("x", "y", 0, 0, 10000, 10000, order=8).alias("h")
+    ).collect()
+    for r in out:
+        xi = min(int(r["x"] / 10000 * 255), 255)
+        yi = min(int(r["y"] / 10000 * 255), 255)
+        assert r["h"] == hilbert_xy_py(8, xi, yi), (r["x"], r["y"])
+
+
+def test_quadkey(spark):
+    df = spark.createDataFrame([(11.08, 46.04)], ["lon", "lat"])
+    qk = df.select(ST.st_quadkey_xy("lon", "lat", 6).alias("q")).collect()[0]["q"]
+    # zoom-6 Bing quadkey for (11.08, 46.04): tile (33, 22) → "120221"
+    assert qk == "120221"
+
+
+def test_processing(geo_df):
+    h = _vals(geo_df.select("id", ST.st_area(ST.st_convexhull("geom")).alias("h")), "h")
+    assert h[5] == 0.0  # two collinear points → line hull
+    assert h[3] == 100.0
+    c = _vals(geo_df.select("id", ST.st_astext(ST.st_centroid("geom")).alias("c")), "c")
+    assert c[3] == "POINT (5 5)"
+    e = _vals(geo_df.select("id", ST.st_astext(ST.st_envelope("geom")).alias("e")), "e")
+    assert e[2] == "POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))"
+
+
+def test_dump_explode(spark, geo_df):
+    ex = (
+        geo_df.filter("id = 6")
+        .select("id", F.explode(ST.st_dump("geom")).alias("d"))
+        .select("id", ST.st_astext(F.col("d.geom")).alias("part"), F.col("d.path"))
+        .collect()
+    )
+    assert len(ex) == 2
+    assert ex[0]["part"] == "POINT (1 1)" and list(ex[0]["path"]) == [1]
+
+
+def test_geojson(spark):
+    df = spark.createDataFrame([('{"type":"Point","coordinates":[1,2]}',)], ["j"])
+    out = df.select(
+        ST.st_astext(ST.st_geomfromgeojson("j")).alias("t"),
+        ST.st_asgeojson(ST.st_geomfromgeojson("j")).alias("gj"),
+    ).collect()[0]
+    assert out["t"] == "POINT (1 2)"
+    assert out["gj"] == '{"type":"Point","coordinates":[1,2]}'
+
+
+def test_hexwkb_roundtrip(geo_df):
+    out = _vals(
+        geo_df.select(
+            "id",
+            ST.st_astext(ST.st_geomfromhexwkb(ST.st_ashexwkb("geom"))).alias("t"),
+        ),
+        "t",
+    )
+    assert out[1] == "POINT (1 2)" and out[3].startswith("POLYGON")
+
+
+def test_sql_registration(spark):
+    register_sql_functions(spark)
+    spark.createDataFrame([("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",)], ["wkt"]).createOrReplaceTempView(
+        "sql_geoms"
+    )
+    row = spark.sql(
+        """
+        SELECT ST_Area(g) AS a,
+               ST_AsText(ST_Centroid(g)) AS c,
+               ST_Within(ST_Point(1.0, 1.0), g) AS w,
+               ST_Distance_Sphere(0.0, 0.0, 1.0, 0.0) AS ds
+        FROM (SELECT ST_GeomFromText(wkt) AS g FROM sql_geoms)
+        """
+    ).collect()[0]
+    assert row["a"] == 16.0
+    assert row["c"] == "POINT (2 2)"
+    assert row["w"] is True
+    assert row["ds"] == pytest.approx(111195, rel=1e-3)
+
+
+def test_extent_agg(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 5.0, 7.0), (2, -3.0, -2.0)], ["g", "x", "y"]
+    ).withColumn("geom", ST.st_point("x", "y"))
+    out = {
+        r["g"]: r["env"]
+        for r in df.groupBy("g")
+        .agg(ST.st_astext(ST.st_extent_agg("geom")).alias("env"))
+        .collect()
+    }
+    assert out[1] == "POLYGON ((0 0, 5 0, 5 7, 0 7, 0 0))"
+
+
+def test_union_agg_disjoint(spark):
+    import duckdb_spatial_spark.functions as STF
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"), (1, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")],
+        ["g", "wkt"],
+    ).withColumn("geom", ST.st_geomfromtext("wkt"))
+    out = STF.st_union_agg(df, "geom", ["g"]).collect()
+    assert len(out) == 1
+    txt = (
+        spark.createDataFrame([(out[0]["union_geom"],)], "b binary")
+        .select(ST.st_astext("b").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert txt.startswith("MULTIPOLYGON")
+
+
+def test_transform_webmercator(spark):
+    df = spark.createDataFrame([(0.0, 0.0), (1.0, 1.0)], ["x", "y"])
+    df = df.withColumn("pt", ST.st_point("x", "y"))
+    out = df.select(
+        ST.st_astext(
+            ST.st_transform("pt", "EPSG:4326", "EPSG:3857")
+        ).alias("t")
+    ).collect()
+    assert out[0]["t"] == "POINT (0 0)"
+    # 1°,1° → (111319.49, 111325.14)
+    import re
+
+    nums = [float(v) for v in re.findall(r"-?\d+\.?\d*", out[1]["t"])]
+    assert nums[0] == pytest.approx(111319.49, rel=1e-4)
+    assert nums[1] == pytest.approx(111325.14, rel=1e-4)
+
+
+def test_spheroid_distance(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 1.0, 0.0)], ["x1", "y1", "x2", "y2"])
+    d = df.select(ST.st_distance_spheroid("x1", "y1", "x2", "y2").alias("d")).collect()[0]["d"]
+    # 1 degree of longitude at equator on WGS84 = 111319.49m
+    assert d == pytest.approx(111319.49, rel=1e-6)
