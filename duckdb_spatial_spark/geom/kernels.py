@@ -1322,3 +1322,84 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
             return Geometry.empty(a.type_id, a.has_z, a.has_m)
         return pts[0] if len(pts) == 1 else collect(pts)
     raise NotImplementedError("general difference not yet implemented")
+
+
+# ============================================================ bulk (vectorized over many points)
+
+def point_in_ring_bulk(xs: np.ndarray, ys: np.ndarray, ring: np.ndarray,
+                       chunk: int = 4096) -> np.ndarray:
+    """Vectorized point-in-ring for many points at once: 0 out / 1 boundary /
+    2 in. Points×edges broadcasting, chunked to bound memory. This is the
+    probe-side engine of the broadcast spatial join (the analog of the
+    reference's prepared-geometry constant path, geos_executor.hpp:35-50)."""
+    n = len(xs)
+    out = np.zeros(n, dtype=np.int8)
+    if len(ring) < 3:
+        return out
+    ex0x = ring[:-1, 0][None, :]
+    ex0y = ring[:-1, 1][None, :]
+    ex1x = ring[1:, 0][None, :]
+    ex1y = ring[1:, 1][None, :]
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        px = xs[lo:hi][:, None]
+        py = ys[lo:hi][:, None]
+        cross = (ex1x - ex0x) * (py - ex0y) - (ex1y - ex0y) * (px - ex0x)
+        on = (
+            (cross == 0.0)
+            & (px >= np.minimum(ex0x, ex1x)) & (px <= np.maximum(ex0x, ex1x))
+            & (py >= np.minimum(ex0y, ex1y)) & (py <= np.maximum(ex0y, ex1y))
+        ).any(axis=1)
+        cond = (ex0y > py) != (ex1y > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ex0x + (py - ex0y) * (ex1x - ex0x) / (ex1y - ex0y)
+        inside = ((cond & (px < xint)).sum(axis=1) % 2) == 1
+        res = np.where(on, 1, np.where(inside, 2, 0)).astype(np.int8)
+        out[lo:hi] = res
+    return out
+
+
+def points_in_polygon_bulk(xs: np.ndarray, ys: np.ndarray, poly: Geometry) -> np.ndarray:
+    """0/1/2 location of many points vs one polygon (holes honored)."""
+    if not poly.rings:
+        return np.zeros(len(xs), dtype=np.int8)
+    loc = point_in_ring_bulk(xs, ys, poly.rings[0])
+    inside = loc == 2
+    if inside.any():
+        for hole in poly.rings[1:]:
+            h = point_in_ring_bulk(xs[inside], ys[inside], hole)
+            upd = loc[inside]
+            upd[h == 2] = 0
+            upd[h == 1] = 1
+            loc[inside] = upd
+            inside = loc == 2
+            if not inside.any():
+                break
+    return loc
+
+
+def points_in_geometry_bulk(xs: np.ndarray, ys: np.ndarray, g: Geometry) -> np.ndarray:
+    """0/1/2 location of many points vs any geometry (max over parts)."""
+    out = np.zeros(len(xs), dtype=np.int8)
+    for part in g.flatten():
+        if part.is_empty():
+            continue
+        if part.type_id == POLYGON:
+            out = np.maximum(out, points_in_polygon_bulk(xs, ys, part))
+        elif part.type_id == POINT:
+            hit = (xs == part.coords[0]) & (ys == part.coords[1])
+            out = np.maximum(out, np.where(hit, 2, 0).astype(np.int8))
+        elif part.type_id == LINESTRING:
+            arr = part.coords
+            for i in range(len(arr) - 1):
+                ax, ay, bx, by = arr[i, 0], arr[i, 1], arr[i + 1, 0], arr[i + 1, 1]
+                cr = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+                on = (
+                    (cr == 0.0)
+                    & (xs >= min(ax, bx)) & (xs <= max(ax, bx))
+                    & (ys >= min(ay, by)) & (ys <= max(ay, by))
+                )
+                out = np.maximum(out, np.where(on, 2, 0).astype(np.int8))
+        if (out == 2).all():
+            break
+    return out

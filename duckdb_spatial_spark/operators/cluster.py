@@ -1,0 +1,119 @@
+"""Spatial layout & pruning — the Spark replacement for CREATE INDEX ...
+USING RTREE (SURVEY §2.K, §4.2).
+
+The reference builds a persistent R-tree (STR bulk load sorted by xmin,
+rtree_index_create_physical.cpp:174-177) and swaps seq-scans for index scans
+when a filter has a constant-foldable spatial predicate
+(rtree_index_plan_scan.cpp). Spark's equivalent capability is **layout**:
+
+* ``st_cluster(df, ...)`` — add a Hilbert key over the data's extent and
+  ``repartitionByRange(hilbert) + sortWithinPartitions``, so spatially-near
+  rows land in the same Parquet files/row-groups;
+* persist bbox / x,y as plain DOUBLE (or struct) columns so Parquet keeps
+  min/max page stats on them;
+* ``st_filter(df, ...)`` — inject the bbox conjunct (pure col-expr, pushed
+  by Catalyst into the Parquet reader → row-group pruning) and re-apply the
+  exact predicate on survivors, exactly the rewrite shape of
+  rtree_index_plan_scan.cpp:88-103 (constant bounds extraction + exact
+  post-filter).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import scalar as S
+from ..geom.wkt import from_wkt
+from ..geom import kernels as K
+
+
+def st_cluster(
+    df: DataFrame,
+    x: str,
+    y: str,
+    extent: Optional[Tuple[float, float, float, float]] = None,
+    num_partitions: Optional[int] = None,
+    order: int = 16,
+    key_col: str = "__hilbert",
+) -> DataFrame:
+    """Hilbert-cluster by point columns. ``extent`` defaults to the data's
+    global extent (one cheap agg). Result is range-partitioned and sorted by
+    the hilbert key — write to Parquet to get pruning on x/y predicates."""
+    if extent is None:
+        row = df.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
+        extent = (row[0], row[2], row[1], row[3])
+    xmin, ymin, xmax, ymax = extent
+    keyed = df.withColumn(
+        key_col, S.st_hilbert_xy(x, y, xmin, ymin, xmax, ymax, order=order)
+    )
+    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(np_, key_col)
+        .sortWithinPartitions(key_col)
+        .drop(key_col)
+    )
+
+
+def st_cluster_bbox(
+    df: DataFrame,
+    bbox_col: str = "bbox",
+    extent: Optional[Tuple[float, float, float, float]] = None,
+    num_partitions: Optional[int] = None,
+    order: int = 16,
+) -> DataFrame:
+    """Hilbert-cluster by bbox center (general geometries)."""
+    cx = (F.col(bbox_col)["xmin"] + F.col(bbox_col)["xmax"]) / 2
+    cy = (F.col(bbox_col)["ymin"] + F.col(bbox_col)["ymax"]) / 2
+    tmp = df.withColumn("__cx", cx).withColumn("__cy", cy)
+    out = st_cluster(tmp, "__cx", "__cy", extent=extent,
+                     num_partitions=num_partitions, order=order)
+    return out.drop("__cx", "__cy")
+
+
+def st_filter_points(
+    df: DataFrame,
+    x: str,
+    y: str,
+    query_wkt: str,
+    predicate: str = "within",
+) -> DataFrame:
+    """Filter point rows by a constant geometry: bbox conjunct first (pure
+    col-expr on the x/y columns → Parquet min/max pruning), then the exact
+    predicate only when the constant isn't its own bbox.
+
+    This is the EP3-query analog: the reference extracts the constant's
+    cached bbox (rtree_index_plan_scan.cpp:88-103) and keeps the exact
+    predicate as a post-filter."""
+    g = from_wkt(query_wkt)
+    b = g.bounds()
+    if b is None:
+        return df.filter(F.lit(False))
+    xmin, ymin, xmax, ymax = b
+    strict = predicate in ("within", "containsproperly")
+    coarse = S.st_point_in_box(x, y, xmin, ymin, xmax, ymax, strict=strict)
+    out = df.filter(coarse)
+    if K._is_axis_box(g) is not None:
+        return out  # constant is a pure envelope: bbox test IS exact
+    exact_geom = S.st_point(x, y)
+    from .join import _pred_udf, _norm_pred
+
+    pred = _norm_pred(predicate)
+    const = F.lit(bytearray(__import__("duckdb_spatial_spark.geom.wkb", fromlist=["to_wkb"]).to_wkb(g)))
+    return out.filter(_pred_udf(pred)(exact_geom, const))
+
+
+def with_bbox_columns(df: DataFrame, geom: str = "geom", prefix: str = "") -> DataFrame:
+    """Materialize xmin/ymin/xmax/ymax DOUBLE columns next to a GEOMETRY —
+    the persistent replacement for the reference's cached header bbox
+    (geometry_type.hpp:100-146). Write these to Parquet: min/max row-group
+    stats on them are what replaces the R-tree."""
+    box = S.st_extent(geom)
+    return (
+        df.withColumn(prefix + "xmin", box["xmin"])
+        .withColumn(prefix + "ymin", box["ymin"])
+        .withColumn(prefix + "xmax", box["xmax"])
+        .withColumn(prefix + "ymax", box["ymax"])
+    )
