@@ -5,3 +5,28 @@ from .cluster import (  # noqa: F401
     with_bbox_columns,
 )
 from .join import st_join, st_join_broadcast  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_join,
+    shingles,
+    simhash,
+    simhash_candidates,
+)
+from .similarity import (  # noqa: F401
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    cosine_similarity,
+    dot,
+    embedding_neardup_pairs,
+    l2_norm,
+)
+from . import textops  # noqa: F401
+from .multimodal import (  # noqa: F401
+    attach_media_metadata,
+    frame_sample,
+    image_features,
+)

@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All-built-in Spark column expressions where possible (JVM-side, shuffle-
+only-when-needed), so every path here scales to the 100-TB posture:
+
+* exact dedup: hash-groupBy on the key, keep min id (one shuffle).
+* MinHash + LSH: shingle → per-seed min-hash → band → equi-join on
+  (band, key) buckets → verified Jaccard. The only shuffles are the bucket
+  join and the pair dedup.
+* SimHash: md5-digit-parity bit signature (deterministic, reproducible in
+  plain SQL for the DuckDB oracle) + hamming-style candidate pairing.
+* n-gram Jaccard: inverted-index equi-join on shingles (no cross product).
+
+Hash choice: ``md5`` (default) is reproducible in any engine (oracle
+parity); ``xxhash64`` is the faster production path — same topology.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: List[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per duplicate group. One shuffle."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="inner")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams as array<string> — pure col-expr."""
+    n = F.length(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: text.substr(i, F.lit(k)),
+        )
+    )
+
+
+def _hash_expr(seed: int, s: Column, fn: str) -> Column:
+    if fn == "md5":
+        return F.md5(F.concat(F.lit(f"{seed}|"), s))
+    if fn == "xxhash64":
+        return F.xxhash64(F.lit(seed), s).cast("string")
+    raise ValueError(fn)
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 5,
+                      hash_fn: str = "md5") -> Column:
+    """array<string> of per-seed minimum shingle hashes. Seeded hash family
+    = hash(seed || shingle); min is lexicographic (deterministic across
+    engines)."""
+    sh = shingles(text, k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda x, s=s: _hash_expr(s, x, hash_fn)))
+          for s in range(num_hashes)]
+    )
+
+
+def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, key:string>> for LSH bucketing."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.concat_ws("_", F.slice(sig, b * rows_per_band + 1, rows_per_band)).alias("key"),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band bucket.
+    Equi-join on (band,key) — a real shuffle join, no cross product."""
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, k, hash_fn).alias("__sig"),
+    )
+    bucketed = sig.select(
+        "__id", F.explode(minhash_band_keys(F.col("__sig"), bands, r)).alias("b")
+    ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; broadcast-friendly when
+    pair count is small, shuffle join otherwise."""
+    sh = df.select(F.col(id_col).alias("__jid"), shingles(F.col(text_col), k).alias("__sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Remove near-duplicates: a row is dropped when a verified-similar row
+    with a smaller id exists (standard keep-first policy)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k, hash_fn)
+    dup = jaccard_verify(cand, df, id_col, text_col, k, threshold)
+    losers = dup.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via inverted-index equi-join on
+    shingles (each shared shingle contributes one pre-aggregated match row;
+    no cross product; prefix-filtering is a round-2 optimization)."""
+    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    inv = sh.select("__id", F.explode("__sh").alias("sh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(b, on="sh")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a")
+    nb = sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b")
+    out = (
+        shared.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint as a LONG, built from md5-hex-digit parities of
+    whitespace tokens — fully deterministic and expressible in ANSI SQL for
+    the oracle. bit_j weight = sign(sum over tokens of parity(md5(tok)[j]))."""
+    tokens = F.split(F.trim(text), r"\s+")
+    # per bit: sum of (ascii(hexdigit_j) % 2 ? 1 : -1) over tokens
+    def bit(j: int) -> Column:
+        contrib = F.transform(
+            tokens,
+            lambda t: F.when(
+                F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        s = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        return F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + bit(j)
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates = equal simhash band (bits/bands bits per band)."""
+    width = bits // bands
+    sig = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), bits).alias("__sh"))
+    parts = []
+    for b in range(bands):
+        mask = ((1 << width) - 1) << (b * width)
+        parts.append(
+            sig.select(
+                "__id",
+                F.lit(b).alias("band"),
+                F.col("__sh").bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.union(p)
+    a, b_ = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b_, on=["band", "key"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )

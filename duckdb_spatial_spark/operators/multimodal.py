@@ -1,0 +1,182 @@
+"""Multimodal (image/audio/video) column handling.
+
+Design (per the build mandate): media payloads are opaque ``binary`` columns
+travelling next to a typed metadata struct; all decode / feature-extract /
+resize / frame-sample operators run as Arrow-batched ``mapInPandas`` stages
+so payload bytes never round-trip through the driver and partition sizing
+stays under executor memory control.
+
+The actual codec work (JPEG decode, audio resample, …) needs libraries not
+present in this container, so the decode core is STUBBED — clearly marked —
+behind ``decode_fn``; the default raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic hash-derived decode so the
+full Spark plumbing (schemas, batching, partitioning) is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image/audio/video
+        T.StructField("format", T.StringType()),        # jpeg/png/wav/mp4/...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("byte_size", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_gray", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str, media_type: str,
+                          fmt: str, meta_col: str = "media_meta") -> DataFrame:
+    """Attach a minimal metadata struct (sizes computable without decode)."""
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.length(F.col(payload_col)).cast("long").alias("byte_size"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
+    """Deterministic stand-in decode: derive an (h, w, 3) uint8 'image' from
+    the payload's sha256 stream. STUB — replace with a real codec."""
+    need = w * h * 3
+    out = bytearray()
+    seed = payload or b""
+    counter = 0
+    while len(out) < need:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(4, "little")).digest())
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, 3)
+
+
+def image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "img_features",
+    decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
+    fake: bool = False,
+    batch_size_hint: int = 2048,
+) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas. Features: channel
+    means, gray std, 64-bit average-hash perceptual hash."""
+    if decode_fn is None:
+        if not fake:
+            raise NotImplementedError(
+                "image decode requires a codec library not present in this "
+                "container; pass decode_fn=... or fake=True for the "
+                "deterministic stub"
+            )
+        decode_fn = _fake_decode
+
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, IMAGE_FEATURES_TYPE)])
+    cols = df.columns
+    pi = cols.index(payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf.iloc[:, pi]:
+                if b is None:
+                    feats.append((None, None, None, None, None))
+                    continue
+                img = decode_fn(bytes(b)).astype(np.float64)
+                gray = img.mean(axis=2)
+                # 64-bit average hash on an 8x8 downsample
+                g8 = gray[: 8 * (gray.shape[0] // 8) or 8, : 8 * (gray.shape[1] // 8) or 8]
+                if g8.shape[0] >= 8 and g8.shape[1] >= 8:
+                    g8 = g8[: g8.shape[0] // 8 * 8, : g8.shape[1] // 8 * 8]
+                    g8 = g8.reshape(8, g8.shape[0] // 8, 8, g8.shape[1] // 8).mean(axis=(1, 3))
+                else:
+                    g8 = np.resize(gray, (8, 8))
+                bits = (g8 > g8.mean()).flatten()
+                ph = 0
+                for i, v in enumerate(bits):
+                    if v:
+                        ph |= 1 << i
+                # avoid unsigned overflow into long
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                feats.append(
+                    (
+                        float(img[:, :, 0].mean()),
+                        float(img[:, :, 1].mean()),
+                        float(img[:, :, 2].mean()),
+                        float(gray.std()),
+                        ph,
+                    )
+                )
+            out = pdf.copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    out_col: str = "frames",
+    decode_fn: Optional[Callable[[bytes, int], list]] = None,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample n frames from video payloads → array<binary>. Decode STUBBED
+    (deterministic slicing of the payload) unless a real decoder is given."""
+    if decode_fn is None:
+        if not fake:
+            raise NotImplementedError(
+                "video decode requires a codec library not present here; "
+                "pass decode_fn=... or fake=True"
+            )
+
+        def decode_fn(b: bytes, n: int) -> list:
+            if not b:
+                return []
+            step = max(1, len(b) // n)
+            return [b[i * step : (i + 1) * step] for i in range(min(n, len(b)))]
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.BinaryType()))]
+    )
+    pi = df.columns.index(payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                None if b is None else decode_fn(bytes(b), n_frames)
+                for b in pdf.iloc[:, pi]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

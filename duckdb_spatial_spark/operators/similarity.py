@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_similarity`` / ``dot`` / ``l2_norm`` — pure higher-order column
+  expressions (JVM-side ``zip_with`` + ``aggregate``; no Python worker).
+* ``ann_bruteforce_topk`` — exact top-k: broadcast the (small) query set,
+  one pass over the corpus, window top-k. The correctness baseline.
+* ``ann_lsh_topk`` — random-hyperplane LSH bucketing: signature from a
+  seeded NumPy plane matrix embedded as literals, equi-join on bucket key,
+  exact re-rank inside buckets. The 100-TB path (corpus never cross-joined).
+* ``embedding_neardup_pairs`` — near-duplicate pairs by cosine ≥ t, LSH-
+  bucketed with exact verify; ``exact=True`` does the O(n²) in-bucket-free
+  check for oracle-sized data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def ann_bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k: corpus × broadcast(queries) → cosine → rank ≤ k.
+    One scan of the corpus; queries must be broadcastable."""
+    j = corpus.crossJoin(F.broadcast(queries))
+    sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec)).alias("cosine")
+    scored = j.select(query_id, corpus_id, sim)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine"), F.asc(corpus_id)  # deterministic tie-break
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane sign bits packed into a LONG — pure col-expr
+    (planes embedded as array literals; one ``aggregate`` per plane)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        s = dot(vec, plane)
+        bits.append(F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by LSH signature,
+    equi-join on bucket, exact cosine re-rank within buckets. Recall < 1.0
+    by design; raise n_planes↓/multiprobe for higher recall (round-2)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", lsh_signature(F.col(corpus_vec), planes))
+    q = queries.withColumn("__bucket", lsh_signature(F.col(query_vec), planes))
+    j = c.join(F.broadcast(q), on="__bucket")
+    sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec)).alias("cosine")
+    scored = j.select(query_id, corpus_id, sim)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    exact=False: LSH-bucketed (bucket equality as the blocking key).
+    exact=True: full pair enumeration via self-join (oracle-scale only).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("__bucket", lsh_signature(F.col("va"), planes))
+        b = b.withColumn("__bucket", lsh_signature(F.col("vb"), planes))
+        j = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        j.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

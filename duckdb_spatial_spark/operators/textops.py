@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines — all pure column
+expressions (JVM-side regex/array ops; no Python workers in any hot path).
+
+Every function here is deliberately expressible in ANSI SQL too, so the
+DuckDB oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces + punctuation marks counted
+    separately (regexp split on word boundaries)."""
+    words = F.size(F.split(F.trim(text), r"[^A-Za-z0-9]+")) - F.when(
+        F.trim(text).rlike(r"[^A-Za-z0-9]$") | (F.length(F.trim(text)) == 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    puncts = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return words + puncts
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    puncts = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return puncts.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def upper_ratio(text: Column) -> Column:
+    uppers = F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    return uppers.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def digit_ratio(text: Column) -> Column:
+    digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return digits.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def mean_word_length(text: Column) -> Column:
+    t = F.trim(text)
+    n = token_count(text)
+    chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    return chars.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+]
+
+
+def _in_list(t: Column, words) -> Column:
+    # Column.isin on a lambda variable mis-coerces in Spark 4; explicit OR chain
+    cond = t == F.lit(words[0])
+    for w in words[1:]:
+        cond = cond | (t == F.lit(w))
+    return cond
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) English
+    stopwords — a classic fluency signal."""
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(tokens, lambda t: _in_list(t, _STOPWORDS)))
+    return hits.cast("double") / F.greatest(F.size(tokens), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct/digit noise
+    + word-length plausibility + stopword presence. Deterministic col-expr;
+    weights documented so the oracle can reproduce it."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0)) * F.when(
+        n > 10000, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    noise = punct_ratio(text) + digit_ratio(text)
+    noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2.0)
+    mwl = mean_word_length(text)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return (len_score * 0.3 + noise_score * 0.3 + word_score * 0.2 + stop_score * 0.2)
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+    "it": ["il", "la", "e", "che", "di"],
+    "pt": ["o", "a", "e", "que", "de"],
+}
+
+
+def language_id(text: Column) -> Column:
+    """Marker-stopword language guess (n-gram-free heuristic tier; a real
+    char-n-gram profile model is round-2). Returns the language whose marker
+    hit-count is highest, 'und' (undetermined) when all are zero. Ties break
+    by language-code order — fully deterministic and SQL-reproducible."""
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def hit_counter(markers):
+        # nb: the lambda must be unary — pyspark passes (element, index) to
+        # binary callables, which would shadow a default argument
+        return F.size(F.filter(tokens, lambda t: _in_list(t, markers)))
+
+    scores = {lang: hit_counter(m) for lang, m in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(_LANG_MARKERS):
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 64-bit hash of the whitespace-normalized,
+    lowercased text (xxhash64 — fast JVM path)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Oracle-reproducible variant (md5 hex of normalized text)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def winnowing_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al.): hash all k-grams,
+    keep the minimum in each sliding window, dedupe. array<string> col-expr."""
+    n = F.length(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.md5(text.substr(i, F.lit(k))),
+    )
+    ng = F.size(grams)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(ng - F.lit(window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return F.array_distinct(mins)

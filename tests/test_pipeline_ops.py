@@ -1,0 +1,178 @@
+"""Training-data pipeline operator tests (dedup / similarity / text /
+multimodal), run on the driver-provided documents+embeddings tables plus
+purpose-built fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    attach_media_metadata,
+    cosine_similarity,
+    embedding_neardup_pairs,
+    exact_dedup,
+    image_features,
+    frame_sample,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_join,
+    simhash,
+    simhash_candidates,
+    textops,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], ["id", "text"]
+    )
+    out = exact_dedup(df, ["text"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_minhash_dedup_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),          # near-dup of 1
+        (3, "completely different content about database engines and query plans"),
+        (4, base),                        # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    cand = minhash_lsh_candidates(df, "id", "text", num_hashes=16, bands=8, k=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
+    kept = minhash_dedup(df, "id", "text", threshold=0.6, num_hashes=16, bands=8, k=4)
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == [1, 3]
+
+
+def test_ngram_jaccard_join(spark):
+    rows = [(1, "abcdefgh"), (2, "abcdefgx"), (3, "zzzzyyyy")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_join(df, "id", "text", k=3, threshold=0.3).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.5
+    assert (1, 3) not in out
+
+
+def test_simhash_deterministic_and_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "hello world foo bar"), (3, "xyz")],
+        ["id", "text"],
+    )
+    sh = df.select("id", simhash(F.col("text")).alias("s")).collect()
+    vals = {r["id"]: r["s"] for r in sh}
+    assert vals[1] == vals[2] != vals[3]
+    cand = simhash_candidates(df, "id", "text")
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cand.collect()}
+
+
+def test_ann_bruteforce_vs_duckdb(spark, emb):
+    import duckdb
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann_bruteforce_topk(emb, queries, k=5).collect()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH q AS (SELECT vec_id qid, embedding qv FROM '{SF}/embeddings.parquet'
+                   ORDER BY vec_id LIMIT 3),
+             c AS (SELECT vec_id, embedding FROM '{SF}/embeddings.parquet')
+        SELECT qid, vec_id, rank FROM (
+          SELECT q.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(c.embedding, q.qv) DESC, c.vec_id) rank
+          FROM c, q)
+        WHERE rank <= 5
+        """
+    ).fetchall()
+    got_set = {(r["query_id"], r["vec_id"], r["rank"]) for r in got}
+    assert got_set == set(want)
+
+
+def test_ann_lsh_recall(spark, emb):
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = ann_bruteforce_topk(emb, queries, k=3).collect()
+    approx = ann_lsh_topk(emb, queries, k=3, n_planes=6, dim=64).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # self-match always survives (same bucket), recall is best-effort
+    assert {(q, q) for q in (0, 1, 2, 3, 4)} <= approx_set
+    assert len(approx_set & exact_set) >= 5
+
+
+def test_embedding_neardup_exact_self(spark, emb):
+    out = embedding_neardup_pairs(emb.limit(50), threshold=0.999, exact=True).collect()
+    # synthetic embeddings: no exact dups expected, but the operator runs
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+
+
+def test_textops(spark, docs):
+    row = (
+        docs.select(
+            "doc_id",
+            textops.token_count(F.col("text")).alias("tokens"),
+            textops.punct_ratio(F.col("text")).alias("punct"),
+            textops.quality_score(F.col("text")).alias("q"),
+            textops.language_id(F.col("text")).alias("lang_guess"),
+            textops.fingerprint(F.col("text")).alias("fp"),
+        )
+        .first()
+    )
+    assert row["tokens"] > 0
+    assert 0.0 <= row["punct"] <= 1.0
+    assert 0.0 <= row["q"] <= 1.0
+    assert isinstance(row["lang_guess"], str)
+    assert row["fp"] is not None
+
+
+def test_token_count_literals(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",)], ["t"])
+    out = [r["n"] for r in df.select(textops.token_count(F.col("t")).alias("n")).collect()]
+    assert out == [3, 0, 0, 1]
+
+
+def test_winnowing(spark):
+    df = spark.createDataFrame([("abcdefghijklmnop",), ("abcdefghijklmnop",)], ["t"])
+    out = df.select(textops.winnowing_fingerprints(F.col("t")).alias("w")).collect()
+    assert out[0]["w"] == out[1]["w"] and len(out[0]["w"]) >= 1
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(1, b"fake-image-bytes-1"), (2, b"fake-image-bytes-2"), (3, None)]
+    df = spark.createDataFrame(rows, ["id", "payload"])
+    df = attach_media_metadata(df, "payload", "image", "jpeg")
+    meta = {r["id"]: r["media_meta"] for r in df.collect()}
+    assert meta[1]["byte_size"] == 18 and meta[1]["media_type"] == "image"
+
+    feats = image_features(df, "payload", fake=True)
+    got = {r["id"]: r["img_features"] for r in feats.collect()}
+    assert got[1]["phash"] is not None and got[3] is None or got[3]["phash"] is None
+    # deterministic: same payload → same features
+    feats2 = {r["id"]: r["img_features"] for r in image_features(df, "payload", fake=True).collect()}
+    assert feats2[1] == got[1]
+
+    with pytest.raises(NotImplementedError):
+        image_features(df, "payload").collect()
+
+    frames = {r["id"]: r["frames"] for r in frame_sample(df, "payload", n_frames=3, fake=True).collect()}
+    assert len(frames[1]) == 3
