@@ -1,0 +1,12 @@
+from .generate import st_generatepoints  # noqa: F401
+from .tables import load_all, load_table, register_views  # noqa: F401
+from .read import (  # noqa: F401
+    OSM_SCHEMA,
+    read,
+    read_geojson,
+    st_drivers,
+    st_read,
+    st_read_meta,
+    st_read_osm,
+    st_write,
+)
