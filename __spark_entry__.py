@@ -1,38 +1,753 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+(+ the training-data pipeline mandate); each callable (spark, sf_dir) →
+DataFrame. ``oracle_sql()`` — equivalent ANSI SQL for vanilla DuckDB (the
+spatial extension is not loadable offline, so every spatial query derives
+its geometry from the numeric testdata columns and the oracle reproduces
+the semantics arithmetically — exact same rounding, same aliases).
+
+Column-name convention: every computed column is aliased identically in the
+Spark plan and the oracle SQL (driver sorts columns by name before value-
+hashing).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+import duckdb_spatial_spark.functions as ST
+from duckdb_spatial_spark.operators import (
+    ann_bruteforce_topk,
+    exact_dedup,
+    minhash_signature,
+    ngram_jaccard_join,
+    simhash,
+    st_join,
+    textops,
+)
+from duckdb_spatial_spark.operators.similarity import cosine_similarity
+from duckdb_spatial_spark.sources import st_generatepoints
+from duckdb_spatial_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------- helpers
+
+def _events_pts(spark: SparkSession, sf: str) -> DataFrame:
+    """Point substrate from events: x = value ∈ (0, ~490), y = user_id."""
+    return (
+        load_table(spark, sf, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").alias("x"),
+            F.col("user_id").cast("double").alias("y"),
+        )
+    )
+
+
+_EVENTS_PTS_SQL = (
+    "SELECT event_id, event_type, value AS x, CAST(user_id AS DOUBLE) AS y FROM events"
+)
+
+ENV = (100.0, 30.0, 300.0, 90.0)  # query envelope for envelope workloads
+
+
+def _zone_rows():
+    """5×3 tiling of (0,500)×(0,150) in 100×50 cells (taxi-zones analog)."""
+    rows = []
+    for i in range(5):
+        for j in range(3):
+            x0, y0 = i * 100.0, j * 50.0
+            wkt = (
+                f"POLYGON (({x0} {y0}, {x0+100} {y0}, {x0+100} {y0+50}, "
+                f"{x0} {y0+50}, {x0} {y0}))"
+            )
+            rows.append((i * 3 + j, wkt))
+    return rows
+
+
+# --------------------------------------------------------------- queries
+
+def q01_point_in_envelope(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Within(point, constant envelope) — the rtree benchmark workload
+    shape (BASELINE #1/#2), via the bbox col-expr fast path."""
+    pts = _events_pts(spark, sf)
+    xmin, ymin, xmax, ymax = ENV
+    inside = ST.st_point_in_box("x", "y", xmin, ymin, xmax, ymax, strict=True)
+    return pts.filter(inside).agg(F.count("*").alias("n"))
+
+
+def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-polygon spatial join (docs/example.md:92-100 workload) via
+    the grid-partitioned equi-join; per-zone counts."""
+    pts = _events_pts(spark, sf).withColumn("pt", ST.st_point("x", "y"))
+    zones = spark.createDataFrame(_zone_rows(), ["zone_id", "zwkt"]).withColumn(
+        "zone", ST.st_geomfromtext("zwkt")
+    )
+    j = st_join(pts, zones, "within", "pt", "zone", cell_size=60.0, broadcast_threshold=0)
+    return (
+        j.groupBy("zone_id").agg(F.count("*").alias("n")).orderBy("zone_id")
+    )
+
+
+def q03_distance_sphere(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Distance_Sphere (haversine col-expr) over lineitem-derived
+    lon/lat pairs, avg per returnflag."""
+    li = load_table(spark, sf, "lineitem")
+    d = ST.st_distance_sphere(
+        F.col("l_discount") * 100, F.col("l_tax") * 100,
+        F.col("l_quantity") * 3, F.col("l_linenumber") * 10,
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.avg(d), 3).alias("avg_dist_m"), F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q04_extent_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Extent_Agg decomposable min/max bbox per event_type."""
+    pts = _events_pts(spark, sf)
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.min("x").alias("xmin"),
+            F.min("y").alias("ymin"),
+            F.max("x").alias("xmax"),
+            F.max("y").alias("ymax"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q05_centroid_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Collect_Agg + ST_Centroid per nation over customer points."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_nationkey",
+        F.col("c_acctbal").alias("x"),
+        (F.col("c_custkey") % 1000).cast("double").alias("y"),
+    )
+    pts = cust.withColumn("pt", ST.st_point("x", "y"))
+    agg = pts.groupBy("c_nationkey").agg(ST.st_collect_agg("pt").alias("coll"))
+    cent = agg.withColumn("c", ST.st_centroid("coll"))
+    return (
+        cent.select(
+            "c_nationkey",
+            F.round(ST.st_x(F.col("c")), 6).alias("cx"),
+            F.round(ST.st_y(F.col("c")), 6).alias("cy"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q06_convexhull_area(spark: SparkSession, sf: str) -> DataFrame:
+    """Convex hull area of customer points per market segment (no plain-SQL
+    equivalent → rows-only check)."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_mktsegment",
+        F.col("c_acctbal").alias("x"),
+        (F.col("c_custkey") % 1000).cast("double").alias("y"),
+    )
+    pts = cust.withColumn("pt", ST.st_point("x", "y"))
+    agg = pts.groupBy("c_mktsegment").agg(ST.st_collect_agg("pt").alias("coll"))
+    return (
+        agg.select(
+            "c_mktsegment",
+            F.round(ST.st_area(ST.st_convexhull("coll")), 4).alias("hull_area"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q07_wkt_area(spark: SparkSession, sf: str) -> DataFrame:
+    """WKT parse → ST_Area over part-derived square polygons."""
+    part = load_table(spark, sf, "part")
+    wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), F.col("p_size").cast("string"), F.lit(" 0, "),
+        F.col("p_size").cast("string"), F.lit(" "), F.col("p_size").cast("string"),
+        F.lit(", 0 "), F.col("p_size").cast("string"), F.lit(", 0 0))"),
+    )
+    g = ST.st_geomfromtext(wkt)
+    return (
+        part.groupBy("p_brand")
+        .agg(F.round(F.sum(ST.st_area(g)), 2).alias("area_sum"), F.count("*").alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+def q08_buffer_area(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Buffer(point, 5, 8 quad segments) → 32-gon; avg area per type
+    (analytic oracle: 0.5·32·r²·sin(2π/32))."""
+    pts = _events_pts(spark, sf).withColumn("pt", ST.st_point("x", "y"))
+    area = ST.st_area(ST.st_buffer("pt", 5.0, segments=8))
+    return (
+        pts.groupBy("event_type")
+        .agg(F.round(F.avg(area), 6).alias("avg_buf_area"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q09_hilbert_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Hilbert col-expr: bucket events points by hilbert>>shift, count
+    buckets (layout cornerstone; no SQL oracle — curve is engine-defined)."""
+    pts = _events_pts(spark, sf)
+    h = ST.st_hilbert_xy("x", "y", 0.0, 0.0, 500.0, 150.0, order=16)
+    b = F.shiftright(h, 24).alias("bucket")
+    return (
+        pts.select(b)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_bucket"),
+        )
+    )
+
+
+def q10_quadkey(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_QuadKey col-expr at level 3 over events-derived lon/lat."""
+    pts = _events_pts(spark, sf)
+    lon = F.col("x") * 0.7 - 170.0
+    lat = F.col("y") * 0.8 - 59.6
+    qk = ST.st_quadkey_xy(lon, lat, 3)
+    return (
+        pts.select(qk.alias("quadkey"))
+        .groupBy("quadkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("quadkey")
+    )
+
+
+def q11_geometrytype(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed WKT construction + ST_GeometryType dispatch."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    wkt = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("POINT ("), s, F.lit(" "), s, F.lit(")")))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("LINESTRING (0 0, "), s, F.lit(" "), s, F.lit(")")))
+        .otherwise(F.concat(
+            F.lit("POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s, F.lit(", 0 0))")
+        ))
+    )
+    t = ST.st_geometrytype(ST.st_geomfromtext(wkt))
+    return part.select(t.alias("gtype")).groupBy("gtype").agg(
+        F.count("*").alias("n")
+    ).orderBy("gtype")
+
+
+def q12_npoints(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_NPoints over the same mixed geometries."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    wkt = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("POINT ("), s, F.lit(" "), s, F.lit(")")))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("LINESTRING (0 0, "), s, F.lit(" "), s, F.lit(")")))
+        .otherwise(F.concat(
+            F.lit("POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s, F.lit(", 0 0))")
+        ))
+    )
+    n = ST.st_npoints(ST.st_geomfromtext(wkt))
+    return part.agg(F.sum(n).alias("npoints_sum"), F.count("*").alias("n"))
+
+
+def q13_length(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_MakeLine + ST_Length over lineitem-derived segments."""
+    li = load_table(spark, sf, "lineitem")
+    a = ST.st_point(F.col("l_discount") * 100, F.col("l_tax") * 100)
+    b = ST.st_point(F.col("l_quantity"), F.col("l_linenumber").cast("double"))
+    ln = ST.st_length(ST.st_makeline(a, b))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.sum(ln), 2).alias("len_sum"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_envelope_area(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_MakeEnvelope + ST_Area/ST_Perimeter over orders-derived boxes."""
+    o = load_table(spark, sf, "orders")
+    w = (F.col("o_orderkey") % 50).cast("double") + 1.0
+    h = (F.col("o_custkey") % 30).cast("double") + 1.0
+    env = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), w, h)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(ST.st_area(env)), 2).alias("area_sum"),
+            F.round(F.sum(ST.st_perimeter(env)), 2).alias("perim_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q15_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the relational substrate (SURVEY §2.J)."""
+    li = load_table(spark, sf, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q16_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way join + agg (orders ⋈ customer ⋈ nation), broadcast dims."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+def q17_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Window top-k: top-3 orders per customer, then global stats."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    top = o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return top.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("top3_sum"),
+    )
+
+
+def q18_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on documents.text (keep min doc_id), counts per lang."""
+    d = load_table(spark, sf, "documents")
+    kept = exact_dedup(d, ["text"], "doc_id")
+    return kept.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+def q19_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signature (seed-0 and seed-1 of the md5 family over 4-gram
+    shingles) for doc_id < 50 — byte-for-byte reproducible in SQL."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    sig = minhash_signature(F.col("text"), num_hashes=2, k=4, hash_fn="md5")
+    return d.select(
+        "doc_id", sig[0].alias("mh0"), sig[1].alias("mh1")
+    ).orderBy("doc_id")
+
+
+def q20_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash (16-bit md5-parity) fingerprints: distribution stats."""
+    d = load_table(spark, sf, "documents")
+    s = simhash(F.col("text"), bits=16)
+    return d.select(s.alias("sh")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("sh").alias("n_distinct"),
+        F.sum("sh").alias("sh_sum"),
+    )
+
+
+def q21_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Token count / punct ratio / stopword ratio per lang (col-expr)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(textops.token_count(F.col("text"))).alias("tokens"),
+            F.round(F.avg(textops.punct_ratio(F.col("text"))), 6).alias("avg_punct"),
+            F.round(F.avg(textops.stopword_ratio(F.col("text"))), 6).alias("avg_stop"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q22_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized-text md5 fingerprints: distinct count (dedup key check)."""
+    d = load_table(spark, sf, "documents")
+    return d.agg(
+        F.countDistinct(textops.fingerprint_md5(F.col("text"))).alias("n_fp"),
+        F.count("*").alias("n"),
+    )
+
+
+def q23_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language-ID guess counts (marker stopword argmax)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(textops.language_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def q24_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 vectors (ANN baseline)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = ann_bruteforce_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q25_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pair count at cosine ≥ 0.55 among vec_id < 200
+    (exact tier; LSH tier is the scale path)."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        j.select(sim.alias("c"))
+        .filter(F.col("c") >= 0.55)
+        .agg(F.count("*").alias("n_pairs"), F.round(F.avg("c"), 4).alias("avg_cos"))
+    )
+
+
+def q26_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """4-gram Jaccard similarity pairs (doc_id < 60) via inverted-index
+    equi-join — exact, no cross product."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    pairs = ngram_jaccard_join(d, "doc_id", "text", k=4, threshold=0.12)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jac"),
+    )
+
+
+def q27_generatepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_GeneratePoints: 10k seeded points — all inside the box (bounds
+    contract; sequence parity with the reference's RNG not required)."""
+    pts = st_generatepoints(spark, 0, 0, 1000, 1000, 10000, seed=42)
+    inside = ST.st_point_in_box("x", "y", 0, 0, 1000, 1000, strict=False)
+    return pts.filter(inside).agg(F.count("*").alias("n"))
+
+
+def q28_union_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Union_Agg over guaranteed-disjoint per-customer boxes per nation
+    (two-level applyInPandas partial/final union), verified by area sum."""
+    cust = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 500)
+    w = (F.col("c_custkey") % 7).cast("double") + 1.0
+    df = cust.select(
+        "c_nationkey",
+        (F.col("c_custkey") * 20).cast("double").alias("x0"),
+        w.alias("w"),
+    ).withColumn(
+        "box",
+        ST.st_makeenvelope(F.col("x0"), F.lit(0.0), F.col("x0") + F.col("w"), F.col("w")),
+    )
+    from duckdb_spatial_spark.functions import st_union_agg
+
+    u = st_union_agg(df, "box", ["c_nationkey"], out_col="u")
+    return (
+        u.select(
+            "c_nationkey", F.round(ST.st_area("u"), 4).alias("union_area")
+        ).orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-polygon zone join + per-zone counts at sf0.001."""
+    return q02_zone_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_point_in_envelope": q01_point_in_envelope,
+        "q02_zone_pip_join": q02_zone_pip_join,
+        "q03_distance_sphere": q03_distance_sphere,
+        "q04_extent_agg": q04_extent_agg,
+        "q05_centroid_collect": q05_centroid_collect,
+        "q06_convexhull_area": q06_convexhull_area,
+        "q07_wkt_area": q07_wkt_area,
+        "q08_buffer_area": q08_buffer_area,
+        "q09_hilbert_distribution": q09_hilbert_distribution,
+        "q10_quadkey": q10_quadkey,
+        "q11_geometrytype": q11_geometrytype,
+        "q12_npoints": q12_npoints,
+        "q13_length": q13_length,
+        "q14_envelope_area": q14_envelope_area,
+        "q15_tpch_q1": q15_tpch_q1,
+        "q16_revenue_by_nation": q16_revenue_by_nation,
+        "q17_window_topk": q17_window_topk,
+        "q18_dedup_exact": q18_dedup_exact,
+        "q19_minhash": q19_minhash,
+        "q20_simhash": q20_simhash,
+        "q21_text_quality": q21_text_quality,
+        "q22_fingerprint": q22_fingerprint,
+        "q23_langid": q23_langid,
+        "q24_ann_topk": q24_ann_topk,
+        "q25_embedding_neardup": q25_embedding_neardup,
+        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q27_generatepoints": q27_generatepoints,
+        "q28_union_agg": q28_union_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    xmin, ymin, xmax, ymax = ENV
+    return {
+        "q01_point_in_envelope": f"""
+            SELECT count(*) AS n FROM ({_EVENTS_PTS_SQL})
+            WHERE x > {xmin} AND x < {xmax} AND y > {ymin} AND y < {ymax}
+        """,
+        # ST_Within excludes the boundary → strict comparisons and explicit
+        # exclusion of internal cell borders
+        "q02_zone_pip_join": f"""
+            SELECT CAST(floor(x/100) AS INT)*3 + CAST(floor(y/50) AS INT) AS zone_id,
+                   count(*) AS n
+            FROM ({_EVENTS_PTS_SQL})
+            WHERE x > 0 AND x < 500 AND y > 0 AND y < 150
+              AND x <> floor(x/100)*100 AND y <> floor(y/50)*50
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q03_distance_sphere": """
+            SELECT l_returnflag,
+                   round(avg(2 * 6371000.0 * asin(least(1.0, sqrt(
+                       pow(sin(radians(l_linenumber*10 - l_tax*100)/2), 2)
+                       + cos(radians(l_tax*100)) * cos(radians(l_linenumber*10))
+                         * pow(sin(radians(l_quantity*3 - l_discount*100)/2), 2)
+                   )))), 3) AS avg_dist_m,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q04_extent_agg": f"""
+            SELECT event_type, min(x) AS xmin, min(y) AS ymin,
+                   max(x) AS xmax, max(y) AS ymax, count(*) AS n
+            FROM ({_EVENTS_PTS_SQL}) GROUP BY 1 ORDER BY 1
+        """,
+        "q05_centroid_collect": """
+            SELECT c_nationkey,
+                   round(avg(c_acctbal), 6) AS cx,
+                   round(avg(CAST(c_custkey % 1000 AS DOUBLE)), 6) AS cy
+            FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "q07_wkt_area": """
+            SELECT p_brand,
+                   round(sum(CAST(p_size AS DOUBLE) * p_size), 2) AS area_sum,
+                   count(*) AS n
+            FROM part GROUP BY 1 ORDER BY 1
+        """,
+        "q08_buffer_area": f"""
+            SELECT event_type,
+                   round(0.5 * 32 * 25.0 * sin(2*pi()/32), 6) AS avg_buf_area,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q10_quadkey": """
+            WITH c AS (
+              SELECT least(greatest(value*0.7 - 170.0, -180.0), 180.0) AS lon,
+                     least(greatest(CAST(user_id AS DOUBLE)*0.8 - 59.6, -85.05112878), 85.05112878) AS lat
+              FROM events
+            ), p AS (
+              SELECT CAST(floor(least(greatest((lon + 180.0)/360.0 * 8, 0), 7)) AS BIGINT) AS tx,
+                     CAST(floor(least(greatest(
+                        (0.5 - ln((1.0 + sin(radians(lat)))
+                                / (1.0 - sin(radians(lat)))) / (4*pi())) * 8,
+                        0), 7)) AS BIGINT) AS ty
+              FROM c
+            )
+            SELECT concat(
+                     CASE WHEN (tx & 4) != 0 AND (ty & 4) != 0 THEN '3'
+                          WHEN (ty & 4) != 0 THEN '2'
+                          WHEN (tx & 4) != 0 THEN '1' ELSE '0' END,
+                     CASE WHEN (tx & 2) != 0 AND (ty & 2) != 0 THEN '3'
+                          WHEN (ty & 2) != 0 THEN '2'
+                          WHEN (tx & 2) != 0 THEN '1' ELSE '0' END,
+                     CASE WHEN (tx & 1) != 0 AND (ty & 1) != 0 THEN '3'
+                          WHEN (ty & 1) != 0 THEN '2'
+                          WHEN (tx & 1) != 0 THEN '1' ELSE '0' END
+                   ) AS quadkey, count(*) AS n
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "q11_geometrytype": """
+            SELECT CASE p_partkey % 3 WHEN 0 THEN 'POINT'
+                                      WHEN 1 THEN 'LINESTRING'
+                                      ELSE 'POLYGON' END AS gtype,
+                   count(*) AS n
+            FROM part GROUP BY 1 ORDER BY 1
+        """,
+        "q12_npoints": """
+            SELECT sum(CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS npoints_sum,
+                   count(*) AS n
+            FROM part
+        """,
+        "q13_length": """
+            SELECT l_returnflag,
+                   round(sum(sqrt(pow(l_quantity - l_discount*100, 2)
+                                + pow(CAST(l_linenumber AS DOUBLE) - l_tax*100, 2))), 2) AS len_sum
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q14_envelope_area": """
+            SELECT o_orderstatus,
+                   round(sum((CAST(o_orderkey % 50 AS DOUBLE)+1) * (CAST(o_custkey % 30 AS DOUBLE)+1)), 2) AS area_sum,
+                   round(sum(2*((CAST(o_orderkey % 50 AS DOUBLE)+1) + (CAST(o_custkey % 30 AS DOUBLE)+1))), 2) AS perim_sum
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "q15_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q16_revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY revenue DESC, n_name ASC LIMIT 10
+        """,
+        "q17_window_topk": """
+            SELECT count(*) AS n, round(sum(o_totalprice), 2) AS top3_sum FROM (
+              SELECT o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "q18_dedup_exact": """
+            SELECT lang, count(*) AS n FROM documents d
+            WHERE doc_id = (SELECT min(doc_id) FROM documents d2 WHERE d2.text = d.text)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q19_minhash": """
+            WITH s AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 4) AS sh
+              FROM documents, LATERAL (SELECT unnest(range(1, greatest(length(text)-3, 1)+1)) AS i)
+              WHERE doc_id < 50
+            )
+            SELECT doc_id, min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "q20_simhash": """
+            WITH tok AS (
+              SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+              FROM documents
+            ), bits AS (
+              SELECT doc_id,
+                     """ + ", ".join(
+                         f"sum(CASE WHEN ascii(substring(h, {j+1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+                         for j in range(16)
+                     ) + """
+              FROM tok GROUP BY 1
+            ), fp AS (
+              SELECT doc_id, """ + " + ".join(
+                         f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+                     ) + """ AS sh
+              FROM bits
+            )
+            SELECT count(*) AS n, count(DISTINCT sh) AS n_distinct, sum(sh) AS sh_sum FROM fp
+        """,
+        "q21_text_quality": """
+            WITH m AS (
+              SELECT lang,
+                     len(string_split_regex(trim(text), '\\s+')) AS tokens,
+                     CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                     'for','on','with','as','at','by','be','this','that','are'))) AS DOUBLE)
+                       / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS stop
+              FROM documents
+            )
+            SELECT lang, sum(tokens) AS tokens, round(avg(punct), 6) AS avg_punct,
+                   round(avg(stop), 6) AS avg_stop, count(*) AS n
+            FROM m GROUP BY 1 ORDER BY 1
+        """,
+        "q22_fingerprint": """
+            SELECT count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_fp,
+                   count(*) AS n
+            FROM documents
+        """,
+        "q23_langid": """
+            WITH t AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+            ), s AS (
+              SELECT len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS s_de,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+                     len(list_filter(toks, x -> x IN ('el','la','y','es','los'))) AS s_es,
+                     len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS s_fr,
+                     len(list_filter(toks, x -> x IN ('il','la','e','che','di'))) AS s_it,
+                     len(list_filter(toks, x -> x IN ('o','a','e','que','de'))) AS s_pt
+              FROM t
+            )
+            SELECT CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'de'
+                        WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'en'
+                        WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'es'
+                        WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'fr'
+                        WHEN s_it = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'it'
+                        ELSE 'pt' END AS lang_guess,
+                   count(*) AS n
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "q24_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(e.embedding, q.qv) AS c,
+                          row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id ASC) AS rank
+                   FROM embeddings e, q)
+            SELECT query_id, vec_id, round(c, 4) AS cos4, rank
+            FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q25_embedding_neardup": """
+            SELECT count(*) AS n_pairs, round(avg(c), 4) AS avg_cos FROM (
+              SELECT list_cosine_similarity(a.embedding, b.embedding) AS c
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id)
+            WHERE c >= 0.55
+        """,
+        "q26_ngram_jaccard": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        range(1, greatest(length(text)-3, 1)+1),
+                        i -> substring(text, CAST(i AS INT), 4))) AS sh
+              FROM documents WHERE doc_id < 60
+            )
+            SELECT count(*) AS n_pairs, round(avg(jac), 6) AS avg_jac FROM (
+              SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+              FROM s a, s b WHERE a.doc_id < b.doc_id)
+            WHERE jac >= 0.12
+        """,
+        "q27_generatepoints": "SELECT CAST(10000 AS BIGINT) AS n",
+        "q28_union_agg": """
+            SELECT c_nationkey,
+                   round(sum((CAST(c_custkey % 7 AS DOUBLE)+1) * (CAST(c_custkey % 7 AS DOUBLE)+1)), 4) AS union_area
+            FROM customer WHERE c_custkey < 500
+            GROUP BY 1 ORDER BY 1
+        """,
+    }

@@ -624,9 +624,12 @@ st_haversine = st_distance_sphere
 
 
 def st_quadkey_xy(lon: ColumnOrName, lat: ColumnOrName, level) -> Column:
-    """Bing-maps quadkey string — pure col-expr (st_quadkey.cpp:145)."""
+    """Bing-maps quadkey string — pure col-expr (st_quadkey.cpp:145).
+    Clamps lat to ±85.05112878 / lon to ±180 first (st_quadkey.cpp:19-20),
+    which also keeps the Mercator log() term finite under ANSI mode."""
     lvl = int(level)
-    lon_c, lat_c = _col(lon), _col(lat)
+    lon_c = F.greatest(F.lit(-180.0), F.least(F.lit(180.0), _col(lon)))
+    lat_c = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), _col(lat)))
     sin_lat = F.sin(F.radians(lat_c))
     xf = (lon_c + F.lit(180.0)) / F.lit(360.0)
     yf = F.lit(0.5) - F.log((F.lit(1.0) + sin_lat) / (F.lit(1.0) - sin_lat)) / F.lit(

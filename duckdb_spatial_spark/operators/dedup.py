@@ -54,10 +54,13 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 5,
     = hash(seed || shingle); min is lexicographic (deterministic across
     engines)."""
     sh = shingles(text, k)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda x, s=s: _hash_expr(s, x, hash_fn)))
-          for s in range(num_hashes)]
-    )
+
+    # NB: the transform lambda must be unary — pyspark binds a second
+    # parameter to the array index, which would shadow the seed.
+    def _minhash(seed: int) -> Column:
+        return F.array_min(F.transform(sh, lambda x: _hash_expr(seed, x, hash_fn)))
+
+    return F.array(*[_minhash(s) for s in range(num_hashes)])
 
 
 def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
