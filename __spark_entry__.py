@@ -89,7 +89,7 @@ def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
     zones = spark.createDataFrame(_zone_rows(), ["zone_id", "zwkt"]).withColumn(
         "zone", ST.st_geomfromtext("zwkt")
     )
-    j = st_join(pts, zones, "within", "pt", "zone", cell_size=60.0, broadcast_threshold=0)
+    j = st_join(pts, zones, "within", "pt", "zone")
     return (
         j.groupBy("zone_id").agg(F.count("*").alias("n")).orderBy("zone_id")
     )

@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..geom import kernels as K
+from ..geom import vec as V
 from ..geom.core import Geometry
 from ..geom import wkb as Wkb
 from ..geom import wkt as Wkt
@@ -158,6 +159,25 @@ def _binary_geom_to_geom(fn):
     return f
 
 
+def _measure_udf(generic_fn, fast_fn):
+    """Double-valued unary fn with a uniform-batch vectorized fast path
+    (the Spark analog of the reference's native columnar-type overloads,
+    e.g. st_area.cpp's POLYGON_2D path)."""
+
+    @pandas_udf(T.DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        mat = V.fixed_matrix(s)
+        if mat is not None:
+            out = fast_fn(mat)
+            if out is not None:
+                return pd.Series(out)
+        return pd.Series(
+            [None if b is None else generic_fn(from_wkb(b)) for b in s]
+        )
+
+    return f
+
+
 # ============================================================ constructors / text I/O
 
 @pandas_udf(T.BinaryType())
@@ -245,23 +265,35 @@ def st_asgeojson(geom: ColumnOrName) -> Column:
     return _st_asgeojson_udf(_col(geom))
 
 
-def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
-    """4 doubles → GEOMETRY rectangle (scalar/st_makeenvelope.cpp)."""
-    @pandas_udf(T.BinaryType())
-    def f(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
-        out = []
-        for vals in zip(a, b, c, d):
-            if any(v is None for v in vals):
-                out.append(None)
-            else:
-                out.append(to_wkb(Geometry.box_polygon(*[float(v) for v in vals])))
-        return pd.Series(out, dtype=object)
+@pandas_udf(T.BinaryType())
+def _st_makeenvelope_udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+    mask = a.isna() | b.isna() | c.isna() | d.isna()
+    x0 = a.to_numpy(dtype=np.float64, na_value=np.nan)
+    y0 = b.to_numpy(dtype=np.float64, na_value=np.nan)
+    x1 = c.to_numpy(dtype=np.float64, na_value=np.nan)
+    y1 = d.to_numpy(dtype=np.float64, na_value=np.nan)
+    n = len(x0)
+    # ring order matches Geometry.box_polygon (CCW from min corner)
+    coords = np.empty((n, 5, 2))
+    coords[:, 0, 0] = x0; coords[:, 0, 1] = y0
+    coords[:, 1, 0] = x1; coords[:, 1, 1] = y0
+    coords[:, 2, 0] = x1; coords[:, 2, 1] = y1
+    coords[:, 3, 0] = x0; coords[:, 3, 1] = y1
+    coords[:, 4, 0] = x0; coords[:, 4, 1] = y0
+    out = V.encode_polygons_1ring(coords)
+    if mask.any():
+        out = [None if m else v for m, v in zip(mask.to_numpy(), out)]
+    return pd.Series(out, dtype=object)
 
+
+def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
+    """4 doubles → GEOMETRY rectangle (scalar/st_makeenvelope.cpp) —
+    fully vectorized WKB build, no per-row objects."""
     cols = [
         _col(v).cast("double") if isinstance(v, (Column, str)) else F.lit(float(v))
         for v in (xmin, ymin, xmax, ymax)
     ]
-    return f(*cols)
+    return _st_makeenvelope_udf(*cols)
 
 
 @pandas_udf(T.BinaryType())
@@ -280,12 +312,38 @@ def _st_makeline_list_udf(s: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(T.BinaryType())
+def _st_makeline2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    ma, mb = V.fixed_matrix(a), V.fixed_matrix(b)
+    if ma is not None and mb is not None:
+        pa, pb = V.decode_points(ma), V.decode_points(mb)
+        if pa is not None and pb is not None:
+            coords = np.empty((len(a), 2, 2))
+            coords[:, 0, 0], coords[:, 0, 1] = pa
+            coords[:, 1, 0], coords[:, 1, 1] = pb
+            return pd.Series(V.encode_linestrings(coords), dtype=object)
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        ga, gb = from_wkb(ba), from_wkb(bb)
+        if ga.type_id != Wkb.POINT or gb.type_id != Wkb.POINT or ga.coords is None or gb.coords is None:
+            out.append(None)
+        else:
+            out.append(to_wkb(Geometry.linestring(
+                np.asarray([ga.coords[:2], gb.coords[:2]])
+            )))
+    return pd.Series(out, dtype=object)
+
+
 def st_makeline(a: ColumnOrName, b: Optional[ColumnOrName] = None) -> Column:
     """(list<GEOMETRY>) or (GEOMETRY, GEOMETRY) → LINESTRING
-    (scalar/st_makeline.cpp:120-130)."""
+    (scalar/st_makeline.cpp:120-130). The two-point form takes the
+    vectorized uniform-batch path."""
     if b is None:
         return _st_makeline_list_udf(_col(a))
-    return _st_makeline_list_udf(F.array(_col(a), _col(b)))
+    return _st_makeline2_udf(_col(a), _col(b))
 
 
 @pandas_udf(T.BinaryType())
@@ -331,8 +389,14 @@ def st_collect(geom_array: ColumnOrName) -> Column:
 
 # ============================================================ accessors
 
-_st_x_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[0]) if g.type_id == 1 and g.coords is not None else None)
-_st_y_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[1]) if g.type_id == 1 and g.coords is not None else None)
+_st_x_udf = _measure_udf(
+    lambda g: float(g.coords[0]) if g.type_id == 1 and g.coords is not None else None,
+    lambda mat: (lambda p: p[0] if p is not None else None)(V.decode_points(mat)),
+)
+_st_y_udf = _measure_udf(
+    lambda g: float(g.coords[1]) if g.type_id == 1 and g.coords is not None else None,
+    lambda mat: (lambda p: p[1] if p is not None else None)(V.decode_points(mat)),
+)
 _st_z_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[2]) if g.type_id == 1 and g.has_z and g.coords is not None else None)
 _st_m_udf = _unary_geom_to(T.DoubleType(), lambda g: float(g.coords[2 + int(g.has_z)]) if g.type_id == 1 and g.has_m and g.coords is not None else None)
 
@@ -564,9 +628,36 @@ def st_dump(geom: ColumnOrName) -> Column:
 
 # ============================================================ measures
 
-_st_area_udf = _unary_geom_to(T.DoubleType(), K.area)
-_st_length_udf = _unary_geom_to(T.DoubleType(), K.length)
-_st_perimeter_udf = _unary_geom_to(T.DoubleType(), K.perimeter)
+def _fast_area(mat):
+    if V.decode_points(mat) is not None or V.decode_linestrings(mat) is not None:
+        return np.zeros(len(mat))
+    ring = V.decode_polygons_1ring(mat)
+    if ring is not None:
+        return V.shoelace_area(ring)
+    return None
+
+
+def _fast_length(mat):
+    ls = V.decode_linestrings(mat)
+    if ls is not None:
+        return V.length_of_lines(ls)
+    if V.decode_points(mat) is not None or V.decode_polygons_1ring(mat) is not None:
+        return np.zeros(len(mat))
+    return None
+
+
+def _fast_perimeter(mat):
+    ring = V.decode_polygons_1ring(mat)
+    if ring is not None:
+        return V.length_of_lines(ring)
+    if V.decode_points(mat) is not None or V.decode_linestrings(mat) is not None:
+        return np.zeros(len(mat))
+    return None
+
+
+_st_area_udf = _measure_udf(K.area, _fast_area)
+_st_length_udf = _measure_udf(K.length, _fast_length)
+_st_perimeter_udf = _measure_udf(K.perimeter, _fast_perimeter)
 _st_centroid_udf = _unary_geom_to_geom(K.centroid)
 
 
@@ -588,6 +679,11 @@ def st_centroid(geom: ColumnOrName) -> Column:
 
 @pandas_udf(T.DoubleType())
 def _st_distance_geom_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    ma, mb = V.fixed_matrix(a), V.fixed_matrix(b)
+    if ma is not None and mb is not None:
+        pa, pb = V.decode_points(ma), V.decode_points(mb)
+        if pa is not None and pb is not None:
+            return pd.Series(np.hypot(pa[0] - pb[0], pa[1] - pb[1]))
     out = []
     for ba, bb in zip(a, b):
         if ba is None or bb is None:
@@ -948,7 +1044,35 @@ def st_removerepeatedpoints(geom: ColumnOrName, tol: float = 0.0) -> Column:
 def st_buffer(geom: ColumnOrName, dist, segments: int = 8) -> Column:
     d = float(dist)
     seg = int(segments)
-    return _unary_geom_to_geom(lambda g: K.buffer(g, d, seg))(_col(geom))
+    nv = max(4, 4 * seg)
+    ang = np.linspace(0.0, 2.0 * math.pi, nv, endpoint=False)
+    cos_a, sin_a = np.cos(ang), np.sin(ang)
+
+    @pandas_udf(T.BinaryType())
+    def f(s: pd.Series) -> pd.Series:
+        mat = V.fixed_matrix(s)
+        if mat is not None:
+            pt = V.decode_points(mat)
+            if pt is not None:
+                # vectorized circle approximation — same vertices as
+                # K.buffer_point (start angle 0, CCW, closed ring)
+                x, y = pt
+                n = len(x)
+                coords = np.empty((n, nv + 1, 2))
+                coords[:, :nv, 0] = x[:, None] + d * cos_a[None, :]
+                coords[:, :nv, 1] = y[:, None] + d * sin_a[None, :]
+                coords[:, nv] = coords[:, 0]
+                return pd.Series(V.encode_polygons_1ring(coords), dtype=object)
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+            else:
+                g = K.buffer(from_wkb(b), d, seg)
+                out.append(None if g is None else to_wkb(g))
+        return pd.Series(out, dtype=object)
+
+    return f(_col(geom))
 
 
 def _multi_k(g: Geometry) -> Geometry:

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..geom import kernels as K
+from ..geom import vec as Vec
 from ..geom.wkb import from_wkb
 from ..functions import scalar as S
 
@@ -315,28 +316,37 @@ def st_join_broadcast(
         for pdf in batches:
             if not len(pdf):
                 continue
-            lgeoms = [
-                from_wkb(b) if b is not None else None for b in pdf.iloc[:, lgi]
-            ]
-            # classify probe rows: single non-empty points → bulk path
             out_left_idx: List[int] = []
             out_right_idx: List[int] = []
-
             pts_i: List[int] = []
             pts_xy: List[Tuple[float, float]] = []
-            for i, g in enumerate(lgeoms):
-                if g is None or g.is_empty():
-                    continue
-                if pip_mode and g.type_id == 1:
-                    pts_i.append(i)
-                    pts_xy.append((float(g.coords[0]), float(g.coords[1])))
-                    continue
-                bd = g.bounds()
-                for j in idx.query(*bd):
-                    rg = rgeoms[j]
-                    if rg is not None and kern(g, rg):
-                        out_left_idx.append(i)
-                        out_right_idx.append(j)
+
+            lgeoms = None
+            lseries = pdf.iloc[:, lgi]
+            mat = Vec.fixed_matrix(lseries) if pip_mode else None
+            pts = Vec.decode_points(mat) if mat is not None else None
+            if pts is not None:
+                # uniform point batch: skip Geometry objects entirely
+                pts_i = list(range(len(pdf)))
+                pts_xy = list(zip(pts[0].tolist(), pts[1].tolist()))
+            else:
+                lgeoms = [
+                    from_wkb(b) if b is not None else None for b in lseries
+                ]
+                # classify probe rows: single non-empty points → bulk path
+                for i, g in enumerate(lgeoms):
+                    if g is None or g.is_empty():
+                        continue
+                    if pip_mode and g.type_id == 1:
+                        pts_i.append(i)
+                        pts_xy.append((float(g.coords[0]), float(g.coords[1])))
+                        continue
+                    bd = g.bounds()
+                    for j in idx.query(*bd):
+                        rg = rgeoms[j]
+                        if rg is not None and kern(g, rg):
+                            out_left_idx.append(i)
+                            out_right_idx.append(j)
             if pts_xy:
                 xs = np.asarray([p[0] for p in pts_xy])
                 ys = np.asarray([p[1] for p in pts_xy])
@@ -359,14 +369,13 @@ def st_join_broadcast(
                         want = loc == 2 if pred == "within" else loc >= 1
                     elif pred == "intersects":
                         want = loc >= 1
-                    elif pred == "covers":  # point covers geometry: only point==point
+                    elif pred in ("covers", "contains"):
+                        # point covers/contains geometry — rare; exact check
                         want = np.zeros(len(karr), dtype=bool)
                         for m, kk in enumerate(karr):
-                            want[m] = kern(lgeoms[pts_i[kk]], rg)
-                    else:  # contains: point contains rg — rare; exact
-                        want = np.zeros(len(karr), dtype=bool)
-                        for m, kk in enumerate(karr):
-                            want[m] = kern(lgeoms[pts_i[kk]], rg)
+                            i = pts_i[kk]
+                            g = lgeoms[i] if lgeoms is not None else from_wkb(lseries.iloc[i])
+                            want[m] = kern(g, rg)
                     for kk in karr[want]:
                         out_left_idx.append(pts_i[int(kk)])
                         out_right_idx.append(j)
