@@ -468,6 +468,227 @@ def q28_union_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q29_accessors(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_StartPoint/ST_EndPoint + ST_X/ST_Y over lineitem segments."""
+    li = load_table(spark, sf, "lineitem")
+    a = ST.st_point(F.col("l_discount") * 100, F.col("l_tax") * 100)
+    b = ST.st_point(F.col("l_quantity"), F.col("l_linenumber").cast("double"))
+    ln = ST.st_makeline(a, b)
+    return li.agg(
+        F.round(F.sum(ST.st_x(ST.st_startpoint(ln))), 2).alias("sx"),
+        F.round(F.sum(ST.st_y(ST.st_endpoint(ln))), 2).alias("ey"),
+        F.count("*").alias("n"),
+    )
+
+
+def q30_pointn_ring(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_ExteriorRing + ST_PointN (1-based and negative) over part squares."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 "), s, F.lit(", 0 0))"),
+    )
+    ring = ST.st_exteriorring(ST.st_geomfromtext(wkt))
+    p3 = ST.st_pointn(ring, 3)
+    p_last = ST.st_pointn(ring, -1)
+    return part.agg(
+        F.round(F.sum(ST.st_x(p3) + ST.st_y(p3)), 2).alias("v3_sum"),
+        F.round(F.sum(ST.st_x(p_last) + ST.st_y(p_last)), 2).alias("vlast_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+def _rects(spark: SparkSession, sf: str):
+    o = load_table(spark, sf, "orders")
+    wa = (F.col("o_orderkey") % 20).cast("double") + 1.0
+    ha = (F.col("o_custkey") % 15).cast("double") + 1.0
+    xb = (F.col("o_orderkey") % 25).cast("double")
+    hb = (F.col("o_custkey") % 10).cast("double") + 1.0
+    return o.select(
+        wa.alias("wa"), ha.alias("ha"), xb.alias("xb"), hb.alias("hb"),
+    ).withColumn("ga", ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), F.col("wa"), F.col("ha"))) \
+     .withColumn("gb", ST.st_makeenvelope(F.col("xb"), F.lit(0.0), F.col("xb") + 5.0, F.col("hb")))
+
+
+_RECTS_SQL = """
+    SELECT CAST(o_orderkey % 20 AS DOUBLE) + 1.0 AS wa,
+           CAST(o_custkey % 15 AS DOUBLE) + 1.0 AS ha,
+           CAST(o_orderkey % 25 AS DOUBLE) AS xb,
+           CAST(o_custkey % 10 AS DOUBLE) + 1.0 AS hb
+    FROM orders
+"""
+
+
+def q31_predicate_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Intersects/Contains/Touches/Overlaps counts over derived rectangle
+    pairs (closed-form oracle via interval arithmetic)."""
+    r = _rects(spark, sf)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return r.agg(
+        one(ST.st_intersects("ga", "gb")).alias("n_int"),
+        one(ST.st_contains("ga", "gb")).alias("n_cont"),
+        one(ST.st_touches("ga", "gb")).alias("n_touch"),
+        one(ST.st_overlaps("ga", "gb")).alias("n_over"),
+        F.count("*").alias("n"),
+    )
+
+
+def q32_intersection_area(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Area(ST_Intersection) over the rectangle pairs (box-clip tier)."""
+    r = _rects(spark, sf)
+    area = ST.st_area(ST.st_intersection("ga", "gb"))
+    return r.agg(
+        F.round(F.sum(area), 2).alias("inter_area"), F.count("*").alias("n")
+    )
+
+
+def q33_simplify(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Simplify (Douglas-Peucker): collinear vertex always dropped;
+    0.5-offset vertex dropped only at tol ≥ 0.5."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    s2 = (F.col("p_size") * 2).cast("string")
+    col_wkt = F.concat(F.lit("LINESTRING (0 0, "), s, F.lit(" "), s, F.lit(", "), s2, F.lit(" "), s2, F.lit(")"))
+    off_wkt = F.concat(F.lit("LINESTRING (0 0, "), s, F.lit(" 0.5, "), s2, F.lit(" 0)"))
+    np1 = ST.st_npoints(ST.st_simplify(ST.st_geomfromtext(col_wkt), 0.1))
+    np2 = ST.st_npoints(ST.st_simplify(ST.st_geomfromtext(off_wkt), 0.25))
+    np3 = ST.st_npoints(ST.st_simplify(ST.st_geomfromtext(off_wkt), 1.0))
+    return part.agg(
+        F.sum(np1).alias("np_collinear"),
+        F.sum(np2).alias("np_keep"),
+        F.sum(np3).alias("np_drop"),
+        F.count("*").alias("n"),
+    )
+
+
+def q34_envelope_boundary(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Envelope area of a segment + ST_Boundary length of a square."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("double")
+    seg = ST.st_makeline(
+        ST.st_point(F.lit(0.0), F.lit(0.0)), ST.st_point(s, s * 2)
+    )
+    env_area = ST.st_area(ST.st_envelope(seg))
+    sq = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), s, s)
+    blen = ST.st_length(ST.st_boundary(sq))
+    return part.agg(
+        F.round(F.sum(env_area), 2).alias("env_area"),
+        F.round(F.sum(blen), 2).alias("bnd_len"),
+        F.count("*").alias("n"),
+    )
+
+
+def q35_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Transform EPSG:4326→3857 (native spherical web-mercator) over
+    events-derived lon/lat, avg projected coords per event_type."""
+    ev = load_table(spark, sf, "events")
+    lon = F.col("value") * 0.7 - 170.0
+    lat = (F.col("user_id") % 150).cast("double") * 0.8 - 60.0
+    pt = ST.st_point(lon, lat)
+    t = ST.st_transform(pt, "EPSG:4326", "EPSG:3857")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(ST.st_x(t)), 2).alias("avg_mx"),
+            F.round(F.avg(ST.st_y(t)), 2).alias("avg_my"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q36_dwithin(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_DWithin(point, constant point, 60) count."""
+    pts = _events_pts(spark, sf).withColumn("pt", ST.st_point("x", "y"))
+    c = ST.st_point(F.lit(250.0), F.lit(75.0))
+    return pts.agg(
+        F.sum(F.when(ST.st_dwithin("pt", c, 60.0), 1).otherwise(0)).alias("n_within"),
+        F.count("*").alias("n"),
+    )
+
+
+def q37_dump(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Dump part counts over mixed POINT/MULTIPOINT/POLYGON."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    wkt = (
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.lit("MULTIPOINT ("), s, F.lit(" "), s, F.lit(", 0 0, "), s, F.lit(" 0)")))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("POINT ("), s, F.lit(" "), s, F.lit(")")))
+        .otherwise(F.concat(
+            F.lit("POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s, F.lit(", 0 0))")
+        ))
+    )
+    nparts = F.size(ST.st_dump(ST.st_geomfromtext(wkt)))
+    return part.agg(F.sum(nparts).alias("nparts_sum"), F.count("*").alias("n"))
+
+
+def q38_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (4 hashes, 2 bands, md5 family) on
+    documents doc_id<100 — the scale path for near-dup dedup."""
+    from duckdb_spatial_spark.operators import minhash_lsh_candidates
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = minhash_lsh_candidates(d, "doc_id", "text", num_hashes=4, bands=2, k=4, hash_fn="md5")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("pair_sum"),
+    )
+
+
+def q39_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash hamming-distance ≤ 2 near-dup pairs among doc_id<150."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    sh = d.select(F.col("doc_id").alias("id"), simhash(F.col("text"), bits=16).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.filter(ham <= 2).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("pair_sum"),
+    )
+
+
+def q40_hexwkb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_AsHEXWKB / ST_GeomFromHEXWKB round trip over customer points."""
+    cust = load_table(spark, sf, "customer")
+    g = ST.st_point(F.col("c_acctbal"), (F.col("c_custkey") % 500).cast("double"))
+    hx = ST.st_ashexwkb(g)
+    back = ST.st_x(ST.st_geomfromhexwkb(hx))
+    return cust.agg(
+        F.round(F.sum(back), 2).alias("x_sum"),
+        F.sum(F.length(hx)).alias("hex_len_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+def q41_casts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cast lattice: GEOMETRY→POINT_2D→GEOMETRY round trip + BOX_2D→GEOMETRY
+    polygon area (geometry_cast.cpp:243-271)."""
+    from duckdb_spatial_spark.functions import (
+        box2d_to_geom, geom_to_point2d, point2d_to_geom,
+    )
+
+    cust = load_table(spark, sf, "customer")
+    w = (F.col("c_custkey") % 9).cast("double") + 1.0
+    h = (F.col("c_custkey") % 5).cast("double") + 1.0
+    pt2d = geom_to_point2d(ST.st_point(F.col("c_acctbal"), w))
+    rt_y = ST.st_y(point2d_to_geom(pt2d))
+    box = F.struct(
+        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+        w.alias("xmax"), h.alias("ymax"),
+    )
+    barea = ST.st_area(box2d_to_geom(box))
+    return cust.agg(
+        F.round(F.sum(pt2d["x"]), 2).alias("px_sum"),
+        F.round(F.sum(rt_y), 2).alias("rty_sum"),
+        F.round(F.sum(barea), 2).alias("box_area_sum"),
+        F.count("*").alias("n"),
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -505,6 +726,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_ngram_jaccard": q26_ngram_jaccard,
         "q27_generatepoints": q27_generatepoints,
         "q28_union_agg": q28_union_agg,
+        "q29_accessors": q29_accessors,
+        "q30_pointn_ring": q30_pointn_ring,
+        "q31_predicate_matrix": q31_predicate_matrix,
+        "q32_intersection_area": q32_intersection_area,
+        "q33_simplify": q33_simplify,
+        "q34_envelope_boundary": q34_envelope_boundary,
+        "q35_transform": q35_transform,
+        "q36_dwithin": q36_dwithin,
+        "q37_dump": q37_dump,
+        "q38_minhash_lsh": q38_minhash_lsh,
+        "q39_simhash_hamming": q39_simhash_hamming,
+        "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
+        "q41_casts": q41_casts,
     }
 
 
@@ -742,6 +976,120 @@ def oracle_sql() -> dict[str, str]:
                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
               FROM s a, s b WHERE a.doc_id < b.doc_id)
             WHERE jac >= 0.12
+        """,
+        "q29_accessors": """
+            SELECT round(sum(l_discount*100), 2) AS sx,
+                   round(sum(CAST(l_linenumber AS DOUBLE)), 2) AS ey,
+                   count(*) AS n
+            FROM lineitem
+        """,
+        "q30_pointn_ring": """
+            SELECT round(sum(2.0*p_size), 2) AS v3_sum,
+                   round(sum(0.0), 2) AS vlast_sum,
+                   count(*) AS n
+            FROM part
+        """,
+        "q31_predicate_matrix": f"""
+            WITH r AS ({_RECTS_SQL})
+            SELECT sum(CASE WHEN xb <= wa THEN 1 ELSE 0 END) AS n_int,
+                   sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS n_cont,
+                   sum(CASE WHEN xb = wa THEN 1 ELSE 0 END) AS n_touch,
+                   sum(CASE WHEN xb < wa AND NOT (xb+5 <= wa AND hb <= ha)
+                            AND NOT (xb <= 0 AND xb+5 >= wa AND hb >= ha)
+                       THEN 1 ELSE 0 END) AS n_over,
+                   count(*) AS n
+            FROM r
+        """,
+        "q32_intersection_area": f"""
+            WITH r AS ({_RECTS_SQL})
+            SELECT round(sum(greatest(0, least(wa, xb+5) - xb) * least(ha, hb)), 2) AS inter_area,
+                   count(*) AS n
+            FROM r
+        """,
+        "q33_simplify": """
+            SELECT 2*count(*) AS np_collinear, 3*count(*) AS np_keep,
+                   2*count(*) AS np_drop, count(*) AS n
+            FROM part
+        """,
+        "q34_envelope_boundary": """
+            SELECT round(sum(2.0*p_size*p_size), 2) AS env_area,
+                   round(sum(4.0*p_size), 2) AS bnd_len,
+                   count(*) AS n
+            FROM part
+        """,
+        "q35_transform": """
+            WITH p AS (
+              SELECT event_type,
+                     value*0.7 - 170.0 AS lon,
+                     CAST(user_id % 150 AS DOUBLE)*0.8 - 60.0 AS lat
+              FROM events)
+            SELECT event_type,
+                   round(avg(radians(lon) * 6378137.0), 2) AS avg_mx,
+                   round(avg(6378137.0 * ln(tan(pi()/4 + radians(lat)/2))), 2) AS avg_my,
+                   count(*) AS n
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "q36_dwithin": f"""
+            SELECT sum(CASE WHEN sqrt(pow(x-250, 2) + pow(y-75, 2)) <= 60 THEN 1 ELSE 0 END) AS n_within,
+                   count(*) AS n
+            FROM ({_EVENTS_PTS_SQL})
+        """,
+        "q37_dump": """
+            SELECT sum(CASE p_partkey % 3 WHEN 0 THEN 3 ELSE 1 END) AS nparts_sum,
+                   count(*) AS n
+            FROM part
+        """,
+        "q38_minhash_lsh": """
+            WITH s AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 4) AS sh
+              FROM documents, LATERAL (SELECT unnest(range(1, greatest(length(text)-3, 1)+1)) AS i)
+              WHERE doc_id < 100
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+                     min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3
+              FROM s GROUP BY 1
+            ), b AS (
+              SELECT doc_id, m0 || '_' || m1 AS b0, m2 || '_' || m3 AS b1 FROM sig
+            )
+            SELECT count(*) AS n_pairs, sum(id_a + id_b) AS pair_sum FROM (
+              SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM b a JOIN b b2 ON a.doc_id < b2.doc_id AND (a.b0 = b2.b0 OR a.b1 = b2.b1))
+        """,
+        "q39_simhash_hamming": """
+            WITH tok AS (
+              SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+              FROM documents WHERE doc_id < 150
+            ), bits AS (
+              SELECT doc_id,
+                     """ + ", ".join(
+                         f"sum(CASE WHEN ascii(substring(h, {j+1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+                         for j in range(16)
+                     ) + """
+              FROM tok GROUP BY 1
+            ), fp AS (
+              SELECT doc_id, """ + " + ".join(
+                         f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+                     ) + """ AS sh
+              FROM bits
+            )
+            SELECT count(*) AS n_pairs, sum(id_a + id_b) AS pair_sum FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) <= 2)
+        """,
+        "q40_hexwkb_roundtrip": """
+            SELECT round(sum(c_acctbal), 2) AS x_sum,
+                   42*count(*) AS hex_len_sum,
+                   count(*) AS n
+            FROM customer
+        """,
+        "q41_casts": """
+            SELECT round(sum(c_acctbal), 2) AS px_sum,
+                   round(sum(CAST(c_custkey % 9 AS DOUBLE)+1), 2) AS rty_sum,
+                   round(sum((CAST(c_custkey % 9 AS DOUBLE)+1) * (CAST(c_custkey % 5 AS DOUBLE)+1)), 2) AS box_area_sum,
+                   count(*) AS n
+            FROM customer
         """,
         "q27_generatepoints": "SELECT CAST(10000 AS BIGINT) AS n",
         "q28_union_agg": """

@@ -25,6 +25,17 @@ from .agg import (  # noqa: F401
 )
 from .scalar import *  # noqa: F401,F403
 from . import scalar as _scalar
+from .casts import (  # noqa: F401
+    box2d_to_geom,
+    geom_to_linestring2d,
+    geom_to_point2d,
+    geom_to_polygon2d,
+    linestring2d_to_geom,
+    point2d_to_geom,
+    point3d_to_point2d,
+    point4d_to_point2d,
+    polygon2d_to_geom,
+)
 
 
 def register_sql_functions(spark: SparkSession) -> None:

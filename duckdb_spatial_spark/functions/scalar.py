@@ -130,9 +130,26 @@ def _unary_geom_to_geom(fn):
     return f
 
 
-def _binary_geom_pred(fn):
+def _binary_geom_pred(fn, pred_name: Optional[str] = None):
+    """Boolean geometry predicate UDF. When both batches are uniform
+    rectangles/points, the closed-form vectorized path in ..geom.vec runs
+    instead of the per-row kernels (the reference's native BOX_2D/PiP fast
+    paths, core/.../st_intersects.cpp:14-30, st_contains.cpp:16-110)."""
+
     @pandas_udf(T.BooleanType())
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        if pred_name is not None:
+            ma, mb = V.fixed_matrix(a), V.fixed_matrix(b)
+            if ma is not None and mb is not None:
+                pa, pb = V.point_bounds(ma), V.point_bounds(mb)
+                ra = pa if pa is not None else V.rect_bounds(ma)
+                rb = pb if pb is not None else V.rect_bounds(mb)
+                if ra is not None and rb is not None:
+                    res = V.rect_predicate(
+                        pred_name, ra, rb, pa is not None, pb is not None
+                    )
+                    if res is not None:
+                        return pd.Series(res)
         out = []
         for ba, bb in zip(a, b):
             if ba is None or bb is None:
@@ -475,6 +492,21 @@ def _pointn_k(g: Geometry, n: int):
 
 @pandas_udf(T.BinaryType())
 def _st_pointn_udf(s: pd.Series, n: pd.Series) -> pd.Series:
+    # uniform linestring batch + constant n → vectorized vertex gather
+    nvals = n.to_numpy()
+    if len(nvals) and (nvals == nvals[0]).all() and nvals[0] is not None:
+        mat = V.fixed_matrix(s)
+        if mat is not None:
+            ls = V.decode_linestrings(mat)
+            if ls is not None:
+                k = int(nvals[0])
+                npts = ls.shape[1]
+                idx = k - 1 if k > 0 else npts + k
+                if 0 <= idx < npts:
+                    return pd.Series(
+                        V.encode_points(ls[:, idx, 0], ls[:, idx, 1]), dtype=object
+                    )
+                return pd.Series([None] * len(s), dtype=object)
     out = []
     for b, k in zip(s, n):
         if b is None or k is None:
@@ -828,17 +860,17 @@ def hilbert_xy_py(order: int, x: int, y: int) -> int:
 
 # ============================================================ predicates
 
-_st_intersects_udf = _binary_geom_pred(K.intersects)
-_st_disjoint_udf = _binary_geom_pred(K.disjoint)
-_st_contains_udf = _binary_geom_pred(K.contains)
-_st_containsproperly_udf = _binary_geom_pred(K.contains_properly)
-_st_within_udf = _binary_geom_pred(K.within)
-_st_covers_udf = _binary_geom_pred(K.covers)
-_st_coveredby_udf = _binary_geom_pred(K.covered_by)
-_st_crosses_udf = _binary_geom_pred(K.crosses)
-_st_touches_udf = _binary_geom_pred(K.touches)
-_st_overlaps_udf = _binary_geom_pred(K.overlaps)
-_st_equals_udf = _binary_geom_pred(K.equals)
+_st_intersects_udf = _binary_geom_pred(K.intersects, "intersects")
+_st_disjoint_udf = _binary_geom_pred(K.disjoint, "disjoint")
+_st_contains_udf = _binary_geom_pred(K.contains, "contains")
+_st_containsproperly_udf = _binary_geom_pred(K.contains_properly, "containsproperly")
+_st_within_udf = _binary_geom_pred(K.within, "within")
+_st_covers_udf = _binary_geom_pred(K.covers, "covers")
+_st_coveredby_udf = _binary_geom_pred(K.covered_by, "coveredby")
+_st_crosses_udf = _binary_geom_pred(K.crosses, "crosses")
+_st_touches_udf = _binary_geom_pred(K.touches, "touches")
+_st_overlaps_udf = _binary_geom_pred(K.overlaps, "overlaps")
+_st_equals_udf = _binary_geom_pred(K.equals, "equals")
 
 
 def st_intersects(a: ColumnOrName, b: ColumnOrName) -> Column:
@@ -950,7 +982,53 @@ _st_flipcoordinates_udf = _unary_geom_to_geom(K.flip_coordinates)
 _st_linemerge_udf = _unary_geom_to_geom(K.line_merge)
 _st_force2d_udf = _unary_geom_to_geom(lambda g: K.force_dims(g, False, False))
 _st_shortestline_udf = _binary_geom_to_geom(K.shortest_line)
-_st_intersection_udf = _binary_geom_to_geom(K.intersection)
+_EMPTY_GC_WKB = b"\x01\x07\x00\x00\x00\x00\x00\x00\x00"
+
+
+@pandas_udf(T.BinaryType())
+def _st_intersection_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Binary intersection with a vectorized rect∩rect fast path: positive
+    overlaps emit canonical rectangle WKB in one shot, disjoint pairs emit
+    EMPTY GEOMETRYCOLLECTION (matching K.intersection), and degenerate
+    edge-touch pairs fall back to the exact kernel row-wise."""
+    ma, mb = V.fixed_matrix(a), V.fixed_matrix(b)
+    if ma is not None and mb is not None:
+        ra, rb = V.rect_bounds(ma), V.rect_bounds(mb)
+        if ra is not None and rb is not None:
+            n = len(a)
+            x0 = np.maximum(ra[:, 0], rb[:, 0])
+            y0 = np.maximum(ra[:, 1], rb[:, 1])
+            x1 = np.minimum(ra[:, 2], rb[:, 2])
+            y1 = np.minimum(ra[:, 3], rb[:, 3])
+            pos = (x1 > x0) & (y1 > y0)
+            disj = (x1 < x0) | (y1 < y0)
+            deg = ~pos & ~disj
+            coords = np.empty((n, 5, 2))
+            coords[:, 0, 0] = x0; coords[:, 0, 1] = y0
+            coords[:, 1, 0] = x1; coords[:, 1, 1] = y0
+            coords[:, 2, 0] = x1; coords[:, 2, 1] = y1
+            coords[:, 3, 0] = x0; coords[:, 3, 1] = y1
+            coords[:, 4, 0] = x0; coords[:, 4, 1] = y0
+            blobs = V.encode_polygons_1ring(coords)
+            if deg.any():
+                out = [
+                    blobs[i] if pos[i] else (
+                        _EMPTY_GC_WKB if disj[i]
+                        else to_wkb(K.intersection(from_wkb(a.iloc[i]), from_wkb(b.iloc[i])))
+                    )
+                    for i in range(n)
+                ]
+            else:
+                out = [blobs[i] if pos[i] else _EMPTY_GC_WKB for i in range(n)]
+            return pd.Series(out, dtype=object)
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+        else:
+            g = K.intersection(from_wkb(ba), from_wkb(bb))
+            out.append(None if g is None else to_wkb(g))
+    return pd.Series(out, dtype=object)
 _st_union_udf = _binary_geom_to_geom(K.union)
 _st_difference_udf = _binary_geom_to_geom(K.difference)
 
@@ -1128,7 +1206,22 @@ def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True)
         return _col(geom)
     if key in _NATIVE_TRANSFORMS:
         fn = _NATIVE_TRANSFORMS[key]
-        return _unary_geom_to_geom(lambda g: g.map_coords(fn))(_col(geom))
+
+        @pandas_udf(T.BinaryType())
+        def _native_transform(s: pd.Series) -> pd.Series:
+            mat = V.fixed_matrix(s)
+            if mat is not None:
+                pt = V.decode_points(mat)
+                if pt is not None:
+                    xy = np.stack(pt, axis=1)
+                    out = fn(xy)
+                    return pd.Series(V.encode_points(out[:, 0], out[:, 1]), dtype=object)
+            return pd.Series(
+                [None if b is None else to_wkb(from_wkb(b).map_coords(fn)) for b in s],
+                dtype=object,
+            )
+
+        return _native_transform(_col(geom))
     try:
         import pyproj  # noqa: F401
     except ImportError as e:
@@ -1283,3 +1376,158 @@ def st_perimeter_spheroid(geom: ColumnOrName) -> Column:
 
 def st_dwithin_spheroid(x1, y1, x2, y2, dist) -> Column:
     return st_distance_spheroid(x1, y1, x2, y2) <= F.lit(float(dist))
+
+
+# ============================================================ remaining reference surface
+# (st_point.cpp 3D/4D overloads, st_xyzm.cpp Z/M bounds, st_assvg.cpp,
+#  st_hilbert.cpp geometry/box overloads, st_quadkey.cpp geometry overload)
+
+def st_point3d(x: ColumnOrName, y: ColumnOrName, z: ColumnOrName) -> Column:
+    """POINT_3D struct (types.cpp:17-22)."""
+    return F.struct(
+        _col(x).cast("double").alias("x"),
+        _col(y).cast("double").alias("y"),
+        _col(z).cast("double").alias("z"),
+    )
+
+
+def st_point4d(x: ColumnOrName, y: ColumnOrName, z: ColumnOrName, m: ColumnOrName) -> Column:
+    """POINT_4D struct (types.cpp:24-31)."""
+    return F.struct(
+        _col(x).cast("double").alias("x"),
+        _col(y).cast("double").alias("y"),
+        _col(z).cast("double").alias("z"),
+        _col(m).cast("double").alias("m"),
+    )
+
+
+def _zm_minmax(idx_fn, reducer):
+    def k(g: Geometry):
+        vals = []
+        for leaf in g.flatten():
+            idx = idx_fn(leaf)
+            if idx is None:
+                continue
+            for arr in leaf.vertex_arrays():
+                if len(arr):
+                    vals.append(arr[:, idx])
+        if not vals:
+            return None
+        return float(reducer(np.concatenate(vals)))
+
+    return k
+
+
+def _z_idx(g: Geometry):
+    return 2 if g.has_z else None
+
+
+def _m_idx(g: Geometry):
+    return (2 + int(g.has_z)) if g.has_m else None
+
+
+_st_zmin_udf = _unary_geom_to(T.DoubleType(), _zm_minmax(_z_idx, np.min))
+_st_zmax_udf = _unary_geom_to(T.DoubleType(), _zm_minmax(_z_idx, np.max))
+_st_mmin_udf = _unary_geom_to(T.DoubleType(), _zm_minmax(_m_idx, np.min))
+_st_mmax_udf = _unary_geom_to(T.DoubleType(), _zm_minmax(_m_idx, np.max))
+
+
+def st_zmin(geom: ColumnOrName) -> Column:
+    return _st_zmin_udf(_col(geom))
+
+
+def st_zmax(geom: ColumnOrName) -> Column:
+    return _st_zmax_udf(_col(geom))
+
+
+def st_mmin(geom: ColumnOrName) -> Column:
+    return _st_mmin_udf(_col(geom))
+
+
+def st_mmax(geom: ColumnOrName) -> Column:
+    return _st_mmax_udf(_col(geom))
+
+
+def _svg_num(v: float, digits: int) -> str:
+    s = f"{v:.{digits}f}".rstrip("0").rstrip(".")
+    return "0" if s in ("-0", "") else s
+
+
+def _assvg_kernel(g: Geometry, rel: bool, digits: int) -> str:
+    """PostGIS-compatible SVG path data (st_assvg.cpp:21-130): y negated,
+    points render as cx/cy (abs) or x/y (rel) attrs, rings close with z/Z."""
+
+    def fmt(x, y):
+        return f"{_svg_num(x, digits)} {_svg_num(-y, digits)}"
+
+    def path(arr: np.ndarray, close: bool) -> str:
+        if len(arr) == 0:
+            return ""
+        out = ["M", fmt(arr[0, 0], arr[0, 1]), "l" if rel else "L"]
+        if rel:
+            last = arr[0]
+            n = len(arr)
+            for i in range(1, n):
+                if close and i == n - 1:
+                    out.append("z")
+                else:
+                    d = arr[i] - last
+                    # SVG y axis is flipped, so the relative delta negates dy
+                    out.append(f"{_svg_num(d[0], digits)} {_svg_num(-d[1], digits)}")
+                    last = arr[i]
+        else:
+            n = len(arr)
+            for i in range(1, n):
+                if close and i == n - 1:
+                    out.append("Z")
+                else:
+                    out.append(fmt(arr[i, 0], arr[i, 1]))
+        return " ".join(out)
+
+    parts = []
+    for leaf in g.flatten():
+        if leaf.is_empty():
+            continue
+        if leaf.type_id == Wkb.POINT:
+            x, y = float(leaf.coords[0]), float(leaf.coords[1])
+            if rel:
+                parts.append(f'x="{_svg_num(x, digits)}" y="{_svg_num(-y, digits)}"')
+            else:
+                parts.append(f'cx="{_svg_num(x, digits)}" cy="{_svg_num(-y, digits)}"')
+        elif leaf.type_id == Wkb.LINESTRING:
+            parts.append(path(leaf.coords, close=False))
+        elif leaf.type_id == Wkb.POLYGON:
+            for ring in leaf.rings:
+                parts.append(path(ring, close=True))
+    return " ".join(parts)
+
+
+def st_assvg(geom: ColumnOrName, rel=False, maxdecimaldigits: int = 15) -> Column:
+    r = bool(rel)
+    d = int(maxdecimaldigits)
+    return _unary_geom_to(T.StringType(), lambda g: _assvg_kernel(g, r, d))(_col(geom))
+
+
+def st_hilbert(geom: ColumnOrName, xmin: float, ymin: float, xmax: float, ymax: float,
+               order: int = 16) -> Column:
+    """GEOMETRY overload: hilbert index of the bbox center within the given
+    bounds (st_hilbert.cpp:126-149)."""
+    b = st_extent(geom)
+    cx = (b["xmin"] + (b["xmax"] - b["xmin"]) / 2)
+    cy = (b["ymin"] + (b["ymax"] - b["ymin"]) / 2)
+    return st_hilbert_xy(cx, cy, xmin, ymin, xmax, ymax, order=order)
+
+
+def st_hilbert_box(box: ColumnOrName, xmin: float, ymin: float, xmax: float, ymax: float,
+                   order: int = 16) -> Column:
+    """BOX_2D overload: hilbert index of the box center (st_hilbert.cpp:183-184)."""
+    b = _col(box)
+    cx = (b["xmin"] + (b["xmax"] - b["xmin"]) / 2)
+    cy = (b["ymin"] + (b["ymax"] - b["ymin"]) / 2)
+    return st_hilbert_xy(cx, cy, xmin, ymin, xmax, ymax, order=order)
+
+
+def st_quadkey(geom: ColumnOrName, level) -> Column:
+    """GEOMETRY (point) overload (st_quadkey.cpp:62-99)."""
+    g = _col(geom)
+    return st_quadkey_xy(_st_x_udf(g), _st_y_udf(g), level)

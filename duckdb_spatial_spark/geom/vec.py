@@ -143,3 +143,105 @@ def shoelace_area(coords: np.ndarray) -> np.ndarray:
     x, y = coords[..., 0], coords[..., 1]
     s = x[:, :-1] * y[:, 1:] - x[:, 1:] * y[:, :-1]
     return np.abs(s.sum(axis=1)) * 0.5
+
+
+# ------------------------------------------------- rectangle/point predicates
+
+def rect_bounds(mat: np.ndarray) -> Optional[np.ndarray]:
+    """(n, 4) [xmin ymin xmax ymax] when the batch is uniform single-ring
+    5-vertex polygons that are all axis-aligned rectangles with positive
+    area; None otherwise."""
+    ring = decode_polygons_1ring(mat)
+    if ring is None or ring.shape[1] != 5:
+        return None
+    x, y = ring[..., 0], ring[..., 1]
+    xmin, xmax = x.min(axis=1), x.max(axis=1)
+    ymin, ymax = y.min(axis=1), y.max(axis=1)
+    ok = (
+        (ring[:, 0] == ring[:, 4]).all()
+        and ((x == xmin[:, None]) | (x == xmax[:, None])).all()
+        and ((y == ymin[:, None]) | (y == ymax[:, None])).all()
+        and bool(((xmax > xmin) & (ymax > ymin)).all())
+    )
+    if not ok:
+        return None
+    return np.stack([xmin, ymin, xmax, ymax], axis=1)
+
+
+def point_bounds(mat: np.ndarray) -> Optional[np.ndarray]:
+    """(n, 4) degenerate bounds for a uniform XY point batch."""
+    pt = decode_points(mat)
+    if pt is None:
+        return None
+    x, y = pt
+    return np.stack([x, y, x, y], axis=1)
+
+
+_RECT_PREDS = frozenset({
+    "intersects", "disjoint", "contains", "containsproperly", "within",
+    "covers", "coveredby", "equals", "touches", "overlaps", "crosses",
+})
+
+
+def rect_predicate(pred: str, A: np.ndarray, B: np.ndarray,
+                   a_point: bool, b_point: bool) -> Optional[np.ndarray]:
+    """Closed-form topological predicates between axis-aligned rectangles
+    (positive area) and/or points, from (n,4) bounds. Returns bool array or
+    None when the predicate isn't supported for the kind combination.
+
+    This is the engine's analog of the reference's native fast paths
+    (core/.../st_intersects.cpp BOX_2D overlap, st_contains.cpp PiP) —
+    hit whenever a uniform batch of envelope/tile rectangles meets points
+    or other rectangles, which is the dominant shape in bbox workloads."""
+    if pred not in _RECT_PREDS:
+        return None
+    ax0, ay0, ax1, ay1 = A[:, 0], A[:, 1], A[:, 2], A[:, 3]
+    bx0, by0, bx1, by1 = B[:, 0], B[:, 1], B[:, 2], B[:, 3]
+
+    inter = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    if pred == "intersects":
+        return inter
+    if pred == "disjoint":
+        return ~inter
+
+    # interiors intersect (interior of a point is the point itself)
+    if a_point and b_point:
+        int_int = (ax0 == bx0) & (ay0 == by0)
+    elif a_point:
+        int_int = (ax0 > bx0) & (ax0 < bx1) & (ay0 > by0) & (ay0 < by1)
+    elif b_point:
+        int_int = (bx0 > ax0) & (bx0 < ax1) & (by0 > ay0) & (by0 < ay1)
+    else:
+        int_int = (ax0 < bx1) & (bx0 < ax1) & (ay0 < by1) & (by0 < ay1)
+
+    cov_ab = (bx0 >= ax0) & (bx1 <= ax1) & (by0 >= ay0) & (by1 <= ay1)  # B ⊆ A
+    cov_ba = (ax0 >= bx0) & (ax1 <= bx1) & (ay0 >= by0) & (ay1 <= by1)  # A ⊆ B
+
+    if pred == "covers":
+        return cov_ab if not a_point else cov_ab & (bx0 == bx1) & (by0 == by1)
+    if pred == "coveredby":
+        return cov_ba if not b_point else cov_ba & (ax0 == ax1) & (ay0 == ay1)
+    if pred == "contains":
+        return cov_ab & int_int
+    if pred == "within":
+        return cov_ba & int_int
+    if pred == "containsproperly":
+        if a_point:
+            return cov_ab & int_int
+        return (bx0 > ax0) & (bx1 < ax1) & (by0 > ay0) & (by1 < ay1)
+    if pred == "equals":
+        if a_point != b_point:
+            return np.zeros(len(A), dtype=bool)
+        return (ax0 == bx0) & (ay0 == by0) & (ax1 == bx1) & (ay1 == by1)
+    if pred == "touches":
+        return inter & ~int_int
+    if pred == "overlaps":
+        if a_point != b_point:  # different topological dimension
+            return np.zeros(len(A), dtype=bool)
+        if a_point:
+            return np.zeros(len(A), dtype=bool)
+        return int_int & ~cov_ab & ~cov_ba
+    if pred == "crosses":
+        # 0-vs-2 dim and 2-vs-2 dim combinations can never cross
+        return np.zeros(len(A), dtype=bool)
+    return None

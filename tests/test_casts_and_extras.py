@@ -1,0 +1,146 @@
+"""Casts lattice (SURVEY §2.B) + remaining reference surface
+(st_assvg, Z/M bounds, POINT_3D/4D, hilbert/quadkey geometry overloads)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import duckdb_spatial_spark.functions as ST
+from duckdb_spatial_spark.functions import (
+    box2d_to_geom,
+    geom_to_linestring2d,
+    geom_to_point2d,
+    geom_to_polygon2d,
+    linestring2d_to_geom,
+    point2d_to_geom,
+    point3d_to_point2d,
+    polygon2d_to_geom,
+)
+
+
+def test_point2d_roundtrip(spark):
+    df = spark.createDataFrame([(1.5, -2.5), (0.0, 0.0)], ["x", "y"])
+    g = ST.st_point("x", "y")
+    pt = geom_to_point2d(g)
+    back = point2d_to_geom(pt)
+    rows = df.select(
+        pt["x"].alias("px"), pt["y"].alias("py"),
+        ST.st_x(back).alias("bx"), ST.st_astext(back).alias("wkt"),
+    ).collect()
+    assert rows[0]["px"] == 1.5 and rows[0]["py"] == -2.5
+    assert rows[0]["bx"] == 1.5
+    assert rows[1]["wkt"] == "POINT (0 0)"
+
+
+def test_point2d_cast_nonpoint_null(spark):
+    df = spark.createDataFrame([("LINESTRING (0 0, 1 1)",)], ["wkt"])
+    r = df.select(geom_to_point2d(ST.st_geomfromtext("wkt")).alias("p")).collect()[0]
+    assert r["p"]["x"] is None
+
+
+def test_linestring2d_roundtrip(spark):
+    df = spark.createDataFrame([("LINESTRING (0 0, 3 4, 6 0)",)], ["wkt"])
+    g = ST.st_geomfromtext("wkt")
+    arr = geom_to_linestring2d(g)
+    back = linestring2d_to_geom(arr)
+    r = df.select(F.size(arr).alias("n"), ST.st_length(back).alias("len")).collect()[0]
+    assert r["n"] == 3
+    assert r["len"] == pytest.approx(10.0)
+
+
+def test_polygon2d_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",)],
+        ["wkt"],
+    )
+    g = ST.st_geomfromtext("wkt")
+    rings = geom_to_polygon2d(g)
+    back = polygon2d_to_geom(rings)
+    r = df.select(F.size(rings).alias("nr"), ST.st_area(back).alias("a")).collect()[0]
+    assert r["nr"] == 2
+    assert r["a"] == pytest.approx(96.0)
+
+
+def test_box2d_to_geom(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 4.0, 6.0)], ["a", "b", "c", "d"])
+    box = F.struct(
+        F.col("a").alias("xmin"), F.col("b").alias("ymin"),
+        F.col("c").alias("xmax"), F.col("d").alias("ymax"),
+    )
+    r = df.select(
+        ST.st_area(box2d_to_geom(box)).alias("area"),
+        ST.st_astext(box2d_to_geom(box)).alias("wkt"),
+    ).collect()[0]
+    assert r["area"] == pytest.approx(12.0)
+    assert r["wkt"].startswith("POLYGON ((1 2")
+
+
+def test_point3d_struct_and_cast(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], ["x", "y", "z"])
+    p3 = ST.st_point3d("x", "y", "z")
+    p2 = point3d_to_point2d(p3)
+    r = df.select(p3["z"].alias("z"), p2["x"].alias("x")).collect()[0]
+    assert r["z"] == 3.0 and r["x"] == 1.0
+    assert df.select(p2).schema[0].dataType.fieldNames() == ["x", "y"]
+
+
+def test_zm_bounds(spark):
+    df = spark.createDataFrame(
+        [("LINESTRING Z (0 0 5, 1 1 9, 2 2 -3)",), ("POINT (1 1)",)], ["wkt"]
+    )
+    g = ST.st_geomfromtext("wkt")
+    rows = df.select(
+        ST.st_zmin(g).alias("zmin"), ST.st_zmax(g).alias("zmax"),
+        ST.st_mmin(g).alias("mmin"),
+    ).collect()
+    assert rows[0]["zmin"] == -3.0 and rows[0]["zmax"] == 9.0
+    assert rows[0]["mmin"] is None
+    assert rows[1]["zmin"] is None
+
+
+def test_assvg(spark):
+    df = spark.createDataFrame(
+        [("POINT (1 2)",), ("LINESTRING (0 0, 3 4)",),
+         ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",)], ["wkt"]
+    )
+    rows = df.select(ST.st_assvg(ST.st_geomfromtext("wkt")).alias("svg")).collect()
+    assert rows[0]["svg"] == 'cx="1" cy="-2"'
+    assert rows[1]["svg"] == "M 0 0 L 3 -4"
+    assert rows[2]["svg"].startswith("M 0 0 L") and rows[2]["svg"].endswith("Z")
+
+
+def test_assvg_rel(spark):
+    df = spark.createDataFrame([("LINESTRING (0 0, 3 4, 5 4)",)], ["wkt"])
+    r = df.select(ST.st_assvg(ST.st_geomfromtext("wkt"), rel=True).alias("svg")).collect()[0]
+    assert r["svg"] == "M 0 0 l 3 -4 2 0"
+
+
+def test_hilbert_geom_overload_matches_xy(spark):
+    df = spark.createDataFrame([(10.0, 20.0)], ["x", "y"])
+    g = ST.st_point("x", "y")
+    h_geom = ST.st_hilbert(g, 0.0, 0.0, 100.0, 100.0)
+    h_xy = ST.st_hilbert_xy("x", "y", 0.0, 0.0, 100.0, 100.0)
+    r = df.select(h_geom.alias("a"), h_xy.alias("b")).collect()[0]
+    assert r["a"] == r["b"]
+
+
+def test_hilbert_box_overload(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 20.0, 40.0)], ["a", "b", "c", "d"])
+    box = F.struct(
+        F.col("a").alias("xmin"), F.col("b").alias("ymin"),
+        F.col("c").alias("xmax"), F.col("d").alias("ymax"),
+    )
+    h_box = ST.st_hilbert_box(box, 0.0, 0.0, 100.0, 100.0)
+    h_xy = ST.st_hilbert_xy(F.lit(10.0), F.lit(20.0), 0.0, 0.0, 100.0, 100.0)
+    r = df.select(h_box.alias("a"), h_xy.alias("b")).collect()[0]
+    assert r["a"] == r["b"]
+
+
+def test_quadkey_geom_overload(spark):
+    df = spark.createDataFrame([(11.08, 50.12)], ["lon", "lat"])
+    g = ST.st_point("lon", "lat")
+    r = df.select(
+        ST.st_quadkey(g, 6).alias("a"),
+        ST.st_quadkey_xy("lon", "lat", 6).alias("b"),
+    ).collect()[0]
+    assert r["a"] == r["b"]
+    assert len(r["a"]) == 6
