@@ -689,6 +689,30 @@ def q41_casts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q42_general_overlay(spark: SparkSession, sf: str) -> DataFrame:
+    """General (non-axis-box) polygon overlay: triangle∩triangle via convex
+    decomposition — intersection/union/difference areas + line clip length
+    (closed-form oracle: s², 3s², s², s√2 per row)."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    s2 = (F.col("p_size") * 2).cast("string")
+    tri_a = ST.st_geomfromtext(F.concat(
+        F.lit("POLYGON ((0 0, "), s2, F.lit(" 0, 0 "), s2, F.lit(", 0 0))")))
+    tri_b = ST.st_geomfromtext(F.concat(
+        F.lit("POLYGON ((0 0, "), s2, F.lit(" 0, "), s2, F.lit(" "), s2, F.lit(", 0 0))")))
+    diag = ST.st_makeline(
+        ST.st_point(F.lit(0.0), F.lit(0.0)),
+        ST.st_point(F.col("p_size") * 2, F.col("p_size") * 2),
+    )
+    return part.agg(
+        F.round(F.sum(ST.st_area(ST.st_intersection(tri_a, tri_b))), 2).alias("inter_area"),
+        F.round(F.sum(ST.st_area(ST.st_union(tri_a, tri_b))), 2).alias("union_area"),
+        F.round(F.sum(ST.st_area(ST.st_difference(tri_a, tri_b))), 2).alias("diff_area"),
+        F.round(F.sum(ST.st_length(ST.st_intersection(diag, tri_a))), 2).alias("clip_len"),
+        F.count("*").alias("n"),
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -739,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_simhash_hamming": q39_simhash_hamming,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
         "q41_casts": q41_casts,
+        "q42_general_overlay": q42_general_overlay,
     }
 
 
@@ -1090,6 +1115,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((CAST(c_custkey % 9 AS DOUBLE)+1) * (CAST(c_custkey % 5 AS DOUBLE)+1)), 2) AS box_area_sum,
                    count(*) AS n
             FROM customer
+        """,
+        "q42_general_overlay": """
+            SELECT round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS inter_area,
+                   round(sum(3.0*p_size*p_size), 2) AS union_area,
+                   round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS diff_area,
+                   round(sum(p_size * sqrt(2)), 2) AS clip_len,
+                   count(*) AS n
+            FROM part
         """,
         "q27_generatepoints": "SELECT CAST(10000 AS BIGINT) AS n",
         "q28_union_agg": """

@@ -118,13 +118,22 @@ def _unary_geom_to(ret_type, fn, name=None):
 def _unary_geom_to_geom(fn):
     @pandas_udf(T.BinaryType())
     def f(s: pd.Series) -> pd.Series:
+        # memoize per batch: repeated WKB inputs (constructed geometries over
+        # low-cardinality columns) pay for the kernel once
+        cache: dict = {}
         out = []
         for b in s:
             if b is None:
                 out.append(None)
-            else:
-                g = fn(from_wkb(b))
-                out.append(None if g is None else to_wkb(g))
+                continue
+            key = bytes(b)
+            if key in cache:
+                out.append(cache[key])
+                continue
+            g = fn(from_wkb(b))
+            v = None if g is None else to_wkb(g)
+            cache[key] = v
+            out.append(v)
         return pd.Series(out, dtype=object)
 
     return f
@@ -164,13 +173,20 @@ def _binary_geom_pred(fn, pred_name: Optional[str] = None):
 def _binary_geom_to_geom(fn):
     @pandas_udf(T.BinaryType())
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache: dict = {}
         out = []
         for ba, bb in zip(a, b):
             if ba is None or bb is None:
                 out.append(None)
-            else:
-                g = fn(from_wkb(ba), from_wkb(bb))
-                out.append(None if g is None else to_wkb(g))
+                continue
+            key = (bytes(ba), bytes(bb))
+            if key in cache:
+                out.append(cache[key])
+                continue
+            g = fn(from_wkb(ba), from_wkb(bb))
+            v = None if g is None else to_wkb(g)
+            cache[key] = v
+            out.append(v)
         return pd.Series(out, dtype=object)
 
     return f
@@ -1021,13 +1037,20 @@ def _st_intersection_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             else:
                 out = [blobs[i] if pos[i] else _EMPTY_GC_WKB for i in range(n)]
             return pd.Series(out, dtype=object)
+    cache: dict = {}
     out = []
     for ba, bb in zip(a, b):
         if ba is None or bb is None:
             out.append(None)
-        else:
-            g = K.intersection(from_wkb(ba), from_wkb(bb))
-            out.append(None if g is None else to_wkb(g))
+            continue
+        key = (bytes(ba), bytes(bb))
+        if key in cache:
+            out.append(cache[key])
+            continue
+        g = K.intersection(from_wkb(ba), from_wkb(bb))
+        v = None if g is None else to_wkb(g)
+        cache[key] = v
+        out.append(v)
     return pd.Series(out, dtype=object)
 _st_union_udf = _binary_geom_to_geom(K.union)
 _st_difference_udf = _binary_geom_to_geom(K.difference)

@@ -364,7 +364,25 @@ def covers(a: Geometry, b: Geometry) -> bool:
     _touch, cross = _boundaries_cross(a, b)
     if cross:
         return False
-    return _all_vertices_loc_at_least(b, a, 1) and _midpoints_loc_at_least(b, a, 1)
+    if not (_all_vertices_loc_at_least(b, a, 1) and _midpoints_loc_at_least(b, a, 1)):
+        return False
+    return not _hole_swallowed(a, b)
+
+
+def _hole_swallowed(a: Geometry, b: Geometry) -> bool:
+    """True when a hole of `a` lies strictly inside `b` — then part of b sits
+    in the hole (outside a), defeating covers/contains. The hole ring cannot
+    cross b's boundary here (callers reject boundary crossings first), so a
+    single interior-point probe per hole decides it."""
+    if b.topo_dimension() != 2:
+        return False
+    for part in a.flatten():
+        if part.type_id == POLYGON and len(part.rings) > 1:
+            for hole in part.rings[1:]:
+                hp = _rep_point(Geometry(POLYGON, rings=[hole]))
+                if hp is not None and _point_loc(hp[0], hp[1], b) == 2:
+                    return True
+    return False
 
 
 def contains(a: Geometry, b: Geometry) -> bool:
@@ -391,7 +409,9 @@ def contains_properly(a: Geometry, b: Geometry) -> bool:
     _touch, cross = _boundaries_cross(a, b)
     if cross:
         return False
-    return _all_vertices_loc_at_least(b, a, 2) and _midpoints_loc_at_least(b, a, 2)
+    if not (_all_vertices_loc_at_least(b, a, 2) and _midpoints_loc_at_least(b, a, 2)):
+        return False
+    return not _hole_swallowed(a, b)
 
 
 def within(a: Geometry, b: Geometry) -> bool:
@@ -1280,8 +1300,20 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
         return clip_to_box(b, *box)
     if equals(a, b):
         return a
+    if a.topo_dimension() == 2 and b.topo_dimension() == 2:
+        from .overlay import polygon_intersection
+
+        return polygon_intersection(a, b)
+    if a.topo_dimension() == 1 and b.topo_dimension() == 2:
+        from .overlay import line_region_intersection
+
+        return line_region_intersection(a, b)
+    if a.topo_dimension() == 2 and b.topo_dimension() == 1:
+        from .overlay import line_region_intersection
+
+        return line_region_intersection(b, a)
     raise NotImplementedError(
-        "general polygon overlay not yet implemented (box/point tiers work)"
+        "line-line overlay not yet implemented (polygon/box/point tiers work)"
     )
 
 
@@ -1301,8 +1333,12 @@ def union(a: Geometry, b: Geometry) -> Geometry:
     if not intersects(a, b) or touches(a, b):
         parts = [p for g in (a, b) for p in g.flatten() if not p.is_empty()]
         return collect(parts)
+    if a.topo_dimension() == 2 and b.topo_dimension() == 2:
+        from .overlay import polygon_union
+
+        return polygon_union(a, b)
     raise NotImplementedError(
-        "general dissolving union not yet implemented (disjoint/contained tiers work)"
+        "mixed-dimension dissolving union not yet implemented"
     )
 
 
@@ -1321,7 +1357,11 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
         if not pts:
             return Geometry.empty(a.type_id, a.has_z, a.has_m)
         return pts[0] if len(pts) == 1 else collect(pts)
-    raise NotImplementedError("general difference not yet implemented")
+    if a.topo_dimension() == 2 and b.topo_dimension() == 2:
+        from .overlay import polygon_difference
+
+        return polygon_difference(a, b)
+    raise NotImplementedError("mixed-dimension difference not yet implemented")
 
 
 # ============================================================ bulk (vectorized over many points)

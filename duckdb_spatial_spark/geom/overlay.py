@@ -1,0 +1,364 @@
+"""General polygon overlay (intersection / union / difference) via convex
+decomposition.
+
+The reference delegates these to GEOS (st_intersection.cpp, st_union.cpp,
+st_difference.cpp); this engine computes them natively:
+
+1. every input region is decomposed into convex pieces — ear-clip
+   triangulation of each shell, then holes subtracted piece-by-piece with
+   convex differences;
+2. boolean ops reduce to convex∩convex (Sutherland–Hodgman against a convex
+   clip) and convex∖convex (half-plane sweep decomposition, yielding convex
+   pieces);
+3. the result is re-emitted as POLYGON / MULTIPOLYGON of the surviving
+   pieces (region-exact and area-exact; piece boundaries are not dissolved —
+   the same set-of-points answer GEOS gives, in undissolved form).
+
+Everything is float64 NumPy; degenerate (near-zero-area) pieces are dropped
+at _EPS_AREA.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from .core import (
+    GEOMETRYCOLLECTION,
+    MULTIPOLYGON,
+    POLYGON,
+    Geometry,
+)
+
+_EPS_AREA = 1e-12
+
+
+def _signed_area(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(
+        np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+    )
+
+
+def _open_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop the closing duplicate vertex and exact consecutive duplicates."""
+    r = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    keep = [0]
+    for i in range(1, len(r)):
+        if not np.array_equal(r[i], r[keep[-1]]):
+            keep.append(i)
+    r = r[keep]
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    return r
+
+
+def _ccw(pts: np.ndarray) -> np.ndarray:
+    return pts if _signed_area(pts) >= 0 else pts[::-1]
+
+
+def _cross(o, a, b) -> float:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _point_in_tri(p, a, b, c) -> bool:
+    d1 = _cross(p, a, b)
+    d2 = _cross(p, b, c)
+    d3 = _cross(p, c, a)
+    neg = (d1 < 0) or (d2 < 0) or (d3 < 0)
+    pos = (d1 > 0) or (d2 > 0) or (d3 > 0)
+    return not (neg and pos)
+
+
+def ear_triangulate(ring: np.ndarray) -> List[np.ndarray]:
+    """O(n²) ear clipping of a simple ring (closed or open input) →
+    list of (3,2) triangles. Collinear ears are emitted and later dropped
+    by the zero-area filter."""
+    pts = _ccw(_open_ring(ring))
+    n = len(pts)
+    if n < 3:
+        return []
+    if n == 3:
+        return [pts.copy()]
+    idx = list(range(n))
+    tris: List[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 2 * n * n:
+        guard += 1
+        m = len(idx)
+        ear_found = False
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            cr = _cross(a, b, c)
+            if cr < -_EPS_AREA:
+                continue  # reflex
+            # no other active vertex strictly inside the candidate ear
+            ok = True
+            if cr > _EPS_AREA:
+                for j in idx:
+                    if j in (i0, i1, i2):
+                        continue
+                    if _point_in_tri(pts[j], a, b, c):
+                        ok = False
+                        break
+            if ok:
+                tris.append(np.asarray([a, b, c]))
+                idx.pop(k)
+                ear_found = True
+                break
+        if not ear_found:
+            # numerically stuck (self-touching ring): emit a fan as a
+            # best-effort and stop — zero-area pieces wash out
+            break
+    if len(idx) >= 3:
+        base = idx[0]
+        for k in range(1, len(idx) - 1):
+            tris.append(np.asarray([pts[base], pts[idx[k]], pts[idx[k + 1]]]))
+    return [t for t in tris if abs(_signed_area(t)) > _EPS_AREA]
+
+
+def _seg_x_line(p, q, a, b):
+    """Intersection of segment pq with the infinite line ab."""
+    r = (q[0] - p[0], q[1] - p[1])
+    s = (b[0] - a[0], b[1] - a[1])
+    denom = r[0] * s[1] - r[1] * s[0]
+    if denom == 0:
+        return q
+    t = ((a[0] - p[0]) * s[1] - (a[1] - p[1]) * s[0]) / denom
+    return (p[0] + t * r[0], p[1] + t * r[1])
+
+
+def _clip_halfplane(pts, a, b, keep_left: bool):
+    """One Sutherland–Hodgman pass: keep the part of `pts` on the left
+    (or right) of the infinite line a→b. pts is a list of (x, y) tuples."""
+    if not pts:
+        return []
+    sgn = 1.0 if keep_left else -1.0
+    out = []
+    k = len(pts)
+    for j in range(k):
+        cur, prv = pts[j], pts[j - 1]
+        cin = sgn * _cross(a, b, cur) >= 0
+        pin = sgn * _cross(a, b, prv) >= 0
+        if cin:
+            if not pin:
+                out.append(_seg_x_line(prv, cur, a, b))
+            out.append(cur)
+        elif pin:
+            out.append(_seg_x_line(prv, cur, a, b))
+    return out
+
+
+def _finish(pts) -> Optional[np.ndarray]:
+    if len(pts) < 3:
+        return None
+    arr = np.asarray(pts, dtype=np.float64)
+    # collapse near-duplicate consecutive vertices (clip passes emit the
+    # same intersection point twice); a leftover zero-length edge would
+    # degenerate later half-plane tests
+    span = max(float(np.ptp(arr[:, 0])), float(np.ptp(arr[:, 1])), 1e-30)
+    eps = span * 1e-12
+    keep = []
+    for i in range(len(arr)):
+        prv = arr[keep[-1]] if keep else arr[-1]
+        if keep and abs(arr[i, 0] - prv[0]) <= eps and abs(arr[i, 1] - prv[1]) <= eps:
+            continue
+        keep.append(i)
+    # also drop a last point equal to the first
+    while len(keep) > 1 and (
+        abs(arr[keep[-1], 0] - arr[keep[0], 0]) <= eps
+        and abs(arr[keep[-1], 1] - arr[keep[0], 1]) <= eps
+    ):
+        keep.pop()
+    arr = arr[keep]
+    if len(arr) < 3 or abs(_signed_area(arr)) <= _EPS_AREA:
+        return None
+    return arr
+
+
+def convex_clip(subject: np.ndarray, clip: np.ndarray) -> Optional[np.ndarray]:
+    """Sutherland–Hodgman: clip any polygon against a CONVEX CCW clip
+    polygon. Returns open CCW ring or None when empty."""
+    out = [tuple(p) for p in subject]
+    m = len(clip)
+    span = max(float(np.ptp(clip[:, 0])), float(np.ptp(clip[:, 1])), 1e-30)
+    eps = span * 1e-12
+    for i in range(m):
+        e0, e1 = clip[i], clip[(i + 1) % m]
+        if abs(e1[0] - e0[0]) <= eps and abs(e1[1] - e0[1]) <= eps:
+            continue  # degenerate clip edge
+        out = _clip_halfplane(out, e0, e1, keep_left=True)
+        if not out:
+            return None
+    return _finish(out)
+
+
+def convex_diff(piece: np.ndarray, clip: np.ndarray) -> List[np.ndarray]:
+    """piece ∖ clip for convex CCW `clip`: sweep the clip's half-planes —
+    piece ∩ outside(e_i) ∩ inside(e_1..e_{i-1}) are disjoint convex covers
+    of the difference."""
+    out: List[np.ndarray] = []
+    rem = [tuple(p) for p in piece]
+    m = len(clip)
+    span = max(float(np.ptp(clip[:, 0])), float(np.ptp(clip[:, 1])), 1e-30)
+    eps = span * 1e-12
+    for i in range(m):
+        if not rem:
+            break
+        e0, e1 = clip[i], clip[(i + 1) % m]
+        if abs(e1[0] - e0[0]) <= eps and abs(e1[1] - e0[1]) <= eps:
+            continue  # degenerate clip edge
+        outside = _finish(_clip_halfplane(rem, e0, e1, keep_left=False))
+        if outside is not None:
+            out.append(outside)
+        rem = _clip_halfplane(rem, e0, e1, keep_left=True)
+    return out
+
+
+def region_pieces(g: Geometry) -> List[np.ndarray]:
+    """Decompose the 2-dimensional part of a geometry into convex CCW
+    pieces (shell triangles ⊖ hole triangles)."""
+    pieces: List[np.ndarray] = []
+    for leaf in g.flatten():
+        if leaf.type_id != POLYGON or not leaf.rings:
+            continue
+        shell_tris = ear_triangulate(leaf.rings[0])
+        cur = shell_tris
+        for hole in leaf.rings[1:]:
+            hole_tris = ear_triangulate(hole)
+            for ht in hole_tris:
+                ht = _ccw(ht)
+                nxt: List[np.ndarray] = []
+                for p in cur:
+                    nxt.extend(convex_diff(p, ht))
+                cur = nxt
+        pieces.extend(cur)
+    return [p for p in pieces if abs(_signed_area(p)) > _EPS_AREA]
+
+
+def _pieces_to_geometry(pieces: List[np.ndarray]) -> Geometry:
+    polys = []
+    for p in pieces:
+        ring = np.vstack([p, p[:1]])
+        polys.append(Geometry(POLYGON, rings=[ring]))
+    if not polys:
+        return Geometry.empty(GEOMETRYCOLLECTION)
+    if len(polys) == 1:
+        return polys[0]
+    return Geometry.collection(MULTIPOLYGON, polys)
+
+
+def _pairwise_intersect(pa: List[np.ndarray], pb: List[np.ndarray]) -> List[np.ndarray]:
+    out = []
+    for a in pa:
+        for b in pb:
+            # cheap bbox reject
+            if (a[:, 0].min() > b[:, 0].max() or b[:, 0].min() > a[:, 0].max()
+                    or a[:, 1].min() > b[:, 1].max() or b[:, 1].min() > a[:, 1].max()):
+                continue
+            c = convex_clip(a, _ccw(b))
+            if c is not None:
+                out.append(c)
+    return out
+
+
+def _subtract_region(pa: List[np.ndarray], pb: List[np.ndarray]) -> List[np.ndarray]:
+    cur = pa
+    for b in pb:
+        b = _ccw(b)
+        nxt: List[np.ndarray] = []
+        for p in cur:
+            if (p[:, 0].min() > b[:, 0].max() or b[:, 0].min() > p[:, 0].max()
+                    or p[:, 1].min() > b[:, 1].max() or b[:, 1].min() > p[:, 1].max()):
+                nxt.append(p)
+            else:
+                nxt.extend(convex_diff(p, b))
+        cur = nxt
+    return [p for p in cur if abs(_signed_area(p)) > _EPS_AREA]
+
+
+def polygon_intersection(a: Geometry, b: Geometry) -> Geometry:
+    return _pieces_to_geometry(_pairwise_intersect(region_pieces(a), region_pieces(b)))
+
+
+def polygon_union(a: Geometry, b: Geometry) -> Geometry:
+    pa, pb = region_pieces(a), region_pieces(b)
+    return _pieces_to_geometry(pa + _subtract_region(pb, pa))
+
+
+def polygon_difference(a: Geometry, b: Geometry) -> Geometry:
+    return _pieces_to_geometry(_subtract_region(region_pieces(a), region_pieces(b)))
+
+
+# -------------------------------------------------------- line ∩ region
+
+def _clip_segment_convex(p: np.ndarray, q: np.ndarray, piece: np.ndarray):
+    """Cyrus–Beck parametric clip of segment pq against a convex CCW piece.
+    Returns (t0, t1) in [0,1] or None."""
+    t0, t1 = 0.0, 1.0
+    d = q - p
+    m = len(piece)
+    for i in range(m):
+        a, b = piece[i], piece[(i + 1) % m]
+        # inward normal of CCW edge a→b is left: n = (-(by-ay), bx-ax)
+        nx, ny = -(b[1] - a[1]), b[0] - a[0]
+        denom = nx * d[0] + ny * d[1]
+        num = nx * (a[0] - p[0]) + ny * (a[1] - p[1])
+        if denom == 0:
+            if num > 0:  # parallel and fully outside this half-plane
+                return None
+            continue
+        t = num / denom
+        if denom > 0:  # entering the half-plane as t grows
+            if t > t0:
+                t0 = t
+        else:  # leaving
+            if t < t1:
+                t1 = t
+        if t0 > t1:
+            return None
+    return (t0, t1)
+
+
+def line_region_intersection(line: Geometry, region: Geometry) -> Geometry:
+    """LINESTRING/MULTILINESTRING ∩ polygonal region → MULTILINESTRING of
+    clipped sub-segments (pieces are interior-disjoint, so lengths add up
+    exactly; zero-length touches are dropped)."""
+    from .core import LINESTRING, MULTILINESTRING
+
+    pieces = region_pieces(region)
+    segs: List[np.ndarray] = []
+    for leaf in line.flatten():
+        if leaf.type_id != LINESTRING or leaf.coords is None:
+            continue
+        c = leaf.coords[:, :2]
+        for i in range(len(c) - 1):
+            p, q = c[i], c[i + 1]
+            ivals = []
+            for piece in pieces:
+                r = _clip_segment_convex(p, q, piece)
+                if r is not None and r[1] - r[0] > 1e-12:
+                    ivals.append(r)
+            # merge overlapping parameter intervals — a segment lying on a
+            # shared piece edge is claimed by both pieces
+            ivals.sort()
+            merged = []
+            for t0, t1 in ivals:
+                if merged and t0 <= merged[-1][1] + 1e-12:
+                    merged[-1][1] = max(merged[-1][1], t1)
+                else:
+                    merged.append([t0, t1])
+            for t0, t1 in merged:
+                segs.append(np.vstack([p + t0 * (q - p), p + t1 * (q - p)]))
+    if not segs:
+        return Geometry.empty(LINESTRING)
+    if len(segs) == 1:
+        return Geometry(LINESTRING, coords=segs[0])
+    return Geometry.collection(
+        MULTILINESTRING, [Geometry(LINESTRING, coords=s) for s in segs]
+    )

@@ -1,0 +1,88 @@
+"""General polygon overlay kernels (geom/overlay.py) — intersection, union,
+difference on non-axis-aligned, concave, and holed polygons, plus
+line∩region. Reference delegates these to GEOS (st_intersection.cpp etc.);
+area/length equality is the correctness authority."""
+
+import math
+
+import pytest
+
+from duckdb_spatial_spark.geom import kernels as K
+from duckdb_spatial_spark.geom.wkt import from_wkt
+
+TRI_A = from_wkt("POLYGON ((0 0, 10 0, 0 10, 0 0))")
+TRI_IN = from_wkt("POLYGON ((1 1, 4 1, 1 4, 1 1))")
+SQ = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+DIAM = from_wkt("POLYGON ((5 0, 10 5, 5 10, 0 5, 5 0))")
+HOLE = from_wkt(
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+)
+U_SHAPE = from_wkt(
+    "POLYGON ((0 0, 10 0, 10 10, 6 10, 6 4, 4 4, 4 10, 0 10, 0 0))"
+)
+
+
+def A(g):
+    return K.area(g)
+
+
+def test_triangle_contains_triangle():
+    assert A(K.intersection(TRI_A, TRI_IN)) == pytest.approx(4.5)
+    assert A(K.union(TRI_A, TRI_IN)) == pytest.approx(50.0)
+    assert A(K.difference(TRI_A, TRI_IN)) == pytest.approx(45.5)
+
+
+def test_square_diamond():
+    assert A(K.intersection(SQ, DIAM)) == pytest.approx(50.0)
+    assert A(K.union(SQ, DIAM)) == pytest.approx(100.0)
+    assert A(K.difference(SQ, DIAM)) == pytest.approx(50.0)
+    assert A(K.difference(DIAM, SQ)) == pytest.approx(0.0)
+
+
+def test_holes_respected():
+    assert A(HOLE) == pytest.approx(96.0)
+    assert A(K.intersection(HOLE, DIAM)) == pytest.approx(46.0)
+    assert A(K.difference(HOLE, DIAM)) == pytest.approx(50.0)
+
+
+def test_concave_subject():
+    assert A(U_SHAPE) == pytest.approx(88.0)
+    left = from_wkt("POLYGON ((0 0, 5 0, 5 10, 0 10, 0 0))")
+    assert A(K.intersection(U_SHAPE, left)) == pytest.approx(44.0)
+
+
+def test_partial_overlap_union():
+    other = from_wkt("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    assert A(K.union(SQ, other)) == pytest.approx(175.0)
+    assert A(K.intersection(SQ, other)) == pytest.approx(25.0)
+    assert A(K.difference(SQ, other)) == pytest.approx(75.0)
+
+
+def test_line_region_intersection():
+    ln = from_wkt("LINESTRING (0 5, 10 5)")
+    assert K.length(K.intersection(ln, DIAM)) == pytest.approx(10.0)
+    assert K.length(K.intersection(ln, HOLE)) == pytest.approx(8.0)
+    diag = from_wkt("LINESTRING (0 0, 10 10)")
+    assert K.length(K.intersection(diag, DIAM)) == pytest.approx(5 * math.sqrt(2))
+    outside = from_wkt("LINESTRING (0 20, 10 20)")
+    assert K.length(K.intersection(outside, DIAM)) == pytest.approx(0.0)
+
+
+def test_polygon_line_argument_order():
+    ln = from_wkt("LINESTRING (0 5, 10 5)")
+    assert K.length(K.intersection(DIAM, ln)) == pytest.approx(10.0)
+
+
+def test_union_fills_hole():
+    """Union with a polygon covering the hole fills it (the hole-swallow
+    predicate case: covered_by(DIAM, HOLE) must be False)."""
+    assert not K.covered_by(DIAM, HOLE)
+    assert A(K.union(HOLE, DIAM)) == pytest.approx(100.0)
+    assert A(K.difference(DIAM, HOLE)) == pytest.approx(4.0)
+
+
+def test_polygon_inside_hole_disjoint():
+    in_hole = from_wkt("POLYGON ((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))")
+    assert not K.intersects(in_hole, HOLE)
+    assert not K.covered_by(in_hole, HOLE)
+    assert A(K.difference(in_hole, HOLE)) == pytest.approx(1.0)
