@@ -1,5 +1,6 @@
 from .generate import st_generatepoints  # noqa: F401
 from .tables import load_all, load_table, register_views  # noqa: F401
+from .shapefile import st_read_shp, st_write_shp  # noqa: F401
 from .read import (  # noqa: F401
     OSM_SCHEMA,
     read,

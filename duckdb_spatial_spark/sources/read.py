@@ -163,6 +163,11 @@ def st_read(
         df = spark.read.json(path)
     elif low.endswith(".orc"):
         df = spark.read.orc(path)
+    elif low.endswith(".shp"):
+        # native shapefile path (read_shapefile.cpp analog) — no GDAL needed
+        from .shapefile import st_read_shp
+
+        df = st_read_shp(spark, path, geom_col=geom_col)
     elif any(low.endswith(e) for e in _OGR_EXTS):
         try:
             import pyogrio  # noqa: F401
@@ -170,7 +175,7 @@ def st_read(
             raise NotImplementedError(
                 f"reading {os.path.splitext(path)[1]} requires pyogrio (GDAL), "
                 "which is not installed in this environment; native formats: "
-                "parquet/geoparquet, csv(+wkt), json, orc, geojson"
+                "parquet/geoparquet, csv(+wkt), json, orc, geojson, shp"
             ) from e
         return _st_read_ogr(spark, path, layer, columns, bbox, geom_col)
     else:

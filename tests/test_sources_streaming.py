@@ -89,10 +89,19 @@ def test_osm_stub(spark):
 
 
 def test_ogr_gated(spark, tmp_path):
+    gpkg = tmp_path / "zones.gpkg"
+    gpkg.write_bytes(b"\x00" * 10)
+    with pytest.raises(NotImplementedError):
+        read(spark, str(gpkg))
+
+
+def test_shp_native_corrupt_raises(spark, tmp_path):
+    # .shp no longer hits the pyogrio gate — the native reader parses it
+    # and rejects garbage bytes
     shp = tmp_path / "zones.shp"
     shp.write_bytes(b"\x00" * 10)
-    with pytest.raises(NotImplementedError):
-        read(spark, str(shp))
+    with pytest.raises(Exception, match="shp|truncated"):
+        read(spark, str(shp)).collect()
 
 
 def test_streaming_extent_agg(spark):
