@@ -713,6 +713,140 @@ def q42_general_overlay(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q43_flip_reverse(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_FlipCoordinates + ST_Reverse over part-derived segments."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("double")
+    line = ST.st_makeline(ST.st_point(F.lit(0.0), F.lit(0.0)), ST.st_point(s, s * 2))
+    flip_end_x = ST.st_x(ST.st_endpoint(ST.st_flipcoordinates(line)))
+    rev_start_y = ST.st_y(ST.st_startpoint(ST.st_reverse(line)))
+    return part.agg(
+        F.round(F.sum(flip_end_x), 2).alias("flip_x_sum"),
+        F.round(F.sum(rev_start_y), 2).alias("rev_y_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+def q44_force_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Force3DZ / ST_Force2D / ST_HasZ / ST_ZMin round trip."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("double")
+    pt = ST.st_point(s, s * 2)
+    g3 = ST.st_force3dz(pt, 7.5)
+    back2d = ST.st_force2d(g3)
+    return part.agg(
+        F.round(F.sum(ST.st_zmin(g3)), 2).alias("z_sum"),
+        F.sum(F.when(ST.st_hasz(g3), 1).otherwise(0)).alias("n_hasz"),
+        F.sum(F.when(ST.st_hasz(back2d), 1).otherwise(0)).alias("n_hasz_after"),
+        F.count("*").alias("n"),
+    )
+
+
+def q45_removerepeated(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_RemoveRepeatedPoints vertex counts."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    s2 = (F.col("p_size") * 2).cast("string")
+    wkt = F.concat(
+        F.lit("LINESTRING (0 0, 0 0, "), s, F.lit(" "), s, F.lit(", "),
+        s, F.lit(" "), s, F.lit(", "), s2, F.lit(" "), s2, F.lit(")"),
+    )
+    cleaned = ST.st_removerepeatedpoints(ST.st_geomfromtext(wkt))
+    return part.agg(
+        F.sum(ST.st_npoints(cleaned)).alias("np_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+def q46_geojson_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_AsGeoJSON → ST_GeomFromGeoJSON round trip preserves area."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 "), s, F.lit(", 0 0))"),
+    )
+    g = ST.st_geomfromtext(wkt)
+    back = ST.st_geomfromgeojson(ST.st_asgeojson(g))
+    return part.agg(
+        F.round(F.sum(ST.st_area(back)), 2).alias("area_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+def q47_makepolygon(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_MakePolygon from a closed ST_MakeLine ring."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    ring_wkt = F.concat(
+        F.lit("LINESTRING (0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 "), s, F.lit(", 0 0)"),
+    )
+    poly = ST.st_makepolygon(ST.st_geomfromtext(ring_wkt))
+    return part.agg(
+        F.round(F.sum(ST.st_area(poly)), 2).alias("area_sum"),
+        F.sum(F.when(ST.st_isclosed(ST.st_geomfromtext(ring_wkt)), 1).otherwise(0)).alias("n_closed"),
+        F.count("*").alias("n"),
+    )
+
+
+def q48_pointonsurface(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_PointOnSurface lands inside; ST_Centroid of a square is exact."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("double")
+    sq = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), s, s)
+    pos = ST.st_pointonsurface(sq)
+    cen = ST.st_centroid(sq)
+    return part.agg(
+        F.sum(F.when(ST.st_contains(sq, pos), 1).otherwise(0)).alias("n_inside"),
+        F.round(F.sum(ST.st_x(cen)), 2).alias("cx_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+def q49_collectionextract(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_CollectionExtract by dimension from a mixed collection."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    wkt = F.concat(
+        F.lit("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, "), s,
+        F.lit(" 0), POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 "), s, F.lit(", 0 0)))"),
+    )
+    g = ST.st_geomfromtext(wkt)
+    return part.agg(
+        F.round(F.sum(ST.st_area(ST.st_collectionextract(g, 3))), 2).alias("poly_area"),
+        F.round(F.sum(ST.st_length(ST.st_collectionextract(g, 2))), 2).alias("line_len"),
+        F.sum(ST.st_npoints(ST.st_collectionextract(g, 1))).alias("pt_count"),
+        F.count("*").alias("n"),
+    )
+
+
+def q50_validity(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_IsValid / ST_IsSimple / ST_IsRing over valid squares and a
+    self-intersecting bowtie."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    sq_wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 "), s, F.lit(", 0 0))"),
+    )
+    bow_wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), s, F.lit(" "), s, F.lit(", "), s,
+        F.lit(" 0, 0 "), s, F.lit(", 0 0))"),
+    )
+    ring_wkt = F.concat(
+        F.lit("LINESTRING (0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 0)"),
+    )
+    return part.agg(
+        F.sum(F.when(ST.st_isvalid(ST.st_geomfromtext(sq_wkt)), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(ST.st_isvalid(ST.st_geomfromtext(bow_wkt)), 1).otherwise(0)).alias("n_bowtie_valid"),
+        F.sum(F.when(ST.st_isring(ST.st_geomfromtext(ring_wkt)), 1).otherwise(0)).alias("n_ring"),
+        F.count("*").alias("n"),
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -764,6 +898,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
         "q41_casts": q41_casts,
         "q42_general_overlay": q42_general_overlay,
+        "q43_flip_reverse": q43_flip_reverse,
+        "q44_force_dims": q44_force_dims,
+        "q45_removerepeated": q45_removerepeated,
+        "q46_geojson_roundtrip": q46_geojson_roundtrip,
+        "q47_makepolygon": q47_makepolygon,
+        "q48_pointonsurface": q48_pointonsurface,
+        "q49_collectionextract": q49_collectionextract,
+        "q50_validity": q50_validity,
     }
 
 
@@ -1122,6 +1264,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS diff_area,
                    round(sum(p_size * sqrt(2)), 2) AS clip_len,
                    count(*) AS n
+            FROM part
+        """,
+        "q43_flip_reverse": """
+            SELECT round(sum(2.0*p_size), 2) AS flip_x_sum,
+                   round(sum(2.0*p_size), 2) AS rev_y_sum,
+                   count(*) AS n
+            FROM part
+        """,
+        "q44_force_dims": """
+            SELECT round(sum(7.5), 2) AS z_sum, count(*) AS n_hasz,
+                   CAST(0 AS HUGEINT) AS n_hasz_after, count(*) AS n
+            FROM part
+        """,
+        "q45_removerepeated": """
+            SELECT 3*count(*) AS np_sum, count(*) AS n FROM part
+        """,
+        "q46_geojson_roundtrip": """
+            SELECT round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS area_sum,
+                   count(*) AS n
+            FROM part
+        """,
+        "q47_makepolygon": """
+            SELECT round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS area_sum,
+                   count(*) AS n_closed, count(*) AS n
+            FROM part
+        """,
+        "q48_pointonsurface": """
+            SELECT count(*) AS n_inside,
+                   round(sum(CAST(p_size AS DOUBLE)/2), 2) AS cx_sum,
+                   count(*) AS n
+            FROM part
+        """,
+        "q49_collectionextract": """
+            SELECT round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS poly_area,
+                   round(sum(CAST(p_size AS DOUBLE)), 2) AS line_len,
+                   count(*) AS pt_count, count(*) AS n
+            FROM part
+        """,
+        "q50_validity": """
+            SELECT count(*) AS n_valid, CAST(0 AS HUGEINT) AS n_bowtie_valid,
+                   count(*) AS n_ring, count(*) AS n
             FROM part
         """,
         "q27_generatepoints": "SELECT CAST(10000 AS BIGINT) AS n",

@@ -112,6 +112,12 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("ST_Collect", S._st_collect_udf)
     reg("ST_Multi", S._st_multi_udf)
     reg("ST_Distance_Spheroid", S._st_distance_spheroid_udf)
+    reg("ST_ZMin", S._st_zmin_udf)
+    reg("ST_ZMax", S._st_zmax_udf)
+    reg("ST_MMin", S._st_mmin_udf)
+    reg("ST_MMax", S._st_mmax_udf)
+    reg("ST_AsSVG", S._unary_geom_to(
+        T.StringType(), lambda g: S._assvg_kernel(g, False, 15)))
 
     # SQL variants of the col-expr fast paths (UDF fallback for spark.sql)
     @pandas_udf(T.DoubleType())

@@ -185,23 +185,36 @@ def ngram_jaccard_join(
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint as a LONG, built from md5-hex-digit parities of
     whitespace tokens — fully deterministic and expressible in ANSI SQL for
-    the oracle. bit_j weight = sign(sum over tokens of parity(md5(tok)[j]))."""
+    the oracle. bit_j weight = sign(sum over tokens of parity(md5(tok)[j])).
+
+    Single-pass plan: md5 per token computed once, the per-bit ±1 sums kept
+    as one array accumulator (the naive per-bit form rebuilds the token
+    array and re-hashes every token `bits` times — a 16× larger expression
+    tree that dominated the bench)."""
     tokens = F.split(F.trim(text), r"\s+")
-    # per bit: sum of (ascii(hexdigit_j) % 2 ? 1 : -1) over tokens
-    def bit(j: int) -> Column:
-        contrib = F.transform(
-            tokens,
-            lambda t: F.when(
-                F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2 == 1, F.lit(1)
+    hashes = F.transform(tokens, lambda t: F.md5(t))
+
+    def bit_contrib(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda j: F.when(
+                F.ascii(F.substring(h, j.cast("int"), 1)) % 2 == 1, F.lit(1)
             ).otherwise(F.lit(-1)),
         )
-        s = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-        return F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + bit(j)
-    return out
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, b: a + b),
+    )
+    weighted = F.zip_with(
+        sums,
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda s, j: F.when(
+            s > 0, F.pow(F.lit(2.0), j).cast("long")  # exact for j < 53
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def simhash_candidates(
