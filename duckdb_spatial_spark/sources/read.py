@@ -251,16 +251,43 @@ def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def st_read_osm(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
-    """OSM PBF reader — schema pinned to the reference's fixed 8-column
-    output (st_read_osm.cpp:39-90). Block-parallel decoding requires a
-    protobuf/zlib decoder pass that is not yet implemented (910-LoC native
-    reader in the reference; SURVEY §7 ranks it last)."""
-    raise NotImplementedError(
-        "ST_ReadOSM: .osm.pbf decoding not yet implemented; planned as a "
-        "driver-indexed block scan over mapInPandas with OSM_SCHEMA "
-        f"({[f.name for f in OSM_SCHEMA.fields]})"
-    )
+def st_read_osm(spark: SparkSession, path: str) -> DataFrame:
+    """OSM PBF reader — fixed 8-column schema (st_read_osm.cpp:39-90).
+
+    Bind (driver): scan the file's blob directory — 4-byte lengths +
+    BlobHeaders only, no decompression. Scan (executors): one task per
+    OSMData blob, zlib + hand-rolled protobuf wire decode (the parallel
+    block scan of st_read_osm.cpp:169; decoder in ..geom.pbf)."""
+    from ..geom import pbf as PBF
+
+    blobs = [
+        (path, off, size)
+        for btype, off, size in PBF.scan_blobs(path)
+        if btype == "OSMData"
+    ]
+    if not blobs:
+        return spark.createDataFrame([], OSM_SCHEMA)
+    blob_df = spark.createDataFrame(
+        blobs,
+        T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("size", T.LongType()),
+        ]),
+    ).repartition(min(len(blobs), 64))
+
+    cols = [f.name for f in OSM_SCHEMA.fields]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..geom import pbf as _PBF
+
+        for pdf in batches:
+            for p, off, size in zip(pdf["path"], pdf["offset"], pdf["size"]):
+                rows = _PBF.read_blob_rows(p, int(off), int(size))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return blob_df.mapInPandas(scan, schema=OSM_SCHEMA)
 
 
 def read(spark: SparkSession, path: str, **opts) -> DataFrame:

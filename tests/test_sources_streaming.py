@@ -83,8 +83,10 @@ def test_read_meta_and_drivers(spark):
     assert not drv["osm.pbf"]
 
 
-def test_osm_stub(spark):
-    with pytest.raises(NotImplementedError):
+def test_osm_missing_file(spark):
+    # OSM reading is implemented now (tests/test_osm.py); a missing path
+    # fails at bind time with a filesystem error, not NotImplementedError
+    with pytest.raises(FileNotFoundError):
         st_read_osm(spark, "x.osm.pbf")
 
 
