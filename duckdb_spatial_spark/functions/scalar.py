@@ -215,15 +215,22 @@ def _measure_udf(generic_fn, fast_fn):
 
 @pandas_udf(T.BinaryType())
 def _st_geomfromtext_udf(s: pd.Series) -> pd.Series:
+    # memoized per batch: generated WKT over low-cardinality columns is the
+    # common case and the parser is the cost
+    cache: dict = {}
     out = []
     for w in s:
         if w is None:
             out.append(None)
-        else:
+            continue
+        v = cache.get(w)
+        if v is None and w not in cache:
             try:
-                out.append(to_wkb(from_wkt(w)))
+                v = to_wkb(from_wkt(w))
             except ValueError:
-                out.append(None)
+                v = None
+            cache[w] = v
+        out.append(v)
     return pd.Series(out, dtype=object)
 
 

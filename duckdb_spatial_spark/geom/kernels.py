@@ -1312,9 +1312,11 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
         from .overlay import line_region_intersection
 
         return line_region_intersection(b, a)
-    raise NotImplementedError(
-        "line-line overlay not yet implemented (polygon/box/point tiers work)"
-    )
+    if a.topo_dimension() == 1 and b.topo_dimension() == 1:
+        from .overlay import line_line_intersection
+
+        return line_line_intersection(a, b)
+    raise NotImplementedError("unsupported dimension pair for intersection")
 
 
 def union(a: Geometry, b: Geometry) -> Geometry:

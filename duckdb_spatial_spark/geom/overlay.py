@@ -362,3 +362,92 @@ def line_region_intersection(line: Geometry, region: Geometry) -> Geometry:
     return Geometry.collection(
         MULTILINESTRING, [Geometry(LINESTRING, coords=s) for s in segs]
     )
+
+
+# -------------------------------------------------------- line ∩ line
+
+def _seg_seg_intersection(p, r_, q, s_):
+    """Segment p→p+r vs q→q+s: returns ('point', xy) | ('overlap', a, b)
+    | None. Endpoint touches count as points."""
+    rxs = r_[0] * s_[1] - r_[1] * s_[0]
+    qp = (q[0] - p[0], q[1] - p[1])
+    qpxr = qp[0] * r_[1] - qp[1] * r_[0]
+    if rxs == 0:
+        if qpxr != 0:
+            return None  # parallel, non-collinear
+        rr = r_[0] * r_[0] + r_[1] * r_[1]
+        if rr == 0:
+            return None
+        t0 = (qp[0] * r_[0] + qp[1] * r_[1]) / rr
+        t1 = t0 + (s_[0] * r_[0] + s_[1] * r_[1]) / rr
+        lo, hi = min(t0, t1), max(t0, t1)
+        lo, hi = max(lo, 0.0), min(hi, 1.0)
+        if lo > hi:
+            return None
+        a = (p[0] + lo * r_[0], p[1] + lo * r_[1])
+        b = (p[0] + hi * r_[0], p[1] + hi * r_[1])
+        if lo == hi:
+            return ("point", a)
+        return ("overlap", a, b)
+    t = (qp[0] * s_[1] - qp[1] * s_[0]) / rxs
+    u = qpxr / rxs
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return ("point", (p[0] + t * r_[0], p[1] + t * r_[1]))
+    return None
+
+
+def line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
+    """(MULTI)LINESTRING ∩ (MULTI)LINESTRING → points and/or collinear
+    overlap segments (MULTIPOINT / MULTILINESTRING / GEOMETRYCOLLECTION)."""
+    from .core import LINESTRING, MULTILINESTRING, MULTIPOINT
+
+    pts = []
+    segs = []
+    seen_pts = set()
+    for la in a.flatten():
+        if la.type_id != LINESTRING or la.coords is None:
+            continue
+        ca = la.coords[:, :2]
+        for i in range(len(ca) - 1):
+            p = (float(ca[i, 0]), float(ca[i, 1]))
+            r_ = (float(ca[i + 1, 0] - ca[i, 0]), float(ca[i + 1, 1] - ca[i, 1]))
+            for lb in b.flatten():
+                if lb.type_id != LINESTRING or lb.coords is None:
+                    continue
+                cb = lb.coords[:, :2]
+                for j in range(len(cb) - 1):
+                    q = (float(cb[j, 0]), float(cb[j, 1]))
+                    s_ = (float(cb[j + 1, 0] - cb[j, 0]), float(cb[j + 1, 1] - cb[j, 1]))
+                    hit = _seg_seg_intersection(p, r_, q, s_)
+                    if hit is None:
+                        continue
+                    if hit[0] == "point":
+                        key = (round(hit[1][0], 12), round(hit[1][1], 12))
+                        if key not in seen_pts:
+                            seen_pts.add(key)
+                            pts.append(hit[1])
+                    else:
+                        segs.append((hit[1], hit[2]))
+    import numpy as _np
+
+    # drop points lying on an overlap segment (they're covered by it)
+    def on_seg(pt, s):
+        (x0, y0), (x1, y1) = s
+        cross = (x1 - x0) * (pt[1] - y0) - (y1 - y0) * (pt[0] - x0)
+        if abs(cross) > 1e-12:
+            return False
+        return min(x0, x1) - 1e-12 <= pt[0] <= max(x0, x1) + 1e-12 and \
+            min(y0, y1) - 1e-12 <= pt[1] <= max(y0, y1) + 1e-12
+
+    pts = [p for p in pts if not any(on_seg(p, s) for s in segs)]
+    point_geoms = [Geometry(1, coords=_np.asarray(p)) for p in pts]
+    seg_geoms = [
+        Geometry(2, coords=_np.asarray([s[0], s[1]], dtype=_np.float64)) for s in segs
+    ]
+    if not point_geoms and not seg_geoms:
+        return Geometry.empty(GEOMETRYCOLLECTION)
+    if not seg_geoms:
+        return point_geoms[0] if len(point_geoms) == 1 else Geometry.collection(MULTIPOINT, point_geoms)
+    if not point_geoms:
+        return seg_geoms[0] if len(seg_geoms) == 1 else Geometry.collection(MULTILINESTRING, seg_geoms)
+    return Geometry.collection(GEOMETRYCOLLECTION, point_geoms + seg_geoms)

@@ -189,13 +189,19 @@ def st_join(
     if overlap:
         raise ValueError(f"column name collision between sides: {sorted(overlap)}")
 
-    # small right side → broadcast path (prepared-geometry analog)
-    try:
-        right_count = right.count()
-    except Exception:
-        right_count = None
-    if right_count is not None and right_count <= broadcast_threshold:
-        return st_join_broadcast(left, right, pred, left_geom, right_geom)
+    # small right side → broadcast path (prepared-geometry analog).
+    # One probe job: collect threshold+1 rows — if the side fits, those rows
+    # ARE the broadcast build (no separate count + collect).
+    probe_rows = None
+    if broadcast_threshold > 0:
+        try:
+            probe_rows = right.limit(broadcast_threshold + 1).collect()
+        except Exception:
+            probe_rows = None
+    if probe_rows is not None and len(probe_rows) <= broadcast_threshold:
+        return st_join_broadcast(
+            left, right, pred, left_geom, right_geom, _rows=probe_rows
+        )
 
     L = _with_bbox(left, left_geom, "__bbox")
     R = _with_bbox(right, right_geom, "__bbox")
@@ -265,6 +271,7 @@ def st_join_broadcast(
     predicate: str = "intersects",
     left_geom: str = "geom",
     right_geom: str = "geom",
+    _rows=None,
 ) -> DataFrame:
     """Broadcast spatial join: build side (right) collected to the driver,
     shipped via Spark broadcast, probed per Arrow batch. Point probes against
@@ -272,7 +279,7 @@ def st_join_broadcast(
     pred = _norm_pred(predicate)
     kern = _KERNELS[pred]
 
-    right_rows = right.collect()
+    right_rows = right.collect() if _rows is None else _rows
     right_cols = right.columns
     geoms = []
     bounds = []

@@ -86,3 +86,37 @@ def test_polygon_inside_hole_disjoint():
     assert not K.intersects(in_hole, HOLE)
     assert not K.covered_by(in_hole, HOLE)
     assert A(K.difference(in_hole, HOLE)) == pytest.approx(1.0)
+
+
+def test_line_line_crossing():
+    a = from_wkt("LINESTRING (0 0, 10 10)")
+    b = from_wkt("LINESTRING (0 10, 10 0)")
+    g = K.intersection(a, b)
+    assert g.type_id == 1  # single POINT
+    assert tuple(g.coords[:2]) == pytest.approx((5.0, 5.0))
+
+
+def test_line_line_collinear_overlap():
+    a = from_wkt("LINESTRING (0 0, 10 0)")
+    b = from_wkt("LINESTRING (4 0, 14 0)")
+    g = K.intersection(a, b)
+    assert K.length(g) == pytest.approx(6.0)
+
+
+def test_line_line_disjoint_and_touch():
+    a = from_wkt("LINESTRING (0 0, 1 0)")
+    b = from_wkt("LINESTRING (5 5, 6 6)")
+    assert K.area(K.intersection(a, b)) == 0.0 and K.length(K.intersection(a, b)) == 0.0
+    c = from_wkt("LINESTRING (1 0, 2 5)")  # touches a at (1,0)
+    g = K.intersection(a, c)
+    assert g.type_id == 1
+    assert tuple(g.coords[:2]) == pytest.approx((1.0, 0.0))
+
+
+def test_multiline_multiple_crossings():
+    a = from_wkt("LINESTRING (0 5, 20 5)")
+    b = from_wkt("MULTILINESTRING ((2 0, 2 10), (8 0, 8 10), (15 0, 15 10))")
+    g = K.intersection(a, b)
+    assert g.type_id == 4  # MULTIPOINT
+    xs = sorted(p.coords[0] for p in g.parts)
+    assert xs == pytest.approx([2.0, 8.0, 15.0])
