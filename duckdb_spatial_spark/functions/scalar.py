@@ -1514,22 +1514,28 @@ def _assvg_kernel(g: Geometry, rel: bool, digits: int) -> str:
                     out.append(fmt(arr[i, 0], arr[i, 1]))
         return " ".join(out)
 
-    parts = []
-    for leaf in g.flatten():
-        if leaf.is_empty():
-            continue
-        if leaf.type_id == Wkb.POINT:
-            x, y = float(leaf.coords[0]), float(leaf.coords[1])
+    def render(node: Geometry) -> str:
+        if node.is_empty():
+            return ""
+        if node.type_id == Wkb.POINT:
+            x, y = float(node.coords[0]), float(node.coords[1])
             if rel:
-                parts.append(f'x="{_svg_num(x, digits)}" y="{_svg_num(-y, digits)}"')
-            else:
-                parts.append(f'cx="{_svg_num(x, digits)}" cy="{_svg_num(-y, digits)}"')
-        elif leaf.type_id == Wkb.LINESTRING:
-            parts.append(path(leaf.coords, close=False))
-        elif leaf.type_id == Wkb.POLYGON:
-            for ring in leaf.rings:
-                parts.append(path(ring, close=True))
-    return " ".join(parts)
+                return f'x="{_svg_num(x, digits)}" y="{_svg_num(-y, digits)}"'
+            return f'cx="{_svg_num(x, digits)}" cy="{_svg_num(-y, digits)}"'
+        if node.type_id == Wkb.LINESTRING:
+            return path(node.coords, close=False)
+        if node.type_id == Wkb.POLYGON:
+            return " ".join(path(ring, close=True) for ring in node.rings)
+        # multi-part: reference delimiters (st_assvg.cpp:106-122) —
+        # ',' for MULTIPOINT, ';' for GEOMETRYCOLLECTION, ' ' otherwise
+        delim = " "
+        if node.type_id == Wkb.MULTIPOINT:
+            delim = ","
+        elif node.type_id == Wkb.GEOMETRYCOLLECTION:
+            delim = ";"
+        return delim.join(render(p) for p in (node.parts or []))
+
+    return render(g)
 
 
 def st_assvg(geom: ColumnOrName, rel=False, maxdecimaldigits: int = 15) -> Column:
