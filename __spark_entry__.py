@@ -847,6 +847,37 @@ def q50_validity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q51_buffer_line(spark: SparkSession, sf: str) -> DataFrame:
+    """Full ST_Buffer on linestrings (capsule union). A single-segment
+    buffer's area has the exact closed form 2·d·L + ngon(d): the rectangle
+    plus two half 4q-gon end caps (oracle reproduces it in SQL)."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+    a = ST.st_point(F.col("l_discount") * 100, F.col("l_tax") * 100)
+    b = ST.st_point(F.col("l_quantity") + 10, F.col("l_linenumber").cast("double"))
+    ln = ST.st_makeline(a, b)
+    buf_area = ST.st_area(ST.st_buffer(ln, 2.0, segments=8))
+    return li.agg(
+        F.round(F.sum(buf_area), 2).alias("buf_area_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+def q52_buffer_polygon(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Buffer ± on polygons: dilation area = A + P·d + ngon(d); erosion
+    of a W×H box = (W−2d)(H−2d) clamped at empty (closed-form oracle)."""
+    part = load_table(spark, sf, "part")
+    w = F.col("p_size").cast("double") + 4.0
+    h = (F.col("p_partkey") % 7).cast("double") + 5.0
+    box = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), w, h)
+    dil = ST.st_area(ST.st_buffer(box, 2.0, segments=8))
+    ero = ST.st_area(ST.st_buffer(box, -2.0, segments=8))
+    return part.agg(
+        F.round(F.sum(dil), 2).alias("dilate_sum"),
+        F.round(F.sum(ero), 2).alias("erode_sum"),
+        F.count("*").alias("n"),
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -906,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_pointonsurface": q48_pointonsurface,
         "q49_collectionextract": q49_collectionextract,
         "q50_validity": q50_validity,
+        "q51_buffer_line": q51_buffer_line,
+        "q52_buffer_polygon": q52_buffer_polygon,
     }
 
 
@@ -1308,6 +1341,26 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "q27_generatepoints": "SELECT CAST(10000 AS BIGINT) AS n",
+        # capsule closed form: 2·d·L + half-cap n-gons (d=2, quad_segs=8 → 32-gon)
+        "q51_buffer_line": """
+            SELECT round(sum(2.0*2.0*sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+                             + 0.5*32*4.0*sin(2*pi()/32)), 2) AS buf_area_sum,
+                   count(*) AS n
+            FROM (
+                SELECT l_discount*100 AS x1, l_tax*100 AS y1,
+                       l_quantity+10 AS x2, CAST(l_linenumber AS DOUBLE) AS y2
+                FROM lineitem WHERE l_orderkey < 2000
+            )
+        """,
+        "q52_buffer_polygon": """
+            SELECT round(sum(w*h + 2.0*(w+h)*2.0 + 0.5*32*4.0*sin(2*pi()/32)), 2) AS dilate_sum,
+                   round(sum((w-4.0)*(h-4.0)), 2) AS erode_sum,
+                   count(*) AS n
+            FROM (
+                SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
+                FROM part
+            )
+        """,
         "q28_union_agg": """
             SELECT c_nationkey,
                    round(sum((CAST(c_custkey % 7 AS DOUBLE)+1) * (CAST(c_custkey % 7 AS DOUBLE)+1)), 4) AS union_area

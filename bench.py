@@ -26,6 +26,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", CPUS)
+        # sf0.1 parquet files are single-digit MB; the 128MB default packs
+        # each table into ONE task and serializes every pandas-UDF stage.
+        # 1MB splits give all cores work at this scale (at real scale the
+        # default is fine — files span many row groups).
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "16g")
@@ -38,8 +44,22 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
     # Warm the JVM/codegen once with a trivial action so q1 isn't charged
-    # for session startup.
+    # for session startup, and spin up the Python/Arrow worker pool on every
+    # core so the first pandas-UDF query measures steady-state throughput
+    # rather than worker fork + Arrow serializer init.
     spark.range(1000).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    _warm = pandas_udf(lambda s: s * 1.0, "double", PandasUDFType.SCALAR)
+
+    warm_df = spark.range(0, 10_000, 1, int(CPUS)).withColumn(
+        "v", _warm(F.col("id").cast("double"))
+    )
+    warm_df.agg(F.sum("v")).collect()
+    warm_df.groupBy(F.col("id") % 8).applyInPandas(
+        lambda pdf: pdf.head(1), schema=warm_df.schema
+    ).count()
 
     for name, fn in qs.items():
         t0 = time.perf_counter()

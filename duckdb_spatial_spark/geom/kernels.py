@@ -667,7 +667,23 @@ def convex_hull(g: Geometry) -> Geometry:
     pts = [arr[:, :2] for arr in g.vertex_arrays() if len(arr)]
     if not pts:
         return Geometry.empty(GEOMETRYCOLLECTION)
-    P = np.unique(np.vstack(pts), axis=0)
+    return convex_hull_xy(np.vstack(pts))
+
+
+def convex_hull_xy(P: np.ndarray) -> Geometry:
+    """Convex hull of an (n,2) point array. Large inputs get the
+    Akl–Toussaint filter (vectorized reject of points inside the extreme-
+    point quadrilateral) before the O(h·n') monotone chain."""
+    P = np.unique(np.asarray(P, dtype=np.float64), axis=0)
+    if len(P) > 64:
+        quad = P[[P[:, 0].argmin(), P[:, 1].argmin(), P[:, 0].argmax(), P[:, 1].argmax()]]
+        keep = np.zeros(len(P), dtype=bool)
+        for i in range(4):
+            a, b = quad[i], quad[(i + 1) % 4]
+            cr = (b[0] - a[0]) * (P[:, 1] - a[1]) - (b[1] - a[1]) * (P[:, 0] - a[0])
+            keep |= cr <= 0  # on/outside an edge of the CCW quad
+        P = P[keep]
+        P = P[np.lexsort((P[:, 1], P[:, 0]))]
     if len(P) == 1:
         return Geometry.point(P[0, 0], P[0, 1])
     if len(P) == 2:
@@ -1011,27 +1027,21 @@ def buffer_point(x: float, y: float, dist: float, segments: int = 8) -> Geometry
 
 
 def buffer(g: Geometry, dist: float, segments: int = 8) -> Geometry:
-    """Buffer. v1 supports points/multipoints (circle union not dissolved —
-    returned as multipolygon) and dist<=0 on polygons is unsupported.
-    Full GEOS-style buffering of lines/polygons is round-2 work; documented
-    limitation (SURVEY §2.G st_buffer.cpp)."""
+    """Full ST_Buffer (round caps/joins, GEOS quadsegs convention —
+    geos/.../st_buffer.cpp). Single positive-distance points keep the direct
+    n-gon fast path; everything else (lines, polygons, collections, negative
+    distances) runs the capsule-union/erosion engine in overlay.py."""
     if g.is_empty():
         return Geometry.empty(POLYGON)
     if dist == 0:
         return g
-    if g.type_id == POINT:
+    if g.type_id == POINT and dist > 0:
         return buffer_point(float(g.coords[0]), float(g.coords[1]), dist, segments)
-    if g.type_id == MULTIPOINT:
-        polys = [
-            buffer_point(float(p.coords[0]), float(p.coords[1]), dist, segments)
-            for p in g.parts
-            if not p.is_empty()
-        ]
-        return Geometry.collection(MULTIPOLYGON, polys)
-    raise NotImplementedError(
-        "ST_Buffer on lines/polygons requires full offset-curve construction; "
-        "supported in a later round (points/multipoints work)"
-    )
+    if dist < 0 and g.type_id in (POINT, MULTIPOINT, LINESTRING, MULTILINESTRING):
+        return Geometry.empty(POLYGON)
+    from .overlay import buffer_geometry
+
+    return buffer_geometry(g, dist, segments)
 
 
 # ============================================================ overlay (box clipping tier)

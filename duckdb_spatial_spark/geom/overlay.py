@@ -451,3 +451,112 @@ def line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
     if not point_geoms:
         return seg_geoms[0] if len(seg_geoms) == 1 else Geometry.collection(MULTILINESTRING, seg_geoms)
     return Geometry.collection(GEOMETRYCOLLECTION, point_geoms + seg_geoms)
+
+
+# ============================================================ buffer
+# The reference delegates ST_Buffer to GEOS (geos/.../st_buffer.cpp, round
+# caps, quad_segs=8 default). Here dilation/erosion by a disk reduces to the
+# convex-piece engine:
+#   dilate(G, d)  = G ∪ ⋃ capsule(segment_i, d)   (Minkowski sum with a disk:
+#                   every boundary/line segment contributes a convex capsule —
+#                   the hull of the two endpoint disks)
+#   erode(P, d)   = P ∖ ⋃ capsule(boundary segment_i, d)
+#                   (a point is within d of the boundary iff it lies in some
+#                   edge capsule, so subtracting the capsules leaves P ⊖ d)
+# Disks are the 4·quad_segs-gon approximation (GEOS quadsegs convention);
+# capsule end caps sample the same angular grid, so unions of caps at shared
+# vertices re-compose exact n-gon wedges (area closed forms hold — tests).
+
+
+def _arc_pts(cx: float, cy: float, d: float, a0: float, a1: float, nseg: int) -> np.ndarray:
+    ang = np.linspace(a0, a1, nseg + 1)
+    return np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+
+
+def _circle_piece(cx: float, cy: float, d: float, quad_segs: int) -> np.ndarray:
+    n = max(4, 4 * quad_segs)
+    ang = np.linspace(0.0, 2.0 * math.pi, n, endpoint=False)
+    return np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+
+
+def _capsule_piece(p, q, d: float, quad_segs: int) -> np.ndarray:
+    """Convex CCW capsule around segment p→q with radius d: two straight
+    sides + semicircular end caps of 2·quad_segs segments each, cap vertices
+    on the global angle grid (multiples of π/(2·quad_segs) from the segment
+    normal) so adjacent capsules' caps fuse into exact n-gon wedges."""
+    px, py = float(p[0]), float(p[1])
+    qx, qy = float(q[0]), float(q[1])
+    dx, dy = qx - px, qy - py
+    L = math.hypot(dx, dy)
+    if L <= 0:
+        return _circle_piece(px, py, d, quad_segs)
+    theta = math.atan2(dy, dx)
+    nseg = max(1, 2 * quad_segs)
+    # CCW: right side p→q, cap around q (θ-π/2 → θ+π/2), left side q→p,
+    # cap around p (θ+π/2 → θ+3π/2)
+    cap_q = _arc_pts(qx, qy, d, theta - math.pi / 2, theta + math.pi / 2, nseg)
+    cap_p = _arc_pts(px, py, d, theta + math.pi / 2, theta + 3 * math.pi / 2, nseg)
+    return _open_ring(np.vstack([cap_q, cap_p]))
+
+
+def _accumulate_union(acc: List[np.ndarray], new_pieces: List[np.ndarray]) -> None:
+    """acc ∪= new convex pieces, keeping acc a disjoint convex cover."""
+    for c in new_pieces:
+        acc.extend(_subtract_region([c], acc))
+
+
+def _boundary_capsules(g: Geometry, d: float, quad_segs: int) -> List[np.ndarray]:
+    """Capsules for every segment of every polygon ring in g."""
+    out: List[np.ndarray] = []
+    for leaf in g.flatten():
+        if leaf.type_id != POLYGON or not leaf.rings:
+            continue
+        for ring in leaf.rings:
+            r = np.asarray(ring, dtype=np.float64)[:, :2]
+            for i in range(len(r) - 1):
+                out.append(_capsule_piece(r[i], r[i + 1], d, quad_segs))
+    return out
+
+
+def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
+    """Full ST_Buffer for any geometry, positive or negative distance.
+    Returns a region (POLYGON/MULTIPOLYGON of disjoint convex pieces) —
+    area-exact vs the closed-form n-gon formulas (see tests)."""
+    from .core import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT
+
+    if g.is_empty():
+        return Geometry.empty(POLYGON)
+    if dist == 0:
+        return g
+
+    acc: List[np.ndarray] = []
+    if dist > 0:
+        for leaf in g.flatten():
+            if leaf.type_id == POINT and not leaf.is_empty():
+                _accumulate_union(acc, [
+                    _circle_piece(float(leaf.coords[0]), float(leaf.coords[1]),
+                                  dist, quad_segs)
+                ])
+            elif leaf.type_id == LINESTRING and len(leaf.coords) > 0:
+                r = np.asarray(leaf.coords, dtype=np.float64)[:, :2]
+                if len(r) == 1:
+                    _accumulate_union(acc, [
+                        _circle_piece(float(r[0, 0]), float(r[0, 1]), dist, quad_segs)
+                    ])
+                for i in range(len(r) - 1):
+                    _accumulate_union(
+                        acc, [_capsule_piece(r[i], r[i + 1], dist, quad_segs)]
+                    )
+            elif leaf.type_id == POLYGON and leaf.rings:
+                _accumulate_union(acc, region_pieces(leaf))
+                _accumulate_union(acc, _boundary_capsules(leaf, dist, quad_segs))
+    else:
+        # erosion: only 2-dimensional parts survive a negative buffer
+        pieces = region_pieces(g)
+        if not pieces:
+            return Geometry.empty(POLYGON)
+        acc = _subtract_region(pieces, _boundary_capsules(g, -dist, quad_segs))
+
+    if not acc:
+        return Geometry.empty(POLYGON)
+    return _pieces_to_geometry(acc)

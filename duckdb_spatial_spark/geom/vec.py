@@ -92,6 +92,26 @@ def decode_polygons_1ring(mat: np.ndarray) -> Optional[np.ndarray]:
     return coords.reshape(len(mat), npts, 2)
 
 
+_MP_HDR = b"\x01\x04\x00\x00\x00"
+_PT_HDR_ARR = np.frombuffer(_PT_HDR, dtype=np.uint8)
+
+
+def multipoint_xy(buf: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(x, y) arrays when a single WKB blob is a uniform LE XY MULTIPOINT —
+    decodes k points in one frombuffer instead of k Geometry objects
+    (the dominant shape out of st_collect_agg over point tables)."""
+    if len(buf) < 9 or buf[:5] != _MP_HDR:
+        return None
+    n = int.from_bytes(buf[5:9], "little")
+    if n == 0 or len(buf) != 9 + 21 * n:
+        return None
+    mat = np.frombuffer(buf, dtype=np.uint8, count=21 * n, offset=9).reshape(n, 21)
+    if not (mat[:, :5] == _PT_HDR_ARR).all():
+        return None
+    xy = np.ascontiguousarray(mat[:, 5:21]).view("<f8").reshape(n, 2)
+    return xy[:, 0], xy[:, 1]
+
+
 # ----------------------------------------------------------------- encoders
 
 def encode_points(x: np.ndarray, y: np.ndarray) -> List[bytes]:

@@ -288,8 +288,9 @@ def test_clip_to_box():
 def test_buffer_point():
     b = K.buffer(from_wkt("POINT (0 0)"), 10.0, segments=16)
     assert K.area(b) == pytest.approx(math.pi * 100.0, rel=0.01)
-    with pytest.raises(NotImplementedError):
-        K.buffer(from_wkt("LINESTRING (0 0, 1 1)"), 1.0)
+    # lines buffer too now (capsule union — full tests in test_overlay.py)
+    lb = K.buffer(from_wkt("LINESTRING (0 0, 1 1)"), 1.0)
+    assert K.area(lb) == pytest.approx(2 * math.sqrt(2) + math.pi, rel=0.01)
 
 
 def test_dwithin():

@@ -120,3 +120,71 @@ def test_multiline_multiple_crossings():
     assert g.type_id == 4  # MULTIPOINT
     xs = sorted(p.coords[0] for p in g.parts)
     assert xs == pytest.approx([2.0, 8.0, 15.0])
+
+
+# ---------------------------------------------------------------- buffer
+# Closed forms: an n-gon disk (quad_segs q → 4q-gon) has area
+# 0.5·4q·d²·sin(2π/4q); capsule end caps sample the same angle grid, so
+# segment buffers and convex-corner wedges recompose exact n-gon fractions.
+
+def _ngon_area(d, q=8):
+    return 0.5 * (4 * q) * d * d * math.sin(2 * math.pi / (4 * q))
+
+
+def test_buffer_segment_capsule_area():
+    g = from_wkt("LINESTRING (0 0, 10 0)")
+    assert A(K.buffer(g, 2.0)) == pytest.approx(2 * 2 * 10 + _ngon_area(2.0))
+
+
+def test_buffer_right_angle_polyline():
+    # L-shape: 2dL + disk + quarter-wedge outside − d² double-count inside
+    g = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    expect = 2 * 2 * 20 + _ngon_area(2.0) + _ngon_area(2.0) / 4 - 4.0
+    assert A(K.buffer(g, 2.0)) == pytest.approx(expect)
+
+
+def test_buffer_box_positive():
+    g = from_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")
+    assert A(K.buffer(g, 2.0)) == pytest.approx(60 + 2 * 2 * 16 + _ngon_area(2.0))
+
+
+def test_buffer_box_negative():
+    g = from_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")
+    assert A(K.buffer(g, -2.0)) == pytest.approx(6 * 2)
+    assert K.buffer(g, -4.0).is_empty()  # beyond the inradius
+
+
+def test_buffer_hole_dilate_erode():
+    g = from_wkt(
+        "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (8 8, 12 8, 12 12, 8 12, 8 8))"
+    )
+    # dilation: outer grows (rounded corners), hole shrinks to a square 2×2
+    dil = 400 + 80 * 1 + _ngon_area(1.0) - 4
+    assert A(K.buffer(g, 1.0)) == pytest.approx(dil)
+    # erosion: outer shrinks square, hole grows with ROUNDED corners
+    ero = 18 * 18 - (16 + 16 + _ngon_area(1.0))
+    assert A(K.buffer(g, -1.0)) == pytest.approx(ero)
+
+
+def test_buffer_overlapping_point_union_dissolved():
+    g = from_wkt("MULTIPOINT (0 0, 1 0)")
+    a = A(K.buffer(g, 2.0))
+    assert _ngon_area(2.0) < a < 2 * _ngon_area(2.0)
+
+
+def test_buffer_negative_on_line_and_point_empty():
+    assert K.buffer(from_wkt("LINESTRING (0 0, 5 0)"), -1.0).is_empty()
+    assert K.buffer(from_wkt("POINT (1 1)"), -1.0).is_empty()
+
+
+def test_buffer_dwithin_consistency():
+    # every point within d of the line is inside the buffer, and vice versa
+    line = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    buf = K.buffer(line, 1.5, 16)  # fine arcs → tight approximation
+    for px, py in [(5, 1.0), (10.5, 10.5), (-1.2, 0), (5, -1.4), (11.4, 5)]:
+        p = from_wkt(f"POINT ({px} {py})")
+        d = K.distance(p, line)
+        if d < 1.45:
+            assert K.intersects(buf, p), (px, py)
+        elif d > 1.55:
+            assert not K.intersects(buf, p), (px, py)
