@@ -878,6 +878,30 @@ def q52_buffer_polygon(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q53_transform_utm(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Transform 4326 → UTM 17N (native Krüger-series TM) → back; the
+    round trip reproduces the source lon/lat to 1e-9°, so the oracle is
+    computable from the original columns. Also pins the northern-hemisphere
+    easting/northing ranges as a sanity band."""
+    pts = _events_pts(spark, sf)
+    lon = F.col("x") / 490.0 * 5.0 - 83.0   # within zone 17 (-84..-78)
+    lat = F.col("y") / 150.0 * 40.0 + 10.0  # 10..50 N
+    g = ST.st_point(lon, lat)
+    utm = ST.st_transform(g, "EPSG:4326", "EPSG:32617")
+    back = ST.st_transform(utm, "EPSG:32617", "EPSG:4326")
+    return pts.agg(
+        F.round(F.sum(F.round(ST.st_x(back), 6)), 4).alias("lon_sum"),
+        F.round(F.sum(F.round(ST.st_y(back), 6)), 4).alias("lat_sum"),
+        F.sum(
+            F.when(
+                (ST.st_x(utm) > 0) & (ST.st_x(utm) < 1000000)
+                & (ST.st_y(utm) > 0) & (ST.st_y(utm) < 10000000), 1
+            ).otherwise(0)
+        ).alias("n_in_band"),
+        F.count("*").alias("n"),
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -939,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_validity": q50_validity,
         "q51_buffer_line": q51_buffer_line,
         "q52_buffer_polygon": q52_buffer_polygon,
+        "q53_transform_utm": q53_transform_utm,
     }
 
 
@@ -1360,6 +1385,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
                 FROM part
             )
+        """,
+        # UTM round trip reproduces the source coordinates (1e-9° < the 1e-6
+        # rounding), so the oracle aggregates the original lon/lat directly
+        "q53_transform_utm": f"""
+            SELECT round(sum(round(value/490.0*5.0 - 83.0, 6)), 4) AS lon_sum,
+                   round(sum(round(CAST(user_id AS DOUBLE)/150.0*40.0 + 10.0, 6)), 4) AS lat_sum,
+                   count(*) AS n_in_band,
+                   count(*) AS n
+            FROM events
         """,
         "q28_union_agg": """
             SELECT c_nationkey,

@@ -1271,14 +1271,17 @@ _NATIVE_TRANSFORMS = {
 
 
 def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True) -> Column:
-    """CRS reprojection (proj/functions.cpp:487-513). Native spherical
-    Web-Mercator pair ships built-in; everything else needs pyproj, gated
-    behind an import (not present in this environment)."""
+    """CRS reprojection (proj/functions.cpp:487-513). Native vectorized
+    engine (geom/proj.py) covers geographic, Web-Mercator, every UTM zone
+    (Krüger-series transverse Mercator), Lambert-93 and Conus Albers;
+    other CRS need pyproj, gated behind an import."""
     key = (src.upper(), dst.upper())
     if key[0] == key[1]:
         return _col(geom)
-    if key in _NATIVE_TRANSFORMS:
-        fn = _NATIVE_TRANSFORMS[key]
+    from ..geom.proj import native_transform
+
+    fn = _NATIVE_TRANSFORMS.get(key) or native_transform(*key)
+    if fn is not None:
 
         @pandas_udf(T.BinaryType())
         def _native_transform(s: pd.Series) -> pd.Series:
@@ -1300,7 +1303,8 @@ def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True)
     except ImportError as e:
         raise NotImplementedError(
             f"ST_Transform {src}->{dst} requires pyproj (not installed); "
-            "native support: EPSG:4326 <-> EPSG:3857"
+            "native support: geographic, EPSG:3857, UTM (326xx/327xx/258xx/"
+            "269xx), EPSG:2154, EPSG:5070"
         ) from e
 
     def make(s=src, d=dst, xy=always_xy):

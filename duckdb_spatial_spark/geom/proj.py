@@ -1,0 +1,374 @@
+"""Native CRS projection engine — the PROJ tier (reference:
+spatial/src/spatial/proj/functions.cpp, which embeds PROJ + its EPSG db).
+
+This engine implements the projection *math* natively (vectorized NumPy over
+(n,2) lon/lat or x/y arrays) for the projected-CRS families that cover the
+overwhelming share of real usage:
+
+* geographic lon/lat (EPSG:4326 and friends)
+* spherical Web Mercator (EPSG:3857)
+* ellipsoidal Transverse Mercator via the Krüger n-series to n⁶
+  (Karney 2011, "Transverse Mercator with an accuracy of a few nanometers")
+  → every UTM zone (EPSG:326xx / 327xx, ETRS89 EPSG:258xx) and arbitrary
+  TM definitions
+* Lambert Conformal Conic 2SP (Snyder 1987, formulas 15-1…15-11)
+  → e.g. EPSG:2154 (RGF93 / Lambert-93)
+* Albers Equal-Area Conic (Snyder 14-1…14-11) → e.g. EPSG:5070 (NAD83 /
+  Conus Albers)
+
+Datum model: transforms assume the source and destination share a datum
+(WGS84/GRS80-class — their ellipsoids differ by <0.1 mm in flattening);
+grid-shift/Helmert datum transformations are out of scope and those CRS
+(e.g. OSGB36's EPSG:27700) are NOT registered natively — st_transform falls
+back to pyproj for them when available.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+# ----------------------------------------------------------------- ellipsoids
+
+WGS84 = (6378137.0, 1.0 / 298.257223563)
+GRS80 = (6378137.0, 1.0 / 298.257222101)
+
+
+# ------------------------------------------------------- conformal latitude
+
+def _conformal_tau(phi: np.ndarray, e: float) -> np.ndarray:
+    """tan(conformal latitude) from geodetic latitude (radians)."""
+    s = np.sin(phi)
+    return np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+
+
+def _inv_conformal(tau_p: np.ndarray, e: float) -> np.ndarray:
+    """Geodetic latitude (radians) from tan(conformal latitude) — fixed-point
+    iteration on the isometric latitude, vectorized (converges to 1e-14 rad
+    in ≤6 rounds for |phi| ≤ 89.9°)."""
+    psi = np.arcsinh(tau_p)
+    phi = 2.0 * np.arctan(np.exp(psi)) - math.pi / 2.0
+    for _ in range(8):
+        s = np.sin(phi)
+        phi_new = 2.0 * np.arctan(np.exp(psi + e * np.arctanh(e * s))) - math.pi / 2.0
+        if np.max(np.abs(phi_new - phi)) < 1e-14:
+            phi = phi_new
+            break
+        phi = phi_new
+    return phi
+
+
+# ------------------------------------------- Transverse Mercator (Krüger n⁶)
+
+def _kruger_coeffs(n: float) -> Tuple[np.ndarray, np.ndarray, float]:
+    """alpha (fwd), beta (inv) series coefficients and the rectifying radius
+    factor A/a for third-flattening n (Karney 2011 eqs. 12/35/36)."""
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    alpha = np.array([
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+        + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+        + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ])
+    a_factor = (1 + n2 / 4 + n4 / 64 + n6 / 256) / (1 + n)
+    return alpha, beta, a_factor
+
+
+@dataclass(frozen=True)
+class TransverseMercator:
+    a: float
+    f: float
+    lon0_deg: float
+    k0: float
+    false_e: float
+    false_n: float
+
+    def _setup(self):
+        n = self.f / (2.0 - self.f)
+        alpha, beta, a_factor = _kruger_coeffs(n)
+        A = self.a * a_factor
+        e = math.sqrt(self.f * (2.0 - self.f))
+        return alpha, beta, A, e
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        alpha, beta, A, e = self._setup()
+        lam = np.radians(lonlat[:, 0] - self.lon0_deg)
+        phi = np.radians(lonlat[:, 1])
+        tau = _conformal_tau(phi, e)
+        h = np.hypot(tau, np.cos(lam))
+        xi_p = np.arctan2(tau, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / h)
+        j = np.arange(1, 7)[:, None]
+        xi = xi_p + (alpha[:, None] * np.sin(2 * j * xi_p[None, :])
+                     * np.cosh(2 * j * eta_p[None, :])).sum(axis=0)
+        eta = eta_p + (alpha[:, None] * np.cos(2 * j * xi_p[None, :])
+                       * np.sinh(2 * j * eta_p[None, :])).sum(axis=0)
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + self.k0 * A * eta
+        out[:, 1] = self.false_n + self.k0 * A * xi
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        alpha, beta, A, e = self._setup()
+        xi = (xy[:, 1] - self.false_n) / (self.k0 * A)
+        eta = (xy[:, 0] - self.false_e) / (self.k0 * A)
+        j = np.arange(1, 7)[:, None]
+        xi_p = xi - (beta[:, None] * np.sin(2 * j * xi[None, :])
+                     * np.cosh(2 * j * eta[None, :])).sum(axis=0)
+        eta_p = eta - (beta[:, None] * np.cos(2 * j * xi[None, :])
+                       * np.sinh(2 * j * eta[None, :])).sum(axis=0)
+        tau_p = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        phi = _inv_conformal(tau_p, e)
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + np.degrees(lam)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
+# -------------------------------------------- Lambert Conformal Conic (2SP)
+
+@dataclass(frozen=True)
+class LambertConformal2SP:
+    a: float
+    f: float
+    lat1_deg: float
+    lat2_deg: float
+    lat0_deg: float
+    lon0_deg: float
+    false_e: float
+    false_n: float
+
+    def _setup(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+        def t(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)) ** (e / 2)
+
+        p1, p2 = math.radians(self.lat1_deg), math.radians(self.lat2_deg)
+        p0 = math.radians(self.lat0_deg)
+        m1, m2 = m(p1), m(p2)
+        t1, t2, t0 = t(p1), t(p2), t(p0)
+        if abs(p1 - p2) > 1e-12:
+            nn = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        else:
+            nn = math.sin(p1)
+        F_ = m1 / (nn * t1 ** nn)
+        rho0 = self.a * F_ * t0 ** nn
+        return e, nn, F_, rho0
+
+    def _t_arr(self, phi: np.ndarray, e: float) -> np.ndarray:
+        s = np.sin(phi)
+        return np.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e, nn, F_, rho0 = self._setup()
+        phi = np.radians(lonlat[:, 1])
+        theta = nn * np.radians(lonlat[:, 0] - self.lon0_deg)
+        rho = self.a * F_ * self._t_arr(phi, e) ** nn
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + rho * np.sin(theta)
+        out[:, 1] = self.false_n + rho0 - rho * np.cos(theta)
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e, nn, F_, rho0 = self._setup()
+        x = xy[:, 0] - self.false_e
+        y = rho0 - (xy[:, 1] - self.false_n)
+        rho = np.sign(nn) * np.hypot(x, y)
+        theta = np.arctan2(np.sign(nn) * x, np.sign(nn) * y)
+        tt = (rho / (self.a * F_)) ** (1.0 / nn)
+        # invert t(phi): phi = pi/2 − 2 atan(t·((1−e sinφ)/(1+e sinφ))^{e/2})
+        phi = math.pi / 2 - 2.0 * np.arctan(tt)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi_new = math.pi / 2 - 2.0 * np.arctan(
+                tt * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+            if np.max(np.abs(phi_new - phi)) < 1e-14:
+                phi = phi_new
+                break
+            phi = phi_new
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + np.degrees(theta / nn)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
+# ------------------------------------------------- Albers Equal-Area Conic
+
+@dataclass(frozen=True)
+class AlbersEqualArea:
+    a: float
+    f: float
+    lat1_deg: float
+    lat2_deg: float
+    lat0_deg: float
+    lon0_deg: float
+    false_e: float
+    false_n: float
+
+    def _setup(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+        e2 = e * e
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+        def q(phi):
+            s = math.sin(phi)
+            return (1 - e2) * (s / (1 - e2 * s * s)
+                               - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+
+        p1, p2 = math.radians(self.lat1_deg), math.radians(self.lat2_deg)
+        p0 = math.radians(self.lat0_deg)
+        m1, m2 = m(p1), m(p2)
+        q1, q2, q0 = q(p1), q(p2), q(p0)
+        nn = (m1 * m1 - m2 * m2) / (q2 - q1)
+        C = m1 * m1 + nn * q1
+        rho0 = self.a * math.sqrt(C - nn * q0) / nn
+        return e, nn, C, rho0
+
+    def _q_arr(self, phi: np.ndarray, e: float) -> np.ndarray:
+        e2 = e * e
+        s = np.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e, nn, C, rho0 = self._setup()
+        phi = np.radians(lonlat[:, 1])
+        theta = nn * np.radians(lonlat[:, 0] - self.lon0_deg)
+        rho = self.a * np.sqrt(C - nn * self._q_arr(phi, e)) / nn
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + rho * np.sin(theta)
+        out[:, 1] = self.false_n + rho0 - rho * np.cos(theta)
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e, nn, C, rho0 = self._setup()
+        e2 = e * e
+        x = xy[:, 0] - self.false_e
+        y = rho0 - (xy[:, 1] - self.false_n)
+        rho = np.hypot(x, y)
+        theta = np.arctan2(x, y)
+        qq = (C - (rho * nn / self.a) ** 2) / nn
+        # invert q(phi) by Newton (Snyder 3-16)
+        phi = np.arcsin(np.clip(qq / 2.0, -1.0, 1.0))
+        for _ in range(10):
+            s = np.sin(phi)
+            den = 1 - e2 * s * s
+            f_val = self._q_arr(phi, e) - qq
+            f_der = (1 - e2) * np.cos(phi) / (den * den) * 2.0
+            step = f_val / np.where(np.abs(f_der) < 1e-300, 1e-300, f_der)
+            phi = phi - step
+            if np.max(np.abs(step)) < 1e-14:
+                break
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + np.degrees(theta / nn)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
+# ------------------------------------------------------------ CRS registry
+
+class _LonLat:
+    def forward(self, arr: np.ndarray) -> np.ndarray:  # lonlat → lonlat
+        return arr
+
+    def inverse(self, arr: np.ndarray) -> np.ndarray:
+        return arr
+
+
+class _WebMercator:
+    R = 6378137.0
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        out = lonlat.copy()
+        out[:, 0] = np.radians(lonlat[:, 0]) * self.R
+        out[:, 1] = self.R * np.log(np.tan(np.pi / 4 + np.radians(lonlat[:, 1]) / 2))
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        out = xy.copy()
+        out[:, 0] = np.degrees(xy[:, 0] / self.R)
+        out[:, 1] = np.degrees(2 * np.arctan(np.exp(xy[:, 1] / self.R)) - np.pi / 2)
+        return out
+
+
+def _crs_for_epsg(code: int):
+    """Projection object for an EPSG code, or None when not native."""
+    if code in (4326, 4258, 4269):  # WGS84 / ETRS89 / NAD83 geographic
+        return _LonLat()
+    if code == 3857:
+        return _WebMercator()
+    if 32601 <= code <= 32660:  # WGS 84 / UTM N
+        zone = code - 32600
+        return TransverseMercator(*WGS84, lon0_deg=6 * zone - 183, k0=0.9996,
+                                  false_e=500000.0, false_n=0.0)
+    if 32701 <= code <= 32760:  # WGS 84 / UTM S
+        zone = code - 32700
+        return TransverseMercator(*WGS84, lon0_deg=6 * zone - 183, k0=0.9996,
+                                  false_e=500000.0, false_n=10000000.0)
+    if 25828 <= code <= 25838:  # ETRS89 / UTM N
+        zone = code - 25800
+        return TransverseMercator(*GRS80, lon0_deg=6 * zone - 183, k0=0.9996,
+                                  false_e=500000.0, false_n=0.0)
+    if 26901 <= code <= 26923:  # NAD83 / UTM N
+        zone = code - 26900
+        return TransverseMercator(*GRS80, lon0_deg=6 * zone - 183, k0=0.9996,
+                                  false_e=500000.0, false_n=0.0)
+    if code == 2154:  # RGF93 / Lambert-93
+        return LambertConformal2SP(*GRS80, lat1_deg=49.0, lat2_deg=44.0,
+                                   lat0_deg=46.5, lon0_deg=3.0,
+                                   false_e=700000.0, false_n=6600000.0)
+    if code == 5070:  # NAD83 / Conus Albers
+        return AlbersEqualArea(*GRS80, lat1_deg=29.5, lat2_deg=45.5,
+                               lat0_deg=23.0, lon0_deg=-96.0,
+                               false_e=0.0, false_n=0.0)
+    if code == 3035:  # ETRS89-extended / LAEA Europe — not implemented (LAEA)
+        return None
+    return None
+
+
+def native_transform(src: str, dst: str) -> Optional[Callable[[np.ndarray], np.ndarray]]:
+    """(n,2)-array transform src→dst via lon/lat, or None when either CRS
+    is outside the native registry. CRS strings: 'EPSG:nnnn'."""
+
+    def parse(s: str):
+        s = s.upper().strip()
+        if s.startswith("EPSG:"):
+            try:
+                return _crs_for_epsg(int(s[5:]))
+            except ValueError:
+                return None
+        return None
+
+    c_src, c_dst = parse(src), parse(dst)
+    if c_src is None or c_dst is None:
+        return None
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        return c_dst.forward(c_src.inverse(arr))
+
+    return fn
