@@ -518,6 +518,57 @@ def _boundary_capsules(g: Geometry, d: float, quad_segs: int) -> List[np.ndarray
     return out
 
 
+def _rect_of(g: Geometry):
+    """(xmin, ymin, xmax, ymax) when g is a single-ring axis-aligned
+    positive-area rectangle polygon; None otherwise."""
+    if g.type_id != POLYGON or len(g.rings) != 1:
+        return None
+    r = np.asarray(g.rings[0], dtype=np.float64)[:, :2]
+    if len(r) != 5 or not np.array_equal(r[0], r[4]):
+        return None
+    xmin, ymin = r[:4].min(axis=0)
+    xmax, ymax = r[:4].max(axis=0)
+    if xmax <= xmin or ymax <= ymin:
+        return None
+    on_edge = ((r[:4, 0] == xmin) | (r[:4, 0] == xmax)) & (
+        (r[:4, 1] == ymin) | (r[:4, 1] == ymax)
+    )
+    if not on_edge.all() or len({tuple(p) for p in r[:4]}) != 4:
+        return None
+    return float(xmin), float(ymin), float(xmax), float(ymax)
+
+
+def _buffer_rect(xmin, ymin, xmax, ymax, dist: float, quad_segs: int) -> List[np.ndarray]:
+    """Closed-form rectangle buffer as disjoint convex pieces — no clipping.
+    Dilation: core + 4 side rects + 4 corner quarter-n-gon fans; erosion:
+    the shrunk rect (or nothing)."""
+    if dist < 0:
+        d = -dist
+        if xmax - xmin <= 2 * d or ymax - ymin <= 2 * d:
+            return []
+        return [np.array([
+            [xmin + d, ymin + d], [xmax - d, ymin + d],
+            [xmax - d, ymax - d], [xmin + d, ymax - d],
+        ])]
+    d = dist
+    pieces = [
+        np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]]),
+        np.array([[xmin - d, ymin], [xmin, ymin], [xmin, ymax], [xmin - d, ymax]]),
+        np.array([[xmax, ymin], [xmax + d, ymin], [xmax + d, ymax], [xmax, ymax]]),
+        np.array([[xmin, ymax], [xmax, ymax], [xmax, ymax + d], [xmin, ymax + d]]),
+        np.array([[xmin, ymin - d], [xmax, ymin - d], [xmax, ymin], [xmin, ymin]]),
+    ]
+    corners = [
+        (xmax, ymax, 0.0), (xmin, ymax, math.pi / 2),
+        (xmin, ymin, math.pi), (xmax, ymin, 3 * math.pi / 2),
+    ]
+    nseg = max(1, quad_segs)
+    for cx, cy, a0 in corners:
+        arc = _arc_pts(cx, cy, d, a0, a0 + math.pi / 2, nseg)
+        pieces.append(np.vstack([[cx, cy], arc]))
+    return pieces
+
+
 def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     """Full ST_Buffer for any geometry, positive or negative distance.
     Returns a region (POLYGON/MULTIPOLYGON of disjoint convex pieces) —
@@ -528,6 +579,12 @@ def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         return Geometry.empty(POLYGON)
     if dist == 0:
         return g
+    rect = _rect_of(g)
+    if rect is not None:
+        pieces = _buffer_rect(*rect, dist, quad_segs)
+        if not pieces:
+            return Geometry.empty(POLYGON)
+        return _pieces_to_geometry(pieces)
 
     acc: List[np.ndarray] = []
     if dist > 0:

@@ -357,15 +357,31 @@ def st_join_broadcast(
             if pts_xy:
                 xs = np.asarray([p[0] for p in pts_xy])
                 ys = np.asarray([p[1] for p in pts_xy])
-                # bucket points by grid cell once, then per candidate
-                # polygon run the vectorized locate
-                cand: Dict[int, List[int]] = {}
-                inv = 1.0 / data["cell"]
-                for k, (px, py) in enumerate(pts_xy):
-                    for j in idx.buckets.get(
-                        (int(math.floor(px * inv)), int(math.floor(py * inv))), ()
-                    ):
-                        cand.setdefault(j, []).append(k)
+                cand: Dict[int, np.ndarray] = {}
+                if len(rgeoms) <= 64:
+                    # few build geometries: one vectorized bbox mask per
+                    # geometry beats per-point bucket lookups outright
+                    bnd = data["bounds"]
+                    for j, rg in enumerate(rgeoms):
+                        if rg is None or not np.isfinite(bnd[j, 0]):
+                            continue
+                        m = (
+                            (xs >= bnd[j, 0]) & (xs <= bnd[j, 2])
+                            & (ys >= bnd[j, 1]) & (ys <= bnd[j, 3])
+                        )
+                        if m.any():
+                            cand[j] = np.flatnonzero(m)
+                else:
+                    # bucket points by grid cell once, then per candidate
+                    # polygon run the vectorized locate
+                    lists: Dict[int, List[int]] = {}
+                    inv = 1.0 / data["cell"]
+                    for k, (px, py) in enumerate(pts_xy):
+                        for j in idx.buckets.get(
+                            (int(math.floor(px * inv)), int(math.floor(py * inv))), ()
+                        ):
+                            lists.setdefault(j, []).append(k)
+                    cand = {j: np.asarray(ks) for j, ks in lists.items()}
                 for j, ks in cand.items():
                     rg = rgeoms[j]
                     if rg is None:
@@ -383,9 +399,11 @@ def st_join_broadcast(
                             i = pts_i[kk]
                             g = lgeoms[i] if lgeoms is not None else from_wkb(lseries.iloc[i])
                             want[m] = kern(g, rg)
-                    for kk in karr[want]:
-                        out_left_idx.append(pts_i[int(kk)])
-                        out_right_idx.append(j)
+                    hit = karr[want]
+                    if len(hit):
+                        pts_i_arr = np.asarray(pts_i)
+                        out_left_idx.extend(pts_i_arr[hit].tolist())
+                        out_right_idx.extend([j] * len(hit))
 
             if not out_left_idx:
                 continue
