@@ -1192,16 +1192,22 @@ def st_removerepeatedpoints(geom: ColumnOrName, tol: float = 0.0) -> Column:
     return _unary_geom_to_geom(lambda g: K.remove_repeated_points(g, t))(_col(geom))
 
 
-def st_buffer(geom: ColumnOrName, dist, segments: int = 8) -> Column:
+def st_buffer(geom: ColumnOrName, dist, segments: int = 8,
+              cap_style: str = "round") -> Column:
+    """ST_Buffer (geos/.../st_buffer.cpp). ``cap_style``: 'round' (default) /
+    'flat' / 'square' — the reference's CAP_* styles; joins are round."""
     d = float(dist)
     seg = int(segments)
+    cap = cap_style.lower().replace("cap_", "")
+    if cap not in ("round", "flat", "square"):
+        raise ValueError(f"unsupported cap style {cap_style!r}")
     nv = max(4, 4 * seg)
     ang = np.linspace(0.0, 2.0 * math.pi, nv, endpoint=False)
     cos_a, sin_a = np.cos(ang), np.sin(ang)
 
     @pandas_udf(T.BinaryType())
     def f(s: pd.Series) -> pd.Series:
-        mat = V.fixed_matrix(s) if d > 0 else None
+        mat = V.fixed_matrix(s) if (d > 0 and cap == "round") else None
         if mat is not None:
             pt = V.decode_points(mat)
             if pt is not None:
@@ -1219,7 +1225,7 @@ def st_buffer(geom: ColumnOrName, dist, segments: int = 8) -> Column:
             if b is None:
                 out.append(None)
             else:
-                g = K.buffer(from_wkb(b), d, seg)
+                g = K.buffer(from_wkb(b), d, seg, cap)
                 out.append(None if g is None else to_wkb(g))
         return pd.Series(out, dtype=object)
 

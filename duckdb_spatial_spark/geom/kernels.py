@@ -1026,8 +1026,8 @@ def buffer_point(x: float, y: float, dist: float, segments: int = 8) -> Geometry
     return Geometry(POLYGON, rings=[ring])
 
 
-def buffer(g: Geometry, dist: float, segments: int = 8) -> Geometry:
-    """Full ST_Buffer (round caps/joins, GEOS quadsegs convention —
+def buffer(g: Geometry, dist: float, segments: int = 8, cap: str = "round") -> Geometry:
+    """Full ST_Buffer (GEOS quadsegs convention; round/flat/square caps —
     geos/.../st_buffer.cpp). Single positive-distance points keep the direct
     n-gon fast path; everything else (lines, polygons, collections, negative
     distances) runs the capsule-union/erosion engine in overlay.py."""
@@ -1035,13 +1035,13 @@ def buffer(g: Geometry, dist: float, segments: int = 8) -> Geometry:
         return Geometry.empty(POLYGON)
     if dist == 0:
         return g
-    if g.type_id == POINT and dist > 0:
+    if g.type_id == POINT and dist > 0 and cap == "round":
         return buffer_point(float(g.coords[0]), float(g.coords[1]), dist, segments)
     if dist < 0 and g.type_id in (POINT, MULTIPOINT, LINESTRING, MULTILINESTRING):
         return Geometry.empty(POLYGON)
     from .overlay import buffer_geometry
 
-    return buffer_geometry(g, dist, segments)
+    return buffer_geometry(g, dist, segments, cap)
 
 
 # ============================================================ overlay (box clipping tier)

@@ -135,22 +135,48 @@ def _seg_x_line(p, q, a, b):
 
 def _clip_halfplane(pts, a, b, keep_left: bool):
     """One Sutherland–Hodgman pass: keep the part of `pts` on the left
-    (or right) of the infinite line a→b. pts is a list of (x, y) tuples."""
+    (or right) of the infinite line a→b. pts is a list of (x, y) tuples.
+    Cross products and the (convex-typical) ≤2 boundary crossings are
+    computed vectorized; >2 crossings (non-convex subject) falls back to
+    the per-vertex walk."""
     if not pts:
         return []
     sgn = 1.0 if keep_left else -1.0
+    arr = np.asarray(pts, dtype=np.float64)
+    ex, ey = b[0] - a[0], b[1] - a[1]
+    cr = sgn * (ex * (arr[:, 1] - a[1]) - ey * (arr[:, 0] - a[0]))
+    ins = cr >= 0
+    if ins.all():
+        return pts
+    if not ins.any():
+        return []
+    prv_ins = np.roll(ins, 1)
+    trans = np.flatnonzero(ins != prv_ins)
+
+    def x_pt(j):  # crossing on edge (j-1, j): cr is affine along the edge
+        p, q = arr[j - 1], arr[j]
+        cp, cq = cr[j - 1], cr[j]
+        t = cp / (cp - cq)
+        return (float(p[0] + t * (q[0] - p[0])), float(p[1] + t * (q[1] - p[1])))
+
+    if len(trans) == 2:
+        j1, j2 = int(trans[0]), int(trans[1])
+        ent, lev = (j1, j2) if ins[j1] else (j2, j1)
+        k = len(arr)
+        idx = np.arange(ent, ent + (lev - ent) % k) % k
+        out = [x_pt(ent)]
+        out.extend(map(tuple, arr[idx]))
+        out.append(x_pt(lev))
+        return out
     out = []
-    k = len(pts)
+    k = len(arr)
     for j in range(k):
-        cur, prv = pts[j], pts[j - 1]
-        cin = sgn * _cross(a, b, cur) >= 0
-        pin = sgn * _cross(a, b, prv) >= 0
-        if cin:
-            if not pin:
-                out.append(_seg_x_line(prv, cur, a, b))
-            out.append(cur)
-        elif pin:
-            out.append(_seg_x_line(prv, cur, a, b))
+        if ins[j]:
+            if not prv_ins[j]:
+                out.append(x_pt(j))
+            out.append(tuple(arr[j]))
+        elif prv_ins[j]:
+            out.append(x_pt(j))
     return out
 
 
@@ -506,16 +532,22 @@ def _accumulate_union(acc: List[np.ndarray], new_pieces: List[np.ndarray]) -> No
 
 
 def _boundary_capsules(g: Geometry, d: float, quad_segs: int) -> List[np.ndarray]:
-    """Capsules for every segment of every polygon ring in g."""
-    out: List[np.ndarray] = []
+    """Disk-buffer cover of every polygon ring of g: one rect per segment +
+    one disk per vertex (same union as per-segment capsules; rect-first
+    ordering keeps accumulated subtractions clipping against 4-gons)."""
+    rects: List[np.ndarray] = []
+    disks: List[np.ndarray] = []
     for leaf in g.flatten():
         if leaf.type_id != POLYGON or not leaf.rings:
             continue
         for ring in leaf.rings:
             r = np.asarray(ring, dtype=np.float64)[:, :2]
             for i in range(len(r) - 1):
-                out.append(_capsule_piece(r[i], r[i + 1], d, quad_segs))
-    return out
+                rect = _seg_rect_piece(r[i], r[i + 1], d)
+                if rect is not None:
+                    rects.append(rect)
+                disks.append(_circle_piece(float(r[i, 0]), float(r[i, 1]), d, quad_segs))
+    return rects + disks
 
 
 def _rect_of(g: Geometry):
@@ -569,10 +601,69 @@ def _buffer_rect(xmin, ymin, xmax, ymax, dist: float, quad_segs: int) -> List[np
     return pieces
 
 
-def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
+def _seg_rect_piece(p, q, d: float) -> Optional[np.ndarray]:
+    """CCW rectangle of half-width d around segment p→q (no end caps)."""
+    dx, dy = float(q[0] - p[0]), float(q[1] - p[1])
+    L = math.hypot(dx, dy)
+    if L <= 0:
+        return None
+    nx, ny = -dy / L * d, dx / L * d
+    return np.array([
+        [p[0] - nx, p[1] - ny], [q[0] - nx, q[1] - ny],
+        [q[0] + nx, q[1] + ny], [p[0] + nx, p[1] + ny],
+    ], dtype=np.float64)
+
+
+def _line_buffer_pieces(r: np.ndarray, d: float, quad_segs: int,
+                        cap: str) -> List[np.ndarray]:
+    """Convex pieces buffering polyline r: per-segment rectangles, full
+    n-gon disks at interior vertices (round joins), and the selected cap at
+    each end — 'round' (disk), 'flat' (nothing), 'square' (d-extension).
+    The rect+disk decomposition yields the same union as per-segment
+    capsules (a capsule = rect + two half disks)."""
+    pieces: List[np.ndarray] = []
+    n = len(r)
+    if n == 1 or (n > 1 and not np.any(np.ptp(r, axis=0))):
+        return [] if cap == "flat" else [
+            _circle_piece(float(r[0, 0]), float(r[0, 1]), d, quad_segs)
+        ]
+    if n == 2 and cap == "round":
+        # single segment: the capsule itself is one convex piece — nothing
+        # to resolve
+        return [_capsule_piece(r[0], r[1], d, quad_segs)]
+    # rect-per-segment + disk-per-vertex decomposition: same union as
+    # capsules, but every accumulated subtraction clips against a 4-gon
+    # rect (cheap) instead of a 4·quad_segs-gon capsule — keeps the
+    # disjoint-piece count linear in segments
+    for i in range(n - 1):
+        rect = _seg_rect_piece(r[i], r[i + 1], d)
+        if rect is not None:
+            pieces.append(rect)
+    for i in range(1, n - 1):
+        pieces.append(_circle_piece(float(r[i, 0]), float(r[i, 1]), d, quad_segs))
+    for end, nbr in ((0, 1), (n - 1, n - 2)):
+        if cap == "round":
+            pieces.append(_circle_piece(float(r[end, 0]), float(r[end, 1]), d, quad_segs))
+        elif cap == "square":
+            dx, dy = r[end, 0] - r[nbr, 0], r[end, 1] - r[nbr, 1]
+            L = math.hypot(dx, dy)
+            if L > 0:
+                ux, uy = dx / L, dy / L
+                ext = r[end] + np.array([ux, uy]) * d
+                rect = _seg_rect_piece(r[end], ext, d)
+                if rect is not None:
+                    pieces.append(rect)
+    return pieces
+
+
+def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8,
+                    cap: str = "round") -> Geometry:
     """Full ST_Buffer for any geometry, positive or negative distance.
-    Returns a region (POLYGON/MULTIPOLYGON of disjoint convex pieces) —
-    area-exact vs the closed-form n-gon formulas (see tests)."""
+    Line end-cap styles: 'round' (default), 'flat', 'square' (the
+    reference's CAP_ROUND/CAP_FLAT/CAP_SQUARE, st_buffer.cpp 5-arg
+    overload); joins are round. Returns a region (POLYGON/MULTIPOLYGON of
+    disjoint convex pieces) — area-exact vs the closed-form n-gon formulas
+    (see tests)."""
     from .core import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT
 
     if g.is_empty():
@@ -590,20 +681,22 @@ def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     if dist > 0:
         for leaf in g.flatten():
             if leaf.type_id == POINT and not leaf.is_empty():
-                _accumulate_union(acc, [
-                    _circle_piece(float(leaf.coords[0]), float(leaf.coords[1]),
-                                  dist, quad_segs)
-                ])
+                px, py = float(leaf.coords[0]), float(leaf.coords[1])
+                if cap == "flat":
+                    continue  # GEOS: flat-cap point buffer is empty
+                if cap == "square":
+                    _accumulate_union(acc, [np.array([
+                        [px - dist, py - dist], [px + dist, py - dist],
+                        [px + dist, py + dist], [px - dist, py + dist],
+                    ])])
+                else:
+                    _accumulate_union(acc, [
+                        _circle_piece(px, py, dist, quad_segs)
+                    ])
             elif leaf.type_id == LINESTRING and len(leaf.coords) > 0:
                 r = np.asarray(leaf.coords, dtype=np.float64)[:, :2]
-                if len(r) == 1:
-                    _accumulate_union(acc, [
-                        _circle_piece(float(r[0, 0]), float(r[0, 1]), dist, quad_segs)
-                    ])
-                for i in range(len(r) - 1):
-                    _accumulate_union(
-                        acc, [_capsule_piece(r[i], r[i + 1], dist, quad_segs)]
-                    )
+                for piece in _line_buffer_pieces(r, dist, quad_segs, cap):
+                    _accumulate_union(acc, [piece])
             elif leaf.type_id == POLYGON and leaf.rings:
                 _accumulate_union(acc, region_pieces(leaf))
                 _accumulate_union(acc, _boundary_capsules(leaf, dist, quad_segs))

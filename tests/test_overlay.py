@@ -188,3 +188,33 @@ def test_buffer_dwithin_consistency():
             assert K.intersects(buf, p), (px, py)
         elif d > 1.55:
             assert not K.intersects(buf, p), (px, py)
+
+
+def test_buffer_cap_styles():
+    seg = from_wkt("LINESTRING (0 0, 10 0)")
+    # flat: pure rectangle
+    assert A(K.buffer(seg, 2.0, cap="flat")) == pytest.approx(40.0)
+    # square: rectangle extended d at both ends
+    assert A(K.buffer(seg, 2.0, cap="square")) == pytest.approx(2 * 2 * 14)
+    # round == default capsule
+    assert A(K.buffer(seg, 2.0, cap="round")) == pytest.approx(
+        A(K.buffer(seg, 2.0)))
+    # point: flat → empty, square → 2d×2d square
+    pt = from_wkt("POINT (3 3)")
+    assert K.buffer(pt, 2.0, cap="flat").is_empty()
+    assert A(K.buffer(pt, 2.0, cap="square")) == pytest.approx(16.0)
+
+
+def test_buffer_rect_matches_general_path():
+    # the closed-form rectangle tier and the generic capsule engine agree
+    box = from_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")
+    rot = from_wkt(
+        "POLYGON ((0 0, 7.0710678 7.0710678, 0 14.1421356, "
+        "-7.0710678 7.0710678, 0 0))"
+    )  # same 10×10 square rotated 45° — takes the general path
+    a_rect = A(K.buffer(box, 1.5))
+    assert a_rect == pytest.approx(60 + 1.5 * 32 + 0.5 * 32 * 1.5**2
+                                   * math.sin(2 * math.pi / 32))
+    a_rot = A(K.buffer(rot, 1.5))
+    assert a_rot == pytest.approx(100 + 1.5 * 40 + 0.5 * 32 * 1.5**2
+                                  * math.sin(2 * math.pi / 32), rel=1e-6)
