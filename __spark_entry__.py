@@ -37,10 +37,11 @@ from duckdb_spatial_spark.sources.tables import load_table
 
 # --------------------------------------------------------------- helpers
 
-def _events_pts(spark: SparkSession, sf: str) -> DataFrame:
-    """Point substrate from events: x = value ∈ (0, ~490), y = user_id."""
+def _events_pts(spark: SparkSession, sf: str, fan_out: bool = True) -> DataFrame:
+    """Point substrate from events: x = value ∈ (0, ~490), y = user_id.
+    ``fan_out=False`` for pure col-expr consumers (no Python stage)."""
     return (
-        load_table(spark, sf, "events")
+        load_table(spark, sf, "events", fan_out=fan_out)
         .select(
             "event_id",
             "event_type",
@@ -76,7 +77,7 @@ def _zone_rows():
 def q01_point_in_envelope(spark: SparkSession, sf: str) -> DataFrame:
     """ST_Within(point, constant envelope) — the rtree benchmark workload
     shape (BASELINE #1/#2), via the bbox col-expr fast path."""
-    pts = _events_pts(spark, sf)
+    pts = _events_pts(spark, sf, fan_out=False)
     xmin, ymin, xmax, ymax = ENV
     inside = ST.st_point_in_box("x", "y", xmin, ymin, xmax, ymax, strict=True)
     return pts.filter(inside).agg(F.count("*").alias("n"))
@@ -98,7 +99,7 @@ def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
 def q03_distance_sphere(spark: SparkSession, sf: str) -> DataFrame:
     """ST_Distance_Sphere (haversine col-expr) over lineitem-derived
     lon/lat pairs, avg per returnflag."""
-    li = load_table(spark, sf, "lineitem")
+    li = load_table(spark, sf, "lineitem", fan_out=False)
     d = ST.st_distance_sphere(
         F.col("l_discount") * 100, F.col("l_tax") * 100,
         F.col("l_quantity") * 3, F.col("l_linenumber") * 10,
@@ -112,7 +113,7 @@ def q03_distance_sphere(spark: SparkSession, sf: str) -> DataFrame:
 
 def q04_extent_agg(spark: SparkSession, sf: str) -> DataFrame:
     """ST_Extent_Agg decomposable min/max bbox per event_type."""
-    pts = _events_pts(spark, sf)
+    pts = _events_pts(spark, sf, fan_out=False)
     return (
         pts.groupBy("event_type")
         .agg(
@@ -213,7 +214,7 @@ def q09_hilbert_distribution(spark: SparkSession, sf: str) -> DataFrame:
 
 def q10_quadkey(spark: SparkSession, sf: str) -> DataFrame:
     """ST_QuadKey col-expr at level 3 over events-derived lon/lat."""
-    pts = _events_pts(spark, sf)
+    pts = _events_pts(spark, sf, fan_out=False)
     lon = F.col("x") * 0.7 - 170.0
     lat = F.col("y") * 0.8 - 59.6
     qk = ST.st_quadkey_xy(lon, lat, 3)
@@ -288,7 +289,7 @@ def q14_envelope_area(spark: SparkSession, sf: str) -> DataFrame:
 
 def q15_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the relational substrate (SURVEY §2.J)."""
-    li = load_table(spark, sf, "lineitem")
+    li = load_table(spark, sf, "lineitem", fan_out=False)
     f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     return (
         f.groupBy("l_returnflag", "l_linestatus")
@@ -310,9 +311,9 @@ def q15_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
 
 def q16_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """3-way join + agg (orders ⋈ customer ⋈ nation), broadcast dims."""
-    o = load_table(spark, sf, "orders")
-    c = load_table(spark, sf, "customer")
-    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders", fan_out=False)
+    c = load_table(spark, sf, "customer", fan_out=False)
+    n = load_table(spark, sf, "nation", fan_out=False)
     j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
     )
@@ -326,7 +327,7 @@ def q16_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
 
 def q17_window_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Window top-k: top-3 orders per customer, then global stats."""
-    o = load_table(spark, sf, "orders")
+    o = load_table(spark, sf, "orders", fan_out=False)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     top = o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
     return top.agg(
@@ -337,7 +338,7 @@ def q17_window_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q18_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup on documents.text (keep min doc_id), counts per lang."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=False)
     kept = exact_dedup(d, ["text"], "doc_id")
     return kept.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
 
@@ -365,7 +366,7 @@ def q20_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def q21_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Token count / punct ratio / stopword ratio per lang (col-expr)."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=False)
     return (
         d.groupBy("lang")
         .agg(
@@ -380,7 +381,7 @@ def q21_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 def q22_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Normalized-text md5 fingerprints: distinct count (dedup key check)."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=False)
     return d.agg(
         F.countDistinct(textops.fingerprint_md5(F.col("text"))).alias("n_fp"),
         F.count("*").alias("n"),
@@ -389,7 +390,7 @@ def q22_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 def q23_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic language-ID guess counts (marker stopword argmax)."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=False)
     return (
         d.select(textops.language_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
