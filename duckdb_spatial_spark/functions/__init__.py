@@ -35,6 +35,9 @@ from .casts import (  # noqa: F401
     point3d_to_point2d,
     point4d_to_point2d,
     polygon2d_to_geom,
+    st_linestring2dfromwkb,
+    st_point2dfromwkb,
+    st_polygon2dfromwkb,
 )
 
 

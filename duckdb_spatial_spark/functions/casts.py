@@ -148,3 +148,19 @@ def point3d_to_point2d(pt: ColumnOrName) -> Column:
 
 
 point4d_to_point2d = point3d_to_point2d
+
+
+def st_point2dfromwkb(wkb: ColumnOrName) -> Column:
+    """WKB → POINT_2D struct (st_point.cpp ST_Point2DFromWKB; our GEOMETRY
+    is already WKB so this is the geometry→native cast)."""
+    return geom_to_point2d(wkb)
+
+
+def st_linestring2dfromwkb(wkb: ColumnOrName) -> Column:
+    """WKB → LINESTRING_2D (ST_LineString2DFromWKB)."""
+    return geom_to_linestring2d(wkb)
+
+
+def st_polygon2dfromwkb(wkb: ColumnOrName) -> Column:
+    """WKB → POLYGON_2D (ST_Polygon2DFromWKB)."""
+    return geom_to_polygon2d(wkb)

@@ -263,6 +263,12 @@ def st_geomfromhexwkb(hex_col: ColumnOrName) -> Column:
     return F.unhex(_col(hex_col))
 
 
+# EWKB flag bits (Z/M/SRID) are handled inside the WKB codec, so the
+# HEXEWKB entry point is the same unhex (st_geomfromhexwkb.cpp registers
+# both names over one implementation too)
+st_geomfromhexewkb = st_geomfromhexwkb
+
+
 def st_ashexwkb(geom: ColumnOrName) -> Column:
     return F.upper(F.hex(_col(geom)))
 
@@ -480,6 +486,36 @@ def st_extent(geom: ColumnOrName) -> Column:
 
 
 st_bbox = st_extent
+
+
+def st_extent_approx(geom: ColumnOrName) -> Column:
+    """GEOMETRY → BOX_2DF (float32 struct) with conservative rounding —
+    min coords rounded down, max rounded up (st_extent.cpp:235
+    ST_Extent_Approx reads the float bbox cached in the blob header; here
+    the exact bounds are computed then widened to float)."""
+    b = _st_extent_udf(_col(geom))
+
+    def down(c):  # widen toward -inf: nextafter on the float32 grid
+        f = c.cast("float")
+        return F.when(f.cast("double") > c, _f32_nextafter(f, -1)).otherwise(f)
+
+    def up(c):
+        f = c.cast("float")
+        return F.when(f.cast("double") < c, _f32_nextafter(f, 1)).otherwise(f)
+
+    return F.struct(
+        down(b["xmin"]).alias("xmin"), down(b["ymin"]).alias("ymin"),
+        up(b["xmax"]).alias("xmax"), up(b["ymax"]).alias("ymax"),
+    )
+
+
+def _f32_nextafter(f: Column, direction: int) -> Column:
+    """One float32 ulp toward ±inf. Spark has no float bit intrinsics in
+    the public API, so nudge by a relative 2^-23 (one ulp at the value's
+    magnitude) — equivalent for conservative-bbox purposes."""
+    eps = F.lit(float(2.0 ** -23))
+    mag = F.greatest(F.abs(f), F.lit(float(2.0 ** -126)))
+    return (f.cast("double") + direction * mag.cast("double") * eps).cast("float")
 
 
 def st_xmin(box_or_geom: ColumnOrName, is_box: bool = False) -> Column:

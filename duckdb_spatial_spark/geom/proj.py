@@ -372,3 +372,23 @@ def native_transform(src: str, dst: str) -> Optional[Callable[[np.ndarray], np.n
         return c_dst.forward(c_src.inverse(arr))
 
     return fn
+
+
+def list_native_crs():
+    """Rows describing every CRS the native engine projects — the analog of
+    ST_List_Proj_CRS (proj/functions.cpp lists PROJ's crs db). (auth_name,
+    code, name, kind, projection)."""
+    rows = [("EPSG", 4326, "WGS 84", "geographic 2D", "lonlat"),
+            ("EPSG", 4258, "ETRS89", "geographic 2D", "lonlat"),
+            ("EPSG", 4269, "NAD83", "geographic 2D", "lonlat"),
+            ("EPSG", 3857, "WGS 84 / Pseudo-Mercator", "projected", "webmerc"),
+            ("EPSG", 2154, "RGF93 v1 / Lambert-93", "projected", "lcc"),
+            ("EPSG", 5070, "NAD83 / Conus Albers", "projected", "aea")]
+    for z in range(1, 61):
+        rows.append(("EPSG", 32600 + z, f"WGS 84 / UTM zone {z}N", "projected", "tmerc"))
+        rows.append(("EPSG", 32700 + z, f"WGS 84 / UTM zone {z}S", "projected", "tmerc"))
+    for z in range(28, 39):
+        rows.append(("EPSG", 25800 + z, f"ETRS89 / UTM zone {z}N", "projected", "tmerc"))
+    for z in range(1, 24):
+        rows.append(("EPSG", 26900 + z, f"NAD83 / UTM zone {z}N", "projected", "tmerc"))
+    return rows

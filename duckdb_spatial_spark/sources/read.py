@@ -349,3 +349,23 @@ def st_write(
         gj.mapInPandas(to_features, schema="line string").write.mode(mode).text(path)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
+
+
+def st_list_proj_crs(spark: SparkSession) -> DataFrame:
+    """Table function listing projectable CRS (ST_List_Proj_CRS,
+    proj/functions.cpp). Native registry always; plus the full pyproj CRS
+    database when that library is present."""
+    from ..geom.proj import list_native_crs
+
+    rows = [r + ("native",) for r in list_native_crs()]
+    try:
+        import pyproj
+
+        for crs in pyproj.database.query_crs_info():
+            rows.append((crs.auth_name, int(crs.code), crs.name,
+                         str(crs.type), "", "pyproj"))
+    except ImportError:
+        pass
+    return spark.createDataFrame(
+        rows, ["auth_name", "code", "name", "kind", "projection", "engine"]
+    ).coalesce(1)

@@ -144,3 +144,60 @@ def test_quadkey_geom_overload(spark):
     ).collect()[0]
     assert r["a"] == r["b"]
     assert len(r["a"]) == 6
+
+
+def test_extent_approx_conservative(spark):
+    from duckdb_spatial_spark.functions import st_extent_approx, st_geomfromtext
+
+    df = spark.createDataFrame(
+        [("POLYGON ((0.1 0.2, 10.7 0.2, 10.7 5.9, 0.1 5.9, 0.1 0.2))",)], ["wkt"]
+    )
+    row = df.select(
+        st_extent_approx(st_geomfromtext("wkt")).alias("b")
+    ).collect()[0]["b"]
+    # float32 struct, widened outward: box contains the exact bounds
+    assert row["xmin"] <= 0.1 and row["ymin"] <= 0.2
+    assert row["xmax"] >= 10.7 and row["ymax"] >= 5.9
+    assert abs(row["xmin"] - 0.1) < 1e-5 and abs(row["xmax"] - 10.7) < 1e-4
+
+
+def test_wkb_to_native_struct_casts(spark):
+    from duckdb_spatial_spark.functions import st_geomfromtext
+    from duckdb_spatial_spark.functions.casts import (
+        st_linestring2dfromwkb,
+        st_point2dfromwkb,
+        st_polygon2dfromwkb,
+    )
+
+    df = spark.createDataFrame(
+        [("POINT (3 4)", "LINESTRING (0 0, 1 1)",
+          "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")],
+        ["p", "l", "pg"],
+    )
+    row = df.select(
+        st_point2dfromwkb(st_geomfromtext("p")).alias("pt"),
+        st_linestring2dfromwkb(st_geomfromtext("l")).alias("ln"),
+        st_polygon2dfromwkb(st_geomfromtext("pg")).alias("poly"),
+    ).collect()[0]
+    assert (row["pt"]["x"], row["pt"]["y"]) == (3.0, 4.0)
+    assert [(p["x"], p["y"]) for p in row["ln"]] == [(0.0, 0.0), (1.0, 1.0)]
+    assert len(row["poly"]) == 1 and len(row["poly"][0]) == 5
+
+
+def test_list_proj_crs(spark):
+    from duckdb_spatial_spark.sources.read import st_list_proj_crs
+
+    df = st_list_proj_crs(spark)
+    rows = {r["code"] for r in df.collect()}
+    assert {4326, 3857, 32617, 32723, 25832, 2154, 5070} <= rows
+    assert df.filter("engine = 'native'").count() >= 150
+
+
+def test_geomfromhexewkb_alias(spark):
+    from duckdb_spatial_spark.functions import st_astext, st_geomfromhexewkb
+
+    # EWKB point with SRID flag: 0101000020E6100000 + coords (1.0, 2.0)
+    hex_ewkb = "0101000020E6100000000000000000F03F0000000000000040"
+    df = spark.createDataFrame([(hex_ewkb,)], ["h"])
+    out = df.select(st_astext(st_geomfromhexewkb("h")).alias("t")).collect()[0]["t"]
+    assert out == "POINT (1 2)"
