@@ -87,8 +87,11 @@ def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-polygon spatial join (docs/example.md:92-100 workload) via
     the grid-partitioned equi-join; per-zone counts."""
     pts = _events_pts(spark, sf).withColumn("pt", ST.st_point("x", "y"))
-    zones = spark.createDataFrame(_zone_rows(), ["zone_id", "zwkt"]).withColumn(
-        "zone", ST.st_geomfromtext("zwkt")
+    # 15-row dim table: one slice, or the parse UDF fans 32 near-empty tasks
+    zones = (
+        spark.createDataFrame(_zone_rows(), ["zone_id", "zwkt"])
+        .coalesce(1)
+        .withColumn("zone", ST.st_geomfromtext("zwkt"))
     )
     j = st_join(pts, zones, "within", "pt", "zone")
     return (

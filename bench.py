@@ -60,6 +60,15 @@ def main() -> None:
     warm_df.groupBy(F.col("id") % 8).applyInPandas(
         lambda pdf: pdf.head(1), schema=warm_df.schema
     ).count()
+    # binary-geometry UDF + mapInPandas + broadcast paths (what the spatial
+    # queries use) so the first of them isn't charged for serializer init
+    _wb = pandas_udf(lambda s: s, "binary", PandasUDFType.SCALAR)
+    bdf = spark.createDataFrame([(b"\x00" * 21,)] * 256, "g binary").repartition(
+        int(CPUS)
+    )
+    bdf.select(_wb(F.col("g")).alias("g2")).agg(F.count("g2")).collect()
+    bdf.mapInPandas(lambda it: it, schema="g binary").agg(F.count("g")).collect()
+    spark.sparkContext.broadcast({"warm": True}).value
 
     for name, fn in qs.items():
         t0 = time.perf_counter()

@@ -1,1 +1,7 @@
-from .ops import streaming_extent_agg, streaming_point_filter  # noqa: F401
+from .ops import (  # noqa: F401
+    streaming_dedup_exact,
+    streaming_extent_agg,
+    streaming_point_filter,
+    streaming_session_extents,
+    streaming_spatial_join,
+)

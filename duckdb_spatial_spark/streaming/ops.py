@@ -4,13 +4,19 @@ has no streaming; this is the Spark-native extension the model classification
 
 Every scalar ST_* function is stateless → usable in a stream unchanged.
 ``ST_Extent_Agg`` decomposes into min/max → watermark-compatible windowed
-aggregation with no custom state store.
+aggregation with no custom state store. Stream-static spatial joins reuse
+the broadcast probe (mapInPandas is streaming-safe); bespoke state goes
+through ``applyInPandasWithState``.
 """
 
 from __future__ import annotations
 
+from typing import Tuple
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def streaming_point_filter(stream: DataFrame, x: str, y: str,
@@ -46,3 +52,119 @@ def streaming_extent_agg(
             F.count("*").alias("n"),
         )
     )
+
+
+def streaming_spatial_join(
+    stream: DataFrame,
+    static_right: DataFrame,
+    predicate: str = "within",
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+) -> DataFrame:
+    """Stream-static spatial join: the static (dimension) side is collected
+    and broadcast once, each micro-batch probes it through the same
+    mapInPandas grid/STR probe as the batch ``st_join_broadcast`` — the
+    streaming analog of the reference's prepared-geometry constant path.
+    Works in append mode with no state store (per-row enrichment)."""
+    from ..operators.join import st_join_broadcast
+
+    return st_join_broadcast(
+        stream, static_right, predicate, left_geom, right_geom
+    )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for training-data ingestion: fingerprint the
+    normalized text (xxhash64 col-expr) and dropDuplicates within the
+    watermark — bounded state, the streaming tier of ``exact_dedup``."""
+    from ..operators.textops import fingerprint
+
+    return (
+        stream.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
+_SESSION_STATE_SCHEMA = "xmin double, ymin double, xmax double, ymax double, n long"
+_SESSION_OUT_SCHEMA = (
+    "key string, xmin double, ymin double, xmax double, ymax double, n long, closed boolean"
+)
+
+
+def streaming_session_extents(
+    stream: DataFrame,
+    key_col: str,
+    x: str,
+    y: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    timeout: str = "5 minutes",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running bbox + count of a point stream ("where has this entity been"),
+    emitting the closed session extent when the key goes idle past the
+    processing-time timeout. The state is 5 doubles — the same partial the
+    batch ST_Extent_Agg combine uses."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout_ms = _duration_ms(timeout)
+
+    def update(key: Tuple[str], pdfs, state: GroupState):
+        if state.hasTimedOut:
+            xmin, ymin, xmax, ymax, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[key[0], xmin, ymin, xmax, ymax, n, True]],
+                columns=["key", "xmin", "ymin", "xmax", "ymax", "n", "closed"],
+            )
+            return
+        xs, ys, cnt = [], [], 0
+        for pdf in pdfs:
+            xs.append(pdf[x].min()); xs.append(pdf[x].max())
+            ys.append(pdf[y].min()); ys.append(pdf[y].max())
+            cnt += len(pdf)
+        lo_x, hi_x = float(min(xs)), float(max(xs))
+        lo_y, hi_y = float(min(ys)), float(max(ys))
+        if state.exists:
+            pxmin, pymin, pxmax, pymax, pn = state.get
+            lo_x, lo_y = min(lo_x, pxmin), min(lo_y, pymin)
+            hi_x, hi_y = max(hi_x, pxmax), max(hi_y, pymax)
+            cnt += pn
+        state.update((lo_x, lo_y, hi_x, hi_y, cnt))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [[key[0], lo_x, lo_y, hi_x, hi_y, cnt, False]],
+            columns=["key", "xmin", "ymin", "xmax", "ymax", "n", "closed"],
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    parts = s.strip().split()
+    val = float(parts[0])
+    unit = parts[1].lower() if len(parts) > 1 else "ms"
+    mult = {
+        "ms": 1, "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000, "sec": 1000, "s": 1000,
+        "minute": 60_000, "minutes": 60_000, "min": 60_000, "m": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    }[unit]
+    return int(val * mult)

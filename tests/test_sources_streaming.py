@@ -133,3 +133,96 @@ def test_streaming_extent_agg(spark):
     rows = spark.sql("SELECT * FROM ext_out").collect()
     assert len(rows) > 0
     assert all(r["xmin"] <= r["xmax"] and r["ymin"] <= r["ymax"] for r in rows)
+
+
+def _events_stream(spark, sf="/root/testdata/sf0.001"):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", (F.col("ts") / F.lit(1e9)).cast("timestamp"))
+        .withColumn("x", F.col("value"))
+        .withColumn("y", (F.col("user_id") % 100).cast("double"))
+    )
+
+
+def test_streaming_spatial_join(spark):
+    from duckdb_spatial_spark.functions import st_geomfromtext, st_point
+    from duckdb_spatial_spark.streaming import streaming_spatial_join
+
+    zones = (
+        spark.createDataFrame(
+            [(1, "POLYGON ((0 0, 250 0, 250 100, 0 100, 0 0))"),
+             (2, "POLYGON ((250 0, 500 0, 500 100, 250 100, 250 0))")],
+            ["zone_id", "zwkt"],
+        )
+        .coalesce(1)
+        .select("zone_id", st_geomfromtext("zwkt").alias("zone"))
+    )
+    stream = _events_stream(spark).select(
+        "event_id", st_point("x", "y").alias("pt")
+    )
+    joined = streaming_spatial_join(stream, zones, "within", "pt", "zone")
+    q = (
+        joined.groupBy("zone_id").count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("sj_out").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable(); q.stop()
+    rows = {r["zone_id"]: r["count"] for r in spark.sql("SELECT * FROM sj_out").collect()}
+    assert rows and all(v > 0 for v in rows.values())
+    # against batch ground truth
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n1 = batch.filter((F.col("value") > 0) & (F.col("value") < 250)
+                      & ((F.col("user_id") % 100) > 0) & ((F.col("user_id") % 100) < 100)).count()
+    assert rows.get(1, 0) == n1
+
+
+def test_streaming_dedup_exact(spark):
+    from duckdb_spatial_spark.streaming import streaming_dedup_exact
+
+    sf = "/root/testdata/sf0.001"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.current_timestamp())
+    )
+    deduped = streaming_dedup_exact(stream, "text", "ts")
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName("dd_out").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable(); q.stop()
+    n_out = spark.sql("SELECT count(*) c FROM dd_out").collect()[0]["c"]
+    n_distinct = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.xxhash64(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")))
+        .distinct().count()
+    )
+    assert n_out == n_distinct
+
+
+def test_streaming_session_extents(spark):
+    from duckdb_spatial_spark.streaming import streaming_session_extents
+
+    stream = _events_stream(spark)
+    sess = streaming_session_extents(
+        stream, "event_type", "x", "y", "ts",
+        watermark="1 day", timeout="1 minute",
+    )
+    q = (
+        sess.writeStream.outputMode("update").format("memory")
+        .queryName("sess_out").trigger(availableNow=True).start()
+    )
+    # availableNow terminates on its own; processAllAvailable can block
+    # forever on a stateful query with processing-time timeouts
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert rows
+    for r in rows:
+        assert r["xmin"] <= r["xmax"] and r["ymin"] <= r["ymax"] and r["n"] > 0
