@@ -906,6 +906,19 @@ def q53_transform_utm(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q54_langid_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar–Trenkle rank distance) over
+    documents — the n-gram tier above q23's marker heuristic. Rank-distance
+    argmin isn't SQL-expressible → rows-only check."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(textops.language_id_ngram(F.col("text")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -968,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_buffer_line": q51_buffer_line,
         "q52_buffer_polygon": q52_buffer_polygon,
         "q53_transform_utm": q53_transform_utm,
+        "q54_langid_ngram": q54_langid_ngram,
     }
 
 

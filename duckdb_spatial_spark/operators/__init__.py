@@ -2,6 +2,7 @@ from .cluster import (  # noqa: F401
     st_cluster,
     st_cluster_bbox,
     st_filter_points,
+    st_layout_info,
     with_bbox_columns,
 )
 from .join import st_join, st_join_broadcast  # noqa: F401

@@ -117,3 +117,54 @@ def with_bbox_columns(df: DataFrame, geom: str = "geom", prefix: str = "") -> Da
         .withColumn(prefix + "xmax", box["xmax"])
         .withColumn(prefix + "ymax", box["ymax"])
     )
+
+
+def st_layout_info(spark, path: str, bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> DataFrame:
+    """Layout introspection over a Parquet dataset — the analog of the
+    reference's ``pragma_rtree_index_info`` / ``rtree_index_dump``
+    (rtree_index_pragmas.cpp:234-244): one row per row-group with row/byte
+    counts and the min/max stats of the bbox columns, i.e. the exact
+    "node bounding boxes" the pruning path consults. Driver-side footer
+    reads only (metadata, not data)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            paths.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+    else:
+        paths = [path]
+
+    rows = []
+    for p in sorted(paths):
+        try:
+            meta = pq.ParquetFile(p).metadata
+        except Exception:
+            continue
+        name_to_idx = {meta.schema.column(i).name: i
+                       for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            stats = {}
+            for c in bbox_cols:
+                idx = name_to_idx.get(c)
+                if idx is None:
+                    continue
+                s = g.column(idx).statistics
+                if s is not None and s.has_min_max:
+                    stats[c + "_min"] = float(s.min)
+                    stats[c + "_max"] = float(s.max)
+            rows.append((
+                os.path.basename(p), rg, g.num_rows, g.total_byte_size,
+                stats.get(bbox_cols[0] + "_min"), stats.get(bbox_cols[1] + "_min"),
+                stats.get(bbox_cols[2] + "_max"), stats.get(bbox_cols[3] + "_max"),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "file string, row_group int, rows long, bytes long, "
+        "xmin double, ymin double, xmax double, ymax double",
+    ).coalesce(1)

@@ -151,3 +151,82 @@ def winnowing_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
         lambda i: F.array_min(F.slice(grams, i, window)),
     )
     return F.array_distinct(mins)
+
+
+# ---------------------------------------------------------- n-gram lang-ID
+
+_LANG_SAMPLES = {
+    # tiny built-in corpora (public pangram-style text written for this
+    # module); profiles derive from these at import — no external data
+    "en": "the quick brown fox jumps over the lazy dog and then it runs "
+          "back to the house where the children are playing with their "
+          "friends in the garden of the old school this is what they said",
+    "de": "der schnelle braune fuchs springt über den faulen hund und "
+          "läuft dann zurück zum haus wo die kinder mit ihren freunden im "
+          "garten der alten schule spielen das ist was sie gesagt haben",
+    "fr": "le rapide renard brun saute par dessus le chien paresseux et "
+          "retourne ensuite à la maison où les enfants jouent avec leurs "
+          "amis dans le jardin de la vieille école c'est ce qu'ils ont dit",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso y luego "
+          "vuelve a la casa donde los niños juegan con sus amigos en el "
+          "jardín de la vieja escuela esto es lo que ellos dijeron",
+    "it": "la veloce volpe marrone salta sopra il cane pigro e poi torna "
+          "alla casa dove i bambini giocano con i loro amici nel giardino "
+          "della vecchia scuola questo è quello che hanno detto",
+    "pt": "a rápida raposa marrom pula sobre o cão preguiçoso e depois "
+          "volta para a casa onde as crianças brincam com os seus amigos "
+          "no jardim da velha escola isto é o que eles disseram",
+}
+
+_PROFILE_K = 120
+
+
+def _trigram_ranks(text: str) -> dict:
+    from collections import Counter
+
+    t = " " + " ".join(text.lower().split()) + " "
+    counts = Counter(t[i:i + 3] for i in range(len(t) - 2))
+    top = [g for g, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))]
+    return {g: r for r, g in enumerate(top[:_PROFILE_K])}
+
+
+_LANG_PROFILES = {lang: _trigram_ranks(s) for lang, s in _LANG_SAMPLES.items()}
+
+
+def language_id_ngram(text: Column) -> Column:
+    """Character-trigram language ID (Cavnar–Trenkle out-of-place rank
+    distance against built-in profiles) — the n-gram tier above the
+    marker-stopword ``language_id``. Deterministic; ties break by language
+    code; 'und' when the text yields no trigrams."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    import pandas as pd
+
+    profiles = _LANG_PROFILES
+    K = _PROFILE_K
+
+    def _classify(s):
+        out = []
+        for txt in s:
+            if txt is None or not txt.strip():
+                out.append("und")
+                continue
+            doc = _trigram_ranks(txt)
+            if not doc:
+                out.append("und")
+                continue
+            best_lang, best_d = "und", None
+            for lang in sorted(profiles):
+                prof = profiles[lang]
+                d = 0
+                for g, r in doc.items():
+                    pr = prof.get(g)
+                    d += abs(pr - r) if pr is not None else K
+                if best_d is None or d < best_d:
+                    best_lang, best_d = lang, d
+            out.append(best_lang)
+        return pd.Series(out)
+
+    f = pandas_udf(_classify, T.StringType(), PandasUDFType.SCALAR)
+    return f(text)

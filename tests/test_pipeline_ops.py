@@ -176,3 +176,18 @@ def test_multimodal_plumbing(spark):
 
     frames = {r["id"]: r["frames"] for r in frame_sample(df, "payload", n_frames=3, fake=True).collect()}
     assert len(frames[1]) == 3
+
+
+def test_language_id_ngram(spark):
+    from duckdb_spatial_spark.operators.textops import language_id_ngram
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and the dog barked at the moon",),
+         ("die katze saß auf der matte und der hund bellte den mond an",),
+         ("le chat était assis sur le tapis et le chien aboyait à la lune",),
+         ("el gato se sentó en la alfombra y el perro ladró a la luna",),
+         ("",)],
+        ["text"],
+    ).coalesce(1)
+    out = [r["lang"] for r in df.select(language_id_ngram(F.col("text")).alias("lang")).collect()]
+    assert out == ["en", "de", "fr", "es", "und"]

@@ -116,3 +116,27 @@ def test_broadcast_join_no_shuffle(spark):
     plan = _explain(j)
     assert "Exchange hashpartitioning" not in plan, plan
     assert j.count() > 0
+
+
+def test_layout_info(spark, tmp_path):
+    from duckdb_spatial_spark.operators import (
+        st_cluster,
+        st_layout_info,
+        with_bbox_columns,
+    )
+    from duckdb_spatial_spark.functions import st_point
+
+    df = (
+        spark.range(2000)
+        .withColumn("x", (F.col("id") % 100).cast("double"))
+        .withColumn("y", (F.col("id") / 100).cast("double"))
+    )
+    out = str(tmp_path / "layout")
+    st_cluster(df, "x", "y", num_partitions=4).write.parquet(out)
+    info = st_layout_info(spark, out, bbox_cols=("x", "y", "x", "y")).collect()
+    assert len(info) >= 4
+    assert all(r["rows"] > 0 and r["bytes"] > 0 for r in info)
+    # hilbert clustering → each file covers a sub-range, not the full extent
+    spans = [(r["xmax"] - r["xmin"]) * (r["ymax"] - r["ymin"]) for r in info]
+    full = (99.0 - 0.0) * (19.99 - 0.0)
+    assert min(spans) < full * 0.9
