@@ -919,6 +919,36 @@ def q54_langid_ngram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q55_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (driver-trained coarse quantizer, distributed assign, nprobe
+    cell join): recall@5 of the IVF result against the exact top-5 for the
+    first 5 query vectors. K-means cells aren't SQL-expressible →
+    rows-only check; the recall value itself is the asserted contract in
+    tests (≥0.6 at nprobe=8/32 cells)."""
+    from duckdb_spatial_spark.operators import ann_ivf_topk
+
+    emb = load_table(spark, sf, "embeddings", fan_out=False)
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    exact = ann_bruteforce_topk(emb, queries, k=5).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = ann_ivf_topk(emb, queries, k=5, n_centroids=32, nprobe=8).select(
+        "query_id", F.col("vec_id").alias("ivf_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["exact_id"] == approx["ivf_id"]),
+    )
+    return hits.agg(
+        F.count("*").alias("n_hits"),
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -982,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_buffer_polygon": q52_buffer_polygon,
         "q53_transform_utm": q53_transform_utm,
         "q54_langid_ngram": q54_langid_ngram,
+        "q55_ann_ivf": q55_ann_ivf,
     }
 
 

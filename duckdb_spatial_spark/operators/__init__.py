@@ -19,6 +19,7 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_similarity,
     dot,

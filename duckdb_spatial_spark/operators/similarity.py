@@ -137,3 +137,105 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    sample: int = 20_000,
+    iters: int = 12,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd k-means on a driver-side sample
+    (standard IVF recipe — the index TRAIN step is small even when the
+    corpus is 100 TB; only ASSIGN is distributed). Returns (n_centroids,
+    dim) float64, L2-normalized so nearest-centroid-by-dot ≡ by-cosine."""
+    rows = (
+        df.select(vec_col).limit(sample).collect()
+        if sample else df.select(vec_col).collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    import pandas as pd
+
+    C = centroids
+
+    def assign(s):
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            sims = (C @ (x / n)) if n > 0 else np.zeros(len(C))
+            if nprobe == 1:
+                out.append([int(sims.argmax())])
+            else:
+                top = np.argpartition(-sims, min(nprobe, len(sims)) - 1)[:nprobe]
+                out.append([int(t) for t in top])
+        return pd.Series(out)
+
+    return pandas_udf(assign, T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    centroids: Optional[np.ndarray] = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k — the other scale path next to ``ann_lsh_topk``:
+    TRAIN a coarse quantizer (driver k-means on a sample), ASSIGN each
+    corpus vector to its nearest centroid cell (one distributed pass,
+    broadcast centroid matrix), PROBE the ``nprobe`` nearest cells per
+    query via an equi-join on cell id, exact cosine re-rank inside the
+    probed cells. Corpus is never cross-joined; recall rises with nprobe."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, corpus_vec, n_centroids=n_centroids
+        )
+    c_assign = _assign_cells_udf(centroids, 1)
+    q_assign = _assign_cells_udf(centroids, nprobe)
+    c = corpus.withColumn(
+        "__cell", F.element_at(c_assign(F.col(corpus_vec)), 1)
+    )
+    q = queries.withColumn(
+        "__cell", F.explode(q_assign(F.col(query_vec)))
+    )
+    j = c.join(F.broadcast(q), on="__cell")
+    sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec)).alias("cosine")
+    scored = j.select(query_id, corpus_id, sim)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -191,3 +191,22 @@ def test_language_id_ngram(spark):
     ).coalesce(1)
     out = [r["lang"] for r in df.select(language_id_ngram(F.col("text")).alias("lang")).collect()]
     assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_ann_ivf_recall(spark):
+    from duckdb_spatial_spark.operators import ann_bruteforce_topk, ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    exact = ann_bruteforce_topk(emb, queries, k=5)
+    approx = ann_ivf_topk(emb, queries, k=5, n_centroids=32, nprobe=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+    # self-match always survives (query is in its own cell)
+    assert all((i, i) in a for i in range(5))
