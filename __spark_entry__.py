@@ -87,10 +87,12 @@ def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-polygon spatial join (docs/example.md:92-100 workload) via
     the grid-partitioned equi-join; per-zone counts."""
     pts = _events_pts(spark, sf).withColumn("pt", ST.st_point("x", "y"))
-    # 15-row dim table: one slice, or the parse UDF fans 32 near-empty tasks
+    # 15-row dim table: single shuffled slice. NOT coalesce(1): coalescing a
+    # python-parallelized RDD makes ONE task pay a serial python round-trip
+    # per parent slice (32 × ~140ms ≈ 4.5s of dead time per run).
     zones = (
         spark.createDataFrame(_zone_rows(), ["zone_id", "zwkt"])
-        .coalesce(1)
+        .repartition(1)
         .withColumn("zone", ST.st_geomfromtext("zwkt"))
     )
     j = st_join(pts, zones, "within", "pt", "zone")

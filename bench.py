@@ -70,6 +70,30 @@ def main() -> None:
     bdf.mapInPandas(lambda it: it, schema="g binary").agg(F.count("g")).collect()
     spark.sparkContext.broadcast({"warm": True}).value
 
+    # Pre-import the engine library on EVERY python worker: the first task a
+    # worker runs otherwise pays ~1s of module import (amplified by 32-way
+    # CPU contention), which would be charged to whichever query hits that
+    # worker first. One 1-task-per-core job with a short hold so the
+    # scheduler can't funnel several tasks through one fast worker.
+    def _warm_imports(it):
+        import time as _t
+
+        import duckdb_spatial_spark.functions.scalar  # noqa: F401
+        import duckdb_spatial_spark.functions.agg  # noqa: F401
+        import duckdb_spatial_spark.operators.join  # noqa: F401
+        import duckdb_spatial_spark.operators.dedup  # noqa: F401
+        import duckdb_spatial_spark.operators.similarity  # noqa: F401
+        import duckdb_spatial_spark.operators.textops  # noqa: F401
+        import duckdb_spatial_spark.geom.overlay  # noqa: F401
+        import duckdb_spatial_spark.geom.proj  # noqa: F401
+
+        _t.sleep(0.3)
+        yield from it
+
+    spark.range(0, int(CPUS), 1, int(CPUS)).mapInPandas(
+        _warm_imports, schema="id long"
+    ).count()
+
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:

@@ -103,7 +103,10 @@ def _two_level_agg(df: DataFrame, geom_col: str, group_cols: List[str], op, out_
             rows.extend(list(pdf[out_col]))
         yield pd.DataFrame({out_col: [_reduce_wkbs(rows, op)]})
 
-    return part.coalesce(1).mapInPandas(
+    # repartition(1), not coalesce(1): coalescing python-stage output makes
+    # the single final task pay one serial python round-trip per parent
+    # partition; a tiny single-slice shuffle is far cheaper.
+    return part.repartition(1).mapInPandas(
         final_global, schema=T.StructType([T.StructField(out_col, T.BinaryType())])
     )
 

@@ -167,4 +167,4 @@ def st_layout_info(spark, path: str, bbox_cols=("xmin", "ymin", "xmax", "ymax"))
         rows,
         "file string, row_group int, rows long, bytes long, "
         "xmin double, ymin double, xmax double, ymax double",
-    ).coalesce(1)
+    ).repartition(1)

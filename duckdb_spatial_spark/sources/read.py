@@ -368,4 +368,4 @@ def st_list_proj_crs(spark: SparkSession) -> DataFrame:
         pass
     return spark.createDataFrame(
         rows, ["auth_name", "code", "name", "kind", "projection", "engine"]
-    ).coalesce(1)
+    ).repartition(1)
