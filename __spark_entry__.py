@@ -475,14 +475,16 @@ def q28_union_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q29_accessors(spark: SparkSession, sf: str) -> DataFrame:
-    """ST_StartPoint/ST_EndPoint + ST_X/ST_Y over lineitem segments."""
-    li = load_table(spark, sf, "lineitem")
-    a = ST.st_point(F.col("l_discount") * 100, F.col("l_tax") * 100)
-    b = ST.st_point(F.col("l_quantity"), F.col("l_linenumber").cast("double"))
-    ln = ST.st_makeline(a, b)
+    """ST_StartPoint/ST_EndPoint + ST_X/ST_Y over lineitem segments, on the
+    native POINT_2D/LINESTRING_2D struct tier (types.cpp:11-15,51-55) —
+    pure col-expr, zero python stages (the reference's columnar fast path)."""
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    a = ST.st_point2d(F.col("l_discount") * 100, F.col("l_tax") * 100)
+    b = ST.st_point2d(F.col("l_quantity"), F.col("l_linenumber").cast("double"))
+    ln = ST.st_makeline2d(a, b)
     return li.agg(
-        F.round(F.sum(ST.st_x(ST.st_startpoint(ln))), 2).alias("sx"),
-        F.round(F.sum(ST.st_y(ST.st_endpoint(ln))), 2).alias("ey"),
+        F.round(F.sum(ST.st_x2d(ST.st_startpoint2d(ln))), 2).alias("sx"),
+        F.round(F.sum(ST.st_y2d(ST.st_endpoint2d(ln))), 2).alias("ey"),
         F.count("*").alias("n"),
     )
 
@@ -526,24 +528,41 @@ _RECTS_SQL = """
 """
 
 
+def _rects2d(spark: SparkSession, sf: str):
+    """Same rectangle pairs as ``_rects`` but on the native BOX_2D struct
+    tier (types.cpp:33-40) — axis-aligned envelopes never need WKB."""
+    o = load_table(spark, sf, "orders", fan_out=False)
+    wa = (F.col("o_orderkey") % 20).cast("double") + 1.0
+    ha = (F.col("o_custkey") % 15).cast("double") + 1.0
+    xb = (F.col("o_orderkey") % 25).cast("double")
+    hb = (F.col("o_custkey") % 10).cast("double") + 1.0
+    zero = F.lit(0.0)
+    return o.select(
+        ST.st_makebox2d(zero, zero, wa, ha).alias("ba"),
+        ST.st_makebox2d(xb, zero, xb + 5.0, hb).alias("bb"),
+    )
+
+
 def q31_predicate_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """ST_Intersects/Contains/Touches/Overlaps counts over derived rectangle
-    pairs (closed-form oracle via interval arithmetic)."""
-    r = _rects(spark, sf)
+    pairs, on the BOX_2D col-expr tier (closed-form oracle via interval
+    arithmetic). Whole-stage codegen end to end — no python stage."""
+    r = _rects2d(spark, sf)
     one = lambda c: F.sum(F.when(c, 1).otherwise(0))
     return r.agg(
-        one(ST.st_intersects("ga", "gb")).alias("n_int"),
-        one(ST.st_contains("ga", "gb")).alias("n_cont"),
-        one(ST.st_touches("ga", "gb")).alias("n_touch"),
-        one(ST.st_overlaps("ga", "gb")).alias("n_over"),
+        one(ST.st_intersects_extent("ba", "bb")).alias("n_int"),
+        one(ST.st_box_contains("ba", "bb")).alias("n_cont"),
+        one(ST.st_box_touches("ba", "bb")).alias("n_touch"),
+        one(ST.st_box_overlaps("ba", "bb")).alias("n_over"),
         F.count("*").alias("n"),
     )
 
 
 def q32_intersection_area(spark: SparkSession, sf: str) -> DataFrame:
-    """ST_Area(ST_Intersection) over the rectangle pairs (box-clip tier)."""
-    r = _rects(spark, sf)
-    area = ST.st_area(ST.st_intersection("ga", "gb"))
+    """ST_Area(ST_Intersection) over the rectangle pairs on the BOX_2D
+    tier: clip = min/max col-exprs, area = width × height."""
+    r = _rects2d(spark, sf)
+    area = ST.st_box_area(ST.st_box_intersection("ba", "bb"))
     return r.agg(
         F.round(F.sum(area), 2).alias("inter_area"), F.count("*").alias("n")
     )

@@ -96,6 +96,36 @@ def st_point2d(x: ColumnOrName, y: ColumnOrName) -> Column:
     return F.struct(_col(x).cast("double").alias("x"), _col(y).cast("double").alias("y"))
 
 
+def st_makeline2d(*points: ColumnOrName) -> Column:
+    """LINESTRING_2D (array<struct<x,y>>, types.cpp:51-55) from POINT_2D
+    structs — pure col-expr, whole-stage-codegen path."""
+    return F.array(*[_col(p) for p in points])
+
+
+def st_startpoint2d(line: ColumnOrName) -> Column:
+    """LINESTRING_2D → POINT_2D first vertex (scalar/st_startpoint.cpp)."""
+    return F.element_at(_col(line), 1)
+
+
+def st_endpoint2d(line: ColumnOrName) -> Column:
+    """LINESTRING_2D → POINT_2D last vertex (scalar/st_endpoint.cpp)."""
+    return F.element_at(_col(line), -1)
+
+
+def st_pointn2d(line: ColumnOrName, n: int) -> Column:
+    """LINESTRING_2D → nth vertex, 1-based, negative from end
+    (scalar/st_pointn.cpp)."""
+    return F.element_at(_col(line), n)
+
+
+def st_x2d(pt: ColumnOrName) -> Column:
+    return _col(pt).getField("x")
+
+
+def st_y2d(pt: ColumnOrName) -> Column:
+    return _col(pt).getField("y")
+
+
 st_makepoint = st_point
 
 
@@ -1030,6 +1060,68 @@ def st_intersects_extent(abox: ColumnOrName, bbox: ColumnOrName) -> Column:
         (a["xmin"] <= b["xmax"]) & (a["xmax"] >= b["xmin"])
         & (a["ymin"] <= b["ymax"]) & (a["ymax"] >= b["ymin"])
     )
+
+
+def st_makebox2d(xmin: ColumnOrName, ymin: ColumnOrName,
+                 xmax: ColumnOrName, ymax: ColumnOrName) -> Column:
+    """BOX_2D struct from min/max coordinates (types.cpp:33-40) — the
+    columnar envelope tier; every derived op below is whole-stage codegen."""
+    return F.struct(
+        _col(xmin).cast("double").alias("xmin"),
+        _col(ymin).cast("double").alias("ymin"),
+        _col(xmax).cast("double").alias("xmax"),
+        _col(ymax).cast("double").alias("ymax"),
+    )
+
+
+def st_box_intersection(abox: ColumnOrName, bbox: ColumnOrName) -> Column:
+    """BOX_2D ∩ BOX_2D → BOX_2D, NULL when disjoint (pure col-expr analog of
+    ST_Intersection on axis-aligned envelopes)."""
+    a, b = _col(abox), _col(bbox)
+    ix = F.struct(
+        F.greatest(a["xmin"], b["xmin"]).alias("xmin"),
+        F.greatest(a["ymin"], b["ymin"]).alias("ymin"),
+        F.least(a["xmax"], b["xmax"]).alias("xmax"),
+        F.least(a["ymax"], b["ymax"]).alias("ymax"),
+    )
+    return F.when(st_intersects_extent(a, b), ix)
+
+
+def st_box_area(box: ColumnOrName) -> Column:
+    """ST_Area on BOX_2D (st_area.cpp BOX_2D overload): width × height,
+    0 for NULL/degenerate boxes."""
+    b = _col(box)
+    w = F.greatest(b["xmax"] - b["xmin"], F.lit(0.0))
+    h = F.greatest(b["ymax"] - b["ymin"], F.lit(0.0))
+    return F.coalesce(w * h, F.lit(0.0))
+
+
+def st_box_contains(abox: ColumnOrName, bbox: ColumnOrName) -> Column:
+    """a contains b on BOX_2D (closed-set rectangle semantics, matching
+    GEOS ST_Contains for non-degenerate rectangles)."""
+    a, b = _col(abox), _col(bbox)
+    return (
+        (a["xmin"] <= b["xmin"]) & (a["xmax"] >= b["xmax"])
+        & (a["ymin"] <= b["ymin"]) & (a["ymax"] >= b["ymax"])
+    )
+
+
+def st_box_touches(abox: ColumnOrName, bbox: ColumnOrName) -> Column:
+    """Boundary-only contact on BOX_2D: bboxes intersect but the overlap
+    region is degenerate (zero width or height)."""
+    a, b = _col(abox), _col(bbox)
+    zero_w = F.least(a["xmax"], b["xmax"]) == F.greatest(a["xmin"], b["xmin"])
+    zero_h = F.least(a["ymax"], b["ymax"]) == F.greatest(a["ymin"], b["ymin"])
+    return st_intersects_extent(a, b) & (zero_w | zero_h)
+
+
+def st_box_overlaps(abox: ColumnOrName, bbox: ColumnOrName) -> Column:
+    """ST_Overlaps on BOX_2D: interiors intersect (positive-area overlap)
+    and neither rectangle contains the other."""
+    a, b = _col(abox), _col(bbox)
+    pos_w = F.least(a["xmax"], b["xmax"]) > F.greatest(a["xmin"], b["xmin"])
+    pos_h = F.least(a["ymax"], b["ymax"]) > F.greatest(a["ymin"], b["ymin"])
+    return pos_w & pos_h & ~st_box_contains(a, b) & ~st_box_contains(b, a)
 
 
 def st_point_in_box(x: ColumnOrName, y: ColumnOrName, xmin, ymin, xmax, ymax, strict: bool = True) -> Column:

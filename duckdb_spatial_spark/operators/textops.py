@@ -104,24 +104,34 @@ _LANG_MARKERS = {
 
 
 def language_id(text: Column) -> Column:
-    """Marker-stopword language guess (n-gram-free heuristic tier; a real
-    char-n-gram profile model is round-2). Returns the language whose marker
-    hit-count is highest, 'und' (undetermined) when all are zero. Ties break
-    by language-code order — fully deterministic and SQL-reproducible."""
+    """Marker-stopword language guess (n-gram-free heuristic tier; see
+    ``language_id_ngram`` for the trigram tier). Returns the language whose
+    marker hit-count is highest, 'und' (undetermined) when all are zero. Ties
+    break by language-code order — fully deterministic and SQL-reproducible.
+
+    Single ``F.aggregate`` pass: the tokenizing regex split appears exactly
+    once in the plan (a per-language ``size(filter(...))`` formulation
+    re-evaluates the split for every language × use — ~18 regex scans of the
+    full text per row)."""
     tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    langs = sorted(_LANG_MARKERS)
+    acc0 = F.struct(*[F.lit(0).alias(lang) for lang in langs])
 
-    def hit_counter(markers):
-        # nb: the lambda must be unary — pyspark passes (element, index) to
-        # binary callables, which would shadow a default argument
-        return F.size(F.filter(tokens, lambda t: _in_list(t, markers)))
+    def step(acc, t):
+        return F.struct(*[
+            (acc[lang] + _in_list(t, _LANG_MARKERS[lang]).cast("int")).alias(lang)
+            for lang in langs
+        ])
 
-    scores = {lang: hit_counter(m) for lang, m in _LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    expr = None
-    for lang in sorted(_LANG_MARKERS):
-        cond = (scores[lang] == best) & (best > 0)
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+    def finish(acc):
+        best = F.greatest(*[acc[lang] for lang in langs])
+        expr = None
+        for lang in langs:
+            cond = (acc[lang] == best) & (best > 0)
+            expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        return expr.otherwise(F.lit("und"))
+
+    return F.aggregate(tokens, acc0, step, finish)
 
 
 def fingerprint(text: Column) -> Column:

@@ -201,3 +201,66 @@ def test_geomfromhexewkb_alias(spark):
     df = spark.createDataFrame([(hex_ewkb,)], ["h"])
     out = df.select(st_astext(st_geomfromhexewkb("h")).alias("t")).collect()[0]["t"]
     assert out == "POINT (1 2)"
+
+
+def test_box2d_native_tier(spark):
+    from duckdb_spatial_spark.functions.scalar import (
+        st_box_area,
+        st_box_contains,
+        st_box_intersection,
+        st_box_overlaps,
+        st_box_touches,
+        st_intersects_extent,
+        st_makebox2d,
+    )
+    from pyspark.sql import functions as F
+
+    # (a, b) rectangle pairs: overlap / contain / touch-edge / disjoint
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, 4.0, 4.0, 2.0, 2.0, 6.0, 6.0),   # partial overlap
+            (0.0, 0.0, 4.0, 4.0, 1.0, 1.0, 2.0, 2.0),   # a contains b
+            (0.0, 0.0, 4.0, 4.0, 4.0, 0.0, 8.0, 4.0),   # edge touch
+            (0.0, 0.0, 4.0, 4.0, 5.0, 5.0, 6.0, 6.0),   # disjoint
+        ],
+        ["ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1"],
+    )
+    d = df.select(
+        st_makebox2d("ax0", "ay0", "ax1", "ay1").alias("a"),
+        st_makebox2d("bx0", "by0", "bx1", "by1").alias("b"),
+    ).select(
+        st_intersects_extent("a", "b").alias("i"),
+        st_box_contains("a", "b").alias("c"),
+        st_box_touches("a", "b").alias("t"),
+        st_box_overlaps("a", "b").alias("o"),
+        F.round(st_box_area(st_box_intersection("a", "b")), 6).alias("area"),
+    ).collect()
+    assert [(r["i"], r["c"], r["t"], r["o"], r["area"]) for r in d] == [
+        (True, False, False, True, 4.0),
+        (True, True, False, False, 1.0),
+        (True, False, True, False, 0.0),
+        (False, False, False, False, 0.0),
+    ]
+
+
+def test_linestring2d_native_tier(spark):
+    from duckdb_spatial_spark.functions.scalar import (
+        st_endpoint2d,
+        st_makeline2d,
+        st_point2d,
+        st_pointn2d,
+        st_startpoint2d,
+        st_x2d,
+        st_y2d,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0)], ["x1", "y1", "x2", "y2"])
+    ln = st_makeline2d(st_point2d("x1", "y1"), st_point2d("x2", "y2"))
+    row = df.select(
+        st_x2d(st_startpoint2d(ln)).alias("sx"),
+        st_y2d(st_endpoint2d(ln)).alias("ey"),
+        st_x2d(st_pointn2d(ln, -1)).alias("lx"),
+        F.size(ln).alias("n"),
+    ).collect()[0]
+    assert (row["sx"], row["ey"], row["lx"], row["n"]) == (1.0, 4.0, 3.0, 2)
