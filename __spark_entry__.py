@@ -28,6 +28,7 @@ from duckdb_spatial_spark.operators import (
     ngram_jaccard_join,
     simhash,
     st_join,
+    st_join_points,
     textops,
 )
 from duckdb_spatial_spark.operators.similarity import cosine_similarity
@@ -86,7 +87,7 @@ def q01_point_in_envelope(spark: SparkSession, sf: str) -> DataFrame:
 def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-polygon spatial join (docs/example.md:92-100 workload) via
     the grid-partitioned equi-join; per-zone counts."""
-    pts = _events_pts(spark, sf).withColumn("pt", ST.st_point("x", "y"))
+    pts = _events_pts(spark, sf)
     # 15-row dim table: single shuffled slice. NOT coalesce(1): coalescing a
     # python-parallelized RDD makes ONE task pay a serial python round-trip
     # per parent slice (32 × ~140ms ≈ 4.5s of dead time per run).
@@ -95,7 +96,9 @@ def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .withColumn("zone", ST.st_geomfromtext("zwkt"))
     )
-    j = st_join(pts, zones, "within", "pt", "zone")
+    # POINT_2D-tier probe: no WKB built on the 100k-row side, one python
+    # stage (st_join_points), build side broadcast
+    j = st_join_points(pts, zones, "within", "x", "y", "zone")
     return (
         j.groupBy("zone_id").agg(F.count("*").alias("n")).orderBy("zone_id")
     )

@@ -1037,6 +1037,27 @@ def buffer(g: Geometry, dist: float, segments: int = 8, cap: str = "round") -> G
         return g
     if g.type_id == POINT and dist > 0 and cap == "round":
         return buffer_point(float(g.coords[0]), float(g.coords[1]), dist, segments)
+    if (
+        g.type_id == LINESTRING and dist > 0 and cap == "round"
+        and g.coords is not None and len(g.coords) == 2
+    ):
+        # single-segment capsule in closed form: two half (4*segments)-gons
+        # joined by the offset rectangle — identical vertex placement to the
+        # capsule-union engine, ~15x cheaper
+        ax, ay = float(g.coords[0][0]), float(g.coords[0][1])
+        bx, by = float(g.coords[1][0]), float(g.coords[1][1])
+        seg_len = math.hypot(bx - ax, by - ay)
+        if seg_len == 0.0:
+            return buffer_point(ax, ay, dist, segments)
+        th = math.atan2(by - ay, bx - ax)
+        half = max(2, 2 * segments)
+        step = math.pi / half
+        ang_b = th - math.pi / 2 + np.arange(half + 1) * step
+        ang_a = th + math.pi / 2 + np.arange(half + 1) * step
+        arc_b = np.column_stack([bx + dist * np.cos(ang_b), by + dist * np.sin(ang_b)])
+        arc_a = np.column_stack([ax + dist * np.cos(ang_a), ay + dist * np.sin(ang_a)])
+        ring = np.vstack([arc_b, arc_a, arc_b[:1]])
+        return Geometry(POLYGON, rings=[ring])
     if dist < 0 and g.type_id in (POINT, MULTIPOINT, LINESTRING, MULTILINESTRING):
         return Geometry.empty(POLYGON)
     from .overlay import buffer_geometry

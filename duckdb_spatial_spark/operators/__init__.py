@@ -5,7 +5,7 @@ from .cluster import (  # noqa: F401
     st_layout_info,
     with_bbox_columns,
 )
-from .join import st_join, st_join_broadcast  # noqa: F401
+from .join import st_join, st_join_broadcast, st_join_points  # noqa: F401
 from .dedup import (  # noqa: F401
     exact_dedup,
     jaccard_verify,

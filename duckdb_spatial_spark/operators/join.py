@@ -414,3 +414,85 @@ def st_join_broadcast(
             yield pd.concat([lpart, rpart], axis=1)
 
     return left.mapInPandas(probe, schema=out_schema)
+
+
+def st_join_points(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "within",
+    x: str = "x",
+    y: str = "y",
+    right_geom: str = "geom",
+) -> DataFrame:
+    """Broadcast point-probe spatial join on raw double columns — the
+    POINT_2D tier of ``st_join_broadcast``. The probe side never builds or
+    decodes WKB: one python stage reads ``x``/``y`` straight from the Arrow
+    batch and runs the bulk point-in-geometry kernel per candidate build
+    geometry. This is the 100-TB shape for points-in-polygons: the build
+    side is broadcast once, the probe is a single narrow scan.
+
+    ``predicate``: 'within' (interior only), 'intersects'/'coveredby'
+    (boundary counts), per the reference's ST_Within/ST_Intersects
+    point-polygon semantics (core/.../st_contains.cpp:16-110).
+    """
+    pred = _norm_pred(predicate)
+    if pred not in ("within", "intersects", "coveredby"):
+        raise ValueError(f"st_join_points supports within/intersects/coveredby, got {pred}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column name collision between sides: {sorted(overlap)}")
+
+    right_rows = right.collect()
+    right_cols = right.columns
+    geoms = []
+    bounds = []
+    for r in right_rows:
+        b = r[right_geom]
+        g = from_wkb(bytes(b)) if b is not None else None
+        geoms.append(g)
+        bd = g.bounds() if g is not None else None
+        bounds.append(bd if bd else (np.nan, np.nan, np.nan, np.nan))
+    bounds = np.asarray(bounds, dtype=np.float64) if bounds else np.zeros((0, 4))
+
+    sc = left.sparkSession.sparkContext
+    bc = sc.broadcast({"rows": [tuple(r) for r in right_rows],
+                       "geoms": geoms, "bounds": bounds})
+
+    out_schema = T.StructType(list(left.schema.fields) + list(right.schema.fields))
+    lcols = left.columns
+    xi, yi = lcols.index(x), lcols.index(y)
+
+    def probe(batches):
+        data = bc.value
+        rgeoms, bnd, rrows = data["geoms"], data["bounds"], data["rows"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xs = pdf.iloc[:, xi].to_numpy(dtype=np.float64, copy=False)
+            ys = pdf.iloc[:, yi].to_numpy(dtype=np.float64, copy=False)
+            out_l: List[np.ndarray] = []
+            out_r: List[int] = []
+            for j, rg in enumerate(rgeoms):
+                if rg is None or not np.isfinite(bnd[j, 0]):
+                    continue
+                m = (
+                    (xs >= bnd[j, 0]) & (xs <= bnd[j, 2])
+                    & (ys >= bnd[j, 1]) & (ys <= bnd[j, 3])
+                )
+                if not m.any():
+                    continue
+                karr = np.flatnonzero(m)
+                loc = K.points_in_geometry_bulk(xs[karr], ys[karr], rg)
+                want = loc == 2 if pred == "within" else loc >= 1
+                hit = karr[want]
+                if len(hit):
+                    out_l.append(hit)
+                    out_r.extend([j] * len(hit))
+            if not out_r:
+                continue
+            li = np.concatenate(out_l)
+            lpart = pdf.iloc[li].reset_index(drop=True)
+            rpart = pd.DataFrame([rrows[j] for j in out_r], columns=right_cols)
+            yield pd.concat([lpart, rpart], axis=1)
+
+    return left.mapInPandas(probe, schema=out_schema)

@@ -119,3 +119,27 @@ def test_st_cluster_roundtrip(spark, tmp_path):
     n = back.filter((F.col("x") > 450) & (F.col("x") < 650) & (F.col("y") > 450) & (F.col("y") < 650)).count()
     brute = sum(1 for _, x, y in pts if 450 < x < 650 and 450 < y < 650)
     assert n == brute
+
+
+def test_st_join_points_native_tier(spark):
+    from duckdb_spatial_spark.operators.join import st_join_points
+    from duckdb_spatial_spark.functions.scalar import st_geomfromtext
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 1.5, 0.5), (3, 5.0, 5.0), (4, 1.0, 0.5)],
+        ["pid", "x", "y"],
+    )
+    zones = spark.createDataFrame(
+        [(10, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+         (20, "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")],
+        ["zid", "zwkt"],
+    ).withColumn("zone", st_geomfromtext("zwkt"))
+
+    within = st_join_points(pts, zones, "within", "x", "y", "zone")
+    got = {(r["pid"], r["zid"]) for r in within.collect()}
+    assert got == {(1, 10), (2, 20)}  # boundary point pid=4 excluded
+
+    inter = st_join_points(pts, zones, "intersects", "x", "y", "zone")
+    got = {(r["pid"], r["zid"]) for r in inter.collect()}
+    assert got == {(1, 10), (2, 20), (4, 10), (4, 20)}  # boundary included
