@@ -205,7 +205,7 @@ def q08_buffer_area(spark: SparkSession, sf: str) -> DataFrame:
 def q09_hilbert_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """ST_Hilbert col-expr: bucket events points by hilbert>>shift, count
     buckets (layout cornerstone; no SQL oracle — curve is engine-defined)."""
-    pts = _events_pts(spark, sf)
+    pts = _events_pts(spark, sf, fan_out=False)
     h = ST.st_hilbert_xy("x", "y", 0.0, 0.0, 500.0, 150.0, order=16)
     b = F.shiftright(h, 24).alias("bucket")
     return (
@@ -980,6 +980,126 @@ def entry(spark: SparkSession) -> DataFrame:
     return q02_zone_pip_join(spark, "/root/testdata/sf0.001")
 
 
+
+def q56_predicate_matrix2(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining WKB-tier predicates: ST_Covers/CoveredBy/Equals/
+    ST_Disjoint over the rectangle pairs + ST_Crosses over diagonal-vs-
+    horizontal segment pairs (interval-arithmetic / strict-interior oracle)."""
+    r = _rects(spark, sf)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    rect_part = r.agg(
+        one(ST.st_covers("ga", "gb")).alias("n_covers"),
+        one(ST.st_coveredby("gb", "ga")).alias("n_coveredby"),
+        one(ST.st_equals("ga", "gb")).alias("n_equals"),
+        one(ST.st_disjoint("ga", "gb")).alias("n_disjoint"),
+        F.count("*").alias("n_rect"),
+    )
+    li = load_table(spark, sf, "lineitem", fan_out=False).filter(
+        F.col("l_orderkey") < 4000
+    )
+    diag = ST.st_makeline(
+        ST.st_point(F.lit(0.0), F.lit(0.0)), ST.st_point(F.lit(10.0), F.lit(10.0))
+    )
+    yc = F.col("l_linenumber").cast("double") * 2 - 1
+    horiz = ST.st_makeline(
+        ST.st_point(F.lit(-1.0), yc), ST.st_point(F.lit(11.0), yc)
+    )
+    line_part = li.agg(
+        F.sum(F.when(ST.st_crosses(diag, horiz), 1).otherwise(0)).alias("n_crosses"),
+        F.count("*").alias("n_lines"),
+    )
+    return rect_part.crossJoin(line_part)
+
+
+def q57_shortestline(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_ShortestLine point→segment; sum of ST_Length of the connector
+    (closed-form clamp oracle)."""
+    part = load_table(spark, sf, "part")
+    p = ST.st_point(F.col("p_size").cast("double"),
+                    (F.col("p_partkey") % 7).cast("double") + 1.0)
+    seg = ST.st_makeline(
+        ST.st_point(F.lit(0.0), F.lit(0.0)), ST.st_point(F.lit(20.0), F.lit(0.0))
+    )
+    ln = ST.st_length(ST.st_shortestline(p, seg))
+    return part.agg(
+        F.round(F.sum(ln), 2).alias("sl_len_sum"), F.count("*").alias("n")
+    )
+
+
+def q58_linemerge_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_LineMerge of touching segment pairs (3-vertex merged line, length
+    2s) + ST_Equals on start-rotated rings + ST_Normalize WKT canon check."""
+    part = load_table(spark, sf, "part")
+    s = F.col("p_size").cast("string")
+    ml = ST.st_geomfromtext(F.concat(
+        F.lit("MULTILINESTRING ((0 0, "), s, F.lit(" 0), ("), s,
+        F.lit(" 0, "), s, F.lit(" "), s, F.lit("))"),
+    ))
+    merged = ST.st_linemerge(ml)
+    ring_a = ST.st_geomfromtext(F.concat(
+        F.lit("POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 "), s, F.lit(", 0 0))"),
+    ))
+    ring_b = ST.st_geomfromtext(F.concat(
+        F.lit("POLYGON (("), s, F.lit(" "), s, F.lit(", 0 "), s,
+        F.lit(", 0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s, F.lit("))"),
+    ))
+    norm_eq = ST.st_astext(ST.st_normalize(ring_a)) == ST.st_astext(ST.st_normalize(ring_b))
+    return part.agg(
+        F.sum(ST.st_npoints(merged)).alias("np_merged"),
+        F.round(F.sum(ST.st_length(merged)), 2).alias("len_merged"),
+        F.sum(F.when(ST.st_equals(ring_a, ring_b), 1).otherwise(0)).alias("n_eq"),
+        F.sum(F.when(norm_eq, 1).otherwise(0)).alias("n_norm_eq"),
+        F.count("*").alias("n"),
+    )
+
+
+def q59_reduceprecision(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_ReducePrecision to a 0.25 grid; coordinate sums after snapping
+    (closed-form round(x/0.25)*0.25 oracle — offsets chosen to never hit
+    half-grid ties)."""
+    part = load_table(spark, sf, "part")
+    x = F.col("p_size").cast("double") + 0.1
+    y = F.col("p_size").cast("double") + 0.35
+    g = ST.st_reduceprecision(ST.st_point(x, y), 0.25)
+    return part.agg(
+        F.round(F.sum(ST.st_x(g)), 2).alias("sx"),
+        F.round(F.sum(ST.st_y(g)), 2).alias("sy"),
+        F.count("*").alias("n"),
+    )
+
+
+def q60_spheroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Geodesic (spheroid) vs spherical distance over lon/lat pairs derived
+    from customers — *_Spheroid surface (geographiclib tier). Iterative
+    Vincenty-style geodesic is not SQL-expressible → rows-only check."""
+    c = load_table(spark, sf, "customer", fan_out=False)
+    lon1 = (F.col("c_custkey") % 360).cast("double") - 180.0
+    lat1 = (F.col("c_custkey") % 140).cast("double") - 70.0
+    lon2 = lon1 + 1.0
+    lat2 = lat1 + 0.5
+    dsph = ST.st_distance_spheroid(lon1, lat1, lon2, lat2)
+    dhav = ST.st_distance_sphere(lon1, lat1, lon2, lat2)
+    return c.agg(
+        F.round(F.avg(dsph), 2).alias("avg_spheroid_m"),
+        F.round(F.avg(dsph - dhav), 2).alias("avg_flattening_delta_m"),
+        F.count("*").alias("n"),
+    )
+
+
+def q61_rtree_points(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's R-tree benchmark workload (benchmark/
+    rtree_points_index.benchmark:10-18): 10M uniform points in [0,10000]^2,
+    count inside envelope (450,450,650,650). Pure col-expr generate +
+    filter + count — zero shuffle, zero python; the Spark analog of the
+    index path is bbox-predicate pruning, exercised end-to-end here.
+    RNG differs from DuckDB's → rows-only check; the envelope count is
+    asserted ~N*(200/10000)^2 in tests."""
+    pts = st_generatepoints(spark, 0.0, 0.0, 10000.0, 10000.0, 10_000_000, seed=1337)
+    inside = ST.st_point_in_box("x", "y", 450.0, 450.0, 650.0, 650.0, strict=False)
+    return pts.filter(inside).agg(F.count("*").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_point_in_envelope": q01_point_in_envelope,
@@ -1037,6 +1157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_transform_utm": q53_transform_utm,
         "q54_langid_ngram": q54_langid_ngram,
         "q55_ann_ivf": q55_ann_ivf,
+        "q56_predicate_matrix2": q56_predicate_matrix2,
+        "q57_shortestline": q57_shortestline,
+        "q58_linemerge_normalize": q58_linemerge_normalize,
+        "q59_reduceprecision": q59_reduceprecision,
+        "q60_spheroid": q60_spheroid,
+        "q61_rtree_points": q61_rtree_points,
     }
 
 
@@ -1473,5 +1599,44 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((CAST(c_custkey % 7 AS DOUBLE)+1) * (CAST(c_custkey % 7 AS DOUBLE)+1)), 4) AS union_area
             FROM customer WHERE c_custkey < 500
             GROUP BY 1 ORDER BY 1
+        """,
+        # covers: closed-interval containment of gb in ga; disjoint: the y
+        # ranges always overlap so only x separation matters; crosses:
+        # horizontal y=2k-1 lines cross the (0,0)-(10,10) diagonal's interior
+        # iff y < 10
+        "q56_predicate_matrix2": f"""
+            SELECT * FROM (
+              SELECT sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS n_covers,
+                     sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS n_coveredby,
+                     sum(CASE WHEN xb = 0 AND wa = 5 AND ha = hb THEN 1 ELSE 0 END) AS n_equals,
+                     sum(CASE WHEN xb > wa THEN 1 ELSE 0 END) AS n_disjoint,
+                     count(*) AS n_rect
+              FROM ({_RECTS_SQL})
+            ) CROSS JOIN (
+              SELECT sum(CASE WHEN l_linenumber <= 5 THEN 1 ELSE 0 END) AS n_crosses,
+                     count(*) AS n_lines
+              FROM lineitem WHERE l_orderkey < 4000
+            )
+        """,
+        "q57_shortestline": """
+            SELECT round(sum(sqrt(
+                       power(CAST(p_size AS DOUBLE) - least(CAST(p_size AS DOUBLE), 20.0), 2)
+                     + power(CAST(p_partkey % 7 AS DOUBLE) + 1.0, 2))), 2) AS sl_len_sum,
+                   count(*) AS n
+            FROM part
+        """,
+        "q58_linemerge_normalize": """
+            SELECT sum(3) AS np_merged,
+                   round(sum(2.0 * p_size), 2) AS len_merged,
+                   sum(1) AS n_eq,
+                   sum(1) AS n_norm_eq,
+                   count(*) AS n
+            FROM part
+        """,
+        "q59_reduceprecision": """
+            SELECT round(sum(round((CAST(p_size AS DOUBLE) + 0.1) / 0.25) * 0.25), 2) AS sx,
+                   round(sum(round((CAST(p_size AS DOUBLE) + 0.35) / 0.25) * 0.25), 2) AS sy,
+                   count(*) AS n
+            FROM part
         """,
     }

@@ -223,3 +223,23 @@ def test_spheroid_distance(spark):
     d = df.select(ST.st_distance_spheroid("x1", "y1", "x2", "y2").alias("d")).collect()[0]["d"]
     # 1 degree of longitude at equator on WGS84 = 111319.49m
     assert d == pytest.approx(111319.49, rel=1e-6)
+
+
+def test_q61_rtree_workload_count(spark):
+    """The reference benchmark's envelope-count workload: expected hit count
+    for a uniform distribution is N * (200/10000)^2 = 4000 at N=10M; assert
+    within 10% (seeded hash RNG, fully deterministic across runs)."""
+    import __spark_entry__ as e
+
+    n = e.q61_rtree_points(spark, "/root/testdata/sf0.001").collect()[0]["n"]
+    assert 3600 <= n <= 4400
+
+
+def test_q60_spheroid_sanity(spark):
+    """Geodesic vs haversine: both ~100-160km for 1 deg lon + 0.5 deg lat
+    moves; flattening delta is small but non-zero on average."""
+    import __spark_entry__ as e
+
+    row = e.q60_spheroid(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 5_000 < row["avg_spheroid_m"] < 300_000
+    assert abs(row["avg_flattening_delta_m"]) < 1_000
