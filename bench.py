@@ -34,6 +34,13 @@ def main() -> None:
         .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's default 1MB partition floor coalesces our tiny-bytes but
+        # python-HEAVY shuffle stages down to ~8 tasks on 32 cores (pandas
+        # UDF cost scales with rows, not bytes). Keep small partitions so
+        # python stages stay core-parallel at this sf; at real scale
+        # partitions are >>1MB and these floors never bind.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .appName("duckdb-spatial-spark-bench")
