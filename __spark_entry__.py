@@ -1078,8 +1078,9 @@ def q60_spheroid(spark: SparkSession, sf: str) -> DataFrame:
     lat1 = (F.col("c_custkey") % 140).cast("double") - 70.0
     lon2 = lon1 + 1.0
     lat2 = lat1 + 0.5
-    dsph = ST.st_distance_spheroid(lon1, lat1, lon2, lat2)
-    dhav = ST.st_distance_sphere(lon1, lat1, lon2, lat2)
+    # reference axis order: x = latitude (st_distance_spheroid.cpp docs)
+    dsph = ST.st_distance_spheroid(lat1, lon1, lat2, lon2)
+    dhav = ST.st_distance_sphere(lat1, lon1, lat2, lon2)
     return c.agg(
         F.round(F.avg(dsph), 2).alias("avg_spheroid_m"),
         F.round(F.avg(dsph - dhav), 2).alias("avg_flattening_delta_m"),
@@ -1186,9 +1187,9 @@ def oracle_sql() -> dict[str, str]:
         "q03_distance_sphere": """
             SELECT l_returnflag,
                    round(avg(2 * 6371000.0 * asin(least(1.0, sqrt(
-                       pow(sin(radians(l_linenumber*10 - l_tax*100)/2), 2)
-                       + cos(radians(l_tax*100)) * cos(radians(l_linenumber*10))
-                         * pow(sin(radians(l_quantity*3 - l_discount*100)/2), 2)
+                       pow(sin(radians(l_quantity*3 - l_discount*100)/2), 2)
+                       + cos(radians(l_discount*100)) * cos(radians(l_quantity*3))
+                         * pow(sin(radians(l_linenumber*10 - l_tax*100)/2), 2)
                    )))), 3) AS avg_dist_m,
                    count(*) AS n
             FROM lineitem GROUP BY 1 ORDER BY 1

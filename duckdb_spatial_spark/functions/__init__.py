@@ -78,6 +78,73 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("ST_HasM", S._st_ham_udf)
     reg("ST_ZMFlag", S._st_zmflag_udf)
     reg("ST_ExteriorRing", S._st_exteriorring_udf)
+    @pandas_udf(T.BinaryType())
+    def _startpoint1(g: pd.Series) -> pd.Series:
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(
+            [None if b is None else S._pointn_k(from_wkb(b), 1) for b in g],
+            dtype=object,
+        )
+
+    @pandas_udf(T.BinaryType())
+    def _endpoint1(g: pd.Series) -> pd.Series:
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(
+            [None if b is None else S._pointn_k(from_wkb(b), -1) for b in g],
+            dtype=object,
+        )
+
+    reg("ST_StartPoint", _startpoint1)
+    reg("ST_EndPoint", _endpoint1)
+
+    @pandas_udf(T.BinaryType())
+    def _buffer3(g: pd.Series, dist: pd.Series, segs: pd.Series) -> pd.Series:
+        from ..geom import kernels as _K
+        from ..geom.wkb import from_wkb, to_wkb
+
+        out = []
+        for b, d, n in zip(g, dist, segs):
+            if b is None or d is None:
+                out.append(None)
+            else:
+                out.append(to_wkb(_K.buffer(from_wkb(b), float(d),
+                                            segments=8 if n is None else int(n))))
+        return pd.Series(out, dtype=object)
+
+    reg("ST_Buffer", _buffer3)
+
+    @pandas_udf(T.BinaryType())
+    def _reduceprecision2(g: pd.Series, grid: pd.Series) -> pd.Series:
+        from ..geom import kernels as _K
+        from ..geom.wkb import from_wkb, to_wkb
+
+        out = []
+        for b, gr in zip(g, grid):
+            if b is None or gr is None:
+                out.append(None)
+            else:
+                out.append(to_wkb(_K.reduce_precision(from_wkb(b), float(gr))))
+        return pd.Series(out, dtype=object)
+
+    reg("ST_ReducePrecision", _reduceprecision2)
+
+    @pandas_udf(T.BinaryType())
+    def _linemerge2(g: pd.Series, directed: pd.Series) -> pd.Series:
+        from ..geom import kernels as _K
+        from ..geom.wkb import from_wkb, to_wkb
+
+        out = []
+        for b, d in zip(g, directed):
+            if b is None:
+                out.append(None)
+            else:
+                out.append(to_wkb(_K.line_merge(from_wkb(b), directed=bool(d))))
+        return pd.Series(out, dtype=object)
+
+    reg("ST_LineMerge2", _linemerge2)
+    reg("ST_MakePolygon2", S._st_makepolygon_holes_udf)
     reg("ST_Points", S._st_points_udf)
     reg("ST_Dump", S._st_dump_udf)
     reg("ST_PointN", S._st_pointn_udf)
@@ -119,12 +186,49 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("ST_ZMax", S._st_zmax_udf)
     reg("ST_MMin", S._st_mmin_udf)
     reg("ST_MMax", S._st_mmax_udf)
-    reg("ST_AsSVG", S._unary_geom_to(
-        T.StringType(), lambda g: S._assvg_kernel(g, False, 15)))
+    @pandas_udf(T.StringType())
+    def _assvg3(g: pd.Series, rel: pd.Series, digits: pd.Series) -> pd.Series:
+        from ..geom.wkb import from_wkb
+
+        out = []
+        for b, r, d in zip(g, rel, digits):
+            if b is None:
+                out.append(None)
+            else:
+                out.append(S._assvg_kernel(from_wkb(b), bool(r), int(d)))
+        return pd.Series(out, dtype=object)
+
+    reg("ST_AsSVG", _assvg3)
+
+    @pandas_udf(T.StringType())
+    def _ashexwkb(g: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else bytes(b).hex().upper() for b in g],
+            dtype=object,
+        )
+
+    reg("ST_AsHEXWKB", _ashexwkb)
+
+    @pandas_udf(T.BinaryType())
+    def _fromhexwkb(s: pd.Series) -> pd.Series:
+        # EWKB flag bits (Z/M/SRID) are handled inside the WKB codec
+        return pd.Series(
+            [None if h is None else bytes.fromhex(h) for h in s], dtype=object
+        )
+
+    reg("ST_GeomFromHEXWKB", _fromhexwkb)
+    reg("ST_GeomFromHEXEWKB", _fromhexwkb)
+
+    @pandas_udf(T.BinaryType())
+    def _wkb_identity(g: pd.Series) -> pd.Series:
+        return g
+
+    reg("ST_AsWKB", _wkb_identity)
+    reg("ST_GeomFromWKB", _wkb_identity)
 
     # SQL variants of the col-expr fast paths (UDF fallback for spark.sql)
     @pandas_udf(T.DoubleType())
-    def _sphere(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+    def _sphere_xy(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
         from ..geom.kernels import haversine
 
         out = []
@@ -132,7 +236,49 @@ def register_sql_functions(spark: SparkSession) -> None:
             out.append(None if any(v is None for v in (a, b, c, d)) else haversine(a, b, c, d))
         return pd.Series(out)
 
-    reg("ST_Distance_Sphere", _sphere)
+    # extension name: raw-coordinate haversine (no geometry construction)
+    reg("ST_Haversine_XY", _sphere_xy)
+
+    @pandas_udf(T.DoubleType())
+    def _sphere_geom(a: pd.Series, b: pd.Series) -> pd.Series:
+        # reference signature: (GEOMETRY point, GEOMETRY point) — the
+        # coordinates are treated as lon/lat (st_distance_sphere.cpp:100-103)
+        from ..geom.kernels import haversine
+        from ..geom.wkb import from_wkb
+
+        out = []
+        for ga, gb in zip(a, b):
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            p, q = from_wkb(ga), from_wkb(gb)
+            if p.type_id != 1 or q.type_id != 1 or p.is_empty() or q.is_empty():
+                out.append(None)
+                continue
+            out.append(haversine(float(p.coords[0]), float(p.coords[1]),
+                                 float(q.coords[0]), float(q.coords[1])))
+        return pd.Series(out)
+
+    reg("ST_Distance_Sphere", _sphere_geom)
+    reg("ST_Haversine", _sphere_geom)
+
+    @pandas_udf(T.BinaryType())
+    def _collectionextract2(g: pd.Series, dim: pd.Series) -> pd.Series:
+        from ..geom import kernels as _K
+        from ..geom.wkb import from_wkb, to_wkb
+
+        out = []
+        for b, d in zip(g, dim):
+            if b is None:
+                out.append(None)
+            else:
+                out.append(to_wkb(_K.collection_extract(
+                    from_wkb(b), None if d is None or int(d) == 0 else int(d))))
+        return pd.Series(out, dtype=object)
+
+    # SQL calling convention: dim 0/NULL = highest dimension present (the
+    # reference's 1-arg overload; Spark SQL UDFs cannot overload by arity)
+    reg("ST_CollectionExtract", _collectionextract2)
 
     @pandas_udf(T.BinaryType())
     def _envelope4(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:

@@ -349,12 +349,13 @@ def _st_makeenvelope_udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series)
     x1 = c.to_numpy(dtype=np.float64, na_value=np.nan)
     y1 = d.to_numpy(dtype=np.float64, na_value=np.nan)
     n = len(x0)
-    # ring order matches Geometry.box_polygon (CCW from min corner)
+    # ring order matches Geometry.box_polygon and the reference's
+    # Polygon::CreateFromBox (geometry.hpp:795-805)
     coords = np.empty((n, 5, 2))
     coords[:, 0, 0] = x0; coords[:, 0, 1] = y0
-    coords[:, 1, 0] = x1; coords[:, 1, 1] = y0
+    coords[:, 1, 0] = x0; coords[:, 1, 1] = y1
     coords[:, 2, 0] = x1; coords[:, 2, 1] = y1
-    coords[:, 3, 0] = x0; coords[:, 3, 1] = y1
+    coords[:, 3, 0] = x1; coords[:, 3, 1] = y0
     coords[:, 4, 0] = x0; coords[:, 4, 1] = y0
     out = V.encode_polygons_1ring(coords)
     if mask.any():
@@ -380,11 +381,24 @@ def _st_makeline_list_udf(s: pd.Series) -> pd.Series:
             out.append(None)
             continue
         pts = [from_wkb(b) for b in arr if b is not None]
-        coords = [p.coords[:2] for p in pts if p.type_id == Wkb.POINT and p.coords is not None]
-        if len(coords) < 2:
+        pts = [p for p in pts if p.type_id == Wkb.POINT and p.coords is not None]
+        # mixed Z/M promotes with zero fill (st_makeline.test:58-67)
+        from ..geom.core import promote_dims
+
+        hz = any(p.has_z for p in pts)
+        hm = any(p.has_m for p in pts)
+        coords = [promote_dims(p, hz, hm).coords for p in pts]
+        if len(coords) == 0:
+            # zero usable points → LINESTRING EMPTY; exactly one → invalid
+            # (reference: "requires zero or two or more POINT geometries",
+            # st_makeline.test:20-46; errors surface as NULL in our engine)
+            out.append(to_wkb(Geometry.empty(Wkb.LINESTRING)))
+        elif len(coords) == 1:
             out.append(None)
         else:
-            out.append(to_wkb(Geometry.linestring(np.asarray(coords))))
+            out.append(to_wkb(Geometry(Wkb.LINESTRING,
+                                       coords=np.asarray(coords),
+                                       has_z=hz, has_m=hm)))
     return pd.Series(out, dtype=object)
 
 
@@ -407,9 +421,17 @@ def _st_makeline2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         if ga.type_id != Wkb.POINT or gb.type_id != Wkb.POINT or ga.coords is None or gb.coords is None:
             out.append(None)
         else:
-            out.append(to_wkb(Geometry.linestring(
-                np.asarray([ga.coords[:2], gb.coords[:2]])
-            )))
+            # mixed Z/M promotes with zero fill (st_makeline.test:58-67)
+            from ..geom.core import promote_dims
+
+            hz = ga.has_z or gb.has_z
+            hm = ga.has_m or gb.has_m
+            pa2 = promote_dims(ga, hz, hm)
+            pb2 = promote_dims(gb, hz, hm)
+            ln = Geometry(Wkb.LINESTRING,
+                          coords=np.asarray([pa2.coords, pb2.coords]),
+                          has_z=hz, has_m=hm)
+            out.append(to_wkb(ln))
     return pd.Series(out, dtype=object)
 
 
@@ -440,8 +462,42 @@ def _st_makepolygon_udf(shell: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def st_makepolygon(shell: ColumnOrName) -> Column:
-    return _st_makepolygon_udf(_col(shell))
+@pandas_udf(T.BinaryType())
+def _st_makepolygon_holes_udf(shell: pd.Series, holes: pd.Series) -> pd.Series:
+    out = []
+    for b, hs in zip(shell, holes):
+        if b is None or hs is None:
+            out.append(None)
+            continue
+        g = from_wkb(b)
+        if g.type_id != Wkb.LINESTRING or len(g.coords) < 4 or not np.array_equal(
+            g.coords[0, :2], g.coords[-1, :2]
+        ):
+            out.append(None)
+            continue
+        rings = [g.coords.copy()]
+        ok = True
+        for hb in hs:
+            if hb is None:  # NULL rings are ignored (st_makepolygon.test:49)
+                continue
+            h = from_wkb(hb)
+            if h.type_id != Wkb.LINESTRING or len(h.coords) < 4 or not np.array_equal(
+                h.coords[0, :2], h.coords[-1, :2]
+            ):
+                ok = False
+                break
+            rings.append(h.coords.copy())
+        out.append(to_wkb(Geometry(Wkb.POLYGON, rings=rings,
+                                   has_z=g.has_z, has_m=g.has_m)) if ok else None)
+    return pd.Series(out, dtype=object)
+
+
+def st_makepolygon(shell: ColumnOrName, holes: Optional[ColumnOrName] = None) -> Column:
+    """(shell LINESTRING[, holes list<LINESTRING>]) → POLYGON
+    (scalar/st_makepolygon.cpp; NULL hole members are ignored)."""
+    if holes is None:
+        return _st_makepolygon_udf(_col(shell))
+    return _st_makepolygon_holes_udf(_col(shell), _col(holes))
 
 
 @pandas_udf(T.BinaryType())
@@ -843,13 +899,14 @@ def st_distance_point2d(ax: ColumnOrName, ay: ColumnOrName, bx: ColumnOrName, by
 
 
 def st_distance_sphere(x1: ColumnOrName, y1: ColumnOrName, x2: ColumnOrName, y2: ColumnOrName) -> Column:
-    """Haversine on lon/lat degrees — pure col-expr, no UDF
-    (st_distance_sphere.cpp:18-38, R=6371000)."""
+    """Haversine — pure col-expr, no UDF. Argument order matches the
+    reference exactly: X is LATITUDE, Y is longitude
+    (st_distance_sphere.cpp:50-51 passes the x ordinate as lat1)."""
     rx1, ry1 = F.radians(_col(x1)), F.radians(_col(y1))
     rx2, ry2 = F.radians(_col(x2)), F.radians(_col(y2))
-    dlat = ry2 - ry1
-    dlon = rx2 - rx1
-    h = F.pow(F.sin(dlat / 2), 2) + F.cos(ry1) * F.cos(ry2) * F.pow(F.sin(dlon / 2), 2)
+    dlat = rx2 - rx1
+    dlon = ry2 - ry1
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(rx1) * F.cos(rx2) * F.pow(F.sin(dlon / 2), 2)
     return F.lit(2.0 * K.EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
 
 
@@ -1174,6 +1231,7 @@ _st_normalize_udf = _unary_geom_to_geom(K.normalize)
 _st_reverse_udf = _unary_geom_to_geom(K.reverse)
 _st_flipcoordinates_udf = _unary_geom_to_geom(K.flip_coordinates)
 _st_linemerge_udf = _unary_geom_to_geom(K.line_merge)
+_st_linemerge_directed_udf = _unary_geom_to_geom(lambda g: K.line_merge(g, directed=True))
 _st_force2d_udf = _unary_geom_to_geom(lambda g: K.force_dims(g, False, False))
 _st_shortestline_udf = _binary_geom_to_geom(K.shortest_line)
 _EMPTY_GC_WKB = b"\x01\x07\x00\x00\x00\x00\x00\x00\x00"
@@ -1266,7 +1324,11 @@ def st_flipcoordinates(geom: ColumnOrName) -> Column:
     return _st_flipcoordinates_udf(_col(geom))
 
 
-def st_linemerge(geom: ColumnOrName) -> Column:
+def st_linemerge(geom: ColumnOrName, directed: bool = False) -> Column:
+    """Merge connected linestrings; ``directed=True`` only chains
+    end→start without reversing (geos/.../st_linemerge.cpp, [,directed])."""
+    if directed:
+        return _st_linemerge_directed_udf(_col(geom))
     return _st_linemerge_udf(_col(geom))
 
 
@@ -1493,7 +1555,7 @@ def _geodesic_inverse_m(lon1, lat1, lon2, lat2) -> float:
         if abs(lam - lam_prev) < 1e-12:
             break
     else:
-        return K.haversine(lon1, lat1, lon2, lat2)
+        return K.haversine(lat1, lon1, lat2, lon2)
     u2 = c2_alpha * (a**2 - b**2) / b**2
     A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
     B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
@@ -1510,7 +1572,9 @@ def _st_distance_spheroid_udf(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: p
         if any(v is None for v in (a, b, c, d)):
             out.append(None)
         else:
-            out.append(_geodesic_inverse_m(a, b, c, d))
+            # reference axis order is [latitude, longitude]
+            # (st_distance_spheroid.cpp docs:41-45): x = lat
+            out.append(_geodesic_inverse_m(b, a, d, c))
     return pd.Series(out)
 
 

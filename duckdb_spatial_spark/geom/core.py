@@ -126,8 +126,10 @@ class Geometry:
 
     @staticmethod
     def box_polygon(xmin: float, ymin: float, xmax: float, ymax: float) -> "Geometry":
+        # vertex order matches the reference's Polygon::CreateFromBox
+        # (geometry.hpp:795-805): min corner, up, across, down, close
         ring = np.array(
-            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]],
+            [[xmin, ymin], [xmin, ymax], [xmax, ymax], [xmax, ymin], [xmin, ymin]],
             dtype=np.float64,
         )
         return Geometry(POLYGON, rings=[ring])
@@ -258,14 +260,49 @@ class Geometry:
         return hash(to_wkb(self))
 
 
+def promote_dims(g: Geometry, hz: bool, hm: bool) -> Geometry:
+    """Rewrite ``g`` to the (hz, hm) vertex layout, zero-filling missing
+    ordinates (the reference's ZM promotion in ST_Collect — empty Z members
+    still promote the result to ZM with 0-filled Z, st_collect.test)."""
+    if g.has_z == hz and g.has_m == hm:
+        return g
+
+    def conv(arr):
+        a = np.atleast_2d(np.asarray(arr, dtype=np.float64))
+        n = len(a)
+        cols = [a[:, 0], a[:, 1]]
+        if hz:
+            cols.append(a[:, 2] if g.has_z else np.zeros(n))
+        if hm:
+            cols.append(a[:, 2 + int(g.has_z)] if g.has_m else np.zeros(n))
+        return np.column_stack(cols)
+
+    if g.parts is not None:
+        return Geometry(g.type_id, parts=[promote_dims(p, hz, hm) for p in g.parts],
+                        has_z=hz, has_m=hm)
+    if g.rings is not None:
+        return Geometry(g.type_id, rings=[conv(r) for r in g.rings], has_z=hz, has_m=hm)
+    if g.coords is None:
+        return Geometry.empty(g.type_id, hz, hm)
+    if g.type_id == POINT:
+        if g.is_empty():
+            return Geometry.empty(POINT, hz, hm)
+        return Geometry(POINT, coords=conv(g.coords)[0], has_z=hz, has_m=hm)
+    return Geometry(g.type_id, coords=conv(g.coords), has_z=hz, has_m=hm)
+
+
 def collect(geoms: Sequence[Geometry]) -> Geometry:
-    """ST_Collect narrowing rule (reference st_collect.cpp:132-140): if all
-    parts share one base type → MULTI<type>, else GEOMETRYCOLLECTION.
-    Empty input → GEOMETRYCOLLECTION EMPTY. NULLs must be filtered by caller.
-    """
-    geoms = [g for g in geoms if g is not None]
+    """ST_Collect (reference st_collect.cpp:132-140): NULL and EMPTY members
+    are dropped (but their Z/M flags still promote the result layout); if
+    the survivors share one base type → MULTI<type>, else
+    GEOMETRYCOLLECTION. No survivors → GEOMETRYCOLLECTION EMPTY."""
+    present = [g for g in geoms if g is not None]
+    geoms = [g for g in present if not g.is_empty()]
     if not geoms:
         return Geometry.empty(GEOMETRYCOLLECTION)
+    hz = any(g.has_z for g in present)
+    hm = any(g.has_m for g in present)
+    geoms = [promote_dims(g, hz, hm) for g in geoms]
     base = {g.type_id for g in geoms}
     if len(base) == 1 and next(iter(base)) in _MULTI_OF:
         return Geometry.collection(_MULTI_OF[next(iter(base))], geoms)

@@ -29,34 +29,40 @@ _GJ_NAMES = {
 _GJ_TYPES = {v: k for k, v in _GJ_NAMES.items()}
 
 
-def _coords_list(arr: np.ndarray) -> List[list]:
-    return [[_num(v) for v in row] for row in arr]
+def _keep(g: Geometry) -> int:
+    # GeoJSON coordinates are x,y[,z] — M is not representable and is
+    # dropped, matching the reference's yyjson writer (st_asgeojson.cpp)
+    return 3 if g.has_z else 2
+
+
+def _coords_list(arr: np.ndarray, keep: int = 2) -> List[list]:
+    return [[_num(v) for v in row[:keep]] for row in arr]
 
 
 def _num(v: float):
-    f = float(v)
-    return int(f) if f == int(f) and abs(f) < 1e15 else f
+    # always a JSON real (yyjson renders doubles as 1.0, never 1)
+    return float(v)
 
 
 def geometry_to_geojson(g: Geometry) -> dict:
     t = _GJ_NAMES[g.type_id]
     if g.type_id == POINT:
-        return {"type": t, "coordinates": [] if g.is_empty() else [_num(v) for v in g.coords]}
+        return {"type": t, "coordinates": [] if g.is_empty() else [_num(v) for v in g.coords[:_keep(g)]]}
     if g.type_id == LINESTRING:
-        return {"type": t, "coordinates": _coords_list(g.coords)}
+        return {"type": t, "coordinates": _coords_list(g.coords, _keep(g))}
     if g.type_id == POLYGON:
-        return {"type": t, "coordinates": [_coords_list(r) for r in g.rings]}
+        return {"type": t, "coordinates": [_coords_list(r, _keep(g)) for r in g.rings]}
     if g.type_id == MULTIPOINT:
         return {
             "type": t,
-            "coordinates": [[] if p.is_empty() else [_num(v) for v in p.coords] for p in g.parts],
+            "coordinates": [[] if p.is_empty() else [_num(v) for v in p.coords[:_keep(g)]] for p in g.parts],
         }
     if g.type_id == MULTILINESTRING:
-        return {"type": t, "coordinates": [_coords_list(p.coords) for p in g.parts]}
+        return {"type": t, "coordinates": [_coords_list(p.coords, _keep(g)) for p in g.parts]}
     if g.type_id == MULTIPOLYGON:
         return {
             "type": t,
-            "coordinates": [[_coords_list(r) for r in p.rings] for p in g.parts],
+            "coordinates": [[_coords_list(r, _keep(g)) for r in p.rings] for p in g.parts],
         }
     return {"type": t, "geometries": [geometry_to_geojson(p) for p in g.parts or []]}
 

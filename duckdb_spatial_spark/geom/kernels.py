@@ -610,10 +610,12 @@ def dwithin(a: Geometry, b: Geometry, dist: float) -> bool:
 
 
 def haversine(x1, y1, x2, y2, radius=EARTH_RADIUS_M) -> float:
-    """Great-circle distance, lon/lat degrees (st_distance_sphere.cpp:18-38)."""
-    lat1, lat2 = math.radians(y1), math.radians(y2)
+    """Great-circle distance in degrees. Argument order matches the
+    reference exactly: the point's X ordinate is the LATITUDE
+    (st_distance_sphere.cpp:50-51 passes a_val as lat1)."""
+    lat1, lat2 = math.radians(x1), math.radians(x2)
     dlat = lat2 - lat1
-    dlon = math.radians(x2 - x1)
+    dlon = math.radians(y2 - y1)
     h = math.sin(dlat / 2) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon / 2) ** 2
     return 2 * radius * math.asin(min(1.0, math.sqrt(h)))
 
@@ -718,10 +720,22 @@ def point_on_surface(g: Geometry) -> Geometry:
             if not p.is_empty():
                 return Geometry.point(float(p.coords[0]), float(p.coords[1]))
     if g.topo_dimension() == 1:
+        # GEOS InteriorPointLine: prefer interior VERTICES, fall back to
+        # endpoints; pick the candidate closest to the centroid (first wins
+        # ties) — postgis/st_pointonsurface.test
+        cen = centroid(g)
+        cx, cy = float(cen.coords[0]), float(cen.coords[1])
+        interior: List = []
+        ends: List = []
         for p in g.flatten():
             if p.type_id == LINESTRING and len(p.coords) >= 2:
-                mid = (p.coords[0, :2] + p.coords[1, :2]) / 2.0
-                return Geometry.point(float(mid[0]), float(mid[1]))
+                interior.extend(tuple(v[:2]) for v in p.coords[1:-1])
+                ends.append(tuple(p.coords[0][:2]))
+                ends.append(tuple(p.coords[-1][:2]))
+        cands = interior or ends
+        if cands:
+            best = min(cands, key=lambda v: (v[0] - cx) ** 2 + (v[1] - cy) ** 2)
+            return Geometry.point(float(best[0]), float(best[1]))
     # polygon: scanline at mid-y of the largest part, take midpoint of widest
     # interior span
     best_poly = None
@@ -882,12 +896,25 @@ def force_dims(g: Geometry, want_z: bool, want_m: bool, z: float = 0.0, m: float
     return out
 
 
-def line_merge(g: Geometry) -> Geometry:
-    """Merge connected linestrings (GEOS LineMerger, undirected)."""
+def line_merge(g: Geometry, directed: bool = False) -> Geometry:
+    """Merge connected linestrings (GEOS LineMerger). ``directed`` only
+    joins a chain's END to another chain's START (no flipping)."""
     lines = [p for p in g.flatten() if p.type_id == LINESTRING and len(p.coords) >= 2]
     if not lines:
         return Geometry.empty(GEOMETRYCOLLECTION) if g.is_empty() else g
     chains = [l.coords[:, :2].copy() for l in lines]
+    # GEOS LineMerger: lines join only THROUGH nodes of degree exactly 2 —
+    # a 3-way junction stays a junction (postgis/st_linemerge.test)
+    from collections import defaultdict
+
+    deg: dict = defaultdict(int)
+    for c in chains:
+        deg[(float(c[0][0]), float(c[0][1]))] += 1
+        deg[(float(c[-1][0]), float(c[-1][1]))] += 1
+
+    def joinable(pt) -> bool:
+        return deg[(float(pt[0]), float(pt[1]))] == 2
+
     merged = True
     while merged:
         merged = False
@@ -905,13 +932,13 @@ def line_merge(g: Geometry) -> Geometry:
                     if used[j]:
                         continue
                     c = chains[j]
-                    if np.array_equal(cur[-1], c[0]):
+                    if np.array_equal(cur[-1], c[0]) and joinable(cur[-1]):
                         cur = np.vstack([cur, c[1:]])
-                    elif np.array_equal(cur[-1], c[-1]):
+                    elif not directed and np.array_equal(cur[-1], c[-1]) and joinable(cur[-1]):
                         cur = np.vstack([cur, c[::-1][1:]])
-                    elif np.array_equal(cur[0], c[-1]):
+                    elif np.array_equal(cur[0], c[-1]) and joinable(cur[0]):
                         cur = np.vstack([c, cur[1:]])
-                    elif np.array_equal(cur[0], c[0]):
+                    elif not directed and np.array_equal(cur[0], c[0]) and joinable(cur[0]):
                         cur = np.vstack([c[::-1], cur[1:]])
                     else:
                         continue
@@ -931,7 +958,12 @@ def collection_extract(g: Geometry, dim: Optional[int] = None) -> Geometry:
     of the requested dimension (1=point,2=line,3=polygon); default = highest
     present."""
     if dim is None:
-        dim = g.topo_dimension() + 1
+        # highest dimension among NON-EMPTY parts (st_collectionextract.test:
+        # EMPTY members don't count toward the auto dimension)
+        dims = [p.topo_dimension() for p in g.flatten() if not p.is_empty()]
+        if not dims:
+            return g
+        dim = max(dims) + 1
     want = {1: (POINT,), 2: (LINESTRING,), 3: (POLYGON,)}[dim]
     kept = [p for p in g.flatten() if p.type_id in want]
     if g.parts is None:  # non-collection: passthrough if matching else EMPTY

@@ -116,6 +116,13 @@ def _read_geom(r: _Reader) -> Geometry:
 def from_wkb(buf: Optional[bytes]) -> Optional[Geometry]:
     if buf is None:
         return None
+    if isinstance(buf, str):
+        # implicit VARCHAR→GEOMETRY cast, part of the reference's cast
+        # lattice (varchar_cast.cpp:370-389: the WKT cast is implicit and
+        # cost-1, so every geometry function accepts strings)
+        from .wkt import from_wkt
+
+        return from_wkt(buf)
     return _read_geom(_Reader(bytes(buf)))
 
 

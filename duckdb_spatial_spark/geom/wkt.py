@@ -146,11 +146,15 @@ def _parse_geom(tk: _Tokens) -> Geometry:
         tk.expect("(")
         parts = []
         while True:
-            parts.append(
-                Geometry(
-                    LINESTRING, coords=_parse_coord_seq(tk, dim), has_z=has_z, has_m=has_m
+            if tk.peek().upper() == "EMPTY":
+                tk.next()
+                parts.append(Geometry.empty(LINESTRING, has_z, has_m))
+            else:
+                parts.append(
+                    Geometry(
+                        LINESTRING, coords=_parse_coord_seq(tk, dim), has_z=has_z, has_m=has_m
+                    )
                 )
-            )
             if tk.next() == ")":
                 break
         return Geometry(MULTILINESTRING, parts=parts, has_z=has_z, has_m=has_m)
@@ -158,13 +162,17 @@ def _parse_geom(tk: _Tokens) -> Geometry:
         tk.expect("(")
         parts = []
         while True:
-            tk.expect("(")
-            rings = []
-            while True:
-                rings.append(_parse_coord_seq(tk, dim))
-                if tk.next() == ")":
-                    break
-            parts.append(Geometry(POLYGON, rings=rings, has_z=has_z, has_m=has_m))
+            if tk.peek().upper() == "EMPTY":
+                tk.next()
+                parts.append(Geometry.empty(POLYGON, has_z, has_m))
+            else:
+                tk.expect("(")
+                rings = []
+                while True:
+                    rings.append(_parse_coord_seq(tk, dim))
+                    if tk.next() == ")":
+                        break
+                parts.append(Geometry(POLYGON, rings=rings, has_z=has_z, has_m=has_m))
             if tk.next() == ")":
                 break
         return Geometry(MULTIPOLYGON, parts=parts, has_z=has_z, has_m=has_m)
@@ -184,6 +192,11 @@ def _parse_geom(tk: _Tokens) -> Geometry:
 def from_wkt(s: str) -> Geometry:
     if s is None:
         return None
+    s = s.strip()
+    if s[:5].upper() == "SRID=":
+        # EWKT prefix: the reference parses and drops the SRID
+        # (test/sql/geometry/st_geomfromtext.test)
+        s = s.split(";", 1)[1]
     tk = _Tokens(s)
     g = _parse_geom(tk)
     if tk.peek():

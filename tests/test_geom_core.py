@@ -192,7 +192,7 @@ def test_haversine():
 
 def test_envelope_boundary():
     g = from_wkt("LINESTRING (0 0, 5 5, 10 0)")
-    assert to_wkt(K.envelope(g)) == "POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))"
+    assert to_wkt(K.envelope(g)) == "POLYGON ((0 0, 0 5, 10 5, 10 0, 0 0))"
     b = K.boundary(from_wkt("LINESTRING (0 0, 1 1, 2 2)"))
     assert to_wkt(b) == "MULTIPOINT (0 0, 2 2)"
     b = K.boundary(from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))"))
