@@ -116,6 +116,31 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("ST_Buffer", _buffer3)
 
     @pandas_udf(T.BinaryType())
+    def _buffer6(g: pd.Series, dist: pd.Series, segs: pd.Series,
+                 join_style: pd.Series, cap_style: pd.Series,
+                 mitre_limit: pd.Series) -> pd.Series:
+        # the reference's full overload: (geom, distance, num_triangles,
+        # join_style, cap_style, mitre_limit) — st_buffer.cpp:134
+        from ..geom import kernels as _K
+        from ..geom.wkb import from_wkb, to_wkb
+
+        out = []
+        for b, d, n, js, cs, ml in zip(g, dist, segs, join_style, cap_style,
+                                       mitre_limit):
+            if b is None or d is None:
+                out.append(None)
+                continue
+            cap = ("round" if cs is None else str(cs)).lower().replace("cap_", "")
+            join = ("round" if js is None else str(js)).lower()
+            join = join.replace("join_", "").replace("miter", "mitre")
+            out.append(to_wkb(_K.buffer(
+                from_wkb(b), float(d), 8 if n is None else int(n), cap, join,
+                1.0 if ml is None else float(ml))))
+        return pd.Series(out, dtype=object)
+
+    reg("ST_Buffer_Style", _buffer6)
+
+    @pandas_udf(T.BinaryType())
     def _reduceprecision2(g: pd.Series, grid: pd.Series) -> pd.Series:
         from ..geom import kernels as _K
         from ..geom.wkb import from_wkb, to_wkb

@@ -1383,14 +1383,21 @@ def st_removerepeatedpoints(geom: ColumnOrName, tol: float = 0.0) -> Column:
 
 
 def st_buffer(geom: ColumnOrName, dist, segments: int = 8,
-              cap_style: str = "round") -> Column:
-    """ST_Buffer (geos/.../st_buffer.cpp). ``cap_style``: 'round' (default) /
-    'flat' / 'square' — the reference's CAP_* styles; joins are round."""
+              cap_style: str = "round", join_style: str = "round",
+              mitre_limit: float = 1.0) -> Column:
+    """ST_Buffer (geos/.../st_buffer.cpp:64-134). ``cap_style``: 'round'
+    (default) / 'flat' / 'square'; ``join_style``: 'round' (default) /
+    'mitre' / 'bevel'; ``mitre_limit`` (reference default 1.0) — the
+    reference's CAP_* / JOIN_* styles."""
     d = float(dist)
     seg = int(segments)
     cap = cap_style.lower().replace("cap_", "")
     if cap not in ("round", "flat", "square"):
         raise ValueError(f"unsupported cap style {cap_style!r}")
+    join = join_style.lower().replace("join_", "").replace("miter", "mitre")
+    if join not in ("round", "mitre", "bevel"):
+        raise ValueError(f"unsupported join style {join_style!r}")
+    ml = float(mitre_limit)
     nv = max(4, 4 * seg)
     ang = np.linspace(0.0, 2.0 * math.pi, nv, endpoint=False)
     cos_a, sin_a = np.cos(ang), np.sin(ang)
@@ -1398,6 +1405,8 @@ def st_buffer(geom: ColumnOrName, dist, segments: int = 8,
     @pandas_udf(T.BinaryType())
     def f(s: pd.Series) -> pd.Series:
         mat = V.fixed_matrix(s) if (d > 0 and cap == "round") else None
+        # (point buffers have no joins — the vectorized circle tier below is
+        # join-style-independent)
         if mat is not None:
             pt = V.decode_points(mat)
             if pt is not None:
@@ -1415,7 +1424,7 @@ def st_buffer(geom: ColumnOrName, dist, segments: int = 8,
             if b is None:
                 out.append(None)
             else:
-                g = K.buffer(from_wkb(b), d, seg, cap)
+                g = K.buffer(from_wkb(b), d, seg, cap, join, ml)
                 out.append(None if g is None else to_wkb(g))
         return pd.Series(out, dtype=object)
 

@@ -1058,11 +1058,13 @@ def buffer_point(x: float, y: float, dist: float, segments: int = 8) -> Geometry
     return Geometry(POLYGON, rings=[ring])
 
 
-def buffer(g: Geometry, dist: float, segments: int = 8, cap: str = "round") -> Geometry:
-    """Full ST_Buffer (GEOS quadsegs convention; round/flat/square caps —
-    geos/.../st_buffer.cpp). Single positive-distance points keep the direct
-    n-gon fast path; everything else (lines, polygons, collections, negative
-    distances) runs the capsule-union/erosion engine in overlay.py."""
+def buffer(g: Geometry, dist: float, segments: int = 8, cap: str = "round",
+           join: str = "round", mitre_limit: float = 1.0) -> Geometry:
+    """Full ST_Buffer (GEOS quadsegs convention; round/flat/square caps,
+    round/mitre/bevel joins + mitre_limit — geos/.../st_buffer.cpp:64-104).
+    Single positive-distance points keep the direct n-gon fast path;
+    everything else (lines, polygons, collections, negative distances) runs
+    the capsule-union/erosion engine in overlay.py."""
     if g.is_empty():
         return Geometry.empty(POLYGON)
     if dist == 0:
@@ -1094,7 +1096,7 @@ def buffer(g: Geometry, dist: float, segments: int = 8, cap: str = "round") -> G
         return Geometry.empty(POLYGON)
     from .overlay import buffer_geometry
 
-    return buffer_geometry(g, dist, segments, cap)
+    return buffer_geometry(g, dist, segments, cap, join, mitre_limit)
 
 
 # ============================================================ overlay (box clipping tier)

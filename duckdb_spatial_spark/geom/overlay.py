@@ -531,23 +531,40 @@ def _accumulate_union(acc: List[np.ndarray], new_pieces: List[np.ndarray]) -> No
         acc.extend(_subtract_region([c], acc))
 
 
-def _boundary_capsules(g: Geometry, d: float, quad_segs: int) -> List[np.ndarray]:
+def _boundary_capsules(g: Geometry, d: float, quad_segs: int,
+                       join: str = "round",
+                       mitre_limit: float = 1.0) -> List[np.ndarray]:
     """Disk-buffer cover of every polygon ring of g: one rect per segment +
-    one disk per vertex (same union as per-segment capsules; rect-first
-    ordering keeps accumulated subtractions clipping against 4-gons)."""
+    one join piece per vertex (disk for round joins — same union as
+    per-segment capsules; mitre/bevel wedge otherwise; rect-first ordering
+    keeps accumulated subtractions clipping against 4-gons)."""
     rects: List[np.ndarray] = []
-    disks: List[np.ndarray] = []
+    joins: List[np.ndarray] = []
     for leaf in g.flatten():
         if leaf.type_id != POLYGON or not leaf.rings:
             continue
         for ring in leaf.rings:
             r = np.asarray(ring, dtype=np.float64)[:, :2]
-            for i in range(len(r) - 1):
+            nseg = len(r) - 1
+            for i in range(nseg):
                 rect = _seg_rect_piece(r[i], r[i + 1], d)
                 if rect is not None:
                     rects.append(rect)
-                disks.append(_circle_piece(float(r[i, 0]), float(r[i, 1]), d, quad_segs))
-    return rects + disks
+                if join == "round":
+                    joins.append(_circle_piece(float(r[i, 0]), float(r[i, 1]), d, quad_segs))
+            if join != "round" and nseg > 0:
+                dirs = _unit_dirs(r)
+                for i in range(nseg):
+                    # incoming edge wraps to the ring's last segment at i=0
+                    u1 = next((dirs[j % nseg] for j in range(i - 1, i - 1 - nseg, -1)
+                               if dirs[j % nseg] is not None), None)
+                    u2 = next((dirs[j % nseg] for j in range(i, i + nseg)
+                               if dirs[j % nseg] is not None), None)
+                    if u1 is not None and u2 is not None:
+                        jp = _join_piece(r[i], u1, u2, d, join, mitre_limit)
+                        if jp is not None:
+                            joins.append(jp)
+    return rects + joins
 
 
 def _rect_of(g: Geometry):
@@ -570,10 +587,13 @@ def _rect_of(g: Geometry):
     return float(xmin), float(ymin), float(xmax), float(ymax)
 
 
-def _buffer_rect(xmin, ymin, xmax, ymax, dist: float, quad_segs: int) -> List[np.ndarray]:
+def _buffer_rect(xmin, ymin, xmax, ymax, dist: float, quad_segs: int,
+                 join: str = "round",
+                 mitre_limit: float = 1.0) -> List[np.ndarray]:
     """Closed-form rectangle buffer as disjoint convex pieces — no clipping.
-    Dilation: core + 4 side rects + 4 corner quarter-n-gon fans; erosion:
-    the shrunk rect (or nothing)."""
+    Dilation: core + 4 side rects + 4 corner pieces (quarter-n-gon fan for
+    round joins, closed-form triangle/square wedge for bevel/mitre);
+    erosion: the shrunk rect (or nothing)."""
     if dist < 0:
         d = -dist
         if xmax - xmin <= 2 * d or ymax - ymin <= 2 * d:
@@ -596,9 +616,83 @@ def _buffer_rect(xmin, ymin, xmax, ymax, dist: float, quad_segs: int) -> List[np
     ]
     nseg = max(1, quad_segs)
     for cx, cy, a0 in corners:
-        arc = _arc_pts(cx, cy, d, a0, a0 + math.pi / 2, nseg)
-        pieces.append(np.vstack([[cx, cy], arc]))
+        if join == "round":
+            arc = _arc_pts(cx, cy, d, a0, a0 + math.pi / 2, nseg)
+            pieces.append(np.vstack([[cx, cy], arc]))
+        else:
+            # right-angle corner: outward unit dirs of the two meeting edges
+            c1 = np.array([cx + d * math.cos(a0), cy + d * math.sin(a0)])
+            c2 = np.array([cx + d * math.cos(a0 + math.pi / 2),
+                           cy + d * math.sin(a0 + math.pi / 2)])
+            v = np.array([cx, cy])
+            if join == "bevel":
+                pieces.append(_ccw(np.array([v, c1, c2])))
+            else:
+                u1 = (c2 - v) / d  # incoming edge direction at this corner
+                u2 = (v - c1) / d
+                jp = _join_piece(v, u1, u2, d, "mitre", mitre_limit)
+                if jp is not None:
+                    pieces.append(jp)
     return pieces
+
+
+def _join_piece(v, u1, u2, d: float, join: str,
+                mitre_limit: float) -> Optional[np.ndarray]:
+    """Convex CCW piece filling the wedge gap on the outer side of the turn
+    at vertex ``v`` between incoming unit direction ``u1`` and outgoing unit
+    direction ``u2`` — the reference's JOIN_MITRE / JOIN_BEVEL
+    (geos/.../st_buffer.cpp:78-79; mitre_limit semantics :104).  Bevel:
+    triangle (v, c1, c2) over the two offset corners.  Mitre: quad through
+    the offset-line intersection, clipped perpendicular to the bisector at
+    ``mitre_limit * d`` when the miter ratio exceeds the limit (GEOS
+    limited-mitre behavior)."""
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    if abs(cross) < 1e-15:
+        return None  # collinear (no gap) or 180-degree spike (zero-area miter)
+    if cross > 0:  # left turn: gap on the right side
+        n1 = np.array([u1[1], -u1[0]])
+        n2 = np.array([u2[1], -u2[0]])
+    else:
+        n1 = np.array([-u1[1], u1[0]])
+        n2 = np.array([-u2[1], u2[0]])
+    v = np.asarray(v, dtype=np.float64)
+    c1 = v + d * n1
+    c2 = v + d * n2
+    if join == "bevel":
+        return _ccw(np.array([v, c1, c2]))
+    bis = n1 + n2
+    nb = math.hypot(bis[0], bis[1])
+    if nb < 1e-12:
+        return _ccw(np.array([v, c1, c2]))
+    bis /= nb
+    cos_half = float(bis @ n1)  # = cos(theta/2), theta = turn angle
+    if cos_half < 1e-9:
+        return _ccw(np.array([v, c1, c2]))
+    if 1.0 / cos_half <= mitre_limit:
+        m = v + bis * (d / cos_half)
+        return _ccw(np.array([v, c1, m, c2]))
+    # limited mitre: cut the spike perpendicular to the bisector at
+    # distance mitre_limit*d from the vertex
+    t = mitre_limit * d
+    if t <= d * cos_half + 1e-12:
+        return _ccw(np.array([v, c1, c2]))
+    sin_half = float(np.asarray(u1, dtype=np.float64) @ bis)
+    if sin_half <= 1e-12:
+        return _ccw(np.array([v, c1, c2]))
+    s = (t - d * cos_half) / sin_half
+    m1 = c1 + s * np.asarray(u1, dtype=np.float64)
+    m2 = c2 - s * np.asarray(u2, dtype=np.float64)
+    return _ccw(np.array([v, c1, m1, m2, c2]))
+
+
+def _unit_dirs(r: np.ndarray) -> List[Optional[np.ndarray]]:
+    """Unit direction of each edge r[i]→r[i+1]; None for degenerate edges."""
+    out: List[Optional[np.ndarray]] = []
+    for i in range(len(r) - 1):
+        dx, dy = float(r[i + 1, 0] - r[i, 0]), float(r[i + 1, 1] - r[i, 1])
+        L = math.hypot(dx, dy)
+        out.append(None if L <= 0 else np.array([dx / L, dy / L]))
+    return out
 
 
 def _seg_rect_piece(p, q, d: float) -> Optional[np.ndarray]:
@@ -615,12 +709,14 @@ def _seg_rect_piece(p, q, d: float) -> Optional[np.ndarray]:
 
 
 def _line_buffer_pieces(r: np.ndarray, d: float, quad_segs: int,
-                        cap: str) -> List[np.ndarray]:
-    """Convex pieces buffering polyline r: per-segment rectangles, full
-    n-gon disks at interior vertices (round joins), and the selected cap at
-    each end — 'round' (disk), 'flat' (nothing), 'square' (d-extension).
-    The rect+disk decomposition yields the same union as per-segment
-    capsules (a capsule = rect + two half disks)."""
+                        cap: str, join: str = "round",
+                        mitre_limit: float = 1.0) -> List[np.ndarray]:
+    """Convex pieces buffering polyline r: per-segment rectangles, a join
+    piece at interior vertices (full n-gon disk for round joins, wedge fill
+    for mitre/bevel), and the selected cap at each end — 'round' (disk),
+    'flat' (nothing), 'square' (d-extension).  The rect+disk decomposition
+    yields the same union as per-segment capsules (a capsule = rect + two
+    half disks)."""
     pieces: List[np.ndarray] = []
     n = len(r)
     if n == 1 or (n > 1 and not np.any(np.ptp(r, axis=0))):
@@ -639,8 +735,17 @@ def _line_buffer_pieces(r: np.ndarray, d: float, quad_segs: int,
         rect = _seg_rect_piece(r[i], r[i + 1], d)
         if rect is not None:
             pieces.append(rect)
+    dirs = _unit_dirs(r) if join != "round" else None
     for i in range(1, n - 1):
-        pieces.append(_circle_piece(float(r[i, 0]), float(r[i, 1]), d, quad_segs))
+        if join == "round":
+            pieces.append(_circle_piece(float(r[i, 0]), float(r[i, 1]), d, quad_segs))
+        else:
+            u1 = next((dirs[j] for j in range(i - 1, -1, -1) if dirs[j] is not None), None)
+            u2 = next((dirs[j] for j in range(i, n - 1) if dirs[j] is not None), None)
+            if u1 is not None and u2 is not None:
+                jp = _join_piece(r[i], u1, u2, d, join, mitre_limit)
+                if jp is not None:
+                    pieces.append(jp)
     for end, nbr in ((0, 1), (n - 1, n - 2)):
         if cap == "round":
             pieces.append(_circle_piece(float(r[end, 0]), float(r[end, 1]), d, quad_segs))
@@ -657,13 +762,15 @@ def _line_buffer_pieces(r: np.ndarray, d: float, quad_segs: int,
 
 
 def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8,
-                    cap: str = "round") -> Geometry:
+                    cap: str = "round", join: str = "round",
+                    mitre_limit: float = 1.0) -> Geometry:
     """Full ST_Buffer for any geometry, positive or negative distance.
-    Line end-cap styles: 'round' (default), 'flat', 'square' (the
-    reference's CAP_ROUND/CAP_FLAT/CAP_SQUARE, st_buffer.cpp 5-arg
-    overload); joins are round. Returns a region (POLYGON/MULTIPOLYGON of
-    disjoint convex pieces) — area-exact vs the closed-form n-gon formulas
-    (see tests)."""
+    Line end-cap styles: 'round' (default), 'flat', 'square'; join styles
+    'round' (default), 'mitre', 'bevel' with GEOS limited-mitre clipping at
+    ``mitre_limit`` (the reference's CAP_*/JOIN_* styles and mitre_limit,
+    geos/.../st_buffer.cpp:74-79,104). Returns a region
+    (POLYGON/MULTIPOLYGON of disjoint convex pieces) — area-exact vs the
+    closed-form n-gon formulas (see tests)."""
     from .core import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT
 
     if g.is_empty():
@@ -672,7 +779,7 @@ def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8,
         return g
     rect = _rect_of(g)
     if rect is not None:
-        pieces = _buffer_rect(*rect, dist, quad_segs)
+        pieces = _buffer_rect(*rect, dist, quad_segs, join, mitre_limit)
         if not pieces:
             return Geometry.empty(POLYGON)
         return _pieces_to_geometry(pieces)
@@ -695,17 +802,20 @@ def buffer_geometry(g: Geometry, dist: float, quad_segs: int = 8,
                     ])
             elif leaf.type_id == LINESTRING and len(leaf.coords) > 0:
                 r = np.asarray(leaf.coords, dtype=np.float64)[:, :2]
-                for piece in _line_buffer_pieces(r, dist, quad_segs, cap):
+                for piece in _line_buffer_pieces(r, dist, quad_segs, cap,
+                                                 join, mitre_limit):
                     _accumulate_union(acc, [piece])
             elif leaf.type_id == POLYGON and leaf.rings:
                 _accumulate_union(acc, region_pieces(leaf))
-                _accumulate_union(acc, _boundary_capsules(leaf, dist, quad_segs))
+                _accumulate_union(acc, _boundary_capsules(
+                    leaf, dist, quad_segs, join, mitre_limit))
     else:
         # erosion: only 2-dimensional parts survive a negative buffer
         pieces = region_pieces(g)
         if not pieces:
             return Geometry.empty(POLYGON)
-        acc = _subtract_region(pieces, _boundary_capsules(g, -dist, quad_segs))
+        acc = _subtract_region(pieces, _boundary_capsules(
+            g, -dist, quad_segs, join, mitre_limit))
 
     if not acc:
         return Geometry.empty(POLYGON)

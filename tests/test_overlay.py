@@ -218,3 +218,45 @@ def test_buffer_rect_matches_general_path():
     a_rot = A(K.buffer(rot, 1.5))
     assert a_rot == pytest.approx(100 + 1.5 * 40 + 0.5 * 32 * 1.5**2
                                   * math.sin(2 * math.pi / 32), rel=1e-6)
+
+
+def test_buffer_join_styles_rect():
+    # mitre join on a rectangle = the rectangle expanded d on every side
+    box = from_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")
+    assert A(K.buffer(box, 2.0, join="mitre", mitre_limit=5.0)) == pytest.approx(
+        14 * 10)
+    # bevel join: expanded sides + 4 corner triangles of area d²/2
+    assert A(K.buffer(box, 2.0, join="bevel")) == pytest.approx(
+        60 + 2 * 2 * (10 + 6) + 4 * 0.5 * 4)
+    # mitre_limit 1.0 (reference default) clips the right-angle miter at
+    # distance d from the corner — chops the spike beyond the bevel line
+    a_lim = A(K.buffer(box, 2.0, join="mitre", mitre_limit=1.0))
+    assert 60 + 64 + 8 < a_lim < 140
+    # erosion is join-independent for a rectangle
+    assert A(K.buffer(box, -1.0, join="mitre", mitre_limit=5.0)) == pytest.approx(32)
+
+
+def test_buffer_join_styles_line():
+    # right-angle polyline, flat caps: the two segment rects (2d wide)
+    # overlap in a d×d square; mitre fills the d×d outer corner square
+    ln = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    d = 2.0
+    assert A(K.buffer(ln, d, cap="flat", join="mitre", mitre_limit=5.0)) == \
+        pytest.approx(2 * d * 10 + 2 * d * 10 - d * d + d * d)
+    # bevel: only half the outer corner square (triangle to the bevel edge)
+    assert A(K.buffer(ln, d, cap="flat", join="bevel")) == pytest.approx(
+        2 * d * 10 + 2 * d * 10 - d * d + d * d / 2)
+
+
+def test_buffer_join_general_path_rotated():
+    # rotated square (general path): mitre join = exact offset square
+    rot = from_wkt(
+        "POLYGON ((0 0, 7.0710678 7.0710678, 0 14.1421356, "
+        "-7.0710678 7.0710678, 0 0))"
+    )  # 10×10 square rotated 45°
+    a = A(K.buffer(rot, 1.5, join="mitre", mitre_limit=5.0))
+    assert a == pytest.approx(13 * 13, rel=1e-6)
+    # bevel corner triangle at a right angle: d^2*sin(90)/2 = d^2/2 each
+    a_b = A(K.buffer(rot, 1.5, join="bevel"))
+    assert a_b == pytest.approx(100 + 1.5 * 40 + 4 * 0.5 * 1.5 ** 2,
+                                rel=1e-6)
