@@ -1101,6 +1101,25 @@ def q61_rtree_points(spark: SparkSession, sf: str) -> DataFrame:
     return pts.filter(inside).agg(F.count("*").alias("n"))
 
 
+def q62_buffer_joinstyles(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Buffer mitre/bevel join styles (geos/.../st_buffer.cpp:74-79,104
+    JOIN_MITRE/JOIN_BEVEL + mitre_limit): for an axis-aligned W×H box with
+    d=2, mitre (limit ≥ √2) = (W+2d)(H+2d); bevel cuts 4 corner triangles
+    of d²/2 each → −2d² (closed-form oracle)."""
+    part = load_table(spark, sf, "part")
+    w = F.col("p_size").cast("double") + 4.0
+    h = (F.col("p_partkey") % 7).cast("double") + 5.0
+    box = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), w, h)
+    mit = ST.st_area(ST.st_buffer(box, 2.0, segments=8,
+                                  join_style="mitre", mitre_limit=5.0))
+    bev = ST.st_area(ST.st_buffer(box, 2.0, segments=8, join_style="bevel"))
+    return part.agg(
+        F.round(F.sum(mit), 2).alias("mitre_sum"),
+        F.round(F.sum(bev), 2).alias("bevel_sum"),
+        F.count("*").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_point_in_envelope": q01_point_in_envelope,
@@ -1164,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_reduceprecision": q59_reduceprecision,
         "q60_spheroid": q60_spheroid,
         "q61_rtree_points": q61_rtree_points,
+        "q62_buffer_joinstyles": q62_buffer_joinstyles,
     }
 
 
@@ -1580,6 +1600,15 @@ def oracle_sql() -> dict[str, str]:
         "q52_buffer_polygon": """
             SELECT round(sum(w*h + 2.0*(w+h)*2.0 + 0.5*32*4.0*sin(2*pi()/32)), 2) AS dilate_sum,
                    round(sum((w-4.0)*(h-4.0)), 2) AS erode_sum,
+                   count(*) AS n
+            FROM (
+                SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
+                FROM part
+            )
+        """,
+        "q62_buffer_joinstyles": """
+            SELECT round(sum((w+4.0)*(h+4.0)), 2) AS mitre_sum,
+                   round(sum((w+4.0)*(h+4.0) - 8.0), 2) AS bevel_sum,
                    count(*) AS n
             FROM (
                 SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
