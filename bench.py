@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# dev aids (driver always runs with defaults): argv names restrict the query
+# set; SPARK_GRAFT_VERBOSE=1 prints every attempt's time to stderr
+ONLY = set(sys.argv[1:])
+VERBOSE = os.environ.get("SPARK_GRAFT_VERBOSE") == "1"
 
 
 def main() -> None:
@@ -42,6 +46,10 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
         .config("spark.driver.memory", "16g")
+        # 62 queries × giant whole-stage-codegen classes overflow the JVM's
+        # default 240MB code cache mid-run; once "CodeCache is full" hits,
+        # the JIT disables and every later query runs interpreted (~5×).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .appName("duckdb-spatial-spark-bench")
         .getOrCreate()
@@ -105,6 +113,8 @@ def main() -> None:
     # GC/OS hiccups that would randomly inflate one query per run; the min is
     # the reproducible steady-state number.
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         best = None
         for _attempt in range(2):
             t0 = time.perf_counter()
@@ -112,6 +122,8 @@ def main() -> None:
                 rows = fn(spark, SF_DIR).collect()
                 _ = len(rows)
                 dt = time.perf_counter() - t0
+                if VERBOSE:
+                    print(f"# {name} attempt{_attempt}: {dt:.2f}s", file=sys.stderr)
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # keep the bench line parseable on failure
                 best = -1.0
