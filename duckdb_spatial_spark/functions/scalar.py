@@ -189,6 +189,14 @@ def _binary_geom_pred(fn, pred_name: Optional[str] = None):
                     )
                     if res is not None:
                         return pd.Series(res)
+                la, lb = V.decode_linestrings(ma), V.decode_linestrings(mb)
+                if (
+                    la is not None and lb is not None
+                    and la.shape[1] == 2 and lb.shape[1] == 2
+                ):
+                    res = V.seg_predicate(pred_name, la, lb)
+                    if res is not None:
+                        return pd.Series(res)
         out = []
         for ba, bb in zip(a, b):
             if ba is None or bb is None:
@@ -1404,10 +1412,16 @@ def st_buffer(geom: ColumnOrName, dist, segments: int = 8,
 
     @pandas_udf(T.BinaryType())
     def f(s: pd.Series) -> pd.Series:
-        mat = V.fixed_matrix(s) if (d > 0 and cap == "round") else None
+        mat = V.fixed_matrix(s)
+        if mat is not None:
+            rb = V.rect_bounds(mat)
+            if rb is not None:
+                enc = V.buffer_rects(rb, d, seg, join, ml)
+                if enc is not None:
+                    return pd.Series(enc, dtype=object)
         # (point buffers have no joins — the vectorized circle tier below is
         # join-style-independent)
-        if mat is not None:
+        if mat is not None and d > 0 and cap == "round":
             pt = V.decode_points(mat)
             if pt is not None:
                 # vectorized circle approximation — same vertices as

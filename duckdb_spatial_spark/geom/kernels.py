@@ -516,8 +516,41 @@ def crosses(a: Geometry, b: Geometry) -> bool:
     return cross
 
 
+def _seg_collinear_overlap(p0, p1, q0, q1) -> bool:
+    """Segments lie on one line and share a positive-length interval."""
+    if _orient(p0[0], p0[1], p1[0], p1[1], q0[0], q0[1]) != 0:
+        return False
+    if _orient(p0[0], p0[1], p1[0], p1[1], q1[0], q1[1]) != 0:
+        return False
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    ll = dx * dx + dy * dy
+    if ll == 0.0:
+        return False
+    t0 = ((q0[0] - p0[0]) * dx + (q0[1] - p0[1]) * dy) / ll
+    t1 = ((q1[0] - p0[0]) * dx + (q1[1] - p0[1]) * dy) / ll
+    lo, hi = (t0, t1) if t0 <= t1 else (t1, t0)
+    return min(1.0, hi) - max(0.0, lo) > 0.0
+
+
+def _share_1d(a: Geometry, b: Geometry) -> bool:
+    """Any collinear positive-length shared portion between paths of a, b."""
+    for arr_a in a.vertex_arrays():
+        if len(arr_a) < 2:
+            continue
+        for arr_b in b.vertex_arrays():
+            if len(arr_b) < 2:
+                continue
+            for p0, p1 in _segs(arr_a):
+                for q0, q1 in _segs(arr_b):
+                    if _seg_collinear_overlap(p0, p1, q0, q1):
+                        return True
+    return False
+
+
 def overlaps(a: Geometry, b: Geometry) -> bool:
-    """Same dimension, interiors intersect, neither contains the other."""
+    """Same dimension, interiors intersect in that same dimension, neither
+    contains the other (DE-9IM: lines crossing at a point are `crosses`,
+    not overlaps — dim(int∩int) must be 1 for 1D inputs)."""
     if a is None or b is None or a.is_empty() or b.is_empty():
         return False
     if a.topo_dimension() != b.topo_dimension():
@@ -526,6 +559,8 @@ def overlaps(a: Geometry, b: Geometry) -> bool:
         return False
     if contains(a, b) or contains(b, a) or touches(a, b):
         return False
+    if a.topo_dimension() == 1:
+        return _share_1d(a, b)
     return True
 
 

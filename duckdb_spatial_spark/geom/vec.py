@@ -188,6 +188,125 @@ def rect_bounds(mat: np.ndarray) -> Optional[np.ndarray]:
     return np.stack([xmin, ymin, xmax, ymax], axis=1)
 
 
+def seg_predicate(pred: str, A: np.ndarray, B: np.ndarray) -> Optional[np.ndarray]:
+    """Closed-form topological predicates between uniform batches of 2-point
+    segments (``A``/``B`` = (n, 2, 2) coords). Only claims the batch when no
+    pair is parallel/degenerate (cross of directions ≠ 0 everywhere) — there
+    a segment pair meets in at most one point, so every DE-9IM predicate
+    reduces to orientation tests: crosses = proper interior crossing,
+    touches = meeting at an endpoint, equals/contains/overlaps/… = False
+    (they all require collinearity). Exact same float math (cross-product
+    orientations) as the per-row kernels."""
+    if pred not in _RECT_PREDS and pred != "intersects":
+        return None
+    a0, a1 = A[:, 0], A[:, 1]
+    b0, b1 = B[:, 0], B[:, 1]
+    r = a1 - a0
+    s = b1 - b0
+    rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    if bool((rxs == 0).any()):
+        return None  # parallel/collinear/degenerate rows → per-row kernels
+
+    def orient(p, q, t):
+        return (q[:, 0] - p[:, 0]) * (t[:, 1] - p[:, 1]) - \
+               (q[:, 1] - p[:, 1]) * (t[:, 0] - p[:, 0])
+
+    def on_seg(p, q, t):
+        # collinear point t within segment p→q (bounding-box containment)
+        return (
+            (t[:, 0] >= np.minimum(p[:, 0], q[:, 0]))
+            & (t[:, 0] <= np.maximum(p[:, 0], q[:, 0]))
+            & (t[:, 1] >= np.minimum(p[:, 1], q[:, 1]))
+            & (t[:, 1] <= np.maximum(p[:, 1], q[:, 1]))
+        )
+
+    o1 = orient(a0, a1, b0)
+    o2 = orient(a0, a1, b1)
+    o3 = orient(b0, b1, a0)
+    o4 = orient(b0, b1, a1)
+    proper = (o1 * o2 < 0) & (o3 * o4 < 0)
+    touching = (
+        ((o1 == 0) & on_seg(a0, a1, b0))
+        | ((o2 == 0) & on_seg(a0, a1, b1))
+        | ((o3 == 0) & on_seg(b0, b1, a0))
+        | ((o4 == 0) & on_seg(b0, b1, a1))
+    )
+    inter = proper | touching
+    if pred == "intersects":
+        return inter
+    if pred == "disjoint":
+        return ~inter
+    if pred == "crosses":
+        return proper
+    if pred == "touches":
+        return touching
+    # equals / contains / containsproperly / within / covers / coveredby /
+    # overlaps all require the segments to be collinear — excluded above
+    return np.zeros(len(A), dtype=bool)
+
+
+def buffer_rects(rb: np.ndarray, d: float, quad_segs: int, join: str,
+                 mitre_limit: float) -> Optional[List[bytes]]:
+    """Closed-form ST_Buffer of a uniform batch of axis-aligned rectangles
+    (``rb`` = (n, 4) [xmin ymin xmax ymax]) for every join style — the
+    batch analog of overlay._buffer_rect. Dilation: expanded rect (mitre,
+    limit ≥ √2), corner-beveled octagon (bevel), or 4-arc rounded rect
+    (round, quad_segs per corner). Erosion: shrunk rect when every row
+    survives. Returns None for cases the caller must run per-row
+    (limited mitre below √2, any-empty erosion, d == 0)."""
+    import math
+
+    xmin, ymin, xmax, ymax = rb[:, 0], rb[:, 1], rb[:, 2], rb[:, 3]
+    n = len(rb)
+    if d == 0:
+        return None
+    if d < 0:
+        dd = -d
+        if not bool(((xmax - xmin > 2 * dd) & (ymax - ymin > 2 * dd)).all()):
+            return None
+        ring = np.empty((n, 5, 2))
+        ring[:, 0] = ring[:, 4] = np.stack([xmin + dd, ymin + dd], axis=1)
+        ring[:, 1] = np.stack([xmax - dd, ymin + dd], axis=1)
+        ring[:, 2] = np.stack([xmax - dd, ymax - dd], axis=1)
+        ring[:, 3] = np.stack([xmin + dd, ymax - dd], axis=1)
+        return encode_polygons_1ring(ring)
+    if join == "mitre":
+        if mitre_limit < math.sqrt(2.0):
+            return None
+        ring = np.empty((n, 5, 2))
+        ring[:, 0] = ring[:, 4] = np.stack([xmin - d, ymin - d], axis=1)
+        ring[:, 1] = np.stack([xmax + d, ymin - d], axis=1)
+        ring[:, 2] = np.stack([xmax + d, ymax + d], axis=1)
+        ring[:, 3] = np.stack([xmin - d, ymax + d], axis=1)
+        return encode_polygons_1ring(ring)
+    if join == "bevel":
+        ring = np.empty((n, 9, 2))
+        ring[:, 0] = ring[:, 8] = np.stack([xmin, ymin - d], axis=1)
+        ring[:, 1] = np.stack([xmax, ymin - d], axis=1)
+        ring[:, 2] = np.stack([xmax + d, ymin], axis=1)
+        ring[:, 3] = np.stack([xmax + d, ymax], axis=1)
+        ring[:, 4] = np.stack([xmax, ymax + d], axis=1)
+        ring[:, 5] = np.stack([xmin, ymax + d], axis=1)
+        ring[:, 6] = np.stack([xmin - d, ymax], axis=1)
+        ring[:, 7] = np.stack([xmin - d, ymin], axis=1)
+        return encode_polygons_1ring(ring)
+    # round: CCW ring of 4 sides + 4 quarter arcs, quad_segs segments each
+    qs = max(1, int(quad_segs))
+    npts = 4 * (qs + 1) + 1
+    ring = np.empty((n, npts, 2))
+    ring[:, 0] = np.stack([xmin, ymin - d], axis=1)
+    t = np.linspace(0.0, math.pi / 2, qs + 1)
+    pos = 1
+    for cx, cy, a0 in ((xmax, ymin, -math.pi / 2), (xmax, ymax, 0.0),
+                       (xmin, ymax, math.pi / 2), (xmin, ymin, math.pi)):
+        ang = a0 + t
+        ring[:, pos:pos + qs + 1, 0] = cx[:, None] + d * np.cos(ang)[None, :]
+        ring[:, pos:pos + qs + 1, 1] = cy[:, None] + d * np.sin(ang)[None, :]
+        pos += qs + 1
+    ring[:, -1] = ring[:, 0]
+    return encode_polygons_1ring(ring)
+
+
 def point_bounds(mat: np.ndarray) -> Optional[np.ndarray]:
     """(n, 4) degenerate bounds for a uniform XY point batch."""
     pt = decode_points(mat)

@@ -298,3 +298,41 @@ def test_dwithin():
     b = from_wkt("POINT (3 4)")
     assert K.dwithin(a, b, 5.0)
     assert not K.dwithin(a, b, 4.99)
+
+
+def test_seg_predicate_matches_kernels():
+    # vectorized 2-point-segment tier vs per-row kernels on random pairs
+    from duckdb_spatial_spark.geom import vec as V
+    from duckdb_spatial_spark.geom.core import LINESTRING
+
+    rng = np.random.default_rng(7)
+    n = 400
+    A = rng.integers(-4, 5, size=(n, 2, 2)).astype(float)
+    B = rng.integers(-4, 5, size=(n, 2, 2)).astype(float)
+    r = A[:, 1] - A[:, 0]
+    s = B[:, 1] - B[:, 0]
+    ok = (r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]) != 0
+    A, B = A[ok], B[ok]
+    kern = {
+        "intersects": K.intersects, "disjoint": K.disjoint,
+        "crosses": K.crosses, "touches": K.touches, "equals": K.equals,
+        "contains": K.contains, "within": K.within,
+        "covers": K.covers, "coveredby": K.covered_by,
+        "overlaps": K.overlaps,
+    }
+    for pred, fn in kern.items():
+        got = V.seg_predicate(pred, A, B)
+        assert got is not None
+        for i in range(len(A)):
+            ga = from_wkt(f"LINESTRING ({A[i,0,0]} {A[i,0,1]}, {A[i,1,0]} {A[i,1,1]})")
+            gb = from_wkt(f"LINESTRING ({B[i,0,0]} {B[i,0,1]}, {B[i,1,0]} {B[i,1,1]})")
+            assert bool(got[i]) == bool(fn(ga, gb)), (
+                pred, A[i].tolist(), B[i].tolist())
+
+
+def test_seg_predicate_declines_parallel():
+    from duckdb_spatial_spark.geom import vec as V
+
+    A = np.array([[[0.0, 0.0], [1.0, 0.0]]])
+    B = np.array([[[0.0, 1.0], [1.0, 1.0]]])
+    assert V.seg_predicate("intersects", A, B) is None
