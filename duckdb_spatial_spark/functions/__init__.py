@@ -335,3 +335,344 @@ def register_sql_functions(spark: SparkSession) -> None:
         return pd.Series(out)
 
     reg("ST_HilbertInt", _hilbert)
+
+    # ---- remaining reference SQL surface (parity audit vs the reference's
+    # registration lists: st_xyzm.cpp bounds accessors, simplify tier,
+    # proj/functions.cpp, geographiclib tier, st_point.cpp struct
+    # constructors, aggregate fns)
+    from_wkb, to_wkb = S.from_wkb, S.to_wkb
+
+    def _bounds_sql(idx):
+        @pandas_udf(T.DoubleType())
+        def f(g: pd.Series) -> pd.Series:
+            out = []
+            for b in g:
+                bd = None if b is None else from_wkb(b).bounds()
+                out.append(None if bd is None else float(bd[idx]))
+            return pd.Series(out)
+
+        return f
+
+    reg("ST_XMin", _bounds_sql(0))
+    reg("ST_YMin", _bounds_sql(1))
+    reg("ST_XMax", _bounds_sql(2))
+    reg("ST_YMax", _bounds_sql(3))
+
+    @pandas_udf(S.BOX2D_TYPE)
+    def _extent_approx(g: pd.Series) -> pd.DataFrame:
+        # float32-widened bounds — the reference's BOX_2DF cached-bbox tier
+        # (ST_Extent_Approx, st_extent.cpp): min rounds down, max rounds up
+        import numpy as np
+
+        rows = []
+        for b in g:
+            bd = None if b is None else from_wkb(b).bounds()
+            if bd is None:
+                rows.append((None, None, None, None))
+            else:
+                rows.append((
+                    float(np.nextafter(np.float32(bd[0]), -np.inf)),
+                    float(np.nextafter(np.float32(bd[1]), -np.inf)),
+                    float(np.nextafter(np.float32(bd[2]), np.inf)),
+                    float(np.nextafter(np.float32(bd[3]), np.inf)),
+                ))
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    reg("ST_Extent_Approx", _extent_approx)
+
+    def _geom_tol(kernel):
+        @pandas_udf(T.BinaryType())
+        def f(g: pd.Series, tol: pd.Series) -> pd.Series:
+            out = []
+            for b, t in zip(g, tol):
+                if b is None or t is None:
+                    out.append(None)
+                else:
+                    r = kernel(from_wkb(b), float(t))
+                    out.append(None if r is None else to_wkb(r))
+            return pd.Series(out, dtype=object)
+
+        return f
+
+    from ..geom import kernels as _K
+
+    reg("ST_Simplify", _geom_tol(_K.simplify))
+    reg("ST_SimplifyPreserveTopology", _geom_tol(_K.simplify))
+    reg("ST_RemoveRepeatedPoints", _geom_tol(_K.remove_repeated_points))
+
+    @pandas_udf(T.BinaryType())
+    def _force3dz(g: pd.Series, z: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else to_wkb(_K.force_dims(from_wkb(b), True, False, z=float(v or 0.0)))
+             for b, v in zip(g, z)], dtype=object)
+
+    @pandas_udf(T.BinaryType())
+    def _force3dm(g: pd.Series, m: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else to_wkb(_K.force_dims(from_wkb(b), False, True, m=float(v or 0.0)))
+             for b, v in zip(g, m)], dtype=object)
+
+    @pandas_udf(T.BinaryType())
+    def _force4d(g: pd.Series, z: pd.Series, m: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else to_wkb(_K.force_dims(
+                from_wkb(b), True, True, z=float(v or 0.0), m=float(w or 0.0)))
+             for b, v, w in zip(g, z, m)], dtype=object)
+
+    reg("ST_Force3DZ", _force3dz)
+    reg("ST_Force3DM", _force3dm)
+    reg("ST_Force4D", _force4d)
+
+    @pandas_udf(T.StringType())
+    def _quadkey_geom(g: pd.Series, level: pd.Series) -> pd.Series:
+        # geometry (point) overload, st_quadkey.cpp:62-99
+        out = []
+        for b, lv in zip(g, level):
+            if b is None or lv is None:
+                out.append(None)
+                continue
+            p = from_wkb(b)
+            if p.type_id != 1 or p.is_empty():
+                out.append(None)
+                continue
+            out.append(_quadkey_py(float(p.coords[0]), float(p.coords[1]), int(lv)))
+        return pd.Series(out, dtype=object)
+
+    reg("ST_QuadKey", _quadkey_geom)
+
+    @pandas_udf(T.LongType())
+    def _hilbert_geom_box(g: pd.Series, box: pd.DataFrame) -> pd.Series:
+        # (GEOMETRY, BOX_2D) overload: index of the bbox center within the
+        # given bounds (st_hilbert.cpp:126-149), order 16
+        hi = (1 << 16) - 1
+        out = []
+        for b, (bx0, by0, bx1, by1) in zip(
+            g, zip(box["xmin"], box["ymin"], box["xmax"], box["ymax"])
+        ):
+            if b is None or bx0 is None:
+                out.append(None)
+                continue
+            bd = from_wkb(b).bounds()
+            if bd is None or bx1 == bx0 or by1 == by0:
+                out.append(None)
+                continue
+            cx = bd[0] + (bd[2] - bd[0]) / 2
+            cy = bd[1] + (bd[3] - bd[1]) / 2
+            xi = min(max(int((cx - bx0) / (bx1 - bx0) * hi), 0), hi)
+            yi = min(max(int((cy - by0) / (by1 - by0) * hi), 0), hi)
+            out.append(S.hilbert_xy_py(16, xi, yi))
+        return pd.Series(out)
+
+    reg("ST_Hilbert", _hilbert_geom_box)
+
+    @pandas_udf(T.BinaryType())
+    def _transform3(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+        # per-batch transformer cache keyed on (src, dst) — the Spark analog
+        # of the reference's per-local-state PROJ cache (functions.cpp)
+        from ..geom.proj import native_transform
+
+        cache: dict = {}
+        out = []
+        for b, s_, d_ in zip(g, src, dst):
+            if b is None or s_ is None or d_ is None:
+                out.append(None)
+                continue
+            key = (str(s_).upper(), str(d_).upper())
+            if key[0] == key[1]:
+                out.append(b)
+                continue
+            fn = cache.get(key)
+            if fn is None:
+                fn = S._NATIVE_TRANSFORMS.get(key) or native_transform(*key)
+                if fn is None:
+                    raise NotImplementedError(
+                        f"ST_Transform {key[0]}->{key[1]}: outside the native CRS registry"
+                    )
+                cache[key] = fn
+            out.append(to_wkb(from_wkb(b).map_coords(fn)))
+        return pd.Series(out, dtype=object)
+
+    reg("ST_Transform", _transform3)
+
+    reg("ST_Length_Spheroid", S._st_length_spheroid_udf)
+    reg("ST_Area_Spheroid", S._st_area_spheroid_udf)
+
+    @pandas_udf(T.DoubleType())
+    def _perimeter_spheroid(g: pd.Series) -> pd.Series:
+        out = []
+        for b in g:
+            if b is None:
+                out.append(None)
+                continue
+            total = 0.0
+            for p in from_wkb(b).flatten():
+                if p.type_id == 3:
+                    for r in p.rings:
+                        from ..geom.core import Geometry as _G
+
+                        total += S._spheroid_len(_G(2, coords=r))
+            out.append(total)
+        return pd.Series(out)
+
+    reg("ST_Perimeter_Spheroid", _perimeter_spheroid)
+
+    @pandas_udf(T.BooleanType())
+    def _dwithin_spheroid(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
+        # reference signature (POINT_2D, POINT_2D, DOUBLE) — here on
+        # GEOMETRY points (geographiclib/.../st_dwithin_spheroid)
+        out = []
+        for ga, gb, dd in zip(a, b, dist):
+            if ga is None or gb is None or dd is None:
+                out.append(None)
+                continue
+            p, q = from_wkb(ga), from_wkb(gb)
+            if p.type_id != 1 or q.type_id != 1 or p.is_empty() or q.is_empty():
+                out.append(None)
+                continue
+            m = S._geodesic_inverse_m(
+                float(p.coords[0]), float(p.coords[1]),
+                float(q.coords[0]), float(q.coords[1]))
+            out.append(bool(m <= float(dd)))
+        return pd.Series(out)
+
+    reg("ST_DWithin_Spheroid", _dwithin_spheroid)
+
+    @pandas_udf(T.BooleanType())
+    def _intersects_extent(a: pd.Series, b: pd.Series) -> pd.Series:
+        # `&&` on GEOMETRY args (core/.../st_intersects_extent.cpp)
+        out = []
+        for ga, gb in zip(a, b):
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            out.append(bool(_K.bbox_intersects(from_wkb(ga), from_wkb(gb))))
+        return pd.Series(out)
+
+    reg("ST_Intersects_Extent", _intersects_extent)
+
+    _P2D = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+    _P3D = T.StructType(_P2D.fields + [T.StructField("z", T.DoubleType())])
+    _P4D = T.StructType(_P3D.fields + [T.StructField("m", T.DoubleType())])
+
+    @pandas_udf(_P2D)
+    def _point2d(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({"x": x, "y": y})
+
+    @pandas_udf(_P3D)
+    def _point3d(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({"x": x, "y": y, "z": z})
+
+    @pandas_udf(_P4D)
+    def _point4d(x: pd.Series, y: pd.Series, z: pd.Series, m: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({"x": x, "y": y, "z": z, "m": m})
+
+    reg("ST_Point2D", _point2d)
+    reg("ST_Point3D", _point3d)
+    reg("ST_Point4D", _point4d)
+
+    @pandas_udf(_P2D)
+    def _point2dfromwkb(g: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in g:
+            p = None if b is None else from_wkb(b)
+            rows.append((float(p.coords[0]), float(p.coords[1]))
+                        if p is not None and p.type_id == 1 and not p.is_empty()
+                        else (None, None))
+        return pd.DataFrame(rows, columns=["x", "y"])
+
+    reg("ST_Point2DFromWKB", _point2dfromwkb)
+
+    # grouped-aggregate registrations (usable in SQL GROUP BY)
+    reg("ST_Collect_Agg", _scalar_agg_collect())
+    ext_agg = _scalar_agg_extent()
+    reg("ST_Extent_Agg", ext_agg)
+    reg("ST_Envelope_Agg", ext_agg)
+    reg("ST_Union_Agg", _scalar_agg_overlay(_K.union))
+    reg("ST_Intersection_Agg", _scalar_agg_overlay(_K.intersection))
+
+
+def _quadkey_py(lon: float, lat: float, level: int) -> str:
+    """Row-wise mirror of st_quadkey_xy's col-expr (st_quadkey.cpp:19-99)."""
+    import math
+
+    lon = max(-180.0, min(180.0, lon))
+    lat = max(-85.05112878, min(85.05112878, lat))
+    sin_lat = math.sin(math.radians(lat))
+    xf = (lon + 180.0) / 360.0
+    yf = 0.5 - math.log((1.0 + sin_lat) / (1.0 - sin_lat)) / (4.0 * math.pi)
+    n = 1 << level
+    tx = max(0, min(int(math.floor(xf * n)), n - 1))
+    ty = max(0, min(int(math.floor(yf * n)), n - 1))
+    digits = []
+    for i in range(level, 0, -1):
+        mask = 1 << (i - 1)
+        if tx & mask and ty & mask:
+            digits.append("3")
+        elif ty & mask:
+            digits.append("2")
+        elif tx & mask:
+            digits.append("1")
+        else:
+            digits.append("0")
+    return "".join(digits)
+
+
+def _scalar_agg_collect():
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..geom.core import collect
+    from .scalar import from_wkb, to_wkb
+
+    @pandas_udf(T.BinaryType())
+    def f(s: pd.Series) -> bytes:
+        geoms = [from_wkb(b) for b in s if b is not None]
+        return to_wkb(collect(geoms))
+
+    return f
+
+
+def _scalar_agg_extent():
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..geom.core import Geometry
+    from .scalar import from_wkb, to_wkb
+
+    @pandas_udf(T.BinaryType())
+    def f(s: pd.Series) -> bytes:
+        # bbox union → envelope polygon (st_extent_agg.cpp:26-95); the
+        # partial/final decomposition is Spark's own partial aggregation
+        bounds = [from_wkb(b).bounds() for b in s if b is not None]
+        bounds = [b for b in bounds if b is not None]
+        if not bounds:
+            return None
+        xmin = min(b[0] for b in bounds)
+        ymin = min(b[1] for b in bounds)
+        xmax = max(b[2] for b in bounds)
+        ymax = max(b[3] for b in bounds)
+        return to_wkb(Geometry.box_polygon(xmin, ymin, xmax, ymax))
+
+    return f
+
+
+def _scalar_agg_overlay(op):
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from .scalar import from_wkb, to_wkb
+
+    @pandas_udf(T.BinaryType())
+    def f(s: pd.Series) -> bytes:
+        acc = None
+        for b in s:
+            if b is None:
+                continue
+            g = from_wkb(b)
+            acc = g if acc is None else op(acc, g)
+        return None if acc is None else to_wkb(acc)
+
+    return f

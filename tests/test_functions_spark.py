@@ -243,3 +243,60 @@ def test_q60_spheroid_sanity(spark):
     row = e.q60_spheroid(spark, "/root/testdata/sf0.001").collect()[0]
     assert 5_000 < row["avg_spheroid_m"] < 300_000
     assert abs(row["avg_flattening_delta_m"]) < 1_000
+
+
+def test_sql_registration_full_surface(spark):
+    """The parity-audit additions: bounds accessors, simplify tier,
+    transform, spheroid tier, struct constructors, SQL aggregates."""
+    register_sql_functions(spark)
+    row = spark.sql(
+        """
+        SELECT ST_XMax(ST_GeomFromText('LINESTRING (0 -2, 3 4)')) AS xmax,
+               ST_YMin(ST_GeomFromText('LINESTRING (0 -2, 3 4)')) AS ymin,
+               ST_AsText(ST_RemoveRepeatedPoints(
+                   ST_GeomFromText('LINESTRING (0 0, 0 0, 1 1)'), 0.0)) AS rrp,
+               ST_AsText(ST_Force3DZ(ST_GeomFromText('POINT (1 2)'), 5.0)) AS f3,
+               ST_QuadKey(ST_GeomFromText('POINT (11.08 46.07)'), 3) AS qk,
+               ST_Hilbert(ST_GeomFromText('POINT (3 3)'),
+                   named_struct('xmin',0.0D,'ymin',0.0D,'xmax',10.0D,'ymax',10.0D)) AS h,
+               ST_X(ST_Transform(ST_GeomFromText('POINT (10 50)'),
+                                 'EPSG:4326', 'EPSG:3857')) AS tx,
+               ST_Length_Spheroid(ST_GeomFromText('LINESTRING (0 0, 1 0)')) AS lsph,
+               ST_DWithin_Spheroid(ST_GeomFromText('POINT (0 0)'),
+                                   ST_GeomFromText('POINT (0.001 0)'), 200.0) AS dws,
+               ST_Intersects_Extent(ST_GeomFromText('POINT (1 1)'),
+                   ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS ie,
+               ST_Point2D(1.0, 2.0).y AS p2y,
+               ST_Point4D(1.0, 2.0, 3.0, 4.0).m AS p4m,
+               ST_Extent_Approx(ST_GeomFromText('POINT (1 2)')).xmin AS eax,
+               ST_Point2DFromWKB(ST_GeomFromText('POINT (7 8)')).x AS pfwx
+        """
+    ).collect()[0]
+    assert row["xmax"] == 3.0 and row["ymin"] == -2.0
+    assert row["rrp"] == "LINESTRING (0 0, 1 1)"
+    assert row["f3"] == "POINT Z (1 2 5)"
+    assert row["qk"] == "120"
+    assert row["h"] is not None
+    assert row["tx"] == pytest.approx(1113194.9, rel=1e-4)
+    # 1 deg of longitude along the equator = a*pi/180 = 111319.49 m
+    assert row["lsph"] == pytest.approx(111319.49, rel=1e-3)
+    assert row["dws"] is True and row["ie"] is True
+    assert row["p2y"] == 2.0 and row["p4m"] == 4.0
+    assert row["eax"] == pytest.approx(1.0, abs=1e-6)
+    assert row["pfwx"] == 7.0
+
+    spark.sql(
+        "SELECT explode(array(ST_GeomFromText('POINT (0 0)'),"
+        " ST_GeomFromText('POINT (5 7)'))) AS g"
+    ).createOrReplaceTempView("agg_pts")
+    agg = spark.sql(
+        """
+        SELECT ST_AsText(ST_Extent_Agg(g)) AS ext,
+               ST_AsText(ST_Collect_Agg(g)) AS col,
+               ST_AsText(ST_Union_Agg(g)) AS uni
+        FROM agg_pts
+        """
+    ).collect()[0]
+    assert agg["ext"] == "POLYGON ((0 0, 0 7, 5 7, 5 0, 0 0))"
+    assert agg["col"] == "MULTIPOINT (0 0, 5 7)"
+    assert agg["uni"] == "MULTIPOINT (0 0, 5 7)"
