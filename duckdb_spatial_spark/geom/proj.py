@@ -16,11 +16,14 @@ overwhelming share of real usage:
 * Albers Equal-Area Conic (Snyder 14-1…14-11) → e.g. EPSG:5070 (NAD83 /
   Conus Albers)
 
-Datum model: transforms assume the source and destination share a datum
-(WGS84/GRS80-class — their ellipsoids differ by <0.1 mm in flattening);
-grid-shift/Helmert datum transformations are out of scope and those CRS
-(e.g. OSGB36's EPSG:27700) are NOT registered natively — st_transform falls
-back to pyproj for them when available.
+Datum model: WGS84/GRS80-class datums (ETRS89, NAD83) are treated as
+coincident (their ellipsoids differ by <0.1 mm in flattening). CRS on other
+datums carry a 7-parameter Helmert position-vector transformation to WGS84
+(EPSG method 9606) applied through geodetic↔ECEF conversion — this covers
+OSGB36 (EPSG:4277 / British National Grid EPSG:27700, single-Helmert
+accuracy ~2-3 m vs the OSTN grid) and ED50 (EPSG:4230, 23028-23038).
+Grid-shift (NTv2/NADCON) transformations remain out of scope; those CRS
+fall back to pyproj when available.
 """
 
 from __future__ import annotations
@@ -35,6 +38,96 @@ import numpy as np
 
 WGS84 = (6378137.0, 1.0 / 298.257223563)
 GRS80 = (6378137.0, 1.0 / 298.257222101)
+AIRY1830 = (6377563.396, 1.0 / 299.3249646)
+INTL1924 = (6378388.0, 1.0 / 297.0)  # International (Hayford), ED50
+
+
+# ----------------------------------------------------- datum shifts (Helmert)
+
+@dataclass(frozen=True)
+class Datum:
+    """A non-WGS84 geodetic datum: its ellipsoid plus the 7-parameter
+    Helmert position-vector transformation (EPSG method 9606) FROM this
+    datum TO WGS84. Rotations in arc-seconds, scale in ppm."""
+
+    a: float
+    f: float
+    tx: float = 0.0
+    ty: float = 0.0
+    tz: float = 0.0
+    rx_as: float = 0.0
+    ry_as: float = 0.0
+    rz_as: float = 0.0
+    s_ppm: float = 0.0
+
+
+# OSGB36 → WGS84: inverse of the published WGS84→OSGB36 set in OS's
+# "A guide to coordinate systems in Great Britain" (6.6)
+OSGB36 = Datum(*AIRY1830, tx=446.448, ty=-125.157, tz=542.060,
+               rx_as=0.1502, ry_as=0.2470, rz_as=0.8421, s_ppm=-20.4894)
+# ED50 → WGS84 mean-European 3-parameter shift (EPSG:1311-class)
+ED50 = Datum(*INTL1924, tx=-87.0, ty=-98.0, tz=-121.0)
+
+
+def _geodetic_to_ecef(lonlat: np.ndarray, a: float, f: float) -> np.ndarray:
+    e2 = f * (2.0 - f)
+    lam = np.radians(lonlat[:, 0])
+    phi = np.radians(lonlat[:, 1])
+    s, c = np.sin(phi), np.cos(phi)
+    N = a / np.sqrt(1.0 - e2 * s * s)
+    return np.stack([N * c * np.cos(lam), N * c * np.sin(lam),
+                     N * (1.0 - e2) * s], axis=1)
+
+
+def _ecef_to_geodetic(xyz: np.ndarray, a: float, f: float) -> np.ndarray:
+    # Bowring's method with two refinement iterations (sub-mm at h≈0)
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = (a * a - b * b) / (b * b)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    p = np.hypot(x, y)
+    theta = np.arctan2(z * a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(theta) ** 3,
+                     p - e2 * a * np.cos(theta) ** 3)
+    for _ in range(2):
+        s = np.sin(phi)
+        N = a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(z + e2 * N * s, p)
+    return np.stack([np.degrees(np.arctan2(y, x)), np.degrees(phi)], axis=1)
+
+
+def _helmert(xyz: np.ndarray, d: Datum, inverse: bool = False) -> np.ndarray:
+    asr = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = d.rx_as * asr, d.ry_as * asr, d.rz_as * asr
+    s = 1.0 + d.s_ppm * 1e-6
+    t = np.array([d.tx, d.ty, d.tz])
+    # position-vector rotation matrix (small-angle exact form)
+    R = np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+    if not inverse:
+        return (s * (xyz @ R.T)) + t
+    return ((xyz - t) / s) @ np.linalg.inv(R).T
+
+
+class DatumShifted:
+    """Wrap a projection defined on a non-WGS84 datum so that its
+    forward/inverse interchange coordinates as WGS84 lon/lat — the
+    composition contract of native_transform."""
+
+    def __init__(self, proj, datum: Datum):
+        self._proj = proj
+        self._datum = datum
+
+    def forward(self, lonlat_wgs84: np.ndarray) -> np.ndarray:
+        d = self._datum
+        ecef = _geodetic_to_ecef(lonlat_wgs84, *WGS84)
+        local = _ecef_to_geodetic(_helmert(ecef, d, inverse=True), d.a, d.f)
+        return self._proj.forward(local)
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        d = self._datum
+        local = self._proj.inverse(xy)
+        ecef = _helmert(_geodetic_to_ecef(local, d.a, d.f), d)
+        return _ecef_to_geodetic(ecef, *WGS84)
 
 
 # ------------------------------------------------------- conformal latitude
@@ -316,6 +409,24 @@ class _WebMercator:
         return out
 
 
+def tm_with_lat0(a: float, f: float, lat0_deg: float, lon0_deg: float,
+                 k0: float, false_e: float, false_n: float) -> TransverseMercator:
+    """TM with a non-equatorial latitude of origin: fold the meridian
+    distance M(lat0) into the false northing (N = FN + k0·(M(φ)−M(φ0)),
+    with M evaluated by the same Krüger series the projection uses)."""
+    n = f / (2.0 - f)
+    alpha, _beta, a_factor = _kruger_coeffs(n)
+    A = a * a_factor
+    e = math.sqrt(f * (2.0 - f))
+    phi0 = math.radians(lat0_deg)
+    tau0 = _conformal_tau(np.array([phi0]), e)[0]
+    xi_p0 = math.atan2(tau0, 1.0)
+    xi0 = xi_p0 + sum(alpha[j - 1] * math.sin(2 * j * xi_p0) for j in range(1, 7))
+    m0 = A * xi0
+    return TransverseMercator(a, f, lon0_deg=lon0_deg, k0=k0,
+                              false_e=false_e, false_n=false_n - k0 * m0)
+
+
 def _crs_for_epsg(code: int):
     """Projection object for an EPSG code, or None when not native."""
     if code in (4326, 4258, 4269):  # WGS84 / ETRS89 / NAD83 geographic
@@ -346,6 +457,23 @@ def _crs_for_epsg(code: int):
         return AlbersEqualArea(*GRS80, lat1_deg=29.5, lat2_deg=45.5,
                                lat0_deg=23.0, lon0_deg=-96.0,
                                false_e=0.0, false_n=0.0)
+    if code == 27700:  # OSGB36 / British National Grid (Helmert datum shift)
+        return DatumShifted(
+            tm_with_lat0(*AIRY1830, lat0_deg=49.0, lon0_deg=-2.0,
+                         k0=0.9996012717, false_e=400000.0, false_n=-100000.0),
+            OSGB36,
+        )
+    if code == 4277:  # OSGB36 geographic
+        return DatumShifted(_LonLat(), OSGB36)
+    if code == 4230:  # ED50 geographic
+        return DatumShifted(_LonLat(), ED50)
+    if 23028 <= code <= 23038:  # ED50 / UTM N
+        zone = code - 23000
+        return DatumShifted(
+            TransverseMercator(*INTL1924, lon0_deg=6 * zone - 183, k0=0.9996,
+                               false_e=500000.0, false_n=0.0),
+            ED50,
+        )
     if code == 3035:  # ETRS89-extended / LAEA Europe — not implemented (LAEA)
         return None
     return None
@@ -391,4 +519,11 @@ def list_native_crs():
         rows.append(("EPSG", 25800 + z, f"ETRS89 / UTM zone {z}N", "projected", "tmerc"))
     for z in range(1, 24):
         rows.append(("EPSG", 26900 + z, f"NAD83 / UTM zone {z}N", "projected", "tmerc"))
+    rows.append(("EPSG", 4277, "OSGB36", "geographic 2D", "lonlat+helmert"))
+    rows.append(("EPSG", 27700, "OSGB36 / British National Grid", "projected",
+                 "tmerc+helmert"))
+    rows.append(("EPSG", 4230, "ED50", "geographic 2D", "lonlat+helmert"))
+    for z in range(28, 39):
+        rows.append(("EPSG", 23000 + z, f"ED50 / UTM zone {z}N", "projected",
+                     "tmerc+helmert"))
     return rows

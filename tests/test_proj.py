@@ -114,5 +114,71 @@ def test_albers_preserves_area():
 
 
 def test_unknown_crs_returns_none():
-    assert native_transform("EPSG:27700", "EPSG:4326") is None  # OSGB36 datum shift
     assert native_transform("ESRI:102008", "EPSG:4326") is None
+    assert native_transform("EPSG:3035", "EPSG:4326") is None  # LAEA
+
+
+def test_bng_projection_os_worked_example():
+    # OS "A guide to coordinate systems in Great Britain": OSGB36
+    # 52°39'27.2531"N 1°43'4.5177"E <-> E 651409.903 N 313177.270
+    import numpy as np
+
+    from duckdb_spatial_spark.geom import proj as P
+
+    lat36 = 52 + 39 / 60 + 27.2531 / 3600
+    lon36 = 1 + 43 / 60 + 4.5177 / 3600
+    tm = P.tm_with_lat0(*P.AIRY1830, lat0_deg=49.0, lon0_deg=-2.0,
+                        k0=0.9996012717, false_e=400000.0, false_n=-100000.0)
+    en = tm.forward(np.array([[lon36, lat36]]))
+    assert en[0, 0] == pytest.approx(651409.903, abs=1e-3)
+    assert en[0, 1] == pytest.approx(313177.270, abs=1e-3)
+
+
+def test_bng_datum_shift_roundtrip_and_magnitude():
+    import numpy as np
+
+    from duckdb_spatial_spark.geom import proj as P
+
+    bng = P._crs_for_epsg(27700)
+    assert bng is not None
+    wgs = np.array([[1.716, 52.658], [-3.2, 55.95], [-5.9, 54.6]])
+    en = bng.forward(wgs.copy())
+    back = bng.inverse(en.copy())
+    assert np.max(np.abs(back - wgs)) < 1e-7  # sub-cm roundtrip
+    # single-Helmert OSGB36 shift: UK points move ~100-150 m, westward lon
+    osgb_geo = P._crs_for_epsg(4277)
+    w = osgb_geo.inverse(np.array([[0.0, 51.4779]]))  # Airy transit circle
+    dlon_m = w[0, 0] * 111320 * np.cos(np.radians(51.4779))
+    assert -150 < dlon_m < -80  # known ~-100 m (WGS84 meridian east of Airy)
+
+
+def test_ed50_utm_datum_shift():
+    import numpy as np
+
+    from duckdb_spatial_spark.geom import proj as P
+
+    ed = P._crs_for_epsg(23031)  # ED50 / UTM 31N
+    wgs = np.array([[3.0, 45.0]])
+    xy = ed.forward(wgs.copy())
+    back = ed.inverse(xy.copy())
+    assert np.max(np.abs(back - wgs)) < 1e-7
+    # ED50 grid coordinates exceed WGS84 UTM by ~tens of m (SW shift of datum)
+    wgs_utm = P._crs_for_epsg(32631).forward(wgs.copy())
+    d = np.hypot(*(xy - wgs_utm)[0])
+    assert 50 < d < 250
+
+
+def test_transform_epsg27700_end_to_end(spark):
+    from duckdb_spatial_spark.functions import scalar as ST
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.716, 52.658)], ["lon", "lat"])
+    out = df.select(
+        ST.st_x(ST.st_transform(ST.st_point("lon", "lat"),
+                                "EPSG:4326", "EPSG:27700")).alias("e"),
+        ST.st_y(ST.st_transform(ST.st_point("lon", "lat"),
+                                "EPSG:4326", "EPSG:27700")).alias("n"),
+    ).collect()[0]
+    # Caister-on-Sea area: E ~651.4km N ~313.2km (within Helmert accuracy)
+    assert out["e"] == pytest.approx(651400, abs=500)
+    assert out["n"] == pytest.approx(313200, abs=500)
