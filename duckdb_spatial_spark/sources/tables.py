@@ -32,27 +32,44 @@ def load_table(
             df = df.withColumn("ts", (F.col("ts") / F.lit(1e9)).cast("timestamp"))
     else:
         df = spark.read.parquet(path)
-    return _fan_out(spark, df) if fan_out else df
+    return _fan_out(spark, df, path) if fan_out else df
 
 
-def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+_RG_CACHE: dict = {}
+
+
+def _row_groups(path: str) -> int:
+    """Row-group count from the parquet footer (driver-side, ~ms, cached).
+    Byte-splitting cannot parallelize a scan below row-group granularity —
+    Spark assigns every row group to the one split holding its midpoint, so
+    splits of a 1-row-group file yield N-1 EMPTY tasks (df.rdd partition
+    counts lie about effective parallelism)."""
+    n = _RG_CACHE.get(path)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            n = 1 << 30  # unknown layout → leave it alone
+        _RG_CACHE[path] = n
+    return n
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """The driver's testdata parquet files hold a single row group, so a
-    scan yields ONE task no matter how small maxPartitionBytes is — every
-    downstream Arrow/pandas-UDF stage would run on one core. Round-robin
-    repartition to cluster parallelism when the scan can't fan out itself
-    (Catalyst still pushes filters/pruning below the exchange). At real
-    scale files span many row groups and this is a no-op."""
+    scan yields ONE effective task no matter how small maxPartitionBytes is
+    — every downstream Arrow/pandas-UDF stage would run on one core.
+    Round-robin repartition to cluster parallelism when the scan can't fan
+    out itself (Catalyst still pushes filters/pruning below the exchange).
+    At real scale files span many row groups and this is a no-op."""
     # 8-way, not full parallelism: every chained pandas-UDF stage spins a
     # Python runner per task, and measured first-run cost at 32 tasks is
     # dominated by the worker fork storm (17s vs 3s at 8/16 for the same
     # query); 8 gives ~linear UDF speedup at this data scale while keeping
     # job overhead near the single-task floor.
     par = min(8, spark.sparkContext.defaultParallelism)
-    try:
-        nparts = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if nparts * 2 <= par:
+    if _row_groups(path) * 2 <= par:
         return df.repartition(par)
     return df
 
