@@ -1120,6 +1120,25 @@ def q62_buffer_joinstyles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q63_intersection_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Intersection_Agg (geos/functions/aggregate.cpp:205-212): per
+    nation, n-ary intersection of boxes anchored at the origin =
+    (0,0,min w,min h) → area = min(w)·min(h) (closed-form oracle)."""
+    cust = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 500)
+    w = (F.col("c_custkey") % 7).cast("double") + 1.0
+    h = (F.col("c_custkey") % 5).cast("double") + 1.0
+    df = cust.select(
+        "c_nationkey",
+        ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), w, h).alias("box"),
+    )
+    from duckdb_spatial_spark.functions import st_intersection_agg
+
+    ig = st_intersection_agg(df, "box", ["c_nationkey"], out_col="ig")
+    return ig.select(
+        "c_nationkey", F.round(ST.st_area("ig"), 4).alias("inter_area")
+    ).orderBy("c_nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_point_in_envelope": q01_point_in_envelope,
@@ -1184,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_spheroid": q60_spheroid,
         "q61_rtree_points": q61_rtree_points,
         "q62_buffer_joinstyles": q62_buffer_joinstyles,
+        "q63_intersection_agg": q63_intersection_agg,
     }
 
 
@@ -1605,6 +1625,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
                 FROM part
             )
+        """,
+        "q63_intersection_agg": """
+            SELECT c_nationkey,
+                   round(min(CAST(c_custkey % 7 AS DOUBLE) + 1.0)
+                         * min(CAST(c_custkey % 5 AS DOUBLE) + 1.0), 4) AS inter_area
+            FROM customer
+            WHERE c_custkey < 500
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "q62_buffer_joinstyles": """
             SELECT round(sum((w+4.0)*(h+4.0)), 2) AS mitre_sum,
