@@ -383,6 +383,86 @@ class AlbersEqualArea:
         return out
 
 
+# ------------------------------------- Lambert Azimuthal Equal-Area (oblique)
+
+@dataclass(frozen=True)
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal oblique LAEA (Snyder 1987, 24-2…24-16 / inverse 24-16…).
+    e.g. EPSG:3035 (ETRS89-extended / LAEA Europe)."""
+
+    a: float
+    f: float
+    lat0_deg: float
+    lon0_deg: float
+    false_e: float
+    false_n: float
+
+    def _setup(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+        e2 = e * e
+
+        def q_of(phi):
+            s = math.sin(phi)
+            return (1 - e2) * (s / (1 - e2 * s * s)
+                               - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+
+        phi0 = math.radians(self.lat0_deg)
+        qp = q_of(math.pi / 2)
+        q0 = q_of(phi0)
+        beta1 = math.asin(q0 / qp)
+        Rq = self.a * math.sqrt(qp / 2.0)
+        m1 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+        D = self.a * m1 / (Rq * math.cos(beta1))
+        return e, e2, qp, beta1, Rq, D
+
+    def _q_arr(self, phi: np.ndarray, e: float) -> np.ndarray:
+        e2 = e * e
+        s = np.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e, _e2, qp, beta1, Rq, D = self._setup()
+        lam = np.radians(lonlat[:, 0] - self.lon0_deg)
+        phi = np.radians(lonlat[:, 1])
+        beta = np.arcsin(np.clip(self._q_arr(phi, e) / qp, -1.0, 1.0))
+        sb1, cb1 = math.sin(beta1), math.cos(beta1)
+        B = Rq * np.sqrt(2.0 / (1.0 + sb1 * np.sin(beta)
+                                + cb1 * np.cos(beta) * np.cos(lam)))
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + B * D * np.cos(beta) * np.sin(lam)
+        out[:, 1] = self.false_n + (B / D) * (cb1 * np.sin(beta)
+                                              - sb1 * np.cos(beta) * np.cos(lam))
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e, e2, qp, beta1, Rq, D = self._setup()
+        sb1, cb1 = math.sin(beta1), math.cos(beta1)
+        x = (xy[:, 0] - self.false_e) / D
+        y = (xy[:, 1] - self.false_n) * D
+        rho = np.hypot(x, y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            qq = qp * (cce * sb1 + np.where(rho == 0, 0.0, y * sce * cb1 / rho))
+            lam = np.arctan2(x * sce, rho * cb1 * cce - y * sb1 * sce)
+        # invert q(phi) by Newton (same scheme as Albers)
+        phi = np.arcsin(np.clip(qq / 2.0, -1.0, 1.0))
+        for _ in range(10):
+            s = np.sin(phi)
+            den = 1 - e2 * s * s
+            f_val = self._q_arr(phi, e) - qq
+            f_der = (1 - e2) * np.cos(phi) / (den * den) * 2.0
+            step = f_val / np.where(np.abs(f_der) < 1e-300, 1e-300, f_der)
+            phi = phi - step
+            if np.max(np.abs(step)) < 1e-14:
+                break
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + np.degrees(lam)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
 # ------------------------------------------------------------ CRS registry
 
 class _LonLat:
@@ -474,8 +554,9 @@ def _crs_for_epsg(code: int):
                                false_e=500000.0, false_n=0.0),
             ED50,
         )
-    if code == 3035:  # ETRS89-extended / LAEA Europe — not implemented (LAEA)
-        return None
+    if code == 3035:  # ETRS89-extended / LAEA Europe
+        return LambertAzimuthalEqualArea(*GRS80, lat0_deg=52.0, lon0_deg=10.0,
+                                         false_e=4321000.0, false_n=3210000.0)
     return None
 
 
@@ -522,6 +603,7 @@ def list_native_crs():
     rows.append(("EPSG", 4277, "OSGB36", "geographic 2D", "lonlat+helmert"))
     rows.append(("EPSG", 27700, "OSGB36 / British National Grid", "projected",
                  "tmerc+helmert"))
+    rows.append(("EPSG", 3035, "ETRS89-extended / LAEA Europe", "projected", "laea"))
     rows.append(("EPSG", 4230, "ED50", "geographic 2D", "lonlat+helmert"))
     for z in range(28, 39):
         rows.append(("EPSG", 23000 + z, f"ED50 / UTM zone {z}N", "projected",

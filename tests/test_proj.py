@@ -115,7 +115,7 @@ def test_albers_preserves_area():
 
 def test_unknown_crs_returns_none():
     assert native_transform("ESRI:102008", "EPSG:4326") is None
-    assert native_transform("EPSG:3035", "EPSG:4326") is None  # LAEA
+    assert native_transform("EPSG:27561", "EPSG:4326") is None  # NTF (grid shift)
 
 
 def test_bng_projection_os_worked_example():
@@ -182,3 +182,42 @@ def test_transform_epsg27700_end_to_end(spark):
     # Caister-on-Sea area: E ~651.4km N ~313.2km (within Helmert accuracy)
     assert out["e"] == pytest.approx(651400, abs=500)
     assert out["n"] == pytest.approx(313200, abs=500)
+
+
+def test_laea_europe_epsg3035():
+    import numpy as np
+
+    from duckdb_spatial_spark.geom import proj as P
+
+    laea = P._crs_for_epsg(3035)
+    # natural-origin invariant (10E, 52N) -> (FE, FN)
+    o = laea.forward(np.array([[10.0, 52.0]]))
+    assert o[0, 0] == pytest.approx(4321000.0, abs=1e-6)
+    assert o[0, 1] == pytest.approx(3210000.0, abs=1e-6)
+    # machine-precision round trip across Europe
+    pts = np.array([[10.0, 52.0], [-8.0, 37.0], [25.0, 60.0],
+                    [30.0, 45.0], [-20.0, 65.0]])
+    back = laea.inverse(laea.forward(pts.copy()).copy())
+    assert np.max(np.abs(back - pts)) < 1e-12
+    # equal-area property: densified 1-deg quad vs authalic zone band
+    lon0, lat0 = 15.0, 50.0
+    t = np.linspace(0, 1, 200)
+    quad = np.vstack([
+        np.stack([lon0 + t, np.full_like(t, lat0)], 1),
+        np.stack([np.full_like(t, lon0 + 1), lat0 + t], 1),
+        np.stack([lon0 + 1 - t, np.full_like(t, lat0 + 1)], 1),
+        np.stack([np.full_like(t, lon0), lat0 + 1 - t], 1),
+    ])
+    p = laea.forward(quad.copy())
+    x, y = p[:, 0], p[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    a, f = P.GRS80
+    e = math.sqrt(f * (2 - f))
+    b2 = (a * (1 - f)) ** 2
+
+    def zone(phi):
+        s = math.sin(phi)
+        return math.pi * b2 * (s / (1 - e * e * s * s) + math.atanh(e * s) / e)
+
+    ground = (zone(math.radians(lat0 + 1)) - zone(math.radians(lat0))) / 360.0
+    assert area / ground == pytest.approx(1.0, rel=1e-6)
