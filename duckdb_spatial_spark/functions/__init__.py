@@ -397,7 +397,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     from ..geom import kernels as _K
 
     reg("ST_Simplify", _geom_tol(_K.simplify))
-    reg("ST_SimplifyPreserveTopology", _geom_tol(_K.simplify))
+    reg("ST_SimplifyPreserveTopology", _geom_tol(_K.simplify_preserve_topology))
     reg("ST_RemoveRepeatedPoints", _geom_tol(_K.remove_repeated_points))
 
     @pandas_udf(T.BinaryType())

@@ -1377,7 +1377,11 @@ def st_simplify(geom: ColumnOrName, tol) -> Column:
     return _unary_geom_to_geom(lambda g: K.simplify(g, t))(_col(geom))
 
 
-st_simplifypreservetopology = st_simplify  # DP variant; topology preservation TODO
+def st_simplifypreservetopology(geom: ColumnOrName, tol) -> Column:
+    """DP simplify that never collapses a ring or introduces a
+    self-intersection (GEOS TopologyPreservingSimplifier parity class)."""
+    t = float(tol)
+    return _unary_geom_to_geom(lambda g: K.simplify_preserve_topology(g, t))(_col(geom))
 
 
 def st_reduceprecision(geom: ColumnOrName, grid) -> Column:

@@ -833,38 +833,40 @@ def flip_coordinates(g: Geometry) -> Geometry:
     return g.map_coords(f)
 
 
+def _dp(arr: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker vertex selection on an (n, k) coordinate array."""
+    if len(arr) < 3:
+        return arr
+    keep = np.zeros(len(arr), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(arr) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay = arr[i, 0], arr[i, 1]
+        bx, by = arr[j, 0], arr[j, 1]
+        seg = arr[i + 1 : j, :2]
+        dx, dy = bx - ax, by - ay
+        ll = math.hypot(dx, dy)
+        if ll == 0:
+            d = np.sqrt(((seg - arr[i, :2]) ** 2).sum(axis=1))
+        else:
+            d = np.abs(dy * (seg[:, 0] - ax) - dx * (seg[:, 1] - ay)) / ll
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            idx = i + 1 + k
+            keep[idx] = True
+            stack.append((i, idx))
+            stack.append((idx, j))
+    return arr[keep]
+
+
 def simplify(g: Geometry, tol: float) -> Geometry:
     """Douglas-Peucker (non-topology-preserving, like GEOS simplify)."""
 
     def dp(arr: np.ndarray) -> np.ndarray:
-        if len(arr) < 3:
-            return arr
-        keep = np.zeros(len(arr), dtype=bool)
-        keep[0] = keep[-1] = True
-        stack = [(0, len(arr) - 1)]
-        while stack:
-            i, j = stack.pop()
-            if j <= i + 1:
-                continue
-            ax, ay = arr[i, 0], arr[i, 1]
-            bx, by = arr[j, 0], arr[j, 1]
-            seg = arr[i + 1 : j, :2]
-            dx, dy = bx - ax, by - ay
-            ll = math.hypot(dx, dy)
-            if ll == 0:
-                d = np.sqrt(((seg - arr[i, :2]) ** 2).sum(axis=1))
-            else:
-                d = np.abs(dy * (seg[:, 0] - ax) - dx * (seg[:, 1] - ay)) / ll
-            k = int(np.argmax(d))
-            if d[k] > tol:
-                idx = i + 1 + k
-                keep[idx] = True
-                stack.append((i, idx))
-                stack.append((idx, j))
-        return arr[keep]
-
-    def f(arr):
-        return dp(arr)
+        return _dp(arr, tol)
 
     if g.type_id == POLYGON:
         rings = []
@@ -880,6 +882,41 @@ def simplify(g: Geometry, tol: float) -> Geometry:
         return out
     if g.type_id == LINESTRING:
         return Geometry(LINESTRING, coords=dp(g.coords), has_z=g.has_z, has_m=g.has_m)
+    return g
+
+
+def simplify_preserve_topology(g: Geometry, tol: float) -> Geometry:
+    """Topology-preserving variant (GEOS TopologyPreservingSimplifier /
+    ST_SimplifyPreserveTopology): same Douglas-Peucker selection, but a
+    component is restored to its original vertices when simplification
+    would collapse it (ring <4 points / zero area) or introduce a
+    self-intersection — no shell or hole is ever dropped and validity is
+    kept."""
+
+    def ring_ok(r: np.ndarray) -> bool:
+        if len(r) < 4:
+            return False
+        x, y = r[:, 0], r[:, 1]
+        if abs(float((x[:-1] * y[1:] - x[1:] * y[:-1]).sum())) == 0.0:
+            return False
+        return is_ring(Geometry(LINESTRING, coords=r))
+
+    if g.type_id == POLYGON:
+        rings = []
+        for r in g.rings:
+            s = _dp(np.asarray(r, dtype=np.float64), tol)
+            rings.append(s if ring_ok(s) else r)
+        return Geometry(POLYGON, rings=rings, has_z=g.has_z, has_m=g.has_m)
+    if g.type_id in (MULTIPOLYGON, MULTILINESTRING, GEOMETRYCOLLECTION):
+        out = Geometry(g.type_id, parts=[
+            simplify_preserve_topology(p, tol) for p in g.parts or []
+        ])
+        out.has_z, out.has_m = g.has_z, g.has_m
+        return out
+    if g.type_id == LINESTRING:
+        s = Geometry(LINESTRING, coords=_dp(g.coords, tol),
+                     has_z=g.has_z, has_m=g.has_m)
+        return s if len(s.coords) >= 2 and is_simple(s) else g
     return g
 
 

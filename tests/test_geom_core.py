@@ -336,3 +336,24 @@ def test_seg_predicate_declines_parallel():
     A = np.array([[[0.0, 0.0], [1.0, 0.0]]])
     B = np.array([[[0.0, 1.0], [1.0, 1.0]]])
     assert V.seg_predicate("intersects", A, B) is None
+
+
+def test_simplify_preserve_topology():
+    # plain simplify collapses & drops a skinny hole; the preserving
+    # variant restores it
+    poly = from_wkt(
+        "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), "
+        "(40 40, 60 40.005, 50 40.01, 40 40))"
+    )
+    plain = K.simplify(poly, 5.0)
+    assert len(plain.rings) == 1  # hole collapsed and dropped
+    pres = K.simplify_preserve_topology(poly, 5.0)
+    assert len(pres.rings) == 2  # hole kept verbatim
+    assert np.array_equal(pres.rings[1], poly.rings[1])
+    # shell still simplifies when it stays valid
+    wig = from_wkt("POLYGON ((0 0, 50 1, 100 0, 100 100, 0 100, 0 0))")
+    pres2 = K.simplify_preserve_topology(wig, 5.0)
+    assert len(pres2.rings[0]) == 5  # midpoint dropped
+    # linestring behaves like DP when result stays simple
+    ln = from_wkt("LINESTRING (0 0, 1 0.001, 2 0)")
+    assert len(K.simplify_preserve_topology(ln, 0.1).coords) == 2
