@@ -156,12 +156,20 @@ def q05_centroid_collect(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q06_convexhull_area(spark: SparkSession, sf: str) -> DataFrame:
-    """Convex hull area of customer points per market segment (no plain-SQL
-    equivalent → rows-only check)."""
-    cust = load_table(spark, sf, "customer").select(
-        "c_mktsegment",
-        F.col("c_acctbal").alias("x"),
-        (F.col("c_custkey") % 1000).cast("double").alias("y"),
+    """Convex hull area of customer points per market segment. Oracle: a
+    pair (a,b) is a CCW hull edge iff no point lies strictly right of the
+    directed line a->b (and no collinear point lies strictly between, so
+    collinear boundary chains telescope); shoelace over directed hull edges
+    needs no ordering: sum(ax*by - bx*ay)/2. Bounded to c_custkey < 240 to
+    keep the O(n^3) SQL oracle cheap."""
+    cust = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 240)
+        .select(
+            "c_mktsegment",
+            F.col("c_acctbal").alias("x"),
+            (F.col("c_custkey") % 1000).cast("double").alias("y"),
+        )
     )
     pts = cust.withColumn("pt", ST.st_point("x", "y"))
     agg = pts.groupBy("c_mktsegment").agg(ST.st_collect_agg("pt").alias("coll"))
@@ -204,7 +212,11 @@ def q08_buffer_area(spark: SparkSession, sf: str) -> DataFrame:
 
 def q09_hilbert_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """ST_Hilbert col-expr: bucket events points by hilbert>>shift, count
-    buckets (layout cornerstone; no SQL oracle — curve is engine-defined)."""
+    buckets (layout cornerstone). Oracle: with order=16, hilbert>>24 keeps
+    the top 8 bits = the curve position at level 4, which bijects to the
+    16x16 grid cell (xi>>12, yi>>12) — so bucket-count invariants
+    (n_buckets / total / max_bucket) are SQL-expressible without
+    implementing the curve in SQL."""
     pts = _events_pts(spark, sf, fan_out=False)
     h = ST.st_hilbert_xy("x", "y", 0.0, 0.0, 500.0, 150.0, order=16)
     b = F.shiftright(h, 24).alias("bucket")
@@ -1244,6 +1256,41 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(c_acctbal), 6) AS cx,
                    round(avg(CAST(c_custkey % 1000 AS DOUBLE)), 6) AS cy
             FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "q06_convexhull_area": """
+            WITH pts AS (
+              SELECT DISTINCT c_mktsegment AS seg, c_acctbal AS x,
+                     CAST(c_custkey % 1000 AS DOUBLE) AS y
+              FROM customer WHERE c_custkey < 240
+            ), e AS (
+              SELECT a.seg, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y
+              FROM pts a JOIN pts b
+                ON a.seg = b.seg AND (a.x <> b.x OR a.y <> b.y)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pts c WHERE c.seg = a.seg
+                  AND (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) < 0
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM pts c WHERE c.seg = a.seg
+                  AND (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) = 0
+                  AND (c.x-a.x)*(b.x-a.x) + (c.y-a.y)*(b.y-a.y) > 0
+                  AND (c.x-b.x)*(a.x-b.x) + (c.y-b.y)*(a.y-b.y) > 0
+              )
+            )
+            SELECT seg AS c_mktsegment,
+                   round(sum(ax*b_y - bx*ay)/2, 4) AS hull_area
+            FROM e GROUP BY 1 ORDER BY 1
+        """,
+        "q09_hilbert_distribution": """
+            WITH g AS (
+              SELECT CAST(least(greatest(floor(value/500.0*65535), 0), 65535)
+                          AS BIGINT) // 4096 AS cx,
+                     CAST(least(greatest(floor(CAST(user_id AS DOUBLE)/150.0*65535),
+                          0), 65535) AS BIGINT) // 4096 AS cy
+              FROM events
+            ), c AS (SELECT cx, cy, count(*) AS n FROM g GROUP BY 1, 2)
+            SELECT count(*) AS n_buckets, sum(n) AS total, max(n) AS max_bucket
+            FROM c
         """,
         "q07_wkt_area": """
             SELECT p_brand,

@@ -102,21 +102,31 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(sr)} oracle={len(orr)}")
             continue
-        bad = 0
+        # Strict pass replicates the driver's value-hash: after norm()
+        # (floats rounded to 6 decimals) rows must match EXACTLY.
+        strict_bad = sum(1 for a, b in zip(sr, orr) if a != b)
+        loose_bad = 0
         for a, b in zip(sr, orr):
             for x, y in zip(a, b):
                 if isinstance(x, float) and isinstance(y, float):
                     if not (abs(x - y) <= 1e-4 * max(1.0, abs(x), abs(y))):
-                        bad += 1
+                        loose_bad += 1
                         break
                 elif x != y:
-                    bad += 1
+                    loose_bad += 1
                     break
-        if bad:
+        if loose_bad:
             failures.append(name)
-            print(f"FAIL  {name}: {bad}/{len(sr)} rows mismatch")
+            print(f"FAIL  {name}: {loose_bad}/{len(sr)} rows mismatch")
             print(f"      spark[0:3]={sr[:3]}")
             print(f"      oracl[0:3]={orr[:3]}")
+        elif strict_bad:
+            failures.append(name)
+            first = next((a, b) for a, b in zip(sr, orr) if a != b)
+            print(f"HASH  {name}: {strict_bad}/{len(sr)} rows drift at <1e-4 "
+                  f"(driver hash would FAIL)")
+            print(f"      spark={first[0]}")
+            print(f"      oracl={first[1]}")
         else:
             print(f"OK    {name}: {len(sr)} rows")
 
