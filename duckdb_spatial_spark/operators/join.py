@@ -140,29 +140,135 @@ def _explode_cells(df: DataFrame, cell: float) -> DataFrame:
     )
 
 
-def _pred_udf(pred: str, swap: bool = False):
-    kern = _KERNELS[pred]
+def _bounds_and_kind(mat: np.ndarray):
+    """(bounds (n,4), is_point) when a uniform-shape WKB matrix is all
+    points or all axis-aligned rectangles; (None, False) otherwise."""
+    b = Vec.point_bounds(mat)
+    if b is not None:
+        return b, True
+    b = Vec.rect_bounds(mat)
+    if b is not None:
+        return b, False
+    return None, False
 
+
+def _group_vectorized(pred: str, ma: np.ndarray, mb: np.ndarray):
+    """Closed-form predicate over two same-shape WKB matrices, or None."""
+    A, a_pt = _bounds_and_kind(ma)
+    B, b_pt = _bounds_and_kind(mb)
+    if A is not None and B is not None:
+        return Vec.rect_predicate(pred, A, B, a_pt, b_pt)
+    la = Vec.decode_linestrings(ma)
+    lb = Vec.decode_linestrings(mb)
+    if la is not None and lb is not None and la.shape[1] == 2 and lb.shape[1] == 2:
+        return Vec.seg_predicate(pred, la, lb)
+    return None
+
+
+def _polygonal(g) -> bool:
+    return g.type_id in (3, 6)  # POLYGON / MULTIPOLYGON: exact 0/1/2 locate
+
+
+def _pip_bulk(pred: str, xs: np.ndarray, ys: np.ndarray, poly) -> Optional[np.ndarray]:
+    """Bulk point-in-polygon for PiP-shaped predicates (point side first)."""
+    if pred not in ("intersects", "within", "coveredby") or not _polygonal(poly):
+        return None
+    loc = K.points_in_geometry_bulk(xs, ys, poly)
+    return loc == 2 if pred == "within" else loc >= 1
+
+
+def pred_pairs(pred: str, avals, bvals, swap: bool = False) -> np.ndarray:
+    """Vectorized pairwise predicate over two object arrays of WKB blobs.
+
+    Rows are grouped by (len(a), len(b)) byte shape; each group tries the
+    closed-form rect/point/segment kernels (the batch analog of the
+    reference's prepared-geometry constant path, geos_executor.hpp:28-105),
+    then a bulk point-in-polygon path against the distinct polygon blobs of
+    the group, and only leftover mixed rows fall back to per-row kernels
+    with a parse cache."""
+    kern = _KERNELS[pred]
+    if swap:
+        avals, bvals = bvals, avals
+    n = len(avals)
+    out = np.zeros(n, dtype=bool)
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i in range(n):
+        a, b = avals[i], bvals[i]
+        if a is None or b is None:
+            continue
+        groups.setdefault((len(a), len(b)), []).append(i)
+
+    cache: Dict[bytes, object] = {}
+
+    def parse(buf):
+        g = cache.get(buf)
+        if g is None:
+            g = from_wkb(buf)
+            cache[buf] = g
+        return g
+
+    for (la, lb), idxs in groups.items():
+        idx = np.asarray(idxs)
+        ma = np.frombuffer(
+            b"".join(bytes(avals[i]) for i in idxs), dtype=np.uint8
+        ).reshape(len(idx), la)
+        mb = np.frombuffer(
+            b"".join(bytes(bvals[i]) for i in idxs), dtype=np.uint8
+        ).reshape(len(idx), lb)
+        res = _group_vectorized(pred, ma, mb)
+        if res is not None:
+            out[idx] = res
+            continue
+        # point-vs-polygon: bulk PiP per distinct polygon blob
+        pt = Vec.decode_points(ma)
+        if pt is not None:
+            xs, ys = pt
+            by_blob: Dict[bytes, List[int]] = {}
+            for k, i in enumerate(idxs):
+                by_blob.setdefault(bytes(bvals[i]), []).append(k)
+            ok = True
+            res = np.zeros(len(idx), dtype=bool)
+            for blob, ks in by_blob.items():
+                karr = np.asarray(ks)
+                want = _pip_bulk(pred, xs[karr], ys[karr], parse(blob))
+                if want is None:
+                    ok = False
+                    break
+                res[karr] = want
+            if ok:
+                out[idx] = res
+                continue
+        # polygon-vs-point (mirrored): contains/covers/intersects
+        pt = Vec.decode_points(mb)
+        if pt is not None and pred in ("intersects", "contains", "covers"):
+            xs, ys = pt
+            by_blob = {}
+            for k, i in enumerate(idxs):
+                by_blob.setdefault(bytes(avals[i]), []).append(k)
+            ok = True
+            res = np.zeros(len(idx), dtype=bool)
+            for blob, ks in by_blob.items():
+                g = parse(blob)
+                if not _polygonal(g):
+                    ok = False
+                    break
+                karr = np.asarray(ks)
+                loc = K.points_in_geometry_bulk(xs[karr], ys[karr], g)
+                res[karr] = loc == 2 if pred == "contains" else loc >= 1
+            if ok:
+                out[idx] = res
+                continue
+        for i in idxs:
+            out[i] = bool(kern(parse(bytes(avals[i])), parse(bytes(bvals[i]))))
+    return out
+
+
+def _pred_udf(pred: str, swap: bool = False):
     @F.pandas_udf(T.BooleanType())
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
-        pairs = []
-        cache: Dict[bytes, object] = {}
-
-        def parse(buf):
-            g = cache.get(buf)
-            if g is None:
-                g = from_wkb(buf)
-                cache[buf] = g
-            return g
-
-        for ba, bb in zip(a, b):
-            if ba is None or bb is None:
-                pairs.append(False)
-            elif swap:
-                pairs.append(bool(kern(parse(bb), parse(ba))))
-            else:
-                pairs.append(bool(kern(parse(ba), parse(bb))))
-        return pd.Series(pairs)
+        return pd.Series(
+            pred_pairs(pred, a.to_numpy(dtype=object), b.to_numpy(dtype=object), swap)
+        )
 
     return f
 
@@ -175,6 +281,7 @@ def st_join(
     right_geom: str = "geom",
     cell_size: Optional[float] = None,
     broadcast_threshold: int = 200_000,
+    broadcast_byte_budget: int = 256 << 20,
     how: str = "inner",
 ) -> DataFrame:
     """Spatial join on any bbox-implied predicate.
@@ -190,18 +297,23 @@ def st_join(
         raise ValueError(f"column name collision between sides: {sorted(overlap)}")
 
     # small right side → broadcast path (prepared-geometry analog).
-    # One probe job: collect threshold+1 rows — if the side fits, those rows
-    # ARE the broadcast build (no separate count + collect).
-    probe_rows = None
+    # Byte-budgeted probe: one cheap agg for (rows, wkb bytes) — a 200k-row
+    # side of huge polygons must NOT be collected to the driver, regardless
+    # of row count.
     if broadcast_threshold > 0:
         try:
-            probe_rows = right.limit(broadcast_threshold + 1).collect()
+            stats = right.agg(
+                F.count("*").alias("n"),
+                F.sum(F.length(F.col(right_geom))).alias("geom_bytes"),
+            ).collect()[0]
         except Exception:
-            probe_rows = None
-    if probe_rows is not None and len(probe_rows) <= broadcast_threshold:
-        return st_join_broadcast(
-            left, right, pred, left_geom, right_geom, _rows=probe_rows
-        )
+            stats = None
+        if (
+            stats is not None
+            and stats["n"] <= broadcast_threshold
+            and (stats["geom_bytes"] or 0) <= broadcast_byte_budget
+        ):
+            return st_join_broadcast(left, right, pred, left_geom, right_geom)
 
     L = _with_bbox(left, left_geom, "__bbox")
     R = _with_bbox(right, right_geom, "__bbox")
@@ -265,31 +377,26 @@ class _GridIndex:
         return out
 
 
-def st_join_broadcast(
-    left: DataFrame,
-    right: DataFrame,
-    predicate: str = "intersects",
-    left_geom: str = "geom",
-    right_geom: str = "geom",
-    _rows=None,
-) -> DataFrame:
-    """Broadcast spatial join: build side (right) collected to the driver,
-    shipped via Spark broadcast, probed per Arrow batch. Point probes against
-    polygon builds take the bulk-vectorized PiP path."""
-    pred = _norm_pred(predicate)
-    kern = _KERNELS[pred]
+# executor-side build cache: token → (geoms, bounds, cell, index).
+# The build is broadcast as raw WKB tuples (never Python Geometry objects —
+# the driver neither decodes nor pickles geometry); each worker process
+# decodes and indexes once, keyed by a per-join token.
+_BUILD_CACHE: Dict[str, tuple] = {}
 
-    right_rows = right.collect() if _rows is None else _rows
-    right_cols = right.columns
+
+def _build_side(token: str, rows, geom_idx):
+    cached = _BUILD_CACHE.get(token)
+    if cached is not None:
+        return cached
     geoms = []
     bounds = []
-    for r in right_rows:
-        b = r[right_geom]
+    for r in rows:
+        b = r[geom_idx]
         g = from_wkb(bytes(b)) if b is not None else None
         geoms.append(g)
         bd = g.bounds() if g is not None else None
         bounds.append(bd if bd else (np.nan, np.nan, np.nan, np.nan))
-    bounds = np.asarray(bounds, dtype=np.float64)
+    bounds = np.asarray(bounds, dtype=np.float64) if bounds else np.zeros((0, 4))
     if len(bounds) and np.isfinite(bounds).any():
         w = np.nanmax(bounds[:, 2]) - np.nanmin(bounds[:, 0])
         h = np.nanmax(bounds[:, 3]) - np.nanmin(bounds[:, 1])
@@ -297,16 +404,37 @@ def st_join_broadcast(
         cell = max(max(w, h) / ncell, 1e-9)
     else:
         cell = 1.0
+    idx = _GridIndex(bounds, cell)
+    out = (geoms, bounds, cell, idx)
+    if len(_BUILD_CACHE) > 8:
+        _BUILD_CACHE.clear()
+    _BUILD_CACHE[token] = out
+    return out
+
+
+def st_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+) -> DataFrame:
+    """Broadcast spatial join: build side (right) collected to the driver as
+    raw WKB rows, shipped via Spark broadcast, decoded + grid-indexed once
+    per worker, probed per Arrow batch. Point probes against polygon builds
+    take the bulk-vectorized PiP path."""
+    import uuid
+
+    pred = _norm_pred(predicate)
+    kern = _KERNELS[pred]
+
+    right_rows = [tuple(r) for r in right.collect()]
+    right_cols = right.columns
+    rgi = right_cols.index(right_geom)
+    token = uuid.uuid4().hex
 
     sc = left.sparkSession.sparkContext
-    bc = sc.broadcast(
-        {
-            "rows": [tuple(r) for r in right_rows],
-            "geoms": geoms,
-            "bounds": bounds,
-            "cell": cell,
-        }
-    )
+    bc = sc.broadcast({"rows": right_rows, "token": token, "rgi": rgi})
 
     out_schema = T.StructType(list(left.schema.fields) + list(right.schema.fields))
     left_cols = left.columns
@@ -315,9 +443,9 @@ def st_join_broadcast(
 
     def probe(batches):
         data = bc.value
-        idx = _GridIndex(data["bounds"], data["cell"])
-        rgeoms = data["geoms"]
         rrows = data["rows"]
+        rgeoms, bnds, cell, idx = _build_side(data["token"], rrows, data["rgi"])
+        data_bounds = bnds
         empty_right = {c: [] for c in right_cols}
 
         for pdf in batches:
@@ -361,7 +489,7 @@ def st_join_broadcast(
                 if len(rgeoms) <= 64:
                     # few build geometries: one vectorized bbox mask per
                     # geometry beats per-point bucket lookups outright
-                    bnd = data["bounds"]
+                    bnd = data_bounds
                     for j, rg in enumerate(rgeoms):
                         if rg is None or not np.isfinite(bnd[j, 0]):
                             continue
@@ -375,7 +503,7 @@ def st_join_broadcast(
                     # bucket points by grid cell once, then per candidate
                     # polygon run the vectorized locate
                     lists: Dict[int, List[int]] = {}
-                    inv = 1.0 / data["cell"]
+                    inv = 1.0 / cell
                     for k, (px, py) in enumerate(pts_xy):
                         for j in idx.buckets.get(
                             (int(math.floor(px * inv)), int(math.floor(py * inv))), ()

@@ -143,3 +143,81 @@ def test_st_join_points_native_tier(spark):
     inter = st_join_points(pts, zones, "intersects", "x", "y", "zone")
     got = {(r["pid"], r["zid"]) for r in inter.collect()}
     assert got == {(1, 10), (2, 20), (4, 10), (4, 20)}  # boundary included
+
+
+def test_pred_pairs_vectorized_no_perrow_kernel(monkeypatch):
+    """Uniform point-vs-rect and seg-vs-seg batches must dispatch to the
+    closed-form vector kernels — the per-row kernel must never run
+    (the 100-TB hot path of st_join's exact filter)."""
+    import numpy as np
+    from duckdb_spatial_spark.operators import join as J
+    from duckdb_spatial_spark.geom import vec as Vec
+
+    def boom(*a, **k):
+        raise AssertionError("per-row kernel called on a uniform batch")
+
+    monkeypatch.setitem(J._KERNELS, "intersects", boom)
+    monkeypatch.setitem(J._KERNELS, "within", boom)
+    monkeypatch.setitem(J._KERNELS, "crosses", boom)
+
+    # points vs axis-aligned rects
+    xs = np.array([1.0, 5.0, 30.0])
+    ys = np.array([1.0, 5.0, 30.0])
+    pts = np.array(Vec.encode_points(xs, ys), dtype=object)
+    ring = np.array([[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]] * 3, dtype=float)
+    rects = np.array(Vec.encode_polygons_1ring(ring), dtype=object)
+    got = J.pred_pairs("within", pts, rects)
+    assert got.tolist() == [True, True, False]
+    got = J.pred_pairs("intersects", rects, pts)
+    assert got.tolist() == [True, True, False]
+
+    # segment vs segment (non-parallel)
+    a = np.array([[[0, 0], [10, 10]]] * 2, dtype=float)
+    b = np.array([[[0, 10], [10, 0]], [[20, 30], [30, 10]]], dtype=float)
+    segs_a = np.array(Vec.encode_linestrings(a), dtype=object)
+    segs_b = np.array(Vec.encode_linestrings(b), dtype=object)
+    got = J.pred_pairs("crosses", segs_a, segs_b)
+    assert got.tolist() == [True, False]
+
+
+def test_pred_pairs_pip_bulk_polygon(monkeypatch):
+    """Uniform points vs a repeated non-rect polygon take the bulk PiP path."""
+    import numpy as np
+    from duckdb_spatial_spark.operators import join as J
+    from duckdb_spatial_spark.geom import vec as Vec
+    from duckdb_spatial_spark.geom.wkt import from_wkt
+    from duckdb_spatial_spark.geom.wkb import to_wkb
+
+    def boom(*a, **k):
+        raise AssertionError("per-row kernel called on a PiP batch")
+
+    monkeypatch.setitem(J._KERNELS, "within", boom)
+
+    tri = to_wkb(from_wkt("POLYGON ((0 0, 10 0, 0 10, 0 0))"))
+    xs = np.array([1.0, 9.0, 20.0])
+    ys = np.array([1.0, 9.0, 20.0])
+    pts = np.array(Vec.encode_points(xs, ys), dtype=object)
+    polys = np.array([tri] * 3, dtype=object)
+    got = J.pred_pairs("within", pts, polys)
+    assert got.tolist() == [True, False, False]
+
+
+def test_pred_pairs_mixed_fallback():
+    """Mixed-shape batches fall back to exact per-row kernels."""
+    import numpy as np
+    from duckdb_spatial_spark.operators import join as J
+    from duckdb_spatial_spark.geom.wkt import from_wkt
+    from duckdb_spatial_spark.geom.wkb import to_wkb
+
+    a = np.array([
+        to_wkb(from_wkt("POINT (1 1)")),
+        to_wkb(from_wkt("LINESTRING (0 0, 5 5, 9 0)")),
+        None,
+    ], dtype=object)
+    b = np.array([
+        to_wkb(from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")),
+        to_wkb(from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")),
+        to_wkb(from_wkt("POINT (0 0)")),
+    ], dtype=object)
+    got = J.pred_pairs("within", a, b)
+    assert got.tolist() == [True, True, False]

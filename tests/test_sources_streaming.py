@@ -116,7 +116,7 @@ def test_streaming_extent_agg(spark):
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet("/root/testdata/sf0.001")  # streaming source must be a dir
-        .withColumn("ts", (F.col("ts") / F.lit(1e9)).cast("timestamp"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withColumn("x", F.col("value"))
         .withColumn("y", (F.col("user_id") % 100).cast("double"))
     )
@@ -143,7 +143,7 @@ def _events_stream(spark, sf="/root/testdata/sf0.001"):
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
-        .withColumn("ts", (F.col("ts") / F.lit(1e9)).cast("timestamp"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withColumn("x", F.col("value"))
         .withColumn("y", (F.col("user_id") % 100).cast("double"))
     )
