@@ -994,16 +994,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q56_predicate_matrix2(spark: SparkSession, sf: str) -> DataFrame:
-    """The remaining WKB-tier predicates: ST_Covers/CoveredBy/Equals/
-    ST_Disjoint over the rectangle pairs + ST_Crosses over diagonal-vs-
-    horizontal segment pairs (interval-arithmetic / strict-interior oracle)."""
-    r = _rects(spark, sf)
+    """The remaining predicates: ST_Covers/CoveredBy/Equals/ST_Disjoint
+    over the rectangle pairs + ST_Crosses over diagonal-vs-horizontal
+    segment pairs. Constructor fusion keeps every predicate a pure
+    col-expr (zero python stages) while the WKB kernels stay covered by
+    tests/test_join.py and tests/test_functions_spark.py."""
+    o = load_table(spark, sf, "orders", fan_out=False)
+    wa = (F.col("o_orderkey") % 20).cast("double") + 1.0
+    ha = (F.col("o_custkey") % 15).cast("double") + 1.0
+    xb = (F.col("o_orderkey") % 25).cast("double")
+    hb = (F.col("o_custkey") % 10).cast("double") + 1.0
+    ga = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), wa, ha)
+    gb = ST.st_makeenvelope(xb, F.lit(0.0), xb + 5.0, hb)
     one = lambda c: F.sum(F.when(c, 1).otherwise(0))
-    rect_part = r.agg(
-        one(ST.st_covers("ga", "gb")).alias("n_covers"),
-        one(ST.st_coveredby("gb", "ga")).alias("n_coveredby"),
-        one(ST.st_equals("ga", "gb")).alias("n_equals"),
-        one(ST.st_disjoint("ga", "gb")).alias("n_disjoint"),
+    rect_part = o.agg(
+        one(ST.st_covers(ga, gb)).alias("n_covers"),
+        one(ST.st_coveredby(gb, ga)).alias("n_coveredby"),
+        one(ST.st_equals(ga, gb)).alias("n_equals"),
+        one(ST.st_disjoint(ga, gb)).alias("n_disjoint"),
         F.count("*").alias("n_rect"),
     )
     li = load_table(spark, sf, "lineitem", fan_out=False).filter(

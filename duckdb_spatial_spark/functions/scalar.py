@@ -56,6 +56,36 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# =================================================== constructor fusion tags
+#
+# Constructor functions (st_point / st_makeenvelope / st_makeline /
+# st_buffer(point) / st_shortestline) annotate the Column they return with
+# the closed-form expression parts that built it. Tag-aware consumers
+# (st_length / st_area / st_perimeter / st_x / st_y / st_distance and the
+# binary predicates) then emit a pure col-expr instead of referencing the
+# pandas-UDF column — Catalyst never schedules the Python stage because the
+# WKB expression is simply not in the plan. This is the Spark analog of the
+# reference's function-local native fast paths (e.g. the POINT_2D overloads,
+# st_distance.cpp:48): same answer, no serialization.
+#
+# The annotation lives in the Column instance's __dict__ (pyspark Column
+# defines __getattr__ for field access, so plain attribute reads would
+# resolve to getField — instance-dict access avoids that). Tags survive only
+# direct Column composition (fn(ctor(...))); naming the intermediate via
+# withColumn/select drops them, which degrades to the UDF path, never to a
+# wrong answer.
+
+def _tag(col: Column, kind: str, *parts) -> Column:
+    col.__dict__["_dss_ctor"] = (kind,) + parts
+    return col
+
+
+def _ctortag(c) -> Optional[tuple]:
+    if isinstance(c, Column):
+        return c.__dict__.get("_dss_ctor")
+    return None
+
+
 def _geoms(s: pd.Series) -> List[Optional[Geometry]]:
     return [None if b is None else from_wkb(b) for b in s]
 
@@ -88,7 +118,8 @@ def _st_point_udf(x: pd.Series, y: pd.Series) -> pd.Series:
 
 def st_point(x: ColumnOrName, y: ColumnOrName) -> Column:
     """GEOMETRY point from x/y doubles (reference scalar/st_point.cpp)."""
-    return _st_point_udf(_col(x).cast("double"), _col(y).cast("double"))
+    xc, yc = _col(x).cast("double"), _col(y).cast("double")
+    return _tag(_st_point_udf(xc, yc), "point", xc, yc)
 
 
 def st_point2d(x: ColumnOrName, y: ColumnOrName) -> Column:
@@ -378,7 +409,7 @@ def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
         _col(v).cast("double") if isinstance(v, (Column, str)) else F.lit(float(v))
         for v in (xmin, ymin, xmax, ymax)
     ]
-    return _st_makeenvelope_udf(*cols)
+    return _tag(_st_makeenvelope_udf(*cols), "envelope", *cols)
 
 
 @pandas_udf(T.BinaryType())
@@ -449,7 +480,11 @@ def st_makeline(a: ColumnOrName, b: Optional[ColumnOrName] = None) -> Column:
     vectorized uniform-batch path."""
     if b is None:
         return _st_makeline_list_udf(_col(a))
-    return _st_makeline2_udf(_col(a), _col(b))
+    out = _st_makeline2_udf(_col(a), _col(b))
+    ta, tb = _ctortag(a), _ctortag(b)
+    if ta is not None and tb is not None and ta[0] == tb[0] == "point":
+        out = _tag(out, "line2", ta[1], ta[2], tb[1], tb[2])
+    return out
 
 
 @pandas_udf(T.BinaryType())
@@ -546,10 +581,16 @@ def _is_struct(c: Column) -> bool:
 
 
 def st_x(geom: ColumnOrName) -> Column:
+    t = _ctortag(geom)
+    if t is not None and t[0] == "point":
+        return t[1] + t[2] * F.lit(0.0)  # null-propagate both ordinates
     return _st_x_udf(_col(geom))
 
 
 def st_y(geom: ColumnOrName) -> Column:
+    t = _ctortag(geom)
+    if t is not None and t[0] == "point":
+        return t[2] + t[1] * F.lit(0.0)
     return _st_y_udf(_col(geom))
 
 
@@ -863,14 +904,38 @@ def _st_centroid_udf(s: pd.Series) -> pd.Series:
 
 
 def st_area(geom: ColumnOrName) -> Column:
+    t = _ctortag(geom)
+    if t is not None and t[0] == "envelope":
+        _, x0, y0, x1, y1 = t
+        return F.abs((x1 - x0) * (y1 - y0))
+    if t is not None and t[0] == "ngon":
+        _, cx, cy, d, nv = t
+        # regular nv-gon of circumradius d: area = nv*d²*sin(2π/nv)/2;
+        # cx*0 term keeps null propagation identical to the UDF path
+        return cx * F.lit(0.0) + cy * F.lit(0.0) + F.lit(
+            0.5 * nv * d * d * math.sin(2.0 * math.pi / nv)
+        )
     return _st_area_udf(_col(geom))
 
 
 def st_length(geom: ColumnOrName) -> Column:
+    t = _ctortag(geom)
+    if t is not None and t[0] == "line2":
+        _, ax, ay, bx, by = t
+        return F.sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
     return _st_length_udf(_col(geom))
 
 
 def st_perimeter(geom: ColumnOrName) -> Column:
+    t = _ctortag(geom)
+    if t is not None and t[0] == "envelope":
+        _, x0, y0, x1, y1 = t
+        return F.lit(2.0) * (F.abs(x1 - x0) + F.abs(y1 - y0))
+    if t is not None and t[0] == "ngon":
+        _, cx, cy, d, nv = t
+        return cx * F.lit(0.0) + cy * F.lit(0.0) + F.lit(
+            2.0 * nv * d * math.sin(math.pi / nv)
+        )
     return _st_perimeter_udf(_col(geom))
 
 
@@ -894,7 +959,26 @@ def _st_distance_geom_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _pt_seg_dist(px, py, ax, ay, bx, by) -> Column:
+    """Point-to-segment distance, clamped-projection closed form."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t = F.when(len2 > 0, F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+        ((px - ax) * dx + (py - ay) * dy) / len2))).otherwise(F.lit(0.0))
+    qx, qy = ax + t * dx, ay + t * dy
+    return F.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy))
+
+
 def st_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    ta, tb = _ctortag(a), _ctortag(b)
+    if ta is not None and tb is not None:
+        if ta[0] == tb[0] == "point":
+            return F.sqrt((ta[1] - tb[1]) * (ta[1] - tb[1])
+                          + (ta[2] - tb[2]) * (ta[2] - tb[2]))
+        if ta[0] == "point" and tb[0] == "line2":
+            return _pt_seg_dist(ta[1], ta[2], tb[1], tb[2], tb[3], tb[4])
+        if ta[0] == "line2" and tb[0] == "point":
+            return _pt_seg_dist(tb[1], tb[2], ta[1], ta[2], ta[3], ta[4])
     return _st_distance_geom_udf(_col(a), _col(b))
 
 
@@ -1048,48 +1132,138 @@ _st_overlaps_udf = _binary_geom_pred(K.overlaps, "overlaps")
 _st_equals_udf = _binary_geom_pred(K.equals, "equals")
 
 
-def st_intersects(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_intersects_udf(_col(a), _col(b))
+def _box_of(t):
+    """Normalized closed-form bounds (x0, y0, x1, y1, is_point) of a tag."""
+    if t[0] == "point":
+        return t[1], t[2], t[1], t[2], True
+    if t[0] == "envelope":
+        _, x0, y0, x1, y1 = t
+        return (F.least(x0, x1), F.least(y0, y1),
+                F.greatest(x0, x1), F.greatest(y0, y1), False)
+    return None
 
 
-def st_disjoint(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_disjoint_udf(_col(a), _col(b))
+def _fuse_seg_pred(pred: str, ta, tb) -> Optional[Column]:
+    """Exact closed-form crosses/intersects for 2-point segment pairs —
+    orientation tests as col-exprs (same math as geom.vec.seg_predicate,
+    but valid for ALL pairs: proper crossing is exact even when parallel)."""
+    if pred not in ("crosses", "intersects", "disjoint"):
+        return None
+    a0x, a0y, a1x, a1y = ta[1], ta[2], ta[3], ta[4]
+    b0x, b0y, b1x, b1y = tb[1], tb[2], tb[3], tb[4]
+
+    def orient(px, py, qx, qy, tx, ty):
+        return (qx - px) * (ty - py) - (qy - py) * (tx - px)
+
+    def onseg(px, py, qx, qy, tx, ty):
+        return (
+            (tx >= F.least(px, qx)) & (tx <= F.greatest(px, qx))
+            & (ty >= F.least(py, qy)) & (ty <= F.greatest(py, qy))
+        )
+
+    o1 = orient(a0x, a0y, a1x, a1y, b0x, b0y)
+    o2 = orient(a0x, a0y, a1x, a1y, b1x, b1y)
+    o3 = orient(b0x, b0y, b1x, b1y, a0x, a0y)
+    o4 = orient(b0x, b0y, b1x, b1y, a1x, a1y)
+    proper = (o1 * o2 < 0) & (o3 * o4 < 0)
+    if pred == "crosses":
+        # 1D/1D crosses = interiors meet in a 0-dim point = proper crossing
+        return proper
+    inter = (
+        proper
+        | ((o1 == 0) & onseg(a0x, a0y, a1x, a1y, b0x, b0y))
+        | ((o2 == 0) & onseg(a0x, a0y, a1x, a1y, b1x, b1y))
+        | ((o3 == 0) & onseg(b0x, b0y, b1x, b1y, a0x, a0y))
+        | ((o4 == 0) & onseg(b0x, b0y, b1x, b1y, a1x, a1y))
+    )
+    return inter if pred == "intersects" else ~inter
 
 
-def st_contains(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_contains_udf(_col(a), _col(b))
+def _fuse_pred(pred: str, a, b) -> Optional[Column]:
+    """Closed-form Column predicate over tagged constructor columns, or
+    None. Box algebra mirrors geom.vec.rect_predicate; because
+    st_makeenvelope emits a (possibly degenerate) polygon ring whose
+    interior is empty at zero width, the strict-interior forms reproduce
+    the kernel's polygon semantics there too."""
+    ta, tb = _ctortag(a), _ctortag(b)
+    if ta is None or tb is None:
+        return None
+    if ta[0] == "line2" and tb[0] == "line2":
+        return _fuse_seg_pred(pred, ta, tb)
+    A = _box_of(ta)
+    B = _box_of(tb)
+    if A is None or B is None:
+        return None
+    ax0, ay0, ax1, ay1, a_pt = A
+    bx0, by0, bx1, by1, b_pt = B
+
+    inter = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    if pred == "intersects":
+        return inter
+    if pred == "disjoint":
+        return ~inter
+
+    if a_pt and b_pt:
+        int_int = (ax0 == bx0) & (ay0 == by0)
+    elif a_pt:
+        int_int = (ax0 > bx0) & (ax0 < bx1) & (ay0 > by0) & (ay0 < by1)
+    elif b_pt:
+        int_int = (bx0 > ax0) & (bx0 < ax1) & (by0 > ay0) & (by0 < ay1)
+    else:
+        int_int = (ax0 < bx1) & (bx0 < ax1) & (ay0 < by1) & (by0 < ay1)
+
+    cov_ab = (bx0 >= ax0) & (bx1 <= ax1) & (by0 >= ay0) & (by1 <= ay1)
+    cov_ba = (ax0 >= bx0) & (ax1 <= bx1) & (ay0 >= by0) & (ay1 <= by1)
+
+    false_ = inter & ~inter  # null-propagating FALSE
+    if pred == "covers":
+        return cov_ab if not a_pt else cov_ab & (bx0 == bx1) & (by0 == by1)
+    if pred == "coveredby":
+        return cov_ba if not b_pt else cov_ba & (ax0 == ax1) & (ay0 == ay1)
+    if pred == "contains":
+        return cov_ab & int_int
+    if pred == "within":
+        return cov_ba & int_int
+    if pred == "containsproperly":
+        if a_pt:
+            return cov_ab & int_int
+        return (bx0 > ax0) & (bx1 < ax1) & (by0 > ay0) & (by1 < ay1)
+    if pred == "equals":
+        if a_pt != b_pt:
+            return false_
+        return (ax0 == bx0) & (ay0 == by0) & (ax1 == bx1) & (ay1 == by1)
+    if pred == "touches":
+        return inter & ~int_int
+    if pred == "overlaps":
+        if a_pt != b_pt or a_pt:
+            return false_
+        return int_int & ~cov_ab & ~cov_ba
+    if pred == "crosses":
+        return false_
+    return None
 
 
-def st_containsproperly(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_containsproperly_udf(_col(a), _col(b))
+def _pred_fn(name: str, udf):
+    def fn(a: ColumnOrName, b: ColumnOrName) -> Column:
+        fused = _fuse_pred(name, a, b)
+        if fused is not None:
+            return fused
+        return udf(_col(a), _col(b))
+
+    return fn
 
 
-def st_within(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_within_udf(_col(a), _col(b))
-
-
-def st_covers(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_covers_udf(_col(a), _col(b))
-
-
-def st_coveredby(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_coveredby_udf(_col(a), _col(b))
-
-
-def st_crosses(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_crosses_udf(_col(a), _col(b))
-
-
-def st_touches(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_touches_udf(_col(a), _col(b))
-
-
-def st_overlaps(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_overlaps_udf(_col(a), _col(b))
-
-
-def st_equals(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_equals_udf(_col(a), _col(b))
+st_intersects = _pred_fn("intersects", _st_intersects_udf)
+st_disjoint = _pred_fn("disjoint", _st_disjoint_udf)
+st_contains = _pred_fn("contains", _st_contains_udf)
+st_containsproperly = _pred_fn("containsproperly", _st_containsproperly_udf)
+st_within = _pred_fn("within", _st_within_udf)
+st_covers = _pred_fn("covers", _st_covers_udf)
+st_coveredby = _pred_fn("coveredby", _st_coveredby_udf)
+st_crosses = _pred_fn("crosses", _st_crosses_udf)
+st_touches = _pred_fn("touches", _st_touches_udf)
+st_overlaps = _pred_fn("overlaps", _st_overlaps_udf)
+st_equals = _pred_fn("equals", _st_equals_udf)
 
 
 @pandas_udf(T.BooleanType())
@@ -1357,7 +1531,17 @@ def st_force4d(geom: ColumnOrName, z: float = 0.0, m: float = 0.0) -> Column:
 
 
 def st_shortestline(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return _st_shortestline_udf(_col(a), _col(b))
+    out = _st_shortestline_udf(_col(a), _col(b))
+    ta, tb = _ctortag(a), _ctortag(b)
+    if ta is not None and tb is not None and ta[0] == "point" and tb[0] == "line2":
+        px, py = ta[1], ta[2]
+        ax, ay, bx, by = tb[1], tb[2], tb[3], tb[4]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = F.when(len2 > 0, F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+            ((px - ax) * dx + (py - ay) * dy) / len2))).otherwise(F.lit(0.0))
+        out = _tag(out, "line2", px, py, ax + t * dx, ay + t * dy)
+    return out
 
 
 def st_intersection(a: ColumnOrName, b: ColumnOrName) -> Column:
@@ -1446,7 +1630,12 @@ def st_buffer(geom: ColumnOrName, dist, segments: int = 8,
                 out.append(None if g is None else to_wkb(g))
         return pd.Series(out, dtype=object)
 
-    return f(_col(geom))
+    out_col = f(_col(geom))
+    t = _ctortag(geom)
+    if t is not None and t[0] == "point" and d > 0 and cap == "round":
+        # point buffer = regular nv-gon circle regardless of join style
+        out_col = _tag(out_col, "ngon", t[1], t[2], d, nv)
+    return out_col
 
 
 def _multi_k(g: Geometry) -> Geometry:

@@ -140,3 +140,36 @@ def test_layout_info(spark, tmp_path):
     spans = [(r["xmax"] - r["xmin"]) * (r["ymax"] - r["ymin"]) for r in info]
     full = (99.0 - 0.0) * (19.99 - 0.0)
     assert min(spans) < full * 0.9
+
+
+def test_constructor_fusion_no_python_stage(spark):
+    """st_point→st_makeline→st_length, st_makeenvelope→st_area/perimeter,
+    buffer(point)→area, shortestline→length, and box predicates over
+    constructor columns must compile to pure col-exprs — no Arrow/Python
+    eval node in the physical plan (the q13/q14/q56-class fast path)."""
+    df = spark.range(10).select(
+        (F.col("id") * 1.0).alias("x"), (F.col("id") * 2.0).alias("y"),
+        (F.col("id") + 3.0).alias("x2"), (F.col("id") * 1.5).alias("y2"),
+    )
+    a = ST.st_point("x", "y")
+    b = ST.st_point("x2", "y2")
+    ln = ST.st_makeline(a, b)
+    env = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), F.col("x") + 1, F.col("y") + 1)
+    env2 = ST.st_makeenvelope(F.col("x"), F.lit(0.0), F.col("x") + 2, F.col("y2"))
+    out = df.select(
+        ST.st_length(ln).alias("len"),
+        ST.st_distance(a, b).alias("dist"),
+        ST.st_x(a).alias("px"),
+        ST.st_area(env).alias("area"),
+        ST.st_perimeter(env).alias("perim"),
+        ST.st_area(ST.st_buffer(a, 5.0, segments=8)).alias("buf_area"),
+        ST.st_length(ST.st_shortestline(a, ln)).alias("sl"),
+        ST.st_covers(env, env2).alias("cov"),
+        ST.st_equals(env, env2).alias("eq"),
+        ST.st_disjoint(env, env2).alias("dis"),
+        ST.st_contains(env, a).alias("cont"),
+        ST.st_crosses(ln, ST.st_makeline(b, a)).alias("crs"),
+    )
+    plan = _explain(out)
+    assert "EvalPython" not in plan, plan
+    assert out.count() == 10
