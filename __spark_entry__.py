@@ -1159,6 +1159,35 @@ def q63_intersection_agg(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("c_nationkey")
 
 
+def q64_mixed_overlay(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-dimension dissolving overlay (geos/.../st_union.cpp:65,
+    st_difference.cpp:59): line∪polygon keeps the polygon plus the line
+    parts outside it; line−polygon is the complement clip; collinear
+    line∪line counts the shared length once. Closed-form oracle: the box is
+    (0,0,w,10) and the horizontal probe line spans x∈[−5, w+5] at
+    yc=(p_partkey%14)+0.5, so the outside length is 10 when the line
+    crosses the box (yc<10) and w+10 when it misses."""
+    part = load_table(spark, sf, "part")
+    w = F.col("p_size").cast("double") + 2.0
+    yc = (F.col("p_partkey") % 14).cast("double") + 0.5
+    box = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), w, F.lit(10.0))
+    line = ST.st_makeline(ST.st_point(F.lit(-5.0), yc), ST.st_point(w + 5.0, yc))
+    u = ST.st_union(line, box)
+    d = ST.st_difference(line, box)
+    # collinear 1D overlap: a=(0,0)->(k,k), b=(k/2,k/2)->(2k,2k)
+    k = (F.col("p_partkey") % 5).cast("double") + 1.0
+    la = ST.st_makeline(ST.st_point(F.lit(0.0), F.lit(0.0)), ST.st_point(k, k))
+    lb = ST.st_makeline(ST.st_point(k / 2, k / 2), ST.st_point(k * 2, k * 2))
+    lu = ST.st_union(la, lb)
+    return part.agg(
+        F.round(F.sum(ST.st_area(u)), 2).alias("union_area_sum"),
+        F.round(F.sum(ST.st_length(u)), 2).alias("union_len_sum"),
+        F.round(F.sum(ST.st_length(d)), 2).alias("diff_len_sum"),
+        F.round(F.sum(ST.st_length(lu)), 2).alias("collinear_union_len_sum"),
+        F.count("*").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_point_in_envelope": q01_point_in_envelope,
@@ -1224,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_rtree_points": q61_rtree_points,
         "q62_buffer_joinstyles": q62_buffer_joinstyles,
         "q63_intersection_agg": q63_intersection_agg,
+        "q64_mixed_overlay": q64_mixed_overlay,
     }
 
 
@@ -1680,6 +1710,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
                 FROM part
             )
+        """,
+        "q64_mixed_overlay": """
+            SELECT round(sum((CAST(p_size AS DOUBLE) + 2.0) * 10.0), 2)
+                     AS union_area_sum,
+                   round(sum(CASE WHEN CAST(p_partkey % 14 AS DOUBLE) + 0.5 < 10.0
+                                  THEN 10.0
+                                  ELSE CAST(p_size AS DOUBLE) + 12.0 END), 2)
+                     AS union_len_sum,
+                   round(sum(CASE WHEN CAST(p_partkey % 14 AS DOUBLE) + 0.5 < 10.0
+                                  THEN 10.0
+                                  ELSE CAST(p_size AS DOUBLE) + 12.0 END), 2)
+                     AS diff_len_sum,
+                   round(sum(2.0 * (CAST(p_partkey % 5 AS DOUBLE) + 1.0)
+                             * sqrt(2.0)), 2) AS collinear_union_len_sum,
+                   count(*) AS n
+            FROM part
         """,
         "q63_intersection_agg": """
             SELECT c_nationkey,

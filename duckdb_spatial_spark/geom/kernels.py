@@ -441,6 +441,10 @@ def touches(a: Geometry, b: Geometry) -> bool:
     if cross:
         return False
     da, db = a.topo_dimension(), b.topo_dimension()
+    if da == 1 and db == 1 and _share_1d(a, b):
+        # collinear shared length ⇒ the 1D interiors intersect — that is
+        # overlaps (or containment), never touches (DE-9IM)
+        return False
     if da == 2 and db >= 1:
         # any midpoint/vertex of b interior to a → not touches
         for arr in b.vertex_arrays():
@@ -1472,12 +1476,38 @@ def union(a: Geometry, b: Geometry) -> Geometry:
     if not intersects(a, b) or touches(a, b):
         parts = [p for g in (a, b) for p in g.flatten() if not p.is_empty()]
         return collect(parts)
-    if a.topo_dimension() == 2 and b.topo_dimension() == 2:
+    da, db = a.topo_dimension(), b.topo_dimension()
+    if da == 2 and db == 2:
         from .overlay import polygon_union
 
         return polygon_union(a, b)
+    if da == 1 and db == 1:
+        from .overlay import line_line_union
+
+        return line_line_union(a, b)
+    if {da, db} == {1, 2}:
+        # GEOS-style mixed union: region + the line parts outside its
+        # closure, collected (st_union.cpp:65 semantics)
+        from .overlay import line_region_difference
+
+        line, region = (a, b) if da == 1 else (b, a)
+        outside = line_region_difference(line, region)
+        parts = [g for g in region.flatten() if not g.is_empty()] + [
+            g for g in outside.flatten() if not g.is_empty()
+        ]
+        return collect(parts)
+    if da == 0 or db == 0:
+        # points melt into any higher-dim geometry that covers them
+        pt, other = (a, b) if da == 0 else (b, a)
+        keep = [
+            p for p in pt.flatten()
+            if not p.is_empty()
+            and _point_loc(p.coords[0], p.coords[1], other) == 0
+        ]
+        parts = [g for g in other.flatten() if not g.is_empty()] + keep
+        return collect(parts)
     raise NotImplementedError(
-        "mixed-dimension dissolving union not yet implemented"
+        "union of these geometry types not yet implemented"
     )
 
 
@@ -1496,11 +1526,24 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
         if not pts:
             return Geometry.empty(a.type_id, a.has_z, a.has_m)
         return pts[0] if len(pts) == 1 else collect(pts)
-    if a.topo_dimension() == 2 and b.topo_dimension() == 2:
+    da, db = a.topo_dimension(), b.topo_dimension()
+    if da == 2 and db == 2:
         from .overlay import polygon_difference
 
         return polygon_difference(a, b)
-    raise NotImplementedError("mixed-dimension difference not yet implemented")
+    if da == 1 and db == 2:
+        from .overlay import line_region_difference
+
+        return line_region_difference(a, b)
+    if da == 1 and db == 1:
+        from .overlay import line_line_difference
+
+        return line_line_difference(a, b)
+    if db < da:
+        # subtracting a lower-dimension geometry removes no measure
+        # (GEOS OverlayNG difference semantics, st_difference.cpp:59)
+        return a
+    raise NotImplementedError("difference of these geometry types not yet implemented")
 
 
 # ============================================================ bulk (vectorized over many points)

@@ -390,6 +390,49 @@ def line_region_intersection(line: Geometry, region: Geometry) -> Geometry:
     )
 
 
+def line_region_difference(line: Geometry, region: Geometry) -> Geometry:
+    """LINESTRING/MULTILINESTRING − polygonal region → the sub-segments
+    OUTSIDE the region's closure (complement intervals of the clip —
+    same interval engine as line_region_intersection, kept pieces are the
+    gaps between merged covered intervals)."""
+    from .core import LINESTRING, MULTILINESTRING
+
+    pieces = region_pieces(region)
+    segs: List[np.ndarray] = []
+    for leaf in line.flatten():
+        if leaf.type_id != LINESTRING or leaf.coords is None:
+            continue
+        c = leaf.coords[:, :2]
+        for i in range(len(c) - 1):
+            p, q = c[i], c[i + 1]
+            ivals = []
+            for piece in pieces:
+                r = _clip_segment_convex(p, q, piece)
+                if r is not None and r[1] - r[0] > 1e-12:
+                    ivals.append(r)
+            ivals.sort()
+            merged: List[List[float]] = []
+            for t0, t1 in ivals:
+                if merged and t0 <= merged[-1][1] + 1e-12:
+                    merged[-1][1] = max(merged[-1][1], t1)
+                else:
+                    merged.append([t0, t1])
+            cur = 0.0
+            for t0, t1 in merged:
+                if t0 - cur > 1e-12:
+                    segs.append(np.vstack([p + cur * (q - p), p + t0 * (q - p)]))
+                cur = max(cur, t1)
+            if 1.0 - cur > 1e-12:
+                segs.append(np.vstack([p + cur * (q - p), p + 1.0 * (q - p)]))
+    if not segs:
+        return Geometry.empty(LINESTRING)
+    if len(segs) == 1:
+        return Geometry(LINESTRING, coords=segs[0])
+    return Geometry.collection(
+        MULTILINESTRING, [Geometry(LINESTRING, coords=s) for s in segs]
+    )
+
+
 # -------------------------------------------------------- line ∩ line
 
 def _seg_seg_intersection(p, r_, q, s_):
@@ -477,6 +520,103 @@ def line_line_intersection(a: Geometry, b: Geometry) -> Geometry:
     if not point_geoms:
         return seg_geoms[0] if len(seg_geoms) == 1 else Geometry.collection(MULTILINESTRING, seg_geoms)
     return Geometry.collection(GEOMETRYCOLLECTION, point_geoms + seg_geoms)
+
+
+def _line_pieces(a: Geometry, b: Geometry, drop_covered: bool) -> List[np.ndarray]:
+    """Pieces of ``a``'s segments noded at every intersection with ``b``;
+    with ``drop_covered`` the pieces collinearly covered by ``b`` are
+    dropped (the 1D difference). This is the noding step of GEOS-style
+    line/line overlay (the reference delegates to GEOS OverlayNG,
+    geos/.../st_union.cpp:65)."""
+    from .core import LINESTRING
+
+    out: List[np.ndarray] = []
+    for la in a.flatten():
+        if la.type_id != LINESTRING or la.coords is None:
+            continue
+        ca = la.coords[:, :2]
+        for i in range(len(ca) - 1):
+            p, q = ca[i], ca[i + 1]
+            r_ = q - p
+            rr = float(r_[0] * r_[0] + r_[1] * r_[1])
+            if rr == 0.0:
+                continue
+            cuts = {0.0, 1.0}
+            covered: List[List[float]] = []
+            for lb in b.flatten():
+                if lb.type_id != LINESTRING or lb.coords is None:
+                    continue
+                cb = lb.coords[:, :2]
+                for j in range(len(cb) - 1):
+                    hit = _seg_seg_intersection(
+                        (float(p[0]), float(p[1])),
+                        (float(r_[0]), float(r_[1])),
+                        (float(cb[j, 0]), float(cb[j, 1])),
+                        (float(cb[j + 1, 0] - cb[j, 0]),
+                         float(cb[j + 1, 1] - cb[j, 1])),
+                    )
+                    if hit is None:
+                        continue
+                    if hit[0] == "point":
+                        t = ((hit[1][0] - p[0]) * r_[0]
+                             + (hit[1][1] - p[1]) * r_[1]) / rr
+                        cuts.add(min(1.0, max(0.0, t)))
+                    else:
+                        t0 = ((hit[1][0] - p[0]) * r_[0]
+                              + (hit[1][1] - p[1]) * r_[1]) / rr
+                        t1 = ((hit[2][0] - p[0]) * r_[0]
+                              + (hit[2][1] - p[1]) * r_[1]) / rr
+                        lo, hi = sorted((t0, t1))
+                        lo, hi = max(0.0, lo), min(1.0, hi)
+                        covered.append([lo, hi])
+                        cuts.add(lo)
+                        cuts.add(hi)
+            covered.sort()
+            merged: List[List[float]] = []
+            for lo, hi in covered:
+                if merged and lo <= merged[-1][1] + 1e-12:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            ts = sorted(cuts)
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                if t1 - t0 <= 1e-12:
+                    continue
+                if drop_covered:
+                    mid = 0.5 * (t0 + t1)
+                    if any(lo - 1e-12 <= mid <= hi + 1e-12 for lo, hi in merged):
+                        continue
+                out.append(np.vstack([p + t0 * r_, p + t1 * r_]))
+    return out
+
+
+def _segs_geom(segs: List[np.ndarray], empty_type: int) -> Geometry:
+    from .core import LINESTRING, MULTILINESTRING
+
+    if not segs:
+        return Geometry.empty(empty_type)
+    if len(segs) == 1:
+        return Geometry(LINESTRING, coords=segs[0])
+    return Geometry.collection(
+        MULTILINESTRING, [Geometry(LINESTRING, coords=s) for s in segs]
+    )
+
+
+def line_line_union(a: Geometry, b: Geometry) -> Geometry:
+    """1D ∪ 1D: a's segments noded at every crossing, plus b's pieces not
+    collinearly covered by a (so overlaps count once)."""
+    from .core import LINESTRING
+
+    segs = _line_pieces(a, b, drop_covered=False) + _line_pieces(
+        b, a, drop_covered=True
+    )
+    return _segs_geom(segs, LINESTRING)
+
+
+def line_line_difference(a: Geometry, b: Geometry) -> Geometry:
+    """1D − 1D: a's noded pieces minus the collinearly covered ones
+    (0-dim crossings remove no length — they only node)."""
+    return _segs_geom(_line_pieces(a, b, drop_covered=True), a.type_id)
 
 
 # ============================================================ buffer

@@ -260,3 +260,63 @@ def test_buffer_join_general_path_rotated():
     a_b = A(K.buffer(rot, 1.5, join="bevel"))
     assert a_b == pytest.approx(100 + 1.5 * 40 + 4 * 0.5 * 1.5 ** 2,
                                 rel=1e-6)
+
+
+class TestMixedDimensionOverlay:
+    """GEOS-parity union/difference across dimension pairs
+    (st_union.cpp:65, st_difference.cpp:59 delegate to OverlayNG)."""
+
+    def test_union_line_polygon(self):
+        box = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        line = from_wkt("LINESTRING (-5 5, 15 5)")
+        u = K.union(line, box)
+        assert abs(K.area(u) - 100.0) < 1e-9
+        assert abs(K.length(u) - 10.0) < 1e-9  # 5 outside each side
+
+    def test_difference_line_minus_polygon(self):
+        box = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        line = from_wkt("LINESTRING (-5 5, 15 5)")
+        d = K.difference(line, box)
+        assert abs(K.length(d) - 10.0) < 1e-9
+        # fully inside → empty
+        inner = from_wkt("LINESTRING (1 1, 9 9)")
+        assert K.difference(inner, box).is_empty()
+
+    def test_difference_polygon_minus_lowdim(self):
+        box = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        line = from_wkt("LINESTRING (-5 5, 15 5)")
+        pt = from_wkt("POINT (5 5)")
+        assert abs(K.area(K.difference(box, line)) - 100.0) < 1e-12
+        assert abs(K.area(K.difference(box, pt)) - 100.0) < 1e-12
+
+    def test_line_line_union_crossing_nodes(self):
+        l1 = from_wkt("LINESTRING (0 0, 10 10)")
+        l2 = from_wkt("LINESTRING (0 10, 10 0)")
+        u = K.union(l1, l2)
+        assert abs(K.length(u) - K.length(l1) - K.length(l2)) < 1e-9
+        assert len(list(u.flatten())) == 4  # noded at the crossing
+
+    def test_line_line_union_collinear_overlap_counts_once(self):
+        l1 = from_wkt("LINESTRING (0 0, 10 10)")
+        l2 = from_wkt("LINESTRING (5 5, 20 20)")
+        import math
+        assert abs(K.length(K.union(l1, l2)) - 20 * math.sqrt(2)) < 1e-9
+        d = K.difference(l1, l2)
+        assert abs(K.length(d) - 5 * math.sqrt(2)) < 1e-9
+
+    def test_union_points_melt_into_polygon(self):
+        box = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        inside = from_wkt("POINT (5 5)")
+        outside = from_wkt("POINT (20 20)")
+        assert K.union(box, inside).type_id == 3
+        u = K.union(box, outside)
+        kinds = sorted(p.type_id for p in u.flatten())
+        assert kinds == [1, 3]
+
+    def test_touches_overlaps_collinear_1d(self):
+        l1 = from_wkt("LINESTRING (0 0, 10 10)")
+        l2 = from_wkt("LINESTRING (5 5, 20 20)")
+        assert not K.touches(l1, l2)
+        assert K.overlaps(l1, l2)
+        t = from_wkt("LINESTRING (5 5, 5 20)")
+        assert K.touches(l1, t) and not K.overlaps(l1, t)
