@@ -182,20 +182,27 @@ def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
     C = centroids
 
     def assign(s):
-        out = []
-        for v in s:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            n = np.linalg.norm(x)
-            sims = (C @ (x / n)) if n > 0 else np.zeros(len(C))
-            if nprobe == 1:
-                out.append([int(sims.argmax())])
-            else:
-                top = np.argpartition(-sims, min(nprobe, len(sims)) - 1)[:nprobe]
-                out.append([int(t) for t in top])
-        return pd.Series(out)
+        # one (batch, dim) stack + one matmul against the centroid matrix
+        # per Arrow batch — not a per-row python loop
+        vals = s.to_numpy(dtype=object)
+        mask = np.array([v is not None for v in vals])
+        if not mask.any():
+            return pd.Series([None] * len(vals))
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vals[mask]])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        np.maximum(norms, 1e-300, out=norms)
+        sims = (X / norms) @ C.T  # (n, n_centroids)
+        p = min(nprobe, sims.shape[1])
+        if p == 1:
+            tops = sims.argmax(axis=1)[:, None]
+        else:
+            tops = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        lists = np.empty(len(tops), dtype=object)
+        lists[:] = [[int(t) for t in row] for row in tops]
+        out = np.empty(len(vals), dtype=object)
+        out[~mask] = None
+        out[mask] = lists
+        return pd.Series(list(out))
 
     return pandas_udf(assign, T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
 

@@ -98,12 +98,24 @@ def st_read_shp(
 
 
 def st_write_shp(df: DataFrame, path: str, geom_col: str = "geom",
-                 encoding: str = "utf-8") -> None:
+                 encoding: str = "utf-8",
+                 max_bytes: int = 1 << 30) -> None:
     """Single-file shapefile writer (driver-side collect — mirrors the
     reference's single-writer COPY sink, st_write.cpp:559-570). Small
-    exports only; parquet is the scale path."""
+    exports only; parquet is the scale path. Guarded by a pre-collect byte
+    probe (one agg on the WKB column): exports past ``max_bytes`` raise
+    instead of silently OOMing the driver."""
+    from pyspark.sql import functions as F
+
     from ..geom.wkb import from_wkb
 
+    est = df.agg(F.sum(F.length(F.col(geom_col))).alias("b")).collect()[0]["b"] or 0
+    if est > max_bytes:
+        raise ValueError(
+            f"st_write_shp is a single-writer sink; geometry payload "
+            f"~{est >> 20} MiB exceeds max_bytes={max_bytes >> 20} MiB — "
+            "write parquet instead, or raise max_bytes explicitly"
+        )
     rows = df.collect()
     attrs = [c for c in df.columns if c != geom_col]
     fields = []
