@@ -1188,6 +1188,36 @@ def q64_mixed_overlay(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q65_gpkg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Native GeoPackage sink+source (ST_Read/COPY FORMAT GDAL 'x.gpkg'
+    analog, stdlib-sqlite container): write customer points to a GPKG,
+    read the layer back distributed, aggregate. Oracle: same aggregate
+    straight off the customer table."""
+    import tempfile
+
+    from duckdb_spatial_spark.sources import st_read_gpkg, st_write_gpkg
+
+    cust = (
+        load_table(spark, sf, "customer", fan_out=False)
+        .filter(F.col("c_custkey") < 400)
+        .select(
+            F.col("c_custkey").alias("k"),
+            ST.st_point(
+                F.col("c_acctbal"), (F.col("c_custkey") % 100).cast("double")
+            ).alias("geom"),
+        )
+    )
+    path = tempfile.mktemp(suffix=".gpkg", prefix="dss_q65_")
+    st_write_gpkg(cust, path, layer="cust")
+    back = st_read_gpkg(spark, path, layer="cust")
+    return back.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(ST.st_x("geom")), 2).alias("sx"),
+        F.round(F.sum(ST.st_y("geom")), 2).alias("sy"),
+        F.sum("k").alias("sk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_point_in_envelope": q01_point_in_envelope,
@@ -1254,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_buffer_joinstyles": q62_buffer_joinstyles,
         "q63_intersection_agg": q63_intersection_agg,
         "q64_mixed_overlay": q64_mixed_overlay,
+        "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
     }
 
 
@@ -1710,6 +1741,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
                 FROM part
             )
+        """,
+        "q65_gpkg_roundtrip": """
+            SELECT count(*) AS n,
+                   round(sum(c_acctbal), 2) AS sx,
+                   round(sum(CAST(c_custkey % 100 AS DOUBLE)), 2) AS sy,
+                   sum(c_custkey) AS sk
+            FROM customer WHERE c_custkey < 400
         """,
         "q64_mixed_overlay": """
             SELECT round(sum((CAST(p_size AS DOUBLE) + 2.0) * 10.0), 2)

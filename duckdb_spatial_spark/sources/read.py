@@ -66,6 +66,8 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("orc", "Apache ORC", True, True, True),
         ("geojson", "GeoJSON FeatureCollection", True, True, True),
         ("osm.pbf", "OpenStreetMap PBF (schema pinned; decoder pending)", False, False, False),
+        ("gpkg", "GeoPackage (native stdlib-sqlite reader/writer)", True, True, True),
+        ("shp", "ESRI Shapefile (native codec)", True, True, True),
         ("ogr", f"OGR formats via pyogrio ({'available' if has_ogr else 'NOT INSTALLED'})",
          has_ogr, False, has_ogr),
     ]
@@ -168,6 +170,12 @@ def st_read(
         from .shapefile import st_read_shp
 
         df = st_read_shp(spark, path, geom_col=geom_col)
+    elif low.endswith(".gpkg"):
+        # native GeoPackage path (stdlib sqlite3) — pushdown happens inside
+        from .gpkg import st_read_gpkg
+
+        return st_read_gpkg(spark, path, layer=layer, columns=columns,
+                            bbox=bbox, geom_col=geom_col)
     elif any(low.endswith(e) for e in _OGR_EXTS):
         try:
             import pyogrio  # noqa: F401
