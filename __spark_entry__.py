@@ -1090,20 +1090,23 @@ def q59_reduceprecision(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q60_spheroid(spark: SparkSession, sf: str) -> DataFrame:
-    """Geodesic (spheroid) vs spherical distance over lon/lat pairs derived
-    from customers — *_Spheroid surface (geographiclib tier). Iterative
-    Vincenty-style geodesic is not SQL-expressible → rows-only check."""
+    """Exact geodesic (spheroid) distances — geographiclib tier, now a
+    Karney-style exact inverse (geom/geodesic.py). Oracle: meridional rows
+    have the closed-form Bessel meridian-arc series (third flattening n,
+    sub-µm truncation, SQL-expressible); equatorial rows are a·Δλ exactly
+    (arcs ≤ 171° < (1−f)·180°, so the equator is the geodesic)."""
     c = load_table(spark, sf, "customer", fan_out=False)
-    lon1 = (F.col("c_custkey") % 360).cast("double") - 180.0
+    lon = (F.col("c_custkey") % 360).cast("double") - 180.0
     lat1 = (F.col("c_custkey") % 140).cast("double") - 70.0
-    lon2 = lon1 + 1.0
-    lat2 = lat1 + 0.5
+    dlat = (F.col("c_custkey") % 37).cast("double") * 0.5 + 0.5
+    lat2 = lat1 + dlat  # ≤ 88.5
+    dlon = (F.col("c_custkey") % 170).cast("double") + 1.0
     # reference axis order: x = latitude (st_distance_spheroid.cpp docs)
-    dsph = ST.st_distance_spheroid(lat1, lon1, lat2, lon2)
-    dhav = ST.st_distance_sphere(lat1, lon1, lat2, lon2)
+    dm = ST.st_distance_spheroid(lat1, lon, lat2, lon)
+    de = ST.st_distance_spheroid(F.lit(0.0), lon, F.lit(0.0), lon + dlon)
     return c.agg(
-        F.round(F.avg(dsph), 2).alias("avg_spheroid_m"),
-        F.round(F.avg(dsph - dhav), 2).alias("avg_flattening_delta_m"),
+        F.round(F.sum(dm), 2).alias("merid_sum_m"),
+        F.round(F.sum(de), 2).alias("equat_sum_m"),
         F.count("*").alias("n"),
     )
 
@@ -1290,7 +1293,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     xmin, ymin, xmax, ymax = ENV
+    # WGS84 meridian-arc series (Bessel, third flattening n) — coefficients
+    # as exact literals so the oracle is plain ANSI SQL
+    _a = 6378137.0
+    _f = 1.0 / 298.257223563
+    _n = _f / (2.0 - _f)
+    _c0 = (_a / (1 + _n)) * (1 + _n * _n / 4 + _n ** 4 / 64)
+    _c2 = (_a / (1 + _n)) * (3 * _n / 2 - 3 * _n ** 3 / 16)
+    _c4 = (_a / (1 + _n)) * (15 * _n * _n / 16 - 15 * _n ** 4 / 64)
+    _c6 = (_a / (1 + _n)) * (35 * _n ** 3 / 48)
+    _c8 = (_a / (1 + _n)) * (315 * _n ** 4 / 512)
+    _marc = (
+        lambda phi: f"({_c0!r}*{phi} - {_c2!r}*sin(2*{phi}) + {_c4!r}*sin(4*{phi})"
+        f" - {_c6!r}*sin(6*{phi}) + {_c8!r}*sin(8*{phi}))"
+    )
     return {
+        "q60_spheroid": f"""
+            WITH d AS (
+              SELECT radians(CAST(c_custkey % 140 AS DOUBLE) - 70.0) AS p1,
+                     radians(CAST(c_custkey % 140 AS DOUBLE) - 70.0
+                             + CAST(c_custkey % 37 AS DOUBLE)*0.5 + 0.5) AS p2,
+                     radians(CAST(c_custkey % 170 AS DOUBLE) + 1.0) AS dl
+              FROM customer
+            )
+            SELECT round(sum({_marc('p2')} - {_marc('p1')}), 2) AS merid_sum_m,
+                   round(sum({_a!r} * dl), 2) AS equat_sum_m,
+                   count(*) AS n
+            FROM d
+        """,
         "q01_point_in_envelope": f"""
             SELECT count(*) AS n FROM ({_EVENTS_PTS_SQL})
             WHERE x > {xmin} AND x < {xmax} AND y > {ymin} AND y < {ymax}

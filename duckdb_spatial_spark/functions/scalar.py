@@ -1783,15 +1783,18 @@ def _geodesic_inverse_m(lon1, lat1, lon2, lat2) -> float:
 
 @pandas_udf(T.DoubleType())
 def _st_distance_spheroid_udf(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
-    out = []
-    for a, b, c, d in zip(x1, y1, x2, y2):
-        if any(v is None for v in (a, b, c, d)):
-            out.append(None)
-        else:
-            # reference axis order is [latitude, longitude]
-            # (st_distance_spheroid.cpp docs:41-45): x = lat
-            out.append(_geodesic_inverse_m(b, a, d, c))
-    return pd.Series(out)
+    from ..geom import geodesic as GEO
+
+    # reference axis order is [latitude, longitude]
+    # (st_distance_spheroid.cpp docs:41-45): x = lat. Exact Karney-style
+    # inverse, vectorized bisection across the Arrow batch.
+    lat1 = x1.to_numpy(dtype=np.float64, na_value=np.nan)
+    lon1 = y1.to_numpy(dtype=np.float64, na_value=np.nan)
+    lat2 = x2.to_numpy(dtype=np.float64, na_value=np.nan)
+    lon2 = y2.to_numpy(dtype=np.float64, na_value=np.nan)
+    d = GEO.inverse_batch(lat1, lon1, lat2, lon2)
+    out = pd.Series(d)
+    return out.where(~np.isnan(d), None)
 
 
 def st_distance_spheroid(x1, y1, x2, y2) -> Column:
@@ -1804,11 +1807,16 @@ def st_distance_spheroid(x1, y1, x2, y2) -> Column:
 
 
 def _spheroid_len(g: Geometry) -> float:
+    from ..geom import geodesic as GEO
+
     total = 0.0
     if g.type_id == Wkb.LINESTRING:
         arr = g.coords
-        for i in range(len(arr) - 1):
-            total += _geodesic_inverse_m(arr[i, 0], arr[i, 1], arr[i + 1, 0], arr[i + 1, 1])
+        if len(arr) >= 2:
+            # one vectorized exact-geodesic solve over every segment
+            total = float(np.nansum(GEO.inverse_batch(
+                arr[:-1, 1], arr[:-1, 0], arr[1:, 1], arr[1:, 0]
+            )))
     elif g.parts is not None:
         total = sum(_spheroid_len(p) for p in g.parts)
     return total
@@ -1822,26 +1830,17 @@ def st_length_spheroid(geom: ColumnOrName) -> Column:
 
 
 def _spheroid_area(g: Geometry) -> float:
-    """Ellipsoidal polygon area via the spherical excess on the authalic
-    sphere (good to ~0.1% — GeographicLib parity is round-2)."""
-    R = 6371007.1809  # WGS84 authalic radius
-
-    def ring_area(r: np.ndarray) -> float:
-        lon = np.radians(r[:, 0])
-        lat = np.radians(r[:, 1])
-        if len(lon) < 4:
-            return 0.0
-        s = 0.0
-        for i in range(len(lon) - 1):
-            s += (lon[i + 1] - lon[i]) * (2 + math.sin(lat[i]) + math.sin(lat[i + 1]))
-        return abs(s * R * R / 2.0)
+    """Exact ellipsoidal polygon area: Green's theorem with the authalic
+    q(φ) function integrated along the geodesic edges (geom/geodesic.py —
+    GeographicLib-parity without the C4 series)."""
+    from ..geom import geodesic as GEO
 
     total = 0.0
     for p in g.flatten():
         if p.type_id == Wkb.POLYGON and p.rings:
-            total += ring_area(p.rings[0])
+            total += GEO.ring_area(p.rings[0][:, :2])
             for h in p.rings[1:]:
-                total -= ring_area(h)
+                total -= GEO.ring_area(h[:, :2])
     return total
 
 

@@ -236,13 +236,14 @@ def test_q61_rtree_workload_count(spark):
 
 
 def test_q60_spheroid_sanity(spark):
-    """Geodesic vs haversine: both ~100-160km for 1 deg lon + 0.5 deg lat
-    moves; flattening delta is small but non-zero on average."""
+    """Exact geodesic sums: meridional rows are 0.5°-18.5° arcs (~55-2050km
+    each), equatorial rows 1°-170° arcs; totals positive and plausible."""
     import __spark_entry__ as e
 
     row = e.q60_spheroid(spark, "/root/testdata/sf0.001").collect()[0]
-    assert 5_000 < row["avg_spheroid_m"] < 300_000
-    assert abs(row["avg_flattening_delta_m"]) < 1_000
+    assert row["n"] > 0
+    assert row["merid_sum_m"] > row["n"] * 50_000
+    assert row["equat_sum_m"] > row["n"] * 100_000
 
 
 def test_sql_registration_full_surface(spark):
