@@ -152,13 +152,56 @@ def ngram_jaccard_join(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold via inverted-index equi-join on
-    shingles (each shared shingle contributes one pre-aggregated match row;
-    no cross product; prefix-filtering is a round-2 optimization)."""
+    shingles, with **prefix filtering** (ppjoin-style): order each doc's
+    shingles by ascending global document frequency (rarest first) and join
+    only on the first ``n − ⌈t·n⌉ + 1`` of them — if J(A,B) ≥ t the
+    prefixes must share a shingle, so candidates are complete, and the join
+    never fans out on hot shingles (the 100-TB skew killer). Candidates are
+    then verified exactly with one array_intersect against the full shingle
+    sets. ``prefix_filter=False`` keeps the plain inverted-index plan."""
     sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("sh"))
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = inv.groupBy("sh").agg(F.count("*").alias("__df"))
+        w = Window.partitionBy("__id").orderBy("__df", "sh")
+        ranked = (
+            inv.join(freq, "sh")
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count("*").over(Window.partitionBy("__id")))
+        )
+        prefix = ranked.filter(
+            F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        ).select("__id", "sh")
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        cand = (
+            a.join(b, on="sh")
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
+        )
+        sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+        sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+        out = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("shared", F.size(F.array_intersect("__sa", "__sb")))
+            .withColumn(
+                "jaccard",
+                F.col("shared").cast("double")
+                / (F.size("__sa") + F.size("__sb") - F.col("shared")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out
+
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (

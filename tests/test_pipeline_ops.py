@@ -210,3 +210,20 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.6, recall
     # self-match always survives (query is in its own cell)
     assert all((i, i) in a for i in range(5))
+
+
+def test_ngram_prefix_filter_matches_full_join(spark):
+    """Prefix-filtered plan returns exactly the plain inverted-index result."""
+    from duckdb_spatial_spark.operators import ngram_jaccard_join
+    from duckdb_spatial_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 80
+    )
+    fast = ngram_jaccard_join(d, "doc_id", "text", k=4, threshold=0.12)
+    slow = ngram_jaccard_join(d, "doc_id", "text", k=4, threshold=0.12,
+                              prefix_filter=False)
+    rf = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in fast.collect()}
+    rs = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in slow.collect()}
+    assert rf == rs
+    assert len(rf) > 0
