@@ -788,7 +788,17 @@ def point_on_surface(g: Geometry) -> Geometry:
     if best_poly is None:
         return Geometry.empty(POINT)
     b = best_poly.bounds()
-    py = (b[1] + b[3]) / 2.0
+    centre_y = (b[1] + b[3]) / 2.0
+    # GEOS InteriorPointArea "safe bisector": the scanline is the midpoint
+    # of the vertex-ordinate gap containing the envelope centre, so it
+    # never passes through (or near) a vertex — and it is what the
+    # reference's expected points encode (postgis/st_pointonsurface.test)
+    ys = np.concatenate([r[:, 1] for r in best_poly.rings])
+    lo = ys[ys < centre_y]
+    hi = ys[ys > centre_y]
+    y_lo = float(lo.max()) if len(lo) else b[1]
+    y_hi = float(hi.min()) if len(hi) else b[3]
+    py = (y_lo + y_hi) / 2.0 if y_hi > y_lo else centre_y
     xs: List[float] = []
     for ring in best_poly.rings:
         x, y = ring[:, 0], ring[:, 1]

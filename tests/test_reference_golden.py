@@ -24,8 +24,13 @@ REF_GLOB = "/root/reference/test/sql/**/*.test"
 
 # queries needing subsystems that aren't constant-scalar testable here
 _SKIP_PAT = re.compile(
-    r"\b(st_read|st_drivers|st_read_meta|rtree|st_transform|from|st_point2d|st_point3d|st_point4d)\b|\$\{", re.I
+    r"\b(st_read|st_drivers|st_read_meta|rtree|st_transform|st_point2d|st_point3d|st_point4d)\b|\$\{"
+    r"|recursive\s*:=",  # DuckDB named-arg UNNEST syntax
+    re.I,
 )
+# FROM is allowed only for inline (VALUES ...) derived tables — bare table
+# scans would need the file's CREATE TABLE state
+_FROM_TABLE_PAT = re.compile(r"\bfrom\s+(?!\(?\s*values\b)(?!\()", re.I)
 
 
 def _parse_file(path):
@@ -34,6 +39,7 @@ def _parse_file(path):
     i = 0
     while i < len(lines):
         if lines[i].strip().startswith("query"):
+            directive = lines[i].strip()
             i += 1
             sql_lines = []
             while i < len(lines) and lines[i].strip() != "----":
@@ -44,7 +50,7 @@ def _parse_file(path):
             while i < len(lines) and lines[i].strip() != "":
                 exp.append(lines[i])
                 i += 1
-            cases.append((" ".join(sql_lines).rstrip(";"), exp))
+            cases.append((" ".join(sql_lines).rstrip(";"), exp, directive))
         else:
             i += 1
     return cases
@@ -73,7 +79,82 @@ def _rewrite(sql: str) -> str:
     sql = _edit_call(sql, "ST_LineMerge", 2, rename="ST_LineMerge2")
     sql = _edit_call(sql, "ST_MakePolygon", 2, rename="ST_MakePolygon2")
     sql = _edit_call(sql, "ST_MakeLine", 2, wrap_array=True)
+    sql = _values_to_union(sql)
     return sql
+
+
+def _split_top(s: str) -> list:
+    """Split on top-level commas (paren/quote aware)."""
+    parts, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(s[start:i])
+                start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _values_to_union(sql: str) -> str:
+    """Spark can't evaluate UDF calls inside inline VALUES tables — rewrite
+    ``FROM [(]VALUES (e...), (e...)[)] AS t(c...)`` to a UNION ALL subquery."""
+    m = re.search(r"\bfrom\s+(\(\s*)?values\b", sql, re.I)
+    if not m:
+        return sql
+    # scan the tuple list
+    i = m.end()
+    tuples = []
+    n = len(sql)
+    while True:
+        while i < n and sql[i] in " \t\n,":
+            i += 1
+        if i >= n or sql[i] != "(":
+            break
+        depth, in_str, j = 1, False, i + 1
+        while j < n and depth > 0:
+            ch = sql[j]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            j += 1
+        tuples.append(sql[i + 1:j - 1])
+        i = j
+    rest = sql[i:]
+    # optional closing paren of (VALUES ...), then AS t(c1, c2)
+    rest = rest.lstrip()
+    if m.group(1) and rest.startswith(")"):
+        rest = rest[1:].lstrip()
+    am = re.match(r"(?:as\s+)?(\w+)\s*\(([^)]*)\)", rest, re.I)
+    if not am or not tuples:
+        return sql
+    alias, cols = am.group(1), [c.strip() for c in am.group(2).split(",")]
+    tail = rest[am.end():]
+    selects = []
+    for k, tup in enumerate(tuples):
+        exprs = _split_top(tup)
+        if len(exprs) != len(cols):
+            return sql
+        selects.append(
+            f"SELECT {k} AS __ord, "
+            + ", ".join(f"{e.strip()} AS {c}" for e, c in zip(exprs, cols))
+        )
+    inner = " UNION ALL ".join(selects)
+    cols_sql = ", ".join(cols)
+    return (
+        sql[:m.start()]
+        + f"FROM (SELECT {cols_sql} FROM ({inner}) __u ORDER BY __ord) AS {alias}"
+        + tail
+    )
 
 
 def _edit_call(sql: str, fname: str, want_args: int, rename: str | None = None,
@@ -153,13 +234,14 @@ def _add_default_arg(sql: str, fname: str, suffix: str, want_args: int) -> str:
 def load_cases():
     out = []
     for path in sorted(glob.glob(REF_GLOB, recursive=True)):
-        for sql, exp in _parse_file(path):
-            if len(exp) != 1 or _SKIP_PAT.search(sql):
+        for sql, exp, directive in _parse_file(path):
+            if not exp or _SKIP_PAT.search(sql) or _FROM_TABLE_PAT.search(sql):
                 continue
             sql = _rewrite(sql)
             if "::" in sql:  # non-GEOMETRY casts (POINT_2D etc.) — native
                 continue  # struct tiers are unit-tested, not SQL-cast syntax
-            out.append((path.rsplit("/test/sql/", 1)[1], sql, exp[0]))
+            rowsort = "rowsort" in directive or "valuesort" in directive
+            out.append((path.rsplit("/test/sql/", 1)[1], sql, exp, rowsort))
     return out
 
 
@@ -248,23 +330,49 @@ def test_reference_golden_corpus(spark):
     assert len(cases) >= 130, f"golden corpus shrank: {len(cases)}"
 
     failures, errors, passed = [], [], 0
-    for where, sql, exp in cases:
+    for where, sql, exp, rowsort in cases:
         try:
-            row = spark.sql(sql).collect()[0]
+            rows = spark.sql(sql).collect()
         except Exception as ex:  # unregistered surface / parse gap
             errors.append((where, sql, f"{type(ex).__name__}"))
             continue
-        got = _render(row[0]) if len(row) == 1 else tuple(_render(v) for v in row)
-        vals = exp.split("\t")
-        ok = (
-            _eq(exp, got)
-            if len(row) == 1
-            else len(vals) == len(row) and all(_eq(v, g) for v, g in zip(vals, got))
-        )
+        if not rows:
+            failures.append((where, sql, exp, "<no rows>"))
+            continue
+
+        def row_ok(exp_line, row):
+            got = _render(row[0]) if len(row) == 1 else tuple(
+                _render(v) for v in row
+            )
+            vals = exp_line.split("\t")
+            if len(row) == 1:
+                return _eq(exp_line, got)
+            return len(vals) == len(row) and all(
+                _eq(v, g) for v, g in zip(vals, got)
+            )
+
+        if len(rows) != len(exp):
+            failures.append((where, sql, "\n".join(exp),
+                             f"<{len(rows)} rows, expected {len(exp)}>"))
+            continue
+        if rowsort:
+            # sqllogictest rowsort: compare as multisets — greedy match
+            remaining = list(rows)
+            ok = True
+            for e in exp:
+                hit = next((i for i, r in enumerate(remaining) if row_ok(e, r)),
+                           None)
+                if hit is None:
+                    ok = False
+                    break
+                remaining.pop(hit)
+        else:
+            ok = all(row_ok(e, r) for e, r in zip(exp, rows))
         if ok:
             passed += 1
         else:
-            failures.append((where, sql, exp, got))
+            failures.append((where, sql, "\n".join(exp),
+                             [tuple(r) for r in rows[:4]]))
 
     msg = [f"golden: {passed}/{len(cases)} passed, "
            f"{len(failures)} wrong, {len(errors)} not-executable"]
