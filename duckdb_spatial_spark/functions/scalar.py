@@ -1685,8 +1685,10 @@ _NATIVE_TRANSFORMS = {
 def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True) -> Column:
     """CRS reprojection (proj/functions.cpp:487-513). Native vectorized
     engine (geom/proj.py) covers geographic, Web-Mercator, every UTM zone
-    (Krüger-series transverse Mercator), Lambert-93 and Conus Albers;
-    other CRS need pyproj, gated behind an import."""
+    (Krüger-series transverse Mercator), Lambert-93, Conus Albers, LAEA
+    Europe, OSGB/ED50 datum shifts, and arbitrary PROJ parameter strings
+    ('+proj=tmerc/utm/merc/lcc/aea/laea/longlat … +ellps=… +towgs84=…');
+    CRS outside that need pyproj, gated behind an import."""
     key = (src.upper(), dst.upper())
     if key[0] == key[1]:
         return _col(geom)
@@ -1716,7 +1718,9 @@ def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True)
         raise NotImplementedError(
             f"ST_Transform {src}->{dst} requires pyproj (not installed); "
             "native support: geographic, EPSG:3857, UTM (326xx/327xx/258xx/"
-            "269xx), EPSG:2154, EPSG:5070"
+            "269xx/230xx), EPSG:2154/5070/3035/27700/4277/4230, and PROJ "
+            "strings (+proj=tmerc/utm/merc/lcc/aea/laea/longlat with "
+            "+ellps/+towgs84)"
         ) from e
 
     def make(s=src, d=dst, xy=always_xy):

@@ -560,15 +560,159 @@ def _crs_for_epsg(code: int):
     return None
 
 
+# proj-string ellipsoid registry (public PROJ parameter values)
+_ELLPS = {
+    "WGS84": WGS84,
+    "GRS80": GRS80,
+    "AIRY": AIRY1830,
+    "INTL": INTL1924,
+    "CLRK66": (6378206.4, 1.0 / 294.9786982),
+    "CLRK80": (6378249.145, 1.0 / 293.465),
+    "CLRK80IGN": (6378249.2, 1.0 / 293.4660213),
+    "BESSEL": (6377397.155, 1.0 / 299.1528128),
+    "KRASS": (6378245.0, 1.0 / 298.3),
+    "SPHERE": (6370997.0, 0.0),
+}
+
+
+def crs_from_proj_string(s: str):
+    """Projection object from a PROJ-style string ('+proj=tmerc +lat_0=…'),
+    covering the projection families the native engine implements: longlat,
+    merc (spherical web / k0-scaled), utm, tmerc, lcc (1SP via lat_1=lat_0
+    and 2SP), aea, laea; ellipsoids from +ellps/+a/+f/+rf; optional
+    +towgs84 3/7-parameter Helmert datum shift. Returns None when the
+    string needs machinery outside the native registry (grids, other
+    projections, units other than metres)."""
+    kv: Dict[str, str] = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k.lower()] = v
+        elif tok:
+            kv[tok.lower()] = ""
+    proj = kv.get("proj", "").lower()
+    if not proj:
+        return None
+    if kv.get("units", "m").lower() not in ("m",) and proj not in ("longlat", "latlong"):
+        return None
+    if "nadgrids" in kv and kv["nadgrids"] not in ("@null", "null"):
+        return None
+
+    # ellipsoid
+    if "a" in kv:
+        a = float(kv["a"])
+        if "rf" in kv:
+            f = 1.0 / float(kv["rf"])
+        elif "f" in kv:
+            f = float(kv["f"])
+        elif "b" in kv:
+            f = (a - float(kv["b"])) / a
+        else:
+            f = 0.0
+    else:
+        name = kv.get("ellps", kv.get("datum", "WGS84")).upper()
+        if name == "NAD83":
+            name = "GRS80"
+        if name == "NAD27":
+            name = "CLRK66"
+        if name == "OSGB36":
+            name = "AIRY"
+        ell = _ELLPS.get(name)
+        if ell is None:
+            return None
+        a, f = ell
+
+    def fl(key, default=0.0):
+        return float(kv.get(key, default))
+
+    lat0, lon0 = fl("lat_0"), fl("lon_0")
+    k0 = float(kv.get("k", kv.get("k_0", 1.0)))
+    x0, y0 = fl("x_0"), fl("y_0")
+
+    base = None
+    if proj in ("longlat", "latlong", "lonlat"):
+        base = _LonLat()
+    elif proj == "utm":
+        zone = int(kv.get("zone", 0))
+        if not 1 <= zone <= 60:
+            return None
+        south = "south" in kv
+        base = TransverseMercator(a, f, lon0_deg=6 * zone - 183, k0=0.9996,
+                                  false_e=500000.0,
+                                  false_n=10000000.0 if south else 0.0)
+    elif proj == "tmerc":
+        if lat0 == 0.0:
+            base = TransverseMercator(a, f, lon0_deg=lon0, k0=k0,
+                                      false_e=x0, false_n=y0)
+        else:
+            base = tm_with_lat0(a, f, lat0_deg=lat0, lon0_deg=lon0, k0=k0,
+                                false_e=x0, false_n=y0)
+    elif proj in ("merc", "webmerc"):
+        # spherical Mercator on the ellipsoid's a (web-Mercator semantics)
+        if k0 != 1.0 or lat0 != 0.0:
+            return None
+        wm = _WebMercator()
+        if a != WGS84[0] or lon0 != 0.0 or x0 != 0.0 or y0 != 0.0:
+            class _Merc:
+                def forward(self, lonlat):
+                    out = np.empty_like(lonlat)
+                    out[:, 0] = a * np.radians(lonlat[:, 0] - lon0) + x0
+                    lat = np.clip(lonlat[:, 1], -89.9999999, 89.9999999)
+                    out[:, 1] = a * np.arctanh(np.sin(np.radians(lat))) + y0
+                    return out
+
+                def inverse(self, xy):
+                    out = np.empty_like(xy)
+                    out[:, 0] = np.degrees((xy[:, 0] - x0) / a) + lon0
+                    out[:, 1] = np.degrees(np.arcsin(np.tanh((xy[:, 1] - y0) / a)))
+                    return out
+
+            wm = _Merc()
+        base = wm
+    elif proj == "lcc":
+        lat1 = fl("lat_1", lat0)
+        lat2 = fl("lat_2", lat1)
+        if k0 != 1.0:
+            return None
+        base = LambertConformal2SP(a, f, lat1_deg=lat1, lat2_deg=lat2,
+                                   lat0_deg=lat0, lon0_deg=lon0,
+                                   false_e=x0, false_n=y0)
+    elif proj == "aea":
+        base = AlbersEqualArea(a, f, lat1_deg=fl("lat_1"), lat2_deg=fl("lat_2"),
+                               lat0_deg=lat0, lon0_deg=lon0,
+                               false_e=x0, false_n=y0)
+    elif proj == "laea":
+        base = LambertAzimuthalEqualArea(a, f, lat0_deg=lat0, lon0_deg=lon0,
+                                         false_e=x0, false_n=y0)
+    else:
+        return None
+
+    tow = kv.get("towgs84")
+    if tow:
+        p = [float(v) for v in tow.split(",")]
+        if len(p) == 3:
+            p += [0.0, 0.0, 0.0, 0.0]
+        if len(p) != 7:
+            return None
+        if any(p):
+            return DatumShifted(base, Datum(a, f, *p))
+    return base
+
+
 def native_transform(src: str, dst: str) -> Optional[Callable[[np.ndarray], np.ndarray]]:
     """(n,2)-array transform src→dst via lon/lat, or None when either CRS
-    is outside the native registry. CRS strings: 'EPSG:nnnn'."""
+    is outside the native registry. CRS strings: 'EPSG:nnnn' or PROJ
+    '+proj=…' parameter strings."""
 
     def parse(s: str):
-        s = s.upper().strip()
-        if s.startswith("EPSG:"):
+        st = s.strip()
+        if st.startswith("+") or st.lower().startswith("proj="):
+            return crs_from_proj_string(st)
+        su = st.upper()
+        if su.startswith("EPSG:"):
             try:
-                return _crs_for_epsg(int(s[5:]))
+                return _crs_for_epsg(int(su[5:]))
             except ValueError:
                 return None
         return None

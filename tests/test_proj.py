@@ -221,3 +221,65 @@ def test_laea_europe_epsg3035():
 
     ground = (zone(math.radians(lat0 + 1)) - zone(math.radians(lat0))) / 360.0
     assert area / ground == pytest.approx(1.0, rel=1e-6)
+
+
+class TestProjStrings:
+    """Arbitrary-CRS ST_Transform via PROJ parameter strings — the native
+    answer to the reference's embedded PROJ database for the projection
+    families the engine implements."""
+
+    def test_utm_string_equals_epsg(self):
+        import numpy as np
+        from duckdb_spatial_spark.geom import proj as P
+
+        pts = np.array([[2.29, 48.86], [5.0, 52.0]])
+        t1 = P.native_transform("EPSG:4326", "+proj=utm +zone=31 +ellps=WGS84")
+        t2 = P.native_transform("EPSG:4326", "EPSG:32631")
+        assert np.abs(t1(pts.copy()) - t2(pts.copy())).max() == 0.0
+
+    def test_lcc_2sp_string_equals_epsg2154(self):
+        import numpy as np
+        from duckdb_spatial_spark.geom import proj as P
+
+        pts = np.array([[2.29, 48.86], [-0.1, 51.5]])
+        s = ("+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+             "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m")
+        t1 = P.native_transform("EPSG:4326", s)
+        t2 = P.native_transform("EPSG:4326", "EPSG:2154")
+        assert np.abs(t1(pts.copy()) - t2(pts.copy())).max() == 0.0
+
+    def test_towgs84_datum_shift_matches_bng(self):
+        import numpy as np
+        from duckdb_spatial_spark.geom import proj as P
+
+        pts = np.array([[-0.1276, 51.5072]])
+        s = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+             "+y_0=-100000 +ellps=airy "
+             "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894")
+        t1 = P.native_transform("EPSG:4326", s)
+        t2 = P.native_transform("EPSG:4326", "EPSG:27700")
+        assert np.abs(t1(pts.copy()) - t2(pts.copy())).max() < 1e-6
+
+    def test_proj_string_roundtrip_and_unknown(self):
+        import numpy as np
+        from duckdb_spatial_spark.geom import proj as P
+
+        s = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80"
+        fwd = P.native_transform("EPSG:4326", s)
+        inv = P.native_transform(s, "EPSG:4326")
+        pts = np.array([[-100.0, 40.0], [-80.0, 35.0]])
+        assert np.abs(inv(fwd(pts.copy())) - pts).max() < 1e-9
+        assert P.native_transform("EPSG:4326", "+proj=ortho +lat_0=0") is None
+
+    def test_spark_transform_proj_string(self, spark):
+        from pyspark.sql import functions as F
+
+        import duckdb_spatial_spark.functions as ST
+
+        df = spark.createDataFrame([(2.2945, 48.8584)], ["lon", "lat"])
+        g = ST.st_point("lon", "lat")
+        out = df.select(
+            ST.st_x(ST.st_transform(g, "EPSG:4326",
+                                    "+proj=utm +zone=31 +ellps=WGS84")).alias("e")
+        ).collect()[0]["e"]
+        assert 440000 < out < 460000
