@@ -91,9 +91,17 @@ def test_osm_missing_file(spark):
 
 
 def test_ogr_gated(spark, tmp_path):
+    # .gpkg and .shp are native now; .gdb still needs the pyogrio gate
+    gdb = tmp_path / "zones.gdb"
+    gdb.write_bytes(b"\x00" * 10)
+    with pytest.raises(NotImplementedError):
+        read(spark, str(gdb))
+
+
+def test_gpkg_native_corrupt_raises(spark, tmp_path):
     gpkg = tmp_path / "zones.gpkg"
     gpkg.write_bytes(b"\x00" * 10)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception):
         read(spark, str(gpkg))
 
 
