@@ -67,6 +67,8 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("geojson", "GeoJSON FeatureCollection", True, True, True),
         ("osm.pbf", "OpenStreetMap PBF (schema pinned; decoder pending)", False, False, False),
         ("gpkg", "GeoPackage (native stdlib-sqlite reader/writer)", True, True, True),
+        ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
+        ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
         ("shp", "ESRI Shapefile (native codec)", True, True, True),
         ("ogr", f"OGR formats via pyogrio ({'available' if has_ogr else 'NOT INSTALLED'})",
          has_ogr, False, has_ogr),
@@ -153,6 +155,40 @@ def st_read(
     st_read.cpp:538-545). ``columns``/``bbox`` are the projection/spatial
     pushdown options (st_read.cpp:153-240)."""
     low = path.lower()
+    # zip containers (the reference's /vsizip/ paths, st_read.cpp): extract
+    # driver-side to a temp dir and recurse. 'x.zip' or 'x.zip/inner.shp';
+    # .kmz is zipped KML. (Local-mode path — on a multi-node cluster the
+    # extraction directory must be on a shared filesystem.)
+    if low.endswith((".zip", ".kmz")) or ".zip/" in low:
+        import tempfile
+        import zipfile
+
+        if ".zip/" in low:
+            idx = low.index(".zip/") + 4
+            zpath, inner = path[:idx], path[idx + 1:]
+        else:
+            zpath, inner = path, None
+        tmpd = tempfile.mkdtemp(prefix="dss_zip_")
+        with zipfile.ZipFile(zpath) as zf:
+            zf.extractall(tmpd)
+            names = zf.namelist()
+        if inner is None:
+            if low.endswith(".kmz"):
+                cand = [n for n in names if n.lower().endswith(".kml")]
+            else:
+                cand = [n for n in names
+                        if n.lower().endswith((".shp", ".gpkg", ".kml",
+                                               ".geojson", ".json", ".csv",
+                                               ".parquet"))]
+            if len(cand) != 1:
+                raise ValueError(
+                    f"{path}: specify the inner file ('{path}/<name>'); "
+                    f"candidates: {cand}"
+                )
+            inner = cand[0]
+        return st_read(spark, os.path.join(tmpd, inner), layer=layer,
+                       columns=columns, bbox=bbox, geom_col=geom_col,
+                       wkt_col=wkt_col, keep_wkb=keep_wkb)
     if low.endswith(".osm.pbf"):
         return st_read_osm(spark, path)
     if low.endswith((".geojson",)) or (low.endswith(".json") and wkt_col is None and _looks_geojson(path)):
@@ -176,6 +212,10 @@ def st_read(
 
         return st_read_gpkg(spark, path, layer=layer, columns=columns,
                             bbox=bbox, geom_col=geom_col)
+    elif low.endswith(".kml"):
+        from .kml import st_read_kml
+
+        df = st_read_kml(spark, path, geom_col=geom_col)
     elif any(low.endswith(e) for e in _OGR_EXTS):
         try:
             import pyogrio  # noqa: F401
@@ -355,6 +395,21 @@ def st_write(
                 yield pd.DataFrame({"line": feats})
 
         gj.mapInPandas(to_features, schema="line string").write.mode(mode).text(path)
+        return
+    if fmt == "shp":
+        from .shapefile import st_write_shp
+
+        st_write_shp(df, path, geom_col=geom_col)
+        return
+    if fmt == "gpkg":
+        from .gpkg import st_write_gpkg
+
+        st_write_gpkg(df, path, geom_col=geom_col)
+        return
+    if fmt == "kml":
+        from .kml import st_write_kml
+
+        st_write_kml(df, path, geom_col=geom_col)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
