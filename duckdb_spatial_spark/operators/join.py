@@ -582,6 +582,37 @@ def st_join_points(
         bounds.append(bd if bd else (np.nan, np.nan, np.nan, np.nan))
     bounds = np.asarray(bounds, dtype=np.float64) if bounds else np.zeros((0, 4))
 
+    # all-rectangle build side → pure col-expr broadcast nested-loop plan:
+    # zero Python stages, whole-stage codegen end to end (the reference's
+    # BOX_2D fast path shape). 'within' is strict-interior, the others
+    # include the boundary.
+    boxes = [K._is_axis_box(g) if g is not None else None for g in geoms]
+    if geoms and all(bx is not None for bx in boxes):
+        ss = left.sparkSession
+        rows2 = [tuple(r) + tuple(bx) for r, bx in zip(right_rows, boxes)]
+        schema2 = T.StructType(
+            list(right.schema.fields)
+            + [T.StructField(c, T.DoubleType()) for c in
+               ("__bx0", "__by0", "__bx1", "__by1")]
+        )
+        bdf = ss.createDataFrame(rows2, schema2)
+        px, py = F.col(x), F.col(y)
+        if pred == "within":
+            cond = (
+                (px > F.col("__bx0")) & (px < F.col("__bx1"))
+                & (py > F.col("__by0")) & (py < F.col("__by1"))
+            )
+        else:
+            cond = (
+                (px >= F.col("__bx0")) & (px <= F.col("__bx1"))
+                & (py >= F.col("__by0")) & (py <= F.col("__by1"))
+            )
+        return (
+            left.crossJoin(F.broadcast(bdf))
+            .filter(cond)
+            .drop("__bx0", "__by0", "__bx1", "__by1")
+        )
+
     sc = left.sparkSession.sparkContext
     bc = sc.broadcast({"rows": [tuple(r) for r in right_rows],
                        "geoms": geoms, "bounds": bounds})

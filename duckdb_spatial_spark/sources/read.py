@@ -8,12 +8,15 @@ Tiering:
 * **GeoJSON** — own distributed reader: one task per file, driver lists
   files only (bind phase = the reference's ``st_read.cpp:105-240``; scan
   phase = per-file task, like its per-thread Arrow batches).
-* **OGR formats** (shapefile, GPKG, FlatGeobuf, …) — require ``pyogrio``,
-  which is not in this container: gated behind an import-try with a clear
-  error. The dispatch plumbing (layer/columns/bbox options) is real.
-* **OSM PBF** — schema pinned (st_read_osm.cpp:39-90); reader stubbed
-  pending a protobuf decoder (st_read_osm is 910 LoC of native block
-  decoding in the reference; low priority per SURVEY §7).
+* **Shapefile** (.shp/.dbf, sources/shapefile.py), **GeoPackage**
+  (stdlib sqlite3, sources/gpkg.py, rowid-range parallel scan with bbox +
+  column pushdown), **KML/KMZ** (stdlib ElementTree, sources/kml.py), and
+  **zip containers** ('x.zip/inner.shp', the /vsizip/ analog) — all native.
+* **OSM PBF** — fixed 8-column schema (st_read_osm.cpp:39-90), hand-rolled
+  protobuf wire codec, one executor task per OSMData blob (geom/pbf.py).
+* **remaining OGR formats** (FlatGeobuf, GML, GDB, XLSX, …) — require
+  ``pyogrio``, gated behind an import-try with a clear error. The dispatch
+  plumbing (layer/columns/bbox options) is real.
 
 ``read(spark, path)`` is the replacement-scan analog: extension dispatch
 (st_read.cpp:538-545).
