@@ -639,11 +639,13 @@ def q35_transform(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q36_dwithin(spark: SparkSession, sf: str) -> DataFrame:
-    """ST_DWithin(point, constant point, 60) count."""
-    pts = _events_pts(spark, sf).withColumn("pt", ST.st_point("x", "y"))
+    """ST_DWithin(point, constant point, 60) count — constructor fusion
+    compiles the predicate to a closed-form col-expr (no Python stage)."""
+    pts = _events_pts(spark, sf, fan_out=False)
+    pt = ST.st_point("x", "y")
     c = ST.st_point(F.lit(250.0), F.lit(75.0))
     return pts.agg(
-        F.sum(F.when(ST.st_dwithin("pt", c, 60.0), 1).otherwise(0)).alias("n_within"),
+        F.sum(F.when(ST.st_dwithin(pt, c, 60.0), 1).otherwise(0)).alias("n_within"),
         F.count("*").alias("n"),
     )
 

@@ -969,7 +969,7 @@ def _pt_seg_dist(px, py, ax, ay, bx, by) -> Column:
     return F.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy))
 
 
-def st_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+def _fuse_distance(a, b) -> Optional[Column]:
     ta, tb = _ctortag(a), _ctortag(b)
     if ta is not None and tb is not None:
         if ta[0] == tb[0] == "point":
@@ -979,6 +979,13 @@ def st_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
             return _pt_seg_dist(ta[1], ta[2], tb[1], tb[2], tb[3], tb[4])
         if ta[0] == "line2" and tb[0] == "point":
             return _pt_seg_dist(tb[1], tb[2], ta[1], ta[2], ta[3], ta[4])
+    return None
+
+
+def st_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    fused = _fuse_distance(a, b)
+    if fused is not None:
+        return fused
     return _st_distance_geom_udf(_col(a), _col(b))
 
 
@@ -1288,6 +1295,9 @@ def _st_dwithin_udf(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
 
 def st_dwithin(a: ColumnOrName, b: ColumnOrName, dist) -> Column:
     d = _col(dist) if isinstance(dist, (Column, str)) else F.lit(float(dist))
+    fused = _fuse_distance(a, b)
+    if fused is not None:
+        return fused <= d.cast("double")
     return _st_dwithin_udf(_col(a), _col(b), d.cast("double"))
 
 
