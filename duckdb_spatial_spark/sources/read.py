@@ -10,13 +10,15 @@ Tiering:
   phase = per-file task, like its per-thread Arrow batches).
 * **Shapefile** (.shp/.dbf, sources/shapefile.py), **GeoPackage**
   (stdlib sqlite3, sources/gpkg.py, rowid-range parallel scan with bbox +
-  column pushdown), **KML/KMZ** (stdlib ElementTree, sources/kml.py), and
-  **zip containers** ('x.zip/inner.shp', the /vsizip/ analog) — all native.
+  column pushdown), **FlatGeobuf** (hand-rolled flatbuffers codec,
+  sources/fgb.py, R-tree-leaf-offset parallel scan), **KML/KMZ** (stdlib
+  ElementTree, sources/kml.py), and **zip containers** ('x.zip/inner.shp',
+  the /vsizip/ analog) — all native.
 * **OSM PBF** — fixed 8-column schema (st_read_osm.cpp:39-90), hand-rolled
   protobuf wire codec, one executor task per OSMData blob (geom/pbf.py).
-* **remaining OGR formats** (FlatGeobuf, GML, GDB, XLSX, …) — require
-  ``pyogrio``, gated behind an import-try with a clear error. The dispatch
-  plumbing (layer/columns/bbox options) is real.
+* **remaining OGR formats** (GML, GDB, XLSX, …) — require ``pyogrio``,
+  gated behind an import-try with a clear error. The dispatch plumbing
+  (layer/columns/bbox options) is real.
 
 ``read(spark, path)`` is the replacement-scan analog: extension dispatch
 (st_read.cpp:538-545).
@@ -71,6 +73,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("osm.pbf", "OpenStreetMap PBF (schema pinned; decoder pending)", False, False, False),
         ("gpkg", "GeoPackage (native stdlib-sqlite reader/writer)", True, True, True),
         ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
+        ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
         ("shp", "ESRI Shapefile (native codec)", True, True, True),
         ("ogr", f"OGR formats via pyogrio ({'available' if has_ogr else 'NOT INSTALLED'})",
@@ -180,7 +183,7 @@ def st_read(
                 cand = [n for n in names if n.lower().endswith(".kml")]
             else:
                 cand = [n for n in names
-                        if n.lower().endswith((".shp", ".gpkg", ".kml",
+                        if n.lower().endswith((".shp", ".gpkg", ".kml", ".fgb",
                                                ".geojson", ".json", ".csv",
                                                ".parquet"))]
             if len(cand) != 1:
@@ -219,6 +222,11 @@ def st_read(
         from .kml import st_read_kml
 
         df = st_read_kml(spark, path, geom_col=geom_col)
+    elif low.endswith(".fgb"):
+        from .fgb import st_read_fgb
+
+        return st_read_fgb(spark, path, columns=columns, bbox=bbox,
+                           geom_col=geom_col)
     elif any(low.endswith(e) for e in _OGR_EXTS):
         try:
             import pyogrio  # noqa: F401
@@ -413,6 +421,11 @@ def st_write(
         from .kml import st_write_kml
 
         st_write_kml(df, path, geom_col=geom_col)
+        return
+    if fmt == "fgb":
+        from .fgb import st_write_fgb
+
+        st_write_fgb(df, path, geom_col=geom_col)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
