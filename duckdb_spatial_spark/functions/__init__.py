@@ -590,6 +590,74 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("ST_Union_Agg", _scalar_agg_overlay(_K.union))
     reg("ST_Intersection_Agg", _scalar_agg_overlay(_K.intersection))
 
+    register_sql_table_functions(spark)
+
+
+def register_sql_table_functions(spark: SparkSession) -> None:
+    """SQL table functions via Python UDTFs (Spark 4) — closes the gap with
+    the reference's table-function catalog for the SQL surface:
+    ``SELECT * FROM ST_GeneratePoints(0,0,10,10, 100, 42)``,
+    ``SELECT * FROM ST_Drivers()``, ``SELECT * FROM ST_List_Proj_CRS()``.
+    The UDTF forms are single-task convenience; the Python-API forms
+    (sources.st_generatepoints etc.) remain the distributed scale path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="id bigint, x double, y double")
+    class _GeneratePoints:
+        def eval(self, xmin, ymin, xmax, ymax, count, seed=0):
+            # SQL literals may arrive as Decimal — normalize
+            xmin, ymin = float(xmin), float(ymin)
+            xmax, ymax = float(xmax), float(ymax)
+            # same xxhash-free driver-side mirror of sources/generate.py's
+            # hash-derived uniforms (python fallback: splitmix64)
+            def mix(v: int) -> float:
+                v = (v + 0x9E3779B97F4A7C15) & (1 << 64) - 1
+                v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+                v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & (1 << 64) - 1
+                v ^= v >> 31
+                return (v >> 11) / float(1 << 53)
+
+            for i in range(int(count)):
+                u1 = mix(i * 2 + int(seed) * 1_000_003 + 1)
+                u2 = mix(i * 2 + int(seed) * 1_000_003 + 2)
+                yield i, xmin + u1 * (xmax - xmin), ymin + u2 * (ymax - ymin)
+
+    @udtf(returnType=("short_name string, description string, "
+                      "can_open boolean, can_create boolean, can_copy boolean"))
+    class _Drivers:
+        def eval(self):
+            from ..sources.read import st_drivers
+
+            # the driver rows are static — mirror them without a session
+            rows = [
+                ("parquet", "Apache Parquet (+GeoParquet WKB)", True, True, True),
+                ("csv", "CSV (+WKT geometry column)", True, True, True),
+                ("json", "JSON lines", True, True, True),
+                ("orc", "Apache ORC", True, True, True),
+                ("geojson", "GeoJSON FeatureCollection", True, True, True),
+                ("osm.pbf", "OpenStreetMap PBF (native protobuf decoder)", True, False, False),
+                ("gpkg", "GeoPackage (native stdlib-sqlite reader/writer)", True, True, True),
+                ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
+                ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
+                ("zip", "Zip containers (/vsizip/ analog)", True, False, False),
+                ("shp", "ESRI Shapefile (native codec)", True, True, True),
+            ]
+            _ = st_drivers
+            for r in rows:
+                yield r
+
+    @udtf(returnType="auth_name string, code int, name string, kind string, projection string")
+    class _ListProjCrs:
+        def eval(self):
+            from ..geom.proj import list_native_crs
+
+            for r in list_native_crs():
+                yield r
+
+    spark.udtf.register("ST_GeneratePoints", _GeneratePoints)
+    spark.udtf.register("ST_Drivers", _Drivers)
+    spark.udtf.register("ST_List_Proj_CRS", _ListProjCrs)
+
 
 def _quadkey_py(lon: float, lat: float, level: int) -> str:
     """Row-wise mirror of st_quadkey_xy's col-expr (st_quadkey.cpp:19-99)."""

@@ -301,3 +301,19 @@ def test_sql_registration_full_surface(spark):
     assert agg["ext"] == "POLYGON ((0 0, 0 7, 5 7, 5 0, 0 0))"
     assert agg["col"] == "MULTIPOINT (0 0, 5 7)"
     assert agg["uni"] == "MULTIPOINT (0 0, 5 7)"
+
+
+def test_sql_table_functions(spark):
+    """SQL table-function surface via Python UDTFs (Spark 4): the
+    reference's ST_GeneratePoints / ST_Drivers / ST_List_Proj_CRS are
+    callable from spark.sql."""
+    from duckdb_spatial_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT count(*) AS n, min(x) >= 0 AND max(x) <= 10 AS ok "
+        "FROM ST_GeneratePoints(0.0, 0.0, 10.0, 10.0, 300, 7)"
+    ).collect()[0]
+    assert r["n"] == 300 and r["ok"]
+    assert spark.sql("SELECT * FROM ST_Drivers()").count() >= 10
+    assert spark.sql("SELECT * FROM ST_List_Proj_CRS()").count() >= 100
