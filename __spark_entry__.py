@@ -958,14 +958,24 @@ def q54_langid_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q55_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (driver-trained coarse quantizer, distributed assign, nprobe
-    cell join): recall@5 of the IVF result against the exact top-5 for the
-    first 5 query vectors. K-means cells aren't SQL-expressible →
-    rows-only check; the recall value itself is the asserted contract in
-    tests (≥0.6 at nprobe=8/32 cells)."""
+    """IVF ANN (distributed cell assign, nprobe cell join, exact re-rank)
+    with a DETERMINISTIC coarse quantizer — the first 32 corpus vectors,
+    L2-normalized — so the whole pipeline (cell argmax, probe set, top-5)
+    is SQL-expressible and the oracle replicates it exactly with DuckDB's
+    list_cosine_similarity (k-means training stays available via
+    ann_ivf_topk's default path; train_ivf_centroids is covered by
+    tests/test_pipeline_ops.py)."""
+    import numpy as np
+
     from duckdb_spatial_spark.operators import ann_ivf_topk
 
     emb = load_table(spark, sf, "embeddings", fan_out=False)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 32).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    C = np.asarray([r["embedding"] for r in cent_rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     queries = (
         emb.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"),
@@ -974,7 +984,7 @@ def q55_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     exact = ann_bruteforce_topk(emb, queries, k=5).select(
         "query_id", F.col("vec_id").alias("exact_id")
     )
-    approx = ann_ivf_topk(emb, queries, k=5, n_centroids=32, nprobe=8).select(
+    approx = ann_ivf_topk(emb, queries, k=5, centroids=C, nprobe=8).select(
         "query_id", F.col("vec_id").alias("ivf_id")
     )
     hits = exact.join(
@@ -1310,6 +1320,56 @@ def oracle_sql() -> dict[str, str]:
         f" - {_c6!r}*sin(6*{phi}) + {_c8!r}*sin(8*{phi}))"
     )
     return {
+        "q55_ann_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings WHERE vec_id < 32
+            ), q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+              FROM embeddings WHERE vec_id < 5
+            ), asgn AS (
+              SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS evec,
+                     (SELECT cid FROM cent
+                      ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), cvec) DESC, cid
+                      LIMIT 1) AS cell
+              FROM embeddings e
+            ), probe AS (
+              SELECT qid, cid FROM (
+                SELECT q.qid, cent.cid,
+                       row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY list_cosine_similarity(qvec, cvec) DESC, cid
+                       ) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 8
+            ), ivf AS (
+              SELECT qid, vec_id FROM (
+                SELECT p.qid, a.vec_id,
+                       row_number() OVER (
+                         PARTITION BY p.qid
+                         ORDER BY list_cosine_similarity(a.evec, q2.qvec) DESC,
+                                  a.vec_id
+                       ) AS rn
+                FROM probe p
+                JOIN asgn a ON a.cell = p.cid
+                JOIN q q2 ON q2.qid = p.qid
+              ) WHERE rn <= 5
+            ), exact AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), q.qvec) DESC,
+                             e.vec_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN q
+              ) WHERE rn <= 5
+            )
+            SELECT count(*) AS n_hits
+            FROM exact JOIN ivf USING (qid, vec_id)
+        """,
         "q60_spheroid": f"""
             WITH d AS (
               SELECT radians(CAST(c_custkey % 140 AS DOUBLE) - 70.0) AS p1,
