@@ -1129,9 +1129,11 @@ def q61_rtree_points(spark: SparkSession, sf: str) -> DataFrame:
     count inside envelope (450,450,650,650). Pure col-expr generate +
     filter + count — zero shuffle, zero python; the Spark analog of the
     index path is bbox-predicate pruning, exercised end-to-end here.
-    RNG differs from DuckDB's → rows-only check; the envelope count is
-    asserted ~N*(200/10000)^2 in tests."""
-    pts = st_generatepoints(spark, 0.0, 0.0, 10000.0, 10000.0, 10_000_000, seed=1337)
+    The portable 31-bit multiply-xorshift RNG evaluates identically in
+    ANSI SQL, so the envelope count is hash-checked against a DuckDB
+    range(10M) mirror of the generator."""
+    pts = st_generatepoints(spark, 0.0, 0.0, 10000.0, 10000.0, 10_000_000,
+                            seed=1337, rng="portable")
     inside = ST.st_point_in_box("x", "y", 450.0, 450.0, 650.0, 650.0, strict=False)
     return pts.filter(inside).agg(F.count("*").alias("n"))
 
@@ -1303,6 +1305,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q54_oracle_sql() -> str:
+    """DuckDB mirror of language_id_ngram: the Cavnar–Trenkle profiles are
+    deterministic module constants, embedded as VALUES; trigram extraction,
+    rank, and out-of-place distance replicated in SQL."""
+    from duckdb_spatial_spark.operators.textops import _LANG_PROFILES, _PROFILE_K
+
+    rows = []
+    for lang in sorted(_LANG_PROFILES):
+        for g, r in _LANG_PROFILES[lang].items():
+            esc = g.replace("'", "''")
+            rows.append(f"('{lang}', '{esc}', {r})")
+    prof_values = ", ".join(rows)
+    return f"""
+        WITH prof(lang, gram, prank) AS (VALUES {prof_values}),
+        norm AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                     || ' ' AS t
+          FROM documents
+        ),
+        idx AS (
+          -- constant upper bound (documents are capped well below this)
+          SELECT i FROM range(1, 32768) r(i)
+        ),
+        grams AS (
+          SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+          FROM norm CROSS JOIN idx
+          WHERE i <= length(t) - 2
+        ),
+        counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        docg AS (
+          SELECT doc_id, gram, drank FROM (
+            SELECT doc_id, gram,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, gram) - 1 AS drank
+            FROM counts
+          ) WHERE drank < {_PROFILE_K}
+        ),
+        dist AS (
+          SELECT d.doc_id, l.lang,
+                 sum(CASE WHEN p.prank IS NULL THEN {_PROFILE_K}
+                          ELSE abs(p.prank - d.drank) END) AS dd
+          FROM docg d
+          CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+          LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+          GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY dd, lang) AS rn
+            FROM dist
+          ) WHERE rn = 1
+        )
+        SELECT COALESCE(b.lang, 'und') AS lang, count(*) AS n
+        FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q61_oracle_sql() -> str:
+    """DuckDB mirror of the portable point generator: same 31-bit
+    multiply-xorshift uniforms over range(10M)."""
+    from duckdb_spatial_spark.sources.generate import portable_uniform_sql
+
+    salt_base = 1337 * 1_000_003
+    u1 = portable_uniform_sql("i * 2", salt_base + 2)
+    u2 = portable_uniform_sql("i * 2", salt_base + 3)
+    return f"""
+        SELECT count(*) AS n FROM (
+          SELECT {u1} * 10000.0 AS x, {u2} * 10000.0 AS y
+          FROM range(0, 10000000) t(i)
+        ) WHERE x >= 450.0 AND x <= 650.0 AND y >= 450.0 AND y <= 650.0
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     xmin, ymin, xmax, ymax = ENV
     # WGS84 meridian-arc series (Bessel, third flattening n) — coefficients
@@ -1320,6 +1399,8 @@ def oracle_sql() -> dict[str, str]:
         f" - {_c6!r}*sin(6*{phi}) + {_c8!r}*sin(8*{phi}))"
     )
     return {
+        "q61_rtree_points": _q61_oracle_sql(),
+        "q54_langid_ngram": _q54_oracle_sql(),
         "q55_ann_ivf": """
             WITH cent AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
