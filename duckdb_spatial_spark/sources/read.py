@@ -302,6 +302,31 @@ def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
             obj = json.load(fh)
         feats = obj.get("features", []) if obj.get("type") == "FeatureCollection" else [obj]
         rows = [(path, "geojson", len(feats), 1, json.dumps({"geom": "geometry"}))]
+    elif low.endswith(".gpkg"):
+        from .gpkg import gpkg_layers
+
+        rows = [
+            (path, "gpkg", None, len(gpkg_layers(path)),
+             json.dumps(gpkg_layers(path), default=str))
+        ]
+    elif low.endswith(".fgb"):
+        from .fgb import _read_header
+
+        hdr, _idx, _ds = _read_header(path)
+        rows = [(path, "fgb", hdr["features_count"], 1,
+                 json.dumps({k: v for k, v in hdr.items()
+                             if k != "columns"} | {
+                    "columns": [c["name"] for c in hdr["columns"]]},
+                    default=str))]
+    elif low.endswith(".kml"):
+        from .kml import parse_kml_bytes
+
+        with open(path, "rb") as fh:
+            n = len(parse_kml_bytes(fh.read(), path))
+        rows = [(path, "kml", n, 1, json.dumps({"geom": "kml"}))]
+    elif low.endswith(".shp"):
+        size = os.path.getsize(path)
+        rows = [(path, "shp", None, 1, json.dumps({"bytes": size}))]
     else:
         size = os.path.getsize(path)
         rows = [(path, os.path.splitext(path)[1].lstrip("."), None, None, json.dumps({"bytes": size}))]
