@@ -16,9 +16,10 @@ Tiering:
   the /vsizip/ analog) — all native.
 * **OSM PBF** — fixed 8-column schema (st_read_osm.cpp:39-90), hand-rolled
   protobuf wire codec, one executor task per OSMData blob (geom/pbf.py).
-* **remaining OGR formats** (GML, GDB, XLSX, …) — require ``pyogrio``,
+* **XLSX** — stdlib zip+XML sheet reader (sources/xlsx.py).
+* **remaining OGR formats** (GML, GDB, TAB, …) — require ``pyogrio``,
   gated behind an import-try with a clear error. The dispatch plumbing
-  (layer/columns/bbox options) is real.
+  (layer/columns/bbox/spatial_filter options) is real.
 
 ``read(spark, path)`` is the replacement-scan analog: extension dispatch
 (st_read.cpp:538-545).
@@ -74,6 +75,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("gpkg", "GeoPackage (native stdlib-sqlite reader/writer)", True, True, True),
         ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
         ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
+        ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
         ("shp", "ESRI Shapefile (native codec)", True, True, True),
         ("ogr", f"OGR formats via pyogrio ({'available' if has_ogr else 'NOT INSTALLED'})",
@@ -156,10 +158,26 @@ def st_read(
     geom_col: str = "geom",
     wkt_col: Optional[str] = None,
     keep_wkb: bool = True,
+    spatial_filter: Optional[bytes] = None,
 ) -> DataFrame:
     """ST_Read analog with extension dispatch (replacement scan,
     st_read.cpp:538-545). ``columns``/``bbox`` are the projection/spatial
-    pushdown options (st_read.cpp:153-240)."""
+    pushdown options; ``spatial_filter`` takes a WKB geometry and keeps
+    only intersecting rows (bbox prefilter + exact predicate), mirroring
+    the reference's spatial_filter option (st_read.cpp:153-240)."""
+    if spatial_filter is not None:
+        from ..geom.wkb import from_wkb as _fw
+
+        g = _fw(bytes(spatial_filter))
+        fb = g.bounds()
+        df = st_read(spark, path, layer=layer, columns=columns,
+                     bbox=tuple(fb) if fb else None, geom_col=geom_col,
+                     wkt_col=wkt_col, keep_wkb=keep_wkb)
+        from ..functions import scalar as S
+        from pyspark.sql import functions as _F
+
+        return df.filter(S.st_intersects(_F.col(geom_col),
+                                         _F.lit(bytes(spatial_filter))))
     low = path.lower()
     # zip containers (the reference's /vsizip/ paths, st_read.cpp): extract
     # driver-side to a temp dir and recurse. 'x.zip' or 'x.zip/inner.shp';
@@ -222,6 +240,12 @@ def st_read(
         from .kml import st_read_kml
 
         df = st_read_kml(spark, path, geom_col=geom_col)
+    elif low.endswith((".xlsx",)):
+        from .xlsx import st_read_xlsx
+
+        df = st_read_xlsx(spark, path, sheet=layer, wkt_col=wkt_col,
+                          geom_col=geom_col)
+        wkt_col = None  # already applied
     elif low.endswith(".fgb"):
         from .fgb import st_read_fgb
 
