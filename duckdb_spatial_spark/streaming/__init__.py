@@ -1,5 +1,6 @@
 from .ops import (  # noqa: F401
     streaming_dedup_exact,
+    streaming_neardup_dedup,
     streaming_extent_agg,
     streaming_point_filter,
     streaming_session_extents,

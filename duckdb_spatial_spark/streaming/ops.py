@@ -92,6 +92,38 @@ def streaming_dedup_exact(
     )
 
 
+def streaming_neardup_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: minhash-band signature
+    (shingle→minhash→band, all col-expr) and dropDuplicates on the banded
+    signature within the watermark — the streaming tier of
+    ``minhash_dedup``. A document sharing any full band with a recent one
+    is dropped, so near-duplicates collapse with bounded state (band
+    signatures expire with the watermark). Conservative direction: only
+    the FIRST band is used as the dedup key so a row is dropped only on a
+    band-0 collision — one key per row keeps dropDuplicates semantics
+    exact; more aggressive multi-band suppression belongs in the batch
+    compaction pass."""
+    from ..operators.dedup import minhash_signature
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
+    band0 = F.slice(sig, 1, rows_per_band).cast("array<string>")
+    return (
+        stream.withColumn("__band0", F.concat_ws("|", band0))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__band0"])
+        .drop("__band0")
+    )
+
+
 _SESSION_STATE_SCHEMA = "xmin double, ymin double, xmax double, ymax double, n long"
 _SESSION_OUT_SCHEMA = (
     "key string, xmin double, ymin double, xmax double, ymax double, n long, closed boolean"

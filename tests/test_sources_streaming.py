@@ -234,3 +234,35 @@ def test_streaming_session_extents(spark):
     assert rows
     for r in rows:
         assert r["xmin"] <= r["xmax"] and r["ymin"] <= r["ymax"] and r["n"] > 0
+
+
+def test_streaming_neardup_dedup(spark, tmp_path):
+    """Near-duplicate rows (same first minhash band) collapse within the
+    watermark; distinct texts survive."""
+    from duckdb_spatial_spark.streaming import streaming_neardup_dedup
+
+    src = tmp_path / "neardup_src"
+    src.mkdir()
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different text about training data pipelines"),
+    ]
+    spark.createDataFrame(rows, ["id", "text"]).coalesce(1).write.parquet(
+        str(src / "batch")
+    )
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .parquet(str(src / "batch"))
+        .withColumn("ts", F.current_timestamp())
+    )
+    out = streaming_neardup_dedup(stream, "text", "ts")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("neardup_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id FROM neardup_out ORDER BY id").collect()
+    ids = [r["id"] for r in got]
+    assert 3 in ids           # distinct doc survives
+    assert len(ids) == 2      # the exact/near pair collapsed to one
