@@ -29,6 +29,7 @@ from .similarity import (  # noqa: F401
 from . import textops  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_media_metadata,
+    audio_features,
     frame_sample,
     image_features,
 )

@@ -6,11 +6,13 @@ resize / frame-sample operators run as Arrow-batched ``mapInPandas`` stages
 so payload bytes never round-trip through the driver and partition sizing
 stays under executor memory control.
 
-The actual codec work (JPEG decode, audio resample, …) needs libraries not
-present in this container, so the decode core is STUBBED — clearly marked —
-behind ``decode_fn``; the default raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic hash-derived decode so the
-full Spark plumbing (schemas, batching, partitioning) is testable end-to-end.
+The decode core is REAL for the uncompressed public formats the container
+can handle without codec libraries (``operators/media_codecs.py``): BMP and
+PPM/PGM images, PCM WAV audio, and the RAWV raw-frame video container.
+Compressed codecs (JPEG/PNG/MP4…) genuinely need external libraries and
+raise ``NotImplementedError`` with a clear message; ``decode_fn=...``
+injects one, and ``fake=True`` substitutes a deterministic hash-derived
+decode for plumbing tests.
 """
 
 from __future__ import annotations
@@ -90,13 +92,12 @@ def image_features(
     """Decode + feature-extract images via mapInPandas. Features: channel
     means, gray std, 64-bit average-hash perceptual hash."""
     if decode_fn is None:
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires a codec library not present in this "
-                "container; pass decode_fn=... or fake=True for the "
-                "deterministic stub"
-            )
-        decode_fn = _fake_decode
+        if fake:
+            decode_fn = _fake_decode
+        else:
+            from .media_codecs import decode_image
+
+            decode_fn = decode_image  # native BMP/PPM/PGM; raises for JPEG/PNG
 
     schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, IMAGE_FEATURES_TYPE)])
     cols = df.columns
@@ -150,20 +151,22 @@ def frame_sample(
     decode_fn: Optional[Callable[[bytes, int], list]] = None,
     fake: bool = False,
 ) -> DataFrame:
-    """Sample n frames from video payloads → array<binary>. Decode STUBBED
-    (deterministic slicing of the payload) unless a real decoder is given."""
+    """Sample n evenly-spaced frames from video payloads → array<binary>
+    (PPM-encoded). Native for the RAWV raw-frame container; compressed
+    video needs ``decode_fn=...`` (or ``fake=True`` for plumbing tests)."""
     if decode_fn is None:
-        if not fake:
-            raise NotImplementedError(
-                "video decode requires a codec library not present here; "
-                "pass decode_fn=... or fake=True"
-            )
+        if fake:
+            def decode_fn(b: bytes, n: int) -> list:
+                if not b:
+                    return []
+                step = max(1, len(b) // n)
+                return [b[i * step : (i + 1) * step] for i in range(min(n, len(b)))]
+        else:
+            from .media_codecs import decode_rawv_frames, encode_ppm
 
-        def decode_fn(b: bytes, n: int) -> list:
-            if not b:
-                return []
-            step = max(1, len(b) // n)
-            return [b[i * step : (i + 1) * step] for i in range(min(n, len(b)))]
+            def decode_fn(b: bytes, n: int) -> list:
+                # native RAWV container → PPM-encoded frames
+                return [encode_ppm(f) for f in decode_rawv_frames(bytes(b), n)]
 
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.BinaryType()))]
@@ -177,6 +180,62 @@ def frame_sample(
                 None if b is None else decode_fn(bytes(b), n_frames)
                 for b in pdf.iloc[:, pi]
             ]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+AUDIO_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "audio_features",
+    decode_fn: Optional[Callable[[bytes], tuple]] = None,
+) -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas — native for PCM WAV
+    (stdlib ``wave``). Features: sample rate, duration, RMS, peak, zero
+    crossings."""
+    if decode_fn is None:
+        from .media_codecs import decode_wav
+
+        decode_fn = decode_wav
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, AUDIO_FEATURES_TYPE)]
+    )
+    pi = df.columns.index(payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf.iloc[:, pi]:
+                if b is None:
+                    feats.append((None, None, None, None, None))
+                    continue
+                samples, sr = decode_fn(bytes(b))
+                n = len(samples)
+                zc = int(np.count_nonzero(np.diff(np.signbit(samples)))) if n else 0
+                feats.append(
+                    (
+                        int(sr),
+                        int(round(1000.0 * n / sr)) if sr else None,
+                        float(np.sqrt(np.mean(samples**2))) if n else 0.0,
+                        float(np.abs(samples).max()) if n else 0.0,
+                        zc,
+                    )
+                )
+            out = pdf.copy()
+            out[out_col] = feats
             yield out
 
     return df.mapInPandas(run, schema=schema)

@@ -171,8 +171,15 @@ def test_multimodal_plumbing(spark):
     feats2 = {r["id"]: r["img_features"] for r in image_features(df, "payload", fake=True).collect()}
     assert feats2[1] == got[1]
 
-    with pytest.raises(NotImplementedError):
+    # native decode path: unrecognized bytes → ValueError; compressed
+    # formats (JPEG magic) → NotImplementedError naming the codec gap
+    with pytest.raises(Exception, match="unrecognized image payload"):
         image_features(df, "payload").collect()
+    jpeg_df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xffrest")], ["id", "payload"]
+    )
+    with pytest.raises(Exception, match="JPEG"):
+        image_features(jpeg_df, "payload").collect()
 
     frames = {r["id"]: r["frames"] for r in frame_sample(df, "payload", n_frames=3, fake=True).collect()}
     assert len(frames[1]) == 3
