@@ -1235,6 +1235,56 @@ def q65_gpkg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal tier end-to-end with REAL decode: per part row build a
+    solid-color 16×12 PPM image and a constant-amplitude PCM WAV payload in
+    the executor (mapInPandas), run image_features + audio_features, and
+    aggregate. Closed-form oracle: a solid (r,g,b) image has channel means
+    exactly (r,g,b); a constant-amplitude square wave has RMS exactly A."""
+    import numpy as np
+
+    from duckdb_spatial_spark.operators import audio_features, image_features
+    from duckdb_spatial_spark.operators.media_codecs import encode_ppm, encode_wav
+
+    part = load_table(spark, sf, "part").filter(F.col("p_partkey") < 400).select(
+        "p_partkey", (F.col("p_partkey") % 251).cast("int").alias("r"),
+        (F.col("p_size") % 251).cast("int").alias("g"),
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            img = []
+            wav = []
+            for r, g in zip(pdf["r"], pdf["g"]):
+                im = np.zeros((12, 16, 3), dtype=np.uint8)
+                im[:, :, 0] = r
+                im[:, :, 1] = g
+                im[:, :, 2] = 40
+                img.append(encode_ppm(im))
+                amp = (int(r) % 50 + 1) / 100.0
+                sig = np.where(np.arange(400) % 2 == 0, amp, -amp)
+                wav.append(encode_wav(sig, 8000))
+            out = pdf.copy()
+            out["img"] = img
+            out["wav"] = wav
+            yield out
+
+    built = part.mapInPandas(
+        build, schema="p_partkey long, r int, g int, img binary, wav binary"
+    )
+    feats = image_features(built, "img")
+    feats = audio_features(feats, "wav")
+    return feats.agg(
+        F.round(F.sum(F.col("img_features.mean_r")), 4).alias("sum_mean_r"),
+        F.round(F.sum(F.col("img_features.mean_g")), 4).alias("sum_mean_g"),
+        F.round(F.sum(F.col("audio_features.rms")), 6).alias("sum_rms"),
+        F.sum(F.col("audio_features.duration_ms")).alias("sum_dur_ms"),
+        F.count("*").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_point_in_envelope": q01_point_in_envelope,
@@ -1302,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_intersection_agg": q63_intersection_agg,
         "q64_mixed_overlay": q64_mixed_overlay,
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
+        "q66_multimodal": q66_multimodal,
     }
 
 
@@ -1914,6 +1965,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p_size + 4.0 AS w, CAST(p_partkey % 7 AS DOUBLE) + 5.0 AS h
                 FROM part
             )
+        """,
+        "q66_multimodal": """
+            SELECT round(sum(CAST(p_partkey % 251 AS DOUBLE)), 4) AS sum_mean_r,
+                   round(sum(CAST(p_size % 251 AS DOUBLE)), 4) AS sum_mean_g,
+                   round(sum(floor(((CAST(p_partkey % 251 AS BIGINT) % 50 + 1)
+                                    / 100.0) * 32767) / 32768.0), 6) AS sum_rms,
+                   sum(CAST(50 AS BIGINT)) AS sum_dur_ms,
+                   count(*) AS n
+            FROM part WHERE p_partkey < 400
         """,
         "q65_gpkg_roundtrip": """
             SELECT count(*) AS n,
