@@ -1480,8 +1480,123 @@ def _st_intersection_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         cache[key] = v
         out.append(v)
     return pd.Series(out, dtype=object)
-_st_union_udf = _binary_geom_to_geom(K.union)
-_st_difference_udf = _binary_geom_to_geom(K.difference)
+def _seg_rect_clip(segs: np.ndarray, rb: np.ndarray):
+    """Liang-Barsky: per-row inside parameter interval [t0, t1] of 2-point
+    segments (n,2,2) against rects (n,4); (t0, t1, hit) with hit=False for
+    no intersection."""
+    x0, y0 = segs[:, 0, 0], segs[:, 0, 1]
+    dx = segs[:, 1, 0] - x0
+    dy = segs[:, 1, 1] - y0
+    t0 = np.zeros(len(segs))
+    t1 = np.ones(len(segs))
+    hit = np.ones(len(segs), dtype=bool)
+    for p, q in (
+        (-dx, x0 - rb[:, 0]), (dx, rb[:, 2] - x0),
+        (-dy, y0 - rb[:, 1]), (dy, rb[:, 3] - y0),
+    ):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        par = p == 0
+        hit &= ~(par & (q < 0))
+        ent = (p < 0)
+        t0 = np.where(~par & ent, np.maximum(t0, r), t0)
+        t1 = np.where(~par & ~ent & (p > 0), np.minimum(t1, r), t1)
+    hit &= t0 <= t1
+    return t0, t1, hit
+
+
+def _seg_points(segs, t):
+    return np.stack([segs[:, 0, 0] + t * (segs[:, 1, 0] - segs[:, 0, 0]),
+                     segs[:, 0, 1] + t * (segs[:, 1, 1] - segs[:, 0, 1])], axis=1)
+
+
+_GC_HDR = b"\x01\x07\x00\x00\x00"
+_ML_HDR = b"\x01\x05\x00\x00\x00"
+
+
+def _ls_wkb(p, q) -> bytes:
+    return (b"\x01\x02\x00\x00\x00\x02\x00\x00\x00"
+            + np.asarray([p, q], dtype="<f8").tobytes())
+
+
+def _mixed_overlay_fast(op: str, a: pd.Series, b: pd.Series):
+    """Vectorized union/difference for uniform (2-pt segment, axis-rect)
+    batches — the q64-class hot shape. Replicates the kernel's output
+    structure branch-for-branch (disjoint collect order, covers collapse,
+    LINESTRING vs MULTILINESTRING piece counts)."""
+    ma, mb = V.fixed_matrix(a), V.fixed_matrix(b)
+    if ma is None or mb is None:
+        return None
+    segs = V.decode_linestrings(ma)
+    if op == "difference":
+        # rect − line: identity (lower-dim subtrahend removes no measure)
+        if V.rect_bounds(ma) is not None and (
+            (lb := V.decode_linestrings(mb)) is not None and lb.shape[1] == 2
+        ):
+            return pd.Series(list(a), dtype=object)
+    if segs is None or segs.shape[1] != 2:
+        return None
+    rb = V.rect_bounds(mb)
+    if rb is None:
+        return None
+    t0, t1, hit = _seg_rect_clip(segs, rb)
+    p0 = _seg_points(segs, t0)
+    p1 = _seg_points(segs, t1)
+    crossing = hit & (t1 - t0 > 1e-12)
+    out = []
+    for i in range(len(segs)):
+        if not crossing[i]:
+            # disjoint or zero-length boundary touch: measure unchanged
+            if op == "difference":
+                out.append(bytes(a.iloc[i]))
+            elif hit[i]:
+                # point touch → kernel's dissolve branch order (region, line)
+                out.append(_GC_HDR + np.uint32(2).tobytes()
+                           + bytes(b.iloc[i]) + bytes(a.iloc[i]))
+            else:
+                # disjoint → collect order (line, region)
+                out.append(_GC_HDR + np.uint32(2).tobytes()
+                           + bytes(a.iloc[i]) + bytes(b.iloc[i]))
+            continue
+        pieces = []
+        if t0[i] > 1e-12:
+            pieces.append(_ls_wkb(segs[i, 0], p0[i]))
+        if t1[i] < 1.0 - 1e-12:
+            pieces.append(_ls_wkb(p1[i], segs[i, 1]))
+        if op == "difference":
+            if not pieces:
+                # fully covered → LINESTRING EMPTY
+                out.append(b"\x01\x02\x00\x00\x00\x00\x00\x00\x00")
+            elif len(pieces) == 1:
+                out.append(pieces[0])
+            else:
+                out.append(_ML_HDR + np.uint32(len(pieces)).tobytes()
+                           + b"".join(pieces))
+        elif not pieces:
+            out.append(bytes(b.iloc[i]))  # line fully covered → the rect
+        else:
+            parts = [bytes(b.iloc[i])] + pieces
+            out.append(_GC_HDR + np.uint32(len(parts)).tobytes()
+                       + b"".join(parts))
+    return pd.Series(out, dtype=object)
+
+
+def _overlay_udf(op: str, kern):
+    generic = _binary_geom_to_geom(kern)
+
+    @pandas_udf(T.BinaryType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) and not a.isna().any() and not b.isna().any():
+            fast = _mixed_overlay_fast(op, a, b)
+            if fast is not None:
+                return fast
+        return generic.func(a, b)
+
+    return f
+
+
+_st_union_udf = _overlay_udf("union", K.union)
+_st_difference_udf = _overlay_udf("difference", K.difference)
 
 
 def st_convexhull(geom: ColumnOrName) -> Column:

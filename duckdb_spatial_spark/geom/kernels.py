@@ -1483,10 +1483,13 @@ def union(a: Geometry, b: Geometry) -> Geometry:
         return a
     if covers(b, a):
         return b
-    if not intersects(a, b) or touches(a, b):
+    da, db = a.topo_dimension(), b.topo_dimension()
+    if not intersects(a, b) or (touches(a, b) and {da, db} != {1, 2}):
+        # line/region touching pairs fall through to the dissolve branch:
+        # boundary-collinear line parts are covered by the region's point
+        # set and must be absorbed (GEOS OverlayNG union semantics)
         parts = [p for g in (a, b) for p in g.flatten() if not p.is_empty()]
         return collect(parts)
-    da, db = a.topo_dimension(), b.topo_dimension()
     if da == 2 and db == 2:
         from .overlay import polygon_union
 
