@@ -420,6 +420,9 @@ def st_write(
     if fmt in ("parquet", "pq"):
         df.write.mode(mode).parquet(path)
         return
+    if fmt == "orc":
+        df.write.mode(mode).orc(path)
+        return
     if fmt == "csv":
         from ..functions import scalar as S
 
