@@ -5,6 +5,7 @@ from .gpkg import gpkg_layers, st_read_gpkg, st_write_gpkg  # noqa: F401
 from .kml import st_read_kml, st_write_kml  # noqa: F401
 from .fgb import st_read_fgb, st_write_fgb  # noqa: F401
 from .xlsx import st_read_xlsx  # noqa: F401
+from .gml import st_read_gml  # noqa: F401
 from .read import (  # noqa: F401
     OSM_SCHEMA,
     read,

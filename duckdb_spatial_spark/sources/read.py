@@ -17,7 +17,8 @@ Tiering:
 * **OSM PBF** — fixed 8-column schema (st_read_osm.cpp:39-90), hand-rolled
   protobuf wire codec, one executor task per OSMData blob (geom/pbf.py).
 * **XLSX** — stdlib zip+XML sheet reader (sources/xlsx.py).
-* **remaining OGR formats** (GML, GDB, TAB, …) — require ``pyogrio``,
+* **GML 2/3** — stdlib XML reader (sources/gml.py).
+* **remaining OGR formats** (GDB, TAB, …) — require ``pyogrio``,
   gated behind an import-try with a clear error. The dispatch plumbing
   (layer/columns/bbox/spatial_filter options) is real.
 
@@ -76,6 +77,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
         ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
+        ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
         ("shp", "ESRI Shapefile (native codec)", True, True, True),
         ("ogr", f"OGR formats via pyogrio ({'available' if has_ogr else 'NOT INSTALLED'})",
@@ -240,6 +242,10 @@ def st_read(
         from .kml import st_read_kml
 
         df = st_read_kml(spark, path, geom_col=geom_col)
+    elif low.endswith(".gml"):
+        from .gml import st_read_gml
+
+        df = st_read_gml(spark, path, geom_col=geom_col)
     elif low.endswith((".xlsx",)):
         from .xlsx import st_read_xlsx
 
