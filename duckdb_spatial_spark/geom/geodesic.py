@@ -125,8 +125,13 @@ def inverse_batch(lat1, lon1, lat2, lon2, iters: int = 70) -> np.ndarray:
 
     valid = ~(np.isnan(lam) | np.isnan(b1) | np.isnan(b2))
 
-    # --- equatorial lune: both on the equator, short enough arc
-    equat = valid & (sbet1 == 0.0) & (sbet2 == 0.0) & (lam <= (1.0 - _F) * np.pi)
+    # --- equatorial lune: both on the equator (within ~1e-10 rad, i.e.
+    # sub-mm — below that the σ↔β relations are ill-conditioned and the
+    # equatorial arc is the geodesic to machine precision anyway)
+    equat = (
+        valid & (np.abs(sbet1) < 1e-10) & (np.abs(sbet2) < 1e-10)
+        & (lam <= (1.0 - _F) * np.pi)
+    )
     out[equat] = _A * lam[equat]
 
     # --- meridional (Δλ = 0): along-meridian arc, α0 = 0 ⇒ k² = e'², σ = β
