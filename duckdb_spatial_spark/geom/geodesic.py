@@ -156,16 +156,23 @@ def inverse_batch(lat1, lon1, lat2, lon2, iters: int = 70) -> np.ndarray:
         cb1 = cbet1[gen]
         sb2, cb2 = sbet2[gen], cbet2[gen]
         tgt = lam[gen]
-        lo = np.full(len(tgt), _TINY)
-        hi = np.full(len(tgt), np.pi - _TINY)
+        # Bisect on c = cosα1, NOT on α1: near-equatorial geodesics put the
+        # root at α1 ≈ π/2 where doubles resolve α1 only to ~2e-16 rad but
+        # ds/dα1 ~ b·π/β → centimetre-level quantization error; c has
+        # essentially unlimited absolute resolution near 0. λ12 decreases
+        # monotonically in c (increases in α1).
+        clo = np.full(len(tgt), -1.0 + 1e-15)
+        chi = np.full(len(tgt), 1.0 - 1e-15)
         for _ in range(iters):
-            mid = 0.5 * (lo + hi)
-            l12, *_rest = _lam12(np.sin(mid), np.cos(mid), sb1, cb1, sb2, cb2)
-            too_small = l12 < tgt
-            lo = np.where(too_small, mid, lo)
-            hi = np.where(too_small, hi, mid)
-        alp1 = 0.5 * (lo + hi)
-        _l, sig1, sig2, k2 = _lam12(np.sin(alp1), np.cos(alp1), sb1, cb1, sb2, cb2)
+            mid = 0.5 * (clo + chi)
+            salp = np.sqrt(np.maximum(0.0, 1.0 - mid * mid))
+            l12, *_rest = _lam12(salp, mid, sb1, cb1, sb2, cb2)
+            too_small = l12 < tgt  # need larger α1 ⇒ smaller c
+            chi = np.where(too_small, mid, chi)
+            clo = np.where(too_small, clo, mid)
+        c = 0.5 * (clo + chi)
+        salp = np.sqrt(np.maximum(0.0, 1.0 - c * c))
+        _l, sig1, sig2, k2 = _lam12(salp, c, sb1, cb1, sb2, cb2)
         out[gen] = _s_integral(k2, sig1, sig2)
 
     # coincident points (avoid -tiny artifacts)
@@ -224,17 +231,17 @@ def _edge_area_terms(lat1, lon1, lat2, lon2) -> Tuple[float, float]:
 
     sb1a = np.array([sb1]); cb1a = np.array([cb1])
     sb2a = np.array([sb2]); cb2a = np.array([cb2])
-    lo, hi = _TINY, math.pi - _TINY
+    clo, chi = -1.0 + 1e-15, 1.0 - 1e-15  # bisect on cosα1 (see inverse_batch)
     for _ in range(70):
-        mid = 0.5 * (lo + hi)
-        l12 = _lam12(np.sin(np.array([mid])), np.cos(np.array([mid])),
-                     sb1a, cb1a, sb2a, cb2a)[0][0]
+        mid = 0.5 * (clo + chi)
+        l12 = _lam12(np.array([math.sqrt(max(0.0, 1 - mid * mid))]),
+                     np.array([mid]), sb1a, cb1a, sb2a, cb2a)[0][0]
         if l12 < lamt:
-            lo = mid
+            chi = mid
         else:
-            hi = mid
-    alp1 = 0.5 * (lo + hi)
-    salp1, calp1 = math.sin(alp1), math.cos(alp1)
+            clo = mid
+    calp1 = 0.5 * (clo + chi)
+    salp1 = math.sqrt(max(0.0, 1 - calp1 * calp1))
     salp0 = salp1 * cb1
     calp0 = math.hypot(calp1, salp1 * sb1)
     k2 = _EP2 * calp0 * calp0
