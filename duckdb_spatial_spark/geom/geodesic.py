@@ -83,10 +83,16 @@ def _lam12(salp1, calp1, sbet1, cbet1, sbet2, cbet2):
     ssig1u, csig1u = sbet1, calp1 * cbet1
     sig1 = np.arctan2(ssig1u, csig1u)
     omg1 = np.arctan2(salp0 * ssig1u, csig1u)
-    # α2 (GeographicLib's stable positive form), σ2, ω2
-    calp2 = np.sqrt(np.maximum(
-        (calp1 * cbet1) ** 2 + (cbet2 - cbet1) * (cbet2 + cbet1), 0.0
-    )) / cbet2
+    # α2 (GeographicLib's stable positive form), σ2, ω2. The second term is
+    # cbet2² − cbet1² = sbet1² − sbet2²; pick whichever difference is
+    # well-conditioned per row (cbet cancels near the equator, sbet near
+    # the poles) — without this, c = cosα1 = 0 hits a spurious λ12 spike.
+    term = np.where(
+        cbet1 < -sbet1,
+        (cbet2 - cbet1) * (cbet2 + cbet1),
+        (sbet1 - sbet2) * (sbet1 + sbet2),
+    )
+    calp2 = np.sqrt(np.maximum((calp1 * cbet1) ** 2 + term, 0.0)) / cbet2
     ssig2u, csig2u = sbet2, calp2 * cbet2
     sig2 = np.arctan2(ssig2u, csig2u)
     omg2 = np.arctan2(salp0 * ssig2u, csig2u)
