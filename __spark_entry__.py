@@ -1582,7 +1582,8 @@ def oracle_sql() -> dict[str, str]:
                           0), 65535) AS BIGINT) // 4096 AS cy
               FROM events
             ), c AS (SELECT cx, cy, count(*) AS n FROM g GROUP BY 1, 2)
-            SELECT count(*) AS n_buckets, sum(n) AS total, max(n) AS max_bucket
+            SELECT count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS total,
+                   max(n) AS max_bucket
             FROM c
         """,
         "q07_wkt_area": """
@@ -1631,7 +1632,7 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY 1 ORDER BY 1
         """,
         "q12_npoints": """
-            SELECT sum(CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS npoints_sum,
+            SELECT CAST(sum(CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS BIGINT) AS npoints_sum,
                    count(*) AS n
             FROM part
         """,
@@ -1705,7 +1706,8 @@ def oracle_sql() -> dict[str, str]:
                      ) + """ AS sh
               FROM bits
             )
-            SELECT count(*) AS n, count(DISTINCT sh) AS n_distinct, sum(sh) AS sh_sum FROM fp
+            SELECT count(*) AS n, count(DISTINCT sh) AS n_distinct,
+                   CAST(sum(sh) AS BIGINT) AS sh_sum FROM fp
         """,
         "q21_text_quality": """
             WITH m AS (
@@ -1719,7 +1721,7 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS stop
               FROM documents
             )
-            SELECT lang, sum(tokens) AS tokens, round(avg(punct), 6) AS avg_punct,
+            SELECT lang, CAST(sum(tokens) AS BIGINT) AS tokens, round(avg(punct), 6) AS avg_punct,
                    round(avg(stop), 6) AS avg_stop, count(*) AS n
             FROM m GROUP BY 1 ORDER BY 1
         """,
@@ -1789,19 +1791,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "q30_pointn_ring": """
-            SELECT round(sum(2.0*p_size), 2) AS v3_sum,
-                   round(sum(0.0), 2) AS vlast_sum,
+            SELECT round(sum(2.0*CAST(p_size AS DOUBLE)), 2) AS v3_sum,
+                   round(sum(CAST(0.0 AS DOUBLE)), 2) AS vlast_sum,
                    count(*) AS n
             FROM part
         """,
         "q31_predicate_matrix": f"""
             WITH r AS ({_RECTS_SQL})
-            SELECT sum(CASE WHEN xb <= wa THEN 1 ELSE 0 END) AS n_int,
-                   sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS n_cont,
-                   sum(CASE WHEN xb = wa THEN 1 ELSE 0 END) AS n_touch,
-                   sum(CASE WHEN xb < wa AND NOT (xb+5 <= wa AND hb <= ha)
+            SELECT CAST(sum(CASE WHEN xb <= wa THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+                   CAST(sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+                   CAST(sum(CASE WHEN xb = wa THEN 1 ELSE 0 END) AS BIGINT) AS n_touch,
+                   CAST(sum(CASE WHEN xb < wa AND NOT (xb+5 <= wa AND hb <= ha)
                             AND NOT (xb <= 0 AND xb+5 >= wa AND hb >= ha)
-                       THEN 1 ELSE 0 END) AS n_over,
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
                    count(*) AS n
             FROM r
         """,
@@ -1817,8 +1819,8 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "q34_envelope_boundary": """
-            SELECT round(sum(2.0*p_size*p_size), 2) AS env_area,
-                   round(sum(4.0*p_size), 2) AS bnd_len,
+            SELECT round(sum(2.0*CAST(p_size AS DOUBLE)*p_size), 2) AS env_area,
+                   round(sum(4.0*CAST(p_size AS DOUBLE)), 2) AS bnd_len,
                    count(*) AS n
             FROM part
         """,
@@ -1835,12 +1837,12 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1 ORDER BY 1
         """,
         "q36_dwithin": f"""
-            SELECT sum(CASE WHEN sqrt(pow(x-250, 2) + pow(y-75, 2)) <= 60 THEN 1 ELSE 0 END) AS n_within,
+            SELECT CAST(sum(CASE WHEN sqrt(pow(x-250, 2) + pow(y-75, 2)) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
                    count(*) AS n
             FROM ({_EVENTS_PTS_SQL})
         """,
         "q37_dump": """
-            SELECT sum(CASE p_partkey % 3 WHEN 0 THEN 3 ELSE 1 END) AS nparts_sum,
+            SELECT CAST(sum(CASE p_partkey % 3 WHEN 0 THEN 3 ELSE 1 END) AS BIGINT) AS nparts_sum,
                    count(*) AS n
             FROM part
         """,
@@ -1857,7 +1859,7 @@ def oracle_sql() -> dict[str, str]:
             ), b AS (
               SELECT doc_id, m0 || '_' || m1 AS b0, m2 || '_' || m3 AS b1 FROM sig
             )
-            SELECT count(*) AS n_pairs, sum(id_a + id_b) AS pair_sum FROM (
+            SELECT count(*) AS n_pairs, CAST(sum(id_a + id_b) AS BIGINT) AS pair_sum FROM (
               SELECT a.doc_id AS id_a, b2.doc_id AS id_b
               FROM b a JOIN b b2 ON a.doc_id < b2.doc_id AND (a.b0 = b2.b0 OR a.b1 = b2.b1))
         """,
@@ -1878,7 +1880,7 @@ def oracle_sql() -> dict[str, str]:
                      ) + """ AS sh
               FROM bits
             )
-            SELECT count(*) AS n_pairs, sum(id_a + id_b) AS pair_sum FROM (
+            SELECT count(*) AS n_pairs, CAST(sum(id_a + id_b) AS BIGINT) AS pair_sum FROM (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b
               FROM fp a JOIN fp b ON a.doc_id < b.doc_id
               WHERE bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) <= 2)
@@ -1898,21 +1900,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q42_general_overlay": """
             SELECT round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS inter_area,
-                   round(sum(3.0*p_size*p_size), 2) AS union_area,
+                   round(sum(3.0*CAST(p_size AS DOUBLE)*p_size), 2) AS union_area,
                    round(sum(CAST(p_size AS DOUBLE)*p_size), 2) AS diff_area,
                    round(sum(p_size * sqrt(2)), 2) AS clip_len,
                    count(*) AS n
             FROM part
         """,
         "q43_flip_reverse": """
-            SELECT round(sum(2.0*p_size), 2) AS flip_x_sum,
-                   round(sum(2.0*p_size), 2) AS rev_y_sum,
+            SELECT round(sum(2.0*CAST(p_size AS DOUBLE)), 2) AS flip_x_sum,
+                   round(sum(2.0*CAST(p_size AS DOUBLE)), 2) AS rev_y_sum,
                    count(*) AS n
             FROM part
         """,
         "q44_force_dims": """
-            SELECT round(sum(7.5), 2) AS z_sum, count(*) AS n_hasz,
-                   CAST(0 AS HUGEINT) AS n_hasz_after, count(*) AS n
+            SELECT round(CAST(sum(7.5) AS DOUBLE), 2) AS z_sum, count(*) AS n_hasz,
+                   CAST(0 AS BIGINT) AS n_hasz_after, count(*) AS n
             FROM part
         """,
         "q45_removerepeated": """
@@ -1941,7 +1943,7 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "q50_validity": """
-            SELECT count(*) AS n_valid, CAST(0 AS HUGEINT) AS n_bowtie_valid,
+            SELECT count(*) AS n_valid, CAST(0 AS BIGINT) AS n_bowtie_valid,
                    count(*) AS n_ring, count(*) AS n
             FROM part
         """,
@@ -1971,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(p_size % 251 AS DOUBLE)), 4) AS sum_mean_g,
                    round(sum(floor(((CAST(p_partkey % 251 AS BIGINT) % 50 + 1)
                                     / 100.0) * 32767) / 32768.0), 6) AS sum_rms,
-                   sum(CAST(50 AS BIGINT)) AS sum_dur_ms,
+                   CAST(sum(CAST(50 AS BIGINT)) AS BIGINT) AS sum_dur_ms,
                    count(*) AS n
             FROM part WHERE p_partkey < 400
         """,
@@ -1979,7 +1981,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n,
                    round(sum(c_acctbal), 2) AS sx,
                    round(sum(CAST(c_custkey % 100 AS DOUBLE)), 2) AS sy,
-                   sum(c_custkey) AS sk
+                   CAST(sum(c_custkey) AS BIGINT) AS sk
             FROM customer WHERE c_custkey < 400
         """,
         "q64_mixed_overlay": """
@@ -2036,14 +2038,14 @@ def oracle_sql() -> dict[str, str]:
         # iff y < 10
         "q56_predicate_matrix2": f"""
             SELECT * FROM (
-              SELECT sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS n_covers,
-                     sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS n_coveredby,
-                     sum(CASE WHEN xb = 0 AND wa = 5 AND ha = hb THEN 1 ELSE 0 END) AS n_equals,
-                     sum(CASE WHEN xb > wa THEN 1 ELSE 0 END) AS n_disjoint,
+              SELECT CAST(sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS BIGINT) AS n_covers,
+                     CAST(sum(CASE WHEN xb+5 <= wa AND hb <= ha THEN 1 ELSE 0 END) AS BIGINT) AS n_coveredby,
+                     CAST(sum(CASE WHEN xb = 0 AND wa = 5 AND ha = hb THEN 1 ELSE 0 END) AS BIGINT) AS n_equals,
+                     CAST(sum(CASE WHEN xb > wa THEN 1 ELSE 0 END) AS BIGINT) AS n_disjoint,
                      count(*) AS n_rect
               FROM ({_RECTS_SQL})
             ) CROSS JOIN (
-              SELECT sum(CASE WHEN l_linenumber <= 5 THEN 1 ELSE 0 END) AS n_crosses,
+              SELECT CAST(sum(CASE WHEN l_linenumber <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_crosses,
                      count(*) AS n_lines
               FROM lineitem WHERE l_orderkey < 4000
             )
@@ -2056,10 +2058,10 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "q58_linemerge_normalize": """
-            SELECT sum(3) AS np_merged,
-                   round(sum(2.0 * p_size), 2) AS len_merged,
-                   sum(1) AS n_eq,
-                   sum(1) AS n_norm_eq,
+            SELECT CAST(sum(3) AS BIGINT) AS np_merged,
+                   round(sum(2.0 * CAST(p_size AS DOUBLE)), 2) AS len_merged,
+                   CAST(sum(1) AS BIGINT) AS n_eq,
+                   CAST(sum(1) AS BIGINT) AS n_norm_eq,
                    count(*) AS n
             FROM part
         """,

@@ -253,7 +253,15 @@ def _edge_area_terms(lat1, lon1, lat2, lon2) -> Tuple[float, float]:
     k2 = _EP2 * calp0 * calp0
     sig1 = math.atan2(sb1, calp1 * cb1)
     omg1 = math.atan2(salp0 * sb1, calp1 * cb1)
-    calp2 = math.sqrt(max((calp1 * cb1) ** 2 + (cb2 - cb1) * (cb2 + cb1), 0.0)) / cb2
+    # same condition-selected identity as _lam12: cbet difference near the
+    # poles, sbet difference near the equator (cures cosα1=0 ill-conditioning
+    # in ring_area just as it does in the inverse solve)
+    term = (
+        (cb2 - cb1) * (cb2 + cb1)
+        if cb1 < -sb1
+        else (sb1 - sb2) * (sb1 + sb2)
+    )
+    calp2 = math.sqrt(max((calp1 * cb1) ** 2 + term, 0.0)) / cb2
     sig2 = math.atan2(sb2, calp2 * cb2)
     omg2 = math.atan2(salp0 * sb2, calp2 * cb2)
 

@@ -23,20 +23,30 @@ TABLES = [
 
 
 def norm(v):
+    """Type-PRESERVING normalisation.
+
+    The driver's value-hash distinguishes int from float from Decimal, so the
+    local replica must too: an oracle returning HUGEINT/DECIMAL where Spark
+    returns BIGINT/DOUBLE is a driver failure even when numerically equal.
+    Round-2 verdict proved all 11 driver hash-fails were exactly this, masked
+    by the old int→float coercion here.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
-    if isinstance(v, (int,)):
-        return float(v)
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 6)
-    except ImportError:
-        pass
+        return ("f", round(v, 6))
+    if isinstance(v, int):
+        return ("i", v)
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        raise TypeError(
+            "oracle returned DECIMAL — cast the aggregate to DOUBLE/BIGINT "
+            "in oracle_sql(); the driver's hash will not match Spark's type"
+        )
     return str(v)
 
 
@@ -108,8 +118,10 @@ def main():
         loose_bad = 0
         for a, b in zip(sr, orr):
             for x, y in zip(a, b):
-                if isinstance(x, float) and isinstance(y, float):
-                    if not (abs(x - y) <= 1e-4 * max(1.0, abs(x), abs(y))):
+                xf = x[1] if isinstance(x, tuple) and x[0] == "f" else None
+                yf = y[1] if isinstance(y, tuple) and y[0] == "f" else None
+                if xf is not None and yf is not None:
+                    if not (abs(xf - yf) <= 1e-4 * max(1.0, abs(xf), abs(yf))):
                         loose_bad += 1
                         break
                 elif x != y:

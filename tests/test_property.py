@@ -123,5 +123,24 @@ def test_geodesic_metric_axioms(la1, lo1, la2, lo2, la3, lo3):
     assert d12 >= 0
     d13 = G.inverse(la1, lo1, la3, lo3)
     d23 = G.inverse(la2, lo2, la3, lo3)
-    assert d13 <= d12 + d23 + 1e-6  # triangle inequality
+    # triangle inequality with a RELATIVE term: branch noise (equatorial
+    # closed form vs general quadrature at cosα1≈0) is ~1e-11 of the
+    # distance, so a pure absolute 1e-6 bound fails on ~100 km legs
+    assert d13 <= d12 + d23 + 1e-6 + 1e-9 * (d12 + d23)
     assert G.inverse(la1, lo1, la1, lo1) == 0.0
+
+
+def test_geodesic_triangle_near_equator_regression():
+    """Pinned hypothesis counterexample (round-2 verdict): point 3 at
+    latitude 5.96e-8° sits just above the equatorial-shortcut threshold, so
+    leg 1-3 takes the general path while leg 1-2 takes the closed form; the
+    branches disagree by ~2.7 µm over 111 km (2.4e-11 relative)."""
+    from duckdb_spatial_spark.geom import geodesic as G
+
+    la3 = 5.960464477539063e-08
+    d12 = G.inverse(0.0, 0.0, 0.0, 0.5)
+    d23 = G.inverse(0.0, 0.5, la3, 1.0)
+    d13 = G.inverse(0.0, 0.0, la3, 1.0)
+    assert d13 <= d12 + d23 + 1e-6 + 1e-9 * (d12 + d23)
+    # and the branches agree to well below a millimetre in absolute terms
+    assert abs(d13 - (d12 + d23)) < 1e-3
