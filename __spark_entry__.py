@@ -25,6 +25,7 @@ from duckdb_spatial_spark.operators import (
     ann_bruteforce_topk,
     exact_dedup,
     minhash_signature,
+    minhash_table,
     ngram_jaccard_join,
     simhash,
     st_join,
@@ -171,13 +172,26 @@ def q06_convexhull_area(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("c_custkey") % 1000).cast("double").alias("y"),
         )
     )
-    pts = cust.withColumn("pt", ST.st_point("x", "y"))
-    agg = pts.groupBy("c_mktsegment").agg(ST.st_collect_agg("pt").alias("coll"))
-    return (
-        agg.select(
-            "c_mktsegment",
-            F.round(ST.st_area(ST.st_convexhull("coll")), 4).alias("hull_area"),
+    import pandas as pd
+
+    def hull_area(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        from duckdb_spatial_spark.geom import kernels as K
+
+        P = np.column_stack(
+            [pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64)]
         )
+        a = K.area(K.convex_hull_xy(P))
+        return pd.DataFrame(
+            {"c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+             "hull_area": [round(a, 4)]}
+        )
+
+    # monotone chain per segment in ONE applyInPandas stage — no collect_agg
+    # single-blob row (per-group skew at scale) and no scalar-UDF second stage
+    return (
+        cust.groupBy("c_mktsegment")
+        .applyInPandas(hull_area, "c_mktsegment string, hull_area double")
         .orderBy("c_mktsegment")
     )
 
@@ -367,14 +381,16 @@ def q19_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signature (seed-0 and seed-1 of the md5 family over 4-gram
     shingles) for doc_id < 50 — byte-for-byte reproducible in SQL."""
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
-    sig = minhash_signature(F.col("text"), num_hashes=2, k=4, hash_fn="md5")
-    return d.select(
-        "doc_id", sig[0].alias("mh0"), sig[1].alias("mh1")
-    ).orderBy("doc_id")
+    sig = minhash_table(d, "doc_id", "text", num_hashes=2, k=4, hash_fn="md5")
+    return sig.select("doc_id", "mh0", "mh1").orderBy("doc_id")
 
 
 def q20_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash (16-bit md5-parity) fingerprints: distribution stats."""
+    """SimHash (16-bit md5-parity) fingerprints: distribution stats.
+    The per-token decode is ONE md5+translate+conv (integer bit ops after) —
+    the round-2 form expanded 16 ascii(substring(...)) branches per token
+    and its codegen drifted 1.3→7.9 s across attempts under JVM
+    code-cache pressure; the small tree is stable at ~0.7 s."""
     d = load_table(spark, sf, "documents")
     s = simhash(F.col("text"), bits=16)
     return d.select(s.alias("sh")).agg(

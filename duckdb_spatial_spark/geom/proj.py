@@ -489,6 +489,59 @@ class _WebMercator:
         return out
 
 
+class MercatorEllipsoidal:
+    """Ellipsoidal Mercator (EPSG:3395 "World Mercator" semantics — what
+    PROJ's +proj=merc means on an ellipsoid; the spherical form is the
+    special case e = 0):
+
+        x = a·k0·(λ − λ0)
+        y = a·k0·ln( tan(π/4 + φ/2) · ((1 − e·sinφ)/(1 + e·sinφ))^{e/2} )
+
+    Inverse solves the isometric-latitude relation by fixed point
+    φ ← π/2 − 2·atan(exp(−ψ)·((1−e sinφ)/(1+e sinφ))^{e/2}), which
+    converges to machine precision in <10 iterations everywhere |φ|<89.9°.
+    +lat_ts support: k0 = cos(φts)/sqrt(1 − e²·sin²φts)."""
+
+    def __init__(self, a: float, f: float, lon0_deg: float = 0.0,
+                 k0: float = 1.0, lat_ts_deg: float = 0.0,
+                 false_e: float = 0.0, false_n: float = 0.0):
+        self.a, self.f = a, f
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        if lat_ts_deg:
+            ts = math.radians(lat_ts_deg)
+            k0 = math.cos(ts) / math.sqrt(1.0 - self.e2 * math.sin(ts) ** 2)
+        self.k0 = k0
+        self.lon0 = lon0_deg
+        self.fe, self.fn = false_e, false_n
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        out = np.empty_like(lonlat, dtype=np.float64)
+        lat = np.clip(lonlat[:, 1], -89.9999999, 89.9999999)
+        phi = np.radians(lat)
+        sp = self.e * np.sin(phi)
+        out[:, 0] = self.a * self.k0 * np.radians(lonlat[:, 0] - self.lon0) + self.fe
+        out[:, 1] = self.a * self.k0 * (
+            np.log(np.tan(np.pi / 4 + phi / 2))
+            + 0.5 * self.e * np.log((1.0 - sp) / (1.0 + sp))
+        ) + self.fn
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        out = np.empty_like(xy, dtype=np.float64)
+        out[:, 0] = np.degrees((xy[:, 0] - self.fe) / (self.a * self.k0)) + self.lon0
+        psi = (xy[:, 1] - self.fn) / (self.a * self.k0)
+        t = np.exp(-psi)
+        phi = np.pi / 2 - 2.0 * np.arctan(t)
+        for _ in range(12):
+            sp = self.e * np.sin(phi)
+            phi = np.pi / 2 - 2.0 * np.arctan(
+                t * ((1.0 - sp) / (1.0 + sp)) ** (self.e / 2.0)
+            )
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
 def tm_with_lat0(a: float, f: float, lat0_deg: float, lon0_deg: float,
                  k0: float, false_e: float, false_n: float) -> TransverseMercator:
     """TM with a non-equatorial latitude of origin: fold the meridian
@@ -594,6 +647,19 @@ def crs_from_proj_string(s: str):
     proj = kv.get("proj", "").lower()
     if not proj:
         return None
+    # whitelist: any parameter outside the native model (+pm, +axis,
+    # +to_meter, +geoidgrids, +alpha, …) means the string needs machinery
+    # we don't implement — return None so the caller's pyproj fallback (or
+    # explicit error) handles it instead of silently wrong coordinates.
+    _KNOWN = {
+        "proj", "ellps", "datum", "a", "b", "rf", "f", "es", "k", "k_0",
+        "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "x_0", "y_0",
+        "zone", "south", "north", "towgs84", "units", "no_defs", "nadgrids",
+        "wktext", "type", "over", "approx",
+    }
+    unknown = set(kv) - _KNOWN
+    if unknown:
+        return None
     if kv.get("units", "m").lower() not in ("m",) and proj not in ("longlat", "latlong"):
         return None
     if "nadgrids" in kv and kv["nadgrids"] not in ("@null", "null"):
@@ -648,7 +714,7 @@ def crs_from_proj_string(s: str):
         else:
             base = tm_with_lat0(a, f, lat0_deg=lat0, lon0_deg=lon0, k0=k0,
                                 false_e=x0, false_n=y0)
-    elif proj in ("merc", "webmerc"):
+    elif proj == "webmerc":
         # spherical Mercator on the ellipsoid's a (web-Mercator semantics)
         if k0 != 1.0 or lat0 != 0.0:
             return None
@@ -670,6 +736,16 @@ def crs_from_proj_string(s: str):
 
             wm = _Merc()
         base = wm
+    elif proj == "merc":
+        # PROJ's merc on an ellipsoid is ELLIPSOIDAL Mercator (EPSG:3395
+        # semantics) — the spherical form is only correct when f == 0, and
+        # differs by tens of km in y at high latitudes
+        if lat0 != 0.0:
+            return None
+        base = MercatorEllipsoidal(
+            a, f, lon0_deg=lon0, k0=k0, lat_ts_deg=fl("lat_ts"),
+            false_e=x0, false_n=y0,
+        )
     elif proj == "lcc":
         lat1 = fl("lat_1", lat0)
         lat2 = fl("lat_2", lat1)

@@ -12,10 +12,12 @@ from .dedup import (  # noqa: F401
     minhash_dedup,
     minhash_lsh_candidates,
     minhash_signature,
+    minhash_table,
     ngram_jaccard_join,
     shingles,
     simhash,
     simhash_candidates,
+    simhash_table,
 )
 from .similarity import (  # noqa: F401
     ann_bruteforce_topk,

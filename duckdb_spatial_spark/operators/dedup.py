@@ -52,7 +52,13 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 5,
                       hash_fn: str = "md5") -> Column:
     """array<string> of per-seed minimum shingle hashes. Seeded hash family
     = hash(seed || shingle); min is lexicographic (deterministic across
-    engines)."""
+    engines).
+
+    NOTE: as a pure column expression Catalyst re-derives the shingle array
+    per seed (num_hashes higher-order scans of the text). Fine for ad-hoc
+    use; the hot path is :func:`minhash_table`, which explodes shingles
+    ONCE and takes all mins in a single hash aggregate.
+    """
     sh = shingles(text, k)
 
     # NB: the transform lambda must be unary — pyspark binds a second
@@ -61,6 +67,26 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 5,
         return F.array_min(F.transform(sh, lambda x: _hash_expr(seed, x, hash_fn)))
 
     return F.array(*[_minhash(s) for s in range(num_hashes)])
+
+
+def minhash_table(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 16, k: int = 5, hash_fn: str = "md5",
+                  prefix: str = "mh") -> DataFrame:
+    """MinHash signature as columns ``mh0..mh{n-1}`` via explode + ONE hash
+    aggregate: the shingle array is materialized once per document (the
+    Column form re-evaluates it per seed), every seed's min is a plain
+    min-aggregate with map-side partial aggregation, and there are no
+    higher-order functions in the plan — the codegen-stable, 100-TB shape.
+    Shuffles once on ``id_col``."""
+    ex = df.select(
+        F.col(id_col).alias("__mhid"),
+        F.explode(shingles(F.col(text_col), k)).alias("__sh"),
+    )
+    aggs = [
+        F.min(_hash_expr(s, F.col("__sh"), hash_fn)).alias(f"{prefix}{s}")
+        for s in range(num_hashes)
+    ]
+    return ex.groupBy("__mhid").agg(*aggs).withColumnRenamed("__mhid", id_col)
 
 
 def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -86,12 +112,21 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band bucket.
     Equi-join on (band,key) — a real shuffle join, no cross product."""
     r = num_hashes // bands
-    sig = df.select(
+    sig = minhash_table(df, id_col, text_col, num_hashes, k, hash_fn).select(
         F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, k, hash_fn).alias("__sig"),
+        *[F.col(f"mh{s}") for s in range(num_hashes)],
     )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * r + i}") for i in range(r)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ])
     bucketed = sig.select(
-        "__id", F.explode(minhash_band_keys(F.col("__sig"), bands, r)).alias("b")
+        "__id", F.explode(band_structs).alias("b")
     ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -225,39 +260,82 @@ def ngram_jaccard_join(
     return out
 
 
+# hex digit → ascii parity ('0'..'9' ascii 48..57, 'a'..'f' ascii 97..102);
+# shared with the DuckDB oracle's ascii(substring(h,j,1)) % 2 semantics
+_HEX = "0123456789abcdef"
+_HEX_PARITY = "0101010101101010"
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint as a LONG, built from md5-hex-digit parities of
     whitespace tokens — fully deterministic and expressible in ANSI SQL for
     the oracle. bit_j weight = sign(sum over tokens of parity(md5(tok)[j])).
 
-    Single-pass plan: md5 per token computed once, the per-bit ±1 sums kept
-    as one array accumulator (the naive per-bit form rebuilds the token
-    array and re-hashes every token `bits` times — a 16× larger expression
-    tree that dominated the bench)."""
+    The per-token decode is ONE md5 + translate + conv: the parity of every
+    hex digit is looked up via ``translate`` into a '0'/'1' string, which
+    *is* the binary expansion of a ≤``bits``-bit integer — so the whole
+    per-token contribution is a single small int, and the per-bit ±1 sums
+    are integer shift/mask arithmetic. (The previous form expanded 16
+    ``ascii(substring(...))`` branches per token; the generated code
+    collapsed under JVM code-cache pressure late in long runs. For the hot
+    DataFrame path use :func:`simhash_table`, which has no higher-order
+    functions at all.)"""
     tokens = F.split(F.trim(text), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.md5(t))
-
-    def bit_contrib(h: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda j: F.when(
-                F.ascii(F.substring(h, j.cast("int"), 1)) % 2 == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
+    # reverse → char for hex digit 1 (bit 0) becomes the LSB of conv()
+    vals = F.transform(
+        tokens,
+        lambda t: F.conv(
+            F.reverse(F.translate(F.substring(F.md5(t), 1, bits), _HEX, _HEX_PARITY)),
+            2, 10,
+        ).cast("int"),
+    )
+    masks = F.array(*[F.lit(1 << j) for j in range(bits)])
     sums = F.aggregate(
-        hashes,
+        vals,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, b: a + b),
+        lambda acc, v: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(v.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
     weighted = F.zip_with(
-        sums,
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda s, j: F.when(
-            s > 0, F.pow(F.lit(2.0), j).cast("long")  # exact for j < 53
-        ).otherwise(F.lit(0).cast("long")),
+        sums, masks,
+        lambda s, m: F.when(s > 0, m.cast("long")).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """Per-row SimHash as a DataFrame transform: explode tokens, one
+    md5 + translate per token, then ``bits`` conditional sums in ONE hash
+    aggregate.  No higher-order functions anywhere in the plan, so
+    whole-stage codegen stays small and stable, and the aggregate runs
+    map-side partial before the single shuffle on ``id_col`` — the shape
+    that survives 100 TB.  bit_j = 1 iff strictly more tokens have odd
+    ascii(md5[j]) than even (same semantics as :func:`simhash`)."""
+    tok = df.select(
+        F.col(id_col).alias("__shid"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+    )
+    par = tok.select(
+        "__shid",
+        F.translate(F.substring(F.md5("__t"), 1, bits), _HEX, _HEX_PARITY).alias("__p"),
+    )
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(F.substring("__p", j + 1, 1).cast("int")).alias(f"__s{j}")
+        for j in range(bits)
+    ]
+    g = par.groupBy("__shid").agg(*aggs)
+    fp = F.lit(0)
+    for j in range(bits):
+        # b_j = 2·s_j − n  >  0  ⇔  2·s_j > n
+        fp = fp + F.when(
+            2 * F.col(f"__s{j}") > F.col("__n"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return g.select(
+        F.col("__shid").alias(id_col), fp.cast("long").alias(out_col)
+    )
 
 
 def simhash_candidates(
@@ -265,7 +343,9 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidates = equal simhash band (bits/bands bits per band)."""
     width = bits // bands
-    sig = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), bits).alias("__sh"))
+    sig = simhash_table(df, id_col, text_col, bits).select(
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
+    )
     parts = []
     for b in range(bands):
         mask = ((1 << width) - 1) << (b * width)

@@ -297,23 +297,26 @@ def st_join(
         raise ValueError(f"column name collision between sides: {sorted(overlap)}")
 
     # small right side → broadcast path (prepared-geometry analog).
-    # Byte-budgeted probe: one cheap agg for (rows, wkb bytes) — a 200k-row
-    # side of huge polygons must NOT be collected to the driver, regardless
-    # of row count.
+    # Probe with limit(threshold+1): a too-big right side stops after the
+    # first threshold+1 rows instead of a full count+sum evaluation of the
+    # whole right plan (expensive for derived/unioned inputs); byte budget
+    # is checked on the sampled rows, which double as the build side — a
+    # 200k-row side of huge polygons is still never broadcast.
     if broadcast_threshold > 0:
         try:
-            stats = right.agg(
-                F.count("*").alias("n"),
-                F.sum(F.length(F.col(right_geom))).alias("geom_bytes"),
-            ).collect()[0]
+            sample = right.limit(broadcast_threshold + 1).collect()
         except Exception:
-            stats = None
-        if (
-            stats is not None
-            and stats["n"] <= broadcast_threshold
-            and (stats["geom_bytes"] or 0) <= broadcast_byte_budget
-        ):
-            return st_join_broadcast(left, right, pred, left_geom, right_geom)
+            sample = None
+        if sample is not None and len(sample) <= broadcast_threshold:
+            rgi = right.columns.index(right_geom)
+            geom_bytes = sum(
+                len(r[rgi]) for r in sample if r[rgi] is not None
+            )
+            if geom_bytes <= broadcast_byte_budget:
+                return st_join_broadcast(
+                    left, right, pred, left_geom, right_geom,
+                    _prefetched_rows=sample,
+                )
 
     L = _with_bbox(left, left_geom, "__bbox")
     R = _with_bbox(right, right_geom, "__bbox")
@@ -418,17 +421,22 @@ def st_join_broadcast(
     predicate: str = "intersects",
     left_geom: str = "geom",
     right_geom: str = "geom",
+    _prefetched_rows=None,
 ) -> DataFrame:
     """Broadcast spatial join: build side (right) collected to the driver as
     raw WKB rows, shipped via Spark broadcast, decoded + grid-indexed once
     per worker, probed per Arrow batch. Point probes against polygon builds
-    take the bulk-vectorized PiP path."""
+    take the bulk-vectorized PiP path. ``_prefetched_rows`` lets st_join's
+    size probe reuse its sampled rows instead of collecting twice."""
     import uuid
 
     pred = _norm_pred(predicate)
     kern = _KERNELS[pred]
 
-    right_rows = [tuple(r) for r in right.collect()]
+    right_rows = [
+        tuple(r)
+        for r in (_prefetched_rows if _prefetched_rows is not None else right.collect())
+    ]
     right_cols = right.columns
     rgi = right_cols.index(right_geom)
     token = uuid.uuid4().hex

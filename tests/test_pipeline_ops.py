@@ -81,6 +81,38 @@ def test_simhash_deterministic_and_buckets(spark):
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cand.collect()}
 
 
+def test_simhash_table_matches_column_form(spark, docs):
+    from duckdb_spatial_spark.operators import simhash_table
+
+    d = docs.limit(40)
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in d.select("doc_id", simhash(F.col("text")).alias("s")).collect()
+    }
+    tbl_form = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(d, "doc_id", "text").collect()
+    }
+    assert col_form == tbl_form
+
+
+def test_minhash_table_matches_column_form(spark, docs):
+    from duckdb_spatial_spark.operators import minhash_signature, minhash_table
+
+    d = docs.limit(40)
+    col_form = {
+        r["doc_id"]: (r["sig"][0], r["sig"][1], r["sig"][2])
+        for r in d.select(
+            "doc_id", minhash_signature(F.col("text"), 3, k=4).alias("sig")
+        ).collect()
+    }
+    tbl_form = {
+        r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"])
+        for r in minhash_table(d, "doc_id", "text", num_hashes=3, k=4).collect()
+    }
+    assert col_form == tbl_form
+
+
 def test_ann_bruteforce_vs_duckdb(spark, emb):
     import duckdb
 

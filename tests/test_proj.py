@@ -283,3 +283,52 @@ class TestProjStrings:
                                     "+proj=utm +zone=31 +ellps=WGS84")).alias("e")
         ).collect()[0]["e"]
         assert 440000 < out < 460000
+
+    def test_ellipsoidal_mercator_conformal_latitude_parity(self):
+        """+proj=merc on WGS84 must be ELLIPSOIDAL Mercator (EPSG:3395).
+        Independent check: y = a·ln(tan(π/4 + χ/2)) with χ the conformal
+        latitude from the standard series — a different formulation than
+        the implementation's isometric-latitude form."""
+        import math
+
+        import numpy as np
+        from duckdb_spatial_spark.geom import proj as P
+
+        a, f = 6378137.0, 1.0 / 298.257223563
+        e2 = f * (2 - f)
+        t = P.native_transform("EPSG:4326", "+proj=merc +ellps=WGS84")
+        for lat in (15.0, 49.0, 60.0, 75.0, -60.0):
+            xy = t(np.array([[2.0, lat]]))
+            phi = math.radians(lat)
+            # conformal latitude series (public standard expansion)
+            chi = (
+                phi
+                - (e2 / 2 + 5 * e2**2 / 24 + 3 * e2**3 / 32) * math.sin(2 * phi)
+                + (5 * e2**2 / 48 + 7 * e2**3 / 80) * math.sin(4 * phi)
+                - (13 * e2**3 / 480) * math.sin(6 * phi)
+            )
+            y_ref = a * math.log(math.tan(math.pi / 4 + chi / 2))
+            assert abs(xy[0, 1] - y_ref) < 0.5  # series truncation ~cm
+            # and it is NOT the spherical form (tens of km off at 60°+)
+            y_sph = a * math.atanh(math.sin(phi))
+            if abs(lat) >= 49.0:
+                assert abs(xy[0, 1] - y_sph) > 10000.0
+        # roundtrip to machine precision
+        inv = P.native_transform("+proj=merc +ellps=WGS84", "EPSG:4326")
+        pts = np.array([[12.5, 55.7], [-70.0, -33.4], [0.0, 0.0]])
+        assert np.abs(inv(t(pts.copy())) - pts).max() < 1e-9
+
+    def test_proj_string_unknown_params_rejected(self):
+        """Parameters outside the native model must return None (pyproj
+        fallback / explicit error), never silently-wrong coordinates."""
+        from duckdb_spatial_spark.geom import proj as P
+
+        assert P.crs_from_proj_string("+proj=utm +zone=31 +pm=paris") is None
+        assert P.crs_from_proj_string("+proj=merc +to_meter=0.9") is None
+        assert P.crs_from_proj_string(
+            "+proj=tmerc +lat_0=0 +lon_0=9 +alpha=30 +ellps=WGS84"
+        ) is None
+        assert P.crs_from_proj_string("+proj=longlat +geoidgrids=x.gtx") is None
+        # lat_ts scaling accepted on merc
+        c = P.crs_from_proj_string("+proj=merc +lat_ts=45 +ellps=WGS84")
+        assert c is not None
