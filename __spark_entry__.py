@@ -1302,39 +1302,33 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate checks the first 50
+    # entries. Round 2 left q51-q66 (every new feature family: gpkg
+    # roundtrip, multimodal, mixed overlay, spheroid, IVF, buffer styles)
+    # without a driver row, so the dict is arranged as:
+    #   1. the 50 driver-checked queries — every SURVEY §2 family and every
+    #      LLM-pipeline operator has at least one representative here;
+    #   2. 16 redundant-coverage queries (their function families are all
+    #      also exercised by an in-window query) after the cut line.
     return {
-        "q01_point_in_envelope": q01_point_in_envelope,
         "q02_zone_pip_join": q02_zone_pip_join,
         "q03_distance_sphere": q03_distance_sphere,
         "q04_extent_agg": q04_extent_agg,
         "q05_centroid_collect": q05_centroid_collect,
         "q06_convexhull_area": q06_convexhull_area,
         "q07_wkt_area": q07_wkt_area,
-        "q08_buffer_area": q08_buffer_area,
         "q09_hilbert_distribution": q09_hilbert_distribution,
         "q10_quadkey": q10_quadkey,
-        "q11_geometrytype": q11_geometrytype,
         "q12_npoints": q12_npoints,
-        "q13_length": q13_length,
-        "q14_envelope_area": q14_envelope_area,
         "q15_tpch_q1": q15_tpch_q1,
-        "q16_revenue_by_nation": q16_revenue_by_nation,
-        "q17_window_topk": q17_window_topk,
         "q18_dedup_exact": q18_dedup_exact,
         "q19_minhash": q19_minhash,
         "q20_simhash": q20_simhash,
         "q21_text_quality": q21_text_quality,
-        "q22_fingerprint": q22_fingerprint,
-        "q23_langid": q23_langid,
-        "q24_ann_topk": q24_ann_topk,
         "q25_embedding_neardup": q25_embedding_neardup,
         "q26_ngram_jaccard": q26_ngram_jaccard,
-        "q27_generatepoints": q27_generatepoints,
         "q28_union_agg": q28_union_agg,
-        "q29_accessors": q29_accessors,
-        "q30_pointn_ring": q30_pointn_ring,
         "q31_predicate_matrix": q31_predicate_matrix,
-        "q32_intersection_area": q32_intersection_area,
         "q33_simplify": q33_simplify,
         "q34_envelope_boundary": q34_envelope_boundary,
         "q35_transform": q35_transform,
@@ -1345,9 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
         "q41_casts": q41_casts,
         "q42_general_overlay": q42_general_overlay,
-        "q43_flip_reverse": q43_flip_reverse,
         "q44_force_dims": q44_force_dims,
-        "q45_removerepeated": q45_removerepeated,
         "q46_geojson_roundtrip": q46_geojson_roundtrip,
         "q47_makepolygon": q47_makepolygon,
         "q48_pointonsurface": q48_pointonsurface,
@@ -1369,6 +1361,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_mixed_overlay": q64_mixed_overlay,
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
         "q66_multimodal": q66_multimodal,
+        # ---- driver cut line (entries below have redundant family coverage
+        #      above: q01/q36 predicates, q08/q51 buffer, q11+q29+q30/q12+q37
+        #      accessors, q13+q14/q34+q58 measures, q16+q17/q15 relational,
+        #      q22+q23/q21+q54 textops, q24/q55 ANN, q27/q61 generate,
+        #      q32/q42+q64 overlay, q43/q58 reverse, q45/q33+q59 simplify)
+        "q01_point_in_envelope": q01_point_in_envelope,
+        "q08_buffer_area": q08_buffer_area,
+        "q11_geometrytype": q11_geometrytype,
+        "q13_length": q13_length,
+        "q14_envelope_area": q14_envelope_area,
+        "q16_revenue_by_nation": q16_revenue_by_nation,
+        "q17_window_topk": q17_window_topk,
+        "q22_fingerprint": q22_fingerprint,
+        "q23_langid": q23_langid,
+        "q24_ann_topk": q24_ann_topk,
+        "q27_generatepoints": q27_generatepoints,
+        "q29_accessors": q29_accessors,
+        "q30_pointn_ring": q30_pointn_ring,
+        "q32_intersection_area": q32_intersection_area,
+        "q43_flip_reverse": q43_flip_reverse,
+        "q45_removerepeated": q45_removerepeated,
     }
 
 
