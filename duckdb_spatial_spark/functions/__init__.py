@@ -70,6 +70,10 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("ST_NPoints", S._st_npoints_udf)
     reg("ST_NGeometries", S._st_ngeometries_udf)
     reg("ST_NInteriorRings", S._st_ninteriorrings_udf)
+    # alias spellings — the reference registers both (docs/functions.md)
+    reg("ST_NumPoints", S._st_npoints_udf)
+    reg("ST_NumGeometries", S._st_ngeometries_udf)
+    reg("ST_NumInteriorRings", S._st_ninteriorrings_udf)
     reg("ST_GeometryType", S._st_geometrytype_udf)
     reg("ST_Dimension", S._st_dimension_udf)
     reg("ST_IsEmpty", S._st_isempty_udf)
@@ -654,9 +658,47 @@ def register_sql_table_functions(spark: SparkSession) -> None:
             for r in list_native_crs():
                 yield r
 
+    # ST_Read / ST_ReadOSM as SQL table functions: polymorphic UDTF whose
+    # analyze() derives the output schema from the file (the reference's
+    # bind phase, st_read.cpp:105-240 made SQL-callable). eval() runs on an
+    # executor with no SparkSession, so both sides use the session-free
+    # local decode (sources.read.local_read_rows). Single-task convenience
+    # form — st_read() in the Python API is the distributed scale path.
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class _ReadUDTF:
+        @staticmethod
+        def analyze(path: AnalyzeArgument, layer: AnalyzeArgument = None):
+            from ..sources.read import local_read_rows
+
+            schema, _rows = local_read_rows(
+                path.value, None if layer is None else layer.value)
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, path, layer=None):
+            from ..sources.read import local_read_rows
+
+            _schema, rows = local_read_rows(path, layer)
+            yield from rows
+
+    class _ReadOSMUDTF:
+        @staticmethod
+        def analyze(path: AnalyzeArgument):
+            from ..sources.read import OSM_SCHEMA
+
+            return AnalyzeResult(schema=OSM_SCHEMA)
+
+        def eval(self, path):
+            from ..sources.read import local_read_rows
+
+            _schema, rows = local_read_rows(path)
+            yield from rows
+
     spark.udtf.register("ST_GeneratePoints", _GeneratePoints)
     spark.udtf.register("ST_Drivers", _Drivers)
     spark.udtf.register("ST_List_Proj_CRS", _ListProjCrs)
+    spark.udtf.register("ST_Read", udtf(_ReadUDTF))
+    spark.udtf.register("ST_ReadOSM", udtf(_ReadOSMUDTF))
 
 
 def _quadkey_py(lon: float, lat: float, level: int) -> str:

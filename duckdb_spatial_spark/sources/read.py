@@ -506,3 +506,197 @@ def st_list_proj_crs(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, ["auth_name", "code", "name", "kind", "projection", "engine"]
     ).repartition(1)
+
+
+# ------------------------------------------------------------- local rows
+
+_ARROW_TO_SPARK = {
+    "int8": T.LongType(), "int16": T.LongType(), "int32": T.LongType(),
+    "int64": T.LongType(), "uint8": T.LongType(), "uint16": T.LongType(),
+    "uint32": T.LongType(), "uint64": T.LongType(),
+    "float": T.DoubleType(), "double": T.DoubleType(),
+    "string": T.StringType(), "large_string": T.StringType(),
+    "binary": T.BinaryType(), "large_binary": T.BinaryType(),
+    "bool": T.BooleanType(),
+}
+
+
+def local_read_rows(path: str, layer: Optional[str] = None,
+                    geom_col: str = "geom"):
+    """Session-free single-process decode: ``(StructType, row-iterator)``.
+
+    Backs the SQL UDTF surface (``SELECT * FROM ST_Read('x.gpkg')``,
+    st_read.cpp:538-545's replacement scan made SQL-callable): the UDTF's
+    ``analyze`` needs a schema and its ``eval`` runs on an executor with no
+    SparkSession, so both sides call this. The schema is computed eagerly,
+    the row iterator lazily. The DataFrame API (``st_read``) remains the
+    distributed scale path; this is the single-task convenience form.
+    """
+    low = path.lower()
+    if low.endswith(".kmz"):
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            inner = [n for n in zf.namelist() if n.lower().endswith(".kml")]
+            if not inner:
+                raise ValueError(f"{path}: no .kml inside")
+            data = zf.read(inner[0])
+        from .kml import KML_SCHEMA, parse_kml_bytes
+
+        return KML_SCHEMA, iter(parse_kml_bytes(data, path))
+    if low.endswith(".kml"):
+        from .kml import KML_SCHEMA, parse_kml_bytes
+
+        with open(path, "rb") as fh:
+            rows = parse_kml_bytes(fh.read(), path)
+        return KML_SCHEMA, iter(rows)
+    if low.endswith(".gml"):
+        from .gml import parse_gml_bytes
+
+        with open(path, "rb") as fh:
+            feats, props = parse_gml_bytes(fh.read(), path)
+        fields = [T.StructField("source_file", T.StringType())]
+        fields += [T.StructField(p, T.StringType()) for p in props]
+        fields.append(T.StructField(geom_col, T.BinaryType()))
+        rows = (tuple([f["__source"]] + [f.get(c) for c in props] + [f["geom"]])
+                for f in feats)
+        return T.StructType(fields), rows
+    if low.endswith(".shp"):
+        from . import shapefile as SHPMOD
+        from ..geom import shp as SHP
+
+        schema = SHPMOD.shp_schema(path, geom_col)
+        with open(path, "rb") as fh:
+            geoms = SHP.parse_shp(fh.read())
+        dbf = os.path.splitext(path)[0] + ".dbf"
+        if os.path.exists(dbf):
+            with open(dbf, "rb") as fh:
+                _, recs = SHP.parse_dbf(fh.read())
+        else:
+            recs = [() for _ in geoms]
+        n = min(len(geoms), len(recs)) if recs else len(geoms)
+        nattr = len(schema.fields) - 1
+
+        def _shp_rows():
+            for i in range(n):
+                attrs = tuple(recs[i][j] if j < len(recs[i]) else None
+                              for j in range(nattr))
+                g = geoms[i]
+                yield attrs + (None if g is None else to_wkb(g),)
+
+        return schema, _shp_rows()
+    if low.endswith(".gpkg"):
+        import sqlite3
+
+        from .gpkg import (_spark_type, gpkg_blob_to_wkb, gpkg_layers)
+
+        layers = gpkg_layers(path)
+        if not layers:
+            raise ValueError(f"{path}: no feature layers")
+        meta = layers[0] if layer is None else next(
+            (m for m in layers if m["layer"] == layer), None)
+        if meta is None:
+            raise ValueError(f"{path}: no layer {layer!r}")
+        lname, gcol = meta["layer"], meta["geom_column"]
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        info = con.execute(f'PRAGMA table_info("{lname}")').fetchall()
+        attr_cols = [r[1] for r in info if r[1] != gcol]
+        fields = [T.StructField(r[1], _spark_type(r[2]))
+                  for r in info if r[1] != gcol]
+        fields.append(T.StructField(geom_col, T.BinaryType()))
+        sel = ", ".join(f'"{c}"' for c in attr_cols + [gcol])
+
+        def _gpkg_rows():
+            try:
+                for row in con.execute(f'SELECT {sel} FROM "{lname}"'):
+                    yield row[:-1] + (gpkg_blob_to_wkb(row[-1]),)
+            finally:
+                con.close()
+
+        return T.StructType(fields), _gpkg_rows()
+    if low.endswith(".fgb"):
+        from ..geom import fgb as FGB
+        from .fgb import _CT_TO_SPARK, _read_header
+
+        hdr, idx, data_start = _read_header(path)
+        cols = hdr["columns"]
+        fields = [T.StructField(c["name"],
+                                _CT_TO_SPARK.get(c["type"], T.StringType()))
+                  for c in cols]
+        fields.append(T.StructField(geom_col, T.BinaryType()))
+        names = [c["name"] for c in cols]
+
+        def _fgb_rows():
+            for geom, props in FGB.scan_features(
+                    path, data_start, None, cols, hdr["geometry_type"]):
+                yield (tuple(props.get(c) for c in names)
+                       + (None if geom is None else to_wkb(geom),))
+
+        return T.StructType(fields), _fgb_rows()
+    if low.endswith(".osm.pbf"):
+        from ..geom import pbf as PBF
+
+        # read_blob_rows yields dicts keyed by OSM_SCHEMA names
+        def _osm_rows():
+            for btype, off, size in PBF.scan_blobs(path):
+                if btype != "OSMData":
+                    continue
+                for r in PBF.read_blob_rows(path, off, size):
+                    if isinstance(r, dict):
+                        yield tuple(r.get(f.name) for f in OSM_SCHEMA.fields)
+                    else:
+                        yield tuple(r)
+
+        return OSM_SCHEMA, _osm_rows()
+    if low.endswith((".geojson",)) or (low.endswith(".json")
+                                       and _looks_geojson(path)):
+        with open(path) as fh:
+            txt = fh.read().strip()
+        try:
+            obj = json.loads(txt)
+            t = obj.get("type")
+            if t == "FeatureCollection":
+                feats = obj.get("features", [])
+            elif t == "Feature":
+                feats = [obj]
+            else:
+                feats = [{"type": "Feature", "geometry": obj, "properties": {}}]
+        except json.JSONDecodeError:
+            feats = [json.loads(ln) for ln in txt.splitlines() if ln.strip()]
+
+        def _gj_rows():
+            for ft in feats:
+                g = ft.get("geometry")
+                props = ft.get("properties") or {}
+                yield (
+                    to_wkb(geojson_to_geometry(g)) if g else None,
+                    {str(k): (json.dumps(v) if isinstance(v, (dict, list))
+                              else str(v)) for k, v in props.items()},
+                    path,
+                )
+
+        return GEOJSON_SCHEMA, _gj_rows()
+    if low.endswith((".parquet", ".pq")):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        a_schema = pf.schema_arrow
+        fields = [
+            T.StructField(f.name,
+                          _ARROW_TO_SPARK.get(str(f.type), T.StringType()))
+            for f in a_schema
+        ]
+
+        def _pq_rows():
+            for batch in pf.iter_batches():
+                for rec in batch.to_pylist():
+                    yield tuple(
+                        v if not isinstance(v, float) or v == v else v
+                        for v in (rec.get(f.name) for f in a_schema)
+                    )
+
+        return T.StructType(fields), _pq_rows()
+    raise NotImplementedError(
+        f"local_read_rows: unsupported extension for {path!r}"
+    )

@@ -317,3 +317,75 @@ def test_sql_table_functions(spark):
     assert r["n"] == 300 and r["ok"]
     assert spark.sql("SELECT * FROM ST_Drivers()").count() >= 10
     assert spark.sql("SELECT * FROM ST_List_Proj_CRS()").count() >= 100
+
+
+def test_st_read_udtf_and_alias_spellings(spark, tmp_path):
+    """``SELECT * FROM ST_Read('x.gpkg')`` works from spark.sql (polymorphic
+    UDTF: analyze() derives the schema from the file, eval() decodes
+    session-free on the executor) and the reference's ST_Num* alias
+    spellings resolve (docs/functions.md registers both ST_N* and
+    ST_Num*)."""
+    import sqlite3
+    import struct
+
+    from duckdb_spatial_spark.functions import register_sql_functions
+    from duckdb_spatial_spark.geom.wkb import to_wkb
+    from duckdb_spatial_spark.geom.wkt import from_wkt
+
+    register_sql_functions(spark)
+
+    # hand-built 20-point gpkg (same layout as test_gpkg's fixture)
+    gpkg = str(tmp_path / "pts.gpkg")
+    con = sqlite3.connect(gpkg)
+    con.execute("PRAGMA application_id = 1196444487")
+    con.execute(
+        """CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY,
+           data_type TEXT, identifier TEXT, description TEXT,
+           last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+           max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+    )
+    con.execute(
+        """CREATE TABLE gpkg_geometry_columns (table_name TEXT,
+           column_name TEXT, geometry_type_name TEXT, srs_id INTEGER,
+           z TINYINT, m TINYINT)"""
+    )
+    con.execute("CREATE TABLE pts (fid INTEGER PRIMARY KEY, name TEXT, "
+                "geometry BLOB)")
+    for i in range(20):
+        wkb = to_wkb(from_wkt(f"POINT ({i} {i % 5})"))
+        blob = (b"GP\x00\x03" + struct.pack("<i", 0)
+                + struct.pack("<4d", float(i), float(i), float(i % 5),
+                              float(i % 5)) + wkb)
+        con.execute("INSERT INTO pts VALUES (?,?,?)", (i, f"p{i}", blob))
+    con.execute("INSERT INTO gpkg_contents VALUES "
+                "('pts','features','pts','',NULL,0,0,19,4,0)")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES "
+                "('pts','geometry','POINT',0,0,0)")
+    con.commit()
+    con.close()
+
+    rows = spark.sql(
+        f"SELECT name, ST_X(geom) AS x FROM ST_Read('{gpkg}') ORDER BY fid"
+    ).collect()
+    assert len(rows) == 20
+    assert rows[3]["name"] == "p3" and rows[3]["x"] == 3.0
+
+    # geojson through the same UDTF (different schema via analyze)
+    gj = tmp_path / "f.geojson"
+    gj.write_text(
+        '{"type":"FeatureCollection","features":[{"type":"Feature",'
+        '"geometry":{"type":"LineString","coordinates":[[0,0],[1,1],[2,0]]},'
+        '"properties":{"name":"road"}}]}'
+    )
+    r = spark.sql(
+        f"SELECT ST_NumPoints(geom) AS np, ST_NumGeometries(geom) AS ng "
+        f"FROM ST_Read('{gj}')"
+    ).collect()[0]
+    assert r["np"] == 3 and r["ng"] == 1
+
+    r2 = spark.sql(
+        "SELECT ST_NumInteriorRings(ST_GeomFromText("
+        "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))'"
+        ")) AS nir"
+    ).collect()[0]
+    assert r2["nir"] == 1
