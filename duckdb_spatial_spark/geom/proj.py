@@ -363,8 +363,12 @@ class AlbersEqualArea:
         e2 = e * e
         x = xy[:, 0] - self.false_e
         y = rho0 - (xy[:, 1] - self.false_n)
-        rho = np.hypot(x, y)
-        theta = np.arctan2(x, y)
+        # Snyder p.101: when n is negative (both standard parallels in the
+        # southern hemisphere) the signs of x, ρ0−y and ρ reverse before
+        # the arctan — without this the inverse lands ~2·lon0 away
+        sgn = 1.0 if nn >= 0 else -1.0
+        rho = sgn * np.hypot(x, y)
+        theta = np.arctan2(sgn * x, sgn * y)
         qq = (C - (rho * nn / self.a) ** 2) / nn
         # invert q(phi) by Newton (Snyder 3-16)
         phi = np.arcsin(np.clip(qq / 2.0, -1.0, 1.0))
@@ -610,7 +614,66 @@ def _crs_for_epsg(code: int):
     if code == 3035:  # ETRS89-extended / LAEA Europe
         return LambertAzimuthalEqualArea(*GRS80, lat0_deg=52.0, lon0_deg=10.0,
                                          false_e=4321000.0, false_n=3210000.0)
+    s = _EPSG_PROJ.get(code)
+    if s is not None:
+        return crs_from_proj_string(s)
     return None
+
+
+# EPSG → PROJ-string registry for codes whose projection family the native
+# engine implements (tmerc/lcc/aea/laea/merc + optional Helmert shift).
+# Parameter values are the public EPSG registry definitions (the reference
+# gets them from PROJ's embedded db, proj/functions.cpp:487-513); here they
+# are table-driven onto the same native engines crs_from_proj_string uses.
+_EPSG_PROJ = {
+    # world
+    3395: "+proj=merc +ellps=WGS84",                       # World Mercator
+    # Europe
+    3034: ("+proj=lcc +lat_1=35 +lat_2=65 +lat_0=52 +lon_0=10 "
+           "+x_0=4000000 +y_0=2800000 +ellps=GRS80"),      # ETRS89 / LCC Europe
+    2180: ("+proj=tmerc +lat_0=0 +lon_0=19 +k=0.9993 +x_0=500000 "
+           "+y_0=-5300000 +ellps=GRS80"),                  # ETRS89 / Poland CS92
+    2157: ("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 +x_0=600000 "
+           "+y_0=750000 +ellps=GRS80"),                    # IRENET95 / Irish TM
+    31467: ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+            "+ellps=bessel "
+            "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"),  # DHDN / GK z3
+    31287: ("+proj=lcc +lat_1=49 +lat_2=46 +lat_0=47.5 "
+            "+lon_0=13.33333333333333 +x_0=400000 +y_0=400000 +ellps=bessel "
+            "+towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232"),
+    31370: ("+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 +lat_0=90 "
+            "+lon_0=4.367486666666666 +x_0=150000.013 +y_0=5400088.438 "
+            "+ellps=intl +towgs84=-106.8686,52.2978,-103.7239,0.3366,"
+            "-0.457,1.8422,-1.2747"),                      # Belgian Lambert 72
+    # Americas
+    3310: ("+proj=aea +lat_1=34 +lat_2=40.5 +lat_0=0 +lon_0=-120 "
+           "+x_0=0 +y_0=-4000000 +ellps=GRS80"),           # California Albers
+    26985: ("+proj=lcc +lat_1=39.45 +lat_2=38.3 +lat_0=37.66666666666666 "
+            "+lon_0=-77 +x_0=400000 +y_0=0 +ellps=GRS80"),  # SP Maryland
+    32118: ("+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 "
+            "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000 +y_0=0 "
+            "+ellps=GRS80"),                               # SP NY Long Island
+    32139: ("+proj=lcc +lat_1=31.88333333333333 +lat_2=30.11666666666667 "
+            "+lat_0=29.66666666666667 +lon_0=-100.3333333333333 "
+            "+x_0=700000 +y_0=3000000 +ellps=GRS80"),      # SP Texas Central
+    3347: ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=63.390675 "
+           "+lon_0=-91.86666666666666 +x_0=6200000 +y_0=3000000 "
+           "+ellps=GRS80"),                                # StatsCan Lambert
+    3978: ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 "
+           "+x_0=0 +y_0=0 +ellps=GRS80"),                  # Canada Atlas Lambert
+    31983: "+proj=utm +zone=23 +south +ellps=GRS80",       # SIRGAS 2000 / 23S
+    # Asia-Pacific
+    2193: ("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+           "+y_0=10000000 +ellps=GRS80"),                  # NZTM2000
+    3112: ("+proj=lcc +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=134 "
+           "+x_0=0 +y_0=0 +ellps=GRS80"),                  # GDA94 / GA Lambert
+    3577: ("+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 "
+           "+x_0=0 +y_0=0 +ellps=GRS80"),                  # Australian Albers
+    5179: ("+proj=tmerc +lat_0=38 +lon_0=127.5 +k=0.9996 +x_0=1000000 "
+           "+y_0=2000000 +ellps=GRS80"),                   # Korea 2000 Unified
+    6677: ("+proj=tmerc +lat_0=36 +lon_0=139.8333333333333 +k=0.9999 "
+           "+x_0=0 +y_0=0 +ellps=GRS80"),                  # JGD2011 zone IX
+}
 
 
 # proj-string ellipsoid registry (public PROJ parameter values)
@@ -828,4 +891,21 @@ def list_native_crs():
     for z in range(28, 39):
         rows.append(("EPSG", 23000 + z, f"ED50 / UTM zone {z}N", "projected",
                      "tmerc+helmert"))
+    _EPSG_NAMES = {
+        3395: "WGS 84 / World Mercator", 3034: "ETRS89 / LCC Europe",
+        2180: "ETRS89 / Poland CS92", 2157: "IRENET95 / Irish TM",
+        31467: "DHDN / 3-degree Gauss-Kruger zone 3",
+        31287: "MGI / Austria Lambert", 31370: "BD72 / Belgian Lambert 72",
+        3310: "NAD83 / California Albers", 26985: "NAD83 / Maryland",
+        32118: "NAD83 / New York Long Island", 32139: "NAD83 / Texas Central",
+        3347: "NAD83 / Statistics Canada Lambert",
+        3978: "NAD83 / Canada Atlas Lambert", 31983: "SIRGAS 2000 / UTM 23S",
+        2193: "NZGD2000 / NZTM2000", 3112: "GDA94 / Geoscience Aus Lambert",
+        3577: "GDA94 / Australian Albers", 5179: "Korea 2000 / Unified CS",
+        6677: "JGD2011 / Japan Plane Rectangular CS IX",
+    }
+    for code, pstr in _EPSG_PROJ.items():
+        proj = pstr.split("+proj=")[1].split()[0]
+        rows.append(("EPSG", code, _EPSG_NAMES.get(code, f"EPSG:{code}"),
+                     "projected", proj))
     return rows
