@@ -1253,14 +1253,18 @@ def q65_gpkg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal tier end-to-end with REAL decode: per part row build a
-    solid-color 16×12 PPM image and a constant-amplitude PCM WAV payload in
-    the executor (mapInPandas), run image_features + audio_features, and
-    aggregate. Closed-form oracle: a solid (r,g,b) image has channel means
-    exactly (r,g,b); a constant-amplitude square wave has RMS exactly A."""
+    solid-color 16×12 PPM image, a solid-color PNG (round-3 stdlib-zlib
+    codec: deflate + scanline unfilter), and a constant-amplitude PCM WAV
+    payload in the executor (mapInPandas), run image_features on both image
+    codecs + audio_features, and aggregate. Closed-form oracle: a solid
+    (r,g,b) image has channel means exactly (r,g,b) in either container; a
+    constant-amplitude square wave has RMS exactly A."""
     import numpy as np
 
     from duckdb_spatial_spark.operators import audio_features, image_features
-    from duckdb_spatial_spark.operators.media_codecs import encode_ppm, encode_wav
+    from duckdb_spatial_spark.operators.media_codecs import (encode_png,
+                                                             encode_ppm,
+                                                             encode_wav)
 
     part = load_table(spark, sf, "part").filter(F.col("p_partkey") < 400).select(
         "p_partkey", (F.col("p_partkey") % 251).cast("int").alias("r"),
@@ -1272,6 +1276,7 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
 
         for pdf in batches:
             img = []
+            png = []
             wav = []
             for r, g in zip(pdf["r"], pdf["g"]):
                 im = np.zeros((12, 16, 3), dtype=np.uint8)
@@ -1279,24 +1284,66 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
                 im[:, :, 1] = g
                 im[:, :, 2] = 40
                 img.append(encode_ppm(im))
+                png.append(encode_png(im[:, :, ::-1]))  # swapped channels
                 amp = (int(r) % 50 + 1) / 100.0
                 sig = np.where(np.arange(400) % 2 == 0, amp, -amp)
                 wav.append(encode_wav(sig, 8000))
             out = pdf.copy()
             out["img"] = img
+            out["png"] = png
             out["wav"] = wav
             yield out
 
     built = part.mapInPandas(
-        build, schema="p_partkey long, r int, g int, img binary, wav binary"
+        build,
+        schema="p_partkey long, r int, g int, img binary, png binary, wav binary",
     )
     feats = image_features(built, "img")
+    feats = image_features(feats, "png", out_col="png_features")
     feats = audio_features(feats, "wav")
     return feats.agg(
         F.round(F.sum(F.col("img_features.mean_r")), 4).alias("sum_mean_r"),
         F.round(F.sum(F.col("img_features.mean_g")), 4).alias("sum_mean_g"),
+        F.round(F.sum(F.col("png_features.mean_b")), 4).alias("sum_png_b"),
         F.round(F.sum(F.col("audio_features.rms")), 6).alias("sum_rms"),
         F.sum(F.col("audio_features.duration_ms")).alias("sum_dur_ms"),
+        F.count("*").alias("n"),
+    )
+
+
+def q67_transform_epsg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Transform through the round-3 table-driven EPSG registry
+    (geom/proj.py _EPSG_PROJ — previously these codes raised): World
+    Mercator EPSG:3395 forward with a closed-form ellipsoidal-Mercator SQL
+    oracle, plus exact roundtrips through NZTM2000 (EPSG:2193, tmerc),
+    Australian Albers (EPSG:3577, aea, southern-hemisphere n<0 inverse)
+    and Statistics Canada Lambert (EPSG:3347, lcc)."""
+    pts = _events_pts(spark, sf)
+    lon_m = F.col("x") / 490.0 * 60.0 - 30.0
+    lat_m = F.col("y") / 150.0 * 100.0 - 50.0
+    merc = ST.st_transform(ST.st_point(lon_m, lat_m),
+                           "EPSG:4326", "EPSG:3395")
+    lon_nz = F.col("x") / 490.0 * 10.0 + 167.0
+    lat_nz = F.col("y") / 150.0 * 12.0 - 46.0
+    rt_nz = ST.st_transform(
+        ST.st_transform(ST.st_point(lon_nz, lat_nz), "EPSG:4326", "EPSG:2193"),
+        "EPSG:2193", "EPSG:4326")
+    lon_au = F.col("x") / 490.0 * 30.0 + 115.0
+    lat_au = F.col("y") / 150.0 * 25.0 - 40.0
+    rt_au = ST.st_transform(
+        ST.st_transform(ST.st_point(lon_au, lat_au), "EPSG:4326", "EPSG:3577"),
+        "EPSG:3577", "EPSG:4326")
+    lon_ca = F.col("x") / 490.0 * 50.0 - 130.0
+    lat_ca = F.col("y") / 150.0 * 20.0 + 45.0
+    rt_ca = ST.st_transform(
+        ST.st_transform(ST.st_point(lon_ca, lat_ca), "EPSG:4326", "EPSG:3347"),
+        "EPSG:3347", "EPSG:4326")
+    return pts.agg(
+        F.round(F.avg(ST.st_x(merc)), 2).alias("avg_merc_x"),
+        F.round(F.avg(ST.st_y(merc)), 2).alias("avg_merc_y"),
+        F.round(F.sum(F.round(ST.st_x(rt_nz), 6)), 4).alias("nz_lon_sum"),
+        F.round(F.sum(F.round(ST.st_y(rt_au), 6)), 4).alias("au_lat_sum"),
+        F.round(F.sum(F.round(ST.st_x(rt_ca), 6)), 4).alias("ca_lon_sum"),
         F.count("*").alias("n"),
     )
 
@@ -1347,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_validity": q50_validity,
         "q51_buffer_line": q51_buffer_line,
         "q52_buffer_polygon": q52_buffer_polygon,
-        "q53_transform_utm": q53_transform_utm,
+        "q67_transform_epsg": q67_transform_epsg,
         "q54_langid_ngram": q54_langid_ngram,
         "q55_ann_ivf": q55_ann_ivf,
         "q56_predicate_matrix2": q56_predicate_matrix2,
@@ -1365,8 +1412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      above: q01/q36 predicates, q08/q51 buffer, q11+q29+q30/q12+q37
         #      accessors, q13+q14/q34+q58 measures, q16+q17/q15 relational,
         #      q22+q23/q21+q54 textops, q24/q55 ANN, q27/q61 generate,
-        #      q32/q42+q64 overlay, q43/q58 reverse, q45/q33+q59 simplify)
+        #      q32/q42+q64 overlay, q43/q58 reverse, q45/q33+q59 simplify,
+        #      q53/q35+q67 transform)
         "q01_point_in_envelope": q01_point_in_envelope,
+        "q53_transform_utm": q53_transform_utm,
         "q08_buffer_area": q08_buffer_area,
         "q11_geometrytype": q11_geometrytype,
         "q13_length": q13_length,
@@ -2000,6 +2049,9 @@ def oracle_sql() -> dict[str, str]:
         "q66_multimodal": """
             SELECT round(sum(CAST(p_partkey % 251 AS DOUBLE)), 4) AS sum_mean_r,
                    round(sum(CAST(p_size % 251 AS DOUBLE)), 4) AS sum_mean_g,
+                   -- the PNG payload carries the channel-swapped image, so
+                   -- its blue mean equals the PPM's red mean
+                   round(sum(CAST(p_partkey % 251 AS DOUBLE)), 4) AS sum_png_b,
                    round(sum(floor(((CAST(p_partkey % 251 AS BIGINT) % 50 + 1)
                                     / 100.0) * 32767) / 32768.0), 6) AS sum_rms,
                    CAST(sum(CAST(50 AS BIGINT)) AS BIGINT) AS sum_dur_ms,
@@ -2048,6 +2100,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # UTM round trip reproduces the source coordinates (1e-9° < the 1e-6
         # rounding), so the oracle aggregates the original lon/lat directly
+        # EPSG:3395 forward = closed-form ellipsoidal Mercator
+        # (x = a·λ, y = a·ln(tan(π/4+φ/2)·((1−e·sinφ)/(1+e·sinφ))^(e/2)),
+        # e = 0.0818191908426215 for WGS84); the tmerc/aea/lcc codes
+        # roundtrip to the source lon/lat within 1e-9°, so those sums are
+        # computable from the original columns (same device as q53)
+        "q67_transform_epsg": """
+            WITH p AS (
+              SELECT value/490.0*60.0 - 30.0   AS lon_m,
+                     CAST(user_id AS DOUBLE)/150.0*100.0 - 50.0 AS lat_m,
+                     value/490.0*10.0 + 167.0  AS lon_nz,
+                     CAST(user_id AS DOUBLE)/150.0*25.0 - 40.0  AS lat_au,
+                     value/490.0*50.0 - 130.0  AS lon_ca
+              FROM events)
+            SELECT round(avg(radians(lon_m) * 6378137.0), 2) AS avg_merc_x,
+                   round(avg(6378137.0 * ln(
+                       tan(pi()/4 + radians(lat_m)/2)
+                       * pow((1 - 0.0818191908426215*sin(radians(lat_m)))
+                             / (1 + 0.0818191908426215*sin(radians(lat_m))),
+                             0.04090959542131075))), 2) AS avg_merc_y,
+                   round(sum(round(lon_nz, 6)), 4) AS nz_lon_sum,
+                   round(sum(round(lat_au, 6)), 4) AS au_lat_sum,
+                   round(sum(round(lon_ca, 6)), 4) AS ca_lon_sum,
+                   count(*) AS n
+            FROM p
+        """,
         "q53_transform_utm": f"""
             SELECT round(sum(round(value/490.0*5.0 - 83.0, 6)), 4) AS lon_sum,
                    round(sum(round(CAST(user_id AS DOUBLE)/150.0*40.0 + 10.0, 6)), 4) AS lat_sum,

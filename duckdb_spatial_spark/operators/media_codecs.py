@@ -7,12 +7,14 @@ payloads:
 
 * **BMP** (BITMAPINFOHEADER, 24/32-bit uncompressed) — spec is public.
 * **PPM/PGM** (netpbm P6/P5 binary) — the classic interchange format.
+* **PNG** (8-bit, non-interlaced; gray/RGB/palette/alpha) — stdlib zlib
+  inflate + per-scanline unfilter (None/Sub/Up/Average/Paeth).
 * **WAV** (PCM) — stdlib ``wave`` module.
 * **RAWV** — a minimal raw-video container for frame plumbing:
   ``b'RAWV' + u16 w + u16 h + u16 nframes`` then nframes × w·h·3 RGB bytes.
 
-Compressed formats (JPEG/PNG/MP3/MP4…) still raise NotImplementedError
-with a clear message — decoding those genuinely needs codec libraries.
+Formats needing real codec libraries (JPEG/MP3/MP4…) still raise
+NotImplementedError with a clear message.
 """
 
 from __future__ import annotations
@@ -37,10 +39,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             "container; pass decode_fn=..."
         )
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError(
-            "PNG decode requires zlib-filter reconstruction; pass decode_fn=..."
-        )
-    raise ValueError("unrecognized image payload (native: BMP, PPM, PGM)")
+        return _decode_png(payload)
+    raise ValueError("unrecognized image payload (native: BMP, PPM, PGM, PNG)")
 
 
 def _decode_bmp(b: bytes) -> np.ndarray:
@@ -93,6 +93,111 @@ def _decode_pnm(b: bytes) -> np.ndarray:
         return arr.reshape(h, w, 3).copy()
     arr = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos)
     return np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG (public spec, RFC 2083 / ISO 15948) via stdlib zlib: chunk walk,
+    inflate IDAT, per-scanline unfilter (None/Sub/Up/Average/Paeth),
+    palette/grayscale/alpha → (h, w, 3) uint8 RGB. 8-bit depth,
+    non-interlaced — the overwhelmingly common encoder output; 16-bit and
+    Adam7 raise with a clear message."""
+    import zlib
+
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {ctype_}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = nch  # bytes per pixel at depth 8
+    for r in range(h):
+        off = r * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=off + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    prev[x] if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, nch)
+    if ctype_ == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_ == 2:
+        return px.copy()
+    if ctype_ == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if ctype_ == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # 6: RGBA → RGB
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal valid PNG: 8-bit RGB, filter 0 scanlines, one zlib IDAT."""
+    import zlib
+
+    h, w = img.shape[:2]
+    rgb = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
