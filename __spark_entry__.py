@@ -1251,6 +1251,37 @@ def q65_gpkg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q68_gdb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Native OpenFileGDB sink+source (the reference's own GDB test is a
+    write→read roundtrip, test/sql/gdal/st_read_gdb.test; codec
+    geom/gdbtable.py, public FGDB spec): write customer points to a .gdb,
+    read the layer back via the distributed rowid-range scan, aggregate.
+    Oracle: same aggregate straight off the customer table."""
+    import tempfile
+
+    from duckdb_spatial_spark.sources.gdb import st_read_gdb, st_write_gdb
+
+    cust = (
+        load_table(spark, sf, "customer", fan_out=False)
+        .filter(F.col("c_custkey") < 400)
+        .select(
+            F.col("c_custkey").cast("int").alias("k"),
+            ST.st_point(
+                F.col("c_acctbal"), (F.col("c_custkey") % 100).cast("double")
+            ).alias("geom"),
+        )
+    )
+    path = tempfile.mktemp(suffix=".gdb", prefix="dss_q68_")
+    st_write_gdb(cust, path, layer="cust")
+    back = st_read_gdb(spark, path, layer="cust", num_partitions=4)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(ST.st_x("geom")), 2).alias("sx"),
+        F.round(F.sum(ST.st_y("geom")), 2).alias("sy"),
+        F.sum("k").alias("sk"),
+    )
+
+
 def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal tier end-to-end with REAL decode: per part row build a
     solid-color 16×12 PPM image, a solid-color PNG (round-3 stdlib-zlib
@@ -1431,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_intersection_area": q32_intersection_area,
         "q43_flip_reverse": q43_flip_reverse,
         "q45_removerepeated": q45_removerepeated,
+        "q68_gdb_roundtrip": q68_gdb_roundtrip,
     }
 
 
@@ -2057,6 +2089,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(50 AS BIGINT)) AS BIGINT) AS sum_dur_ms,
                    count(*) AS n
             FROM part WHERE p_partkey < 400
+        """,
+        "q68_gdb_roundtrip": """
+            SELECT count(*) AS n,
+                   round(sum(c_acctbal), 2) AS sx,
+                   round(sum(CAST(c_custkey % 100 AS DOUBLE)), 2) AS sy,
+                   CAST(sum(c_custkey) AS BIGINT) AS sk
+            FROM customer WHERE c_custkey < 400
         """,
         "q65_gpkg_roundtrip": """
             SELECT count(*) AS n,

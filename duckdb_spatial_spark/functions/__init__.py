@@ -643,6 +643,7 @@ def register_sql_table_functions(spark: SparkSession) -> None:
                 ("gpkg", "GeoPackage (native stdlib-sqlite reader/writer)", True, True, True),
                 ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
                 ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
+                ("gdb", "ESRI OpenFileGDB (native .gdbtable codec)", True, True, False),
                 ("zip", "Zip containers (/vsizip/ analog)", True, False, False),
                 ("shp", "ESRI Shapefile (native codec)", True, True, True),
             ]

@@ -18,8 +18,10 @@ Tiering:
   protobuf wire codec, one executor task per OSMData blob (geom/pbf.py).
 * **XLSX** — stdlib zip+XML sheet reader (sources/xlsx.py).
 * **GML 2/3** — stdlib XML reader (sources/gml.py).
-* **remaining OGR formats** (GDB, TAB, …) — require ``pyogrio``,
-  gated behind an import-try with a clear error. The dispatch plumbing
+* **OpenFileGDB** (.gdb) — native .gdbtable/.gdbtablx codec
+  (geom/gdbtable.py), rowid-range parallel scan (sources/gdb.py).
+* **remaining OGR formats** (MapInfo TAB, …) — require ``pyogrio``, gated
+  behind an import-try with a clear error. The dispatch plumbing
   (layer/columns/bbox/spatial_filter options) is real.
 
 ``read(spark, path)`` is the replacement-scan analog: extension dispatch
@@ -55,7 +57,7 @@ OSM_SCHEMA = T.StructType(
     ]
 )
 
-_OGR_EXTS = {".shp", ".gpkg", ".fgb", ".kml", ".gml", ".gdb", ".xlsx", ".tab"}
+_OGR_EXTS = {".shp", ".gpkg", ".fgb", ".kml", ".gml", ".xlsx", ".tab"}
 
 
 def st_drivers(spark: SparkSession) -> DataFrame:
@@ -72,10 +74,11 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("json", "JSON lines", True, True, True),
         ("orc", "Apache ORC", True, True, True),
         ("geojson", "GeoJSON FeatureCollection", True, True, True),
-        ("osm.pbf", "OpenStreetMap PBF (schema pinned; decoder pending)", False, False, False),
+        ("osm.pbf", "OpenStreetMap PBF (native protobuf decoder)", True, False, False),
         ("gpkg", "GeoPackage (native stdlib-sqlite reader/writer)", True, True, True),
         ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
         ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
+        ("gdb", "ESRI OpenFileGDB (native .gdbtable codec)", True, True, False),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
@@ -217,6 +220,13 @@ def st_read(
                        wkt_col=wkt_col, keep_wkb=keep_wkb)
     if low.endswith(".osm.pbf"):
         return st_read_osm(spark, path)
+    if low.rstrip("/").endswith(".gdb"):
+        # OpenFileGDB directory — must dispatch before the parquet isdir
+        # branch; native .gdbtable codec (geom/gdbtable.py)
+        from .gdb import st_read_gdb
+
+        return st_read_gdb(spark, path.rstrip("/"), layer=layer,
+                           columns=columns, bbox=bbox, geom_col=geom_col)
     if low.endswith((".geojson",)) or (low.endswith(".json") and wkt_col is None and _looks_geojson(path)):
         df = read_geojson(spark, path)
     elif low.endswith((".parquet", ".pq")) or os.path.isdir(path):
@@ -485,6 +495,11 @@ def st_write(
 
         st_write_fgb(df, path, geom_col=geom_col)
         return
+    if fmt == "gdb":
+        from .gdb import st_write_gdb
+
+        st_write_gdb(df, path, geom_col=geom_col)
+        return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
 
@@ -634,6 +649,10 @@ def local_read_rows(path: str, layer: Optional[str] = None,
                        + (None if geom is None else to_wkb(geom),))
 
         return T.StructType(fields), _fgb_rows()
+    if low.rstrip("/").endswith(".gdb"):
+        from .gdb import local_gdb_rows
+
+        return local_gdb_rows(path.rstrip("/"), layer, geom_col)
     if low.endswith(".osm.pbf"):
         from ..geom import pbf as PBF
 

@@ -80,7 +80,7 @@ def test_read_meta_and_drivers(spark):
     assert meta["driver"] == "parquet" and meta["num_rows"] > 0
     drv = {r["short_name"]: r["can_open"] for r in st_drivers(spark).collect()}
     assert drv["parquet"] and drv["geojson"]
-    assert not drv["osm.pbf"]
+    assert drv["osm.pbf"] and drv["gdb"]  # both native now
 
 
 def test_osm_missing_file(spark):
@@ -91,11 +91,16 @@ def test_osm_missing_file(spark):
 
 
 def test_ogr_gated(spark, tmp_path):
-    # .gpkg and .shp are native now; .gdb still needs the pyogrio gate
+    # .gdb is native as of round 3 (geom/gdbtable.py) — garbage bytes are a
+    # codec error, not a missing-pyogrio gate; .tab remains OGR-gated
     gdb = tmp_path / "zones.gdb"
     gdb.write_bytes(b"\x00" * 10)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((ValueError, OSError)):
         read(spark, str(gdb))
+    tab = tmp_path / "zones.tab"
+    tab.write_bytes(b"\x00" * 10)
+    with pytest.raises(NotImplementedError):
+        read(spark, str(tab))
 
 
 def test_gpkg_native_corrupt_raises(spark, tmp_path):
