@@ -1293,7 +1293,8 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
 
     from duckdb_spatial_spark.operators import audio_features, image_features
-    from duckdb_spatial_spark.operators.media_codecs import (encode_png,
+    from duckdb_spatial_spark.operators.media_codecs import (encode_jpeg,
+                                                             encode_png,
                                                              encode_ppm,
                                                              encode_wav)
 
@@ -1308,6 +1309,7 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             img = []
             png = []
+            jpg = []
             wav = []
             for r, g in zip(pdf["r"], pdf["g"]):
                 im = np.zeros((12, 16, 3), dtype=np.uint8)
@@ -1316,26 +1318,33 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
                 im[:, :, 2] = 40
                 img.append(encode_ppm(im))
                 png.append(encode_png(im[:, :, ::-1]))  # swapped channels
+                # solid GRAY block: DC-only DCT at quant=1 → bit-exact
+                gray = np.full((12, 16, 3), int(g), dtype=np.uint8)
+                jpg.append(encode_jpeg(gray, quant=1))
                 amp = (int(r) % 50 + 1) / 100.0
                 sig = np.where(np.arange(400) % 2 == 0, amp, -amp)
                 wav.append(encode_wav(sig, 8000))
             out = pdf.copy()
             out["img"] = img
             out["png"] = png
+            out["jpg"] = jpg
             out["wav"] = wav
             yield out
 
     built = part.mapInPandas(
         build,
-        schema="p_partkey long, r int, g int, img binary, png binary, wav binary",
+        schema=("p_partkey long, r int, g int, img binary, png binary, "
+                "jpg binary, wav binary"),
     )
     feats = image_features(built, "img")
     feats = image_features(feats, "png", out_col="png_features")
+    feats = image_features(feats, "jpg", out_col="jpg_features")
     feats = audio_features(feats, "wav")
     return feats.agg(
         F.round(F.sum(F.col("img_features.mean_r")), 4).alias("sum_mean_r"),
         F.round(F.sum(F.col("img_features.mean_g")), 4).alias("sum_mean_g"),
         F.round(F.sum(F.col("png_features.mean_b")), 4).alias("sum_png_b"),
+        F.round(F.sum(F.col("jpg_features.mean_r")), 4).alias("sum_jpg_r"),
         F.round(F.sum(F.col("audio_features.rms")), 6).alias("sum_rms"),
         F.sum(F.col("audio_features.duration_ms")).alias("sum_dur_ms"),
         F.count("*").alias("n"),
@@ -2084,6 +2093,9 @@ def oracle_sql() -> dict[str, str]:
                    -- the PNG payload carries the channel-swapped image, so
                    -- its blue mean equals the PPM's red mean
                    round(sum(CAST(p_partkey % 251 AS DOUBLE)), 4) AS sum_png_b,
+                   -- the JPEG payload is a solid gray at the green level:
+                   -- DC-only DCT at quant=1 decodes bit-exact
+                   round(sum(CAST(p_size % 251 AS DOUBLE)), 4) AS sum_jpg_r,
                    round(sum(floor(((CAST(p_partkey % 251 AS BIGINT) % 50 + 1)
                                     / 100.0) * 32767) / 32768.0), 6) AS sum_rms,
                    CAST(sum(CAST(50 AS BIGINT)) AS BIGINT) AS sum_dur_ms,

@@ -9,17 +9,20 @@ payloads:
 * **PPM/PGM** (netpbm P6/P5 binary) — the classic interchange format.
 * **PNG** (8-bit, non-interlaced; gray/RGB/palette/alpha) — stdlib zlib
   inflate + per-scanline unfilter (None/Sub/Up/Average/Paeth).
+* **JPEG baseline** (SOF0, 8-bit, Huffman; 4:4:4/4:2:0/4:2:2 sampling,
+  restart markers) — full ITU T.81 sequential-DCT decode in numpy.
 * **WAV** (PCM) — stdlib ``wave`` module.
 * **RAWV** — a minimal raw-video container for frame plumbing:
   ``b'RAWV' + u16 w + u16 h + u16 nframes`` then nframes × w·h·3 RGB bytes.
 
-Formats needing real codec libraries (JPEG/MP3/MP4…) still raise
-NotImplementedError with a clear message.
+Formats needing real codec libraries (progressive JPEG/MP3/MP4…) still
+raise NotImplementedError with a clear message.
 """
 
 from __future__ import annotations
 
 import io
+import math
 import struct
 import wave
 from typing import List, Tuple
@@ -34,13 +37,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires a codec library not present in this "
-            "container; pass decode_fn=..."
-        )
+        return _decode_jpeg(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
-    raise ValueError("unrecognized image payload (native: BMP, PPM, PGM, PNG)")
+    raise ValueError("unrecognized image payload (native: BMP, PPM, PGM, PNG, JPEG)")
 
 
 def _decode_bmp(b: bytes) -> np.ndarray:
@@ -287,4 +287,421 @@ def encode_rawv(frames: List[np.ndarray]) -> bytes:
     out = bytearray(RAWV_MAGIC + struct.pack("<HHH", w, h, len(frames)))
     for f in frames:
         out += np.ascontiguousarray(f[:, :, :3], dtype=np.uint8).tobytes()
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ JPEG
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# orthonormal DCT-II basis: IDCT(F) = C.T @ F @ C  (ITU T.81 A.3.3)
+_DCT_C = np.array([
+    [math.sqrt(1.0 / 8.0) if u == 0 else
+     math.sqrt(2.0 / 8.0) * math.cos((2 * x + 1) * u * math.pi / 16.0)
+     for x in range(8)] for u in range(8)
+], dtype=np.float64)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing and RSTn marker handling (T.81 F.1.2.3)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            elif 0xD0 <= nxt <= 0xD7:      # RSTn inside fill — caller resyncs
+                raise _RestartMarker()
+            else:                           # EOI or segment end: pad with 1s
+                self.pos -= 1
+                b = 0xFF
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self):
+        """Skip to just past the next RSTn marker and clear the register."""
+        d = self.data
+        p = self.pos
+        while not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+        self.acc = 0
+        self.nbits = 0
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _build_huffman(counts: List[int], symbols: bytes) -> dict:
+    """code (as (length, value)) → symbol, per T.81 C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    # T.81 F.2.2.1: receive/extend — low t bits as signed magnitude
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline sequential DCT JPEG (SOF0, 8-bit, Huffman — ITU T.81):
+    marker walk, per-MCU Huffman decode, dequantize, inverse zigzag, 8×8
+    IDCT, chroma upsampling, YCbCr→RGB. Progressive (SOF2), arithmetic
+    coding and 12-bit raise."""
+    pos = 2  # past SOI
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:          # EOI
+            raise ValueError("JPEG EOI before SOS")
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2:pos + seglen]
+        if marker == 0xDB:          # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                sp += 1
+                if pq:
+                    tbl = np.frombuffer(seg, dtype=">u2", count=64, offset=sp)
+                    sp += 128
+                else:
+                    tbl = np.frombuffer(seg, dtype=np.uint8, count=64, offset=sp)
+                    sp += 64
+                qt[tq] = tbl.astype(np.float64)
+        elif marker in (0xC0, 0xC1):   # SOF0/1 baseline
+            prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], \
+                struct.unpack_from(">H", seg, 3)[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) JPEG supported — progressive/"
+                "arithmetic/hierarchical raise")
+        elif marker == 0xC4:        # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                counts = list(seg[sp + 1:sp + 17])
+                n = sum(counts)
+                syms = seg[sp + 17:sp + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = _build_huffman(counts, syms)
+                sp += 17 + n
+        elif marker == 0xDD:        # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:        # SOS
+            ns = seg[0]
+            scomp = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomp.append({"id": cs, "dc": tdta >> 4, "ac": tdta & 0xF})
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None:
+        raise ValueError("JPEG missing SOF0")
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    byid = {c["id"]: c for c in comps}
+    for sc in scomp:
+        byid[sc["id"]]["hdc"] = huff_dc[sc["dc"]]
+        byid[sc["id"]]["hac"] = huff_ac[sc["ac"]]
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps]
+    pred = [0] * len(comps)
+    br = _BitReader(b, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        try:
+                            blk = _decode_block(br, c["hdc"], c["hac"],
+                                                qt[c["tq"]], pred, ci)
+                        except _RestartMarker:
+                            br.align_restart()
+                            pred = [0] * len(comps)
+                            blk = _decode_block(br, c["hdc"], c["hac"],
+                                                qt[c["tq"]], pred, ci)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+    # upsample to full resolution and crop
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0] + 128.0), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0] + 128.0, full[1], full[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(np.round(np.dstack([r, g, bl])), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br, hdc, hac, q, pred, ci) -> np.ndarray:
+    t = _huff_decode(br, hdc)
+    diff = _extend(br.bits(t), t) if t else 0
+    pred[ci] += diff
+    coef = np.zeros(64)
+    coef[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, hac)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16        # ZRL
+                continue
+            break              # EOB
+        k += r
+        coef[k] = _extend(br.bits(s), s)
+        k += 1
+    blk = np.zeros(64)
+    blk[_ZIGZAG] = coef * q
+    f = blk.reshape(8, 8)
+    return _DCT_C.T @ f @ _DCT_C
+
+
+def encode_jpeg(img: np.ndarray, quant: int = 1,
+                subsample: str = "444") -> bytes:
+    """Minimal baseline JPEG encoder (tests + sink): 4:4:4 or 4:2:0, one
+    uniform quantization value (quant=1 ≈ near-lossless at 4:4:4), simple
+    Huffman tables built from the actual symbol distribution."""
+    h, w = img.shape[:2]
+    rgb = img[:, :, :3].astype(np.float64)
+    y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+         + 0.114 * rgb[:, :, 2]) - 128.0
+    cb = (rgb[:, :, 2] - (y + 128.0)) / 1.772
+    cr = (rgb[:, :, 0] - (y + 128.0)) / 1.402
+    if subsample == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError("subsample must be '444' or '420'")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for (sh, sv), p in zip(samp, (y, cb, cr)):
+        if sh < hmax or sv < vmax:
+            # box-filter downsample after padding to even dims
+            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                        mode="edge")
+            p = 0.25 * (pe[0::2, 0::2] + pe[1::2, 0::2]
+                        + pe[0::2, 1::2] + pe[1::2, 1::2])
+        tw, th = mcux * sh * 8, mcuy * sv * 8
+        planes.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+    qtbl = np.full(64, quant, dtype=np.float64)
+
+    # forward pass in MCU interleave order: gather (comp, zigzag) blocks
+    blocks = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        r0 = (my * sv + by) * 8
+                        c0 = (mx * sh + bx) * 8
+                        f = _DCT_C @ planes[ci][r0:r0 + 8,
+                                                c0:c0 + 8] @ _DCT_C.T
+                        # stream coefficient k is f.flat[_ZIGZAG[k]]
+                        zz = np.round(
+                            f.reshape(64)[_ZIGZAG] / qtbl).astype(int)
+                        blocks.append((ci, zz))
+
+    def cat(v):
+        return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    dc_syms = [[], [], []]
+    ac_syms = [[], [], []]
+    events = []
+    pred = [0, 0, 0]
+    for ci, zz in blocks:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = cat(diff)
+        dc_syms[ci].append(t)
+        ev = [("dc", ci, t, diff)]
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        k = 1
+        while k <= last:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                ac_syms[ci].append(0xF0)
+                ev.append(("ac", ci, 0xF0, 0))
+                run -= 16
+            s = cat(v)
+            sym = (run << 4) | s
+            ac_syms[ci].append(sym)
+            ev.append(("ac", ci, sym, v))
+            run = 0
+            k += 1
+        if last < 63:
+            ac_syms[ci].append(0x00)
+            ev.append(("ac", ci, 0x00, 0))
+        events.append(ev)
+
+    # canonical huffman from symbol frequencies (shared tables: 0 = luma,
+    # 1 = chroma), lengths capped by using frequency-sorted 8-bit codes —
+    # simplest valid assignment: give every distinct symbol a code of the
+    # same length L = ceil(log2(n+1)) (+1 to keep the all-ones code free,
+    # T.81 C.2 forbids it)
+    def build(symlists):
+        seen = sorted({s for sl in symlists for s in sl})
+        L = max(1, (len(seen) + 1 - 1).bit_length())
+        if len(seen) + 1 > (1 << L):
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(seen)
+        enc = {}
+        code = 0
+        for ln in range(1, 17):
+            if ln == L:
+                for s in seen:
+                    enc[s] = (ln, code)
+                    code += 1
+            code <<= 1
+        return counts, bytes(seen), enc
+
+    dcl_counts, dcl_syms, dcl = build([dc_syms[0]])
+    dcc_counts, dcc_syms, dcc = build(dc_syms[1:])
+    acl_counts, acl_syms, acl = build([ac_syms[0]])
+    acc_counts, acc_syms, acc = build(ac_syms[1:])
+    enc_dc = [dcl, dcc, dcc]
+    enc_ac = [acl, acc, acc]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(np.full(64, quant, dtype=np.uint8)))
+    seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, (samp[0][0] << 4) | samp[0][1], 0,
+                 2, (samp[1][0] << 4) | samp[1][1], 0,
+                 3, (samp[2][0] << 4) | samp[2][1], 0]))
+    seg(0xC4, bytes([0x00]) + bytes(dcl_counts) + dcl_syms)
+    seg(0xC4, bytes([0x01]) + bytes(dcc_counts) + dcc_syms)
+    seg(0xC4, bytes([0x10]) + bytes(acl_counts) + acl_syms)
+    seg(0xC4, bytes([0x11]) + bytes(acc_counts) + acc_syms)
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    acc_bits = []
+
+    def put(ln, code):
+        for i in range(ln - 1, -1, -1):
+            acc_bits.append((code >> i) & 1)
+
+    for ev in events:
+        for kind, ci, sym, v in ev:
+            ln, code = (enc_dc[ci] if kind == "dc" else enc_ac[ci])[sym]
+            put(ln, code)
+            s = sym & 0xF if kind == "ac" else sym
+            if kind == "dc":
+                s = sym
+            if s:
+                vv = v if v > 0 else v + (1 << s) - 1
+                put(s, vv)
+    while len(acc_bits) % 8:
+        acc_bits.append(1)
+    data = bytearray()
+    for i in range(0, len(acc_bits), 8):
+        byte = 0
+        for bit in acc_bits[i:i + 8]:
+            byte = (byte << 1) | bit
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)
+    out.extend(data)
+    out.extend(b"\xff\xd9")
     return bytes(out)

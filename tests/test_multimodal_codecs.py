@@ -39,10 +39,10 @@ def test_image_codec_roundtrip():
 
 
 def test_image_codec_rejects_compressed():
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # PNG and baseline JPEG decode natively since round 3; garbage after
+    # either signature is a malformed file, not a missing-codec case
+    with pytest.raises(Exception):
         decode_image(b"\xff\xd8\xff\xe0rest")
-    # PNG decodes natively since round 3; garbage after the signature is a
-    # malformed file, not a missing-codec case
     with pytest.raises(ValueError, match="IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\nrest")
 
@@ -232,3 +232,110 @@ def test_png_rejects_interlace_and_16bit():
                + chunk(b"IEND", b""))
         with pytest.raises(NotImplementedError):
             decode_image(png)
+
+
+# ----------------------------------------------------------------- JPEG
+
+def test_jpeg_roundtrip_near_lossless_444():
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (decode_image,
+                                                             encode_jpeg)
+
+    x = np.linspace(0, 4, 40)
+    y = np.linspace(0, 3, 24)
+    img = np.zeros((24, 40, 3))
+    img[:, :, 0] = 128 + 100 * np.sin(x)[None, :]
+    img[:, :, 1] = 128 + 100 * np.cos(y)[:, None]
+    img[:, :, 2] = 77
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    dec = decode_image(encode_jpeg(img, quant=1))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    # noise image: still within DCT rounding at quant=1
+    rng = np.random.default_rng(3)
+    img2 = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    dec2 = decode_image(encode_jpeg(img2, quant=1))
+    assert np.abs(dec2.astype(int) - img2.astype(int)).max() <= 4
+
+
+def test_jpeg_420_subsampling_and_odd_dims():
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (decode_image,
+                                                             encode_jpeg)
+
+    x = np.linspace(0, 4, 19)
+    img = np.zeros((17, 19, 3))
+    img[:, :, 0] = 128 + 90 * np.sin(x)[None, :]
+    img[:, :, 1] = 100
+    img[:, :, 2] = 60
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    dec = decode_image(encode_jpeg(img, quant=1, subsample="420"))
+    assert dec.shape == img.shape
+    # chroma is halved: luma-driven structure survives within the box
+    # filter's loss envelope
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_jpeg_solid_gray_exact():
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (decode_image,
+                                                             encode_jpeg)
+
+    # constant gray block: only the DC coefficient is nonzero, quant=1
+    # keeps it integral, so decode is bit-exact
+    for v in (0, 7, 128, 200, 255):
+        img = np.full((16, 24, 3), v, dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_jpeg(img, quant=1)), img)
+
+
+def test_jpeg_handbuilt_single_block_per_spec():
+    """Hand-assembled minimal JPEG per ITU T.81, independent of the
+    encoder: one 8×8 grayscale component, DC-only entropy data. DC table:
+    symbol 4 with code '0' (1 bit); AC table: EOB(0x00) code '0'.
+    Scan bits: '0' (DC cat 4) + '1100' (diff=12) + '0' (EOB) = 01100 0…
+    → DC=12, quant 16 → Y = 12·16/8 + 128 = 152 everywhere."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import decode_image
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    dc_counts = [0] * 16
+    dc_counts[0] = 1
+    seg(0xC4, bytes([0x00] + dc_counts) + bytes([4]))   # cat-4 code '0'
+    ac_counts = [0] * 16
+    ac_counts[0] = 1
+    seg(0xC4, bytes([0x10] + ac_counts) + bytes([0x00]))  # EOB code '0'
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out.append(0b01100_000)  # DC '0' + 1100 (12) + EOB '0' + pad
+    out.extend(b"\xff\xd9")
+    img = decode_image(bytes(out))
+    assert img.shape == (8, 8, 3)
+    assert np.all(img == 152)
+
+
+def test_jpeg_progressive_rejected():
+    import struct
+
+    import pytest
+
+    from duckdb_spatial_spark.operators.media_codecs import decode_image
+
+    out = bytearray(b"\xff\xd8")
+    out.extend(bytes([0xFF, 0xC2]))  # SOF2 progressive
+    payload = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    out.extend(struct.pack(">H", len(payload) + 2) + payload)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_image(bytes(out))
