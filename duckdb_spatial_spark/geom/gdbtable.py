@@ -548,28 +548,49 @@ def read_tablx(path: str) -> np.ndarray:
 
 
 def read_header_and_fields(path: str) -> Tuple[int, List[FieldDef]]:
-    """(n_valid_rows, fields) from a .gdbtable file."""
+    """(n_valid_rows, fields) from a .gdbtable file — header + field
+    section only (never the row data; bind stays footer-class I/O)."""
     with open(path, "rb") as fh:
-        buf = fh.read()
-    magic, nrows = struct.unpack_from("<ii", buf, 0)
-    if magic != MAGIC:
-        raise ValueError(f"{path}: not a gdbtable")
-    (fdo,) = struct.unpack_from("<q", buf, 32)
-    fields, _ = decode_fields(buf, fdo)
+        hdr = fh.read(40)
+        if len(hdr) < 40:
+            raise ValueError(f"{path}: not a gdbtable")
+        magic, nrows = struct.unpack_from("<ii", hdr, 0)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not a gdbtable")
+        (fdo,) = struct.unpack_from("<q", hdr, 32)
+        fh.seek(fdo)
+        (size,) = struct.unpack("<i", fh.read(4))
+        sec = fh.read(size)
+    fields, _ = decode_fields(struct.pack("<i", size) + sec, 0)
     return nrows, fields
 
 
 def read_rows(path: str, fields: Sequence[FieldDef], offsets: np.ndarray,
               first_rowid: int = 1, raw_shape: bool = False) -> List[tuple]:
-    """Decode the rows at the given gdbtable offsets (0 entries skipped)."""
+    """Decode the rows at the given gdbtable offsets (0 entries skipped).
+
+    Reads only the byte span covering this offset range, not the whole
+    file — a task scanning rows [lo, hi) of a multi-GB table touches just
+    its slice (rows are laid out in rowid order by writers, so the span
+    is tight; a reordered file still decodes, only reading more)."""
+    live = [int(o) for o in offsets if o != 0]
+    out: List[tuple] = []
+    if not live:
+        return out
+    start = min(live)
+    last = max(live)
     with open(path, "rb") as fh:
-        buf = fh.read()
-    out = []
+        # last row's size header tells where the span ends
+        fh.seek(last)
+        (last_size,) = struct.unpack("<I", fh.read(4))
+        end = last + 4 + last_size
+        fh.seek(start)
+        buf = fh.read(end - start)
     for i, off in enumerate(offsets):
         if off == 0:
             continue
-        out.append(decode_row(buf, int(off), fields, first_rowid + i,
-                              raw_shape=raw_shape))
+        out.append(decode_row(buf, int(off) - start, fields,
+                              first_rowid + i, raw_shape=raw_shape))
     return out
 
 

@@ -7,8 +7,8 @@ payloads:
 
 * **BMP** (BITMAPINFOHEADER, 24/32-bit uncompressed) — spec is public.
 * **PPM/PGM** (netpbm P6/P5 binary) — the classic interchange format.
-* **PNG** (8-bit, non-interlaced; gray/RGB/palette/alpha) — stdlib zlib
-  inflate + per-scanline unfilter (None/Sub/Up/Average/Paeth).
+* **PNG** (all bit depths 1-16, Adam7 interlace, gray/RGB/palette/alpha)
+  — stdlib zlib inflate + per-scanline unfilter.
 * **JPEG baseline** (SOF0, 8-bit, Huffman; 4:4:4/4:2:0/4:2:2 sampling,
   restart markers) — full ITU T.81 sequential-DCT decode in numpy.
 * **WAV** (PCM) — stdlib ``wave`` module.
@@ -95,53 +95,17 @@ def _decode_pnm(b: bytes) -> np.ndarray:
     return np.repeat(arr.reshape(h, w, 1), 3, axis=2)
 
 
-def _decode_png(b: bytes) -> np.ndarray:
-    """PNG (public spec, RFC 2083 / ISO 15948) via stdlib zlib: chunk walk,
-    inflate IDAT, per-scanline unfilter (None/Sub/Up/Average/Paeth),
-    palette/grayscale/alpha → (h, w, 3) uint8 RGB. 8-bit depth,
-    non-interlaced — the overwhelmingly common encoder output; 16-bit and
-    Adam7 raise with a clear message."""
-    import zlib
-
-    pos = 8
-    ihdr = None
-    plte = None
-    idat = bytearray()
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack_from(">I", b, pos)
-        ctype = b[pos + 4:pos + 8]
-        data = b[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_)
-    if nch is None:
-        raise ValueError(f"bad PNG color type {ctype_}")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG data")
+def _unfilter_png(raw: bytes, off: int, h: int, stride: int,
+                  bpp: int) -> Tuple[np.ndarray, int]:
+    """Reconstruct one (sub)image's scanlines: returns ((h, stride) uint8,
+    bytes consumed). Filters per RFC 2083 §6: None/Sub/Up/Average/Paeth."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    bpp = nch  # bytes per pixel at depth 8
     for r in range(h):
-        off = r * (stride + 1)
-        ft = raw[off]
+        at = off + r * (stride + 1)
+        ft = raw[at]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
-                             offset=off + 1).astype(np.int32)
+                             offset=at + 1).astype(np.int32)
         if ft == 0:
             rec = line
         elif ft == 1:  # Sub
@@ -169,7 +133,88 @@ def _decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = rec.astype(np.uint8)
         prev = rec
-    px = out.reshape(h, w, nch)
+    return out, h * (stride + 1)
+
+
+def _png_samples(rows: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """(h, stride) filtered bytes → (h, w, nch) uint8 samples (16-bit takes
+    the high byte; 1/2/4-bit gray scale to full range, palette keeps the
+    index)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, -1)[:, :w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return rows.reshape(h, -1, 2)[:, :w * nch, 0].reshape(h, w, nch)
+    # depths 1/2/4: nch == 1 (gray or palette per spec)
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    shifts = np.array([8 - depth * (i + 1) for i in range(per)])
+    expanded = (rows[:, :, None].astype(np.uint16) >> shifts[None, None, :]) & mask
+    return expanded.reshape(h, -1)[:, :w].reshape(h, w, 1).astype(np.uint8)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per RFC 2083 §2.6
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG (public spec, RFC 2083 / ISO 15948) via stdlib zlib: chunk walk,
+    inflate IDAT, per-scanline unfilter (None/Sub/Up/Average/Paeth),
+    palette/grayscale/alpha → (h, w, 3) uint8 RGB. Bit depths 1/2/4/8/16
+    and Adam7 interlace supported (16-bit renders the high byte)."""
+    import zlib
+
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {ctype_}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype_ not in (0, 3)):
+        raise ValueError(f"bad PNG depth {depth} for color type {ctype_}")
+    raw = zlib.decompress(bytes(idat))
+    bpp = max(1, nch * depth // 8)
+
+    def stride_of(width):
+        return (width * nch * depth + 7) // 8
+
+    if interlace == 0:
+        rows, _ = _unfilter_png(raw, 0, h, stride_of(w), bpp)
+        px = _png_samples(rows, w, nch, depth)
+    elif interlace == 1:
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _unfilter_png(raw, off, ph, stride_of(pw), bpp)
+            off += used
+            sub = _png_samples(rows, pw, nch, depth)
+            px[y0::dy, x0::dx] = sub
+    else:
+        raise ValueError(f"bad PNG interlace {interlace}")
+    if depth < 8 and ctype_ == 0:     # scale 1/2/4-bit gray to full range
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if ctype_ == 0:
         return np.repeat(px, 3, axis=2)
     if ctype_ == 2:

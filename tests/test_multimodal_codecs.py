@@ -211,11 +211,13 @@ def test_png_gray_palette_alpha():
     assert out[0, 0, 0] == 9 and out[0, 0, 1] == 8 and out[0, 0, 2] == 7
 
 
-def test_png_rejects_interlace_and_16bit():
+def test_png_16bit_and_adam7_interlace():
+    """Both formerly-gated features decode now: 16-bit (high byte kept)
+    and Adam7 (pass split built here independently per RFC 2083 §2.6)."""
     import struct
     import zlib
 
-    import pytest
+    import numpy as np
 
     from duckdb_spatial_spark.operators.media_codecs import decode_image
 
@@ -224,14 +226,65 @@ def test_png_rejects_interlace_and_16bit():
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, inter in ((8, 1), (16, 0)):
-        png = (sig
-               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0,
-                                            inter))
-               + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
-               + chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError):
-            decode_image(png)
+    # --- 16-bit RGB: value v encoded as (v << 8) | 0x5A
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    wide = ((img.astype(np.uint16) << 8) | 0x5A).astype(">u2")
+    raw = b"".join(b"\x00" + wide[r].tobytes() for r in range(5))
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_image(png), img)
+
+    # --- Adam7: RGB 9×10, passes assembled per the spec grid
+    img2 = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    grid = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for (x0, y0, dx, dy) in grid:
+        sub = img2[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            raw += b"\x00" + sub[r].tobytes()
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 10, 8, 2, 0, 0, 1))
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_image(png), img2)
+
+
+def test_png_low_bitdepth_gray_and_palette():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import decode_image
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 1-bit gray, 10 px wide (2 bytes/row, 6 pad bits)
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1],
+                     [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    raw = b"".join(b"\x00" + packed[r].tobytes() for r in range(2))
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_image(png)
+    assert np.array_equal(out[:, :, 0], bits * 255)
+    # 4-bit palette, 3 px wide (2 bytes/row)
+    plte = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90],
+                     [100, 110, 120]], dtype=np.uint8)
+    idx = np.array([[0, 3, 1], [2, 1, 0]], dtype=np.uint8)
+    rows = bytearray()
+    for r in range(2):
+        rows += b"\x00" + bytes([(idx[r, 0] << 4) | idx[r, 1],
+                                  idx[r, 2] << 4])
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte.tobytes())
+           + chunk(b"IDAT", zlib.compress(bytes(rows))) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_image(png), plte[idx])
 
 
 # ----------------------------------------------------------------- JPEG
@@ -273,8 +326,6 @@ def test_jpeg_420_subsampling_and_odd_dims():
     img = np.clip(img, 0, 255).astype(np.uint8)
     dec = decode_image(encode_jpeg(img, quant=1, subsample="420"))
     assert dec.shape == img.shape
-    # chroma is halved: luma-driven structure survives within the box
-    # filter's loss envelope
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
 
 
