@@ -1003,8 +1003,10 @@ def q55_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     approx = ann_ivf_topk(emb, queries, k=5, centroids=C, nprobe=8).select(
         "query_id", F.col("vec_id").alias("ivf_id")
     )
+    # both sides are (n_queries × k) rows — broadcast kills the plan's
+    # only sort-merge join (found by the round-3 explain audit)
     hits = exact.join(
-        approx,
+        F.broadcast(approx),
         (exact["query_id"] == approx["query_id"])
         & (exact["exact_id"] == approx["ivf_id"]),
     )
