@@ -9,14 +9,16 @@ payloads:
 * **PPM/PGM** (netpbm P6/P5 binary) — the classic interchange format.
 * **PNG** (all bit depths 1-16, Adam7 interlace, gray/RGB/palette/alpha)
   — stdlib zlib inflate + per-scanline unfilter.
-* **JPEG baseline** (SOF0, 8-bit, Huffman; 4:4:4/4:2:0/4:2:2 sampling,
-  restart markers) — full ITU T.81 sequential-DCT decode in numpy.
+* **JPEG** (8-bit Huffman; 4:4:4/4:2:0/4:2:2 sampling, restart markers)
+  — full ITU T.81 decode in numpy: baseline sequential (SOF0/1) AND
+  progressive (SOF2: spectral selection + successive approximation,
+  annex G).
 * **WAV** (PCM) — stdlib ``wave`` module.
 * **RAWV** — a minimal raw-video container for frame plumbing:
   ``b'RAWV' + u16 w + u16 h + u16 nframes`` then nframes × w·h·3 RGB bytes.
 
-Formats needing real codec libraries (progressive JPEG/MP3/MP4…) still
-raise NotImplementedError with a clear message.
+Formats needing real codec libraries (MP3/MP4, arithmetic-coded JPEG…)
+still raise NotImplementedError with a clear message.
 """
 
 from __future__ import annotations
@@ -438,23 +440,29 @@ def _extend(v: int, t: int) -> int:
 
 
 def _decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline sequential DCT JPEG (SOF0, 8-bit, Huffman — ITU T.81):
-    marker walk, per-MCU Huffman decode, dequantize, inverse zigzag, 8×8
-    IDCT, chroma upsampling, YCbCr→RGB. Progressive (SOF2), arithmetic
-    coding and 12-bit raise."""
+    """DCT JPEG decode (ITU T.81): baseline sequential (SOF0/1) AND
+    progressive (SOF2, spectral selection + successive approximation,
+    annex G) — marker walk, per-scan Huffman decode into a coefficient
+    store, dequantize, inverse zigzag, 8×8 IDCT, chroma upsampling,
+    YCbCr→RGB. Arithmetic coding, hierarchical and 12-bit raise."""
     pos = 2  # past SOI
     qt: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    while True:
+    comps = []
+    byid: dict = {}
+    while pos + 1 < len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:          # EOI
-            raise ValueError("JPEG EOI before SOS")
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                # standalone markers
         (seglen,) = struct.unpack_from(">H", b, pos)
         seg = b[pos + 2:pos + seglen]
         if marker == 0xDB:          # DQT
@@ -469,9 +477,12 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg, dtype=np.uint8, count=64, offset=sp)
                     sp += 64
                 qt[tq] = tbl.astype(np.float64)
-        elif marker in (0xC0, 0xC1):   # SOF0/1 baseline
-            prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], \
-                struct.unpack_from(">H", seg, 3)[0], seg[5]
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
+            prec = seg[0]
+            h = struct.unpack_from(">H", seg, 1)[0]
+            w = struct.unpack_from(">H", seg, 3)[0]
+            nc = seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
             comps = []
@@ -479,12 +490,29 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            frame.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy)
+            for c in comps:
+                # full interleaved grid; non-interleaved scans use the
+                # tight grid (bw, bh) below
+                c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                     dtype=np.int32)
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch = (h * c["v"] + vmax - 1) // vmax
+                c["bw"] = (cw + 7) // 8
+                c["bh"] = (ch + 7) // 8
+                c["pred"] = 0
+                c["eobrun"] = 0
+            byid = {c["id"]: c for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0) JPEG supported — progressive/"
-                "arithmetic/hierarchical raise")
+                "only baseline/progressive Huffman JPEG supported — "
+                "arithmetic/hierarchical/lossless raise")
         elif marker == 0xC4:        # DHT
             sp = 0
             while sp < len(seg):
@@ -497,92 +525,203 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         elif marker == 0xDD:        # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:        # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scomp = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                scomp.append({"id": cs, "dc": tdta >> 4, "ac": tdta & 0xF})
-            pos += seglen
-            break
+                scomp.append((byid[cs], tdta >> 4, tdta & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(b, pos + seglen, frame, scomp, ss, se, ah,
+                               al, huff_dc, huff_ac, restart_interval)
+            continue
         pos += seglen
     if frame is None:
-        raise ValueError("JPEG missing SOF0")
+        raise ValueError("JPEG missing SOF")
 
-    comps = frame["comps"]
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    byid = {c["id"]: c for c in comps}
-    for sc in scomp:
-        byid[sc["id"]]["hdc"] = huff_dc[sc["dc"]]
-        byid[sc["id"]]["hac"] = huff_ac[sc["ac"]]
-    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-              for c in comps]
-    pred = [0] * len(comps)
-    br = _BitReader(b, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                br.align_restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        try:
-                            blk = _decode_block(br, c["hdc"], c["hac"],
-                                                qt[c["tq"]], pred, ci)
-                        except _RestartMarker:
-                            br.align_restart()
-                            pred = [0] * len(comps)
-                            blk = _decode_block(br, c["hdc"], c["hac"],
-                                                qt[c["tq"]], pred, ci)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
-    # upsample to full resolution and crop
-    full = []
-    for c, p in zip(comps, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        by, bx = c["coef"].shape[:2]
+        plane = np.zeros((by * 8, bx * 8))
+        for yy in range(by):
+            for xx in range(bx):
+                blk = np.zeros(64)
+                blk[_ZIGZAG] = c["coef"][yy, xx] * q
+                plane[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] = (
+                    _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C)
+        ry = frame["vmax"] // c["v"]
+        rx = frame["hmax"] // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        g = np.clip(np.round(full[0] + 128.0), 0, 255).astype(np.uint8)
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = full[0] + 128.0, full[1], full[2]
+    y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.round(np.dstack([r, g, bl])), 0, 255).astype(np.uint8)
 
 
-def _decode_block(br, hdc, hac, q, pred, ci) -> np.ndarray:
+def _decode_scan(b, pos, frame, scomp, ss, se, ah, al, huff_dc, huff_ac,
+                 restart_interval):
+    """Decode one scan's entropy data into the components' coefficient
+    stores; returns the stream position after the scan."""
+    br = _BitReader(b, pos)
+    for c, _, _ in scomp:
+        c["pred"] = 0
+        c["eobrun"] = 0
+
+    def unit(c, yy, xx, tdc, tac):
+        coef = c["coef"][yy, xx]
+        if ss == 0 and se == 63 and ah == 0 and al == 0:
+            _block_full(br, huff_dc[tdc], huff_ac[tac], c, coef)
+        elif ss == 0 and se == 0:
+            if ah == 0:   # DC first
+                t = _huff_decode(br, huff_dc[tdc])
+                diff = _extend(br.bits(t), t) if t else 0
+                c["pred"] += diff
+                coef[0] = c["pred"] << al
+            else:         # DC refinement
+                if br.bit():
+                    coef[0] |= 1 << al
+        elif ah == 0:     # AC first
+            _ac_first(br, huff_ac[tac], c, coef, ss, se, al)
+        else:             # AC refinement
+            _ac_refine(br, huff_ac[tac], c, coef, ss, se, al)
+
+    units = []
+    if len(scomp) > 1:    # interleaved (DC/full scans)
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                mcu = []
+                for c, tdc, tac in scomp:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            mcu.append((c, my * c["v"] + by,
+                                        mx * c["h"] + bx, tdc, tac))
+                units.append(mcu)
+    else:
+        c, tdc, tac = scomp[0]
+        for yy in range(c["bh"]):
+            for xx in range(c["bw"]):
+                units.append([(c, yy, xx, tdc, tac)])
+
+    count = 0
+    for mcu in units:
+        if restart_interval and count and count % restart_interval == 0:
+            br.align_restart()
+            for c, _, _ in scomp:
+                c["pred"] = 0
+                c["eobrun"] = 0
+        count += 1
+        for (c, yy, xx, tdc, tac) in mcu:
+            try:
+                unit(c, yy, xx, tdc, tac)
+            except _RestartMarker:
+                br.align_restart()
+                for cc, _, _ in scomp:
+                    cc["pred"] = 0
+                    cc["eobrun"] = 0
+                unit(c, yy, xx, tdc, tac)
+    # resync to the next marker (skip any partial byte + pad/fill bytes)
+    p = br.pos
+    while p + 1 < len(b) and not (b[p] == 0xFF and b[p + 1] != 0x00
+                                  and not 0xD0 <= b[p + 1] <= 0xD7):
+        p += 1
+    return p
+
+
+def _block_full(br, hdc, hac, c, coef):
+    """Sequential full-band block (T.81 F.2.2)."""
     t = _huff_decode(br, hdc)
     diff = _extend(br.bits(t), t) if t else 0
-    pred[ci] += diff
-    coef = np.zeros(64)
-    coef[0] = pred[ci]
+    c["pred"] += diff
+    coef[0] = c["pred"]
     k = 1
     while k < 64:
         rs = _huff_decode(br, hac)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
+        r, sz = rs >> 4, rs & 0xF
+        if sz == 0:
             if r == 15:
                 k += 16        # ZRL
                 continue
             break              # EOB
         k += r
-        coef[k] = _extend(br.bits(s), s)
+        coef[k] = _extend(br.bits(sz), sz)
         k += 1
-    blk = np.zeros(64)
-    blk[_ZIGZAG] = coef * q
-    f = blk.reshape(8, 8)
-    return _DCT_C.T @ f @ _DCT_C
+
+
+def _ac_first(br, hac, c, coef, ss, se, al):
+    """Progressive AC first scan (T.81 G.1.2.2)."""
+    if c["eobrun"] > 0:
+        c["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, hac)
+        r, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if r == 15:
+                k += 16
+                continue
+            c["eobrun"] = (1 << r) - 1
+            if r:
+                c["eobrun"] += br.bits(r)
+            break
+        k += r
+        coef[k] = _extend(br.bits(sz), sz) << al
+        k += 1
+
+
+def _ac_refine(br, hac, c, coef, ss, se, al):
+    """Progressive AC refinement scan (T.81 G.1.2.3): correction bits for
+    already-nonzero coefficients, ±1<<al insertions for new ones."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if c["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(br, hac)
+            r, sz = rs >> 4, rs & 0xF
+            if sz == 0:
+                if r != 15:
+                    c["eobrun"] = (1 << r)
+                    if r:
+                        c["eobrun"] += br.bits(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+                newval = 0
+            else:
+                # size must be 1; the received bit gives the sign
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if sz:
+                            coef[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if c["eobrun"] > 0:
+        # within an EOB run only correction bits for nonzero coefs appear
+        while k <= se:
+            if coef[k] != 0 and br.bit() and (coef[k] & p1) == 0:
+                coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        c["eobrun"] -= 1
 
 
 def encode_jpeg(img: np.ndarray, quant: int = 1,

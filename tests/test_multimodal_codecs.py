@@ -377,7 +377,211 @@ def test_jpeg_handbuilt_single_block_per_spec():
     assert np.all(img == 152)
 
 
-def test_jpeg_progressive_rejected():
+def _jpeg_tables(symlists):
+    """Same-length canonical Huffman (all-ones code kept free per T.81
+    C.2): returns (counts16, symbol bytes, {sym: (len, code)})."""
+    seen = sorted({s for sl in symlists for s in sl})
+    L = max(1, len(seen).bit_length())
+    if len(seen) + 1 > (1 << L):
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(seen)
+    enc = {}
+    code = 0
+    for ln in range(1, 17):
+        if ln == L:
+            for sym in seen:
+                enc[sym] = (ln, code)
+                code += 1
+        code <<= 1
+    return counts, bytes(seen), enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, ln, code):
+        for i in range(ln - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def flush(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for bit in self.bits[i:i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        self.bits = []
+        return bytes(out)
+
+
+def test_jpeg_progressive_gray_dc_and_ac_scans():
+    """Progressive grayscale built scan-by-scan in the test (independent
+    encoder): DC-first at Al=1, DC refinement, full-band AC at Al=0.
+    Exact reconstruction expected at quant=1 for a blocky image."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (_DCT_C, _ZIGZAG,
+                                                             decode_image)
+
+    rng = np.random.default_rng(9)
+    # 16×24 gray: blocks of constant + a gradient (integer DCT-friendly)
+    img = np.zeros((16, 24), dtype=np.int32)
+    img[:8, :8] = 120
+    img[:8, 8:16] = 40
+    img[8:, :] = rng.integers(0, 256, (8, 24))
+    img[:8, 16:] = 200
+
+    blocks = []
+    for by in range(2):
+        for bx in range(3):
+            f = _DCT_C @ (img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                          - 128.0) @ _DCT_C.T
+            blocks.append(np.round(f.reshape(64)[_ZIGZAG]).astype(int))
+
+    def cat(v):
+        return 0 if v == 0 else (abs(int(v))).bit_length()
+
+    # ---- scan 1: DC first, Al=1 (arithmetic shift) — gather symbols
+    dc1 = [int(z[0]) >> 1 for z in blocks]
+    diffs = []
+    pred = 0
+    for v in dc1:
+        diffs.append(v - pred)
+        pred = v
+    dc_syms = [cat(d) for d in diffs]
+    # ---- scan 3: AC full band, Al=0 — per-block EOB, run-length symbols
+    ac_events = []
+    ac_syms = []
+    for z in blocks:
+        ev = []
+        last = 63
+        while last > 0 and z[last] == 0:
+            last -= 1
+        run = 0
+        for k in range(1, last + 1):
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ev.append((0xF0, None))
+                run -= 16
+            ev.append(((run << 4) | cat(v), v))
+            run = 0
+        if last < 63:
+            ev.append((0x00, None))     # EOB (run of 1)
+        ac_events.append(ev)
+        ac_syms += [sym for sym, _ in ev]
+
+    dcc, dcsy, dce = _jpeg_tables([dc_syms])
+    acc, acsy, ace = _jpeg_tables([ac_syms])
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    seg(0xC2, bytes([8]) + struct.pack(">HH", 16, 24) + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00] + dcc) + dcsy)
+    seg(0xC4, bytes([0x10] + acc) + acsy)
+
+    bw = _BitWriter()
+    # scan 1: DC first (Ss=0 Se=0 Ah=0 Al=1)
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    for d in diffs:
+        t = cat(d)
+        bw.put(*dce[t])
+        if t:
+            bw.put(t, d if d > 0 else d + (1 << t) - 1)
+    out.extend(bw.flush())
+    # scan 2: DC refinement (Ah=1 Al=0) — bit 0 of each DC value
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    for z in blocks:
+        bw.put(1, int(z[0]) & 1)
+    out.extend(bw.flush())
+    # scan 3: AC band 1..63 at Al=0
+    seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    for ev in ac_events:
+        for sym, v in ev:
+            bw.put(*ace[sym])
+            sz = sym & 0xF
+            if sz and v is not None:
+                bw.put(sz, v if v > 0 else v + (1 << sz) - 1)
+    out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
+
+    dec = decode_image(bytes(out))
+    assert dec.shape == (16, 24, 3)
+    err = np.abs(dec[:, :, 0].astype(int) - img)
+    assert err.max() <= 1
+
+
+def test_jpeg_progressive_ac_refinement_handworked():
+    """AC successive-approximation refinement (T.81 G.1.2.3), bitstream
+    worked out by hand for one block: first AC scan at Al=1 sends
+    coef1=+3 as 1 (<<1 → 2); the refinement scan then carries coef1's
+    correction bit (→3) and inserts coef2=−1. Checks the refine path
+    without any encoder in the loop."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (_DCT_C, _ZIGZAG,
+                                                             decode_image)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    # DC table: single symbol 0 (category 0) with code '0'
+    dcc = [0] * 16
+    dcc[0] = 1
+    seg(0xC4, bytes([0x00] + dcc) + bytes([0]))
+    # AC table: symbols {0x00 (EOB), 0x01 (run0,size1)} at length 2
+    acc = [0] * 16
+    acc[1] = 2
+    seg(0xC4, bytes([0x10] + acc) + bytes([0x00, 0x01]))
+
+    # scan 1: DC first Al=0 → category 0 → bit '0', pad 1s → 0x7F
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out.append(0b0_1111111)
+    # scan 2: AC first Ss=1 Se=63 Al=1: (0,1)+'1' → +1 (→2 after <<1),
+    # then EOB. codes: 0x00→'00', 0x01→'01'. bits: 01 1 00 → 01100 + pad
+    seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    out.append(0b01100_111)
+    # scan 3: AC refine Ah=1 Al=0: sym(0,1)='01' + sign '0' (→ −1), then
+    # correction '1' for coef1 (2→3), place −1 at coef2, EOB '00'
+    seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    out.append(0b01_0_1_00_11)
+    out.extend(b"\xff\xd9")
+
+    dec = decode_image(bytes(out))
+    # expected: zigzag coefs [0, 3, −1, 0, …] → IDCT + 128
+    blk = np.zeros(64)
+    blk[_ZIGZAG[1]] = 3.0
+    blk[_ZIGZAG[2]] = -1.0
+    exp = _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C + 128.0
+    exp = np.clip(np.round(exp), 0, 255).astype(int)
+    assert np.abs(dec[:, :, 0].astype(int) - exp).max() == 0
+
+
+def test_jpeg_arithmetic_rejected():
     import struct
 
     import pytest
@@ -385,8 +589,8 @@ def test_jpeg_progressive_rejected():
     from duckdb_spatial_spark.operators.media_codecs import decode_image
 
     out = bytearray(b"\xff\xd8")
-    out.extend(bytes([0xFF, 0xC2]))  # SOF2 progressive
+    out.extend(bytes([0xFF, 0xC9]))  # SOF9 arithmetic sequential
     payload = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     out.extend(struct.pack(">H", len(payload) + 2) + payload)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_image(bytes(out))
