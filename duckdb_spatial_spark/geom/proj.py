@@ -247,6 +247,7 @@ class LambertConformal2SP:
     lon0_deg: float
     false_e: float
     false_n: float
+    k0: float = 1.0   # 1SP scale factor (Snyder 15-x: rho = a k0 F t^n)
 
     def _setup(self):
         e = math.sqrt(self.f * (2.0 - self.f))
@@ -267,7 +268,7 @@ class LambertConformal2SP:
             nn = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
         else:
             nn = math.sin(p1)
-        F_ = m1 / (nn * t1 ** nn)
+        F_ = self.k0 * m1 / (nn * t1 ** nn)
         rho0 = self.a * F_ * t0 ** nn
         return e, nn, F_, rho0
 
@@ -635,6 +636,16 @@ _EPSG_PROJ = {
            "+y_0=-5300000 +ellps=GRS80"),                  # ETRS89 / Poland CS92
     2157: ("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 +x_0=600000 "
            "+y_0=750000 +ellps=GRS80"),                    # IRENET95 / Irish TM
+    # NTF (Paris) / Lambert zones — 1SP LCC with k_0 on the Paris meridian
+    27571: ("+proj=lcc +lat_1=49.5 +lat_0=49.5 +lon_0=0 +k_0=0.999877341 "
+            "+x_0=600000 +y_0=1200000 +a=6378249.2 +b=6356515 "
+            "+towgs84=-168,-60,320,0,0,0,0 +pm=paris"),    # Lambert zone I
+    27572: ("+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+            "+x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515 "
+            "+towgs84=-168,-60,320,0,0,0,0 +pm=paris"),    # Lambert zone II
+    27573: ("+proj=lcc +lat_1=44.1 +lat_0=44.1 +lon_0=0 +k_0=0.999877499 "
+            "+x_0=600000 +y_0=3200000 +a=6378249.2 +b=6356515 "
+            "+towgs84=-168,-60,320,0,0,0,0 +pm=paris"),    # Lambert zone III
     31467: ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
             "+ellps=bessel "
             "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"),  # DHDN / GK z3
@@ -674,6 +685,34 @@ _EPSG_PROJ = {
     6677: ("+proj=tmerc +lat_0=36 +lon_0=139.8333333333333 +k=0.9999 "
            "+x_0=0 +y_0=0 +ellps=GRS80"),                  # JGD2011 zone IX
 }
+
+
+# named prime meridians (public PROJ registry, degrees east of Greenwich)
+_PM_NAMED = {
+    "greenwich": 0.0, "paris": 2.33722917, "lisbon": -9.13190611,
+    "bogota": -74.08091667, "madrid": -3.687938889, "rome": 12.45233333,
+    "bern": 7.439583333, "jakarta": 106.8077194, "ferro": -17.66666666667,
+    "brussels": 4.367975, "stockholm": 18.05827778, "athens": 23.7163375,
+    "oslo": 10.72291667,
+}
+
+
+class _LonLatShift:
+    """Geographic CRS on a non-Greenwich prime meridian: stored longitudes
+    are PM-relative; forward/inverse shift to/from Greenwich."""
+
+    def __init__(self, pm: float):
+        self.pm = pm
+
+    def forward(self, lonlat):
+        out = lonlat.copy()
+        out[:, 0] = lonlat[:, 0] - self.pm
+        return out
+
+    def inverse(self, lonlat):
+        out = lonlat.copy()
+        out[:, 0] = lonlat[:, 0] + self.pm
+        return out
 
 
 # proj-string ellipsoid registry (public PROJ parameter values)
@@ -718,7 +757,7 @@ def crs_from_proj_string(s: str):
         "proj", "ellps", "datum", "a", "b", "rf", "f", "es", "k", "k_0",
         "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "x_0", "y_0",
         "zone", "south", "north", "towgs84", "units", "no_defs", "nadgrids",
-        "wktext", "type", "over", "approx",
+        "wktext", "type", "over", "approx", "pm",
     }
     unknown = set(kv) - _KNOWN
     if unknown:
@@ -758,10 +797,20 @@ def crs_from_proj_string(s: str):
     lat0, lon0 = fl("lat_0"), fl("lon_0")
     k0 = float(kv.get("k", kv.get("k_0", 1.0)))
     x0, y0 = fl("x_0"), fl("y_0")
+    # prime meridian: +pm shifts the central meridian to Greenwich terms
+    # (inputs to forward() are always Greenwich lon/lat)
+    pm_raw = kv.get("pm", "0")
+    pm = _PM_NAMED.get(pm_raw.lower())
+    if pm is None:
+        try:
+            pm = float(pm_raw)
+        except ValueError:
+            return None
+    lon0 += pm
 
     base = None
     if proj in ("longlat", "latlong", "lonlat"):
-        base = _LonLat()
+        base = _LonLat() if pm == 0.0 else _LonLatShift(pm)
     elif proj == "utm":
         zone = int(kv.get("zone", 0))
         if not 1 <= zone <= 60:
@@ -812,11 +861,9 @@ def crs_from_proj_string(s: str):
     elif proj == "lcc":
         lat1 = fl("lat_1", lat0)
         lat2 = fl("lat_2", lat1)
-        if k0 != 1.0:
-            return None
         base = LambertConformal2SP(a, f, lat1_deg=lat1, lat2_deg=lat2,
                                    lat0_deg=lat0, lon0_deg=lon0,
-                                   false_e=x0, false_n=y0)
+                                   false_e=x0, false_n=y0, k0=k0)
     elif proj == "aea":
         base = AlbersEqualArea(a, f, lat1_deg=fl("lat_1"), lat2_deg=fl("lat_2"),
                                lat0_deg=lat0, lon0_deg=lon0,
@@ -900,6 +947,9 @@ def list_native_crs():
         32118: "NAD83 / New York Long Island", 32139: "NAD83 / Texas Central",
         3347: "NAD83 / Statistics Canada Lambert",
         3978: "NAD83 / Canada Atlas Lambert", 31983: "SIRGAS 2000 / UTM 23S",
+        27571: "NTF (Paris) / Lambert zone I",
+        27572: "NTF (Paris) / Lambert zone II",
+        27573: "NTF (Paris) / Lambert zone III",
         2193: "NZGD2000 / NZTM2000", 3112: "GDA94 / Geoscience Aus Lambert",
         3577: "GDA94 / Australian Albers", 5179: "Korea 2000 / Unified CS",
         6677: "JGD2011 / Japan Plane Rectangular CS IX",

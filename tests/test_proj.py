@@ -323,7 +323,8 @@ class TestProjStrings:
         fallback / explicit error), never silently-wrong coordinates."""
         from duckdb_spatial_spark.geom import proj as P
 
-        assert P.crs_from_proj_string("+proj=utm +zone=31 +pm=paris") is None
+        # +pm is native since round 3; +geoidgrids is not
+        assert P.crs_from_proj_string("+proj=utm +zone=31 +geoidgrids=x.gtx") is None
         assert P.crs_from_proj_string("+proj=merc +to_meter=0.9") is None
         assert P.crs_from_proj_string(
             "+proj=tmerc +lat_0=0 +lon_0=9 +alpha=30 +ellps=WGS84"
@@ -357,6 +358,7 @@ class TestEpsgRegistry:
             32139: (-100.3, 31), 3347: (-92, 60), 3978: (-95, 60),
             31983: (-45, -15), 2193: (173, -41), 3112: (134, -25),
             3577: (132, -25), 5179: (127.5, 37.5), 6677: (139.7, 35.7),
+            27571: (2.35, 49.2), 27572: (2.35, 46.9), 27573: (5.4, 43.6),
         }
         assert set(probe) == set(_EPSG_PROJ)
         for code, (lon, lat) in probe.items():
@@ -507,3 +509,76 @@ class TestEpsgRegistry:
 
         codes = {r[1] for r in list_native_crs()}
         assert set(_EPSG_PROJ) <= codes
+
+
+class TestLcc1SPAndPrimeMeridian:
+    """Round-3 residue: LCC 1SP with k_0 and non-Greenwich prime
+    meridians (NTF Lambert zones, EPSG:27571-27573)."""
+
+    PM_PARIS = 2.33722917
+
+    def _bare(self, code):
+        # the projection on its own datum (towgs84 stripped) so false
+        # origin / scale invariants hold exactly
+        from duckdb_spatial_spark.geom.proj import (_EPSG_PROJ,
+                                                    crs_from_proj_string)
+
+        pstr = " ".join(t for t in _EPSG_PROJ[code].split()
+                        if not t.startswith("+towgs84"))
+        c = crs_from_proj_string(pstr)
+        assert c is not None
+        return c
+
+    def test_false_origin_on_paris_meridian(self):
+        for code, lat0, y0 in ((27571, 49.5, 1200000.0),
+                               (27572, 46.8, 2200000.0),
+                               (27573, 44.1, 3200000.0)):
+            c = self._bare(code)
+            org = c.forward(np.array([[self.PM_PARIS, lat0]]))
+            assert org[0] == pytest.approx((600000.0, y0), abs=1e-5), code
+
+    def test_scale_at_single_parallel_equals_k0(self):
+        # pins the k_0 transcription: projected/ground distance along the
+        # standard parallel must equal k_0 to 1e-9
+        a, f = 6378249.2, (6378249.2 - 6356515.0) / 6378249.2  # clrk80ign
+        e2 = f * (2 - f)
+        for code, lat0, k0 in ((27571, 49.5, 0.999877341),
+                               (27572, 46.8, 0.99987742),
+                               (27573, 44.1, 0.999877499)):
+            c = self._bare(code)
+            lat = math.radians(lat0)
+            nu = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+            dlon = 1e-3
+            ground = nu * math.cos(lat) * math.radians(dlon)
+            p = c.forward(np.array([[self.PM_PARIS, lat0],
+                                    [self.PM_PARIS + dlon, lat0]]))
+            assert math.hypot(*(p[1] - p[0])) / ground == pytest.approx(
+                k0, abs=1e-9), code
+
+    def test_full_epsg_roundtrip_and_shift_magnitude(self):
+        for code, probe in ((27571, (2.35, 49.2)), (27572, (2.35, 46.9)),
+                            (27573, (5.4, 43.6))):
+            fwd = native_transform("EPSG:4326", f"EPSG:{code}")
+            inv = native_transform(f"EPSG:{code}", "EPSG:4326")
+            pt = np.array([probe])
+            rt = inv(fwd(pt.copy()))
+            assert np.abs(rt - pt).max() < 1e-7, code
+            # NTF Helmert moves coordinates by a plausible datum offset
+            bare = self._bare(code)
+            d = np.hypot(*(fwd(pt.copy()) - bare.forward(pt.copy()))[0])
+            assert 30.0 < d < 500.0, (code, d)
+
+    def test_longlat_prime_meridian_shift(self):
+        from duckdb_spatial_spark.geom.proj import crs_from_proj_string
+
+        c = crs_from_proj_string("+proj=longlat +ellps=WGS84 +pm=paris")
+        out = c.forward(np.array([[self.PM_PARIS, 48.0]]))
+        assert out[0, 0] == pytest.approx(0.0, abs=1e-12)
+        back = c.inverse(out.copy())
+        assert back[0, 0] == pytest.approx(self.PM_PARIS, abs=1e-12)
+
+    def test_unknown_pm_rejected(self):
+        from duckdb_spatial_spark.geom.proj import crs_from_proj_string
+
+        assert crs_from_proj_string(
+            "+proj=longlat +ellps=WGS84 +pm=atlantis") is None
