@@ -388,6 +388,79 @@ class AlbersEqualArea:
         return out
 
 
+# ----------------------------------------------- Polar Stereographic
+
+@dataclass(frozen=True)
+class PolarStereographic:
+    """Polar Stereographic, ellipsoidal (Snyder 21-30…21-40; EPSG method
+    9810 variant A via k0, variant B via lat_ts)."""
+
+    a: float
+    f: float
+    south: bool
+    lon0_deg: float
+    k0: float = 1.0            # variant A scale at the pole
+    lat_ts_deg: Optional[float] = None   # variant B standard parallel
+    false_e: float = 0.0
+    false_n: float = 0.0
+
+    def _setup(self):
+        e = math.sqrt(self.f * (2.0 - self.f))
+
+        def t_of(phi):
+            sp = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) * (
+                (1 + e * sp) / (1 - e * sp)) ** (e / 2)
+
+        # lat_ts = ±90 degenerates (m1/t1 → 0/0) and is equivalent to the
+        # k0 form — route it to variant A
+        if self.lat_ts_deg is not None and abs(self.lat_ts_deg) < 90.0 - 1e-9:
+            p1 = abs(math.radians(self.lat_ts_deg))
+            m1 = math.cos(p1) / math.sqrt(1 - (e * math.sin(p1)) ** 2)
+            rho_fac = self.a * m1 / t_of(p1)     # rho = rho_fac · t
+        else:
+            rho_fac = (2.0 * self.a * self.k0
+                       / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
+        return e, rho_fac
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e, rho_fac = self._setup()
+        sign = -1.0 if self.south else 1.0
+        # work in the north-pole aspect: mirror latitudes/longitudes south
+        phi = sign * np.radians(lonlat[:, 1])
+        lam = sign * np.radians(lonlat[:, 0] - self.lon0_deg)
+        sp = np.sin(phi)
+        t = np.tan(math.pi / 4 - phi / 2) * (
+            (1 + e * sp) / (1 - e * sp)) ** (e / 2)
+        rho = rho_fac * t
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + sign * rho * np.sin(lam)
+        out[:, 1] = self.false_n - sign * rho * np.cos(lam)
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e, rho_fac = self._setup()
+        sign = -1.0 if self.south else 1.0
+        x = sign * (xy[:, 0] - self.false_e)
+        y = -sign * (xy[:, 1] - self.false_n)
+        rho = np.hypot(x, y)
+        tp = rho / rho_fac
+        phi = math.pi / 2 - 2.0 * np.arctan(tp)
+        for _ in range(10):
+            sp = np.sin(phi)
+            phi_new = math.pi / 2 - 2.0 * np.arctan(
+                tp * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+            if np.max(np.abs(phi_new - phi)) < 1e-14:
+                phi = phi_new
+                break
+            phi = phi_new
+        lam = np.arctan2(x, y)
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + sign * np.degrees(lam)
+        out[:, 1] = sign * np.degrees(phi)
+        return out
+
+
 # ------------------------------------- Lambert Azimuthal Equal-Area (oblique)
 
 @dataclass(frozen=True)
@@ -627,8 +700,18 @@ def _crs_for_epsg(code: int):
 # gets them from PROJ's embedded db, proj/functions.cpp:487-513); here they
 # are table-driven onto the same native engines crs_from_proj_string uses.
 _EPSG_PROJ = {
-    # world
+    # world / polar
     3395: "+proj=merc +ellps=WGS84",                       # World Mercator
+    32661: ("+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
+            "+x_0=2000000 +y_0=2000000 +ellps=WGS84"),     # UPS North
+    32761: ("+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 "
+            "+x_0=2000000 +y_0=2000000 +ellps=WGS84"),     # UPS South
+    3413: ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+           "+ellps=WGS84"),                # NSIDC Sea Ice Polar Stereo North
+    3976: ("+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 "
+           "+ellps=WGS84"),                # NSIDC Sea Ice Polar Stereo South
+    3031: ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+           "+ellps=WGS84"),                # Antarctic Polar Stereographic
     # Europe
     3034: ("+proj=lcc +lat_1=35 +lat_2=65 +lat_0=52 +lon_0=10 "
            "+x_0=4000000 +y_0=2800000 +ellps=GRS80"),      # ETRS89 / LCC Europe
@@ -871,6 +954,18 @@ def crs_from_proj_string(s: str):
     elif proj == "laea":
         base = LambertAzimuthalEqualArea(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                          false_e=x0, false_n=y0)
+    elif proj == "stere":
+        # polar aspects only (lat_0 = ±90); oblique stereographic → None
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            return None
+        base = PolarStereographic(
+            a, f, south=lat0 < 0, lon0_deg=lon0, k0=k0,
+            lat_ts_deg=float(kv["lat_ts"]) if "lat_ts" in kv else None,
+            false_e=x0, false_n=y0)
+    elif proj == "ups":
+        base = PolarStereographic(
+            a, f, south="south" in kv, lon0_deg=0.0, k0=0.994,
+            false_e=2000000.0, false_n=2000000.0)
     else:
         return None
 
@@ -940,6 +1035,10 @@ def list_native_crs():
                      "tmerc+helmert"))
     _EPSG_NAMES = {
         3395: "WGS 84 / World Mercator", 3034: "ETRS89 / LCC Europe",
+        32661: "WGS 84 / UPS North", 32761: "WGS 84 / UPS South",
+        3413: "NSIDC Sea Ice Polar Stereographic North",
+        3976: "NSIDC Sea Ice Polar Stereographic South",
+        3031: "WGS 84 / Antarctic Polar Stereographic",
         2180: "ETRS89 / Poland CS92", 2157: "IRENET95 / Irish TM",
         31467: "DHDN / 3-degree Gauss-Kruger zone 3",
         31287: "MGI / Austria Lambert", 31370: "BD72 / Belgian Lambert 72",

@@ -359,6 +359,8 @@ class TestEpsgRegistry:
             31983: (-45, -15), 2193: (173, -41), 3112: (134, -25),
             3577: (132, -25), 5179: (127.5, 37.5), 6677: (139.7, 35.7),
             27571: (2.35, 49.2), 27572: (2.35, 46.9), 27573: (5.4, 43.6),
+            32661: (30, 80), 32761: (30, -80), 3413: (-40, 75),
+            3976: (100, -75), 3031: (0, -75),
         }
         assert set(probe) == set(_EPSG_PROJ)
         for code, (lon, lat) in probe.items():
@@ -582,3 +584,76 @@ class TestLcc1SPAndPrimeMeridian:
 
         assert crs_from_proj_string(
             "+proj=longlat +ellps=WGS84 +pm=atlantis") is None
+
+
+class TestPolarStereographic:
+    """Polar Stereographic (Snyder 21-30…21-40): UPS (variant A, k0=0.994)
+    and the NSIDC/Antarctic lat_ts variants (EPSG 32661/32761/3413/3976/
+    3031)."""
+
+    def test_pole_maps_to_false_origin_any_lon(self):
+        fwd = native_transform("EPSG:4326", "EPSG:32661")
+        out = fwd(np.array([[0.0, 90.0], [123.0, 90.0], [-77.0, 90.0]]))
+        assert np.abs(out - [2000000.0, 2000000.0]).max() < 1e-6
+        fwd_s = native_transform("EPSG:4326", "EPSG:32761")
+        out = fwd_s(np.array([[45.0, -90.0]]))
+        assert out[0] == pytest.approx((2000000.0, 2000000.0), abs=1e-6)
+
+    def test_roundtrip_polar_caps(self):
+        for code, lats in (("EPSG:32661", (75, 84, 89.9)),
+                           ("EPSG:3413", (60, 70, 85)),
+                           ("EPSG:32761", (-75, -84, -89.9)),
+                           ("EPSG:3976", (-60, -70, -85)),
+                           ("EPSG:3031", (-64, -71, -88))):
+            fwd = native_transform("EPSG:4326", code)
+            inv = native_transform(code, "EPSG:4326")
+            pts = np.array([[lo, la] for lo in (-150, -45, 0, 60, 179)
+                            for la in lats], dtype=float)
+            rt = inv(fwd(pts.copy()))
+            dlon = (rt[:, 0] - pts[:, 0] + 180.0) % 360.0 - 180.0
+            assert np.abs(dlon).max() < 1e-9, code
+            assert np.abs(rt[:, 1] - pts[:, 1]).max() < 1e-9, code
+
+    def test_scale_one_at_standard_parallel(self):
+        # conformal: isotropic scale == 1 exactly on lat_ts (pins lat_ts)
+        a, f = WGS84
+        e2 = f * (2 - f)
+        for code, lat_ts in (("EPSG:3413", 70.0), ("EPSG:3976", -70.0),
+                             ("EPSG:3031", -71.0)):
+            fwd = native_transform("EPSG:4326", code)
+            lat = math.radians(abs(lat_ts))
+            nu = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+            dlon = 1e-3
+            ground = nu * math.cos(lat) * math.radians(dlon)
+            p = fwd(np.array([[10.0, lat_ts], [10.0 + dlon, lat_ts]]))
+            assert math.hypot(*(p[1] - p[0])) / ground == pytest.approx(
+                1.0, abs=1e-9), code
+
+    def test_ups_scale_at_pole_is_k0(self):
+        # variant A: k → 0.994 as φ → 90° (pins the 0.994 constant)
+        a, f = WGS84
+        e2 = f * (2 - f)
+        fwd = native_transform("EPSG:4326", "EPSG:32661")
+        lat_deg = 89.999
+        lat = math.radians(lat_deg)
+        nu = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+        dlon = 1e-3
+        ground = nu * math.cos(lat) * math.radians(dlon)
+        p = fwd(np.array([[0.0, lat_deg], [dlon, lat_deg]]))
+        assert math.hypot(*(p[1] - p[0])) / ground == pytest.approx(
+            0.994, abs=1e-6)
+
+    def test_ups_proj_alias_and_oblique_rejected(self):
+        from duckdb_spatial_spark.geom.proj import crs_from_proj_string
+
+        ups = crs_from_proj_string("+proj=ups +ellps=WGS84")
+        via = crs_from_proj_string(
+            "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
+            "+x_0=2000000 +y_0=2000000 +ellps=WGS84")
+        pts = np.array([[33.0, 80.0]])
+        assert np.abs(ups.forward(pts.copy())
+                      - via.forward(pts.copy())).max() < 1e-6
+        # oblique stereographic (RD-class) is outside the native model
+        assert crs_from_proj_string(
+            "+proj=stere +lat_0=52.15 +lon_0=5.38 +k=0.9999 +ellps=bessel"
+        ) is None
