@@ -388,6 +388,88 @@ class AlbersEqualArea:
         return out
 
 
+# ------------------------------------- Oblique Stereographic (double)
+
+@dataclass(frozen=True)
+class ObliqueStereographic:
+    """Oblique Stereographic via the conformal sphere (EPSG method 9809,
+    Guidance Note 7-2 — the "double stereographic" used by Dutch RD New,
+    EPSG:28992)."""
+
+    a: float
+    f: float
+    lat0_deg: float
+    lon0_deg: float
+    k0: float
+    false_e: float
+    false_n: float
+
+    def _setup(self):
+        e2 = self.f * (2.0 - self.f)
+        e = math.sqrt(e2)
+        p0 = math.radians(self.lat0_deg)
+        s0 = math.sin(p0)
+        rho0 = self.a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+        nu0 = self.a / math.sqrt(1 - e2 * s0 * s0)
+        R = math.sqrt(rho0 * nu0)
+        n = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+        S1 = (1 + s0) / (1 - s0)
+        S2 = (1 - e * s0) / (1 + e * s0)
+        w1 = (S1 * S2 ** e) ** n
+        sin_chi00 = (w1 - 1) / (w1 + 1)
+        c = ((n + s0) * (1 - sin_chi00)) / ((n - s0) * (1 + sin_chi00))
+        w2 = c * w1
+        chi0 = math.asin((w2 - 1) / (w2 + 1))
+        lam0 = math.radians(self.lon0_deg)
+        return e, e2, R, n, c, chi0, lam0
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e, e2, R, n, c, chi0, lam0 = self._setup()
+        phi = np.radians(lonlat[:, 1])
+        lam = np.radians(lonlat[:, 0])
+        Lam = n * (lam - lam0) + lam0
+        sp = np.sin(phi)
+        Sa = (1 + sp) / (1 - sp)
+        Sb = (1 - e * sp) / (1 + e * sp)
+        w = c * (Sa * Sb ** e) ** n
+        chi = np.arcsin((w - 1) / (w + 1))
+        dl = Lam - lam0
+        B = 1 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dl)
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + 2 * R * self.k0 * np.cos(chi) * np.sin(dl) / B
+        out[:, 1] = self.false_n + 2 * R * self.k0 * (
+            np.sin(chi) * math.cos(chi0)
+            - np.cos(chi) * math.sin(chi0) * np.cos(dl)) / B
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e, e2, R, n, c, chi0, lam0 = self._setup()
+        Ep = xy[:, 0] - self.false_e
+        Np = xy[:, 1] - self.false_n
+        g = 2 * R * self.k0 * math.tan(math.pi / 4 - chi0 / 2)
+        hh = 4 * R * self.k0 * math.tan(chi0) + g
+        i = np.arctan2(Ep, hh + Np)
+        j = np.arctan2(Ep, g - Np) - i
+        chi = chi0 + 2 * np.arctan2(Np - Ep * np.tan(j / 2), 2 * R * self.k0)
+        Lam = j + 2 * i + lam0
+        lam = (Lam - lam0) / n + lam0
+        # isometric latitude on the ellipsoid from the conformal latitude
+        psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+        phi = 2.0 * np.arctan(np.exp(psi)) - math.pi / 2
+        for _ in range(12):
+            sp = np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2 + math.pi / 4)
+                           * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+            dphi = (psi - psi_i) * np.cos(phi) * (1 - e2 * sp * sp) / (1 - e2)
+            phi = phi + dphi
+            if np.max(np.abs(dphi)) < 1e-14:
+                break
+        out = xy.copy()
+        out[:, 0] = np.degrees(lam)
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
 # ----------------------------------------------- Polar Stereographic
 
 @dataclass(frozen=True)
@@ -719,6 +801,10 @@ _EPSG_PROJ = {
            "+y_0=-5300000 +ellps=GRS80"),                  # ETRS89 / Poland CS92
     2157: ("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 +x_0=600000 "
            "+y_0=750000 +ellps=GRS80"),                    # IRENET95 / Irish TM
+    28992: ("+proj=sterea +lat_0=52.15616055555555 "
+            "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 "
+            "+ellps=bessel +towgs84=565.417,50.3319,465.552,-0.398957,"
+            "0.343988,-1.8774,4.0725"),    # Amersfoort / RD New
     # NTF (Paris) / Lambert zones — 1SP LCC with k_0 on the Paris meridian
     27571: ("+proj=lcc +lat_1=49.5 +lat_0=49.5 +lon_0=0 +k_0=0.999877341 "
             "+x_0=600000 +y_0=1200000 +a=6378249.2 +b=6356515 "
@@ -954,8 +1040,12 @@ def crs_from_proj_string(s: str):
     elif proj == "laea":
         base = LambertAzimuthalEqualArea(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                          false_e=x0, false_n=y0)
+    elif proj == "sterea":
+        base = ObliqueStereographic(a, f, lat0_deg=lat0, lon0_deg=lon0,
+                                    k0=k0, false_e=x0, false_n=y0)
     elif proj == "stere":
-        # polar aspects only (lat_0 = ±90); oblique stereographic → None
+        # polar aspects only (lat_0 = ±90); use +proj=sterea for the
+        # double-projection oblique form
         if abs(abs(lat0) - 90.0) > 1e-9:
             return None
         base = PolarStereographic(
@@ -1046,6 +1136,7 @@ def list_native_crs():
         32118: "NAD83 / New York Long Island", 32139: "NAD83 / Texas Central",
         3347: "NAD83 / Statistics Canada Lambert",
         3978: "NAD83 / Canada Atlas Lambert", 31983: "SIRGAS 2000 / UTM 23S",
+        28992: "Amersfoort / RD New",
         27571: "NTF (Paris) / Lambert zone I",
         27572: "NTF (Paris) / Lambert zone II",
         27573: "NTF (Paris) / Lambert zone III",

@@ -360,6 +360,7 @@ class TestEpsgRegistry:
             3577: (132, -25), 5179: (127.5, 37.5), 6677: (139.7, 35.7),
             27571: (2.35, 49.2), 27572: (2.35, 46.9), 27573: (5.4, 43.6),
             32661: (30, 80), 32761: (30, -80), 3413: (-40, 75),
+            28992: (5.4, 52.2),
             3976: (100, -75), 3031: (0, -75),
         }
         assert set(probe) == set(_EPSG_PROJ)
@@ -657,3 +658,51 @@ class TestPolarStereographic:
         assert crs_from_proj_string(
             "+proj=stere +lat_0=52.15 +lon_0=5.38 +k=0.9999 +ellps=bessel"
         ) is None
+
+
+class TestObliqueStereographic:
+    """EPSG method 9809 (double stereographic via the conformal sphere) —
+    Amersfoort / RD New, EPSG:28992."""
+
+    def _bare(self):
+        from duckdb_spatial_spark.geom.proj import (_EPSG_PROJ,
+                                                    crs_from_proj_string)
+
+        pstr = " ".join(t for t in _EPSG_PROJ[28992].split()
+                        if not t.startswith("+towgs84"))
+        return crs_from_proj_string(pstr)
+
+    def test_epsg_guidance_note_worked_example(self):
+        # EPSG GN 7-2, method 9809 example on Amersfoort / RD New:
+        # φ=53°N λ=6°E → E 196105.283, N 557057.739 (Bessel datum)
+        c = self._bare()
+        out = c.forward(np.array([[6.0, 53.0]]))
+        assert out[0, 0] == pytest.approx(196105.283, abs=1e-3)
+        assert out[0, 1] == pytest.approx(557057.739, abs=1e-3)
+
+    def test_origin_and_scale(self):
+        c = self._bare()
+        lon0, lat0 = 5.38763888888889, 52.15616055555555
+        org = c.forward(np.array([[lon0, lat0]]))
+        assert org[0] == pytest.approx((155000.0, 463000.0), abs=1e-6)
+        # isotropic scale at the origin == k0 (conformal)
+        a, f = 6377397.155, 1 / 299.1528128  # bessel
+        e2 = f * (2 - f)
+        lat = math.radians(lat0)
+        nu = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+        dlon = 1e-4
+        ground = nu * math.cos(lat) * math.radians(dlon)
+        p = c.forward(np.array([[lon0, lat0], [lon0 + dlon, lat0]]))
+        assert math.hypot(*(p[1] - p[0])) / ground == pytest.approx(
+            0.9999079, abs=1e-9)
+
+    def test_roundtrip_and_datum_shift(self):
+        fwd = native_transform("EPSG:4326", "EPSG:28992")
+        inv = native_transform("EPSG:28992", "EPSG:4326")
+        pts = np.array([[4.9, 52.37], [6.57, 53.22], [5.7, 50.85],
+                        [3.6, 51.45]])
+        rt = inv(fwd(pts.copy()))
+        assert np.abs(rt - pts).max() < 1e-7
+        bare = self._bare()
+        d = np.hypot(*(fwd(pts[:1].copy()) - bare.forward(pts[:1].copy()))[0])
+        assert 20.0 < d < 500.0  # Bessel/Amersfoort datum offset ~100 m
