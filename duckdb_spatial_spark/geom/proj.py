@@ -388,6 +388,86 @@ class AlbersEqualArea:
         return out
 
 
+# --------------------------------- Swiss Oblique Mercator (somerc)
+
+@dataclass(frozen=True)
+class SwissObliqueMercator:
+    """Swiss Oblique Mercator (EPSG method 9814; swisstopo's published
+    formulas): Gauss conformal sphere at the origin, rotation of the
+    origin to the pseudo-equator, then spherical Mercator. CH1903/LV03
+    (EPSG:21781) and CH1903+/LV95 (EPSG:2056)."""
+
+    a: float
+    f: float
+    lat0_deg: float
+    lon0_deg: float
+    k0: float
+    false_e: float
+    false_n: float
+
+    def _setup(self):
+        e2 = self.f * (2.0 - self.f)
+        e = math.sqrt(e2)
+        p0 = math.radians(self.lat0_deg)
+        s0 = math.sin(p0)
+        R = self.a * math.sqrt(1 - e2) / (1 - e2 * s0 * s0) * self.k0
+        alpha = math.sqrt(1 + e2 / (1 - e2) * math.cos(p0) ** 4)
+        b0 = math.asin(s0 / alpha)
+
+        def q_ell(phi):
+            sp = math.sin(phi)
+            return math.log(math.tan(math.pi / 4 + phi / 2)
+                            * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+
+        K = math.log(math.tan(math.pi / 4 + b0 / 2)) - alpha * q_ell(p0)
+        return e, e2, R, alpha, b0, K
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e, e2, R, alpha, b0, K = self._setup()
+        phi = np.radians(lonlat[:, 1])
+        sp = np.sin(phi)
+        S = alpha * np.log(np.tan(math.pi / 4 + phi / 2)
+                           * ((1 - e * sp) / (1 + e * sp)) ** (e / 2)) + K
+        b = 2.0 * (np.arctan(np.exp(S)) - math.pi / 4)
+        l = alpha * np.radians(lonlat[:, 0] - self.lon0_deg)
+        sb, cb = np.sin(b), np.cos(b)
+        sbb = math.cos(b0) * sb - math.sin(b0) * cb * np.cos(l)
+        lbar = np.arctan2(cb * np.sin(l),
+                          math.sin(b0) * sb + math.cos(b0) * cb * np.cos(l))
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + R * lbar
+        out[:, 1] = self.false_n + R / 2.0 * np.log((1 + sbb) / (1 - sbb))
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e, e2, R, alpha, b0, K = self._setup()
+        lbar = (xy[:, 0] - self.false_e) / R
+        xbar = (xy[:, 1] - self.false_n) / R
+        bbar = 2.0 * (np.arctan(np.exp(xbar)) - math.pi / 4)
+        sb = math.cos(b0) * np.sin(bbar) + math.sin(b0) * np.cos(bbar) * np.cos(lbar)
+        b = np.arcsin(sb)
+        l = np.arctan2(np.cos(bbar) * np.sin(lbar),
+                       math.cos(b0) * np.cos(bbar) * np.cos(lbar)
+                       - math.sin(b0) * np.sin(bbar))
+        lam = np.degrees(l / alpha) + self.lon0_deg
+        # invert the Gauss mapping: S known from b, iterate phi
+        S = np.log(np.tan(math.pi / 4 + b / 2))
+        psi = (S - K) / alpha        # ellipsoidal isometric latitude
+        phi = 2.0 * np.arctan(np.exp(psi)) - math.pi / 2
+        for _ in range(12):
+            spv = np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2 + math.pi / 4)
+                           * ((1 - e * spv) / (1 + e * spv)) ** (e / 2))
+            dphi = (psi - psi_i) * np.cos(phi) * (1 - e2 * spv * spv) / (1 - e2)
+            phi = phi + dphi
+            if np.max(np.abs(dphi)) < 1e-14:
+                break
+        out = xy.copy()
+        out[:, 0] = lam
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
 # ------------------------------------- Oblique Stereographic (double)
 
 @dataclass(frozen=True)
@@ -801,6 +881,12 @@ _EPSG_PROJ = {
            "+y_0=-5300000 +ellps=GRS80"),                  # ETRS89 / Poland CS92
     2157: ("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 +x_0=600000 "
            "+y_0=750000 +ellps=GRS80"),                    # IRENET95 / Irish TM
+    21781: ("+proj=somerc +lat_0=46.95240555555556 "
+            "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
+            "+ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0"),
+    2056: ("+proj=somerc +lat_0=46.95240555555556 "
+           "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+           "+ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0"),
     28992: ("+proj=sterea +lat_0=52.15616055555555 "
             "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 "
             "+ellps=bessel +towgs84=565.417,50.3319,465.552,-0.398957,"
@@ -1040,6 +1126,9 @@ def crs_from_proj_string(s: str):
     elif proj == "laea":
         base = LambertAzimuthalEqualArea(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                          false_e=x0, false_n=y0)
+    elif proj == "somerc":
+        base = SwissObliqueMercator(a, f, lat0_deg=lat0, lon0_deg=lon0,
+                                    k0=k0, false_e=x0, false_n=y0)
     elif proj == "sterea":
         base = ObliqueStereographic(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                     k0=k0, false_e=x0, false_n=y0)
@@ -1137,6 +1226,7 @@ def list_native_crs():
         3347: "NAD83 / Statistics Canada Lambert",
         3978: "NAD83 / Canada Atlas Lambert", 31983: "SIRGAS 2000 / UTM 23S",
         28992: "Amersfoort / RD New",
+        21781: "CH1903 / LV03", 2056: "CH1903+ / LV95",
         27571: "NTF (Paris) / Lambert zone I",
         27572: "NTF (Paris) / Lambert zone II",
         27573: "NTF (Paris) / Lambert zone III",

@@ -360,7 +360,7 @@ class TestEpsgRegistry:
             3577: (132, -25), 5179: (127.5, 37.5), 6677: (139.7, 35.7),
             27571: (2.35, 49.2), 27572: (2.35, 46.9), 27573: (5.4, 43.6),
             32661: (30, 80), 32761: (30, -80), 3413: (-40, 75),
-            28992: (5.4, 52.2),
+            28992: (5.4, 52.2), 21781: (8.2, 46.8), 2056: (8.2, 46.8),
             3976: (100, -75), 3031: (0, -75),
         }
         assert set(probe) == set(_EPSG_PROJ)
@@ -706,3 +706,46 @@ class TestObliqueStereographic:
         bare = self._bare()
         d = np.hypot(*(fwd(pts[:1].copy()) - bare.forward(pts[:1].copy()))[0])
         assert 20.0 < d < 500.0  # Bessel/Amersfoort datum offset ~100 m
+
+
+class TestSwissObliqueMercator:
+    """EPSG method 9814 (swisstopo formulas): CH1903/LV03 (21781) and
+    CH1903+/LV95 (2056)."""
+
+    def _bare(self, code=21781):
+        from duckdb_spatial_spark.geom.proj import (_EPSG_PROJ,
+                                                    crs_from_proj_string)
+
+        pstr = " ".join(t for t in _EPSG_PROJ[code].split()
+                        if not t.startswith("+towgs84"))
+        return crs_from_proj_string(pstr)
+
+    def test_swisstopo_reference_point_rigi(self):
+        # swisstopo's published check point: 47°03'28.956592"N,
+        # 8°29'11.111271"E (CH1903) → y 679520.05, x 212273.44
+        c = self._bare()
+        lat = 47 + 3 / 60 + 28.956592 / 3600
+        lon = 8 + 29 / 60 + 11.111271 / 3600
+        out = c.forward(np.array([[lon, lat]]))
+        assert out[0, 0] == pytest.approx(679520.05, abs=1e-2)
+        assert out[0, 1] == pytest.approx(212273.44, abs=1e-2)
+
+    def test_bern_origin_both_frames(self):
+        lon0, lat0 = 7.439583333333333, 46.95240555555556
+        org03 = self._bare(21781).forward(np.array([[lon0, lat0]]))
+        assert org03[0] == pytest.approx((600000.0, 200000.0), abs=1e-6)
+        org95 = self._bare(2056).forward(np.array([[lon0, lat0]]))
+        assert org95[0] == pytest.approx((2600000.0, 1200000.0), abs=1e-6)
+
+    def test_roundtrip_and_datum_shift(self):
+        for code in (21781, 2056):
+            fwd = native_transform("EPSG:4326", f"EPSG:{code}")
+            inv = native_transform(f"EPSG:{code}", "EPSG:4326")
+            pts = np.array([[6.6, 46.5], [9.8, 46.5], [8.5, 47.4],
+                            [7.0, 45.9]])
+            rt = inv(fwd(pts.copy()))
+            assert np.abs(rt - pts).max() < 1e-7, code
+            bare = self._bare(code)
+            d = np.hypot(*(fwd(pts[:1].copy())
+                           - bare.forward(pts[:1].copy()))[0])
+            assert 100.0 < d < 1000.0, (code, d)  # CH1903 shift ~200-700 m
