@@ -1380,12 +1380,32 @@ def q67_transform_epsg(spark: SparkSession, sf: str) -> DataFrame:
     rt_ca = ST.st_transform(
         ST.st_transform(ST.st_point(lon_ca, lat_ca), "EPSG:4326", "EPSG:3347"),
         "EPSG:3347", "EPSG:4326")
+    # round-3 projection families: oblique stereographic (RD New, Helmert),
+    # Swiss oblique Mercator (LV95, Helmert), polar stereographic
+    lon_nl = F.col("x") / 490.0 * 3.5 + 3.4
+    lat_nl = F.col("y") / 150.0 * 2.6 + 50.8
+    rt_nl = ST.st_transform(
+        ST.st_transform(ST.st_point(lon_nl, lat_nl), "EPSG:4326", "EPSG:28992"),
+        "EPSG:28992", "EPSG:4326")
+    lon_ch = F.col("x") / 490.0 * 3.0 + 6.2
+    lat_ch = F.col("y") / 150.0 * 1.8 + 45.9
+    rt_ch = ST.st_transform(
+        ST.st_transform(ST.st_point(lon_ch, lat_ch), "EPSG:4326", "EPSG:2056"),
+        "EPSG:2056", "EPSG:4326")
+    lon_aa = F.col("x") / 490.0 * 360.0 - 180.0
+    lat_aa = F.col("y") / 150.0 * 25.0 - 89.0
+    rt_aa = ST.st_transform(
+        ST.st_transform(ST.st_point(lon_aa, lat_aa), "EPSG:4326", "EPSG:3031"),
+        "EPSG:3031", "EPSG:4326")
     return pts.agg(
         F.round(F.avg(ST.st_x(merc)), 2).alias("avg_merc_x"),
         F.round(F.avg(ST.st_y(merc)), 2).alias("avg_merc_y"),
         F.round(F.sum(F.round(ST.st_x(rt_nz), 6)), 4).alias("nz_lon_sum"),
         F.round(F.sum(F.round(ST.st_y(rt_au), 6)), 4).alias("au_lat_sum"),
         F.round(F.sum(F.round(ST.st_x(rt_ca), 6)), 4).alias("ca_lon_sum"),
+        F.round(F.sum(F.round(ST.st_y(rt_nl), 6)), 4).alias("nl_lat_sum"),
+        F.round(F.sum(F.round(ST.st_x(rt_ch), 6)), 4).alias("ch_lon_sum"),
+        F.round(F.sum(F.round(ST.st_y(rt_aa), 6)), 4).alias("aa_lat_sum"),
         F.count("*").alias("n"),
     )
 
@@ -2164,7 +2184,10 @@ def oracle_sql() -> dict[str, str]:
                      CAST(user_id AS DOUBLE)/150.0*100.0 - 50.0 AS lat_m,
                      value/490.0*10.0 + 167.0  AS lon_nz,
                      CAST(user_id AS DOUBLE)/150.0*25.0 - 40.0  AS lat_au,
-                     value/490.0*50.0 - 130.0  AS lon_ca
+                     value/490.0*50.0 - 130.0  AS lon_ca,
+                     CAST(user_id AS DOUBLE)/150.0*2.6 + 50.8   AS lat_nl,
+                     value/490.0*3.0 + 6.2     AS lon_ch,
+                     CAST(user_id AS DOUBLE)/150.0*25.0 - 89.0  AS lat_aa
               FROM events)
             SELECT round(avg(radians(lon_m) * 6378137.0), 2) AS avg_merc_x,
                    round(avg(6378137.0 * ln(
@@ -2175,6 +2198,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(round(lon_nz, 6)), 4) AS nz_lon_sum,
                    round(sum(round(lat_au, 6)), 4) AS au_lat_sum,
                    round(sum(round(lon_ca, 6)), 4) AS ca_lon_sum,
+                   round(sum(round(lat_nl, 6)), 4) AS nl_lat_sum,
+                   round(sum(round(lon_ch, 6)), 4) AS ch_lon_sum,
+                   round(sum(round(lat_aa, 6)), 4) AS aa_lat_sum,
                    count(*) AS n
             FROM p
         """,
