@@ -469,34 +469,42 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     reg("ST_Hilbert", _hilbert_geom_box)
 
-    @pandas_udf(T.BinaryType())
-    def _transform3(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
-        # per-batch transformer cache keyed on (src, dst) — the Spark analog
-        # of the reference's per-local-state PROJ cache (functions.cpp)
-        from ..geom.proj import native_transform
+    def _make_transform_udf(always_xy: bool):
+        @pandas_udf(T.BinaryType())
+        def _transform3(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+            # per-batch transformer cache keyed on (src, dst) — the Spark
+            # analog of the reference's per-local-state PROJ cache
+            from ..geom.proj import native_transform
 
-        cache: dict = {}
-        out = []
-        for b, s_, d_ in zip(g, src, dst):
-            if b is None or s_ is None or d_ is None:
-                out.append(None)
-                continue
-            key = (str(s_).upper(), str(d_).upper())
-            if key[0] == key[1]:
-                out.append(b)
-                continue
-            fn = cache.get(key)
-            if fn is None:
-                fn = S._NATIVE_TRANSFORMS.get(key) or native_transform(*key)
+            cache: dict = {}
+            out = []
+            for b, s_, d_ in zip(g, src, dst):
+                if b is None or s_ is None or d_ is None:
+                    out.append(None)
+                    continue
+                key = (str(s_).upper(), str(d_).upper())
+                if key[0] == key[1]:
+                    out.append(b)
+                    continue
+                fn = cache.get(key)
                 if fn is None:
-                    raise NotImplementedError(
-                        f"ST_Transform {key[0]}->{key[1]}: outside the native CRS registry"
-                    )
-                cache[key] = fn
-            out.append(to_wkb(from_wkb(b).map_coords(fn)))
-        return pd.Series(out, dtype=object)
+                    fn = ((S._NATIVE_TRANSFORMS.get(key) if always_xy else None)
+                          or native_transform(*key, always_xy=always_xy))
+                    if fn is None:
+                        raise NotImplementedError(
+                            f"ST_Transform {key[0]}->{key[1]}: outside the native CRS registry"
+                        )
+                    cache[key] = fn
+                out.append(to_wkb(from_wkb(b).map_coords(fn)))
+            return pd.Series(out, dtype=object)
 
-    reg("ST_Transform", _transform3)
+        return _transform3
+
+    # SQL default matches the reference: authority-compliant axis order
+    # (EPSG:4326 input is lat,lon — test/sql/proj.test); ST_Transform_XY
+    # is the explicit x,y-order form (the reference's always_xy := true)
+    reg("ST_Transform", _make_transform_udf(always_xy=False))
+    reg("ST_Transform_XY", _make_transform_udf(always_xy=True))
 
     reg("ST_Length_Spheroid", S._st_length_spheroid_udf)
     reg("ST_Area_Spheroid", S._st_area_spheroid_udf)

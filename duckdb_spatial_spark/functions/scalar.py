@@ -1819,7 +1819,8 @@ def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True)
         return _col(geom)
     from ..geom.proj import native_transform
 
-    fn = _NATIVE_TRANSFORMS.get(key) or native_transform(*key)
+    fn = (_NATIVE_TRANSFORMS.get(key) if always_xy else None) \
+        or native_transform(*key, always_xy=always_xy)
     if fn is not None:
 
         @pandas_udf(T.BinaryType())

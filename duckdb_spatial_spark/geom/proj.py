@@ -1160,10 +1160,31 @@ def crs_from_proj_string(s: str):
     return base
 
 
-def native_transform(src: str, dst: str) -> Optional[Callable[[np.ndarray], np.ndarray]]:
+# EPSG geographic 2D CRS are lat,lon in authority axis order (the
+# reference's GDAL-backed ST_Transform is authority-compliant by default,
+# test/sql/proj.test). Projected CRS are treated as easting,northing —
+# the handful of authority N,E projected frames are NOT modeled; pass
+# always_xy=True (the Python-API default) for unambiguous x,y semantics.
+_GEOGRAPHIC_EPSG = {4326, 4258, 4269, 4277, 4230}
+
+
+def authority_is_latlon(crs: str) -> bool:
+    su = crs.strip().upper()
+    if su.startswith("EPSG:"):
+        try:
+            return int(su[5:]) in _GEOGRAPHIC_EPSG
+        except ValueError:
+            return False
+    return False
+
+
+def native_transform(src: str, dst: str,
+                     always_xy: bool = True) -> Optional[Callable[[np.ndarray], np.ndarray]]:
     """(n,2)-array transform src→dst via lon/lat, or None when either CRS
     is outside the native registry. CRS strings: 'EPSG:nnnn' or PROJ
-    '+proj=…' parameter strings."""
+    '+proj=…' parameter strings. ``always_xy=False`` applies EPSG
+    authority axis order (lat,lon) on geographic CRS, matching the
+    reference's default."""
 
     def parse(s: str):
         st = s.strip()
@@ -1181,8 +1202,13 @@ def native_transform(src: str, dst: str) -> Optional[Callable[[np.ndarray], np.n
     if c_src is None or c_dst is None:
         return None
 
+    swap_in = not always_xy and authority_is_latlon(src)
+    swap_out = not always_xy and authority_is_latlon(dst)
+
     def fn(arr: np.ndarray) -> np.ndarray:
-        return c_dst.forward(c_src.inverse(arr))
+        a = arr[:, ::-1] if swap_in else arr
+        out = c_dst.forward(c_src.inverse(np.ascontiguousarray(a)))
+        return np.ascontiguousarray(out[:, ::-1]) if swap_out else out
 
     return fn
 

@@ -260,8 +260,10 @@ def test_sql_registration_full_surface(spark):
                ST_QuadKey(ST_GeomFromText('POINT (11.08 46.07)'), 3) AS qk,
                ST_Hilbert(ST_GeomFromText('POINT (3 3)'),
                    named_struct('xmin',0.0D,'ymin',0.0D,'xmax',10.0D,'ymax',10.0D)) AS h,
-               ST_X(ST_Transform(ST_GeomFromText('POINT (10 50)'),
+               ST_X(ST_Transform(ST_GeomFromText('POINT (50 10)'),
                                  'EPSG:4326', 'EPSG:3857')) AS tx,
+               ST_X(ST_Transform_XY(ST_GeomFromText('POINT (10 50)'),
+                                 'EPSG:4326', 'EPSG:3857')) AS tx2,
                ST_Length_Spheroid(ST_GeomFromText('LINESTRING (0 0, 1 0)')) AS lsph,
                ST_DWithin_Spheroid(ST_GeomFromText('POINT (0 0)'),
                                    ST_GeomFromText('POINT (0.001 0)'), 200.0) AS dws,
@@ -278,7 +280,11 @@ def test_sql_registration_full_surface(spark):
     assert row["f3"] == "POINT Z (1 2 5)"
     assert row["qk"] == "120"
     assert row["h"] is not None
+    # ST_Transform is authority-compliant like the reference (EPSG:4326
+    # input is lat,lon — reference test/sql/proj.test); ST_Transform_XY is
+    # the explicit x,y form
     assert row["tx"] == pytest.approx(1113194.9, rel=1e-4)
+    assert row["tx2"] == pytest.approx(1113194.9, rel=1e-4)
     # 1 deg of longitude along the equator = a*pi/180 = 111319.49 m
     assert row["lsph"] == pytest.approx(111319.49, rel=1e-3)
     assert row["dws"] is True and row["ie"] is True
