@@ -388,6 +388,108 @@ class AlbersEqualArea:
         return out
 
 
+# ------------------------------ Hotine Oblique Mercator (omerc)
+
+@dataclass(frozen=True)
+class HotineObliqueMercator:
+    """Hotine Oblique Mercator (EPSG methods 9812 'variant A' and 9815
+    'variant B'; Snyder 9-x): aposphere-based oblique cylinder defined by
+    a center (lat_c, lon_c), azimuth alpha_c and rectified grid angle
+    gamma_c. ``no_uoff=True`` is variant A (natural-origin false
+    coordinates); False is variant B (false coordinates at the center).
+    Validated against the EPSG Guidance Note worked example (Timbalai
+    1948 / RSO Borneo)."""
+
+    a: float
+    f: float
+    latc_deg: float
+    lonc_deg: float
+    alpha_deg: float
+    gamma_deg: float
+    k0: float
+    false_e: float
+    false_n: float
+    no_uoff: bool = False
+
+    def _setup(self):
+        e2 = self.f * (2.0 - self.f)
+        e = math.sqrt(e2)
+        phic = math.radians(self.latc_deg)
+        lamc = math.radians(self.lonc_deg)
+        alphac = math.radians(self.alpha_deg)
+        gammac = math.radians(self.gamma_deg)
+        B = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+        A = self.a * B * self.k0 * math.sqrt(1 - e2) / (
+            1 - e2 * math.sin(phic) ** 2)
+        t0 = math.tan(math.pi / 4 - phic / 2) / (
+            (1 - e * math.sin(phic)) / (1 + e * math.sin(phic))) ** (e / 2)
+        D = B * math.sqrt(1 - e2) / (
+            math.cos(phic) * math.sqrt(1 - e2 * math.sin(phic) ** 2))
+        D2 = max(D * D, 1.0)
+        sgn = math.copysign(1.0, phic) if phic != 0 else 1.0
+        Fc = D + math.sqrt(D2 - 1.0) * sgn
+        H = Fc * t0 ** B
+        G = (Fc - 1.0 / Fc) / 2.0
+        gamma0 = math.asin(math.sin(alphac) / D)
+        lam0 = lamc - math.asin(G * math.tan(gamma0)) / B
+        uc = 0.0
+        if not self.no_uoff:
+            uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0),
+                                      math.cos(alphac)) * sgn
+        return e, A, B, H, gamma0, gammac, lam0, uc, sgn
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e, A, B, H, gamma0, gammac, lam0, uc, sgn = self._setup()
+        phi = np.radians(lonlat[:, 1])
+        lam = np.radians(lonlat[:, 0])
+        sp = np.sin(phi)
+        t = np.tan(math.pi / 4 - phi / 2) / (
+            (1 - e * sp) / (1 + e * sp)) ** (e / 2)
+        Q = H / t ** B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(B * (lam - lam0))
+        U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+        v = A * np.log((1 - U) / (1 + U)) / (2.0 * B)
+        u = (A * np.arctan2(S * math.cos(gamma0) + V * math.sin(gamma0),
+                            np.cos(B * (lam - lam0))) / B) - abs(uc) * sgn
+        out = lonlat.copy()
+        out[:, 0] = v * math.cos(gammac) + u * math.sin(gammac) + self.false_e
+        out[:, 1] = u * math.cos(gammac) - v * math.sin(gammac) + self.false_n
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e, A, B, H, gamma0, gammac, lam0, uc, sgn = self._setup()
+        e2 = self.f * (2.0 - self.f)
+        vp = ((xy[:, 0] - self.false_e) * math.cos(gammac)
+              - (xy[:, 1] - self.false_n) * math.sin(gammac))
+        up = ((xy[:, 1] - self.false_n) * math.cos(gammac)
+              + (xy[:, 0] - self.false_e) * math.sin(gammac)) + abs(uc) * sgn
+        Qp = np.exp(-B * vp / A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = np.sin(B * up / A)
+        Up = (Vp * math.cos(gamma0) + Sp * math.sin(gamma0)) / Tp
+        tp = (H / np.sqrt((1 + Up) / (1 - Up))) ** (1.0 / B)
+        # invert t(phi) as in LCC
+        phi = math.pi / 2 - 2.0 * np.arctan(tp)
+        for _ in range(10):
+            spv = np.sin(phi)
+            phi_new = math.pi / 2 - 2.0 * np.arctan(
+                tp * ((1 - e * spv) / (1 + e * spv)) ** (e / 2))
+            if np.max(np.abs(phi_new - phi)) < 1e-14:
+                phi = phi_new
+                break
+            phi = phi_new
+        lam = lam0 - np.arctan2(Sp * math.cos(gamma0) - Vp * math.sin(gamma0),
+                                np.cos(B * up / A)) / B
+        out = xy.copy()
+        out[:, 0] = np.degrees(lam)
+        out[:, 1] = np.degrees(phi)
+        _ = e2
+        return out
+
+
 # --------------------------------- Swiss Oblique Mercator (somerc)
 
 @dataclass(frozen=True)
@@ -881,6 +983,15 @@ _EPSG_PROJ = {
            "+y_0=-5300000 +ellps=GRS80"),                  # ETRS89 / Poland CS92
     2157: ("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 +x_0=600000 "
            "+y_0=750000 +ellps=GRS80"),                    # IRENET95 / Irish TM
+    # Timbalai 1948 / RSO Borneo (m) — the EPSG guidance-note example CRS
+    29873: ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+            "+gamma=53.13010236111111 +k_0=0.99984 +x_0=590476.87 "
+            "+y_0=442857.65 +a=6377298.556 +rf=300.8017 "
+            "+towgs84=-679,669,-48,0,0,0,0"),
+    # NAD83 / Alaska zone 1 (Hotine variant A: natural-origin offsets)
+    26931: ("+proj=omerc +lat_0=57 +lonc=-133.6666666666667 "
+            "+alpha=323.1301023611111 +gamma=323.1301023611111 +k_0=0.9999 "
+            "+x_0=5000000 +y_0=-5000000 +no_uoff +ellps=GRS80"),
     21781: ("+proj=somerc +lat_0=46.95240555555556 "
             "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
             "+ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0"),
@@ -1012,10 +1123,14 @@ def crs_from_proj_string(s: str):
         "proj", "ellps", "datum", "a", "b", "rf", "f", "es", "k", "k_0",
         "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "x_0", "y_0",
         "zone", "south", "north", "towgs84", "units", "no_defs", "nadgrids",
-        "wktext", "type", "over", "approx", "pm",
+        "wktext", "type", "over", "approx", "pm", "lonc", "alpha", "gamma",
+        "no_uoff",
     }
     unknown = set(kv) - _KNOWN
     if unknown:
+        return None
+    # oblique-Mercator-only parameters are silently-wrong elsewhere
+    if proj != "omerc" and {"lonc", "alpha", "gamma", "no_uoff"} & set(kv):
         return None
     if kv.get("units", "m").lower() not in ("m",) and proj not in ("longlat", "latlong"):
         return None
@@ -1126,6 +1241,15 @@ def crs_from_proj_string(s: str):
     elif proj == "laea":
         base = LambertAzimuthalEqualArea(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                          false_e=x0, false_n=y0)
+    elif proj == "omerc":
+        if "lonc" not in kv or "alpha" not in kv:
+            return None
+        alpha = float(kv["alpha"])
+        gamma = float(kv.get("gamma", alpha))
+        base = HotineObliqueMercator(
+            a, f, latc_deg=lat0, lonc_deg=float(kv["lonc"]),
+            alpha_deg=alpha, gamma_deg=gamma, k0=k0,
+            false_e=x0, false_n=y0, no_uoff="no_uoff" in kv)
     elif proj == "somerc":
         base = SwissObliqueMercator(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                     k0=k0, false_e=x0, false_n=y0)
@@ -1253,6 +1377,8 @@ def list_native_crs():
         3978: "NAD83 / Canada Atlas Lambert", 31983: "SIRGAS 2000 / UTM 23S",
         28992: "Amersfoort / RD New",
         21781: "CH1903 / LV03", 2056: "CH1903+ / LV95",
+        29873: "Timbalai 1948 / RSO Borneo (m)",
+        26931: "NAD83 / Alaska zone 1",
         27571: "NTF (Paris) / Lambert zone I",
         27572: "NTF (Paris) / Lambert zone II",
         27573: "NTF (Paris) / Lambert zone III",

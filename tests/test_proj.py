@@ -361,6 +361,7 @@ class TestEpsgRegistry:
             27571: (2.35, 49.2), 27572: (2.35, 46.9), 27573: (5.4, 43.6),
             32661: (30, 80), 32761: (30, -80), 3413: (-40, 75),
             28992: (5.4, 52.2), 21781: (8.2, 46.8), 2056: (8.2, 46.8),
+            29873: (115.5, 5.0), 26931: (-134.0, 57.0),
             3976: (100, -75), 3031: (0, -75),
         }
         assert set(probe) == set(_EPSG_PROJ)
@@ -749,3 +750,63 @@ class TestSwissObliqueMercator:
             d = np.hypot(*(fwd(pts[:1].copy())
                            - bare.forward(pts[:1].copy()))[0])
             assert 100.0 < d < 1000.0, (code, d)  # CH1903 shift ~200-700 m
+
+
+class TestHotineObliqueMercator:
+    """EPSG methods 9812/9815 (Hotine oblique Mercator): Timbalai RSO
+    Borneo (29873, variant B) and NAD83 / Alaska zone 1 (26931,
+    variant A via +no_uoff)."""
+
+    def _bare(self, code):
+        from duckdb_spatial_spark.geom.proj import (_EPSG_PROJ,
+                                                    crs_from_proj_string)
+
+        return crs_from_proj_string(
+            " ".join(t for t in _EPSG_PROJ[code].split()
+                     if not t.startswith("+towgs84")))
+
+    def test_epsg_guidance_note_worked_example_borneo(self):
+        # GN 7-2 method 9815 example: 5°23'14.1129"N 115°48'19.8196"E →
+        # E 679245.73, N 596562.78 (Timbalai 1948 datum)
+        c = self._bare(29873)
+        lat = 5 + 23 / 60 + 14.1129 / 3600
+        lon = 115 + 48 / 60 + 19.8196 / 3600
+        out = c.forward(np.array([[lon, lat]]))
+        assert out[0, 0] == pytest.approx(679245.73, abs=5e-2)
+        assert out[0, 1] == pytest.approx(596562.78, abs=5e-2)
+
+    def test_roundtrips_both_variants(self):
+        for code, pts in (
+            (29873, [[115.0, 4.0], [117.5, 6.0], [113.2, 2.1]]),
+            (26931, [[-134.0, 57.0], [-131.5, 55.5], [-136.0, 59.0]]),
+        ):
+            c = self._bare(code)
+            arr = np.array(pts, dtype=float)
+            rt = c.inverse(c.forward(arr.copy()))
+            assert np.abs(rt - arr).max() < 1e-9, code
+
+    def test_center_scale_is_k0(self):
+        # conformal: isotropic scale at the projection center equals kc
+        from duckdb_spatial_spark.geom.proj import GRS80
+
+        a, f = GRS80
+        e2 = f * (2 - f)
+        c = self._bare(26931)
+        lonc, latc = -133.6666666666667, 57.0
+        lat = math.radians(latc)
+        nu = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+        dlon = 1e-4
+        ground = nu * math.cos(lat) * math.radians(dlon)
+        p = c.forward(np.array([[lonc, latc], [lonc + dlon, latc]]))
+        assert math.hypot(*(p[1] - p[0])) / ground == pytest.approx(
+            0.9999, abs=1e-7)
+
+    def test_full_epsg_with_datum_shift(self):
+        fwd = native_transform("EPSG:4326", "EPSG:29873")
+        inv = native_transform("EPSG:29873", "EPSG:4326")
+        pt = np.array([[115.5, 5.0]])
+        rt = inv(fwd(pt.copy()))
+        assert np.abs(rt - pt).max() < 1e-7
+        bare = self._bare(29873)
+        d = np.hypot(*(fwd(pt.copy()) - bare.forward(pt.copy()))[0])
+        assert 200.0 < d < 2000.0  # Timbalai shift ~1 km
