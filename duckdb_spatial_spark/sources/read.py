@@ -364,6 +364,24 @@ def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
         with open(path, "rb") as fh:
             n = len(parse_kml_bytes(fh.read(), path))
         rows = [(path, "kml", n, 1, json.dumps({"geom": "kml"}))]
+    elif low.rstrip("/").endswith(".gdb"):
+        from ..geom import gdbtable as GT
+        from .gdb import gdb_layers
+
+        p = path.rstrip("/")
+        layers = gdb_layers(p)
+        total = 0
+        metas = []
+        for rid, name in GT.read_catalog(p):
+            if name not in layers:
+                continue
+            n, fields = GT.read_header_and_fields(
+                GT.table_file(p, rid) + ".gdbtable")
+            total += n
+            metas.append({"layer": name,
+                          "fields": [f.name for f in fields], "rows": n})
+        rows = [(path, "gdb", total, len(layers),
+                 json.dumps(metas, default=str))]
     elif low.endswith(".shp"):
         size = os.path.getsize(path)
         rows = [(path, "shp", None, 1, json.dumps({"bytes": size}))]

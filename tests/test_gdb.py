@@ -210,3 +210,14 @@ def test_write_negative_coordinates_derive_origin(spark, tmp_path):
     g1 = from_wkb(bytes(back[0]["geom"]))
     assert float(g1.coords[0]) == pytest.approx(-987.65, abs=1e-6)
     assert float(g1.coords[1]) == pytest.approx(-12.0, abs=1e-6)
+
+
+def test_read_meta_gdb(spark, tmp_path):
+    from duckdb_spatial_spark.sources import st_read_meta
+
+    gdb = tmp_path / "zones.gdb"
+    _write_fixture_gdb(spark, gdb, n=60)
+    m = st_read_meta(spark, str(gdb)).collect()[0]
+    assert m["driver"] == "gdb" and m["num_rows"] == 60
+    assert m["num_row_groups"] == 1  # one layer
+    assert "pts" in m["schema_json"]
