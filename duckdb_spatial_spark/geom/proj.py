@@ -388,6 +388,136 @@ class AlbersEqualArea:
         return out
 
 
+# -------------------- Equidistant Cylindrical & Sinusoidal
+
+def _merid_coeffs(f: float):
+    """Meridian-arc series: M(phi) = a_fact*a*(mu) via the Krüger
+    rectifying-latitude machinery (alpha fwd / beta inv coefficients)."""
+    n = f / (2.0 - f)
+    alpha, beta, a_factor = _kruger_coeffs(n)
+    return alpha, beta, a_factor
+
+
+def _merid_arc(phi: np.ndarray, a: float, f: float) -> np.ndarray:
+    """Ellipsoidal meridian distance from the equator (Karney's
+    rectifying-latitude series — same coefficients as the TM engine)."""
+    alpha, _beta, a_factor = _merid_coeffs(f)
+    A = a * a_factor
+    mu = phi.copy().astype(np.float64)
+    # rectifying latitude: mu = phi - sum(c_j sin(2j phi)) with the
+    # inverse-series relation; use conformal-free direct series:
+    # M(phi)/A = phi + sum_j alpha-like terms — derive via quadrature-free
+    # classic series (Snyder 3-21) for robustness instead:
+    e2 = f * (2 - f)
+    e4, e6 = e2 * e2, e2 ** 3
+    M = a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * mu
+             - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * mu)
+             + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * mu)
+             - (35 * e6 / 3072) * np.sin(6 * mu))
+    _ = A
+    return M
+
+
+def _inv_merid_arc(M: np.ndarray, a: float, f: float) -> np.ndarray:
+    """phi from meridian distance (Snyder 3-26 footpoint series)."""
+    e2 = f * (2 - f)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = M / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 ** 3 / 256))
+    phi = (mu
+           + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+           + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+           + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+           + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+    # two Newton steps on the exact arc (series alone leaves ~3e-9°)
+    for _ in range(2):
+        s = np.sin(phi)
+        mp = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        phi = phi - (_merid_arc(phi, a, f) - M) / mp
+    return phi
+
+
+@dataclass(frozen=True)
+class EquidistantCylindrical:
+    """Equidistant Cylindrical / Plate Carrée (EPSG method 1028/1029,
+    Snyder ch.12): x = nu1·cos(lat_ts)·dlam, y = meridian arc."""
+
+    a: float
+    f: float
+    lat_ts_deg: float
+    lon0_deg: float
+    false_e: float
+    false_n: float
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        e2 = self.f * (2 - self.f)
+        p1 = math.radians(self.lat_ts_deg)
+        nu1cos = self.a * math.cos(p1) / math.sqrt(
+            1 - e2 * math.sin(p1) ** 2)
+        out = lonlat.copy()
+        out[:, 0] = self.false_e + nu1cos * np.radians(
+            lonlat[:, 0] - self.lon0_deg)
+        out[:, 1] = self.false_n + _merid_arc(
+            np.radians(lonlat[:, 1]), self.a, self.f)
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        e2 = self.f * (2 - self.f)
+        p1 = math.radians(self.lat_ts_deg)
+        nu1cos = self.a * math.cos(p1) / math.sqrt(
+            1 - e2 * math.sin(p1) ** 2)
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + np.degrees(
+            (xy[:, 0] - self.false_e) / nu1cos)
+        out[:, 1] = np.degrees(_inv_merid_arc(
+            xy[:, 1] - self.false_n, self.a, self.f))
+        return out
+
+
+@dataclass(frozen=True)
+class Sinusoidal:
+    """Sinusoidal (Sanson–Flamsteed; Snyder ch.30) — equal-area; the
+    spherical form on R=6371007.181 is the MODIS tiling grid."""
+
+    a: float
+    f: float
+    lon0_deg: float
+    false_e: float
+    false_n: float
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        phi = np.radians(lonlat[:, 1])
+        out = lonlat.copy()
+        if self.f == 0.0:
+            out[:, 0] = (self.false_e + self.a * np.radians(
+                lonlat[:, 0] - self.lon0_deg) * np.cos(phi))
+            out[:, 1] = self.false_n + self.a * phi
+            return out
+        e2 = self.f * (2 - self.f)
+        out[:, 0] = (self.false_e
+                     + self.a * np.cos(phi) * np.radians(
+                         lonlat[:, 0] - self.lon0_deg)
+                     / np.sqrt(1 - e2 * np.sin(phi) ** 2))
+        out[:, 1] = self.false_n + _merid_arc(phi, self.a, self.f)
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        out = xy.copy()
+        if self.f == 0.0:
+            phi = (xy[:, 1] - self.false_n) / self.a
+            out[:, 0] = self.lon0_deg + np.degrees(
+                (xy[:, 0] - self.false_e)
+                / (self.a * np.maximum(np.cos(phi), 1e-12)))
+            out[:, 1] = np.degrees(phi)
+            return out
+        e2 = self.f * (2 - self.f)
+        phi = _inv_merid_arc(xy[:, 1] - self.false_n, self.a, self.f)
+        out[:, 0] = self.lon0_deg + np.degrees(
+            (xy[:, 0] - self.false_e) * np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            / (self.a * np.maximum(np.cos(phi), 1e-12)))
+        out[:, 1] = np.degrees(phi)
+        return out
+
+
 # ------------------------------ Hotine Oblique Mercator (omerc)
 
 @dataclass(frozen=True)
@@ -966,6 +1096,10 @@ def _crs_for_epsg(code: int):
 _EPSG_PROJ = {
     # world / polar
     3395: "+proj=merc +ellps=WGS84",                       # World Mercator
+    4087: ("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 "
+           "+ellps=WGS84"),            # WGS 84 / World Equidistant Cylindrical
+    32662: ("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 "
+            "+ellps=WGS84"),           # WGS 84 / Plate Carree (deprecated id)
     32661: ("+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 "
             "+x_0=2000000 +y_0=2000000 +ellps=WGS84"),     # UPS North
     32761: ("+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 "
@@ -1124,7 +1258,7 @@ def crs_from_proj_string(s: str):
         "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "x_0", "y_0",
         "zone", "south", "north", "towgs84", "units", "no_defs", "nadgrids",
         "wktext", "type", "over", "approx", "pm", "lonc", "alpha", "gamma",
-        "no_uoff",
+        "no_uoff", "r",
     }
     unknown = set(kv) - _KNOWN
     if unknown:
@@ -1138,6 +1272,10 @@ def crs_from_proj_string(s: str):
         return None
 
     # ellipsoid
+    if "r" in kv:
+        kv = dict(kv)
+        kv["a"] = kv.pop("r")
+        kv.setdefault("f", "0")
     if "a" in kv:
         a = float(kv["a"])
         if "rf" in kv:
@@ -1241,6 +1379,11 @@ def crs_from_proj_string(s: str):
     elif proj == "laea":
         base = LambertAzimuthalEqualArea(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                          false_e=x0, false_n=y0)
+    elif proj == "eqc":
+        base = EquidistantCylindrical(a, f, lat_ts_deg=fl("lat_ts"),
+                                      lon0_deg=lon0, false_e=x0, false_n=y0)
+    elif proj == "sinu":
+        base = Sinusoidal(a, f, lon0_deg=lon0, false_e=x0, false_n=y0)
     elif proj == "omerc":
         if "lonc" not in kv or "alpha" not in kv:
             return None
@@ -1364,6 +1507,8 @@ def list_native_crs():
                      "tmerc+helmert"))
     _EPSG_NAMES = {
         3395: "WGS 84 / World Mercator", 3034: "ETRS89 / LCC Europe",
+        4087: "WGS 84 / World Equidistant Cylindrical",
+        32662: "WGS 84 / Plate Carree",
         32661: "WGS 84 / UPS North", 32761: "WGS 84 / UPS South",
         3413: "NSIDC Sea Ice Polar Stereographic North",
         3976: "NSIDC Sea Ice Polar Stereographic South",

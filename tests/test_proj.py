@@ -362,6 +362,7 @@ class TestEpsgRegistry:
             32661: (30, 80), 32761: (30, -80), 3413: (-40, 75),
             28992: (5.4, 52.2), 21781: (8.2, 46.8), 2056: (8.2, 46.8),
             29873: (115.5, 5.0), 26931: (-134.0, 57.0),
+            4087: (10, 50), 32662: (10, 50),
             3976: (100, -75), 3031: (0, -75),
         }
         assert set(probe) == set(_EPSG_PROJ)
@@ -810,3 +811,58 @@ class TestHotineObliqueMercator:
         bare = self._bare(29873)
         d = np.hypot(*(fwd(pt.copy()) - bare.forward(pt.copy()))[0])
         assert 200.0 < d < 2000.0  # Timbalai shift ~1 km
+
+
+class TestEqcAndSinusoidal:
+    """Equidistant Cylindrical (EPSG 1028; 4087/32662) and Sinusoidal
+    (the MODIS grid string '+proj=sinu +R=6371007.181')."""
+
+    def test_eqc_meridian_is_true_distance(self):
+        # the defining property: northing = ellipsoidal meridian arc.
+        # Quarter meridian on WGS84 is the canonical 10 001 965.729 m
+        fwd = native_transform("EPSG:4326", "EPSG:4087")
+        q = fwd(np.array([[0.0, 90.0]]))
+        assert q[0, 1] == pytest.approx(10001965.7293, abs=1e-3)
+        # and equator easting = a·λ
+        e = fwd(np.array([[90.0, 0.0]]))
+        assert e[0, 0] == pytest.approx(6378137.0 * math.pi / 2, abs=1e-6)
+
+    def test_eqc_roundtrip(self):
+        fwd = native_transform("EPSG:4326", "EPSG:4087")
+        inv = native_transform("EPSG:4087", "EPSG:4326")
+        pts = np.array([[10.0, 50.0], [-120.0, -33.0], [0.0, 0.0],
+                        [179.0, 84.0], [13.0, -89.0]])
+        assert np.abs(inv(fwd(pts.copy())) - pts).max() < 1e-11
+
+    def test_modis_sinusoidal_equal_area_and_roundtrip(self):
+        from duckdb_spatial_spark.geom.proj import crs_from_proj_string
+
+        modis = crs_from_proj_string(
+            "+proj=sinu +R=6371007.181 +nadgrids=@null +wktext "
+            "+x_0=0 +y_0=0 +lon_0=0")
+        assert modis is not None
+        pts = np.array([[10.0, 50.0], [-120.0, -33.0], [77.0, 12.0]])
+        assert np.abs(modis.inverse(modis.forward(pts.copy())) - pts).max() < 1e-9
+        # equal-area: fine quad at mid-latitude vs spherical zone slice
+        lat0, dlat, dlon = 40.0, 0.01, 0.01
+        quad = np.array([[10, lat0], [10 + dlon, lat0],
+                         [10 + dlon, lat0 + dlat], [10, lat0 + dlat]],
+                        dtype=float)
+        p = modis.forward(quad.copy())
+        x, y = p[:, 0], p[:, 1]
+        area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+        R = 6371007.181
+        zone = (2 * math.pi * R * R
+                * (math.sin(math.radians(lat0 + dlat))
+                   - math.sin(math.radians(lat0))) * dlon / 360.0)
+        assert area / zone == pytest.approx(1.0, rel=1e-8)
+
+    def test_sinusoidal_ellipsoidal_form(self):
+        from duckdb_spatial_spark.geom.proj import crs_from_proj_string
+
+        sinu = crs_from_proj_string("+proj=sinu +ellps=WGS84")
+        pts = np.array([[10.0, 50.0], [-120.0, -33.0]])
+        assert np.abs(sinu.inverse(sinu.forward(pts.copy())) - pts).max() < 1e-9
+        # central meridian northing = meridian arc (quarter at the pole)
+        q = sinu.forward(np.array([[0.0, 90.0]]))
+        assert q[0, 1] == pytest.approx(10001965.7293, abs=1e-3)
