@@ -388,6 +388,145 @@ class AlbersEqualArea:
         return out
 
 
+# ----------------------------- Mollweide & Equal Earth (equal-area)
+
+def _authalic_setup(a: float, f: float):
+    """(R_authalic, to_authalic(phi), from_authalic(beta)) — the sphere
+    with the ellipsoid's area and the latitude mapping that preserves
+    area (Snyder 3-11…3-13)."""
+    if f == 0.0:
+        ident = lambda x: x  # noqa: E731
+        return a, ident, ident
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q_of(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           + np.arctanh(e * s) / e)
+
+    qp = float(q_of(np.array([math.pi / 2]))[0])
+    R = a * math.sqrt(qp / 2.0)
+
+    def to_auth(phi):
+        return np.arcsin(np.clip(q_of(phi) / qp, -1.0, 1.0))
+
+    def from_auth(beta):
+        # Newton on q(phi) = qp sin(beta)
+        target = qp * np.sin(beta)
+        phi = np.asarray(beta, dtype=np.float64).copy()
+        for _ in range(8):
+            s = np.sin(phi)
+            fv = q_of(phi) - target
+            fd = 2 * (1 - e2) * np.cos(phi) / (1 - e2 * s * s) ** 2
+            step = fv / np.maximum(fd, 1e-300)
+            phi = phi - step
+            if np.max(np.abs(step)) < 1e-15:
+                break
+        return phi
+
+    return R, to_auth, from_auth
+
+
+@dataclass(frozen=True)
+class Mollweide:
+    """Mollweide (Snyder ch.31) on the authalic sphere — equal-area."""
+
+    a: float
+    f: float
+    lon0_deg: float
+    false_e: float
+    false_n: float
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        R, to_auth, _ = _authalic_setup(self.a, self.f)
+        beta = to_auth(np.radians(lonlat[:, 1]))
+        # 2θ + sin2θ = π sinβ (Newton, quadratic convergence)
+        theta = beta.copy()
+        target = math.pi * np.sin(beta)
+        for _ in range(12):
+            step = ((2 * theta + np.sin(2 * theta) - target)
+                    / np.maximum(2 + 2 * np.cos(2 * theta), 1e-12))
+            theta = theta - step
+            if np.max(np.abs(step)) < 1e-15:
+                break
+        out = lonlat.copy()
+        out[:, 0] = (self.false_e + 2 * math.sqrt(2) / math.pi * R
+                     * np.radians(lonlat[:, 0] - self.lon0_deg)
+                     * np.cos(theta))
+        out[:, 1] = self.false_n + math.sqrt(2) * R * np.sin(theta)
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        R, _, from_auth = _authalic_setup(self.a, self.f)
+        theta = np.arcsin(np.clip(
+            (xy[:, 1] - self.false_n) / (math.sqrt(2) * R), -1.0, 1.0))
+        beta = np.arcsin(np.clip(
+            (2 * theta + np.sin(2 * theta)) / math.pi, -1.0, 1.0))
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + np.degrees(
+            math.pi * (xy[:, 0] - self.false_e)
+            / (2 * math.sqrt(2) * R * np.maximum(np.cos(theta), 1e-12)))
+        out[:, 1] = np.degrees(from_auth(beta))
+        return out
+
+
+# Equal Earth polynomial coefficients (Šavrič, Patterson & Jenny 2018)
+_EE_A1, _EE_A2, _EE_A3, _EE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+_EE_M = math.sqrt(3) / 2.0
+
+
+@dataclass(frozen=True)
+class EqualEarth:
+    """Equal Earth (EPSG:8857, method 1078) on the authalic sphere."""
+
+    a: float
+    f: float
+    lon0_deg: float
+    false_e: float
+    false_n: float
+
+    @staticmethod
+    def _ybar(theta):
+        t2 = theta * theta
+        return theta * (_EE_A1 + _EE_A2 * t2
+                        + t2 ** 3 * (_EE_A3 + _EE_A4 * t2))
+
+    @staticmethod
+    def _dybar(theta):
+        t2 = theta * theta
+        return (_EE_A1 + 3 * _EE_A2 * t2
+                + t2 ** 3 * (7 * _EE_A3 + 9 * _EE_A4 * t2))
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        R, to_auth, _ = _authalic_setup(self.a, self.f)
+        beta = to_auth(np.radians(lonlat[:, 1]))
+        theta = np.arcsin(_EE_M * np.sin(beta))
+        out = lonlat.copy()
+        out[:, 0] = (self.false_e
+                     + R * np.radians(lonlat[:, 0] - self.lon0_deg)
+                     * np.cos(theta) / (_EE_M * self._dybar(theta)))
+        out[:, 1] = self.false_n + R * self._ybar(theta)
+        return out
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        R, _, from_auth = _authalic_setup(self.a, self.f)
+        yb = (xy[:, 1] - self.false_n) / R
+        theta = yb / _EE_A1  # good start; Newton to machine precision
+        for _ in range(12):
+            step = (self._ybar(theta) - yb) / self._dybar(theta)
+            theta = theta - step
+            if np.max(np.abs(step)) < 1e-15:
+                break
+        beta = np.arcsin(np.clip(np.sin(theta) / _EE_M, -1.0, 1.0))
+        out = xy.copy()
+        out[:, 0] = self.lon0_deg + np.degrees(
+            (xy[:, 0] - self.false_e) * _EE_M * self._dybar(theta)
+            / (R * np.maximum(np.cos(theta), 1e-12)))
+        out[:, 1] = np.degrees(from_auth(beta))
+        return out
+
+
 # -------------------- Equidistant Cylindrical & Sinusoidal
 
 def _merid_coeffs(f: float):
@@ -1096,6 +1235,7 @@ def _crs_for_epsg(code: int):
 _EPSG_PROJ = {
     # world / polar
     3395: "+proj=merc +ellps=WGS84",                       # World Mercator
+    8857: ("+proj=eqearth +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"),
     4087: ("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 "
            "+ellps=WGS84"),            # WGS 84 / World Equidistant Cylindrical
     32662: ("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 "
@@ -1379,6 +1519,10 @@ def crs_from_proj_string(s: str):
     elif proj == "laea":
         base = LambertAzimuthalEqualArea(a, f, lat0_deg=lat0, lon0_deg=lon0,
                                          false_e=x0, false_n=y0)
+    elif proj == "moll":
+        base = Mollweide(a, f, lon0_deg=lon0, false_e=x0, false_n=y0)
+    elif proj == "eqearth":
+        base = EqualEarth(a, f, lon0_deg=lon0, false_e=x0, false_n=y0)
     elif proj == "eqc":
         base = EquidistantCylindrical(a, f, lat_ts_deg=fl("lat_ts"),
                                       lon0_deg=lon0, false_e=x0, false_n=y0)
@@ -1507,6 +1651,7 @@ def list_native_crs():
                      "tmerc+helmert"))
     _EPSG_NAMES = {
         3395: "WGS 84 / World Mercator", 3034: "ETRS89 / LCC Europe",
+        8857: "WGS 84 / Equal Earth Greenwich",
         4087: "WGS 84 / World Equidistant Cylindrical",
         32662: "WGS 84 / Plate Carree",
         32661: "WGS 84 / UPS North", 32761: "WGS 84 / UPS South",

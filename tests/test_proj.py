@@ -362,7 +362,7 @@ class TestEpsgRegistry:
             32661: (30, 80), 32761: (30, -80), 3413: (-40, 75),
             28992: (5.4, 52.2), 21781: (8.2, 46.8), 2056: (8.2, 46.8),
             29873: (115.5, 5.0), 26931: (-134.0, 57.0),
-            4087: (10, 50), 32662: (10, 50),
+            4087: (10, 50), 32662: (10, 50), 8857: (10, 50),
             3976: (100, -75), 3031: (0, -75),
         }
         assert set(probe) == set(_EPSG_PROJ)
@@ -866,3 +866,57 @@ class TestEqcAndSinusoidal:
         # central meridian northing = meridian arc (quarter at the pole)
         q = sinu.forward(np.array([[0.0, 90.0]]))
         assert q[0, 1] == pytest.approx(10001965.7293, abs=1e-3)
+
+
+class TestEqualAreaWorld:
+    """Mollweide (Snyder ch.31) and Equal Earth (EPSG:8857, Šavrič-
+    Patterson-Jenny coefficients) on the authalic sphere."""
+
+    def _zone(self, lo, hi, dlon):
+        a, f = WGS84
+        e2 = f * (2 - f)
+        e = math.sqrt(e2)
+        b2 = (a * (1 - f)) ** 2
+
+        def z(phi):
+            s = math.sin(phi)
+            return math.pi * b2 * (s / (1 - e * e * s * s)
+                                   + math.atanh(e * s) / e)
+
+        return abs(z(math.radians(hi)) - z(math.radians(lo))) * dlon / 360.0
+
+    def _quad_area(self, c, lat0):
+        quad = np.array([[10.0, lat0], [10.01, lat0],
+                         [10.01, lat0 + 0.01], [10.0, lat0 + 0.01]])
+        p = c(quad.copy())
+        x, y = p[:, 0], p[:, 1]
+        return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+    def test_equal_earth_epsg8857(self):
+        fwd = native_transform("EPSG:4326", "EPSG:8857")
+        inv = native_transform("EPSG:8857", "EPSG:4326")
+        pts = np.array([[10.0, 50.0], [-120.0, -33.0], [0.0, 0.0],
+                        [179.0, 84.0], [30.0, -88.0]])
+        assert np.abs(inv(fwd(pts.copy())) - pts).max() < 1e-9
+        for lat0 in (0.0, 40.0, -70.0):
+            ratio = self._quad_area(fwd, lat0) / self._zone(lat0, lat0 + 0.01,
+                                                            0.01)
+            assert ratio == pytest.approx(1.0, rel=1e-7), lat0
+
+    def test_mollweide_invariants(self):
+        from duckdb_spatial_spark.geom.proj import crs_from_proj_string
+
+        moll = crs_from_proj_string("+proj=moll +ellps=WGS84")
+        pts = np.array([[10.0, 50.0], [-120.0, -33.0], [179.0, 84.0]])
+        assert np.abs(moll.inverse(moll.forward(pts.copy())) - pts).max() < 1e-9
+        ratio = self._quad_area(moll.forward, 40.0) / self._zone(40.0, 40.01,
+                                                                 0.01)
+        assert ratio == pytest.approx(1.0, rel=1e-7)
+        # spherical frame: the 2:1 ellipse with x(180,0) = 2√2·R and
+        # y(pole) = √2·R (Snyder 31-1/31-2)
+        R = 6371000.0
+        ms = crs_from_proj_string("+proj=moll +R=6371000")
+        assert ms.forward(np.array([[180.0, 0.0]]))[0, 0] == pytest.approx(
+            2 * math.sqrt(2) * R, rel=1e-12)
+        assert ms.forward(np.array([[0.0, 90.0]]))[0, 1] == pytest.approx(
+            math.sqrt(2) * R, rel=1e-12)
