@@ -79,6 +79,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("kml", "KML / KMZ (native XML reader/writer)", True, True, True),
         ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
         ("gdb", "ESRI OpenFileGDB (native .gdbtable codec)", True, True, False),
+        ("mif", "MapInfo Interchange MIF/MID (native text codec)", True, True, True),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
@@ -256,6 +257,10 @@ def st_read(
         from .gml import st_read_gml
 
         df = st_read_gml(spark, path, geom_col=geom_col)
+    elif low.endswith(".mif"):
+        from .mif import st_read_mif
+
+        df = st_read_mif(spark, path, geom_col=geom_col)
     elif low.endswith((".xlsx",)):
         from .xlsx import st_read_xlsx
 
@@ -518,6 +523,11 @@ def st_write(
 
         st_write_gdb(df, path, geom_col=geom_col)
         return
+    if fmt == "mif":
+        from .mif import st_write_mif
+
+        st_write_mif(df, path, geom_col=geom_col)
+        return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
 
@@ -671,6 +681,11 @@ def local_read_rows(path: str, layer: Optional[str] = None,
         from .gdb import local_gdb_rows
 
         return local_gdb_rows(path.rstrip("/"), layer, geom_col)
+    if low.endswith(".mif"):
+        from .mif import read_mif_pair
+
+        schema, rows = read_mif_pair(path)
+        return schema, iter(rows)
     if low.endswith(".osm.pbf"):
         from ..geom import pbf as PBF
 
