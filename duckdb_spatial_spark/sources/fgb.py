@@ -46,7 +46,9 @@ _SPARK_TO_CT = {
 def _read_header(path: str):
     with open(path, "rb") as fh:
         magic = fh.read(8)
-        if magic != FGB.MAGIC:
+        # byte 7 is the spec PATCH level (0 or 1) — real-world writers
+        # emit 1; only the 'fgb' + version-3 + 'fgb' prefix is fixed
+        if magic[:7] != FGB.MAGIC[:7]:
             raise ValueError(f"{path}: not a FlatGeobuf file")
         hsize = struct.unpack("<I", fh.read(4))[0]
         hdr = FGB.parse_header(fh.read(hsize))

@@ -122,11 +122,18 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
         for pdf in batches:
             out = []
             for p in pdf["path"]:
-                with open(p) as fh:
-                    txt = fh.read().strip()
+                # transparent gzip — the /vsigzip/ analog (gdal_vsi.test)
+                if str(p).endswith(".gz"):
+                    with gzip.open(p, "rt") as fh:
+                        txt = fh.read().strip()
+                else:
+                    with open(p) as fh:
+                        txt = fh.read().strip()
                 feats = []
                 try:
                     obj = json.loads(txt)
@@ -228,7 +235,8 @@ def st_read(
 
         return st_read_gdb(spark, path.rstrip("/"), layer=layer,
                            columns=columns, bbox=bbox, geom_col=geom_col)
-    if low.endswith((".geojson",)) or (low.endswith(".json") and wkt_col is None and _looks_geojson(path)):
+    if low.endswith((".geojson", ".geojson.gz", ".json.gz")) or (
+            low.endswith(".json") and wkt_col is None and _looks_geojson(path)):
         df = read_geojson(spark, path)
     elif low.endswith((".parquet", ".pq")) or os.path.isdir(path):
         df = spark.read.parquet(path)

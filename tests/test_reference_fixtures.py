@@ -1,0 +1,73 @@
+"""Validate the native codecs against the reference's REAL test fixtures —
+files written by real GDAL/ESRI tools (amsterdam_roads.fgb, the NYC
+shapefile export, gzip GeoJSON), with the expected values taken from the
+reference's own sqllogictests. Self-written fixtures can't catch a spec
+misread; these can."""
+
+import gzip
+
+import pytest
+
+from duckdb_spatial_spark.geom.wkb import from_wkb
+from duckdb_spatial_spark.geom.wkt import to_wkt
+from duckdb_spatial_spark.sources import read
+from duckdb_spatial_spark.sources.fgb import st_read_fgb
+
+DATA = "/root/reference/test/data"
+
+
+def test_real_flatgeobuf_amsterdam_roads(spark):
+    """gdal_read.test: COUNT(*) WHERE kind='motorway' == 870;
+    st_read_order.test: first feature is kind='service' with a known
+    LINESTRING — against a 4 MB real-world FlatGeobuf."""
+    from pyspark.sql import functions as F
+
+    df = st_read_fgb(spark, f"{DATA}/amsterdam_roads.fgb")
+    assert df.filter(F.col("kind") == "motorway").count() == 870
+    # the reference's LIMIT 1 is file order; our parallel scan preserves
+    # per-range order, so take the feature at the file's first offset
+    first = df.limit(1).collect()[0]
+    assert first["kind"] == "service"
+    assert to_wkt(from_wkb(bytes(first["geom"]))) == (
+        "LINESTRING (554203.4169973677 6859025.689313544, "
+        "554196.0031192809 6859038.14744868)"
+    )
+
+
+def test_real_flatgeobuf_bbox_pushdown(spark):
+    full = st_read_fgb(spark, f"{DATA}/amsterdam_roads.fgb").count()
+    sub = st_read_fgb(
+        spark, f"{DATA}/amsterdam_roads.fgb",
+        bbox=(554000, 6858000, 556000, 6860000)).count()
+    assert 0 < sub < full
+
+
+def test_real_esri_shapefile_nyc_export(spark):
+    """gdal_shapefile.test: the NYC export shapefile has exactly 5 rows."""
+    df = read(spark, f"{DATA}/nyc_export/"
+                     "geo_export_42c9a823-5465-4f85-80b3-b294002094f2.shp")
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r["geom"] is not None for r in rows)
+
+
+def test_real_taxi_zones_shapefile(spark):
+    """A genuine ESRI-written shapefile (polygons, sidecar dbf): decodes
+    with consistent ring structure and positive areas."""
+    from duckdb_spatial_spark.geom import kernels as K
+
+    df = read(spark, f"{DATA}/nyc_taxi/taxi_zones/taxi_zones.shp")
+    rows = df.collect()
+    assert len(rows) > 200  # NYC has 263 taxi zones
+    areas = [K.area(from_wkb(bytes(r["geom"]))) for r in rows[:50]
+             if r["geom"] is not None]
+    assert areas and all(a > 0 for a in areas)
+
+
+def test_gzip_geojson_vsigzip_analog(spark, tmp_path):
+    """gdal_vsi.test: the gzipped GeoJSON reads 50 features (we dispatch
+    on .gz instead of a /vsigzip/ prefix)."""
+    src = f"{DATA}/amsterdam_roads_50.geojson.gz"
+    # the reference data dir is read-only; the reader takes the path as-is
+    df = read(spark, src)
+    assert df.count() == 50
