@@ -71,3 +71,15 @@ def test_gzip_geojson_vsigzip_analog(spark, tmp_path):
     # the reference data dir is read-only; the reader takes the path as-is
     df = read(spark, src)
     assert df.count() == 50
+
+
+def test_real_geoparquet_segments(spark):
+    """segments.parquet is a real GeoParquet file (geo metadata, WKB
+    geometry column) — the native parquet path reads it and every
+    geometry parses."""
+    df = read(spark, f"{DATA}/segments.parquet")
+    rows = df.collect()
+    assert len(rows) == 6
+    kinds = {to_wkt(from_wkb(bytes(r["geometry"]))).split(" ")[0]
+             for r in rows if r["geometry"] is not None}
+    assert kinds  # all decoded without error
