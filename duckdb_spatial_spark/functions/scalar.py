@@ -1943,9 +1943,11 @@ def _spheroid_len(g: Geometry) -> float:
     if g.type_id == Wkb.LINESTRING:
         arr = g.coords
         if len(arr) >= 2:
-            # one vectorized exact-geodesic solve over every segment
+            # one vectorized exact-geodesic solve over every segment;
+            # reference axis order is [latitude, longitude]: x = lat
+            # (st_length_spheroid.cpp passes vert.x as GeographicLib lat)
             total = float(np.nansum(GEO.inverse_batch(
-                arr[:-1, 1], arr[:-1, 0], arr[1:, 1], arr[1:, 0]
+                arr[:-1, 0], arr[:-1, 1], arr[1:, 0], arr[1:, 1]
             )))
     elif g.parts is not None:
         total = sum(_spheroid_len(p) for p in g.parts)
@@ -1968,9 +1970,11 @@ def _spheroid_area(g: Geometry) -> float:
     total = 0.0
     for p in g.flatten():
         if p.type_id == Wkb.POLYGON and p.rings:
-            total += GEO.ring_area(p.rings[0][:, :2])
+            # reference axis order [lat, lon] (st_area_spheroid.cpp:58
+            # feeds x to GeographicLib's lat) — ring_area wants lon/lat
+            total += GEO.ring_area(p.rings[0][:, [1, 0]])
             for h in p.rings[1:]:
-                total -= GEO.ring_area(h[:, :2])
+                total -= GEO.ring_area(h[:, [1, 0]])
     return total
 
 

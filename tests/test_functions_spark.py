@@ -285,8 +285,9 @@ def test_sql_registration_full_surface(spark):
     # the explicit x,y form
     assert row["tx"] == pytest.approx(1113194.9, rel=1e-4)
     assert row["tx2"] == pytest.approx(1113194.9, rel=1e-4)
-    # 1 deg of longitude along the equator = a*pi/180 = 111319.49 m
-    assert row["lsph"] == pytest.approx(111319.49, rel=1e-3)
+    # reference axis order is [lat, lon]: LINESTRING (0 0, 1 0) is 1° of
+    # LATITUDE — the meridian arc from the equator ≈ 110574.4 m
+    assert row["lsph"] == pytest.approx(110574.4, rel=1e-3)
     assert row["dws"] is True and row["ie"] is True
     assert row["p2y"] == 2.0 and row["p4m"] == 4.0
     assert row["eax"] == pytest.approx(1.0, abs=1e-6)

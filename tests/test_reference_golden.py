@@ -283,6 +283,14 @@ def _eq(expected: str, got) -> bool:
             return isinstance(got, float) and math.isnan(got)
         if math.isclose(e, float(got), rel_tol=1e-9, abs_tol=1e-10):
             return True
+        # sqllogictest 'I' columns render via CAST(... AS BIGINT): compare
+        # at rendering granularity for large magnitudes (covers the cast
+        # rounding plus sub-unit engine differences, e.g. GeographicLib's
+        # C4 series vs our quadrature at 1e-8 relative)
+        if "." not in exp and abs(e) >= 1e6 and abs(float(got) - e) <= 1.0:
+            return True
+        if "." not in exp and round(float(got)) == e and abs(float(got) - e) <= 0.5:
+            return True
         # hand-rounded literals in the reference corpus (e.g. the JFK-AMS
         # distance is written as 5847000 though the formula yields 5847934)
         return exp.endswith("000") and math.isclose(
@@ -290,6 +298,8 @@ def _eq(expected: str, got) -> bool:
         )
     s = str(got).strip()
     if s == exp:
+        return True
+    if exp == "(empty)" and s == "":   # sqllogictest empty-string marker
         return True
     # WKT: compare geometrically (float rendering differs between engines)
     try:
@@ -397,3 +407,247 @@ def test_reference_golden_corpus(spark):
     # hard gate: wrong answers are bugs; not-executable is surface to grow
     assert not failures, report
     assert passed >= 0.85 * len(cases), report
+
+
+# ------------------------------------------------ table-backed corpus
+
+_TYPE_SQL = {
+    "GEOMETRY": "BINARY", "WKB_BLOB": "BINARY", "BLOB": "BINARY",
+    "VARCHAR": "STRING", "TEXT": "STRING", "INTEGER": "INT", "INT": "INT",
+    "BIGINT": "BIGINT", "SMALLINT": "SMALLINT", "DOUBLE": "DOUBLE",
+    "FLOAT": "FLOAT", "REAL": "FLOAT", "BOOLEAN": "BOOLEAN",
+    "DATE": "STRING",
+}
+
+_SKIP_STMT = re.compile(
+    r"^\s*(PRAGMA|CHECKPOINT|SET\b|CREATE INDEX|DROP INDEX|VACUUM|ANALYZE)",
+    re.I,
+)
+_STRUCT_TYPES = re.compile(r"POINT_2D|POINT_3D|POINT_4D|LINESTRING_2D"
+                           r"|POLYGON_2D|BOX_2D", re.I)
+
+
+def _parse_file_full(path):
+    """Ordered (kind, payload) items: kind in {stmt, query}; statement
+    error blocks are dropped (they assert reference-internal errors)."""
+    lines = open(path).read().splitlines()
+    items = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        head = lines[i].strip()
+        if head.startswith("statement"):
+            ok = head.split()[1] == "ok"
+            i += 1
+            sql = []
+            while i < n and lines[i].strip() != "":
+                sql.append(lines[i].strip())
+                i += 1
+            if ok:
+                items.append(("stmt", " ".join(sql).rstrip(";")))
+        elif head.startswith("query"):
+            directive = head
+            i += 1
+            sql = []
+            while i < n and lines[i].strip() != "----":
+                sql.append(lines[i].strip())
+                i += 1
+            i += 1
+            exp = []
+            while i < n and lines[i].strip() != "":
+                exp.append(lines[i])
+                i += 1
+            items.append(("query", (" ".join(sql).rstrip(";"), exp, directive)))
+        elif head in ("restart", "load", "reconnect") or head.startswith(
+                ("load ", "restart ")):
+            items.append(("bail", head))
+            i += 1
+        else:
+            i += 1
+    return items
+
+
+def _exec_statement(spark, sql, tables):
+    """Apply one reference statement to the temp-view state. Returns True
+    when handled, False → caller bails out of the file."""
+    import re as _re
+
+    s = sql.strip()
+    if _SKIP_STMT.match(s):
+        return True
+    m = _re.match(r"CREATE TABLE (\w+)\s*\((.*)\)\s*$", s, _re.I | _re.S)
+    if m:
+        name, coldefs = m.group(1), m.group(2)
+        cols = []
+        for part in _split_top(coldefs):
+            w = part.split()
+            if len(w) < 2:
+                return False
+            t = _TYPE_SQL.get(w[1].upper())
+            if t is None:
+                return False
+            cols.append((w[0], t))
+        ddl = ", ".join(f"{c} {t}" for c, t in cols)
+        df = spark.createDataFrame([], ddl)
+        df.createOrReplaceTempView(name)
+        tables[name] = ddl
+        return True
+    m = _re.match(r"CREATE TABLE (\w+) AS\s+(.*)$", s, _re.I | _re.S)
+    if m:
+        name, sel = m.group(1), m.group(2)
+        if _re.match(r"FROM\b", sel, _re.I):
+            sel = "SELECT * " + sel
+        try:
+            df = spark.sql(_rewrite(sel))
+        except Exception:
+            return False
+        df.createOrReplaceTempView(name)
+        tables[name] = None
+        return True
+    m = _re.match(r"INSERT INTO (\w+)\s+(VALUES\s*\(.*|SELECT\b.*|FROM\b.*)$",
+                  s, _re.I | _re.S)
+    if m:
+        name, body = m.group(1), m.group(2)
+        if name not in tables:
+            return False
+        if _re.match(r"VALUES", body, _re.I):
+            tuples = []
+            i = body.upper().index("VALUES") + 6
+            bb = body
+            nlen = len(bb)
+            while True:
+                while i < nlen and bb[i] in " \t\n,":
+                    i += 1
+                if i >= nlen or bb[i] != "(":
+                    break
+                depth, in_str, j = 1, False, i + 1
+                while j < nlen and depth > 0:
+                    ch = bb[j]
+                    if ch == "'":
+                        in_str = not in_str
+                    elif not in_str:
+                        if ch == "(":
+                            depth += 1
+                        elif ch == ")":
+                            depth -= 1
+                    j += 1
+                tuples.append(bb[i + 1:j - 1])
+                i = j
+            if not tuples:
+                return False
+            selects = ["SELECT " + ", ".join(
+                f"{e.strip()} AS c{k}" for k, e in enumerate(_split_top(tp)))
+                for tp in tuples]
+            sel = " UNION ALL ".join(selects)
+        else:
+            sel = body if _re.match(r"SELECT", body, _re.I) else "SELECT * " + body
+        try:
+            new = spark.sql(_rewrite(sel))
+            cur = spark.table(name)
+            if len(new.columns) != len(cur.columns):
+                return False
+            new = new.toDF(*cur.columns)
+            merged = cur.unionByName(
+                new.selectExpr(*[
+                    f"CAST({c} AS {f.dataType.simpleString()}) AS {c}"
+                    for c, f in zip(cur.columns, cur.schema.fields)])
+            )
+            # materialize so repeated unions don't build huge lazy trees
+            rows = merged.collect()
+            spark.createDataFrame(rows, cur.schema).createOrReplaceTempView(name)
+        except Exception:
+            return False
+        return True
+    m = _re.match(r"DROP TABLE (?:IF EXISTS )?(\w+)", s, _re.I)
+    if m:
+        tables.pop(m.group(1), None)
+        spark.catalog.dropTempView(m.group(1))
+        return True
+    return False
+
+
+def test_reference_golden_table_backed(spark):
+    """Second golden tier: files whose queries read CREATE TABLE state —
+    the harness interprets CREATE TABLE / INSERT INTO into temp views
+    (CREATE INDEX / PRAGMA are no-ops: the rtree files' RESULT queries
+    then check our answers against the reference's index-accelerated
+    expectations)."""
+    from duckdb_spatial_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    passed, failures, skipped = 0, [], 0
+    for path in sorted(glob.glob(REF_GLOB, recursive=True)):
+        txt = open(path).read()
+        if "CREATE TABLE" not in txt or _STRUCT_TYPES.search(txt):
+            continue
+        where = path.rsplit("/test/sql/", 1)[1]
+        tables: dict = {}
+        alive = True
+        for kind, payload in _parse_file_full(path):
+            if kind == "bail":
+                alive = False
+            if not alive:
+                break
+            if kind == "stmt":
+                if _SKIP_PAT.search(payload):
+                    alive = bool(_SKIP_STMT.match(payload))
+                    continue
+                if not _exec_statement(spark, payload, tables):
+                    alive = False
+                continue
+            sql, exp, directive = payload
+            if (not exp or _SKIP_PAT.search(sql)
+                    or sql.upper().startswith("EXPLAIN")):
+                continue
+            refs_table = any(re.search(rf"\b{t}\b", sql) for t in tables)
+            if not refs_table:
+                continue  # constant queries belong to the first tier
+            q = _rewrite(sql)
+            try:
+                rows = spark.sql(q).collect()
+            except Exception:
+                skipped += 1
+                continue
+            rowsort = "rowsort" in directive or "valuesort" in directive
+
+            def row_ok(exp_line, row):
+                got = _render(row[0]) if len(row) == 1 else tuple(
+                    _render(v) for v in row)
+                vals = exp_line.split("\t")
+                if len(row) == 1:
+                    return _eq(exp_line, got)
+                return len(vals) == len(row) and all(
+                    _eq(v, g) for v, g in zip(vals, got))
+
+            if len(rows) != len(exp):
+                failures.append((where, q, exp, f"<{len(rows)} rows>"))
+                continue
+            if rowsort:
+                remaining = list(rows)
+                ok = True
+                for e in exp:
+                    hit = next((i for i, r in enumerate(remaining)
+                                if row_ok(e, r)), None)
+                    if hit is None:
+                        ok = False
+                        break
+                    remaining.pop(hit)
+            else:
+                ok = all(row_ok(e, r) for e, r in zip(exp, rows))
+            if ok:
+                passed += 1
+            else:
+                failures.append((where, q, "\n".join(exp),
+                                 [tuple(r) for r in rows[:3]]))
+        for t in list(tables):
+            try:
+                spark.catalog.dropTempView(t)
+            except Exception:
+                pass
+    report = (f"table-backed golden: {passed} passed, "
+              f"{len(failures)} wrong, {skipped} not-executable\n"
+              + "\n".join(f"  WRONG {w}: {q!r} exp={e!r} got={g!r}"
+                          for w, q, e, g in failures[:20]))
+    print(report)
+    assert passed >= 10, report
+    assert not failures, report
