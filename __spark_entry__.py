@@ -1253,6 +1253,33 @@ def q65_gpkg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q69_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate pairs → duplicate CLUSTERS (the keep-one-per-cluster step
+    of an LLM dedup pipeline): q38's MinHash-LSH pairs fed through
+    connected_components (min-label propagation, O(diameter) rounds of
+    join+min). Oracle: the same pairs in SQL + a recursive-CTE transitive
+    closure with min-label per node."""
+    from duckdb_spatial_spark.operators import (connected_components,
+                                                minhash_lsh_candidates)
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = minhash_lsh_candidates(d, "doc_id", "text", num_hashes=4,
+                                   bands=2, k=4, hash_fn="md5")
+    comp = connected_components(
+        pairs, "id_a", "id_b",
+        nodes=d.select(F.col("doc_id").alias("id")), id_col="id")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
+    return comp.agg(
+        F.countDistinct("comp").alias("n_components"),
+        F.sum("comp").alias("comp_sum"),
+        F.count("*").alias("n_docs"),
+    ).crossJoin(
+        sizes.agg(F.max("sz").alias("max_cluster"),
+                  F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+                  .alias("n_nontrivial"))
+    )
+
+
 def q68_gdb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Native OpenFileGDB sink+source (the reference's own GDB test is a
     write→read roundtrip, test/sql/gdal/st_read_gdb.test; codec
@@ -1494,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_flip_reverse": q43_flip_reverse,
         "q45_removerepeated": q45_removerepeated,
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
+        "q69_dedup_components": q69_dedup_components,
     }
 
 
@@ -1986,6 +2014,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(CASE p_partkey % 3 WHEN 0 THEN 3 ELSE 1 END) AS BIGINT) AS nparts_sum,
                    count(*) AS n
             FROM part
+        """,
+        # q38's pair CTE + recursive min-label closure: comp(node) =
+        # min id reachable; singletons keep their own id
+        "q69_dedup_components": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 4) AS sh
+              FROM documents, LATERAL (SELECT unnest(range(1, greatest(length(text)-3, 1)+1)) AS i)
+              WHERE doc_id < 100
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+                     min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3
+              FROM s GROUP BY 1
+            ), b AS (
+              SELECT doc_id, m0 || '_' || m1 AS b0, m2 || '_' || m3 AS b1 FROM sig
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+                                AND (a.b0 = b2.b0 OR a.b1 = b2.b1)
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT doc_id AS id FROM documents WHERE doc_id < 100
+            ), reach AS (
+              SELECT id AS node, id AS lbl FROM nodes
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            ), comp AS (
+              SELECT node, min(lbl) AS comp FROM reach GROUP BY node
+            ), sizes AS (
+              SELECT comp, count(*) AS sz FROM comp GROUP BY comp
+            )
+            SELECT (SELECT count(DISTINCT comp) FROM comp) AS n_components,
+                   (SELECT CAST(sum(comp) AS BIGINT) FROM comp) AS comp_sum,
+                   (SELECT count(*) FROM comp) AS n_docs,
+                   (SELECT CAST(max(sz) AS BIGINT) FROM sizes) AS max_cluster,
+                   (SELECT CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM sizes) AS n_nontrivial
         """,
         "q38_minhash_lsh": """
             WITH s AS (

@@ -10,6 +10,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     jaccard_verify,
     minhash_dedup,
+    connected_components,
     minhash_lsh_candidates,
     minhash_signature,
     minhash_table,

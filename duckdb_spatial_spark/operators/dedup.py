@@ -366,3 +366,67 @@ def simhash_candidates(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    nodes: Optional[DataFrame] = None,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Candidate pairs → duplicate clusters: (node, comp) where ``comp``
+    is the smallest member id of the node's connected component.
+
+    This is the step LLM dedup pipelines run after LSH/simhash candidate
+    generation ("keep one document per near-dup cluster"). Min-label
+    propagation over the undirected edge list: each round joins labels to
+    neighbors and takes the min — converges in O(component diameter)
+    rounds (near-dup clusters are shallow: at web scale the large-star/
+    small-star alternation [Kiveris et al., "Connected Components in
+    MapReduce and Beyond"] bounds rounds at O(log² n); the per-round plan
+    here — one equi-join + one groupBy min — is the same shape either
+    way). Each round is persisted and checked for a fixpoint, so the
+    driver loop runs `diameter` Spark jobs, not one giant lazy tree.
+
+    ``nodes`` (optional, column ``id_col``) adds isolated documents as
+    their own singleton components.
+    """
+    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst")).union(
+        pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+    ).distinct()
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias(id_col)).distinct()
+    # localCheckpoint each round: truncates the lineage (the loop joins
+    # labels against frames derived from labels — ambiguous otherwise)
+    # and keeps every round's plan O(1)
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("src", "jnode")
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["jnode"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("comp"),
+                        F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        old = labels.select(F.col("node").alias("onode"),
+                            F.col("comp").alias("ocomp"))
+        changed = (
+            new_labels.join(old, new_labels["node"] == old["onode"])
+            .filter(F.col("comp") != F.col("ocomp")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "comp")

@@ -266,3 +266,24 @@ def test_ngram_prefix_filter_matches_full_join(spark):
     rs = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in slow.collect()}
     assert rf == rs
     assert len(rf) > 0
+
+
+def test_connected_components_clusters(spark):
+    """Hand-built graph: {1-2, 2-3} ∪ {5-6} ∪ singletons {4, 9} →
+    components {1,1,1}, {5,5}, {4}, {9}; min-label representative."""
+    from duckdb_spatial_spark.operators import connected_components
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (6, 5)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 9)],
+                                  "id long")
+    out = {r["id"]: r["comp"]
+           for r in connected_components(pairs, nodes=nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 9: 9}
+    # a longer chain exercises multi-round convergence: 10-11-...-16
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long")
+    out2 = {r["id"]: r["comp"]
+            for r in connected_components(chain).collect()}
+    assert all(v == 10 for v in out2.values()) and len(out2) == 7

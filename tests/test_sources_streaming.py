@@ -271,3 +271,36 @@ def test_streaming_neardup_dedup(spark, tmp_path):
     ids = [r["id"] for r in got]
     assert 3 in ids           # distinct doc survives
     assert len(ids) == 2      # the exact/near pair collapsed to one
+
+
+def test_streaming_multimodal_image_features(spark, tmp_path):
+    """The multimodal tier composes with Structured Streaming: a stream of
+    binary image payloads runs through image_features (mapInPandas) and a
+    windowless aggregate — the 100-TB shape for continuous media
+    ingestion."""
+    import numpy as np
+
+    from duckdb_spatial_spark.operators import image_features
+    from duckdb_spatial_spark.operators.media_codecs import encode_png
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rows = []
+    for i in range(12):
+        img = np.full((8, 8, 3), i * 20 % 255, dtype=np.uint8)
+        rows.append((i, bytearray(encode_png(img))))
+    spark.createDataFrame(rows, "id long, payload binary").write.parquet(
+        str(src / "batch0.parquet"))
+
+    stream = spark.readStream.schema("id long, payload binary").parquet(
+        str(src / "batch0.parquet"))
+    feats = image_features(stream, "payload").select(
+        "id", F.col("img_features.mean_r").alias("mr"))
+    q = (feats.writeStream.outputMode("append").format("memory")
+         .queryName("mm_out").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["id"]: r["mr"] for r in spark.sql("SELECT * FROM mm_out").collect()}
+    assert len(got) == 12
+    for i in range(12):
+        assert abs(got[i] - (i * 20 % 255)) < 1e-9
