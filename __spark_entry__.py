@@ -1458,7 +1458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_npoints": q12_npoints,
         "q15_tpch_q1": q15_tpch_q1,
         "q18_dedup_exact": q18_dedup_exact,
-        "q19_minhash": q19_minhash,
         "q20_simhash": q20_simhash,
         "q21_text_quality": q21_text_quality,
         "q25_embedding_neardup": q25_embedding_neardup,
@@ -1487,7 +1486,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_langid_ngram": q54_langid_ngram,
         "q55_ann_ivf": q55_ann_ivf,
         "q56_predicate_matrix2": q56_predicate_matrix2,
-        "q57_shortestline": q57_shortestline,
         "q58_linemerge_normalize": q58_linemerge_normalize,
         "q59_reduceprecision": q59_reduceprecision,
         "q60_spheroid": q60_spheroid,
@@ -1497,12 +1495,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_mixed_overlay": q64_mixed_overlay,
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
         "q66_multimodal": q66_multimodal,
+        "q68_gdb_roundtrip": q68_gdb_roundtrip,
+        "q69_dedup_components": q69_dedup_components,
         # ---- driver cut line (entries below have redundant family coverage
         #      above: q01/q36 predicates, q08/q51 buffer, q11+q29+q30/q12+q37
         #      accessors, q13+q14/q34+q58 measures, q16+q17/q15 relational,
         #      q22+q23/q21+q54 textops, q24/q55 ANN, q27/q61 generate,
         #      q32/q42+q64 overlay, q43/q58 reverse, q45/q33+q59 simplify,
-        #      q53/q35+q67 transform)
+        #      q53/q35+q67 transform, q19 minhash-signature subsumed by q38's
+        #      LSH which derives the same signatures, q57 shortestline row
+        #      covered by q34+q48)
         "q01_point_in_envelope": q01_point_in_envelope,
         "q53_transform_utm": q53_transform_utm,
         "q08_buffer_area": q08_buffer_area,
@@ -1520,8 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_intersection_area": q32_intersection_area,
         "q43_flip_reverse": q43_flip_reverse,
         "q45_removerepeated": q45_removerepeated,
-        "q68_gdb_roundtrip": q68_gdb_roundtrip,
-        "q69_dedup_components": q69_dedup_components,
+        "q19_minhash": q19_minhash,
+        "q57_shortestline": q57_shortestline,
     }
 
 
