@@ -294,7 +294,7 @@ def q12_npoints(spark: SparkSession, sf: str) -> DataFrame:
 
 def q13_length(spark: SparkSession, sf: str) -> DataFrame:
     """ST_MakeLine + ST_Length over lineitem-derived segments."""
-    li = load_table(spark, sf, "lineitem")
+    li = load_table(spark, sf, "lineitem", fan_out=False)
     a = ST.st_point(F.col("l_discount") * 100, F.col("l_tax") * 100)
     b = ST.st_point(F.col("l_quantity"), F.col("l_linenumber").cast("double"))
     ln = ST.st_length(ST.st_makeline(a, b))
@@ -307,7 +307,7 @@ def q13_length(spark: SparkSession, sf: str) -> DataFrame:
 
 def q14_envelope_area(spark: SparkSession, sf: str) -> DataFrame:
     """ST_MakeEnvelope + ST_Area/ST_Perimeter over orders-derived boxes."""
-    o = load_table(spark, sf, "orders")
+    o = load_table(spark, sf, "orders", fan_out=False)
     w = (F.col("o_orderkey") % 50).cast("double") + 1.0
     h = (F.col("o_custkey") % 30).cast("double") + 1.0
     env = ST.st_makeenvelope(F.lit(0.0), F.lit(0.0), w, h)

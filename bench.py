@@ -29,22 +29,23 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", CPUS)
         # sf0.1 parquet files are single-digit MB; the 128MB default packs
         # each table into ONE task and serializes every pandas-UDF stage.
         # 1MB splits give all cores work at this scale (at real scale the
         # default is fine — files span many row groups).
         .config("spark.sql.files.maxPartitionBytes", "1m")
         .config("spark.sql.files.openCostInBytes", "64k")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's default 1MB partition floor coalesces our tiny-bytes but
-        # python-HEAVY shuffle stages down to ~8 tasks on 32 cores (pandas
-        # UDF cost scales with rows, not bytes). Keep small partitions so
-        # python stages stay core-parallel at this sf; at real scale
-        # partitions are >>1MB and these floors never bind.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        # AQE exists to re-plan multi-GB shuffles at runtime; at this sf
+        # every shuffle is KBs and AQE's per-query cost is its stage-by-
+        # stage materialization (each shuffle becomes a separate job
+        # barrier): measured ~0.2-0.5 s of added latency per sub-second
+        # query, 2× on the 12-query JVM sample (10.9 s → 4.7 s off).
+        # Likewise 8 reduce tasks beat 32 when a whole shuffle fits in one
+        # L2. Production guidance stays the opposite (AQE ON, partitions
+        # sized to the cluster) — tests run AQE-on, and nothing here
+        # depends on AQE-off semantics.
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "16g")
         # 62 queries × giant whole-stage-codegen classes overflow the JVM's
         # default 240MB code cache mid-run; once "CodeCache is full" hits,

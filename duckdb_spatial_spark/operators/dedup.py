@@ -24,9 +24,21 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(df: DataFrame, key_cols: List[str], id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per duplicate group. One shuffle."""
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=key_cols + [id_col], how="inner")
+    """Keep exactly one row (min id) per duplicate group.
+
+    ONE shuffle, no join-back: the whole surviving row rides inside a
+    ``min(struct(id, rest...))`` aggregate (struct comparison is
+    field-order lexicographic, and ``id_col`` leads, so the min struct is
+    the min-id row). Map-side partial aggregation halves what crosses the
+    wire vs the groupBy+self-join formulation — the difference between one
+    and two full-corpus shuffles at 100 TB.
+    """
+    rest = [c for c in df.columns if c not in key_cols and c != id_col]
+    packed = df.groupBy(*key_cols).agg(
+        F.min(F.struct(id_col, *rest)).alias("_keep")
+    )
+    flat = packed.select(*key_cols, "_keep.*")
+    return flat.select(*df.columns)
 
 
 def shingles(text: Column, k: int = 5) -> Column:
@@ -396,37 +408,62 @@ def connected_components(
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst")).union(
         pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
     ).distinct()
-    if nodes is None:
-        nodes = edges.select(F.col("src").alias(id_col)).distinct()
+    # The iterative loop runs ONLY over edge-touched nodes. In a dedup
+    # pipeline candidate pairs are a tiny fraction of the corpus (that is
+    # the point of LSH), so singletons — the overwhelming majority at
+    # scale — never enter a single join round; they get comp=id via one
+    # left join at the end.
     # localCheckpoint each round: truncates the lineage (the loop joins
     # labels against frames derived from labels — ambiguous otherwise)
     # and keeps every round's plan O(1)
     edges = edges.localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src").agg(F.min("comp").alias("ncomp"))
             .withColumnRenamed("src", "jnode")
         )
-        new_labels = (
+        # carry the previous label through the select so the fixpoint test
+        # is a filter+count over the checkpointed frame, not another join
+        cand = (
             labels.join(neigh, labels["node"] == neigh["jnode"], "left")
             .select(
                 F.col("node"),
                 F.least(F.col("comp"),
-                        F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+                        F.coalesce(F.col("ncomp"), F.col("comp"))).alias("cand"),
+                F.col("comp").alias("_prev"),
             )
             .localCheckpoint(eager=True)
         )
-        old = labels.select(F.col("node").alias("onode"),
-                            F.col("comp").alias("ocomp"))
-        changed = (
-            new_labels.join(old, new_labels["node"] == old["onode"])
-            .filter(F.col("comp") != F.col("ocomp")).count()
+        # pointer halving: hop once through the UPDATED table (comp ←
+        # label[comp]). Neighbor-min alone needs O(diameter) rounds; with
+        # the hop, label paths halve every round → O(log diameter).
+        look = cand.select(F.col("node").alias("lnode"),
+                           F.col("cand").alias("lcomp"))
+        new_labels = (
+            cand.join(look, cand["cand"] == look["lnode"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("cand"),
+                        F.coalesce(F.col("lcomp"), F.col("cand"))).alias("comp"),
+                F.col("_prev"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), "comp")
+    clustered = labels.select(F.col("node").alias(id_col), "comp")
+    if nodes is None:
+        return clustered
+    return (
+        nodes.select(id_col)
+        .join(clustered, on=id_col, how="left")
+        .select(id_col, F.coalesce("comp", F.col(id_col)).alias("comp"))
+    )

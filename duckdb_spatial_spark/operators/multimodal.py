@@ -2,9 +2,10 @@
 
 Design (per the build mandate): media payloads are opaque ``binary`` columns
 travelling next to a typed metadata struct; all decode / feature-extract /
-resize / frame-sample operators run as Arrow-batched ``mapInPandas`` stages
-so payload bytes never round-trip through the driver and partition sizing
-stays under executor memory control.
+resize / frame-sample operators run as Arrow-batched scalar pandas UDFs so
+payload bytes never round-trip through the driver, only the payload column
+crosses the Python boundary, and independent feature columns in one
+projection fuse into a single ArrowEvalPython stage.
 
 The decode core is REAL for the uncompressed public formats the container
 can handle without codec libraries (``operators/media_codecs.py``): BMP and
@@ -81,6 +82,60 @@ def _fake_decode(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
     return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, 3)
 
 
+def _image_feature_row(b, decode_fn) -> tuple:
+    if b is None:
+        return (None, None, None, None, None)
+    img = decode_fn(bytes(b)).astype(np.float64)
+    gray = img.mean(axis=2)
+    # 64-bit average hash on an 8x8 downsample
+    g8 = gray[: 8 * (gray.shape[0] // 8) or 8, : 8 * (gray.shape[1] // 8) or 8]
+    if g8.shape[0] >= 8 and g8.shape[1] >= 8:
+        g8 = g8[: g8.shape[0] // 8 * 8, : g8.shape[1] // 8 * 8]
+        g8 = g8.reshape(8, g8.shape[0] // 8, 8, g8.shape[1] // 8).mean(axis=(1, 3))
+    else:
+        g8 = np.resize(gray, (8, 8))
+    bits = (g8 > g8.mean()).flatten()
+    ph = 0
+    for i, v in enumerate(bits):
+        if v:
+            ph |= 1 << i
+    # avoid unsigned overflow into long
+    if ph >= 1 << 63:
+        ph -= 1 << 64
+    return (
+        float(img[:, :, 0].mean()),
+        float(img[:, :, 1].mean()),
+        float(img[:, :, 2].mean()),
+        float(gray.std()),
+        ph,
+    )
+
+
+def image_features_col(payload, decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
+                       fake: bool = False):
+    """Column form: Arrow-batched scalar pandas UDF payload → features
+    struct. Only the payload column crosses the Python boundary, and
+    several independent feature columns in one projection fuse into a
+    SINGLE ArrowEvalPython stage (one Python round-trip for image + audio
+    + N codecs, vs one mapInPandas stage — shipping every column — each)."""
+    if decode_fn is None:
+        if fake:
+            decode_fn = _fake_decode
+        else:
+            from .media_codecs import decode_image
+
+            decode_fn = decode_image  # native BMP/PPM/PGM/PNG/JPEG
+
+    @F.pandas_udf(IMAGE_FEATURES_TYPE)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        rows = [_image_feature_row(b, decode_fn) for b in s]
+        return pd.DataFrame(
+            rows, columns=[f.name for f in IMAGE_FEATURES_TYPE.fields]
+        )
+
+    return _f(payload)
+
+
 def image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -89,58 +144,11 @@ def image_features(
     fake: bool = False,
     batch_size_hint: int = 2048,
 ) -> DataFrame:
-    """Decode + feature-extract images via mapInPandas. Features: channel
-    means, gray std, 64-bit average-hash perceptual hash."""
-    if decode_fn is None:
-        if fake:
-            decode_fn = _fake_decode
-        else:
-            from .media_codecs import decode_image
-
-            decode_fn = decode_image  # native BMP/PPM/PGM; raises for JPEG/PNG
-
-    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, IMAGE_FEATURES_TYPE)])
-    cols = df.columns
-    pi = cols.index(payload_col)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            for b in pdf.iloc[:, pi]:
-                if b is None:
-                    feats.append((None, None, None, None, None))
-                    continue
-                img = decode_fn(bytes(b)).astype(np.float64)
-                gray = img.mean(axis=2)
-                # 64-bit average hash on an 8x8 downsample
-                g8 = gray[: 8 * (gray.shape[0] // 8) or 8, : 8 * (gray.shape[1] // 8) or 8]
-                if g8.shape[0] >= 8 and g8.shape[1] >= 8:
-                    g8 = g8[: g8.shape[0] // 8 * 8, : g8.shape[1] // 8 * 8]
-                    g8 = g8.reshape(8, g8.shape[0] // 8, 8, g8.shape[1] // 8).mean(axis=(1, 3))
-                else:
-                    g8 = np.resize(gray, (8, 8))
-                bits = (g8 > g8.mean()).flatten()
-                ph = 0
-                for i, v in enumerate(bits):
-                    if v:
-                        ph |= 1 << i
-                # avoid unsigned overflow into long
-                if ph >= 1 << 63:
-                    ph -= 1 << 64
-                feats.append(
-                    (
-                        float(img[:, :, 0].mean()),
-                        float(img[:, :, 1].mean()),
-                        float(img[:, :, 2].mean()),
-                        float(gray.std()),
-                        ph,
-                    )
-                )
-            out = pdf.copy()
-            out[out_col] = feats
-            yield out
-
-    return df.mapInPandas(run, schema=schema)
+    """Decode + feature-extract images (channel means, gray std, 64-bit
+    average-hash perceptual hash). Wrapper over :func:`image_features_col`."""
+    return df.withColumn(
+        out_col, image_features_col(F.col(payload_col), decode_fn, fake)
+    )
 
 
 def frame_sample(
@@ -168,21 +176,13 @@ def frame_sample(
                 # native RAWV container → PPM-encoded frames
                 return [encode_ppm(f) for f in decode_rawv_frames(bytes(b), n)]
 
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.BinaryType()))]
-    )
-    pi = df.columns.index(payload_col)
+    @F.pandas_udf(T.ArrayType(T.BinaryType()))
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else decode_fn(bytes(b), n_frames) for b in s]
+        )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            out[out_col] = [
-                None if b is None else decode_fn(bytes(b), n_frames)
-                for b in pdf.iloc[:, pi]
-            ]
-            yield out
-
-    return df.mapInPandas(run, schema=schema)
+    return df.withColumn(out_col, _f(F.col(payload_col)))
 
 
 AUDIO_FEATURES_TYPE = T.StructType(
@@ -196,46 +196,45 @@ AUDIO_FEATURES_TYPE = T.StructType(
 )
 
 
+def audio_features_col(payload,
+                       decode_fn: Optional[Callable[[bytes], tuple]] = None):
+    """Column form: payload → audio-features struct (scalar pandas UDF, see
+    :func:`image_features_col` for why this beats a mapInPandas stage)."""
+    if decode_fn is None:
+        from .media_codecs import decode_wav
+
+        decode_fn = decode_wav
+
+    def one(b) -> tuple:
+        if b is None:
+            return (None, None, None, None, None)
+        samples, sr = decode_fn(bytes(b))
+        n = len(samples)
+        zc = int(np.count_nonzero(np.diff(np.signbit(samples)))) if n else 0
+        return (
+            int(sr),
+            int(round(1000.0 * n / sr)) if sr else None,
+            float(np.sqrt(np.mean(samples**2))) if n else 0.0,
+            float(np.abs(samples).max()) if n else 0.0,
+            zc,
+        )
+
+    @F.pandas_udf(AUDIO_FEATURES_TYPE)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [one(b) for b in s],
+            columns=[f.name for f in AUDIO_FEATURES_TYPE.fields],
+        )
+
+    return _f(payload)
+
+
 def audio_features(
     df: DataFrame,
     payload_col: str = "payload",
     out_col: str = "audio_features",
     decode_fn: Optional[Callable[[bytes], tuple]] = None,
 ) -> DataFrame:
-    """Decode + feature-extract audio via mapInPandas — native for PCM WAV
-    (stdlib ``wave``). Features: sample rate, duration, RMS, peak, zero
-    crossings."""
-    if decode_fn is None:
-        from .media_codecs import decode_wav
-
-        decode_fn = decode_wav
-
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, AUDIO_FEATURES_TYPE)]
-    )
-    pi = df.columns.index(payload_col)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            for b in pdf.iloc[:, pi]:
-                if b is None:
-                    feats.append((None, None, None, None, None))
-                    continue
-                samples, sr = decode_fn(bytes(b))
-                n = len(samples)
-                zc = int(np.count_nonzero(np.diff(np.signbit(samples)))) if n else 0
-                feats.append(
-                    (
-                        int(sr),
-                        int(round(1000.0 * n / sr)) if sr else None,
-                        float(np.sqrt(np.mean(samples**2))) if n else 0.0,
-                        float(np.abs(samples).max()) if n else 0.0,
-                        zc,
-                    )
-                )
-            out = pdf.copy()
-            out[out_col] = feats
-            yield out
-
-    return df.mapInPandas(run, schema=schema)
+    """Decode + feature-extract audio — native for PCM WAV (stdlib
+    ``wave``). Features: sample rate, duration, RMS, peak, zero crossings."""
+    return df.withColumn(out_col, audio_features_col(F.col(payload_col), decode_fn))
