@@ -57,7 +57,7 @@ OSM_SCHEMA = T.StructType(
     ]
 )
 
-_OGR_EXTS = {".shp", ".gpkg", ".fgb", ".kml", ".gml", ".xlsx", ".tab"}
+_OGR_EXTS = {".shp", ".gpkg", ".fgb", ".kml", ".gml", ".xlsx"}
 
 
 def st_drivers(spark: SparkSession) -> DataFrame:
@@ -269,6 +269,12 @@ def st_read(
         from .mif import st_read_mif
 
         df = st_read_mif(spark, path, geom_col=geom_col)
+    elif low.endswith(".tab"):
+        # native MapInfo TAB binary container (geom/tabmap.py)
+        from .tab import st_read_tab
+
+        return st_read_tab(spark, path, columns=columns, bbox=bbox,
+                           geom_col=geom_col)
     elif low.endswith((".xlsx",)):
         from .xlsx import st_read_xlsx
 
@@ -395,6 +401,13 @@ def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
                           "fields": [f.name for f in fields], "rows": n})
         rows = [(path, "gdb", total, len(layers),
                  json.dumps(metas, default=str))]
+    elif low.endswith(".tab"):
+        from .tab import _dat_header
+
+        base = os.path.splitext(path)[0]
+        fields, nrec, *_ = _dat_header(base + ".dat")
+        rows = [(path, "tab", nrec, 1,
+                 json.dumps({"fields": [f[0] for f in fields]}))]
     elif low.endswith(".shp"):
         size = os.path.getsize(path)
         rows = [(path, "shp", None, 1, json.dumps({"bytes": size}))]
@@ -535,6 +548,11 @@ def st_write(
         from .mif import st_write_mif
 
         st_write_mif(df, path, geom_col=geom_col)
+        return
+    if fmt == "tab":
+        from .tab import st_write_tab
+
+        st_write_tab(df, path, geom_col=geom_col)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
