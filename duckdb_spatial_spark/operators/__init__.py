@@ -33,6 +33,10 @@ from . import textops  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_media_metadata,
     audio_features,
+    audio_features_col,
     frame_sample,
     image_features,
+    image_features_col,
+    video_metadata,
+    video_metadata_col,
 )

@@ -42,7 +42,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
-    raise ValueError("unrecognized image payload (native: BMP, PPM, PGM, PNG, JPEG)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    raise ValueError(
+        "unrecognized image payload (native: BMP, PPM, PGM, PNG, JPEG, GIF)")
 
 
 def _decode_bmp(b: bytes) -> np.ndarray:
@@ -889,3 +892,276 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
     out.extend(data)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, public spec): LZW-compressed indexed color.
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """First frame of a GIF → (h, w, 3) uint8 RGB. Full LZW decoder;
+    handles local/global color tables, interlacing, and transparency
+    (transparent pixels resolve to the background color)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    W, H = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    bg = b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                sz = b[pos]
+                flags = b[pos + 1]
+                if flags & 1:
+                    transparent = b[pos + 4]
+                pos += sz + 1
+            while b[pos] != 0:  # skip sub-blocks
+                pos += b[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            x0, y0, w, h = struct.unpack_from("<HHHH", b, pos + 1)
+            ipacked = b[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if ipacked & 0x40:  # interlaced row order
+                rows = np.zeros(h, dtype=np.int64)
+                order = []
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    order.extend(range(start, h, step))
+                rows[np.asarray(order, dtype=np.int64)] = np.arange(h)
+                idx = idx.reshape(h, w)[rows]
+            else:
+                idx = idx.reshape(h, w)
+            if ct is None:
+                raise ValueError("gif: no color table")
+            out = ct[np.clip(idx, 0, len(ct) - 1)]
+            if transparent is not None:
+                mask = idx == transparent
+                bgc = ct[bg] if gct is not None and bg < len(ct) else np.zeros(3, np.uint8)
+                out[mask] = bgc
+            full = np.zeros((H, W, 3), dtype=np.uint8)
+            full[y0:y0 + h, x0:x0 + w] = out
+            return full
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+    raise ValueError("gif: no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
+    clear = 1 << min_code
+    end = clear + 1
+    out = np.empty(npix, dtype=np.uint16)
+    nout = 0
+    # bit reader (LSB-first per GIF spec)
+    acc = 0
+    nbits = 0
+    di = 0
+    table: List[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    prev = None
+    while nout < npix and di <= len(data):
+        while nbits < width and di < len(data):
+            acc |= data[di] << nbits
+            nbits += 8
+            di += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        if prev is not None and len(table) >= (1 << width) and width < 12:
+            width += 1
+        take = min(len(entry), npix - nout)
+        out[nout:nout + take] = np.frombuffer(entry[:take], np.uint8)
+        nout += take
+        prev = entry
+    if nout < npix:
+        out[nout:] = 0
+    return out.astype(np.int64)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Single-frame GIF89a from an (h, w, 3) uint8 image. Palette built
+    from the image's distinct colors (≤256 required); LZW-encoded."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_ct = 1 << depth
+    ct = np.zeros((n_ct, 3), dtype=np.uint8)
+    ct[:len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = max(2, depth)
+    out.append(min_code)
+    out += _gif_lzw_encode(idx.astype(np.int64), min_code)
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_encode(idx: np.ndarray, min_code: int) -> bytes:
+    clear = 1 << min_code
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+    chunks = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            chunks.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    prev = b""
+    for v in idx:
+        nxt = prev + bytes([int(v)])
+        if nxt in table:
+            prev = nxt
+            continue
+        put(table[prev])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        prev = bytes([int(v)])
+    if prev:
+        put(table[prev])
+    put(end)
+    if nbits:
+        chunks.append(acc & 0xFF)
+    out = bytearray()
+    for i in range(0, len(chunks), 255):
+        blk = chunks[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4/MOV) metadata probe — box walk, no codec decode.
+
+
+def probe_mp4(b: bytes) -> dict:
+    """Parse the ISO base-media box tree (public ISO/IEC 14496-12 layout):
+    returns {"brand", "duration_ms", "tracks": [{"kind", "codec",
+    "width", "height", "sample_rate", "n_channels"}]}. Metadata-only —
+    the sample data (mdat) is never touched, which is the right shape for
+    a 100-TB video manifest scan."""
+    info = {"brand": None, "duration_ms": None, "tracks": []}
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", b, pos)[0]
+            typ = b[pos + 4:pos + 8].decode("latin1")
+            body = pos + 8
+            if size == 1:
+                size = struct.unpack_from(">Q", b, pos + 8)[0]
+                body = pos + 16
+            if size == 0:
+                size = hi - pos
+            end = pos + size
+            if typ == "ftyp":
+                info["brand"] = b[body:body + 4].decode("latin1")
+            elif typ == "mvhd":
+                ver = b[body]
+                if ver == 1:
+                    scale, dur = struct.unpack_from(">IQ", b, body + 20)
+                else:
+                    scale, dur = struct.unpack_from(">II", b, body + 12)
+                if scale:
+                    info["duration_ms"] = int(dur * 1000 / scale)
+            elif typ == "trak":
+                info["tracks"].append({"kind": None, "codec": None,
+                                       "width": None, "height": None,
+                                       "sample_rate": None,
+                                       "n_channels": None})
+                walk(body, end, depth + 1)
+            elif typ == "hdlr" and info["tracks"]:
+                handler = b[body + 8:body + 12].decode("latin1")
+                info["tracks"][-1]["kind"] = {
+                    "vide": "video", "soun": "audio"}.get(handler, handler)
+            elif typ == "tkhd" and info["tracks"]:
+                # v0: 4 ver/flags + 20 times/ids + 16 layer..volume +
+                # 36 matrix = 76 bytes before width; v1 times are 64-bit
+                ver = b[body]
+                off = body + (88 if ver == 1 else 76)
+                wfx, hfx = struct.unpack_from(">II", b, off)
+                if wfx:
+                    info["tracks"][-1]["width"] = wfx >> 16
+                    info["tracks"][-1]["height"] = hfx >> 16
+            elif typ == "stsd" and info["tracks"]:
+                n = struct.unpack_from(">I", b, body + 4)[0]
+                if n:
+                    fourcc = b[body + 12:body + 16].decode("latin1")
+                    tr = info["tracks"][-1]
+                    tr["codec"] = fourcc
+                    if tr["kind"] == "audio":
+                        tr["n_channels"] = struct.unpack_from(
+                            ">H", b, body + 32)[0]
+                        tr["sample_rate"] = struct.unpack_from(
+                            ">I", b, body + 40)[0] >> 16
+            elif typ in ("moov", "mdia", "minf", "stbl"):
+                walk(body, end, depth + 1)
+            pos = end
+
+    walk(0, len(b))
+    return info

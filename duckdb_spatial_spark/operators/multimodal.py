@@ -7,13 +7,13 @@ payload bytes never round-trip through the driver, only the payload column
 crosses the Python boundary, and independent feature columns in one
 projection fuse into a single ArrowEvalPython stage.
 
-The decode core is REAL for the uncompressed public formats the container
-can handle without codec libraries (``operators/media_codecs.py``): BMP and
-PPM/PGM images, PCM WAV audio, and the RAWV raw-frame video container.
-Compressed codecs (JPEG/PNG/MP4…) genuinely need external libraries and
-raise ``NotImplementedError`` with a clear message; ``decode_fn=...``
-injects one, and ``fake=True`` substitutes a deterministic hash-derived
-decode for plumbing tests.
+The decode core is REAL and dependency-free (``operators/media_codecs.py``):
+BMP/PPM/PGM, PNG (stdlib zlib), baseline + progressive JPEG (ITU T.81),
+GIF (LZW) images; PCM WAV audio; the RAWV raw-frame video container; and
+an ISO-BMFF (MP4/MOV) metadata probe that walks the box tree without
+touching sample data. Codecs outside that set take ``decode_fn=...``, and
+``fake=True`` substitutes a deterministic hash-derived decode for
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -238,3 +238,59 @@ def audio_features(
     """Decode + feature-extract audio — native for PCM WAV (stdlib
     ``wave``). Features: sample rate, duration, RMS, peak, zero crossings."""
     return df.withColumn(out_col, audio_features_col(F.col(payload_col), decode_fn))
+
+
+VIDEO_META_TYPE = T.StructType(
+    [
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+)
+
+
+def video_metadata_col(payload):
+    """ISO BMFF (MP4/MOV) metadata probe as a column: box-tree walk only —
+    sample data (mdat) is never read, so a manifest scan over a 100-TB
+    video corpus ships kilobytes per file, not the payload."""
+    from .media_codecs import probe_mp4
+
+    def one(b):
+        if b is None:
+            return (None,) * 9
+        try:
+            info = probe_mp4(bytes(b))
+        except Exception:
+            return (None,) * 9
+        vid = next((t for t in info["tracks"] if t["kind"] == "video"), None)
+        aud = next((t for t in info["tracks"] if t["kind"] == "audio"), None)
+        return (
+            info["brand"], info["duration_ms"], len(info["tracks"]),
+            vid["codec"] if vid else None,
+            vid["width"] if vid else None,
+            vid["height"] if vid else None,
+            aud["codec"] if aud else None,
+            aud["sample_rate"] if aud else None,
+            aud["n_channels"] if aud else None,
+        )
+
+    @F.pandas_udf(VIDEO_META_TYPE)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [one(b) for b in s],
+            columns=[f.name for f in VIDEO_META_TYPE.fields],
+        )
+
+    return _f(payload)
+
+
+def video_metadata(df: DataFrame, payload_col: str = "payload",
+                   out_col: str = "video_meta") -> DataFrame:
+    """MP4/MOV metadata probe (duration, track codecs/dims/rates)."""
+    return df.withColumn(out_col, video_metadata_col(F.col(payload_col)))

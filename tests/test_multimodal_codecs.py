@@ -594,3 +594,141 @@ def test_jpeg_arithmetic_rejected():
     out.extend(struct.pack(">H", len(payload) + 2) + payload)
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_image(bytes(out))
+
+
+# ---------------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (_decode_gif,
+                                                             decode_image,
+                                                             encode_gif)
+
+    img = np.zeros((12, 16, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    img[:6, :, 1] = 90
+    img[3:5, 2:9, 2] = 250
+    g = encode_gif(img)
+    assert g[:6] == b"GIF89a"
+    back = decode_image(g)  # dispatch via signature
+    assert back.shape == img.shape and (back == img).all()
+    assert (_decode_gif(g) == img).all()
+
+
+def test_gif_interlaced_and_code_width_growth():
+    """>4 colors forces LZW code-width growth; interlace flag exercises the
+    four-pass row order."""
+    import struct as _s
+
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (_decode_gif,
+                                                             encode_gif)
+
+    rng = np.random.RandomState(7)
+    img = (rng.randint(0, 6, (16, 16, 1)) * 40).astype(np.uint8).repeat(3, 2)
+    g = bytearray(encode_gif(img))
+    plain = _decode_gif(bytes(g))
+    assert (plain == img).all()
+    # flip the interlace bit and reorder rows accordingly: decoder must
+    # un-interlace back to the original
+    # (build interlaced variant by re-encoding rows in interlace order)
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, 16, step))
+    inter = img[np.asarray(order)]
+    gi = bytearray(encode_gif(inter))
+    # set interlace flag in the image descriptor of the re-encoded stream
+    idx = gi.index(0x2C, 6)
+    gi[idx + 9] |= 0x40
+    got = _decode_gif(bytes(gi))
+    assert (got == img).all()
+
+
+def test_gif_transparency_resolves_to_background():
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (_decode_gif,
+                                                             encode_gif)
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[2:, :] = 255
+    g = bytearray(encode_gif(img))
+    # inject a graphic-control extension marking index 1 transparent,
+    # right before the image descriptor
+    idx = g.index(0x2C, 6)
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])
+    g2 = bytes(g[:idx]) + gce + bytes(g[idx:])
+    got = _decode_gif(g2)
+    # transparent pixels (index 1 = white rows) resolve to background (0)
+    assert (got[2:, :] == 0).all() and (got[:2, :] == 0).all()
+
+
+# ------------------------------------------------------------------ MP4 probe
+
+
+def _mk_box(typ: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _synthetic_mp4() -> bytes:
+    import struct as _s
+
+    ftyp = _mk_box(b"ftyp", b"isom" + b"\x00" * 8)
+    mvhd = _mk_box(b"mvhd", bytes(12) + _s.pack(">II", 1000, 7250) + bytes(80))
+    # video track: tkhd (w/h as 16.16 fixed), hdlr vide, stsd avc1
+    tkhd_v = _mk_box(b"tkhd", bytes(76) + _s.pack(">II", 640 << 16, 360 << 16))
+    hdlr_v = _mk_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stsd_v = _mk_box(b"stsd", bytes(4) + _s.pack(">I", 1)
+                     + _mk_box(b"avc1", bytes(70)))
+    stbl_v = _mk_box(b"stbl", stsd_v)
+    minf_v = _mk_box(b"minf", stbl_v)
+    mdia_v = _mk_box(b"mdia", hdlr_v + minf_v)
+    trak_v = _mk_box(b"trak", tkhd_v + mdia_v)
+    # audio track: hdlr soun, stsd mp4a with channels @+32(2B), rate @+40 16.16
+    hdlr_a = _mk_box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    mp4a_payload = bytes(16) + _s.pack(">H", 2) + bytes(6) + _s.pack(">I", 44100 << 16)
+    stsd_a = _mk_box(b"stsd", bytes(4) + _s.pack(">I", 1)
+                     + _mk_box(b"mp4a", mp4a_payload))
+    stbl_a = _mk_box(b"stbl", stsd_a)
+    minf_a = _mk_box(b"minf", stbl_a)
+    mdia_a = _mk_box(b"mdia", hdlr_a + minf_a)
+    trak_a = _mk_box(b"trak", mdia_a)
+    moov = _mk_box(b"moov", mvhd + trak_v + trak_a)
+    mdat = _mk_box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def test_mp4_probe_box_walk():
+    from duckdb_spatial_spark.operators.media_codecs import probe_mp4
+
+    info = probe_mp4(_synthetic_mp4())
+    assert info["brand"] == "isom"
+    assert info["duration_ms"] == 7250
+    assert len(info["tracks"]) == 2
+    vid = info["tracks"][0]
+    assert vid["kind"] == "video" and vid["codec"] == "avc1"
+    assert (vid["width"], vid["height"]) == (640, 360)
+    aud = info["tracks"][1]
+    assert aud["kind"] == "audio" and aud["codec"] == "mp4a"
+    assert aud["sample_rate"] == 44100 and aud["n_channels"] == 2
+
+
+def test_video_metadata_operator(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_spatial_spark.operators import video_metadata
+
+    payload = _synthetic_mp4()
+    df = spark.createDataFrame([(1, bytearray(payload)), (2, None)],
+                               "id int, payload binary")
+    out = video_metadata(df, "payload").select("id", "video_meta.*")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["brand"] == "isom" and rows[1]["duration_ms"] == 7250
+    assert rows[1]["video_codec"] == "avc1" and rows[1]["width"] == 640
+    assert rows[1]["sample_rate"] == 44100
+    assert rows[2]["brand"] is None
