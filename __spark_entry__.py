@@ -1321,11 +1321,12 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     constant-amplitude square wave has RMS exactly A."""
     import numpy as np
 
-    from duckdb_spatial_spark.operators import audio_features, image_features
-    from duckdb_spatial_spark.operators.media_codecs import (encode_jpeg,
-                                                             encode_png,
-                                                             encode_ppm,
-                                                             encode_wav)
+    from duckdb_spatial_spark.operators import (audio_features,
+                                                image_features,
+                                                video_metadata)
+    from duckdb_spatial_spark.operators.media_codecs import (
+        encode_bmff_skeleton, encode_gif, encode_jpeg, encode_png,
+        encode_ppm, encode_wav)
 
     part = load_table(spark, sf, "part").filter(F.col("p_partkey") < 400).select(
         "p_partkey", (F.col("p_partkey") % 251).cast("int").alias("r"),
@@ -1339,6 +1340,8 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
             img = []
             png = []
             jpg = []
+            gif = []
+            mp4 = []
             wav = []
             for r, g in zip(pdf["r"], pdf["g"]):
                 im = np.zeros((12, 16, 3), dtype=np.uint8)
@@ -1350,6 +1353,10 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
                 # solid GRAY block: DC-only DCT at quant=1 → bit-exact
                 gray = np.full((12, 16, 3), int(g), dtype=np.uint8)
                 jpg.append(encode_jpeg(gray, quant=1))
+                gif.append(encode_gif(im))  # GIF is lossless → means exact
+                mp4.append(encode_bmff_skeleton(
+                    int(r) * 10 + 40, width=640, height=360,
+                    sample_rate=16000, n_channels=1))
                 amp = (int(r) % 50 + 1) / 100.0
                 sig = np.where(np.arange(400) % 2 == 0, amp, -amp)
                 wav.append(encode_wav(sig, 8000))
@@ -1357,23 +1364,29 @@ def q66_multimodal(spark: SparkSession, sf: str) -> DataFrame:
             out["img"] = img
             out["png"] = png
             out["jpg"] = jpg
+            out["gif"] = gif
+            out["mp4"] = mp4
             out["wav"] = wav
             yield out
 
     built = part.mapInPandas(
         build,
         schema=("p_partkey long, r int, g int, img binary, png binary, "
-                "jpg binary, wav binary"),
+                "jpg binary, gif binary, mp4 binary, wav binary"),
     )
     feats = image_features(built, "img")
     feats = image_features(feats, "png", out_col="png_features")
     feats = image_features(feats, "jpg", out_col="jpg_features")
+    feats = image_features(feats, "gif", out_col="gif_features")
+    feats = video_metadata(feats, "mp4")
     feats = audio_features(feats, "wav")
     return feats.agg(
         F.round(F.sum(F.col("img_features.mean_r")), 4).alias("sum_mean_r"),
         F.round(F.sum(F.col("img_features.mean_g")), 4).alias("sum_mean_g"),
         F.round(F.sum(F.col("png_features.mean_b")), 4).alias("sum_png_b"),
         F.round(F.sum(F.col("jpg_features.mean_r")), 4).alias("sum_jpg_r"),
+        F.round(F.sum(F.col("gif_features.mean_g")), 4).alias("sum_gif_g"),
+        F.sum(F.col("video_meta.duration_ms")).alias("sum_mp4_ms"),
         F.round(F.sum(F.col("audio_features.rms")), 6).alias("sum_rms"),
         F.sum(F.col("audio_features.duration_ms")).alias("sum_dur_ms"),
         F.count("*").alias("n"),
@@ -2188,6 +2201,11 @@ def oracle_sql() -> dict[str, str]:
                    -- the JPEG payload is a solid gray at the green level:
                    -- DC-only DCT at quant=1 decodes bit-exact
                    round(sum(CAST(p_size % 251 AS DOUBLE)), 4) AS sum_jpg_r,
+                   -- GIF is lossless: green mean == g exactly
+                   round(sum(CAST(p_size % 251 AS DOUBLE)), 4) AS sum_gif_g,
+                   -- the BMFF probe reads back the mvhd duration we wrote
+                   CAST(sum(CAST(p_partkey % 251 AS BIGINT) * 10 + 40)
+                        AS BIGINT) AS sum_mp4_ms,
                    round(sum(floor(((CAST(p_partkey % 251 AS BIGINT) % 50 + 1)
                                     / 100.0) * 32767) / 32768.0), 6) AS sum_rms,
                    CAST(sum(CAST(50 AS BIGINT)) AS BIGINT) AS sum_dur_ms,

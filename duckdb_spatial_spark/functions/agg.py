@@ -61,7 +61,6 @@ def _two_level_agg(df: DataFrame, geom_col: str, group_cols: List[str], op, out_
     Spark shape of DuckDB's Operation/Combine/Finalize aggregate protocol."""
     spark_cols = group_cols + [geom_col]
     src = df.select(*spark_cols)
-    n_groups_hint = 32
 
     partial_schema = T.StructType(
         [src.schema[c] for c in group_cols] + [T.StructField(out_col, T.BinaryType())]
@@ -74,8 +73,12 @@ def _two_level_agg(df: DataFrame, geom_col: str, group_cols: List[str], op, out_
         return agg.reset_index().rename(columns={geom_col: out_col})
 
     if group_cols:
-        prepartitioned = src.repartition(n_groups_hint, *group_cols)
-        part = prepartitioned.mapInPandas(
+        # partial on the NATURAL partitioning (map-side combine: ≤1 row per
+        # group per input partition crosses the wire), then ONE shuffle to
+        # the final per-group reduce — the Operation/Combine/Finalize shape
+        # with the minimum shuffle count. (A pre-repartition by key here
+        # would shuffle the full geometry payload a second time.)
+        part = src.mapInPandas(
             lambda it: (partial(pdf) for pdf in it if len(pdf)), schema=partial_schema
         )
         final_schema = partial_schema

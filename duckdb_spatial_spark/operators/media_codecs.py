@@ -13,12 +13,16 @@ payloads:
   — full ITU T.81 decode in numpy: baseline sequential (SOF0/1) AND
   progressive (SOF2: spectral selection + successive approximation,
   annex G).
+* **GIF** (87a/89a) — full LZW decode (interlace, transparency) + a
+  single-frame encoder.
 * **WAV** (PCM) — stdlib ``wave`` module.
 * **RAWV** — a minimal raw-video container for frame plumbing:
   ``b'RAWV' + u16 w + u16 h + u16 nframes`` then nframes × w·h·3 RGB bytes.
+* **MP4/MOV** — ISO-BMFF box-tree metadata probe (duration, track codecs,
+  dims, rates) without touching sample data, plus a skeleton writer.
 
-Formats needing real codec libraries (MP3/MP4, arithmetic-coded JPEG…)
-still raise NotImplementedError with a clear message.
+Formats needing real codec libraries (MP3 frames, arithmetic-coded JPEG,
+H.264 sample decode…) still raise NotImplementedError with a clear message.
 """
 
 from __future__ import annotations
@@ -1165,3 +1169,37 @@ def probe_mp4(b: bytes) -> dict:
 
     walk(0, len(b))
     return info
+
+
+def encode_bmff_skeleton(duration_ms: int, width: int = 0, height: int = 0,
+                         sample_rate: int = 0, n_channels: int = 0,
+                         video_codec: str = "avc1",
+                         audio_codec: str = "mp4a") -> bytes:
+    """Minimal valid ISO-BMFF container (ftyp + moov, empty mdat) carrying
+    the given metadata — the writer dual of :func:`probe_mp4` for
+    manifest-pipeline tests and fixtures."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 8)
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 1000, duration_ms)
+               + bytes(80))
+    traks = b""
+    if width and height:
+        tkhd = box(b"tkhd", bytes(76) + struct.pack(
+            ">II", width << 16, height << 16))
+        hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                   + box(video_codec.encode("latin1"), bytes(70)))
+        traks += box(b"trak", tkhd + box(
+            b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
+    if sample_rate:
+        hdlr = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+        payload = (bytes(16) + struct.pack(">H", n_channels or 1) + bytes(6)
+                   + struct.pack(">I", sample_rate << 16))
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                   + box(audio_codec.encode("latin1"), payload))
+        traks += box(b"trak", box(
+            b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + moov + box(b"mdat", b"")
