@@ -430,21 +430,18 @@ def connected_components(
         )
         # carry the previous label through the select so the fixpoint test
         # is a filter+count over the checkpointed frame, not another join
-        cand = (
-            labels.join(neigh, labels["node"] == neigh["jnode"], "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("comp"),
-                        F.coalesce(F.col("ncomp"), F.col("comp"))).alias("cand"),
-                F.col("comp").alias("_prev"),
-            )
-            .localCheckpoint(eager=True)
+        cand = labels.join(neigh, labels["node"] == neigh["jnode"], "left").select(
+            F.col("node"),
+            F.least(F.col("comp"),
+                    F.coalesce(F.col("ncomp"), F.col("comp"))).alias("cand"),
+            F.col("comp").alias("_prev"),
         )
-        # pointer halving: hop once through the UPDATED table (comp ←
-        # label[comp]). Neighbor-min alone needs O(diameter) rounds; with
-        # the hop, label paths halve every round → O(log diameter).
-        look = cand.select(F.col("node").alias("lnode"),
-                           F.col("cand").alias("lcomp"))
+        # pointer halving: hop once through the previous label table
+        # (comp ← label[comp]) in the SAME round plan, so each round is
+        # one checkpoint. Neighbor-min alone needs O(diameter) rounds;
+        # the hop halves label paths → O(log diameter).
+        look = labels.select(F.col("node").alias("lnode"),
+                             F.col("comp").alias("lcomp"))
         new_labels = (
             cand.join(look, cand["cand"] == look["lnode"], "left")
             .select(

@@ -1203,3 +1203,203 @@ def encode_bmff_skeleton(duration_ms: int, width: int = 0, height: int = 0,
             b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
     moov = box(b"moov", mvhd + traks)
     return ftyp + moov + box(b"mdat", b"")
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV (format tag 0x0011, public IMA/DVI spec)
+
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_block(data: bytes, n_samples: int) -> np.ndarray:
+    """One mono IMA ADPCM block: 4-byte header (predictor int16, index u8,
+    reserved u8) then 4-bit codes, low nibble first."""
+    pred = struct.unpack_from("<h", data, 0)[0]
+    index = min(max(data[2], 0), 88)
+    out = np.empty(n_samples, dtype=np.int64)
+    out[0] = pred
+    codes = np.frombuffer(data, np.uint8, offset=4)
+    nibbles = np.empty(len(codes) * 2, dtype=np.uint8)
+    nibbles[0::2] = codes & 0x0F
+    nibbles[1::2] = codes >> 4
+    for i in range(1, n_samples):
+        c = int(nibbles[i - 1])
+        step = int(_IMA_STEP[index])
+        diff = step >> 3
+        if c & 1:
+            diff += step >> 2
+        if c & 2:
+            diff += step >> 1
+        if c & 4:
+            diff += step
+        pred = pred - diff if c & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX[c & 7])))
+        out[i] = pred
+    return out
+
+
+def decode_wav_any(payload: bytes) -> Tuple[np.ndarray, int]:
+    """PCM (stdlib wave) or IMA ADPCM (format tag 0x0011) WAV decode."""
+    try:
+        return decode_wav(payload)
+    except Exception:
+        pass
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("RIFF missing fmt/data chunks")
+    tag, ch, sr, _br, block_align, _bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 0x0011:
+        raise NotImplementedError(f"WAV format tag 0x{tag:04x}")
+    if ch != 1:
+        raise NotImplementedError("IMA ADPCM: mono only")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    chunks = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        chunks.append(_ima_decode_block(data[off:off + block_align], spb))
+    samples = (np.concatenate(chunks) if chunks else
+               np.zeros(0, dtype=np.int64))
+    return samples.astype(np.float64) / 32768.0, sr
+
+
+def encode_wav_ima(samples: np.ndarray, sample_rate: int,
+                   block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM WAV encoder (format tag 0x0011) — the test dual of
+    :func:`decode_wav_any`."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64) * 32767.0,
+                  -32768, 32767).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1
+    blocks = []
+    for off in range(0, len(pcm), spb):
+        seg = pcm[off:off + spb]
+        if len(seg) < spb:
+            seg = np.concatenate([seg, np.zeros(spb - len(seg), np.int64)])
+        pred = int(seg[0])
+        # seed the block's step index from the observed slope — a cold
+        # index (step 7) takes hundreds of samples to adapt to real audio
+        d = np.abs(np.diff(seg))
+        target = max(1.0, float(d.mean()))
+        index = int(np.argmin(np.abs(_IMA_STEP - target)))
+        blk = bytearray(struct.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for s in seg[1:]:
+            step = int(_IMA_STEP[index])
+            delta = int(s) - pred
+            c = 0
+            if delta < 0:
+                c = 8
+                delta = -delta
+            diff = step >> 3
+            if delta >= step:
+                c |= 4
+                delta -= step
+                diff += step
+            if delta >= step >> 1:
+                c |= 2
+                delta -= step >> 1
+                diff += step >> 1
+            if delta >= step >> 2:
+                c |= 1
+                diff += step >> 2
+            pred = pred - diff if c & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(_IMA_INDEX[c & 7])))
+            nibbles.append(c)
+        for i in range(0, len(nibbles), 2):
+            lo = nibbles[i]
+            hi = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+            blk.append(lo | (hi << 4))
+        blocks.append(bytes(blk))
+    data = b"".join(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack("<HHIIHHH", 0x0011, 1, sample_rate, byte_rate,
+                      block_align, 4, spb & 0xFFFF)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio) frame-header probe — public ISO 11172-3 header layout.
+
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320, 0]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Walk MPEG-audio layer-III frame headers (skipping any ID3v2 tag):
+    returns {"n_frames", "sample_rate", "duration_ms", "bitrate_kbps"
+    (mean), "vbr"}. Header-walk only — no audio decode, the audio dual of
+    :func:`probe_mp4`."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        sz = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+              | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        pos = 10 + sz
+    n = 0
+    sr_out = None
+    bitrates = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            pos += 1
+            continue
+        b1, b2 = payload[pos + 1], payload[pos + 2]
+        ver = (b1 >> 3) & 0x3        # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x3      # 1 = layer III
+        if ver == 1 or layer != 1:
+            pos += 1
+            continue
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if sr_idx == 3 or br_idx in (0, 15):
+            pos += 1
+            continue
+        table = _MP3_BITRATE_V1L3 if ver == 3 else _MP3_BITRATE_V2L3
+        br = table[br_idx] * 1000
+        sr = _MP3_RATES[ver][sr_idx]
+        pad = (b2 >> 1) & 1
+        spf = 1152 if ver == 3 else 576
+        flen = spf * br // (8 * sr) + pad
+        if flen <= 0:
+            pos += 1
+            continue
+        n += 1
+        sr_out = sr
+        bitrates.append(br)
+        pos += flen
+    if n == 0:
+        raise ValueError("no MPEG audio frames found")
+    spf = 1152 if sr_out >= 32000 else 576
+    return {
+        "n_frames": n,
+        "sample_rate": sr_out,
+        "duration_ms": int(round(1000.0 * n * spf / sr_out)),
+        "bitrate_kbps": int(round(sum(bitrates) / len(bitrates) / 1000)),
+        "vbr": len(set(bitrates)) > 1,
+    }

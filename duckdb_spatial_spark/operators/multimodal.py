@@ -201,9 +201,9 @@ def audio_features_col(payload,
     """Column form: payload → audio-features struct (scalar pandas UDF, see
     :func:`image_features_col` for why this beats a mapInPandas stage)."""
     if decode_fn is None:
-        from .media_codecs import decode_wav
+        from .media_codecs import decode_wav_any
 
-        decode_fn = decode_wav
+        decode_fn = decode_wav_any  # PCM + IMA ADPCM
 
     def one(b) -> tuple:
         if b is None:

@@ -732,3 +732,40 @@ def test_video_metadata_operator(spark):
     assert rows[1]["video_codec"] == "avc1" and rows[1]["width"] == 640
     assert rows[1]["sample_rate"] == 44100
     assert rows[2]["brand"] is None
+
+
+# ------------------------------------------------------------ ADPCM + MP3
+
+
+def test_ima_adpcm_wav_roundtrip():
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.media_codecs import (decode_wav_any,
+                                                             encode_wav,
+                                                             encode_wav_ima)
+
+    t = np.sin(2 * np.pi * 440 * np.arange(8000) / 8000.0) * 0.5
+    w = encode_wav_ima(t, 8000)
+    s, sr = decode_wav_any(w)
+    assert sr == 8000
+    err = s[:len(t)] - t
+    assert np.abs(err).max() < 0.06          # 4-bit ADPCM quantization
+    assert np.sqrt(np.mean(err ** 2)) < 0.02
+    # PCM payloads still route through the stdlib path
+    s2, sr2 = decode_wav_any(encode_wav(t, 8000))
+    assert sr2 == 8000 and np.abs(s2[:len(t)] - t).max() < 1e-3
+
+
+def test_mp3_frame_probe():
+    from duckdb_spatial_spark.operators.media_codecs import probe_mp3
+
+    hdr128 = bytes([0xFF, 0xFB, 0x90, 0x00])   # MPEG1 L3, 128k, 44100
+    hdr160 = bytes([0xFF, 0xFB, 0xA0, 0x00])   # MPEG1 L3, 160k, 44100
+    f128 = hdr128 + bytes(1152 * 128000 // (8 * 44100) - 4)
+    f160 = hdr160 + bytes(1152 * 160000 // (8 * 44100) - 4)
+    id3 = b"ID3" + bytes(3) + bytes([0, 0, 0, 10]) + bytes(10)
+    info = probe_mp3(id3 + f128 * 2 + f160)
+    assert info["n_frames"] == 3 and info["sample_rate"] == 44100
+    assert info["vbr"] is True
+    # 3 frames * 1152 samples / 44100 Hz = 78.4 ms
+    assert info["duration_ms"] == 78
