@@ -80,6 +80,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("fgb", "FlatGeobuf (native flatbuffers codec)", True, True, True),
         ("gdb", "ESRI OpenFileGDB (native .gdbtable codec)", True, True, False),
         ("mif", "MapInfo Interchange MIF/MID (native text codec)", True, True, True),
+        ("tab", "MapInfo TAB (native .map/.id/.dat binary codec)", True, True, True),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),

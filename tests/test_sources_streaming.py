@@ -91,15 +91,16 @@ def test_osm_missing_file(spark):
 
 
 def test_ogr_gated(spark, tmp_path):
-    # .gdb is native as of round 3 (geom/gdbtable.py) — garbage bytes are a
-    # codec error, not a missing-pyogrio gate; .tab remains OGR-gated
+    # .gdb and .tab are native as of round 3 (geom/gdbtable.py,
+    # geom/tabmap.py) — garbage bytes are a codec error (bad magic /
+    # missing sidecar), not a missing-pyogrio gate
     gdb = tmp_path / "zones.gdb"
     gdb.write_bytes(b"\x00" * 10)
     with pytest.raises((ValueError, OSError)):
         read(spark, str(gdb))
     tab = tmp_path / "zones.tab"
     tab.write_bytes(b"\x00" * 10)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((ValueError, OSError)):
         read(spark, str(tab))
 
 
