@@ -21,6 +21,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def exact_dedup(df: DataFrame, key_cols: List[str], id_col: str) -> DataFrame:
@@ -380,6 +381,40 @@ def simhash_candidates(
     )
 
 
+def _local_union_find(pdf_iter, src_name: str, dst_name: str):
+    """Union-find over the edges of ONE partition; yields the contracted
+    star mapping (node → partition-local min root), one row per distinct
+    node seen. Pure per-partition work — no shuffle, no driver state."""
+    import pandas as pd
+
+    parent: dict = {}
+    seen: set = set()
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in pdf_iter:
+        for a, b in zip(pdf[src_name].tolist(), pdf[dst_name].tolist()):
+            seen.add(a)
+            seen.add(b)
+            if a == b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    if seen:
+        nodes = sorted(seen)
+        yield pd.DataFrame({src_name: nodes, dst_name: [find(n) for n in nodes]})
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "id_a",
@@ -387,32 +422,92 @@ def connected_components(
     nodes: Optional[DataFrame] = None,
     id_col: str = "id",
     max_iter: int = 25,
+    driver_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """Candidate pairs → duplicate clusters: (node, comp) where ``comp``
     is the smallest member id of the node's connected component.
 
     This is the step LLM dedup pipelines run after LSH/simhash candidate
-    generation ("keep one document per near-dup cluster"). Min-label
-    propagation over the undirected edge list: each round joins labels to
-    neighbors and takes the min — converges in O(component diameter)
-    rounds (near-dup clusters are shallow: at web scale the large-star/
-    small-star alternation [Kiveris et al., "Connected Components in
-    MapReduce and Beyond"] bounds rounds at O(log² n); the per-round plan
-    here — one equi-join + one groupBy min — is the same shape either
-    way). Each round is persisted and checked for a fixpoint, so the
-    driver loop runs `diameter` Spark jobs, not one giant lazy tree.
+    generation ("keep one document per near-dup cluster"). Three tiers:
+
+    1. **Partition-local contraction** (always): one mapInPandas pass runs
+       union-find inside each partition and emits node→local-root star
+       edges — no shuffle, strictly fewer rows out than edges in, and the
+       intra-partition diameter collapses to 1 before any join round.
+    2. **Guarded finish on the driver**: the contracted star has one row
+       per edge-TOUCHED node — in an LSH pipeline that's ~0.1% of the
+       corpus (that is the point of LSH). When it fits under
+       ``driver_node_limit`` rows (~tens of MB), union-find the stars on
+       the driver and broadcast-join the label map back: total cost is
+       one narrow collect + one broadcast join, zero iterative rounds.
+       This is the same small-side pattern as a broadcast hash join, with
+       the same explicit size guard.
+    3. **Iterative min-label propagation** (the scale path, when the star
+       exceeds the guard): each round joins labels to neighbors, takes
+       the min, and pointer-halves — O(log diameter) rounds over
+       already-contracted stars (near-dup clusters are shallow; at web
+       scale the large-star/small-star alternation [Kiveris et al.,
+       "Connected Components in MapReduce and Beyond"] bounds rounds at
+       O(log² n); the per-round plan here — one equi-join + one groupBy
+       min — is the same shape either way). Each round is persisted and
+       checked for a fixpoint, so the driver loop runs O(log diameter)
+       Spark jobs, not one giant lazy tree.
 
     ``nodes`` (optional, column ``id_col``) adds isolated documents as
     their own singleton components.
     """
-    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst")).union(
-        pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+    raw = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    node_t = raw.schema["src"].dataType
+    star_schema = T.StructType([
+        T.StructField("src", node_t), T.StructField("dst", node_t)])
+    # Tier 1: per-partition union-find contraction (no shuffle).
+    star = raw.mapInPandas(
+        lambda it: _local_union_find(it, "src", "dst"), schema=star_schema
+    ).localCheckpoint(eager=True)
+    n_star = star.count()
+
+    if n_star <= driver_node_limit:
+        # Tier 2: the star mapping is one row per edge-touched node and
+        # under the guard — finish with one union-find over the collected
+        # stars and broadcast the labels back (collect is of the REDUCED
+        # mapping, never the corpus or the raw edge list).
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = star.collect()
+        for row in rows:
+            a, b = row["src"], row["dst"]
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        label_rows = [(row["src"], find(row["src"])) for row in rows]
+        clustered = pairs.sparkSession.createDataFrame(
+            label_rows,
+            T.StructType([T.StructField(id_col, node_t),
+                          T.StructField("comp", node_t)]),
+        )
+        if nodes is None:
+            return clustered
+        return (
+            nodes.select(id_col)
+            .join(F.broadcast(clustered), on=id_col, how="left")
+            .select(id_col, F.coalesce("comp", F.col(id_col)).alias("comp"))
+        )
+
+    # Tier 3: iterate over the contracted stars (both directions so the
+    # min-label can flow root→member as well as member→root).
+    edges = star.union(
+        star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    # The iterative loop runs ONLY over edge-touched nodes. In a dedup
-    # pipeline candidate pairs are a tiny fraction of the corpus (that is
-    # the point of LSH), so singletons — the overwhelming majority at
-    # scale — never enter a single join round; they get comp=id via one
-    # left join at the end.
     # localCheckpoint each round: truncates the lineage (the loop joins
     # labels against frames derived from labels — ambiguous otherwise)
     # and keeps every round's plan O(1)

@@ -287,3 +287,22 @@ def test_connected_components_clusters(spark):
     out2 = {r["id"]: r["comp"]
             for r in connected_components(chain).collect()}
     assert all(v == 10 for v in out2.values()) and len(out2) == 7
+
+
+def test_connected_components_tiers_agree(spark):
+    """The guarded driver fast path (tier 2) and the iterative min-label
+    scale path (tier 3, forced via driver_node_limit=0) produce identical
+    labelings on a random multi-component graph with chains and cycles."""
+    import random
+
+    from duckdb_spatial_spark.operators import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["id"]: r["comp"]
+            for r in connected_components(pairs, id_col="id").collect()}
+    slow = {r["id"]: r["comp"]
+            for r in connected_components(
+                pairs, id_col="id", driver_node_limit=0).collect()}
+    assert fast == slow and len(fast) > 0
