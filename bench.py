@@ -149,6 +149,13 @@ def main() -> None:
                 print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)
+        # Drop the query's py4j refs so the ContextCleaner can release its
+        # localCheckpoint RDDs and broadcasts — otherwise 69 queries of
+        # checkpointed state accumulate in the executor heap and the late
+        # queries pay the GC bill (measured as run-position-dependent drift).
+        import gc
+
+        gc.collect()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
