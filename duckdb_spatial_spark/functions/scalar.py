@@ -1811,16 +1811,20 @@ def st_transform(geom: ColumnOrName, src: str, dst: str, always_xy: bool = True)
     """CRS reprojection (proj/functions.cpp:487-513). Native vectorized
     engine (geom/proj.py) covers geographic, Web-Mercator, every UTM zone
     (Krüger-series transverse Mercator), Lambert-93, Conus Albers, LAEA
-    Europe, OSGB/ED50 datum shifts, and arbitrary PROJ parameter strings
-    ('+proj=tmerc/utm/merc/lcc/aea/laea/longlat … +ellps=… +towgs84=…');
-    CRS outside that need pyproj, gated behind an import."""
+    Europe, OSGB/ED50 datum shifts, arbitrary PROJ parameter strings
+    ('+proj=tmerc/utm/merc/lcc/aea/laea/longlat … +ellps=… +towgs84=…'),
+    and NTv2 grid-shifted datums via '+nadgrids=file.gsb' (native .gsb
+    codec, geom/ntv2.py); CRS outside that need pyproj, gated behind an
+    import."""
     key = (src.upper(), dst.upper())
     if key[0] == key[1]:
         return _col(geom)
     from ..geom.proj import native_transform
 
+    # pass ORIGINAL casing to the parser: +nadgrids values are file paths
+    # (case-sensitive on Linux); keyword/ellipsoid lookups upcase internally
     fn = (_NATIVE_TRANSFORMS.get(key) if always_xy else None) \
-        or native_transform(*key, always_xy=always_xy)
+        or native_transform(src, dst, always_xy=always_xy)
     if fn is not None:
 
         @pandas_udf(T.BinaryType())

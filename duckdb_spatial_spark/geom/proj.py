@@ -130,6 +130,24 @@ class DatumShifted:
         return _ecef_to_geodetic(ecef, *WGS84)
 
 
+class GridShifted:
+    """Wrap a projection defined on a grid-shifted datum (+nadgrids NTv2):
+    the grid maps the CRS's local geodetic coordinates (SYSTEM_F) to the
+    WGS84-class frame (SYSTEM_T), so the wgs84→local leg of ``forward`` is
+    the grid's inverse shift and the local→wgs84 leg of ``inverse`` is its
+    forward shift — the grid analog of DatumShifted's Helmert legs."""
+
+    def __init__(self, proj, grid):
+        self._proj = proj
+        self._grid = grid
+
+    def forward(self, lonlat_wgs84: np.ndarray) -> np.ndarray:
+        return self._proj.forward(self._grid.shift_inverse(lonlat_wgs84))
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        return self._grid.shift(self._proj.inverse(xy))
+
+
 # ------------------------------------------------------- conformal latitude
 
 def _conformal_tau(phi: np.ndarray, e: float) -> np.ndarray:
@@ -1408,8 +1426,23 @@ def crs_from_proj_string(s: str):
         return None
     if kv.get("units", "m").lower() not in ("m",) and proj not in ("longlat", "latlong"):
         return None
-    if "nadgrids" in kv and kv["nadgrids"] not in ("@null", "null"):
-        return None
+    # +nadgrids: NTv2 .gsb grids are handled natively (geom/ntv2.py); the
+    # value is a comma list of grid files — the first that exists wins
+    # (PROJ's search order). Unresolvable grids → None (pyproj fallback),
+    # never silently-unshifted output.
+    ntv2_grid = None
+    if "nadgrids" in kv and kv["nadgrids"] not in ("@null", "null", ""):
+        from .ntv2 import grid_for_path
+
+        for cand in kv["nadgrids"].split(","):
+            cand = cand.strip().lstrip("@")
+            if not cand:
+                continue
+            ntv2_grid = grid_for_path(cand)
+            if ntv2_grid is not None:
+                break
+        if ntv2_grid is None:
+            return None
 
     # ellipsoid
     if "r" in kv:
@@ -1559,6 +1592,9 @@ def crs_from_proj_string(s: str):
     else:
         return None
 
+    if ntv2_grid is not None:
+        # PROJ precedence: an applicable +nadgrids supersedes +towgs84
+        return GridShifted(base, ntv2_grid)
     tow = kv.get("towgs84")
     if tow:
         p = [float(v) for v in tow.split(",")]
