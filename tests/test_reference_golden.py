@@ -59,6 +59,8 @@ def _parse_file(path):
 def _rewrite(sql: str) -> str:
     # DuckDB implicit-cast syntax → explicit constructor
     sql = re.sub(r"('(?:[^']*)')::GEOMETRY", r"ST_GeomFromText(\1)", sql)
+    # DuckDB BLOB type → Spark BINARY (WKB is native binary here)
+    sql = re.sub(r"::\s*BLOB\b", "::BINARY", sql, flags=re.I)
     # POINT_2D struct-literal cast (reference proj.test) → ST_Point
     sql = re.sub(
         r"\{\s*'x'\s*:\s*([-\d.eE+]+)\s*,\s*'y'\s*:\s*([-\d.eE+]+)\s*\}"
