@@ -6,6 +6,7 @@ from .kml import st_read_kml, st_write_kml  # noqa: F401
 from .fgb import st_read_fgb, st_write_fgb  # noqa: F401
 from .xlsx import st_read_xlsx  # noqa: F401
 from .gml import st_read_gml  # noqa: F401
+from .gpx import st_read_gpx, st_write_gpx  # noqa: F401
 from .read import (  # noqa: F401
     OSM_SCHEMA,
     read,

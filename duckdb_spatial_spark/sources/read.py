@@ -81,6 +81,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("gdb", "ESRI OpenFileGDB (native .gdbtable codec)", True, True, False),
         ("mif", "MapInfo Interchange MIF/MID (native text codec)", True, True, True),
         ("tab", "MapInfo TAB (native .map/.id/.dat binary codec)", True, True, True),
+        ("gpx", "GPS Exchange GPX 1.1 (native XML, OGR 5-layer model)", True, True, True),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
@@ -266,6 +267,11 @@ def st_read(
         from .gml import st_read_gml
 
         df = st_read_gml(spark, path, geom_col=geom_col)
+    elif low.endswith(".gpx"):
+        from .gpx import st_read_gpx
+
+        df = st_read_gpx(spark, path, layer=layer or "waypoints",
+                         geom_col=geom_col)
     elif low.endswith(".mif"):
         from .mif import st_read_mif
 
@@ -554,6 +560,11 @@ def st_write(
         from .tab import st_write_tab
 
         st_write_tab(df, path, geom_col=geom_col)
+        return
+    if fmt == "gpx":
+        from .gpx import st_write_gpx
+
+        st_write_gpx(df, path, geom_col=geom_col)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
