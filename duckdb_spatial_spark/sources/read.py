@@ -82,6 +82,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("mif", "MapInfo Interchange MIF/MID (native text codec)", True, True, True),
         ("tab", "MapInfo TAB (native .map/.id/.dat binary codec)", True, True, True),
         ("gpx", "GPS Exchange GPX 1.1 (native XML, OGR 5-layer model)", True, True, True),
+        ("arrow", "Apache Arrow IPC / Feather V2 (batch-range parallel scan, distributed sink)", True, True, True),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
@@ -267,6 +268,11 @@ def st_read(
         from .gml import st_read_gml
 
         df = st_read_gml(spark, path, geom_col=geom_col)
+    elif low.endswith((".arrow", ".feather", ".ipc")):
+        from .arrow import st_read_arrow
+
+        df = st_read_arrow(spark, path, columns=columns)
+        columns = None  # pushdown already applied inside the scan
     elif low.endswith(".gpx"):
         from .gpx import st_read_gpx
 
@@ -565,6 +571,11 @@ def st_write(
         from .gpx import st_write_gpx
 
         st_write_gpx(df, path, geom_col=geom_col)
+        return
+    if fmt in ("arrow", "feather", "ipc"):
+        from .arrow import st_write_arrow
+
+        st_write_arrow(df, path)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
