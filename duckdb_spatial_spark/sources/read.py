@@ -83,6 +83,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("tab", "MapInfo TAB (native .map/.id/.dat binary codec)", True, True, True),
         ("gpx", "GPS Exchange GPX 1.1 (native XML, OGR 5-layer model)", True, True, True),
         ("arrow", "Apache Arrow IPC / Feather V2 (batch-range parallel scan, distributed sink)", True, True, True),
+        ("sqlite", "SpatiaLite (native BLOB-geometry codec, stdlib sqlite3)", True, True, True),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
@@ -238,7 +239,8 @@ def st_read(
 
         return st_read_gdb(spark, path.rstrip("/"), layer=layer,
                            columns=columns, bbox=bbox, geom_col=geom_col)
-    if low.endswith((".geojson", ".geojson.gz", ".json.gz")) or (
+    if low.endswith((".geojson", ".geojson.gz", ".json.gz",
+                     ".geojsonl", ".geojsons")) or (
             low.endswith(".json") and wkt_col is None and _looks_geojson(path)):
         df = read_geojson(spark, path)
     elif low.endswith((".parquet", ".pq")) or os.path.isdir(path):
@@ -268,6 +270,17 @@ def st_read(
         from .gml import st_read_gml
 
         df = st_read_gml(spark, path, geom_col=geom_col)
+    elif low.endswith((".sqlite", ".db")):
+        # sniff the sqlite container flavor: GeoPackage vs SpatiaLite
+        from .gpkg import st_read_gpkg
+        from .spatialite import is_spatialite, st_read_spatialite
+
+        if is_spatialite(path):
+            return st_read_spatialite(spark, path, layer=layer,
+                                      columns=columns, bbox=bbox,
+                                      geom_col=geom_col)
+        return st_read_gpkg(spark, path, layer=layer, columns=columns,
+                            bbox=bbox, geom_col=geom_col)
     elif low.endswith((".arrow", ".feather", ".ipc")):
         from .arrow import st_read_arrow
 
@@ -576,6 +589,11 @@ def st_write(
         from .arrow import st_write_arrow
 
         st_write_arrow(df, path)
+        return
+    if fmt in ("sqlite", "spatialite"):
+        from .spatialite import st_write_spatialite
+
+        st_write_spatialite(df, path, geom_col=geom_col)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
