@@ -89,13 +89,21 @@ def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-polygon spatial join (docs/example.md:92-100 workload) via
     the grid-partitioned equi-join; per-zone counts."""
     pts = _events_pts(spark, sf)
-    # 15-row dim table: single shuffled slice. NOT coalesce(1): coalescing a
-    # python-parallelized RDD makes ONE task pay a serial python round-trip
-    # per parent slice (32 × ~140ms ≈ 4.5s of dead time per run).
-    zones = (
-        spark.createDataFrame(_zone_rows(), ["zone_id", "zwkt"])
-        .repartition(1)
-        .withColumn("zone", ST.st_geomfromtext("zwkt"))
+    # 15-row LITERAL dim table: parse the WKT driver-side and hand Spark a
+    # LocalRelation of ready WKB — the broadcast build side of the join is
+    # collected on the driver anyway, so an executor round-trip (parallelize
+    # + repartition + pandas-UDF parse = 3 jobs/run) would be pure overhead.
+    import pandas as _pd
+
+    from duckdb_spatial_spark.geom.wkb import to_wkb as _to_wkb
+    from duckdb_spatial_spark.geom.wkt import from_wkt as _from_wkt
+
+    zones = spark.createDataFrame(
+        _pd.DataFrame(
+            [(zid, _to_wkb(_from_wkt(w))) for zid, w in _zone_rows()],
+            columns=["zone_id", "zone"],
+        ),
+        "zone_id long, zone binary",
     )
     # POINT_2D-tier probe: no WKB built on the 100k-row side, one python
     # stage (st_join_points), build side broadcast
