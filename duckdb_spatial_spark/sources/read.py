@@ -437,6 +437,35 @@ def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
     elif low.endswith(".shp"):
         size = os.path.getsize(path)
         rows = [(path, "shp", None, 1, json.dumps({"bytes": size}))]
+    elif low.endswith(".gpx"):
+        from .gpx import GPX_LAYERS, parse_gpx_bytes
+
+        with open(path, "rb") as fh:
+            data = fh.read()
+        counts = {ly: len(parse_gpx_bytes(data, path, ly)) for ly in GPX_LAYERS}
+        rows = [(path, "gpx", counts["waypoints"] + counts["routes"]
+                 + counts["tracks"], len(GPX_LAYERS),
+                 json.dumps(counts))]
+    elif low.endswith((".arrow", ".feather", ".ipc")):
+        import pyarrow.ipc as _ipc
+
+        with _ipc.open_file(path) as rd:
+            sch = rd.schema
+            rows = [(path, "arrow", None, rd.num_record_batches,
+                     json.dumps({n: str(sch.field(n).type)
+                                 for n in sch.names}))]
+    elif low.endswith((".sqlite", ".db")):
+        from .spatialite import is_spatialite, spatialite_layers
+
+        if is_spatialite(path):
+            layers = spatialite_layers(path)
+            rows = [(path, "spatialite", None, len(layers),
+                     json.dumps(layers, default=str))]
+        else:
+            from .gpkg import gpkg_layers
+
+            rows = [(path, "gpkg", None, len(gpkg_layers(path)),
+                     json.dumps(gpkg_layers(path), default=str))]
     else:
         size = os.path.getsize(path)
         rows = [(path, os.path.splitext(path)[1].lstrip("."), None, None, json.dumps({"bytes": size}))]

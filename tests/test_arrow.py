@@ -82,3 +82,11 @@ def test_distributed_sink_roundtrip(spark, tmp_path, arrow_file):
     st_write(src, out2, fmt="arrow")
     assert read(spark, os.path.join(
         out2, os.path.basename(glob.glob(out2 + "/*.arrow")[0]))).count() > 0
+
+
+def test_arrow_read_meta(spark, arrow_file):
+    from duckdb_spatial_spark.sources.read import st_read_meta
+
+    r = st_read_meta(spark, arrow_file).collect()[0]
+    assert r["driver"] == "arrow" and r["num_row_groups"] == 4
+    assert "geom" in r["schema_json"]

@@ -112,3 +112,13 @@ def test_gpx_dir_scan(spark, tmp_path):
     df = st_read_gpx(spark, str(tmp_path), layer="waypoints")
     assert df.count() == 6
     assert df.select("source_file").distinct().count() == 3
+
+
+def test_gpx_read_meta(spark, gpx_file):
+    from duckdb_spatial_spark.sources.read import st_read_meta
+    import json as _json
+
+    r = st_read_meta(spark, gpx_file).collect()[0]
+    assert r["driver"] == "gpx" and r["num_row_groups"] == 5
+    counts = _json.loads(r["schema_json"])
+    assert counts["waypoints"] == 2 and counts["track_points"] == 5

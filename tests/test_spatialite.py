@@ -115,3 +115,11 @@ def test_replacement_scan_and_sink(spark, sl_db, tmp_path):
     g = from_wkb(bytes(back.filter(F.col("name") == "p3")
                        .collect()[0]["geom"]))
     assert (g.coords[0], g.coords[1]) == (3.0, 3.0)
+
+
+def test_spatialite_read_meta(spark, sl_db):
+    from duckdb_spatial_spark.sources.read import st_read_meta
+
+    r = st_read_meta(spark, sl_db).collect()[0]
+    assert r["driver"] == "spatialite" and r["num_row_groups"] == 1
+    assert "pts" in r["schema_json"]
