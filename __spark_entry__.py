@@ -151,14 +151,17 @@ def q05_centroid_collect(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_acctbal").alias("x"),
         (F.col("c_custkey") % 1000).cast("double").alias("y"),
     )
-    pts = cust.withColumn("pt", ST.st_point("x", "y"))
-    agg = pts.groupBy("c_nationkey").agg(ST.st_collect_agg("pt").alias("coll"))
-    cent = agg.withColumn("c", ST.st_centroid("coll"))
+    # fused decomposable centroid: st_centroid_agg over a fused st_point is
+    # two plain double averages — pure codegen, no geometry in the shuffle
+    # (st_collect_agg → st_centroid stays the general-geometry path; its
+    # applyInPandas family is exercised by q28/q63)
+    cent = cust.groupBy("c_nationkey").agg(
+        ST.st_centroid_agg(ST.st_point("x", "y")).alias("c"))
     return (
         cent.select(
             "c_nationkey",
-            F.round(ST.st_x(F.col("c")), 6).alias("cx"),
-            F.round(ST.st_y(F.col("c")), 6).alias("cy"),
+            F.round(F.col("c.x"), 6).alias("cx"),
+            F.round(F.col("c.y"), 6).alias("cy"),
         )
         .orderBy("c_nationkey")
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from .agg import (  # noqa: F401
+    st_centroid_agg,
     st_collect_agg,
     st_envelope_agg,
     st_extent_agg,

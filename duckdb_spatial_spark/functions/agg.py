@@ -139,3 +139,19 @@ def st_collect_agg(geom: ColumnOrName) -> Column:
     GEOMETRYCOLLECTION. (Grouped pandas UDF — entire group must fit in one
     Arrow batch; use for small groups.)"""
     return _st_collect_agg_udf(_col(geom))
+
+
+def st_centroid_agg(geom: ColumnOrName) -> Column:
+    """Fused ST_Centroid(ST_Collect_Agg(points)): a MultiPoint centroid is
+    the arithmetic mean of its members (geos st_centroid semantics,
+    geos/functions/scalar.cpp), so for POINT inputs the aggregate
+    decomposes into two plain double averages — the 100-TB plan: map-side
+    partial avgs, no geometry payload through the shuffle, and when the
+    input is a fused ``st_point(x, y)`` the whole aggregate is pure
+    whole-stage-codegen (zero Python). Returns struct{x, y}. Non-point
+    inputs need the general ``st_collect_agg`` → ``st_centroid`` path
+    (measure-weighted centroids don't decompose into coordinate means)."""
+    from . import scalar as S
+
+    return F.struct(F.avg(S.st_x(geom)).alias("x"),
+                    F.avg(S.st_y(geom)).alias("y"))

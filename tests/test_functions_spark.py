@@ -396,3 +396,29 @@ def test_st_read_udtf_and_alias_spellings(spark, tmp_path):
         ")) AS nir"
     ).collect()[0]
     assert r2["nir"] == 1
+
+
+def test_centroid_agg_matches_collect_centroid(spark):
+    """st_centroid_agg (decomposable avg-of-points) == st_centroid of the
+    collected multipoint; over a fused st_point it is pure col-expr."""
+    from pyspark.sql import functions as F
+
+    import duckdb_spatial_spark.functions as ST
+    from duckdb_spatial_spark.geom.wkb import from_wkb
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i), float(i * i % 7)) for i in range(30)],
+        "g int, x double, y double")
+    fused = df.groupBy("g").agg(
+        ST.st_centroid_agg(ST.st_point("x", "y")).alias("c"))
+    general = (df.withColumn("pt", ST.st_point("x", "y"))
+               .groupBy("g").agg(ST.st_collect_agg("pt").alias("coll"))
+               .withColumn("c2", ST.st_centroid("coll")))
+    a = {r["g"]: (round(r["c"]["x"], 9), round(r["c"]["y"], 9))
+         for r in fused.collect()}
+    b = {}
+    for r in general.collect():
+        g2 = from_wkb(bytes(r["c2"]))
+        b[r["g"]] = (round(float(g2.coords[0]), 9),
+                     round(float(g2.coords[1]), 9))
+    assert a == b
