@@ -151,9 +151,12 @@ class GridShifted:
 # ------------------------------------------------------- conformal latitude
 
 def _conformal_tau(phi: np.ndarray, e: float) -> np.ndarray:
-    """tan(conformal latitude) from geodetic latitude (radians)."""
+    """tan(conformal latitude) from geodetic latitude (radians).
+    arctanh(±1) at the exact poles is a well-defined ±inf → sinh gives
+    ±inf, the correct pole limit — suppress only the noisy warning."""
     s = np.sin(phi)
-    return np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+    with np.errstate(divide="ignore"):
+        return np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
 
 
 def _inv_conformal(tau_p: np.ndarray, e: float) -> np.ndarray:
