@@ -954,7 +954,7 @@ def q53_transform_utm(spark: SparkSession, sf: str) -> DataFrame:
     easting/northing ranges as a sanity band."""
     pts = _events_pts(spark, sf)
     lon = F.col("x") / 490.0 * 5.0 - 83.0   # within zone 17 (-84..-78)
-    lat = F.col("y") / 150.0 * 40.0 + 10.0  # 10..50 N
+    lat = (F.col("y") % 150.0) / 150.0 * 40.0 + 10.0  # 10..50 N
     g = ST.st_point(lon, lat)
     utm = ST.st_transform(g, "EPSG:4326", "EPSG:32617")
     back = ST.st_transform(utm, "EPSG:32617", "EPSG:4326")
@@ -1413,38 +1413,38 @@ def q67_transform_epsg(spark: SparkSession, sf: str) -> DataFrame:
     and Statistics Canada Lambert (EPSG:3347, lcc)."""
     pts = _events_pts(spark, sf)
     lon_m = F.col("x") / 490.0 * 60.0 - 30.0
-    lat_m = F.col("y") / 150.0 * 100.0 - 50.0
+    lat_m = (F.col("y") % 150.0) / 150.0 * 100.0 - 50.0
     merc = ST.st_transform(ST.st_point(lon_m, lat_m),
                            "EPSG:4326", "EPSG:3395")
     lon_nz = F.col("x") / 490.0 * 10.0 + 167.0
-    lat_nz = F.col("y") / 150.0 * 12.0 - 46.0
+    lat_nz = (F.col("y") % 150.0) / 150.0 * 12.0 - 46.0
     rt_nz = ST.st_transform(
         ST.st_transform(ST.st_point(lon_nz, lat_nz), "EPSG:4326", "EPSG:2193"),
         "EPSG:2193", "EPSG:4326")
     lon_au = F.col("x") / 490.0 * 30.0 + 115.0
-    lat_au = F.col("y") / 150.0 * 25.0 - 40.0
+    lat_au = (F.col("y") % 150.0) / 150.0 * 25.0 - 40.0
     rt_au = ST.st_transform(
         ST.st_transform(ST.st_point(lon_au, lat_au), "EPSG:4326", "EPSG:3577"),
         "EPSG:3577", "EPSG:4326")
     lon_ca = F.col("x") / 490.0 * 50.0 - 130.0
-    lat_ca = F.col("y") / 150.0 * 20.0 + 45.0
+    lat_ca = (F.col("y") % 150.0) / 150.0 * 20.0 + 45.0
     rt_ca = ST.st_transform(
         ST.st_transform(ST.st_point(lon_ca, lat_ca), "EPSG:4326", "EPSG:3347"),
         "EPSG:3347", "EPSG:4326")
     # round-3 projection families: oblique stereographic (RD New, Helmert),
     # Swiss oblique Mercator (LV95, Helmert), polar stereographic
     lon_nl = F.col("x") / 490.0 * 3.5 + 3.4
-    lat_nl = F.col("y") / 150.0 * 2.6 + 50.8
+    lat_nl = (F.col("y") % 150.0) / 150.0 * 2.6 + 50.8
     rt_nl = ST.st_transform(
         ST.st_transform(ST.st_point(lon_nl, lat_nl), "EPSG:4326", "EPSG:28992"),
         "EPSG:28992", "EPSG:4326")
     lon_ch = F.col("x") / 490.0 * 3.0 + 6.2
-    lat_ch = F.col("y") / 150.0 * 1.8 + 45.9
+    lat_ch = (F.col("y") % 150.0) / 150.0 * 1.8 + 45.9
     rt_ch = ST.st_transform(
         ST.st_transform(ST.st_point(lon_ch, lat_ch), "EPSG:4326", "EPSG:2056"),
         "EPSG:2056", "EPSG:4326")
     lon_aa = F.col("x") / 490.0 * 360.0 - 180.0
-    lat_aa = F.col("y") / 150.0 * 25.0 - 89.0
+    lat_aa = (F.col("y") % 150.0) / 150.0 * 25.0 - 89.0
     rt_aa = ST.st_transform(
         ST.st_transform(ST.st_point(lon_aa, lat_aa), "EPSG:4326", "EPSG:3031"),
         "EPSG:3031", "EPSG:4326")
@@ -2280,13 +2280,13 @@ def oracle_sql() -> dict[str, str]:
         "q67_transform_epsg": """
             WITH p AS (
               SELECT value/490.0*60.0 - 30.0   AS lon_m,
-                     CAST(user_id AS DOUBLE)/150.0*100.0 - 50.0 AS lat_m,
+                     CAST(user_id % 150 AS DOUBLE)/150.0*100.0 - 50.0 AS lat_m,
                      value/490.0*10.0 + 167.0  AS lon_nz,
-                     CAST(user_id AS DOUBLE)/150.0*25.0 - 40.0  AS lat_au,
+                     CAST(user_id % 150 AS DOUBLE)/150.0*25.0 - 40.0  AS lat_au,
                      value/490.0*50.0 - 130.0  AS lon_ca,
-                     CAST(user_id AS DOUBLE)/150.0*2.6 + 50.8   AS lat_nl,
+                     CAST(user_id % 150 AS DOUBLE)/150.0*2.6 + 50.8   AS lat_nl,
                      value/490.0*3.0 + 6.2     AS lon_ch,
-                     CAST(user_id AS DOUBLE)/150.0*25.0 - 89.0  AS lat_aa
+                     CAST(user_id % 150 AS DOUBLE)/150.0*25.0 - 89.0  AS lat_aa
               FROM events)
             SELECT round(avg(radians(lon_m) * 6378137.0), 2) AS avg_merc_x,
                    round(avg(6378137.0 * ln(
@@ -2305,7 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q53_transform_utm": f"""
             SELECT round(sum(round(value/490.0*5.0 - 83.0, 6)), 4) AS lon_sum,
-                   round(sum(round(CAST(user_id AS DOUBLE)/150.0*40.0 + 10.0, 6)), 4) AS lat_sum,
+                   round(sum(round(CAST(user_id % 150 AS DOUBLE)/150.0*40.0 + 10.0, 6)), 4) AS lat_sum,
                    count(*) AS n_in_band,
                    count(*) AS n
             FROM events
