@@ -37,6 +37,9 @@ from .multimodal import (  # noqa: F401
     frame_sample,
     image_features,
     image_features_col,
+    image_resize,
+    image_resize_col,
+    resize_image_array,
     video_metadata,
     video_metadata_col,
 )

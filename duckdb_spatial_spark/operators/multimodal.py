@@ -151,6 +151,95 @@ def image_features(
     )
 
 
+def resize_image_array(img: np.ndarray, width: int, height: int,
+                       method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy image resize kernel (H,W,C uint8 → height,width,C).
+    'nearest' picks the sample whose center covers the output pixel;
+    'bilinear' uses edge-clamped center-aligned sampling (the standard
+    half-pixel convention, so a solid image stays exactly solid and an
+    upscale of a linear ramp stays linear)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h_in, w_in = img.shape[:2]
+    if method == "nearest":
+        yi = np.minimum(((np.arange(height) + 0.5) * h_in / height).astype(np.int64),
+                        h_in - 1)
+        xi = np.minimum(((np.arange(width) + 0.5) * w_in / width).astype(np.int64),
+                        w_in - 1)
+        out = img[yi[:, None], xi[None, :]]
+        return np.ascontiguousarray(out)
+    if method != "bilinear":
+        raise ValueError(f"resize method {method!r}; 'nearest' or 'bilinear'")
+    fy = np.clip((np.arange(height) + 0.5) * h_in / height - 0.5, 0, h_in - 1)
+    fx = np.clip((np.arange(width) + 0.5) * w_in / width - 0.5, 0, w_in - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h_in - 1)
+    x1 = np.minimum(x0 + 1, w_in - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    a = img[y0[:, None], x0[None, :]].astype(np.float64)
+    b = img[y0[:, None], x1[None, :]].astype(np.float64)
+    c = img[y1[:, None], x0[None, :]].astype(np.float64)
+    d = img[y1[:, None], x1[None, :]].astype(np.float64)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + c * wy * (1 - wx) + d * wy * wx)
+    return np.ascontiguousarray(np.clip(np.rint(out), 0, 255).astype(np.uint8))
+
+
+def image_resize_col(payload, width: int, height: int,
+                     method: str = "bilinear", out_format: str = "png",
+                     decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
+                     fake: bool = False):
+    """Column form of image resize: binary payload in (any codec
+    decode_image reads: BMP/PPM/PGM/PNG/JPEG/GIF), resized re-encoded
+    binary payload out — binary→binary keeps the op composable with the
+    features/hash ops, and only payload bytes cross the Arrow boundary."""
+    from .media_codecs import encode_bmp, encode_png, encode_ppm
+
+    enc = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp}.get(out_format)
+    if enc is None:
+        raise ValueError(f"out_format {out_format!r}; png/ppm/bmp")
+    if decode_fn is None:
+        if fake:
+            decode_fn = _fake_decode
+        else:
+            from .media_codecs import decode_image
+
+            decode_fn = decode_image
+
+    @F.pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+                continue
+            img = decode_fn(bytes(b))
+            out.append(enc(resize_image_array(img, width, height, method)))
+        return pd.Series(out, dtype=object)
+
+    return _f(payload)
+
+
+def image_resize(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+    method: str = "bilinear",
+    out_format: str = "png",
+    out_col: str = "resized",
+    decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode → resize → re-encode images. Wrapper over
+    :func:`image_resize_col`."""
+    return df.withColumn(out_col, image_resize_col(
+        F.col(payload_col), width, height, method, out_format, decode_fn, fake))
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

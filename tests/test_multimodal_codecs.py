@@ -769,3 +769,44 @@ def test_mp3_frame_probe():
     assert info["vbr"] is True
     # 3 frames * 1152 samples / 44100 Hz = 78.4 ms
     assert info["duration_ms"] == 78
+
+
+def test_resize_kernel_invariants():
+    import numpy as np
+
+    from duckdb_spatial_spark.operators import resize_image_array
+
+    # solid stays exactly solid under both methods
+    solid = np.full((6, 9, 3), 123, np.uint8)
+    for m in ("nearest", "bilinear"):
+        out = resize_image_array(solid, 15, 4, method=m)
+        assert out.shape == (4, 15, 3) and (out == 123).all(), m
+    # nearest 2x upscale of a 2x2 checkerboard keeps exact quadrants
+    chk = np.array([[0, 255], [255, 0]], np.uint8)[:, :, None].repeat(3, 2)
+    up = resize_image_array(chk, 4, 4, method="nearest")
+    assert (up[:2, :2] == 0).all() and (up[:2, 2:] == 255).all()
+    assert (up[2:, :2] == 255).all() and (up[2:, 2:] == 0).all()
+    # bilinear downscale of a horizontal ramp stays a ramp (monotone)
+    ramp = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (4, 1))[:, :, None]
+    down = resize_image_array(ramp, 8, 2, method="bilinear")
+    row = down[0, :, 0].astype(int)
+    assert all(b >= a for a, b in zip(row, row[1:])) and row[-1] > row[0]
+
+
+def test_image_resize_operator_end_to_end(spark):
+    import numpy as np
+
+    from duckdb_spatial_spark.operators import image_resize
+    from duckdb_spatial_spark.operators.media_codecs import (decode_image,
+                                                             encode_ppm)
+
+    # build two solid PPM payloads on the driver, resize distributed
+    rows = [(i, encode_ppm(np.full((12, 16, 3), 40 * (i + 1), np.uint8)))
+            for i in range(2)]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    out = image_resize(df, width=5, height=3, out_format="png") \
+        .select("id", "resized").collect()
+    for r in out:
+        img = decode_image(bytes(r["resized"]))
+        assert img.shape == (3, 5, 3)
+        assert (img == 40 * (r["id"] + 1)).all()  # solid survives exactly
