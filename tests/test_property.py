@@ -144,3 +144,53 @@ def test_geodesic_triangle_near_equator_regression():
     assert d13 <= d12 + d23 + 1e-6 + 1e-9 * (d12 + d23)
     # and the branches agree to well below a millimetre in absolute terms
     assert abs(d13 - (d12 + d23)) < 1e-3
+
+
+# ---------------------------------------------- round-3 codec properties
+
+linestring_wkt = st.builds(
+    lambda pts: "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")",
+    st.lists(st.tuples(coord, coord), min_size=2, max_size=8),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.one_of(rects, points_wkt, linestring_wkt), st.integers(0, 999999))
+def test_spatialite_blob_roundtrip_property(wkt, srid):
+    """WKB → SpatiaLite blob → WKB is exact for any geometry/srid (the
+    blob stores raw float64 words, so not even rounding is allowed)."""
+    from duckdb_spatial_spark.sources.spatialite import (
+        spatialite_blob_to_wkb, wkb_to_spatialite_blob)
+
+    wkb = to_wkb(from_wkt(wkt))
+    back = spatialite_blob_to_wkb(wkb_to_spatialite_blob(wkb, srid=srid))
+    assert to_wkt(from_wkb(back)) == to_wkt(from_wkb(wkb))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(-4.9, 4.9, allow_nan=False, allow_subnormal=False),
+    st.floats(-4.9, 4.9, allow_nan=False, allow_subnormal=False),
+    st.floats(-30, 30, allow_nan=False, allow_subnormal=False),
+    st.floats(-30, 30, allow_nan=False, allow_subnormal=False),
+)
+def test_ntv2_shift_inverse_property(lon, lat, dphi, dlam):
+    """For any constant-shift grid, shift_inverse(shift(p)) == p to 1e-9°
+    and the shift equals the grid value exactly (constant field ⇒ bilinear
+    is exact everywhere inside)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.geom.ntv2 import Ntv2Grid, Ntv2SubGrid
+
+    sg = Ntv2SubGrid(
+        name="T", parent="NONE",
+        s_lat=-18000.0, n_lat=18000.0, e_long=-18000.0, w_long=18000.0,
+        lat_inc=9000.0, long_inc=9000.0,
+        lat_shift=np.full((5, 5), dphi), lon_shift=np.full((5, 5), dlam))
+    g = Ntv2Grid("A", "B", 6378137.0, 6356752.3, 6378137.0, 6356752.3, (sg,))
+    p = np.array([[lon, lat]])
+    out = g.shift(p)
+    assert abs(out[0, 1] - (lat + dphi / 3600.0)) < 1e-9
+    assert abs(out[0, 0] - (lon - dlam / 3600.0)) < 1e-9
+    rt = g.shift_inverse(out)
+    assert abs(rt[0, 0] - lon) < 1e-9 and abs(rt[0, 1] - lat) < 1e-9
