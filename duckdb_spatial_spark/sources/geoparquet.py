@@ -1,0 +1,121 @@
+"""GeoParquet 'geo' footer metadata: reader + distributed writer.
+
+The reference round-trips GeoParquet through GDAL/DuckDB (its parquet
+geometry interchange is WKB + the GeoParquet file-level 'geo' key-value
+metadata; public spec at geoparquet.org, v1.0.0). Spark's built-in parquet
+writer cannot attach footer KV metadata, so the sink here is a
+mapInPandas-per-partition pyarrow writer — fully distributed, one
+part-*.parquet per partition, each file carrying its own spec-compliant
+'geo' metadata with that file's bbox and geometry_types (per-file metadata
+is how distributed GeoParquet writers work; readers union file bboxes).
+
+The reader surfaces the metadata (primary column, encoding, bbox) and
+lets st_read resolve the primary geometry column by name.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_GEOM_TYPE_NAMES = {
+    1: "Point", 2: "LineString", 3: "Polygon", 4: "MultiPoint",
+    5: "MultiLineString", 6: "MultiPolygon", 7: "GeometryCollection",
+}
+
+
+def geoparquet_meta(path: str) -> Optional[dict]:
+    """Parsed 'geo' footer metadata of a GeoParquet file (first file when
+    given a directory); None when absent — then it's plain parquet."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        cand = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not cand:
+            return None
+        f = cand[0]
+    try:
+        kv = pq.read_schema(f).metadata or {}
+    except Exception:
+        return None
+    raw = kv.get(b"geo")
+    if raw is None:
+        return None
+    try:
+        return json.loads(raw.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def st_write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geom_col: str = "geom",
+    crs: Optional[str] = None,
+) -> None:
+    """Distributed GeoParquet sink: per-partition pyarrow writer emits
+    part-*.parquet files whose footers carry GeoParquet v1.0.0 'geo'
+    metadata (encoding WKB, per-file bbox + geometry_types). No driver
+    collect; the geometry column must be WKB binary."""
+    if geom_col not in df.columns:
+        raise ValueError(f"no geometry column {geom_col!r} in {df.columns}")
+    os.makedirs(path, exist_ok=True)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
+    crs_val = crs
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..geom.wkb import from_wkb
+
+        tables: List[pa.Table] = []
+        xmin = ymin = np.inf
+        xmax = ymax = -np.inf
+        gtypes = set()
+        n = 0
+        for pdf in batches:
+            for b in pdf[geom_col]:
+                if b is None:
+                    continue
+                g = from_wkb(bytes(b))
+                bd = g.bounds()
+                if bd:
+                    xmin = min(xmin, bd[0])
+                    ymin = min(ymin, bd[1])
+                    xmax = max(xmax, bd[2])
+                    ymax = max(ymax, bd[3])
+                name = _GEOM_TYPE_NAMES.get(g.type_id)
+                if name:
+                    gtypes.add(name)
+            tables.append(pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                               preserve_index=False))
+            n += len(pdf)
+        if n:
+            col_meta = {"encoding": "WKB",
+                        "geometry_types": sorted(gtypes)}
+            if np.isfinite(xmin):
+                col_meta["bbox"] = [float(xmin), float(ymin),
+                                    float(xmax), float(ymax)]
+            if crs_val is not None:
+                col_meta["crs"] = crs_val
+            geo = {"version": "1.0.0", "primary_column": geom_col,
+                   "columns": {geom_col: col_meta}}
+            tb = pa.concat_tables(tables)
+            meta = dict(arrow_schema.metadata or {})
+            meta[b"geo"] = json.dumps(geo).encode("utf-8")
+            tb = tb.replace_schema_metadata(meta)
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(tb, fname)
+            yield pd.DataFrame({"file": [fname], "rows": [n]})
+
+    df.mapInPandas(write, schema="file string, rows long").collect()

@@ -245,6 +245,14 @@ def st_read(
         df = read_geojson(spark, path)
     elif low.endswith((".parquet", ".pq")) or os.path.isdir(path):
         df = spark.read.parquet(path)
+        if geom_col not in df.columns:
+            # GeoParquet 'geo' footer names the primary geometry column —
+            # surface it under the requested geom_col
+            from .geoparquet import geoparquet_meta
+
+            gm = geoparquet_meta(path)
+            if gm and gm.get("primary_column") in df.columns:
+                df = df.withColumnRenamed(gm["primary_column"], geom_col)
     elif low.endswith(".csv"):
         df = spark.read.csv(path, header=True, inferSchema=True)
     elif low.endswith((".json", ".ndjson", ".jsonl")):
@@ -376,10 +384,17 @@ def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
     if low.endswith((".parquet", ".pq")):
         md = pq.read_metadata(path)
         sch = pq.read_schema(path)
+        from .geoparquet import geoparquet_meta
+
+        gm = geoparquet_meta(path)
+        schema_info = {n: str(sch.field(n).type) for n in sch.names}
+        if gm:
+            schema_info["geo"] = gm
         rows = [
             (
-                path, "parquet", md.num_rows, md.num_row_groups,
-                json.dumps({n: str(sch.field(n).type) for n in sch.names}),
+                path, "geoparquet" if gm else "parquet",
+                md.num_rows, md.num_row_groups,
+                json.dumps(schema_info),
             )
         ]
     elif low.endswith((".geojson", ".json")):
@@ -534,6 +549,11 @@ def st_write(
     fmt = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
     if fmt in ("parquet", "pq"):
         df.write.mode(mode).parquet(path)
+        return
+    if fmt == "geoparquet":
+        from .geoparquet import st_write_geoparquet
+
+        st_write_geoparquet(df, path, geom_col=geom_col)
         return
     if fmt == "orc":
         df.write.mode(mode).orc(path)

@@ -1,0 +1,86 @@
+"""GeoParquet 'geo' footer metadata: distributed writer + metadata-aware
+read (spec v1.0.0, WKB encoding)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+import duckdb_spatial_spark.functions as ST
+from duckdb_spatial_spark.geom.wkb import from_wkb
+from duckdb_spatial_spark.sources import geoparquet_meta, st_write_geoparquet
+from duckdb_spatial_spark.sources.read import st_read, st_read_meta
+
+
+@pytest.fixture()
+def gpq_dir(spark, tmp_path):
+    out = str(tmp_path / "pts_gpq")
+    df = (spark.range(100)
+          .select(F.col("id"),
+                  ST.st_point(F.col("id").cast("double"),
+                              (F.col("id") % 10).cast("double"))
+                  .alias("geometry"))
+          .repartition(3))
+    st_write_geoparquet(df, out, geom_col="geometry", crs="EPSG:4326")
+    return out
+
+
+def test_writer_emits_spec_metadata(gpq_dir):
+    parts = sorted(glob.glob(os.path.join(gpq_dir, "part-*.parquet")))
+    assert len(parts) == 3  # one file per partition - distributed sink
+    tot_rows = 0
+    for p in parts:
+        kv = pq.read_schema(p).metadata
+        geo = json.loads(kv[b"geo"].decode())
+        assert geo["version"] == "1.0.0"
+        assert geo["primary_column"] == "geometry"
+        col = geo["columns"]["geometry"]
+        assert col["encoding"] == "WKB"
+        assert col["geometry_types"] == ["Point"]
+        assert col["crs"] == "EPSG:4326"
+        bx = col["bbox"]
+        assert 0.0 <= bx[0] <= bx[2] <= 99.0 and 0.0 <= bx[1] <= bx[3] <= 9.0
+        tot_rows += pq.read_metadata(p).num_rows
+    assert tot_rows == 100
+
+
+def test_meta_reader_and_union_bbox(gpq_dir):
+    gm = geoparquet_meta(gpq_dir)
+    assert gm is not None and gm["primary_column"] == "geometry"
+    # plain parquet (no geo footer) → None
+    assert geoparquet_meta("/root/testdata/sf0.001/region.parquet") is None
+
+
+def test_st_read_resolves_primary_column(spark, gpq_dir):
+    # geom_col='geom' is absent from the schema; the geo footer's
+    # primary_column ('geometry') is surfaced under it
+    df = st_read(spark, gpq_dir, geom_col="geom")
+    assert "geom" in df.columns and "geometry" not in df.columns
+    assert df.count() == 100
+    row = df.filter(F.col("id") == 42).collect()[0]
+    g = from_wkb(bytes(row["geom"]))
+    assert (g.coords[0], g.coords[1]) == (42.0, 2.0)
+    # bbox pushdown through the resolved column
+    sub = st_read(spark, gpq_dir, geom_col="geom", bbox=(10.0, 0.0, 19.0, 9.0))
+    assert sub.count() == 10
+
+
+def test_read_meta_reports_geoparquet(spark, gpq_dir):
+    part = sorted(glob.glob(os.path.join(gpq_dir, "part-*.parquet")))[0]
+    r = st_read_meta(spark, part).collect()[0]
+    assert r["driver"] == "geoparquet"
+    info = json.loads(r["schema_json"])
+    assert info["geo"]["columns"]["geometry"]["encoding"] == "WKB"
+
+
+def test_st_write_dispatch(spark, tmp_path):
+    from duckdb_spatial_spark.sources import st_write
+
+    df = spark.range(5).select(
+        F.col("id"), ST.st_point(F.lit(1.0), F.lit(2.0)).alias("geom"))
+    out = str(tmp_path / "d")
+    st_write(df, out, fmt="geoparquet")
+    assert geoparquet_meta(out)["primary_column"] == "geom"
