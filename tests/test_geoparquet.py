@@ -84,3 +84,23 @@ def test_st_write_dispatch(spark, tmp_path):
     out = str(tmp_path / "d")
     st_write(df, out, fmt="geoparquet")
     assert geoparquet_meta(out)["primary_column"] == "geom"
+
+
+def test_real_geoparquet_metadata_segments(spark):
+    """The reference repo's segments.parquet is a REAL GeoParquet v1.1
+    file written by other tooling — the metadata reader parses it and
+    st_read resolves its primary column under the requested geom_col."""
+    p = "/root/reference/test/data/segments.parquet"
+    gm = geoparquet_meta(p)
+    assert gm["version"].startswith("1.")
+    assert gm["primary_column"] == "geometry"
+    assert gm["columns"]["geometry"]["encoding"] == "WKB"
+    df = st_read(spark, p, geom_col="geom")
+    assert "geom" in df.columns
+    n = df.count()
+    assert n > 0
+    # every geometry decodes and lands inside the declared bbox
+    ext = df.select(ST.st_extent("geom").alias("e")) \
+        .agg(F.min("e.xmin").alias("x0"), F.max("e.xmax").alias("x1")).collect()[0]
+    bx = gm["columns"]["geometry"]["bbox"]
+    assert bx[0] - 1e-6 <= ext["x0"] and ext["x1"] <= bx[2] + 1e-6
