@@ -78,8 +78,10 @@ def test_real_geoparquet_segments(spark):
     geometry column) — the native parquet path reads it and every
     geometry parses."""
     df = read(spark, f"{DATA}/segments.parquet")
+    # round-3: the geo footer's primary_column ('geometry') is resolved
+    # under the default geom_col
     rows = df.collect()
     assert len(rows) == 6
-    kinds = {to_wkt(from_wkb(bytes(r["geometry"]))).split(" ")[0]
-             for r in rows if r["geometry"] is not None}
+    kinds = {to_wkt(from_wkb(bytes(r["geom"]))).split(" ")[0]
+             for r in rows if r["geom"] is not None}
     assert kinds  # all decoded without error
