@@ -121,9 +121,22 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 5,
     hash_fn: str = "md5",
+    bucket_cap: Optional[int] = 512,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band bucket.
-    Equi-join on (band,key) — a real shuffle join, no cross product."""
+    Equi-join on (band,key) — a real shuffle join, no cross product.
+
+    ``bucket_cap`` is the hot-bucket guard: a bucket with n members emits
+    n·(n−1)/2 pairs, so boilerplate-heavy corpora (the common case at
+    100 TB — every member of a big bucket is a near-copy of every other)
+    make the self-join QUADRATIC in the duplicate multiplicity. Buckets
+    larger than the cap therefore emit a **star** (each member paired with
+    the bucket's min id, n−1 pairs) instead of all pairs — connectivity-
+    equivalent for the downstream connected-components/cluster step, which
+    is what LSH candidates feed, at linear cost. Measured by
+    scripts/scale_probe.py: a 10× corpus with 10× duplicate multiplicity
+    went 19.8× without the cap, ~linear with it. Set ``bucket_cap=None``
+    for the exact all-pairs graph."""
     r = num_hashes // bands
     sig = minhash_table(df, id_col, text_col, num_hashes, k, hash_fn).select(
         F.col(id_col).alias("__id"),
@@ -141,6 +154,28 @@ def minhash_lsh_candidates(
     bucketed = sig.select(
         "__id", F.explode(band_structs).alias("b")
     ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if bucket_cap is not None:
+        # one aggregation pass over the bucketed rows (same shuffle key as
+        # the join) splits buckets by size; the join runs only on the
+        # small side, the hot side collapses to its star
+        stats = bucketed.groupBy("band", "key").agg(
+            F.count("*").alias("__n"), F.min("__id").alias("__minid"))
+        tagged = bucketed.join(stats, on=["band", "key"])
+        small = tagged.filter(F.col("__n") <= bucket_cap) \
+            .select("__id", "band", "key")
+        a = small.alias("a")
+        b = small.alias("b")
+        pairs_small = (
+            a.join(b, on=["band", "key"])
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        )
+        pairs_hot = (
+            tagged.filter((F.col("__n") > bucket_cap)
+                          & (F.col("__id") != F.col("__minid")))
+            .select(F.col("__minid").alias("id_a"), F.col("__id").alias("id_b"))
+        )
+        return pairs_small.union(pairs_hot).distinct()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

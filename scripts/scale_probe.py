@@ -1,0 +1,117 @@
+"""Scale probe: run headline operators at 1x and ~10x sf0.1 and report the
+wall-clock ratio. The point is evidence for the 100-TB story: every plan
+here is shuffle-on-equi-keys / broadcast / col-expr, so time should grow
+~linearly with rows (ratio ≈ replication factor, NOT quadratic).
+
+The 10x input is the sf0.1 table unioned with shifted keys — same value
+distribution, 10x rows, no new files needed (do NOT write to /root/testdata).
+
+Usage: python scripts/scale_probe.py [replication]
+Prints one JSON line: {workload: {rows, sec_1x, sec_Nx, ratio}}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import duckdb_spatial_spark.functions as ST
+    from duckdb_spatial_spark.operators import (exact_dedup,
+                                                minhash_lsh_candidates,
+                                                st_cluster, st_join_points)
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .appName("scale-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+
+    def replicate(df, key_cols, rep):
+        """rep copies with shifted integer keys — same distribution, rep× rows."""
+        k = F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("__rep")
+        out = df.select("*", k)
+        for c in key_cols:
+            out = out.withColumn(c, F.col(c) + F.col("__rep") * 10_000_000)
+        return out.drop("__rep")
+
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", F.col("value").alias("x"),
+        (F.col("user_id") % 150).cast("double").alias("y"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    import pandas as pd
+
+    from duckdb_spatial_spark.geom.wkb import to_wkb
+    from duckdb_spatial_spark.geom.wkt import from_wkt
+
+    zones = spark.createDataFrame(
+        pd.DataFrame(
+            [(i * 3 + j,
+              to_wkb(from_wkt(
+                  f"POLYGON (({i*100} {j*50}, {i*100+100} {j*50}, "
+                  f"{i*100+100} {j*50+50}, {i*100} {j*50+50}, {i*100} {j*50}))")))
+             for i in range(5) for j in range(3)],
+            columns=["zone_id", "zone"]),
+        "zone_id long, zone binary")
+
+    def pip_join(df):
+        return (st_join_points(df, zones, "within", "x", "y", "zone")
+                .groupBy("zone_id").count().count())
+
+    def dedup_exact(df):
+        return exact_dedup(df, ["text"], "doc_id").count()
+
+    def lsh(df):
+        return minhash_lsh_candidates(
+            df.filter(F.col("doc_id") % 97 < 40), "doc_id", "text",
+            num_hashes=4, bands=2, k=4, hash_fn="md5").count()
+
+    def hilbert(df):
+        return (df.withColumn("h", ST.st_hilbert_xy(
+            "x", "y", 0.0, 0.0, 600.0, 150.0, order=16))
+            .groupBy(F.shiftright("h", 24)).count().count())
+
+    workloads = [
+        ("pip_join", events, ["event_id"], pip_join),
+        ("hilbert_layout", events, ["event_id"], hilbert),
+        ("exact_dedup", docs, ["doc_id"], dedup_exact),
+        ("minhash_lsh", docs, ["doc_id"], lsh),
+    ]
+    out = {}
+    for name, base, keys, fn in workloads:
+        small = base.localCheckpoint(eager=True)
+        big = replicate(base, keys, REP).localCheckpoint(eager=True)
+        n1, nN = small.count(), big.count()
+        fn(small)  # warm codegen/workers on the small shape
+        t0 = time.perf_counter(); fn(small); t1 = time.perf_counter()
+        fn(big)
+        t2 = time.perf_counter(); fn(big); t3 = time.perf_counter()
+        out[name] = {
+            "rows_1x": n1, "rows_Nx": nN,
+            "sec_1x": round(t1 - t0, 3), "sec_Nx": round(t3 - t2, 3),
+            "ratio": round((t3 - t2) / max(t1 - t0, 1e-9), 2),
+        }
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps({"replication": REP, "workloads": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -306,3 +306,27 @@ def test_connected_components_tiers_agree(spark):
             for r in connected_components(
                 pairs, id_col="id", driver_node_limit=0).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_lsh_bucket_cap_star_equivalence(spark):
+    """With a tiny bucket_cap the hot buckets emit stars; the candidate
+    graph's CONNECTED COMPONENTS are identical to the uncapped all-pairs
+    graph (the property the downstream cluster step needs)."""
+    from duckdb_spatial_spark.operators import (connected_components,
+                                                minhash_lsh_candidates)
+
+    rows = [(i, f"dup dup dup dup shared boilerplate text block") for i in range(20)] \
+        + [(100 + i, f"unique document number {i} with its own words entirely")
+           for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = minhash_lsh_candidates(df, "doc_id", "text", num_hashes=4,
+                                  bands=2, k=3, bucket_cap=None)
+    capped = minhash_lsh_candidates(df, "doc_id", "text", num_hashes=4,
+                                    bands=2, k=3, bucket_cap=4)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_capped < n_full  # the cap actually reduced the pair count
+    comp_a = {r["id"]: r["comp"] for r in connected_components(
+        full, id_col="id").collect()}
+    comp_b = {r["id"]: r["comp"] for r in connected_components(
+        capped, id_col="id").collect()}
+    assert comp_a == comp_b
