@@ -152,6 +152,22 @@ def _bounds_and_kind(mat: np.ndarray):
     return None, False
 
 
+def _matrix_bounds(mat: np.ndarray) -> Optional[np.ndarray]:
+    """(n,4) bboxes straight from a uniform-shape WKB matrix — points,
+    rects, fixed-n linestrings, single-ring polygons — without building a
+    single Geometry object; None for shapes the decoders don't cover."""
+    b, _ = _bounds_and_kind(mat)
+    if b is not None:
+        return b
+    for dec in (Vec.decode_linestrings, Vec.decode_polygons_1ring):
+        c = dec(mat)
+        if c is not None:
+            return np.stack(
+                [c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+                 c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1)], axis=1)
+    return None
+
+
 def _group_vectorized(pred: str, ma: np.ndarray, mb: np.ndarray):
     """Closed-form predicate over two same-shape WKB matrices, or None."""
     A, a_pt = _bounds_and_kind(ma)
@@ -466,13 +482,60 @@ def st_join_broadcast(
 
             lgeoms = None
             lseries = pdf.iloc[:, lgi]
-            mat = Vec.fixed_matrix(lseries) if pip_mode else None
-            pts = Vec.decode_points(mat) if mat is not None else None
+            mat = Vec.fixed_matrix(lseries)
+            pts = (Vec.decode_points(mat)
+                   if mat is not None and pip_mode else None)
+            handled = pts is not None
             if pts is not None:
                 # uniform point batch: skip Geometry objects entirely
                 pts_i = list(range(len(pdf)))
                 pts_xy = list(zip(pts[0].tolist(), pts[1].tolist()))
-            else:
+            elif mat is not None:
+                # uniform NON-point batch (all rects / fixed-n lines /
+                # same-ring polygons): bboxes come straight off the WKB
+                # matrix, the grid index yields candidate pairs, and ONE
+                # pred_pairs call evaluates them — rect-rect groups go
+                # fully vectorized, repeated build blobs parse once via
+                # its cache. This was the 100k-rect probe hot path that
+                # previously built a Geometry per row + ran a python
+                # kernel per candidate (~35× slower, scale_probe).
+                bds = _matrix_bounds(mat)
+                if bds is not None:
+                    pair_i: List[int] = []
+                    pair_j: List[int] = []
+                    if len(rgeoms) <= 64:
+                        # few builds: one vectorized bbox-overlap mask per
+                        # build beats per-probe bucket lookups outright
+                        fin = np.isfinite(bds[:, 0])
+                        for j in range(len(rgeoms)):
+                            bj = data_bounds[j]
+                            if not np.isfinite(bj[0]):
+                                continue
+                            m = (fin
+                                 & (bds[:, 0] <= bj[2]) & (bds[:, 2] >= bj[0])
+                                 & (bds[:, 1] <= bj[3]) & (bds[:, 3] >= bj[1]))
+                            hits = np.flatnonzero(m)
+                            pair_i.extend(hits.tolist())
+                            pair_j.extend([j] * len(hits))
+                    else:
+                        for i in np.flatnonzero(np.isfinite(bds[:, 0])):
+                            for j in idx.query(bds[i, 0], bds[i, 1],
+                                               bds[i, 2], bds[i, 3]):
+                                pair_i.append(int(i))
+                                pair_j.append(j)
+                    if pair_i:
+                        av = lseries.to_numpy(dtype=object)[
+                            np.asarray(pair_i)]
+                        rgi_ = data["rgi"]
+                        bv = np.asarray(
+                            [rrows[j][rgi_] for j in pair_j], dtype=object)
+                        ok = pred_pairs(pred, av, bv)
+                        ia = np.asarray(pair_i)
+                        ja = np.asarray(pair_j)
+                        out_left_idx.extend(ia[ok].tolist())
+                        out_right_idx.extend(ja[ok].tolist())
+                    handled = True
+            if not handled:
                 lgeoms = [
                     from_wkb(b) if b is not None else None for b in lseries
                 ]

@@ -88,11 +88,38 @@ def main() -> None:
             "x", "y", 0.0, 0.0, 600.0, 150.0, order=16))
             .groupBy(F.shiftright("h", 24)).count().count())
 
+    def simhash_cand(df):
+        from duckdb_spatial_spark.operators import simhash_candidates
+
+        return simhash_candidates(
+            df.filter(F.col("doc_id") % 97 < 40), "doc_id", "text").count()
+
+    def ngram_join(df):
+        from duckdb_spatial_spark.operators import ngram_jaccard_join
+
+        return ngram_jaccard_join(
+            df.filter(F.col("doc_id") % 97 < 20), "doc_id", "text",
+            k=4, threshold=0.5).count()
+
+    def grid_join(df):
+        from duckdb_spatial_spark.operators import st_join
+
+        boxes = df.select(
+            "event_id",
+            ST.st_makeenvelope("x", "y", F.col("x") + 2.0, F.col("y") + 2.0)
+            .alias("ga"))
+        zones2 = zones.select("zone_id", F.col("zone").alias("gb"))
+        return (st_join(boxes, zones2, "intersects", "ga", "gb")
+                .groupBy("zone_id").count().count())
+
     workloads = [
         ("pip_join", events, ["event_id"], pip_join),
         ("hilbert_layout", events, ["event_id"], hilbert),
+        ("grid_join", events, ["event_id"], grid_join),
         ("exact_dedup", docs, ["doc_id"], dedup_exact),
         ("minhash_lsh", docs, ["doc_id"], lsh),
+        ("simhash_candidates", docs, ["doc_id"], simhash_cand),
+        ("ngram_jaccard", docs, ["doc_id"], ngram_join),
     ]
     out = {}
     for name, base, keys, fn in workloads:
