@@ -154,10 +154,16 @@ def minhash_lsh_candidates(
     bucketed = sig.select(
         "__id", F.explode(band_structs).alias("b")
     ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    return _bucket_pairs(bucketed, bucket_cap)
+
+
+def _bucket_pairs(bucketed: DataFrame, bucket_cap: Optional[int]) -> DataFrame:
+    """(id_a < id_b) pairs sharing a (band, key) bucket. With a cap, one
+    aggregation over the same shuffle key splits buckets by size: small
+    buckets self-join all-pairs, buckets above the cap emit a star to the
+    bucket min — connectivity-equivalent for downstream clustering at
+    linear (not quadratic) cost in the bucket size."""
     if bucket_cap is not None:
-        # one aggregation pass over the bucketed rows (same shuffle key as
-        # the join) splits buckets by size; the join runs only on the
-        # small side, the hot side collapses to its star
         stats = bucketed.groupBy("band", "key").agg(
             F.count("*").alias("__n"), F.min("__id").alias("__minid"))
         tagged = bucketed.join(stats, on=["band", "key"])
@@ -178,13 +184,12 @@ def minhash_lsh_candidates(
         return pairs_small.union(pairs_hot).distinct()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    pairs = (
+    return (
         a.join(b, on=["band", "key"])
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def jaccard_verify(
@@ -236,6 +241,7 @@ def ngram_jaccard_join(
     k: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold via inverted-index equi-join on
     shingles, with **prefix filtering** (ppjoin-style): order each doc's
@@ -244,7 +250,31 @@ def ngram_jaccard_join(
     prefixes must share a shingle, so candidates are complete, and the join
     never fans out on hot shingles (the 100-TB skew killer). Candidates are
     then verified exactly with one array_intersect against the full shingle
-    sets. ``prefix_filter=False`` keeps the plain inverted-index plan."""
+    sets. ``prefix_filter=False`` keeps the plain inverted-index plan.
+
+    ``collapse_identical=True`` is the duplicate-multiplicity guard: a
+    corpus where a text occurs m times contributes m(m−1)/2 jaccard-1.0
+    pairs, so the OUTPUT itself is quadratic in multiplicity (prefix
+    filtering cannot help — identical texts share every prefix). With the
+    flag on, identical texts collapse to their min-id representative
+    first (one md5 groupBy), the similarity join runs on distinct texts
+    only, and each duplicate group adds an m−1-pair identity star —
+    connectivity-equivalent for dedup clustering at linear cost
+    (scripts/scale_probe.py: the off/on difference at 10× multiplicity)."""
+    if collapse_identical:
+        fp = df.select(F.col(id_col), F.col(text_col),
+                       F.md5(F.col(text_col)).alias("__fp"))
+        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        tagged = fp.join(reps, "__fp")
+        stars = tagged.filter(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"))
+        distinct_docs = tagged.filter(F.col(id_col) == F.col("__rep")) \
+            .select(id_col, text_col)
+        rep_pairs = ngram_jaccard_join(
+            distinct_docs, id_col, text_col, k, threshold, prefix_filter,
+            collapse_identical=False)
+        return rep_pairs.unionByName(stars)
     sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("sh"))
@@ -387,9 +417,14 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, bands: int = 4
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, bands: int = 4,
+    bucket_cap: Optional[int] = 512,
 ) -> DataFrame:
-    """Near-dup candidates = equal simhash band (bits/bands bits per band)."""
+    """Near-dup candidates = equal simhash band (bits/bands bits per band).
+    ``bucket_cap`` guards hot bands like minhash_lsh_candidates: identical
+    texts share every band, so duplicate multiplicity makes the bucket
+    self-join quadratic; oversized buckets emit a connectivity-equivalent
+    star instead (None = exact all-pairs graph)."""
     width = bits // bands
     sig = simhash_table(df, id_col, text_col, bits).select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
@@ -407,13 +442,7 @@ def simhash_candidates(
     bucketed = parts[0]
     for p in parts[1:]:
         bucketed = bucketed.union(p)
-    a, b_ = bucketed.alias("a"), bucketed.alias("b")
-    return (
-        a.join(b_, on=["band", "key"])
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(bucketed, bucket_cap)
 
 
 def _local_union_find(pdf_iter, src_name: str, dst_name: str):

@@ -97,9 +97,11 @@ def main() -> None:
     def ngram_join(df):
         from duckdb_spatial_spark.operators import ngram_jaccard_join
 
+        # collapse_identical: the similarity join's OUTPUT is quadratic in
+        # duplicate multiplicity; the collapsed form is the scale pipeline
         return ngram_jaccard_join(
             df.filter(F.col("doc_id") % 97 < 20), "doc_id", "text",
-            k=4, threshold=0.5).count()
+            k=4, threshold=0.5, collapse_identical=True).count()
 
     def grid_join(df):
         from duckdb_spatial_spark.operators import st_join

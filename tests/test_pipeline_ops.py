@@ -330,3 +330,31 @@ def test_lsh_bucket_cap_star_equivalence(spark):
     comp_b = {r["id"]: r["comp"] for r in connected_components(
         capped, id_col="id").collect()}
     assert comp_a == comp_b
+
+
+def test_ngram_collapse_identical_connectivity(spark):
+    """collapse_identical: component structure of the similarity graph is
+    preserved at linear output cost under duplicate multiplicity."""
+    from duckdb_spatial_spark.operators import (connected_components,
+                                                ngram_jaccard_join)
+
+    rows = ([(i, "abcdefghijkl") for i in range(8)]          # 8 copies
+            + [(50, "abcdefghijkx")]                          # near-dup of them
+            + [(60, "zzzzyyyyxxxx"), (61, "zzzzyyyyxxxw")])   # separate pair
+    df = spark.createDataFrame(rows, "id long, text string")
+    full = ngram_jaccard_join(df, "id", "text", k=3, threshold=0.5)
+    fast = ngram_jaccard_join(df, "id", "text", k=3, threshold=0.5,
+                              collapse_identical=True)
+    n_full, n_fast = full.count(), fast.count()
+    assert n_fast < n_full  # 8 copies: 28 identity pairs -> 7 star pairs
+    ca = {r["id"]: r["comp"] for r in connected_components(
+        full, id_col="id").collect()}
+    cb = {r["id"]: r["comp"] for r in connected_components(
+        fast, id_col="id").collect()}
+    assert ca == cb
+    # representative-level jaccard values survive the collapse
+    jf = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+          for r in fast.collect()}
+    assert jf[(0, 50)] == pytest.approx(
+        {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in full.collect()}[(0, 50)])
