@@ -116,12 +116,36 @@ def embedding_neardup_pairs(
     dim: int = 64,
     seed: int = 42,
     exact: bool = False,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     exact=False: LSH-bucketed (bucket equality as the blocking key).
     exact=True: full pair enumeration via self-join (oracle-scale only).
-    """
+    collapse_identical=True: the duplicate-multiplicity guard — a vector
+    ingested m times makes its LSH bucket self-join emit m(m−1)/2
+    cosine-1.0 pairs (quadratic in m; blocking can't help, identical
+    vectors share every bucket). Bit-identical vectors collapse to their
+    min-id representative before the join and return as cosine-1.0 stars
+    (cosine of identical vectors is exactly 1 ≥ any threshold), so the
+    output stays connectivity-equivalent for dedup clustering at linear
+    cost — the embedding analog of ngram_jaccard_join's flag."""
+    if collapse_identical:
+        fp = df.select(
+            F.col(id_col), F.col(vec_col),
+            F.md5(F.concat_ws(",", F.transform(
+                F.col(vec_col), lambda v: v.cast("string")))).alias("__fp"))
+        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        tagged = fp.join(reps, "__fp")
+        stars = tagged.filter(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("cosine"))
+        rep_pairs = embedding_neardup_pairs(
+            tagged.filter(F.col(id_col) == F.col("__rep"))
+            .select(id_col, vec_col),
+            threshold, id_col, vec_col, n_planes, dim, seed, exact,
+            collapse_identical=False)
+        return rep_pairs.unionByName(stars)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:

@@ -358,3 +358,25 @@ def test_ngram_collapse_identical_connectivity(spark):
     assert jf[(0, 50)] == pytest.approx(
         {(r["id_a"], r["id_b"]): r["jaccard"]
          for r in full.collect()}[(0, 50)])
+
+
+def test_embedding_collapse_identical(spark, emb):
+    """Replicated identical vectors: collapsed form keeps component
+    structure with linearly many pairs."""
+    from duckdb_spatial_spark.operators import connected_components
+
+    base = emb.limit(10)
+    rep = base
+    for s in (1000, 2000, 3000):
+        rep = rep.unionByName(base.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(s)))
+    full = embedding_neardup_pairs(rep, threshold=0.99)
+    fast = embedding_neardup_pairs(rep, threshold=0.99,
+                                   collapse_identical=True)
+    n_full, n_fast = full.count(), fast.count()
+    assert n_fast < n_full  # 4 copies each: 6 pairs -> 3 star pairs
+    ca = {r["id"]: r["comp"] for r in connected_components(
+        full, id_col="id").collect()}
+    cb = {r["id"]: r["comp"] for r in connected_components(
+        fast, id_col="id").collect()}
+    assert ca == cb
