@@ -282,6 +282,14 @@ def ngram_jaccard_join(
     if prefix_filter:
         from pyspark.sql import Window
 
+        # candidate-generation key = xxhash64 of the shingle: an int64
+        # shuffle key is a fraction of the string's width at 100 TB, and a
+        # hash collision can only ADD a candidate pair — the exact
+        # array_intersect verification below removes it (the
+        # prefix_filter=False path keeps string keys since its jaccard
+        # comes straight from join counts)
+        inv = inv.select("__id", F.xxhash64("sh").alias("sh"))
+
         freq = inv.groupBy("sh").agg(F.count("*").alias("__df"))
         w = Window.partitionBy("__id").orderBy("__df", "sh")
         ranked = (
