@@ -380,3 +380,33 @@ def test_embedding_collapse_identical(spark, emb):
     cb = {r["id"]: r["comp"] for r in connected_components(
         fast, id_col="id").collect()}
     assert ca == cb
+
+
+def test_ngram_prefix_positional_filter_exact(spark):
+    """The ppjoin positional filter must not lose pairs: prefix-filtered
+    output == plain inverted-index output on a randomized corpus with
+    planted near-dups, across thresholds."""
+    import random
+
+    from duckdb_spatial_spark.operators import ngram_jaccard_join
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    docs = []
+    for i in range(60):
+        docs.append((i, "".join(rng.choice(alphabet) for _ in range(40))))
+    # planted near-dups: single-char edits of existing docs
+    for i in range(20):
+        base = docs[i][1]
+        p = rng.randrange(len(base))
+        docs.append((1000 + i, base[:p] + rng.choice(alphabet) + base[p + 1:]))
+    df = spark.createDataFrame(docs, "id long, text string")
+    for t in (0.5, 0.8):
+        fast = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in ngram_jaccard_join(df, "id", "text", k=3,
+                                            threshold=t).collect()}
+        slow = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in ngram_jaccard_join(df, "id", "text", k=3, threshold=t,
+                                            prefix_filter=False).collect()}
+        assert fast == slow, f"t={t}: {set(slow) - set(fast)} lost"
+        assert len(fast) > 0
