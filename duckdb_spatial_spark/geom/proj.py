@@ -130,6 +130,24 @@ class DatumShifted:
         return _ecef_to_geodetic(ecef, *WGS84)
 
 
+class UnitScaled:
+    """Wrap a projection whose published axis unit is not the metre
+    (+units=ft/us-ft/km or +to_meter): forward divides the metre result by
+    ``to_meter`` AFTER false offsets, inverse multiplies before — exactly
+    PROJ's convention (+x_0/+y_0 stay metres)."""
+
+    def __init__(self, proj, to_meter: float):
+        self._proj = proj
+        self._to_meter = float(to_meter)
+
+    def forward(self, lonlat: np.ndarray) -> np.ndarray:
+        return self._proj.forward(lonlat) / self._to_meter
+
+    def inverse(self, xy: np.ndarray) -> np.ndarray:
+        return self._proj.inverse(np.asarray(xy, dtype=np.float64)
+                                  * self._to_meter)
+
+
 class GridShifted:
     """Wrap a projection defined on a grid-shifted datum (+nadgrids NTv2):
     the grid maps the CRS's local geodetic coordinates (SYSTEM_F) to the
@@ -1248,6 +1266,27 @@ def _crs_for_epsg(code: int):
     return None
 
 
+# ESRI authority codes (the reference's own docs/example.md reprojects taxi
+# rides through 'ESRI:102718'; its GDAL binding resolves the ESRI registry)
+_ESRI_PROJ = {
+    102718: 2263,     # NAD83 / New York Long Island (ftUS) — example.md
+    102100: 3857,     # WGS 1984 Web Mercator (Auxiliary Sphere)
+    102113: 3857,     # legacy Web Mercator id
+    102039: 5070,     # USA Contiguous Albers (USGS version, NAD83)
+    102003: ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=37.5 +lon_0=-96 "
+             "+x_0=0 +y_0=0 +ellps=GRS80"),  # USA Contiguous Albers (ESRI)
+}
+
+
+def _crs_for_esri(code: int):
+    v = _ESRI_PROJ.get(code)
+    if v is None:
+        return None
+    if isinstance(v, int):
+        return _crs_for_epsg(v)
+    return crs_from_proj_string(v)
+
+
 # EPSG → PROJ-string registry for codes whose projection family the native
 # engine implements (tmerc/lcc/aea/laea/merc + optional Helmert shift).
 # Parameter values are the public EPSG registry definitions (the reference
@@ -1325,6 +1364,10 @@ _EPSG_PROJ = {
     32118: ("+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 "
             "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000 +y_0=0 "
             "+ellps=GRS80"),                               # SP NY Long Island
+    # same LCC in US survey feet (x_0 stays metres per PROJ convention)
+    2263: ("+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 "
+           "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000.0000000001 "
+           "+y_0=0 +ellps=GRS80 +units=us-ft"),    # SP NY Long Island (ftUS)
     32139: ("+proj=lcc +lat_1=31.88333333333333 +lat_2=30.11666666666667 "
             "+lat_0=29.66666666666667 +lon_0=-100.3333333333333 "
             "+x_0=700000 +y_0=3000000 +ellps=GRS80"),      # SP Texas Central
@@ -1419,7 +1462,7 @@ def crs_from_proj_string(s: str):
         "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "x_0", "y_0",
         "zone", "south", "north", "towgs84", "units", "no_defs", "nadgrids",
         "wktext", "type", "over", "approx", "pm", "lonc", "alpha", "gamma",
-        "no_uoff", "r",
+        "no_uoff", "r", "to_meter",
     }
     unknown = set(kv) - _KNOWN
     if unknown:
@@ -1427,8 +1470,24 @@ def crs_from_proj_string(s: str):
     # oblique-Mercator-only parameters are silently-wrong elsewhere
     if proj != "omerc" and {"lonc", "alpha", "gamma", "no_uoff"} & set(kv):
         return None
-    if kv.get("units", "m").lower() not in ("m",) and proj not in ("longlat", "latlong"):
-        return None
+    # linear units: projected outputs scale by 1/to_meter AFTER the false
+    # offsets (PROJ semantics: +x_0/+y_0 are always metres). ftUS is the
+    # exact survey foot 1200/3937 m; +to_meter overrides any named unit.
+    _UNITS = {"m": 1.0, "meter": 1.0, "metre": 1.0, "ft": 0.3048,
+              "us-ft": 1200.0 / 3937.0, "km": 1000.0}
+    unit = 1.0
+    if proj not in ("longlat", "latlong"):
+        uname = kv.get("units", "m").lower()
+        if uname not in _UNITS:
+            return None
+        unit = _UNITS[uname]
+        if "to_meter" in kv:
+            try:
+                unit = float(kv["to_meter"])
+            except ValueError:
+                return None
+        if unit <= 0:
+            return None
     # +nadgrids: NTv2 .gsb grids are handled natively (geom/ntv2.py); the
     # value is a comma list of grid files — the first that exists wins
     # (PROJ's search order). Unresolvable grids → None (pyproj fallback),
@@ -1595,19 +1654,23 @@ def crs_from_proj_string(s: str):
     else:
         return None
 
+    out = base
     if ntv2_grid is not None:
         # PROJ precedence: an applicable +nadgrids supersedes +towgs84
-        return GridShifted(base, ntv2_grid)
-    tow = kv.get("towgs84")
-    if tow:
-        p = [float(v) for v in tow.split(",")]
-        if len(p) == 3:
-            p += [0.0, 0.0, 0.0, 0.0]
-        if len(p) != 7:
-            return None
-        if any(p):
-            return DatumShifted(base, Datum(a, f, *p))
-    return base
+        out = GridShifted(base, ntv2_grid)
+    else:
+        tow = kv.get("towgs84")
+        if tow:
+            p = [float(v) for v in tow.split(",")]
+            if len(p) == 3:
+                p += [0.0, 0.0, 0.0, 0.0]
+            if len(p) != 7:
+                return None
+            if any(p):
+                out = DatumShifted(base, Datum(a, f, *p))
+    if unit != 1.0:
+        out = UnitScaled(out, unit)
+    return out
 
 
 # EPSG geographic 2D CRS are lat,lon in authority axis order (the
@@ -1644,6 +1707,11 @@ def native_transform(src: str, dst: str,
         if su.startswith("EPSG:"):
             try:
                 return _crs_for_epsg(int(su[5:]))
+            except ValueError:
+                return None
+        if su.startswith("ESRI:"):
+            try:
+                return _crs_for_esri(int(su[5:]))
             except ValueError:
                 return None
         return None

@@ -323,9 +323,10 @@ class TestProjStrings:
         fallback / explicit error), never silently-wrong coordinates."""
         from duckdb_spatial_spark.geom import proj as P
 
-        # +pm is native since round 3; +geoidgrids is not
+        # +pm (round 3) and +units/+to_meter (round 3, second half) are
+        # native; +geoidgrids and +axis are not
         assert P.crs_from_proj_string("+proj=utm +zone=31 +geoidgrids=x.gtx") is None
-        assert P.crs_from_proj_string("+proj=merc +to_meter=0.9") is None
+        assert P.crs_from_proj_string("+proj=merc +axis=neu +ellps=WGS84") is None
         assert P.crs_from_proj_string(
             "+proj=tmerc +lat_0=0 +lon_0=9 +alpha=30 +ellps=WGS84"
         ) is None
@@ -355,6 +356,7 @@ class TestEpsgRegistry:
             3395: (10, 50), 3034: (10, 52), 2180: (19, 52), 2157: (-8, 53.3),
             31467: (9, 50.5), 31287: (13.3, 47.5), 31370: (4.4, 50.8),
             3310: (-120, 37), 26985: (-77, 39), 32118: (-73.8, 40.8),
+            2263: (-73.8, 40.8),
             32139: (-100.3, 31), 3347: (-92, 60), 3978: (-95, 60),
             31983: (-45, -15), 2193: (173, -41), 3112: (134, -25),
             3577: (132, -25), 5179: (127.5, 37.5), 6677: (139.7, 35.7),
@@ -920,3 +922,69 @@ class TestEqualAreaWorld:
             2 * math.sqrt(2) * R, rel=1e-12)
         assert ms.forward(np.array([[0.0, 90.0]]))[0, 1] == pytest.approx(
             math.sqrt(2) * R, rel=1e-12)
+
+
+def test_units_us_ft_and_to_meter():
+    """+units=us-ft scales AFTER false offsets (PROJ convention: x_0/y_0
+    stay metres): EPSG:2263 == EPSG:32118 / (1200/3937); +to_meter
+    overrides the named unit; roundtrip exact."""
+    import numpy as np
+
+    from duckdb_spatial_spark.geom.proj import native_transform
+
+    pts = np.array([[-73.97, 40.75], [-74.2, 40.6]])
+    ft = native_transform("EPSG:4326", "EPSG:2263")(pts)
+    m = native_transform("EPSG:4326", "EPSG:32118")(pts)
+    assert np.allclose(ft * (1200.0 / 3937.0), m, rtol=0, atol=1e-6)
+    rt = native_transform("EPSG:2263", "EPSG:4326")(ft)
+    assert np.allclose(rt, pts, atol=1e-12)
+    # +to_meter override beats the named unit
+    base = "+proj=lcc +lat_1=41 +lat_2=40.6 +lat_0=40 +lon_0=-74 +ellps=GRS80"
+    a = native_transform("EPSG:4326", base + " +units=us-ft")(pts)
+    b = native_transform("EPSG:4326",
+                         base + " +units=us-ft +to_meter=0.5")(pts)
+    mm = native_transform("EPSG:4326", base)(pts)
+    assert np.allclose(b * 0.5, mm, atol=1e-9)
+    assert np.allclose(a * (1200.0 / 3937.0), mm, atol=1e-9)
+    # unknown unit name still refuses (fallback, never silently wrong)
+    assert native_transform("EPSG:4326", base + " +units=parsecs") is None
+
+
+def test_esri_authority_codes():
+    """ESRI: authority resolves (102718 = SP NY Long Island ftUS,
+    102100/102113 = Web Mercator, 102003 USA Albers)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.geom.proj import native_transform
+
+    pts = np.array([[-73.97, 40.75]])
+    esri = native_transform("EPSG:4326", "ESRI:102718")(pts)
+    epsg = native_transform("EPSG:4326", "EPSG:2263")(pts)
+    assert np.allclose(esri, epsg, atol=1e-9)
+    wm = native_transform("EPSG:4326", "ESRI:102100")(pts)
+    wm2 = native_transform("EPSG:4326", "EPSG:3857")(pts)
+    assert np.allclose(wm, wm2, atol=1e-9)
+    assert native_transform("EPSG:4326", "ESRI:102003") is not None
+    assert native_transform("EPSG:4326", "ESRI:999999") is None
+
+
+def test_reference_example_md_taxi_distances():
+    """The reference's docs/example.md publishes aerial distances of NYC
+    taxi rides through ESRI:102718 (lat,lon fed in the authority axis
+    order) — replicate two of its table rows to published precision."""
+    import numpy as np
+
+    from duckdb_spatial_spark.geom.proj import native_transform
+
+    fn = native_transform("EPSG:4326", "ESRI:102718", always_xy=False)
+    rows = [
+        # (pickup lat lon, dropoff lat lon, published miles)
+        ((40.758149, -73.963267), (40.743807, -73.915763),
+         2.6820365663951677),
+        ((40.755965, -73.973138), (40.756137, -73.973535),
+         0.02397481410159387),
+    ]
+    for a, b, miles in rows:
+        out = fn(np.array([a, b]))
+        got = float(np.hypot(*(out[0] - out[1])) / 5280.0)
+        assert abs(got - miles) / miles < 1e-9, (a, b, got, miles)
