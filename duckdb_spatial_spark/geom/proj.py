@@ -1770,6 +1770,7 @@ def list_native_crs():
         31287: "MGI / Austria Lambert", 31370: "BD72 / Belgian Lambert 72",
         3310: "NAD83 / California Albers", 26985: "NAD83 / Maryland",
         32118: "NAD83 / New York Long Island", 32139: "NAD83 / Texas Central",
+        2263: "NAD83 / New York Long Island (ftUS)",
         3347: "NAD83 / Statistics Canada Lambert",
         3978: "NAD83 / Canada Atlas Lambert", 31983: "SIRGAS 2000 / UTM 23S",
         28992: "Amersfoort / RD New",
