@@ -85,3 +85,34 @@ def test_real_geoparquet_segments(spark):
     kinds = {to_wkt(from_wkb(bytes(r["geom"]))).split(" ")[0]
              for r in rows if r["geom"] is not None}
     assert kinds  # all decoded without error
+
+
+def test_example_md_taxi_zone_workflow(spark):
+    """Replicate the reference's docs/example.md workflow end-to-end on
+    its REAL taxi_zones shapefile: build pickup points the way the doc
+    does (st_point(lat, lon), authority axis order), reproject through
+    ESRI:102718, spatial-join ST_Within against the zones, and check the
+    zone names against the doc's published sample rows
+    (docs/example.md:92-118)."""
+    from pyspark.sql import functions as F
+
+    import duckdb_spatial_spark.functions as ST
+    from duckdb_spatial_spark.operators import st_join
+
+    zones = read(spark, f"{DATA}/nyc_taxi/taxi_zones/taxi_zones.shp")
+    rides = spark.createDataFrame(
+        [  # (pickup lat, lon, published start_zone)
+            (40.722223, -73.98385299999998, "East Village"),
+            (40.648687, -73.783522, "JFK Airport"),
+            (40.761603, -73.96661299999998, "Upper East Side South"),
+        ],
+        "plat double, plon double, want string",
+    )
+    pts = rides.withColumn(
+        "p", ST.st_transform(ST.st_point("plat", "plon"),
+                             "EPSG:4326", "ESRI:102718", always_xy=False))
+    j = st_join(pts, zones.select("zone", "geom"), "within", "p", "geom")
+    got = {r["want"]: r["zone"] for r in j.collect()}
+    assert got == {"East Village": "East Village",
+                   "JFK Airport": "JFK Airport",
+                   "Upper East Side South": "Upper East Side South"}
