@@ -84,6 +84,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("gpx", "GPS Exchange GPX 1.1 (native XML, OGR 5-layer model)", True, True, True),
         ("arrow", "Apache Arrow IPC / Feather V2 (batch-range parallel scan, distributed sink)", True, True, True),
         ("sqlite", "SpatiaLite (native BLOB-geometry codec, stdlib sqlite3)", True, True, True),
+        ("dxf", "AutoCAD DXF (native group-code parser: POINT/LINE/LWPOLYLINE/POLYLINE/CIRCLE/ARC)", True, True, True),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
@@ -294,6 +295,10 @@ def st_read(
 
         df = st_read_arrow(spark, path, columns=columns)
         columns = None  # pushdown already applied inside the scan
+    elif low.endswith(".dxf"):
+        from .dxf import st_read_dxf
+
+        df = st_read_dxf(spark, path, geom_col=geom_col)
     elif low.endswith(".gpx"):
         from .gpx import st_read_gpx
 
@@ -643,6 +648,11 @@ def st_write(
         from .spatialite import st_write_spatialite
 
         st_write_spatialite(df, path, geom_col=geom_col)
+        return
+    if fmt == "dxf":
+        from .dxf import st_write_dxf
+
+        st_write_dxf(df, path, geom_col=geom_col)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
