@@ -28,6 +28,9 @@ from .similarity import (  # noqa: F401
     dot,
     embedding_neardup_pairs,
     l2_norm,
+    load_ivf_centroids,
+    save_ivf_centroids,
+    train_ivf_centroids,
 )
 from . import textops  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -270,3 +270,25 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# ------------------------------------------------------- index persistence
+
+def save_ivf_centroids(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist a trained coarse quantizer as parquet (cid, centroid) —
+    train once on one job, assign/probe from any later job or cluster
+    (the IVF index-build/index-use split every production ANN pipeline
+    has). Written through Spark so `path` works on any supported
+    filesystem."""
+    C = np.asarray(centroids, dtype=np.float64)
+    spark.createDataFrame(
+        [(i, [float(v) for v in C[i]]) for i in range(len(C))],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """(n_centroids, dim) float64 back from :func:`save_ivf_centroids`,
+    row order restored by cid."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)

@@ -410,3 +410,27 @@ def test_ngram_prefix_positional_filter_exact(spark):
                                             prefix_filter=False).collect()}
         assert fast == slow, f"t={t}: {set(slow) - set(fast)} lost"
         assert len(fast) > 0
+
+
+def test_ivf_centroid_persistence(spark, emb, tmp_path):
+    """Train-once/assign-anywhere: persisted centroids reload bit-exact
+    and drive the same IVF results."""
+    import numpy as np
+
+    from duckdb_spatial_spark.operators import (ann_ivf_topk,
+                                                load_ivf_centroids,
+                                                save_ivf_centroids,
+                                                train_ivf_centroids)
+
+    C = train_ivf_centroids(emb, n_centroids=8, sample=200, iters=4)
+    p = str(tmp_path / "ivf_index")
+    save_ivf_centroids(spark, C, p)
+    C2 = load_ivf_centroids(spark, p)
+    assert C2.shape == C.shape and np.array_equal(C, C2)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    a = {(r["query_id"], r["vec_id"], r["rank"])
+         for r in ann_ivf_topk(emb, queries, k=3, centroids=C).collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"])
+         for r in ann_ivf_topk(emb, queries, k=3, centroids=C2).collect()}
+    assert a == b and len(a) > 0
