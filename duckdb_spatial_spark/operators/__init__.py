@@ -7,6 +7,7 @@ from .cluster import (  # noqa: F401
 )
 from .join import st_join, st_join_broadcast, st_join_points  # noqa: F401
 from .dedup import (  # noqa: F401
+    dedup_pipeline,
     exact_dedup,
     jaccard_verify,
     minhash_dedup,

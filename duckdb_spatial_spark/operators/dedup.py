@@ -578,7 +578,11 @@ def connected_components(
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        label_rows = [(row["src"], find(row["src"])) for row in rows]
+        # a node that appears in several partitions' stars shows up in
+        # several collected rows — labels must be UNIQUE per node or the
+        # final left-join fans out duplicate rows
+        label_rows = sorted(
+            (n, find(n)) for n in {row["src"] for row in rows})
         clustered = pairs.sparkSession.createDataFrame(
             label_rows,
             T.StructType([T.StructField(id_col, node_t),
@@ -648,3 +652,70 @@ def connected_components(
         .join(clustered, on=id_col, how="left")
         .select(id_col, F.coalesce("comp", F.col(id_col)).alias("comp"))
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    hash_fn: str = "md5",
+    return_clusters: bool = False,
+):
+    """One-call corpus dedup — the end-to-end shape an LLM training-data
+    pipeline runs, composed from the scale-guarded pieces:
+
+    1. exact pass: bit-identical texts collapse to their min-id row
+       (one shuffle, ``exact_dedup``);
+    2. candidate pass (``method``): 'minhash' LSH buckets (hot-bucket
+       star guard on), 'simhash' band buckets, or 'ngram' ppjoin —
+       over the exact-unique survivors only, so duplicate multiplicity
+       never reaches the quadratic join;
+    3. verify: exact Jaccard ≥ threshold (minhash/simhash candidates);
+    4. cluster: ``connected_components`` over verified pairs (exact-dup
+       stars included), keep each cluster's min id.
+
+    Returns the kept rows; with ``return_clusters=True`` returns
+    (kept_rows, cluster_map) where cluster_map is (id, comp) over ALL
+    input rows — comp is the kept representative's id.
+    """
+    fp = df.select(F.col(id_col), F.col(text_col),
+                   F.md5(F.col(text_col)).alias("__fp"))
+    reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    tagged = fp.join(reps, "__fp")
+    exact_stars = tagged.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    uniq = df.join(tagged.filter(F.col(id_col) == F.col("__rep"))
+                   .select(id_col), on=id_col)
+
+    if method == "minhash":
+        cand = minhash_lsh_candidates(uniq, id_col, text_col, num_hashes,
+                                      bands, k, hash_fn)
+        near = jaccard_verify(cand, uniq, id_col, text_col, k, threshold) \
+            .select("id_a", "id_b")
+    elif method == "simhash":
+        cand = simhash_candidates(uniq, id_col, text_col)
+        near = jaccard_verify(cand, uniq, id_col, text_col, k, threshold) \
+            .select("id_a", "id_b")
+    elif method == "ngram":
+        near = ngram_jaccard_join(uniq, id_col, text_col, k, threshold) \
+            .select("id_a", "id_b")
+    elif method == "exact":
+        near = exact_stars.limit(0)
+    else:
+        raise ValueError(f"method {method!r}; minhash/simhash/ngram/exact")
+
+    pairs = near.unionByName(exact_stars)
+    comp = connected_components(
+        pairs, "id_a", "id_b",
+        nodes=df.select(F.col(id_col).alias("id")), id_col="id")
+    kept = df.join(
+        comp.filter(F.col("id") == F.col("comp"))
+        .select(F.col("id").alias(id_col)), on=id_col)
+    if return_clusters:
+        return kept, comp
+    return kept

@@ -434,3 +434,48 @@ def test_ivf_centroid_persistence(spark, emb, tmp_path):
     b = {(r["query_id"], r["vec_id"], r["rank"])
          for r in ann_ivf_topk(emb, queries, k=3, centroids=C2).collect()}
     assert a == b and len(a) > 0
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    """One-call dedup: exact + near dups collapse to cluster minima;
+    cluster map covers every input row."""
+    from duckdb_spatial_spark.operators import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog into the woods"
+    rows = [
+        (1, base), (2, base),                      # exact dups
+        (3, base + " tonight"),                    # near dup of 1/2
+        (4, "completely different text about query planners and joins"),
+        (5, "another unrelated document with its own content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    kept, clusters = dedup_pipeline(
+        df, "id", "text", method="minhash", threshold=0.6,
+        num_hashes=16, bands=8, k=4, return_clusters=True)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4, 5]
+    cm = {r["id"]: r["comp"] for r in clusters.collect()}
+    assert cm == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    # exact-only mode keeps near-dups apart
+    kept2 = dedup_pipeline(df, "id", "text", method="exact")
+    assert sorted(r["id"] for r in kept2.collect()) == [1, 3, 4, 5]
+
+
+def test_connected_components_no_duplicate_rows(spark):
+    """Regression: a node whose edges land in several partitions must
+    produce exactly ONE output row (the tier-2 star collect used to emit
+    duplicate labels that fanned out the final join)."""
+    from duckdb_spatial_spark.operators import connected_components
+
+    # hub node 0 touches every partition of a 16-slice edge list
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 65)], "id_a long, id_b long"
+    ).repartition(16)
+    out = connected_components(pairs, id_col="id").collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == len(set(ids)) == 65
+    assert all(r["comp"] == 0 for r in out)
+    # and through the guarded driver path with nodes attached
+    nodes = spark.createDataFrame([(i,) for i in range(70)], "id long")
+    out2 = connected_components(pairs, nodes=nodes, id_col="id").collect()
+    ids2 = [r["id"] for r in out2]
+    assert len(ids2) == len(set(ids2)) == 70
