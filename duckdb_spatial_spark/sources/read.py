@@ -85,6 +85,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("arrow", "Apache Arrow IPC / Feather V2 (batch-range parallel scan, distributed sink)", True, True, True),
         ("sqlite", "SpatiaLite (native BLOB-geometry codec, stdlib sqlite3)", True, True, True),
         ("dxf", "AutoCAD DXF (native group-code parser: POINT/LINE/LWPOLYLINE/POLYLINE/CIRCLE/ARC)", True, True, True),
+        ("topojson", "TopoJSON (native arc-topology decoder; read-only like OGR's driver)", True, False, False),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
         ("zip", "Zip containers (/vsizip/ analog: x.zip/inner.shp)", True, False, False),
@@ -295,6 +296,10 @@ def st_read(
 
         df = st_read_arrow(spark, path, columns=columns)
         columns = None  # pushdown already applied inside the scan
+    elif low.endswith(".topojson"):
+        from .topojson import st_read_topojson
+
+        df = st_read_topojson(spark, path, layer=layer, geom_col=geom_col)
     elif low.endswith(".dxf"):
         from .dxf import st_read_dxf
 
