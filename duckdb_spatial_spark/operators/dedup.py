@@ -225,10 +225,23 @@ def minhash_dedup(
     bands: int = 4,
     k: int = 5,
     hash_fn: str = "md5",
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """Remove near-duplicates: a row is dropped when a verified-similar row
-    with a smaller id exists (standard keep-first policy)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k, hash_fn)
+    with a smaller id exists (standard keep-first policy).
+
+    ``bucket_cap`` defaults to **None** (exact all-pairs candidates) here,
+    unlike :func:`minhash_lsh_candidates`: the keep-first drop acts on
+    verified pairs directly, with no connected-components step, so the
+    capped star approximation is NOT connectivity-safe in this operator —
+    two members of an over-cap bucket that are near-dups of each other but
+    not of the bucket-min representative would silently survive. Set a cap
+    only if that recall trade is acceptable; for capped dedup with correct
+    cluster semantics use :func:`dedup_pipeline`, whose exact-collapse
+    first pass keeps duplicate multiplicity away from the LSH join and
+    whose connected-components step makes the star guard safe."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k,
+                                  hash_fn, bucket_cap=bucket_cap)
     dup = jaccard_verify(cand, df, id_col, text_col, k, threshold)
     losers = dup.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
@@ -664,6 +677,7 @@ def dedup_pipeline(
     bands: int = 4,
     k: int = 5,
     hash_fn: str = "md5",
+    bits: int = 16,
     return_clusters: bool = False,
 ):
     """One-call corpus dedup — the end-to-end shape an LLM training-data
@@ -698,7 +712,8 @@ def dedup_pipeline(
         near = jaccard_verify(cand, uniq, id_col, text_col, k, threshold) \
             .select("id_a", "id_b")
     elif method == "simhash":
-        cand = simhash_candidates(uniq, id_col, text_col)
+        cand = simhash_candidates(uniq, id_col, text_col, bits=bits,
+                                  bands=bands)
         near = jaccard_verify(cand, uniq, id_col, text_col, k, threshold) \
             .select("id_a", "id_b")
     elif method == "ngram":

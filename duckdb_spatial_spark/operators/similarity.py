@@ -133,8 +133,14 @@ def embedding_neardup_pairs(
     if collapse_identical:
         fp = df.select(
             F.col(id_col), F.col(vec_col),
+            # concat_ws silently DROPS null elements, which would collide
+            # [1.0, null, 2.0] with [1.0, 2.0] into one fingerprint and emit
+            # a false cosine-1.0 star — coalesce each element to a sentinel
+            # no real float formats as, so null-position info survives
             F.md5(F.concat_ws(",", F.transform(
-                F.col(vec_col), lambda v: v.cast("string")))).alias("__fp"))
+                F.col(vec_col),
+                lambda v: F.coalesce(v.cast("string"), F.lit("\x00null")),
+            ))).alias("__fp"))
         reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
         tagged = fp.join(reps, "__fp")
         stars = tagged.filter(F.col(id_col) != F.col("__rep")).select(

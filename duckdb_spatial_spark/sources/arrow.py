@@ -62,6 +62,14 @@ def st_read_arrow(
             nb = rd.num_record_batches
             if schema is None:
                 schema = rd.schema
+            elif not rd.schema.equals(schema, check_metadata=False):
+                # catch driver-side while footers are already open — an
+                # executor-side mismatch would surface as a confusing
+                # Arrow coercion error deep inside the scan
+                raise ValueError(
+                    f"schema mismatch in directory scan: {f!r} has\n"
+                    f"{rd.schema}\nbut {files[0]!r} has\n{schema}"
+                )
         for lo in range(0, max(nb, 1), batches_per_task):
             tasks.append((f, lo, min(lo + batches_per_task, nb)))
     if columns:

@@ -13,6 +13,11 @@ maps to simple features):
     CIRCLE               → Polygon (96-gon; OGR likewise tessellates)
     ARC                  → LineString (arc sampled per degree)
 
+Polyline vertices honor the **bulge** (group code 42): bulge = tan(θ/4)
+of the arc segment from that vertex to the next one; arc segments are
+tessellated at ≤4° steps (OGR's DXF driver likewise tessellates bulges
+rather than emitting chords).
+
 Attributes: layer (code 8) and the entity type ride along as columns.
 Files are listed driver-side, parsed executor-side in mapInPandas (one
 task per file — DXF is a single-document format).
@@ -56,6 +61,51 @@ def _close_ring(pts: List[Tuple[float, float]]) -> np.ndarray:
     return np.asarray(arr, dtype=np.float64)
 
 
+def _bulge_arc(p0: Tuple[float, float], p1: Tuple[float, float],
+               b: float) -> List[Tuple[float, float]]:
+    """Intermediate points of the bulge arc from p0 to p1 (both excluded).
+    bulge = tan(θ/4), θ = included angle, positive = counterclockwise."""
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    d = math.hypot(dx, dy)
+    if d == 0.0 or b == 0.0:
+        return []
+    theta = 4.0 * math.atan(b)            # signed sweep
+    r = d * (1.0 + b * b) / (4.0 * b)     # signed radius
+    # center = chord midpoint shifted along the left normal by r − sagitta
+    mx, my = (p0[0] + p1[0]) / 2.0, (p0[1] + p1[1]) / 2.0
+    nx, ny = -dy / d, dx / d              # left normal of p0→p1
+    h = r - b * d / 2.0                   # r − sagitta (signed consistently)
+    cx_, cy_ = mx + nx * h, my + ny * h
+    a_start = math.atan2(p0[1] - cy_, p0[0] - cx_)
+    n = max(2, int(math.ceil(abs(math.degrees(theta)) / 4.0)))
+    rad = abs(r)
+    return [
+        (cx_ + rad * math.cos(a_start + theta * i / n),
+         cy_ + rad * math.sin(a_start + theta * i / n))
+        for i in range(1, n)
+    ]
+
+
+def _apply_bulges(pts: List[Tuple[float, float]], bulges: List[float],
+                  closed: bool) -> List[Tuple[float, float]]:
+    """Expand a vertex list with tessellated bulge arcs; bulges[i] curves
+    the segment pts[i]→pts[i+1] (and, when closed, the last→first wrap)."""
+    if not any(bulges):
+        return pts
+    out: List[Tuple[float, float]] = []
+    n = len(pts)
+    for i in range(n):
+        out.append(pts[i])
+        j = i + 1
+        if j == n:
+            if closed and bulges[i]:
+                out.extend(_bulge_arc(pts[i], pts[0], bulges[i]))
+            break
+        if bulges[i]:
+            out.extend(_bulge_arc(pts[i], pts[j], bulges[i]))
+    return out
+
+
 def parse_dxf_text(text: str, source: str) -> List[tuple]:
     rows: List[tuple] = []
     it = _pairs(text)
@@ -63,13 +113,14 @@ def parse_dxf_text(text: str, source: str) -> List[tuple]:
     cur: Optional[str] = None
     layer = ""
     pts: List[Tuple[float, float]] = []
+    bulges: List[float] = []
     x = y = x1 = y1 = cx = cy = r = a0 = a1 = None
     closed = False
     in_polyline = False
     in_vertex = False
 
     def flush():
-        nonlocal cur, pts, x, y, x1, y1, cx, cy, r, a0, a1, closed
+        nonlocal cur, pts, bulges, x, y, x1, y1, cx, cy, r, a0, a1, closed
         g = None
         if cur == "POINT" and x is not None:
             g = Geometry.point(x, y)
@@ -77,11 +128,12 @@ def parse_dxf_text(text: str, source: str) -> List[tuple]:
             g = Geometry(LINESTRING, coords=np.asarray(
                 [(x, y), (x1, y1)], dtype=np.float64))
         elif cur in ("LWPOLYLINE", "POLYLINE") and len(pts) >= 2:
+            tess = _apply_bulges(pts, bulges, closed)
             if closed and len(pts) >= 3:
-                g = Geometry(POLYGON, rings=[_close_ring(pts)])
+                g = Geometry(POLYGON, rings=[_close_ring(tess)])
             else:
                 g = Geometry(LINESTRING,
-                             coords=np.asarray(pts, dtype=np.float64))
+                             coords=np.asarray(tess, dtype=np.float64))
         elif cur == "CIRCLE" and cx is not None and r is not None:
             th = np.linspace(0.0, 2 * math.pi, 97)
             ring = np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], axis=1)
@@ -98,6 +150,7 @@ def parse_dxf_text(text: str, source: str) -> List[tuple]:
             rows.append((source, layer, cur, to_wkb(g)))
         cur = None
         pts = []
+        bulges = []
         x = y = x1 = y1 = cx = cy = r = a0 = a1 = None
         closed = False
 
@@ -146,6 +199,7 @@ def parse_dxf_text(text: str, source: str) -> List[tuple]:
             fx = float(val)
             if cur == "LWPOLYLINE" or (cur == "POLYLINE" and in_vertex):
                 pts.append((fx, 0.0))
+                bulges.append(0.0)
             elif cur == "POLYLINE":
                 pass  # POLYLINE header carries a dummy 10/20 point
             elif cur in ("CIRCLE", "ARC"):
@@ -169,6 +223,11 @@ def parse_dxf_text(text: str, source: str) -> List[tuple]:
             y1 = float(val)
         elif code == 40:
             r = float(val)
+        elif code == 42:
+            # bulge of the segment leaving the most recent vertex
+            if pts and (cur == "LWPOLYLINE"
+                        or (cur == "POLYLINE" and in_vertex)):
+                bulges[-1] = float(val)
         elif code == 50:
             a0 = float(val)
         elif code == 51:

@@ -90,3 +90,20 @@ def test_arrow_read_meta(spark, arrow_file):
     r = st_read_meta(spark, arrow_file).collect()[0]
     assert r["driver"] == "arrow" and r["num_row_groups"] == 4
     assert "geom" in r["schema_json"]
+
+
+def test_directory_scan_schema_mismatch_raises(spark, tmp_path):
+    """ADVICE r3: a directory whose files disagree on schema must fail
+    driver-side with the offending file named, not deep in the executor."""
+    import pandas as pd
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    feather.write_feather(
+        pa.table({"a": [1, 2], "b": ["x", "y"]}), str(d / "f1.feather"))
+    feather.write_feather(
+        pa.table({"a": [1.5], "c": [True]}), str(d / "f2.feather"))
+    from duckdb_spatial_spark.sources.arrow import st_read_arrow
+
+    with pytest.raises(ValueError, match="schema mismatch.*f2"):
+        st_read_arrow(spark, str(d))

@@ -194,3 +194,94 @@ def test_dxf_roundtrip_sink(spark, tmp_path):
     out2 = str(tmp_path / "out2.dxf")
     st_write(df.select("geom"), out2)
     assert st_read_dxf(spark, out2).count() == 5
+BULGE_DXF = """0
+SECTION
+2
+ENTITIES
+0
+LWPOLYLINE
+8
+arcs
+90
+2
+70
+0
+10
+0.0
+20
+0.0
+42
+1.0
+10
+2.0
+20
+0.0
+0
+LWPOLYLINE
+8
+arcs
+90
+4
+70
+1
+10
+0.0
+20
+0.0
+42
+-0.4142135623730951
+10
+2.0
+20
+0.0
+10
+2.0
+20
+2.0
+10
+0.0
+20
+2.0
+0
+ENDSEC
+0
+EOF
+"""
+
+
+def test_bulge_tessellation():
+    """Group code 42 arcs are tessellated, not read as straight chords.
+
+    Entity 1: open 2-vertex polyline with bulge 1 (semicircle) from (0,0)
+    to (2,0): positive bulge = CCW arc, apex on the RIGHT of travel ->
+    (1,-1), radius 1 around (1,0).
+    Entity 2: closed square whose first edge carries bulge -tan(pi/8)
+    (quarter-circle CW, apex on the LEFT -> bulges into the square)."""
+    import math
+
+    rows = parse_dxf_text(BULGE_DXF, "bulge.dxf")
+    assert len(rows) == 2
+    open_ls = from_wkb(rows[0][3])
+    assert open_ls.type_id == 2
+    # semicircle sampled at <=4 deg: >= 40 points, endpoints exact
+    assert len(open_ls.coords) >= 40
+    assert tuple(open_ls.coords[0]) == (0.0, 0.0)
+    assert tuple(open_ls.coords[-1]) == (2.0, 0.0)
+    # every interior point sits on the circle |p - (1,0)| = 1, below chord
+    for px, py in open_ls.coords[1:-1]:
+        assert math.hypot(px - 1.0, py) == pytest.approx(1.0, abs=1e-12)
+        assert py < 0
+    apex = min(p[1] for p in open_ls.coords)
+    assert apex == pytest.approx(-1.0, abs=1e-3)
+
+    ring = from_wkb(rows[1][3]).rings[0]
+    # 4 corners + >=21 arc points (90deg/4deg) + closing vertex
+    assert len(ring) >= 25
+    ys = [p[1] for p in ring]
+    assert min(ys) == pytest.approx(0.0, abs=1e-12)
+    corner_set = {(round(px, 9), round(py, 9)) for px, py in ring}
+    assert {(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)} <= corner_set
+    # arc interior points lie strictly above the bottom chord (bulge CW =
+    # apex on the LEFT of travel = +y here)
+    interior = [p for p in ring if 0 < p[0] < 2 and p[1] < 1.0]
+    assert interior and all(0 < py for _, py in interior)

@@ -479,3 +479,72 @@ def test_connected_components_no_duplicate_rows(spark):
     out2 = connected_components(pairs, nodes=nodes, id_col="id").collect()
     ids2 = [r["id"] for r in out2]
     assert len(ids2) == len(set(ids2)) == 70
+
+
+def test_minhash_dedup_exact_default_and_cap_knob(spark):
+    """ADVICE r3: minhash_dedup must NOT silently inherit the candidate
+    generator's bucket_cap — its keep-first drop has no connected-components
+    step, so the star approximation is not connectivity-safe there. The
+    default is exact (None); the knob is exposed for callers who accept
+    the recall trade."""
+    import inspect
+
+    from duckdb_spatial_spark.operators import dedup as dd
+
+    sig = inspect.signature(minhash_dedup)
+    assert sig.parameters["bucket_cap"].default is None
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+    rows += [(10, "completely different text about spark and parquet files")]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    kept_exact = minhash_dedup(df, "doc_id", "body")
+    # 6 identical docs collapse to min id; the unrelated doc survives
+    assert sorted(r.doc_id for r in kept_exact.collect()) == [0, 10]
+    # capped path accepts the knob and, for identical texts (star edges
+    # verify at jaccard 1.0), agrees with the exact result
+    kept_capped = minhash_dedup(df, "doc_id", "body", bucket_cap=2)
+    assert sorted(r.doc_id for r in kept_capped.collect()) == [0, 10]
+
+
+def test_dedup_pipeline_simhash_forwards_tuning(spark, monkeypatch):
+    """ADVICE r3: dedup_pipeline(method='simhash') must forward bands and
+    the new bits knob to simhash_candidates instead of dropping them."""
+    from duckdb_spatial_spark.operators import dedup as dd
+
+    seen = {}
+    real = dd.simhash_candidates
+
+    def spy(df, id_col, text_col, bits=16, bands=4, bucket_cap=512):
+        seen["bits"], seen["bands"] = bits, bands
+        return real(df, id_col, text_col, bits=bits, bands=bands,
+                    bucket_cap=bucket_cap)
+
+    monkeypatch.setattr(dd, "simhash_candidates", spy)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "unrelated words entirely here")],
+        "doc_id long, body string")
+    kept = dd.dedup_pipeline(df, "doc_id", "body", method="simhash",
+                             bands=8, bits=16)
+    assert seen == {"bits": 16, "bands": 8}
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_embedding_collapse_identical_null_elements(spark):
+    """ADVICE r3: concat_ws drops null elements, so [1,null,2] and [1,2]
+    used to share a fingerprint and emit a false cosine-1.0 star pair."""
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 2.0]), (2, [1.0, 2.0, None])],
+        "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(
+        df, threshold=0.0, exact=True, collapse_identical=True).collect()
+    # different null positions => different vectors => no identity star;
+    # cosine over a null element is null => filtered, so no pair at all
+    assert out == []
+    # genuinely identical vectors (nulls in the same slots) still collapse
+    df2 = spark.createDataFrame(
+        [(1, [1.0, None, 2.0]), (2, [1.0, None, 2.0])],
+        "vec_id long, embedding array<double>")
+    out2 = embedding_neardup_pairs(
+        df2, threshold=0.0, exact=True, collapse_identical=True).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in out2] == [(1, 2, 1.0)]
