@@ -1461,6 +1461,104 @@ def q67_transform_epsg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q70_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Test-set decontamination: the eval set is built from leaked training
+    docs (first 12 words of every doc_id % 50 == 0 document), then every
+    corpus doc sharing any word 8-gram with it is flagged. Broadcast
+    semi-join on the benchmark n-gram set — no wide shuffle of text."""
+    from duckdb_spatial_spark.operators.pipeline import decontaminate
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    bench = d.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)).alias("text"),
+    )
+    flagged = decontaminate(d, bench, n=8, mode="flag")
+    return flagged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contam"),
+        F.sum(F.when(~F.col("contaminated"), F.col("n_chars")).otherwise(F.lit(0))).alias("chars_clean"),
+    )
+
+
+def q71_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language corpus mixing: portable hash-uniform on
+    doc_id vs per-stratum keep fraction (reproducible across partitioning
+    — F.rand is not). Zero shuffles before the final agg."""
+    from duckdb_spatial_spark.operators.pipeline import stratified_sample
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    fr = {"en": 0.5, "de": 0.25, "es": 0.1, "fr": 0.75, "zh": 0.05}
+    out = stratified_sample(d, "doc_id", "lang", fr, seed=42)
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q72_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over synthesized contact lines (deterministic email + IPv4
+    per doc appended to the text): single-pass chained regexp_replace, all
+    JVM-side; identical RE2-safe patterns run in the oracle."""
+    from duckdb_spatial_spark.operators.pipeline import pii_count, redact_pii
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    pii_text = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org or 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".3."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" now"),
+    )
+    t = d.select(
+        pii_text.alias("t"),
+        pii_count(pii_text, "email").alias("ne"),
+        pii_count(pii_text, "ipv4").alias("ni"),
+    )
+    red = t.select(redact_pii(F.col("t"), kinds=("email", "ipv4")).alias("r"), "t", "ne", "ni")
+    return red.agg(
+        F.sum("ne").cast("long").alias("n_email"),
+        F.sum("ni").cast("long").alias("n_ipv4"),
+        F.sum(F.length("t") - F.length("r")).cast("long").alias("removed_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q73_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide boilerplate paragraph removal: 3-paragraph docs (slice,
+    shared boilerplate, slice) → keep only the globally-first occurrence of
+    each paragraph → reassemble. One shuffle on the paragraph hash, one on
+    the doc id."""
+    from duckdb_spatial_spark.operators.pipeline import paragraph_dedup
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    boiler = "subscribe to our newsletter today"
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring(F.col("text"), 1, 30),
+            F.lit(boiler),
+            F.substring(F.col("text"), 31, 60),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(built, "doc_id", "text")
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_paragraphs").cast("long").alias("n_para"),
+        F.sum(F.length("text")).cast("long").alias("chars_kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -1501,17 +1599,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_force_dims": q44_force_dims,
         "q46_geojson_roundtrip": q46_geojson_roundtrip,
         "q47_makepolygon": q47_makepolygon,
-        "q48_pointonsurface": q48_pointonsurface,
         "q49_collectionextract": q49_collectionextract,
         "q50_validity": q50_validity,
-        "q51_buffer_line": q51_buffer_line,
-        "q52_buffer_polygon": q52_buffer_polygon,
+        "q70_decontaminate": q70_decontaminate,
+        "q71_sample_stratified": q71_sample_stratified,
         "q67_transform_epsg": q67_transform_epsg,
         "q54_langid_ngram": q54_langid_ngram,
         "q55_ann_ivf": q55_ann_ivf,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q58_linemerge_normalize": q58_linemerge_normalize,
-        "q59_reduceprecision": q59_reduceprecision,
+        "q72_pii_redact": q72_pii_redact,
+        "q73_paragraph_dedup": q73_paragraph_dedup,
         "q60_spheroid": q60_spheroid,
         "q61_rtree_points": q61_rtree_points,
         "q62_buffer_joinstyles": q62_buffer_joinstyles,
@@ -1528,7 +1626,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      q32/q42+q64 overlay, q43/q58 reverse, q45/q33+q59 simplify,
         #      q53/q35+q67 transform, q19 minhash-signature subsumed by q38's
         #      LSH which derives the same signatures, q57 shortestline row
-        #      covered by q34+q48)
+        #      covered by q34+q48, q48/q34 boundary-family, q51+q52/q62
+        #      buffer-family, q59/q33+q45 precision-family — displaced in
+        #      round 4 to give the four new pipeline families (q70-q73)
+        #      in-window driver rows)
+        "q48_pointonsurface": q48_pointonsurface,
+        "q51_buffer_line": q51_buffer_line,
+        "q52_buffer_polygon": q52_buffer_polygon,
+        "q59_reduceprecision": q59_reduceprecision,
         "q01_point_in_envelope": q01_point_in_envelope,
         "q53_transform_utm": q53_transform_utm,
         "q08_buffer_area": q08_buffer_area,
@@ -1625,6 +1730,48 @@ def _q61_oracle_sql() -> str:
           SELECT {u1} * 10000.0 AS x, {u2} * 10000.0 AS y
           FROM range(0, 10000000) t(i)
         ) WHERE x >= 450.0 AND x <= 650.0 AND y >= 450.0 AND y <= 650.0
+    """
+
+
+def _q71_oracle_sql() -> str:
+    """DuckDB mirror of stratified_sample's keep-predicate (portable
+    31-bit hash-uniform — same arithmetic both engines)."""
+    from duckdb_spatial_spark.operators.pipeline import stratified_predicate_sql
+
+    fr = {"en": 0.5, "de": 0.25, "es": 0.1, "fr": 0.75, "zh": 0.05}
+    pred = stratified_predicate_sql("doc_id", "lang", fr, seed=42)
+    return f"""
+        SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents WHERE {pred}
+        GROUP BY lang ORDER BY lang
+    """
+
+
+def _q72_oracle_sql() -> str:
+    """DuckDB mirror of the PII scrub: identical RE2-safe patterns."""
+    from duckdb_spatial_spark.operators.pipeline import PII_PATTERNS, redact_sql
+
+    email = PII_PATTERNS["email"].replace("'", "''")
+    ipv4 = PII_PATTERNS["ipv4"].replace("'", "''")
+    red = redact_sql("t", kinds=("email", "ipv4"))
+    return f"""
+        WITH t AS (
+          SELECT substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.org or 10.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.3.' || CAST(doc_id % 250 AS VARCHAR) || ' now' AS t
+          FROM documents
+        ), r AS (
+          SELECT t, {red} AS r,
+                 len(regexp_extract_all(t, '{email}')) AS ne,
+                 len(regexp_extract_all(t, '{ipv4}')) AS ni
+          FROM t
+        )
+        SELECT CAST(sum(ne) AS BIGINT) AS n_email,
+               CAST(sum(ni) AS BIGINT) AS n_ipv4,
+               CAST(sum(length(t) - length(r)) AS BIGINT) AS removed_chars,
+               count(*) AS n_docs
+        FROM r
     """
 
 
@@ -2354,5 +2501,60 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(round((CAST(p_size AS DOUBLE) + 0.35) / 0.25) * 0.25), 2) AS sy,
                    count(*) AS n
             FROM part
+        """,
+        "q70_decontaminate": """
+            WITH bench_t AS (
+              SELECT array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS text
+              FROM documents WHERE doc_id % 50 = 0
+            ), bn AS (
+              SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM bench_t
+            ), bg AS (
+              SELECT DISTINCT array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
+              FROM bn CROSS JOIN range(1, 13) r(i)
+              WHERE i <= greatest(len(w) - 7, 1)
+            ), norm AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), cg AS (
+              SELECT doc_id, array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
+              FROM norm CROSS JOIN range(1, 2048) r(i)
+              WHERE i <= greatest(len(w) - 7, 1)
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bg)
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+                   CAST(sum(CASE WHEN h.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_clean
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "q71_sample_stratified": _q71_oracle_sql(),
+        "q72_pii_redact": _q72_oracle_sql(),
+        "q73_paragraph_dedup": """
+            WITH built AS (
+              SELECT doc_id,
+                     substr(text, 1, 30) AS p1,
+                     'subscribe to our newsletter today' AS p2,
+                     substr(text, 31, 60) AS p3
+              FROM documents
+            ), paras AS (
+              SELECT doc_id, 0 AS pos, p1 AS para FROM built WHERE length(p1) > 0
+              UNION ALL SELECT doc_id, 1, p2 FROM built
+              UNION ALL SELECT doc_id, 2, p3 FROM built WHERE length(p3) > 0
+            ), kept AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+              FROM paras
+            ), re AS (
+              SELECT doc_id,
+                     string_agg(para, e'\\n\\n' ORDER BY pos) AS text,
+                     count(*) AS np
+              FROM kept WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(np) AS BIGINT) AS n_para,
+                   CAST(sum(length(text)) AS BIGINT) AS chars_kept
+            FROM re
         """,
     }

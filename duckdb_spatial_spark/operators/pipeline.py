@@ -1,0 +1,308 @@
+"""Training-data pipeline operators: decontamination, deterministic
+sampling, PII redaction, paragraph-level dedup.
+
+These are beyond the reference's spatial scope — they are the corpus-prep
+operations a large-scale training-data pipeline runs next to dedup/ANN
+(SURVEY §2 addendum "LLM-data-pipeline operators"). Every operator is
+column-expression/JVM-side where possible and keeps one narrow shuffle
+per logical step, so each plan survives a 100× scale-up:
+
+* ``decontaminate`` — eval-set n-gram overlap (the GPT-3 appendix-C style
+  "remove any training doc sharing an n-gram with the benchmark"):
+  benchmark n-grams are a *small* set → broadcast semi-join; the corpus
+  side is an explode + equi-join with no wide shuffle.
+* ``hash_sample`` / ``stratified_sample`` — reproducible Bernoulli
+  sampling from a portable 31-bit hash of the row id (NOT ``F.rand``,
+  which is only per-partition-deterministic and breaks under AQE /
+  repartition). The same arithmetic evaluates bit-identically in ANSI
+  SQL, so sampled outputs are oracle-checkable.
+* ``redact_pii`` — single-pass regexp scrub (email / IPv4 / phone) with
+  RE2-compatible patterns (no backrefs/lookaround) so the exact same
+  pattern runs in Spark (Java regex) and DuckDB (RE2).
+* ``paragraph_dedup`` — corpus-wide first-occurrence paragraph
+  deduplication (boilerplate removal): posexplode → one shuffle on the
+  paragraph hash to pick the global first occurrence → reassemble.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.generate import _uniform01_portable, portable_uniform_sql
+
+__all__ = [
+    "word_ngrams",
+    "benchmark_ngrams",
+    "decontaminate",
+    "hash_sample",
+    "stratified_sample",
+    "PII_PATTERNS",
+    "redact_pii",
+    "pii_count",
+    "paragraph_dedup",
+    "repetition_metrics",
+    "gopher_repetition_filter",
+    "GOPHER_REPETITION_THRESHOLDS",
+]
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text: Column, n: int = 8) -> Column:
+    """Distinct word n-grams of ``text`` as array<string> — pure col-expr.
+
+    Normalization: lower-case, trim, split on runs of whitespace; grams are
+    the n-word windows re-joined with single spaces. Stays inside
+    whole-stage codegen (no Python).
+    """
+    words = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+    cnt = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def benchmark_ngrams(bench_df: DataFrame, text_col: str = "text",
+                     n: int = 8) -> DataFrame:
+    """Distinct word n-grams over an eval/benchmark corpus →
+    DataFrame(gram string). Eval sets are small (MBs); the result is the
+    broadcast side of :func:`decontaminate`."""
+    return (
+        bench_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    mode: str = "drop",
+) -> DataFrame:
+    """Remove (or flag) training docs that share any word n-gram with a
+    benchmark corpus — test-set decontamination.
+
+    ``mode='drop'`` returns the clean subset of ``df``; ``mode='flag'``
+    returns ``df`` plus a boolean ``contaminated`` column.
+
+    Scale shape: the benchmark n-gram set is broadcast (eval sets are
+    small by construction); the corpus side is one explode + broadcast
+    equi-join + aggregate on ``id_col`` — no wide shuffle of text. At a
+    benchmark too large to broadcast, drop the ``broadcast()`` hint and
+    the same plan becomes a sort-merge semi-join on the gram hash.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    grams = benchmark_ngrams(bench_df, text_col, n)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hit_ids = (
+        exploded.join(F.broadcast(grams), "gram", "inner")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return df.join(hit_ids, id_col, "left_anti")
+    return df.join(
+        hit_ids.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose portable 31-bit
+    hash-uniform of ``id_col`` is < ``fraction``.
+
+    Unlike ``df.sample()`` / ``F.rand(seed)`` (deterministic only for a
+    fixed partitioning), the decision depends on the row id alone, so the
+    sample is stable across partitioning, AQE re-plans, cluster sizes —
+    and reproducible in ANSI SQL (see :func:`sample_predicate_sql`).
+    """
+    u = _uniform01_portable(F.col(id_col).cast("long"), 1_000_003 * seed + 11)
+    return df.where(u < F.lit(float(fraction)))
+
+
+def sample_predicate_sql(id_expr: str, fraction: float, seed: int = 0) -> str:
+    """The ANSI-SQL mirror of :func:`hash_sample`'s keep-predicate."""
+    u = portable_uniform_sql(id_expr, 1_000_003 * seed + 11)
+    return f"({u} < {float(fraction)!r})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Dict[str, float],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the source/language mixing
+    step of a corpus pipeline ("keep 50% of en, 10% of src17, …").
+
+    One codegen'd CASE over the fractions map and the same portable
+    hash-uniform; zero shuffles, zero Python. Strata absent from
+    ``fractions`` use ``default_fraction``.
+    """
+    frac = F.lit(float(default_fraction))
+    for value, f_keep in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f_keep))).otherwise(frac)
+    u = _uniform01_portable(F.col(id_col).cast("long"), 1_000_003 * seed + 11)
+    return df.where(u < frac)
+
+
+def stratified_predicate_sql(
+    id_expr: str,
+    strata_expr: str,
+    fractions: Dict[str, float],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> str:
+    """ANSI-SQL mirror of :func:`stratified_sample`'s keep-predicate."""
+    u = portable_uniform_sql(id_expr, 1_000_003 * seed + 11)
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{v}' THEN {float(f)!r}"
+        for v, f in sorted(fractions.items())
+    )
+    return f"({u} < CASE {whens} ELSE {float(default_fraction)!r} END)"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no backreferences, no lookaround) so the identical
+# pattern string runs in Spark's Java regex AND DuckDB's RE2.
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",
+}
+
+
+def redact_pii(
+    text: Column,
+    kinds: Iterable[str] = ("email", "ipv4", "phone"),
+    replacement: str = "[PII]",
+) -> Column:
+    """Scrub PII spans from ``text`` — chained ``regexp_replace`` calls,
+    fully JVM-side. Order follows ``kinds`` (emails before phones so the
+    digits of an already-redacted span can't re-match)."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], replacement)
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (int)."""
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_sql(text_expr: str, kinds: Iterable[str] = ("email", "ipv4", "phone"),
+               replacement: str = "[PII]") -> str:
+    """DuckDB mirror of :func:`redact_pii` (RE2 needs the 'g' flag for
+    replace-all; Spark replaces all by default)."""
+    out = text_expr
+    for kind in kinds:
+        # SQL-standard string literals: backslash is literal, only quotes double
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{replacement}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-wide paragraph deduplication: split every document on
+    ``sep``, keep only the globally-first occurrence of each distinct
+    paragraph (ordered by (id, position)), and reassemble the surviving
+    paragraphs in original order. Documents left with no paragraphs are
+    dropped. Paragraphs shorter than ``min_chars`` are always kept
+    (headings/short fragments are not boilerplate candidates).
+
+    This is the repeated-boilerplate removal pass of web-corpus pipelines
+    (nav bars, cookie banners, footers repeated across millions of pages).
+
+    Scale shape: posexplode → window-min over the paragraph *hash* (one
+    shuffle, and only (hash, id, pos) ints move — never the text twice)
+    → filter → groupBy(id) reassemble (second shuffle on the doc id).
+    ``keep_first=False`` keeps *no* copy of any paragraph seen in more
+    than one position (strict boilerplate strip).
+    """
+    parts = F.split(F.col(text_col), re.escape(sep), -1)
+    exploded = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(parts).alias("_pos", "_para"),
+    ).where(F.length("_para") > 0)
+
+    h = F.xxhash64(F.col("_para"))
+    w = Window.partitionBy(h)
+    first_id = F.min(F.struct(F.col("_pid"), F.col("_pos"))).over(w)
+    n_copies = F.count(F.lit(1)).over(w)
+    if keep_first:
+        keep = (
+            (F.length("_para") < min_chars)
+            | ((first_id["_pid"] == F.col("_pid")) & (first_id["_pos"] == F.col("_pos")))
+        )
+    else:
+        keep = (F.length("_para") < min_chars) | (n_copies == 1)
+    kept = exploded.withColumn("_keep", keep).where(F.col("_keep"))
+
+    reassembled = (
+        kept.groupBy("_pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("_newtext"),
+            F.count(F.lit(1)).alias("_npara"),
+        )
+    )
+    out = df.join(
+        reassembled.select(
+            F.col("_pid").alias(id_col),
+            F.col("_newtext"),
+            F.col("_npara"),
+        ),
+        id_col,
+        "inner",
+    )
+    other_cols = [c for c in df.columns if c != text_col]
+    return out.select(
+        *other_cols,
+        F.col("_newtext").alias(text_col),
+        F.col("_npara").alias("n_paragraphs"),
+    )

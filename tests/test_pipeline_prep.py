@@ -1,0 +1,212 @@
+"""Tests for operators/pipeline.py — decontamination, deterministic
+sampling, PII redaction, paragraph dedup."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.pipeline import (
+    PII_PATTERNS,
+    benchmark_ngrams,
+    decontaminate,
+    hash_sample,
+    paragraph_dedup,
+    pii_count,
+    redact_pii,
+    redact_sql,
+    sample_predicate_sql,
+    stratified_predicate_sql,
+    stratified_sample,
+    word_ngrams,
+)
+
+
+# ---------------------------------------------------------------- ngrams
+
+def test_word_ngrams_basic(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    grams = df.select(word_ngrams(F.col("t"), 2).alias("g")).head()[0]
+    assert grams == ["a b", "b c", "c d"]
+
+
+def test_word_ngrams_short_doc_single_gram(spark):
+    df = spark.createDataFrame([("only two",)], ["t"])
+    grams = df.select(word_ngrams(F.col("t"), 8).alias("g")).head()[0]
+    assert grams == ["only two"]
+
+
+def test_word_ngrams_normalizes_whitespace_case(spark):
+    df = spark.createDataFrame([("  A   b\tC ",)], ["t"])
+    grams = df.select(word_ngrams(F.col("t"), 2).alias("g")).head()[0]
+    assert grams == ["a b", "b c"]
+
+
+# ------------------------------------------------------- decontaminate
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "a completely unrelated document about nothing at all"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_decontaminate_drop_and_flag(spark, corpus):
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps"), (101, "five dozen liquor jugs")],
+        ["doc_id", "text"],
+    )
+    clean = decontaminate(corpus, bench, n=4, mode="drop")
+    assert sorted(r.doc_id for r in clean.collect()) == [3]
+    flagged = decontaminate(corpus, bench, n=4, mode="flag")
+    got = {r.doc_id: r.contaminated for r in flagged.collect()}
+    assert got == {1: True, 2: True, 3: False}
+
+
+def test_decontaminate_no_overlap_keeps_all(spark, corpus):
+    bench = spark.createDataFrame([(9, "zz yy xx ww")], ["doc_id", "text"])
+    assert decontaminate(corpus, bench, n=4).count() == 3
+
+
+def test_benchmark_ngrams_distinct(spark):
+    bench = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    grams = {r.gram for r in benchmark_ngrams(bench, n=2).collect()}
+    assert grams == {"a b", "b a", "b c"}
+
+
+# ------------------------------------------------------------ sampling
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, "k", 0.3, seed=7).collect())
+    b = sorted(
+        r.k for r in hash_sample(df.repartition(13), "k", 0.3, seed=7).collect()
+    )
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_hash_sample_matches_sql_oracle(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    got = sorted(r.k for r in hash_sample(df, "k", 0.25, seed=3).collect())
+    pred = sample_predicate_sql("k", 0.25, seed=3)
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT k FROM range(0,500) t(k) WHERE {pred} ORDER BY k"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_stratified_sample_fractions(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1}, seed=1)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 800 < counts["en"] < 1200
+    assert 100 < counts["de"] < 320
+
+
+def test_stratified_sample_matches_sql_oracle(spark):
+    rows = [(i, "en" if i % 3 else "fr") for i in range(600)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    got = sorted(r.k for r in
+                 stratified_sample(df, "k", "lang", {"en": 0.4, "fr": 0.9}, seed=5).collect())
+    pred = stratified_predicate_sql("k", "lang", {"en": 0.4, "fr": 0.9}, seed=5)
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT k FROM (SELECT k, CASE WHEN k % 3 <> 0 THEN 'en' ELSE 'fr' END AS lang "
+            f"FROM range(0,600) t(k)) WHERE {pred} ORDER BY k"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_stratified_default_fraction_zero(spark):
+    df = spark.createDataFrame([(1, "xx")], ["k", "lang"])
+    assert stratified_sample(df, "k", "lang", {"en": 1.0}, seed=0).count() == 0
+
+
+# ------------------------------------------------------------- PII
+
+PII_TEXT = (
+    "mail me at jane.doe+spam@mail.example.org or call +1-555-867-5309; "
+    "server at 192.168.0.17 and 8.8.8.8, not 1234.5.6.7 though"
+)
+
+
+def test_redact_pii_spark(spark):
+    df = spark.createDataFrame([(PII_TEXT,)], ["t"])
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        pii_count(F.col("t"), "email").alias("ne"),
+        pii_count(F.col("t"), "ipv4").alias("ni"),
+        pii_count(F.col("t"), "phone").alias("np"),
+    ).head()
+    assert "@" not in out.r
+    assert "192.168" not in out.r
+    assert "867" not in out.r
+    assert (out.ne, out.ni, out.np) == (1, 2, 1)
+    assert out.r.count("[PII]") == 4
+
+
+def test_redact_pii_matches_duckdb(spark):
+    df = spark.createDataFrame([(PII_TEXT,)], ["t"])
+    got = df.select(redact_pii(F.col("t")).alias("r")).head().r
+    want = duckdb.sql(
+        f"SELECT {redact_sql('t')} FROM (SELECT '{PII_TEXT}' AS t)"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_pii_patterns_re2_safe():
+    # no backreferences / lookaround, so the same string is valid RE2
+    for pat in PII_PATTERNS.values():
+        assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat
+        duckdb.sql(f"SELECT regexp_matches('x', '{pat}')")
+
+
+# ---------------------------------------------------- paragraph dedup
+
+def test_paragraph_dedup_keep_first(spark):
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one\n\n{boiler}\n\nbody one"),
+            (2, f"intro two\n\n{boiler}\n\nbody two"),
+            (3, f"{boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.text, r.n_paragraphs) for r in
+           paragraph_dedup(df).collect()}
+    assert out[1] == (f"intro one\n\n{boiler}\n\nbody one", 3)
+    assert out[2] == ("intro two\n\nbody two", 2)
+    assert 3 not in out  # lost its only (duplicate) paragraph
+
+
+def test_paragraph_dedup_strict_mode(spark):
+    boiler = "cookie banner"
+    df = spark.createDataFrame(
+        [(1, f"a\n\n{boiler}"), (2, f"b\n\n{boiler}")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in
+           paragraph_dedup(df, keep_first=False).collect()}
+    assert out == {1: "a", 2: "b"}
+
+
+def test_paragraph_dedup_preserves_order_and_columns(spark):
+    df = spark.createDataFrame(
+        [(5, "z\n\ny\n\nx", "en")], ["doc_id", "text", "lang"]
+    )
+    r = paragraph_dedup(df).head()
+    assert r.text == "z\n\ny\n\nx" and r.lang == "en" and r.n_paragraphs == 3
