@@ -1559,6 +1559,41 @@ def q73_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q74_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality rules: docs with an injected spam
+    block (doc_id % 7 == 0) must be dropped by the top-ngram / dup-ngram
+    char-fraction thresholds. One Arrow-batched mapInPandas stage (per-doc
+    Counters are linear; a col-expr formulation would be O(words²))."""
+    from duckdb_spatial_spark.operators.pipeline import repetition_metrics
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    built = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' click here to win', 40)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    m = repetition_metrics(built, top_ns=(2, 3, 4), dup_ns=(5, 10))
+    keep = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("top_2gram_char_frac") <= 0.20)
+        & (F.col("top_3gram_char_frac") <= 0.18)
+        & (F.col("top_4gram_char_frac") <= 0.16)
+        & (F.col("dup_5gram_char_frac") <= 0.15)
+        & (F.col("dup_10gram_char_frac") <= 0.10)
+    )
+    return m.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.round(F.avg("top_2gram_char_frac"), 6).alias("avg_top2"),
+        F.round(F.avg("dup_5gram_char_frac"), 6).alias("avg_dup5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -1613,7 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_spheroid": q60_spheroid,
         "q61_rtree_points": q61_rtree_points,
         "q62_buffer_joinstyles": q62_buffer_joinstyles,
-        "q63_intersection_agg": q63_intersection_agg,
+        "q74_repetition_filter": q74_repetition_filter,
         "q64_mixed_overlay": q64_mixed_overlay,
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
         "q66_multimodal": q66_multimodal,
@@ -1634,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_buffer_line": q51_buffer_line,
         "q52_buffer_polygon": q52_buffer_polygon,
         "q59_reduceprecision": q59_reduceprecision,
+        "q63_intersection_agg": q63_intersection_agg,
         "q01_point_in_envelope": q01_point_in_envelope,
         "q53_transform_utm": q53_transform_utm,
         "q08_buffer_area": q08_buffer_area,
@@ -1772,6 +1808,75 @@ def _q72_oracle_sql() -> str:
                CAST(sum(length(t) - length(r)) AS BIGINT) AS removed_chars,
                count(*) AS n_docs
         FROM r
+    """
+
+
+def _q74_oracle_sql() -> str:
+    """DuckDB mirror of the Gopher repetition metrics: per-n gram CTEs,
+    top-gram by (count DESC, gram ASC), duplicated-gram char mass / L."""
+    top_ns, dup_ns = (2, 3, 4), (5, 10)
+    gram_ctes, metric_joins, metric_exprs = [], [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        gram_ctes.append(f"""
+            g{n} AS (
+              SELECT doc_id, L,
+                     array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + {n - 1}), ' ') AS g
+              FROM norm CROSS JOIN range(1, 4096) r(i)
+              WHERE i <= len(w) - {n - 1}
+            )""")
+    for n in top_ns:
+        gram_ctes.append(f"""
+            top{n} AS (
+              SELECT doc_id, CAST(cnt * length(g) AS DOUBLE) / L AS frac FROM (
+                SELECT doc_id, g, L, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, g) AS rn
+                FROM g{n} GROUP BY doc_id, g, L
+              ) WHERE rn = 1
+            )""")
+        metric_joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = b.doc_id")
+        metric_exprs.append((f"top_{n}gram_char_frac", f"COALESCE(top{n}.frac, 0.0)"))
+    for n in dup_ns:
+        gram_ctes.append(f"""
+            dup{n} AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS DOUBLE)
+                       / any_value(L) AS frac
+              FROM (SELECT doc_id, g, L, count(*) AS cnt
+                    FROM g{n} GROUP BY doc_id, g, L)
+              GROUP BY doc_id
+            )""")
+        metric_joins.append(f"LEFT JOIN dup{n} ON dup{n}.doc_id = b.doc_id")
+        metric_exprs.append((f"dup_{n}gram_char_frac", f"COALESCE(dup{n}.frac, 0.0)"))
+
+    sel = ",\n".join(f"{e} AS {name}" for name, e in metric_exprs)
+    keep = (
+        "m.top_2gram_char_frac <= 0.20 AND m.top_3gram_char_frac <= 0.18 "
+        "AND m.top_4gram_char_frac <= 0.16 AND m.dup_5gram_char_frac <= 0.15 "
+        "AND m.dup_10gram_char_frac <= 0.10"
+    )
+    return f"""
+        WITH built AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || repeat(' click here to win', 40)
+                      ELSE text END AS text
+          FROM documents
+        ), norm AS (
+          SELECT doc_id,
+                 length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS L,
+                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+          FROM built
+        ),{",".join(gram_ctes)},
+        m AS (
+          SELECT b.doc_id, {sel}
+          FROM built b {" ".join(metric_joins)}
+        )
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(avg(m.top_2gram_char_frac), 6) AS avg_top2,
+               round(avg(m.dup_5gram_char_frac), 6) AS avg_dup5
+        FROM m
     """
 
 
@@ -2531,6 +2636,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q71_sample_stratified": _q71_oracle_sql(),
         "q72_pii_redact": _q72_oracle_sql(),
+        "q74_repetition_filter": _q74_oracle_sql(),
         "q73_paragraph_dedup": """
             WITH built AS (
               SELECT doc_id,

@@ -306,3 +306,131 @@ def paragraph_dedup(
         F.col("_newtext").alias(text_col),
         F.col("_npara").alias("n_paragraphs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+# Public thresholds from Rae et al. 2021 ("Scaling Language Models: ...
+# Gopher"), appendix A (table A1): a document is removed when any metric
+# EXCEEDS its threshold.
+GOPHER_REPETITION_THRESHOLDS: Dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _repetition_row(text: str, top_ns: Sequence[int], dup_ns: Sequence[int]):
+    from collections import Counter
+
+    out = []
+    lines = [ln for ln in (text or "").split("\n") if ln.strip()]
+    if lines:
+        lc = Counter(lines)
+        n_dup = sum(c for c in lc.values() if c > 1)
+        chars_dup = sum(len(l) * c for l, c in lc.items() if c > 1)
+        total_line_chars = sum(len(l) for l in lines)
+        out.append(n_dup / len(lines))
+        out.append(chars_dup / total_line_chars if total_line_chars else 0.0)
+    else:
+        out.extend([0.0, 0.0])
+
+    norm = " ".join((text or "").lower().split())
+    words = norm.split(" ") if norm else []
+    L = len(norm)
+    for n in top_ns:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        if not grams or L == 0:
+            out.append(0.0)
+            continue
+        c = Counter(grams)
+        # deterministic tie-break: highest count, then smallest gram
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append(best[1] * len(best[0]) / L)
+    for n in dup_ns:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        if not grams or L == 0:
+            out.append(0.0)
+            continue
+        c = Counter(grams)
+        out.append(sum(len(g) * k for g, k in c.items() if k > 1) / L)
+    return out
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition-quality
+    family): fraction of duplicated lines (count and chars), fraction of
+    normalized chars covered by the single most frequent word n-gram
+    (``top_ns``), and by all duplicated word n-grams (``dup_ns``; each
+    occurrence's chars counted, the common linear approximation of the
+    paper's span-cover rule).
+
+    Runs as ONE Arrow-batched mapInPandas stage — per-document Counters
+    are linear in document length (a pure col-expr formulation would be
+    O(words²) per row), embarrassingly parallel, zero shuffle. Ties for
+    the top gram break deterministically (highest count, then smallest
+    gram) so the result is oracle-checkable.
+    """
+    import pandas as pd
+
+    metric_cols = ["dup_line_frac", "dup_line_char_frac"]
+    metric_cols += [f"top_{n}gram_char_frac" for n in top_ns]
+    metric_cols += [f"dup_{n}gram_char_frac" for n in dup_ns]
+    keep_cols = [c for c in df.columns]
+    schema_parts = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = schema_parts + ", " + ", ".join(f"{m} double" for m in metric_cols)
+
+    tn, dn = tuple(top_ns), tuple(dup_ns)
+
+    def gen(batches):
+        for pdf in batches:
+            vals = [
+                _repetition_row(t, tn, dn) for t in pdf[text_col].astype(object)
+            ]
+            met = pd.DataFrame(vals, columns=metric_cols, index=pdf.index)
+            yield pd.concat([pdf[keep_cols], met], axis=1)
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: Optional[Dict[str, float]] = None,
+) -> DataFrame:
+    """Drop documents failing any Gopher repetition rule (metric >
+    threshold). Returns the surviving rows of ``df`` with the metric
+    columns attached."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    top_ns = tuple(
+        sorted(int(k.split("_")[1][:-4]) for k in th if k.startswith("top_"))
+    )
+    dup_ns = tuple(
+        sorted(int(k.split("_")[1][:-4]) for k in th if k.startswith("dup_") and k.endswith("gram_char_frac"))
+    )
+    m = repetition_metrics(df, id_col, text_col, top_ns=top_ns, dup_ns=dup_ns)
+    cond = F.lit(True)
+    for name, limit in sorted(th.items()):
+        cond = cond & (F.col(name) <= F.lit(float(limit)))
+    return m.where(cond)

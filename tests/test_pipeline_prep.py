@@ -210,3 +210,49 @@ def test_paragraph_dedup_preserves_order_and_columns(spark):
     )
     r = paragraph_dedup(df).head()
     assert r.text == "z\n\ny\n\nx" and r.lang == "en" and r.n_paragraphs == 3
+
+
+# ---------------------------------------------------- repetition metrics
+
+def test_repetition_metrics_values(spark):
+    from duckdb_spatial_spark.operators.pipeline import repetition_metrics
+
+    # "a b a b a b": top 2-gram "a b" occurs 3x (len 3), norm len 11
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x\ny\nx\nz"), (3, "unique words only here")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           repetition_metrics(df, top_ns=(2,), dup_ns=(2,)).collect()}
+    r1 = out[1]
+    assert abs(r1.top_2gram_char_frac - 3 * 3 / 11) < 1e-12
+    # duplicated 2-grams: "a b" 3x (9 chars) + "b a" 2x (6 chars) → 15/11
+    assert abs(r1.dup_2gram_char_frac - 15 / 11) < 1e-12
+    r2 = out[2]
+    assert abs(r2.dup_line_frac - 2 / 4) < 1e-12      # two 'x' lines of 4
+    assert abs(r2.dup_line_char_frac - 2 / 4) < 1e-12
+    r3 = out[3]
+    assert r3.dup_2gram_char_frac == 0.0
+    assert r3.dup_line_frac == 0.0
+
+
+def test_gopher_filter_drops_repetitive(spark):
+    from duckdb_spatial_spark.operators.pipeline import gopher_repetition_filter
+
+    spammy = " ".join(["buy cheap pills now"] * 30)
+    # long enough that one n-gram's chars are a small fraction (the Gopher
+    # top-ngram rules presume multi-hundred-word documents)
+    clean = " ".join(f"tok{i}ua" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, spammy), (2, clean)], ["doc_id", "text"]
+    )
+    kept = gopher_repetition_filter(df)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_repetition_keeps_other_columns(spark):
+    from duckdb_spatial_spark.operators.pipeline import repetition_metrics
+
+    df = spark.createDataFrame([(7, "a b c", "en")], ["doc_id", "text", "lang"])
+    r = repetition_metrics(df).head()
+    assert r.lang == "en" and r.doc_id == 7
