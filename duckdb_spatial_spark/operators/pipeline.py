@@ -54,14 +54,19 @@ __all__ = [
 # decontamination
 # ---------------------------------------------------------------------------
 
-def word_ngrams(text: Column, n: int = 8) -> Column:
-    """Distinct word n-grams of ``text`` as array<string> — pure col-expr.
+def normalized_words(text: Column) -> Column:
+    """Lower-cased, trimmed, whitespace-collapsed word array."""
+    return F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
 
-    Normalization: lower-case, trim, split on runs of whitespace; grams are
-    the n-word windows re-joined with single spaces. Stays inside
-    whole-stage codegen (no Python).
+
+def ngrams_of_words(words: Column, n: int) -> Column:
+    """Distinct word n-grams from a word-array column.
+
+    IMPORTANT scale note: pass a *projected* column (a bound reference),
+    not the ``split(...)`` expression itself — an expression argument is
+    re-evaluated per ``transform`` element by codegen, turning the gram
+    build O(words²) per row (measured 3.7 s → 0.6 s on q70 at sf0.1).
     """
-    words = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
     cnt = F.size(words)
     return F.array_distinct(
         F.transform(
@@ -71,13 +76,26 @@ def word_ngrams(text: Column, n: int = 8) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int = 8) -> Column:
+    """Distinct word n-grams of ``text`` as array<string> — pure col-expr.
+
+    Normalization: lower-case, trim, split on runs of whitespace; grams are
+    the n-word windows re-joined with single spaces. Stays inside
+    whole-stage codegen (no Python). Prefer projecting
+    :func:`normalized_words` first and calling :func:`ngrams_of_words` in
+    a separate select — see its scale note.
+    """
+    return ngrams_of_words(normalized_words(text), n)
+
+
 def benchmark_ngrams(bench_df: DataFrame, text_col: str = "text",
                      n: int = 8) -> DataFrame:
     """Distinct word n-grams over an eval/benchmark corpus →
     DataFrame(gram string). Eval sets are small (MBs); the result is the
     broadcast side of :func:`decontaminate`."""
+    words = bench_df.select(normalized_words(F.col(text_col)).alias("_w"))
     return (
-        bench_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        words.select(F.explode(ngrams_of_words(F.col("_w"), n)).alias("gram"))
         .distinct()
     )
 
@@ -105,9 +123,10 @@ def decontaminate(
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     grams = benchmark_ngrams(bench_df, text_col, n)
-    exploded = df.select(
+    words = df.select(F.col(id_col), normalized_words(F.col(text_col)).alias("_w"))
+    exploded = words.select(
         F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode(ngrams_of_words(F.col("_w"), n)).alias("gram"),
     )
     hit_ids = (
         exploded.join(F.broadcast(grams), "gram", "inner")
@@ -331,6 +350,14 @@ GOPHER_REPETITION_THRESHOLDS: Dict[str, float] = {
 
 
 def _repetition_row(text: str, top_ns: Sequence[int], dup_ns: Sequence[int]):
+    """One doc's metrics. Grams are counted as TUPLES of words via
+    ``Counter(zip(*(words[i:] ...)))`` — C-speed windowing, tuple hashes
+    reuse each word's cached string hash, and no per-position ``join()``
+    string is ever built (the joined-strings form measured ~2× slower, a
+    per-doc numpy ``unique(axis=0)`` ~4× slower on short docs). A gram's
+    char length is the sum of its word lengths + (n-1) separators, which
+    equals the joined string's length exactly; strings materialize only
+    to break top-gram count ties (rare)."""
     from collections import Counter
 
     out = []
@@ -348,22 +375,35 @@ def _repetition_row(text: str, top_ns: Sequence[int], dup_ns: Sequence[int]):
     norm = " ".join((text or "").lower().split())
     words = norm.split(" ") if norm else []
     L = len(norm)
+    m = len(words)
+    if m == 0 or L == 0:
+        out.extend([0.0] * (len(top_ns) + len(dup_ns)))
+        return out
+
+    counts: dict = {}
+
+    def gram_counts(n):
+        if n not in counts:
+            counts[n] = Counter(zip(*(words[i:] for i in range(n))))
+        return counts[n]
+
     for n in top_ns:
-        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
-        if not grams or L == 0:
+        if m < n:
             out.append(0.0)
             continue
-        c = Counter(grams)
-        # deterministic tie-break: highest count, then smallest gram
-        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
-        out.append(best[1] * len(best[0]) / L)
+        c = gram_counts(n)
+        cmax = max(c.values())
+        cand = [g for g, k in c.items() if k == cmax]
+        best = min(cand, key=" ".join) if len(cand) > 1 else cand[0]
+        out.append(cmax * (sum(map(len, best)) + n - 1) / L)
     for n in dup_ns:
-        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
-        if not grams or L == 0:
+        if m < n:
             out.append(0.0)
             continue
-        c = Counter(grams)
-        out.append(sum(len(g) * k for g, k in c.items() if k > 1) / L)
+        c = gram_counts(n)
+        out.append(
+            sum((sum(map(len, g)) + n - 1) * k for g, k in c.items() if k > 1) / L
+        )
     return out
 
 

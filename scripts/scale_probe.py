@@ -117,6 +117,30 @@ def main() -> None:
         return (st_join(boxes, zones2, "intersects", "ga", "gb")
                 .groupBy("zone_id").count().count())
 
+    def decontam(df):
+        from duckdb_spatial_spark.operators.pipeline import decontaminate
+
+        bench = df.filter(F.col("doc_id") % 50 == 0).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)).alias("text"))
+        return decontaminate(df, bench, n=8, mode="flag").filter("contaminated").count()
+
+    def para_dedup(df):
+        from duckdb_spatial_spark.operators.pipeline import paragraph_dedup
+
+        built = df.select(
+            "doc_id",
+            F.concat_ws("\n\n", F.substring("text", 1, 30),
+                        F.lit("subscribe to our newsletter today"),
+                        F.substring("text", 31, 60)).alias("text"))
+        return paragraph_dedup(built).count()
+
+    def repetition(df):
+        from duckdb_spatial_spark.operators.pipeline import repetition_metrics
+
+        return repetition_metrics(df).agg(
+            F.sum("dup_5gram_char_frac")).collect()[0][0]
+
     workloads = [
         ("pip_join", events, ["event_id"], pip_join),
         ("hilbert_layout", events, ["event_id"], hilbert),
@@ -125,6 +149,9 @@ def main() -> None:
         ("minhash_lsh", docs, ["doc_id"], lsh),
         ("simhash_candidates", docs, ["doc_id"], simhash_cand),
         ("ngram_jaccard", docs, ["doc_id"], ngram_join),
+        ("decontaminate", docs, ["doc_id"], decontam),
+        ("paragraph_dedup", docs, ["doc_id"], para_dedup),
+        ("repetition_metrics", docs, ["doc_id"], repetition),
     ]
     out = {}
     for name, base, keys, fn in workloads:
