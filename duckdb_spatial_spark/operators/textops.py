@@ -155,11 +155,18 @@ def winnowing_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.md5(text.substr(i, F.lit(k))),
     )
+    # Sliding-window min as element-wise least over `window` shifted
+    # slices: `grams` is referenced linearly (window times), never inside
+    # a transform lambda — a captured expression re-evaluates per element,
+    # turning this O(chars²·md5) per row. zip_with pads the shorter tail
+    # slice with NULLs and least() ignores them, which reproduces the
+    # min-of-partial-window semantics at the array end.
     ng = F.size(grams)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(ng - F.lit(window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(grams, i, window)),
-    )
+    nwin = F.greatest(ng - F.lit(window - 1), F.lit(1))
+    mins = F.slice(grams, 1, nwin)
+    for off in range(1, window):
+        shifted = F.slice(grams, 1 + off, nwin)
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
     return F.array_distinct(mins)
 
 
