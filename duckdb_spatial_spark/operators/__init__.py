@@ -34,6 +34,20 @@ from .similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from . import textops  # noqa: F401
+from .pipeline import (  # noqa: F401
+    GOPHER_REPETITION_THRESHOLDS,
+    PII_PATTERNS,
+    benchmark_ngrams,
+    decontaminate,
+    gopher_repetition_filter,
+    hash_sample,
+    paragraph_dedup,
+    pii_count,
+    redact_pii,
+    repetition_metrics,
+    stratified_sample,
+    word_ngrams,
+)
 from .multimodal import (  # noqa: F401
     attach_media_metadata,
     audio_features,

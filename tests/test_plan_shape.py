@@ -173,3 +173,47 @@ def test_constructor_fusion_no_python_stage(spark):
     plan = _explain(out)
     assert "EvalPython" not in plan, plan
     assert out.count() == 10
+
+
+# ----------------------------------------------- pipeline-prep operators
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """The eval-set gram side must be a broadcast build, never a shuffle
+    of the corpus gram stream."""
+    from duckdb_spatial_spark.operators.pipeline import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d e f") for i in range(50)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(0, "x y z a b c d e")], ["doc_id", "text"])
+    plan = _explain(decontaminate(corpus, bench, n=4, mode="flag"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_no_exchange(spark):
+    """Sampling is a pure row-local predicate: zero shuffles."""
+    from duckdb_spatial_spark.operators.pipeline import stratified_sample
+
+    df = spark.createDataFrame([(1, "en"), (2, "de")], ["k", "lang"])
+    plan = _explain(stratified_sample(df, "k", "lang", {"en": 0.5}, seed=1))
+    assert "Exchange" not in plan, plan
+
+
+def test_paragraph_dedup_exchange_budget(spark):
+    """One shuffle for the paragraph-hash window + the doc-id regroup/join;
+    no more than 3 exchanges total, and no text column in the window sort."""
+    from duckdb_spatial_spark.operators.pipeline import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"p{i}\n\nshared\n\nq{i}") for i in range(20)], ["doc_id", "text"])
+    plan = _explain(paragraph_dedup(df))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_redact_pii_stays_codegen(spark):
+    from duckdb_spatial_spark.operators.pipeline import redact_pii
+
+    df = spark.createDataFrame([("a@b.co x",)], ["t"])
+    plan = _explain(df.select(redact_pii(F.col("t")).alias("r")))
+    assert "codegen id" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
