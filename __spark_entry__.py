@@ -1616,6 +1616,26 @@ def q75_streaming_extent(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q76_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-split sequence packing (pretraining example packing):
+    global token prefix-sum computed distributed (range partitions +
+    per-partition totals offset), capacity-512 windows."""
+    from duckdb_spatial_spark.operators.pipeline import pack_sequences
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    toks = d.select("doc_id", textops.token_count(F.col("text")).alias("tokens"))
+    p = pack_sequences(toks, "doc_id", "tokens", capacity=512, num_partitions=8)
+    return p.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_spanning"),
+        F.sum(
+            F.when(F.col("bin_id") % 2 == 0, F.col("tokens")).otherwise(F.lit(0))
+        ).cast("long").alias("even_bin_tokens"),
+    )
+
+
 def q74_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality rules: docs with an injected spam
     block (doc_id % 7 == 0) must be dropped by the top-ngram / dup-ngram
@@ -1714,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 52nd in-window entry: if the driver's checked-query cap is still
         # 51, only this (locally-verified) streaming row falls outside.
         "q75_streaming_extent": q75_streaming_extent,
+        "q76_pack_sequences": q76_pack_sequences,
         # ---- driver cut line (entries below have redundant family coverage
         #      above: q01/q36 predicates, q08/q51 buffer, q11+q29+q30/q12+q37
         #      accessors, q13+q14/q34+q58 measures, q16+q17/q15 relational,
@@ -2697,6 +2718,26 @@ def oracle_sql() -> dict[str, str]:
         "q71_sample_stratified": _q71_oracle_sql(),
         "q72_pii_redact": _q72_oracle_sql(),
         "q74_repetition_filter": _q74_oracle_sql(),
+        "q76_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, tokens,
+                     sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - tokens AS so
+              FROM t
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                   CAST(max(so // 512) + 1 AS BIGINT) AS n_bins,
+                   CAST(sum(CASE WHEN so // 512 <> (so + tokens - 1) // 512
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+                   CAST(sum(CASE WHEN (so // 512) % 2 = 0 THEN tokens ELSE 0 END)
+                        AS BIGINT) AS even_bin_tokens
+            FROM p
+        """,
         "q75_streaming_extent": """
             SELECT event_type,
                    CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day_idx,

@@ -47,6 +47,7 @@ __all__ = [
     "repetition_metrics",
     "gopher_repetition_filter",
     "GOPHER_REPETITION_THRESHOLDS",
+    "pack_sequences",
 ]
 
 
@@ -474,3 +475,65 @@ def gopher_repetition_filter(
     for name, limit in sorted(th.items()):
         cond = cond & (F.col(name) <= F.lit(float(limit)))
     return m.where(cond)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-split example packing)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """GPT-style concat-and-split packing: documents are concatenated in
+    ``id_col`` order into one token stream and cut into fixed ``capacity``
+    windows. Adds ``start_off`` (the doc's global token offset), ``bin_id``
+    (= start_off // capacity) and ``spans_boundary`` (doc crosses a window
+    cut).
+
+    This is a global prefix sum, computed DISTRIBUTED: range-repartition by
+    id → partition-local running sum (window over the partition id — one
+    narrow shuffle whose groups are the ~equal-sized range partitions) →
+    tiny per-partition totals collected once and turned into a codegen'd
+    CASE offset. No global single-partition window anywhere, so the plan
+    survives a 100× scale-up (the per-partition totals stay
+    O(num_partitions)).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(np_, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint(eager=False)  # pin partitioning: _pid must not be recomputed under a re-plan
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in d.groupBy("_pid").agg(F.sum(token_col).alias("_t")).collect()
+    }
+    off, acc = {}, 0
+    for pid in sorted(totals):
+        off[pid] = acc
+        acc += totals[pid] or 0
+    offset_expr = F.lit(0).cast("long")
+    for pid, o in sorted(off.items()):
+        offset_expr = F.when(F.col("_pid") == pid, F.lit(o).cast("long")).otherwise(offset_expr)
+
+    w = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = F.sum(token_col).over(w).cast("long")
+    start = (running - F.col(token_col) + offset_expr).alias("start_off")
+    out = d.select("*", start)
+    return (
+        out.withColumn("bin_id", F.floor(F.col("start_off") / capacity).cast("long"))
+        .withColumn(
+            "spans_boundary",
+            F.floor(F.col("start_off") / capacity)
+            != F.floor((F.col("start_off") + F.col(token_col) - 1) / capacity),
+        )
+        .drop("_pid")
+    )

@@ -256,3 +256,51 @@ def test_repetition_keeps_other_columns(spark):
     df = spark.createDataFrame([(7, "a b c", "en")], ["doc_id", "text", "lang"])
     r = repetition_metrics(df).head()
     assert r.lang == "en" and r.doc_id == 7
+
+
+# ---------------------------------------------------- sequence packing
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    from duckdb_spatial_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, 10 + (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = {r.doc_id: (r.start_off, r.bin_id, r.spans_boundary)
+           for r in pack_sequences(df, "doc_id", "tokens", 64, num_partitions=7).collect()}
+    acc = 0
+    for i, tok in rows:
+        want_bin = acc // 64
+        spans = (acc // 64) != ((acc + tok - 1) // 64)
+        assert out[i] == (acc, want_bin, spans), (i, out[i], (acc, want_bin, spans))
+        acc += tok
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from duckdb_spatial_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, 5 + i % 11) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    a = sorted((r.doc_id, r.start_off) for r in
+               pack_sequences(df, "doc_id", "tokens", 100, num_partitions=2).collect())
+    b = sorted((r.doc_id, r.start_off) for r in
+               pack_sequences(df.repartition(13), "doc_id", "tokens", 100,
+                              num_partitions=9).collect())
+    assert a == b
+
+
+def test_pack_sequences_matches_sql_window(spark):
+    from duckdb_spatial_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, 1 + (i * 13) % 37) for i in range(150)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    got = sorted((r.doc_id, r.start_off, r.bin_id) for r in
+                 pack_sequences(df, "doc_id", "tokens", 50, num_partitions=5).collect())
+    duckdb.sql("CREATE OR REPLACE TABLE t(doc_id BIGINT, tokens BIGINT)")
+    duckdb.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [tuple(r) for r in duckdb.sql("""
+        SELECT doc_id,
+               sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tokens AS so,
+               CAST(floor((sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tokens) / 50.0) AS BIGINT)
+        FROM t ORDER BY doc_id
+    """).fetchall()]
+    assert got == want
