@@ -1636,6 +1636,41 @@ def q76_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q77_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 16-token overlap — pure
+    col-expr (projected word array + transform + posexplode, zero
+    shuffles before the agg)."""
+    from duckdb_spatial_spark.operators.pipeline import chunk_documents
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    c = chunk_documents(d, max_tokens=64, overlap=16)
+    return c.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("chunk_tokens_total"),
+        F.max("chunk_idx").cast("long").alias("max_chunk_idx"),
+    )
+
+
+def q78_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature (sqrt-weighted) source mixing toward total/3 rows:
+    tiny per-source count collected once, then the zero-shuffle portable
+    hash predicate. Fractions pinned to 9 digits so the SQL replica is
+    bit-identical."""
+    from duckdb_spatial_spark.operators.pipeline import temperature_mix
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    target = d.count() // 3
+    out, _fr = temperature_mix(
+        d, "doc_id", "source", target_rows=target, alpha=0.5, seed=7, ndigits=9
+    )
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+        .orderBy("source")
+    )
+
+
 def q74_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality rules: docs with an injected spam
     block (doc_id % 7 == 0) must be dropped by the top-ngram / dup-ngram
@@ -1735,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51, only this (locally-verified) streaming row falls outside.
         "q75_streaming_extent": q75_streaming_extent,
         "q76_pack_sequences": q76_pack_sequences,
+        "q77_chunk_documents": q77_chunk_documents,
+        "q78_temperature_mix": q78_temperature_mix,
         # ---- driver cut line (entries below have redundant family coverage
         #      above: q01/q36 predicates, q08/q51 buffer, q11+q29+q30/q12+q37
         #      accessors, q13+q14/q34+q58 measures, q16+q17/q15 relational,
@@ -1958,6 +1995,51 @@ def _q74_oracle_sql() -> str:
                round(avg(m.top_2gram_char_frac), 6) AS avg_top2,
                round(avg(m.dup_5gram_char_frac), 6) AS avg_dup5
         FROM m
+    """
+
+
+def _q77_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.pipeline import chunk_documents_sql
+
+    expr = chunk_documents_sql(64, 16)
+    return f"""
+        WITH c AS (
+          SELECT doc_id, unnest({expr}) AS ch FROM documents
+        )
+        SELECT count(*) AS n_chunks,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(ch.chunk_text, ' '))) AS BIGINT)
+                 AS chunk_tokens_total,
+               CAST(max(ch.chunk_idx) AS BIGINT) AS max_chunk_idx
+        FROM c
+    """
+
+
+def _q78_oracle_sql() -> str:
+    """DuckDB mirror of sqrt-temperature mixing: identical operation order
+    (T·√n → /Σ√n → /n), least(1, ·), round 9."""
+    from duckdb_spatial_spark.operators.pipeline import stratified_predicate_sql
+
+    # the keep predicate needs per-source fractions computed IN SQL; reuse
+    # the portable-uniform mirror with the fraction joined per row
+    from duckdb_spatial_spark.sources.generate import portable_uniform_sql
+
+    u = portable_uniform_sql("d.doc_id", 1_000_003 * 7 + 11)
+    return f"""
+        WITH tot AS (SELECT count(*) // 3 AS t FROM documents),
+        c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        fr AS (
+          SELECT source,
+                 round(least(1.0,
+                   (SELECT t FROM tot) * sqrt(CAST(n AS DOUBLE))
+                     / (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c) / n), 9) AS f
+          FROM c
+        )
+        SELECT d.source, count(*) AS n_kept,
+               CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+        FROM documents d JOIN fr ON fr.source = d.source
+        WHERE {u} < fr.f
+        GROUP BY d.source ORDER BY d.source
     """
 
 
@@ -2718,6 +2800,8 @@ def oracle_sql() -> dict[str, str]:
         "q71_sample_stratified": _q71_oracle_sql(),
         "q72_pii_redact": _q72_oracle_sql(),
         "q74_repetition_filter": _q74_oracle_sql(),
+        "q77_chunk_documents": _q77_oracle_sql(),
+        "q78_temperature_mix": _q78_oracle_sql(),
         "q76_pack_sequences": """
             WITH t AS (
               SELECT doc_id,

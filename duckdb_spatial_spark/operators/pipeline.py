@@ -537,3 +537,106 @@ def pack_sequences(
         )
         .drop("_pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping ``max_tokens``-word windows
+    (context-length chunking): chunk k covers words
+    [k·stride, k·stride+max_tokens) with stride = max_tokens − overlap, and
+    ``n_chunks = max(1, ceil((n_words − overlap) / stride))`` so the tail
+    chunk always reaches the end without emitting a runt fully contained in
+    its predecessor.
+
+    Pure col-expr: the word array is projected once (a bound reference —
+    see :func:`ngrams_of_words` for why), chunks come from one transform +
+    posexplode. Zero shuffles, zero Python.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    words = df.select("*", F.split(F.col(text_col), " ").alias("_w"))
+    n = F.size("_w")
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.concat_ws(" ", F.slice(F.col("_w"), k * stride + 1, max_tokens)),
+    )
+    other = [c for c in df.columns if c != text_col]
+    return (
+        words.select(*other, F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+    )
+
+
+def chunk_documents_sql(max_tokens: int, overlap: int,
+                        text_expr: str = "text") -> str:
+    """DuckDB mirror of the chunk windows: (chunk_idx, chunk_text) pairs as
+    an unnestable list-of-structs expression."""
+    stride = max_tokens - overlap
+    return f"""
+        list_transform(
+          range(0, greatest(CAST((len(string_split({text_expr}, ' ')) - {overlap}
+                                  + {stride - 1}) // {stride} AS BIGINT), 1)),
+          k -> struct_pack(
+                 chunk_idx := k,
+                 chunk_text := array_to_string(
+                   list_slice(string_split({text_expr}, ' '),
+                              k * {stride} + 1, k * {stride} + {max_tokens}), ' '))
+        )"""
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing (source re-weighting)
+# ---------------------------------------------------------------------------
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+    ndigits: Optional[int] = None,
+):
+    """Source-balanced subsampling: draw ~``target_rows`` rows with
+    per-source keep-probability ∝ count(source)^alpha / count(source)
+    (alpha < 1 up-weights small sources — the multilingual/temperature
+    sampling rule). alpha=0.5 uses sqrt, which is IEEE-correctly-rounded
+    everywhere, so the fractions (and therefore the sampled set, via the
+    portable hash-uniform) are bit-reproducible in ANSI SQL.
+
+    Two-phase: one tiny groupBy-count collected to the driver (O(#sources)
+    rows at any corpus size), then the same zero-shuffle deterministic
+    predicate as :func:`stratified_sample`. Returns (sampled_df,
+    fractions) so callers can log the realized mix.
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    if alpha == 0.5:
+        weights = {s: float(n) ** 0.5 for s, n in counts.items()}
+    else:
+        weights = {s: float(n) ** alpha for s, n in counts.items()}
+    wsum = sum(weights[s] for s in sorted(weights))
+    fractions = {
+        s: min(1.0, target_rows * weights[s] / wsum / counts[s]) for s in counts
+    }
+    if ndigits is not None:
+        # pin the fractions to a fixed precision so a SQL replica summing
+        # the weights in a different order lands on the identical value
+        fractions = {s: round(f, ndigits) for s, f in fractions.items()}
+    return (
+        stratified_sample(df, id_col, source_col, fractions, seed=seed),
+        fractions,
+    )

@@ -304,3 +304,64 @@ def test_pack_sequences_matches_sql_window(spark):
         FROM t ORDER BY doc_id
     """).fetchall()]
     assert got == want
+
+
+# ---------------------------------------------------- chunking / mixing
+
+def test_chunk_documents_windows(spark):
+    from duckdb_spatial_spark.operators.pipeline import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], ["doc_id", "text"])
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    )
+    # stride 3: starts 0,3,6 for 10 words → ceil((10-1)/3)=3 chunks
+    assert out == [
+        (1, 0, "w0 w1 w2 w3"),
+        (1, 1, "w3 w4 w5 w6"),
+        (1, 2, "w6 w7 w8 w9"),
+        (2, 0, "short doc"),
+    ]
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    from duckdb_spatial_spark.operators.pipeline import (
+        chunk_documents, chunk_documents_sql)
+
+    texts = [(i, " ".join(f"t{i}x{j}" for j in range(5 + i * 3))) for i in range(8)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = sorted((r.doc_id, r.chunk_idx, r.chunk_text) for r in
+                 chunk_documents(df, max_tokens=6, overlap=2).collect())
+    duckdb.sql("CREATE OR REPLACE TABLE cd(doc_id BIGINT, text VARCHAR)")
+    duckdb.executemany("INSERT INTO cd VALUES (?, ?)", texts)
+    expr = chunk_documents_sql(6, 2)
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        SELECT doc_id, c.chunk_idx, c.chunk_text
+        FROM (SELECT doc_id, unnest({expr}) AS c FROM cd)
+    """).fetchall())
+    assert got == want
+
+
+def test_temperature_mix_balances(spark):
+    from duckdb_spatial_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out, fr = temperature_mix(df, "k", "src", target_rows=2000, alpha=0.5, seed=3)
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # sqrt weighting: big keeps 9000*f_b ≈ 2000*0.75, small ≈ 2000*0.25
+    assert 1300 < counts["big"] < 1700
+    assert 350 < counts["small"] < 650
+    assert abs(fr["big"] * 9000 + fr["small"] * 1000 - 2000) < 1e-6
+
+
+def test_temperature_mix_caps_fraction_at_one(spark):
+    from duckdb_spatial_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "a" if i < 990 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out, fr = temperature_mix(df, "k", "src", target_rows=900, alpha=0.5)
+    assert fr["b"] == 1.0  # tiny source fully kept
+    assert out.filter("src = 'b'").count() == 10
