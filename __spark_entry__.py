@@ -1671,6 +1671,28 @@ def q78_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q79_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """One-call corpus dedup (exact collapse → LSH candidates → exact
+    Jaccard verify → connected components → keep cluster min): the
+    end-to-end operator, driver-checked against a full SQL replica of all
+    four stages (recursive-CTE components)."""
+    from duckdb_spatial_spark.operators import dedup_pipeline
+
+    d = (
+        load_table(spark, sf, "documents", fan_out=False)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    kept = dedup_pipeline(
+        d, "doc_id", "text", method="minhash", threshold=0.5,
+        num_hashes=4, bands=2, k=4, hash_fn="md5",
+    )
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_sum"),
+    )
+
+
 def q74_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality rules: docs with an injected spam
     block (doc_id % 7 == 0) must be dropped by the top-ngram / dup-ngram
@@ -1772,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_pack_sequences": q76_pack_sequences,
         "q77_chunk_documents": q77_chunk_documents,
         "q78_temperature_mix": q78_temperature_mix,
+        "q79_dedup_pipeline": q79_dedup_pipeline,
         # ---- driver cut line (entries below have redundant family coverage
         #      above: q01/q36 predicates, q08/q51 buffer, q11+q29+q30/q12+q37
         #      accessors, q13+q14/q34+q58 measures, q16+q17/q15 relational,
@@ -2802,6 +2825,64 @@ def oracle_sql() -> dict[str, str]:
         "q74_repetition_filter": _q74_oracle_sql(),
         "q77_chunk_documents": _q77_oracle_sql(),
         "q78_temperature_mix": _q78_oracle_sql(),
+        "q79_dedup_pipeline": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+            ), fp AS (
+              SELECT doc_id, text, md5(text) AS f FROM d
+            ), rep AS (
+              SELECT f, min(doc_id) AS rep FROM fp GROUP BY f
+            ), tagged AS (
+              SELECT fp.doc_id, fp.text, r.rep FROM fp JOIN rep r ON r.f = fp.f
+            ), exact_stars AS (
+              SELECT rep AS id_a, doc_id AS id_b FROM tagged WHERE doc_id <> rep
+            ), uniq AS (
+              SELECT doc_id, text FROM tagged WHERE doc_id = rep
+            ), s AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 4) AS sh
+              FROM uniq, LATERAL (SELECT unnest(range(1, greatest(length(text)-3, 1)+1)) AS i)
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+                     min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3
+              FROM s GROUP BY 1
+            ), b AS (
+              SELECT doc_id, m0 || '_' || m1 AS b0, m2 || '_' || m3 AS b1 FROM sig
+            ), cand AS (
+              SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+                                AND (a.b0 = b2.b0 OR a.b1 = b2.b1)
+            ), shset AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        range(1, greatest(length(text)-3, 1)+1),
+                        i -> substring(text, CAST(i AS INT), 4))) AS S
+              FROM uniq
+            ), ver AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN shset a ON a.doc_id = c.id_a
+              JOIN shset bb ON bb.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(a.S, bb.S)) AS DOUBLE)
+                    / (len(a.S) + len(bb.S) - len(list_intersect(a.S, bb.S))) >= 0.5
+            ), pairs2 AS (
+              SELECT id_a, id_b FROM ver UNION SELECT id_a, id_b FROM exact_stars
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs2
+              UNION SELECT id_b, id_a FROM pairs2
+            ), nodes AS (
+              SELECT doc_id AS id FROM d
+            ), reach AS (
+              SELECT id AS node, id AS lbl FROM nodes
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            ), comp AS (
+              SELECT node, min(lbl) AS comp FROM reach GROUP BY node
+            )
+            SELECT count(*) AS n_kept,
+                   CAST(sum(node) AS BIGINT) AS kept_sum
+            FROM comp WHERE node = comp
+        """,
         "q76_pack_sequences": """
             WITH t AS (
               SELECT doc_id,
