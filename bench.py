@@ -51,6 +51,13 @@ def main() -> None:
         # default 240MB code cache mid-run; once "CodeCache is full" hits,
         # the JIT disables and every later query runs interpreted (~5×).
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # event bus + progress bar are per-job overhead on ~250 tiny jobs
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # the generated-class cache defaults to 100 entries; 79 queries ×
+        # ~3 codegen stages evict constantly, so attempt 2 re-COMPILES what
+        # attempt 1 just built — raise it so compiled classes actually reuse
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .appName("duckdb-spatial-spark-bench")
         .getOrCreate()
