@@ -1693,6 +1693,45 @@ def q79_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q80_webdataset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset tar-shard sink+source (the multimodal training-data
+    container): build deterministic (image-bytes, caption) samples from
+    part rows, write 4 shards distributed (one per partition, samples
+    key-sorted and never split), read back one-task-per-shard, group to
+    samples, aggregate. Oracle: the same aggregates arithmetically off the
+    part table (payload sizes are closed-form in p_partkey)."""
+    import tempfile
+
+    from duckdb_spatial_spark.sources import (group_samples,
+                                              st_read_webdataset,
+                                              st_write_webdataset)
+
+    part = (
+        load_table(spark, sf, "part", fan_out=False)
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            F.format_string("%06d", F.col("p_partkey")).alias("key"),
+            # img payload: (p_partkey % 17 + 1) repeated bytes
+            F.expr(
+                "repeat(chr(65 + p_partkey % 26), CAST(p_partkey % 17 + 1 AS INT))"
+            ).cast("binary").alias("img"),
+            F.encode(F.concat(F.lit("caption "), F.col("p_name")), "UTF-8")
+            .alias("txt"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="dss_q80_")
+    st_write_webdataset(part, out, "key", {"img": "img.bin", "txt": "txt"},
+                        num_shards=4)
+    back = group_samples(st_read_webdataset(spark, out))
+    return back.agg(
+        F.count("*").alias("n_samples"),
+        F.sum("n_parts").cast("long").alias("n_members"),
+        F.sum("total_bytes").cast("long").alias("bytes_total"),
+        F.sum(F.length(F.map_keys(F.col("parts")).getItem(0))).cast("long")
+        .alias("ext_chars"),
+    )
+
+
 def q74_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality rules: docs with an injected spam
     block (doc_id % 7 == 0) must be dropped by the top-ngram / dup-ngram
@@ -1788,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_multimodal": q66_multimodal,
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q69_dedup_components": q69_dedup_components,
+        "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         # positions 52-56: if the driver's checked-query cap is still 51,
         # these five fall outside — all were driver-GREEN in round 3 and
         # their implementations are unchanged this round, so the r03 rows
@@ -2828,6 +2868,14 @@ def oracle_sql() -> dict[str, str]:
         "q74_repetition_filter": _q74_oracle_sql(),
         "q77_chunk_documents": _q77_oracle_sql(),
         "q78_temperature_mix": _q78_oracle_sql(),
+        "q80_webdataset_roundtrip": """
+            SELECT count(*) AS n_samples,
+                   CAST(2 * count(*) AS BIGINT) AS n_members,
+                   CAST(sum(p_partkey % 17 + 1 + 8 + length(p_name)) AS BIGINT)
+                     AS bytes_total,
+                   CAST(7 * count(*) AS BIGINT) AS ext_chars
+            FROM part WHERE p_partkey < 300
+        """,
         "q79_dedup_pipeline": """
             WITH RECURSIVE d AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 100

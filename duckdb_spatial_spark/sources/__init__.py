@@ -8,6 +8,11 @@ from .xlsx import st_read_xlsx  # noqa: F401
 from .gml import st_read_gml  # noqa: F401
 from .gpx import st_read_gpx, st_write_gpx  # noqa: F401
 from .arrow import st_read_arrow, st_write_arrow  # noqa: F401
+from .webdataset import (  # noqa: F401
+    group_samples,
+    st_read_webdataset,
+    st_write_webdataset,
+)
 from .spatialite import st_read_spatialite, st_write_spatialite  # noqa: F401
 from .geoparquet import geoparquet_meta, st_write_geoparquet  # noqa: F401
 from .dxf import st_read_dxf, st_write_dxf  # noqa: F401
