@@ -39,7 +39,10 @@ _READ_SCHEMA = (
 
 def _shards(path: str) -> List[str]:
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "*.tar")))
+        out: List[str] = []
+        for pat in ("*.tar", "*.tar.gz", "*.tgz"):
+            out.extend(glob.glob(os.path.join(path, pat)))
+        return sorted(out)
     if any(ch in path for ch in "*?["):
         return sorted(glob.glob(path))
     return [path]
@@ -78,7 +81,7 @@ def st_read_webdataset(
             for p in pdf["path"]:
                 rows = []
                 shard_name = os.path.basename(p)
-                with tarfile.open(p, "r") as tf:
+                with tarfile.open(p, "r:*") as tf:  # transparent gzip
                     for m in tf:
                         if not m.isfile():
                             continue

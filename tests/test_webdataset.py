@@ -68,3 +68,17 @@ def test_reproducible_shards(spark, tmp_path):
     for p in os.listdir(a):
         assert open(os.path.join(a, p), "rb").read() == \
                open(os.path.join(b, p), "rb").read()
+
+
+def test_gzip_shards(spark, tmp_path):
+    import gzip, shutil
+    out = str(tmp_path / "wdsz")
+    st_write_webdataset(_build(spark, 12), out, "key",
+                        {"img": "a", "txt": "b"}, num_shards=2)
+    for p in list(os.listdir(out)):
+        src = os.path.join(out, p)
+        with open(src, "rb") as fi, gzip.open(src + ".gz", "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+        os.remove(src)
+    back = st_read_webdataset(spark, out)
+    assert back.count() == 24
