@@ -1732,6 +1732,71 @@ def q80_webdataset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q81_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running bbox sessions over the event stream. Update-mode rows grow
+    monotonically per key, so aggregating min/max/max-n over the sink
+    reconstructs each key's final state deterministically — giving a
+    bespoke-state operator an exact SQL oracle."""
+    from duckdb_spatial_spark.streaming import streaming_session_extents
+
+    batch = load_table(spark, sf, "events", fan_out=False)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", (F.col("ts") / F.lit(1e9)).cast("timestamp"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    pts = stream.select(
+        "ts",
+        (F.col("user_id") % 20).cast("string").alias("key"),
+        F.col("value").alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+    )
+    sess = streaming_session_extents(
+        pts, "key", "x", "y", "ts", watermark="1 day", timeout="1 second"
+    )
+    _Q75_SINK_SEQ[0] += 1
+    sink = f"q81_sink_{_Q75_SINK_SEQ[0]}"
+    q = (
+        sess.writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    # Drain protocol: availableNow + ProcessingTimeTimeout never
+    # self-terminates (the engine keeps firing empty micro-batches to
+    # service potential timeouts — measured 99+ epochs). The update-mode
+    # rows grow monotonically per key, so once the DATA batches are done
+    # (a completed batch with numInputRows == 0 after one with > 0) the
+    # per-key max-n aggregate is final; stop the query then.
+    import time as _time
+
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        prog = q.recentProgress
+        if any(p["numInputRows"] > 0 for p in prog) and prog and \
+                prog[-1]["numInputRows"] == 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("key")
+        .agg(
+            F.round(F.min("xmin"), 6).alias("xmin"),
+            F.round(F.min("ymin"), 6).alias("ymin"),
+            F.round(F.max("xmax"), 6).alias("xmax"),
+            F.round(F.max("ymax"), 6).alias("ymax"),
+            F.max("n").alias("n"),
+        )
+        .orderBy("key")
+    )
+
+
 def q74_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality rules: docs with an injected spam
     block (doc_id % 7 == 0) must be dropped by the top-ngram / dup-ngram
@@ -1828,7 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q69_dedup_components": q69_dedup_components,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
-        # positions 52-56: if the driver's checked-query cap is still 51,
+        "q81_streaming_sessions": q81_streaming_sessions,
+        # risky tail: if the driver's checked-query cap is still 51,
         # these five fall outside — all were driver-GREEN in round 3 and
         # their implementations are unchanged this round, so the r03 rows
         # plus the local sf0.01+sf0.1 gate stand as their evidence; the
@@ -2868,6 +2934,15 @@ def oracle_sql() -> dict[str, str]:
         "q74_repetition_filter": _q74_oracle_sql(),
         "q77_chunk_documents": _q77_oracle_sql(),
         "q78_temperature_mix": _q78_oracle_sql(),
+        "q81_streaming_sessions": """
+            SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+                   round(min(value), 6) AS xmin,
+                   round(min(CAST(user_id AS DOUBLE)), 6) AS ymin,
+                   round(max(value), 6) AS xmax,
+                   round(max(CAST(user_id AS DOUBLE)), 6) AS ymax,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "q80_webdataset_roundtrip": """
             SELECT count(*) AS n_samples,
                    CAST(2 * count(*) AS BIGINT) AS n_members,
