@@ -247,3 +247,67 @@ def language_id_ngram(text: Column) -> Column:
 
     f = pandas_udf(_classify, T.StringType(), PandasUDFType.SCALAR)
     return f(text)
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (web-corpus boilerplate stripping)
+# ---------------------------------------------------------------------------
+# The web-scale pipeline step between a WARC scan and the quality/dedup
+# tiers: turn raw page markup into clean text. Pure regexp_replace chains —
+# whole-stage-codegen JVM-side, no Python worker — and every pattern is
+# RE2-compatible (no backreferences/lookarounds) so the DuckDB oracle runs
+# the IDENTICAL chain and verifies bit-for-bit.
+
+def escape_html(text: Column) -> Column:
+    """Minimal HTML escape (&, <, > — ampersand first)."""
+    out = F.replace(text, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+# (pattern, replacement) chain shared verbatim with the SQL oracle; order
+# matters (entity unescape of &amp; must run LAST or "&amp;lt;" would
+# double-decode).
+HTML_TO_TEXT_STEPS = (
+    (r"(?is)<script\b.*?</script\s*>", " "),
+    (r"(?is)<style\b.*?</style\s*>", " "),
+    (r"(?is)<title\b.*?</title\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),  # every remaining tag becomes a word boundary
+)
+HTML_ENTITY_STEPS = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Markup → whitespace-normalized text: drop script/style/comment
+    blocks, replace every tag with a word boundary, decode the common
+    entities, collapse whitespace runs, trim. Inverse of ``escape_html``
+    composed with any tag template, which is how the WARC roundtrip query
+    gets an exact oracle."""
+    out = html
+    for pat, repl in HTML_TO_TEXT_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in HTML_ENTITY_STEPS:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB-SQL replica of ``html_to_text`` over SQL expression
+    ``expr`` — same patterns, same order (RE2 'g' global flag)."""
+    out = expr
+    for pat, repl in HTML_TO_TEXT_STEPS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    for ent, ch in HTML_ENTITY_STEPS:
+        c = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{c}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -13,6 +13,7 @@ from .webdataset import (  # noqa: F401
     st_read_webdataset,
     st_write_webdataset,
 )
+from .warc import st_read_warc, st_write_warc  # noqa: F401
 from .spatialite import st_read_spatialite, st_write_spatialite  # noqa: F401
 from .geoparquet import geoparquet_meta, st_write_geoparquet  # noqa: F401
 from .dxf import st_read_dxf, st_write_dxf  # noqa: F401
