@@ -34,6 +34,7 @@ from .similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from . import textops  # noqa: F401
+from . import urlops  # noqa: F401
 from .pipeline import (  # noqa: F401
     GOPHER_REPETITION_THRESHOLDS,
     PII_PATTERNS,
