@@ -1976,6 +1976,49 @@ def q83_url_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q84_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail split: per-language quality-score
+    ntile(3), the gate deciding what web text reaches training. Exact
+    path (window sort per language — SQL-replicable); the scale path
+    (percentile_approx cutoffs, no sort) is covered by unit tests."""
+    from duckdb_spatial_spark.operators.pipeline import quality_buckets
+    from duckdb_spatial_spark.operators.textops import quality_score
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    b = quality_buckets(d, "text", "lang", n_buckets=3, exact=True)
+    return (
+        b.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(quality_score(F.col("text"))), 6).alias("avg_q"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _q84_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.textops import quality_score_sql
+
+    q = quality_score_sql("text")
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lang, n_chars, {q} AS q FROM documents
+        ), b AS (
+          SELECT lang, n_chars, q,
+                 CAST(ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY q DESC, doc_id) AS BIGINT)
+                   AS bucket
+          FROM s
+        )
+        SELECT lang, bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(q), 6) AS avg_q,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -1988,7 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q02_zone_pip_join": q02_zone_pip_join,
         "q03_distance_sphere": q03_distance_sphere,
-        "q04_extent_agg": q04_extent_agg,
+        "q84_quality_buckets": q84_quality_buckets,
         "q05_centroid_collect": q05_centroid_collect,
         "q06_convexhull_area": q06_convexhull_area,
         "q07_wkt_area": q07_wkt_area,
@@ -2039,15 +2082,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail: the driver checked exactly 50 rows in rounds 1-3, so the
         # entries below fall outside the window. q42/q56/q40 were displaced
         # this round to give q80 (webdataset), q81 (stateful streaming) and
-        # q82 (WARC ingestion) and q83 (URL tier, displacing q39 whose
-        # simhash family q20 covers) driver rows — all displaced queries
-        # were driver-GREEN in round 3 and unchanged since; their families
-        # stay covered in-window (q64 overlay, q31 predicates, q07+q41
-        # conversions, q20 simhash).
+        # q82 (WARC ingestion), q83 (URL tier, displacing q39 whose
+        # simhash family q20 covers) and q84 (quality buckets, displacing
+        # q04 whose §2.I aggregate family q28+q75 cover) driver rows — all
+        # displaced queries were driver-GREEN in round 3 and unchanged
+        # since; their families stay covered in-window (q64 overlay, q31
+        # predicates, q07+q41 conversions, q20 simhash, q28 aggregates).
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
         "q39_simhash_hamming": q39_simhash_hamming,
+        "q04_extent_agg": q04_extent_agg,
         "q37_dump": q37_dump,
         "q44_force_dims": q44_force_dims,
         "q46_geojson_roundtrip": q46_geojson_roundtrip,
@@ -3092,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "q84_quality_buckets": _q84_oracle_sql(),
         "q83_url_domain_stats": _q83_oracle_sql(),
         "q82_warc_pipeline": """
             WITH norm AS (

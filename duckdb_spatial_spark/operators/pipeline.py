@@ -48,6 +48,7 @@ __all__ = [
     "gopher_repetition_filter",
     "GOPHER_REPETITION_THRESHOLDS",
     "pack_sequences",
+    "quality_buckets",
 ]
 
 
@@ -640,3 +641,58 @@ def temperature_mix(
         stratified_sample(df, id_col, source_col, fractions, seed=seed),
         fractions,
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+def quality_buckets(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+    score: Optional[Column] = None,
+    exact: bool = True,
+    id_col: str = "doc_id",
+):
+    """Assign each document to a per-language quality bucket (1 = best),
+    the CCNet head/middle/tail split that web-corpus pipelines use to
+    gate what reaches training.
+
+    exact=True (oracle path): ``ntile(n)`` over a window partitioned by
+    language, ordered by (score DESC, id) — deterministic, SQL-replicable,
+    but sorts each language partition (the dominant language is the skew
+    at 100 TB).
+
+    exact=False (scale path): per-language score cutoffs from
+    ``percentile_approx`` (one partial-aggregating pass, O(langs) result
+    broadcast back), bucket assigned by comparison — no sort, no window,
+    one scan. Boundary docs may land one bucket off vs exact; that is the
+    documented trade of the approximate quantile sketch.
+    """
+    from ..operators.textops import quality_score
+
+    s = score if score is not None else quality_score(F.col(text_col))
+    scored = df.withColumn("__q", s)
+    if exact:
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col("__q").desc(), F.col(id_col))
+        return scored.withColumn("bucket", F.ntile(n_buckets).over(w)) \
+            .drop("__q")
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile_approx(
+            "__q",
+            [i / n_buckets for i in range(1, n_buckets)],
+            10000,
+        ).alias("__cuts")
+    )
+    joined = scored.join(F.broadcast(cuts), on=lang_col)
+    # bucket = 1 + number of cutpoints strictly above this score (cuts are
+    # ascending quantiles; bucket 1 holds the top scores)
+    bucket = F.lit(1) + F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc + (F.col("__q") < c).cast("int"),
+    )
+    return joined.withColumn("bucket", bucket).drop("__q", "__cuts")

@@ -311,3 +311,32 @@ def html_to_text_sql(expr: str) -> str:
         c = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{c}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def quality_score_sql(e: str) -> str:
+    """DuckDB replica of ``quality_score`` — identical arithmetic and
+    evaluation order so the composite double matches bit-for-bit."""
+    t = f"trim({e})"
+    tok = (f"(CASE WHEN length({t}) = 0 THEN 0 "
+           f"ELSE len(string_split_regex({t}, '\\s+')) END)")
+    len_s = (f"(least(CAST(length({e}) AS DOUBLE) / 200.0, 1.0) * "
+             f"(CASE WHEN CAST(length({e}) AS DOUBLE) > 10000 "
+             f"THEN 0.5 ELSE 1.0 END))")
+    punct = (f"(CAST(length({e}) - length(regexp_replace({e}, "
+             f"'[^\\w\\s]', '', 'g')) AS DOUBLE) "
+             f"/ CAST(greatest(length({e}), 1) AS DOUBLE))")
+    digit = (f"(CAST(length({e}) - length(regexp_replace({e}, "
+             f"'[0-9]', '', 'g')) AS DOUBLE) "
+             f"/ CAST(greatest(length({e}), 1) AS DOUBLE))")
+    noise_s = f"greatest(0.0, 1.0 - ({punct} + {digit}) * 2.0)"
+    mwl = (f"(CAST(length(regexp_replace({t}, '\\s+', '', 'g')) AS DOUBLE) "
+           f"/ CAST(greatest({tok}, 1) AS DOUBLE))")
+    word_s = (f"(CASE WHEN {mwl} >= 3.0 AND {mwl} <= 10.0 "
+              f"THEN 1.0 ELSE 0.5 END)")
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    toks = f"string_split_regex(lower({t}), '\\s+')"
+    stop_ratio = (f"(CAST(len(list_filter({toks}, x -> x IN ({stops}))) "
+                  f"AS DOUBLE) / CAST(greatest(len({toks}), 1) AS DOUBLE))")
+    stop_s = f"least({stop_ratio} * 4.0, 1.0)"
+    return (f"({len_s} * 0.3 + {noise_s} * 0.3 + {word_s} * 0.2 "
+            f"+ {stop_s} * 0.2)")

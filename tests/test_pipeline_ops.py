@@ -548,3 +548,41 @@ def test_embedding_collapse_identical_null_elements(spark):
     out2 = embedding_neardup_pairs(
         df2, threshold=0.0, exact=True, collapse_identical=True).collect()
     assert [(r.id_a, r.id_b, r.cosine) for r in out2] == [(1, 2, 1.0)]
+
+
+def test_quality_buckets_exact(spark, docs):
+    from duckdb_spatial_spark.operators.pipeline import quality_buckets
+
+    b = quality_buckets(docs, "text", "lang", n_buckets=3, exact=True)
+    # every doc kept, buckets within [1,3], per-lang sizes differ by <= 1
+    assert b.count() == docs.count()
+    sizes = {(r.lang, r.bucket): r["count"] for r in
+             b.groupBy("lang", "bucket").count().collect()}
+    assert all(1 <= k[1] <= 3 for k in sizes)
+    for lang in {k[0] for k in sizes}:
+        per = [v for (lg, _), v in sizes.items() if lg == lang]
+        assert max(per) - min(per) <= 1
+    # bucket 1 has higher mean quality than bucket 3 in every language
+    from duckdb_spatial_spark.operators.textops import quality_score
+
+    m = {(r.lang, r.bucket): r.q for r in
+         b.groupBy("lang", "bucket")
+          .agg(F.avg(quality_score(F.col("text"))).alias("q")).collect()}
+    for lang in {k[0] for k in m}:
+        assert m[(lang, 1)] >= m[(lang, 3)]
+
+
+def test_quality_buckets_approx_close_to_exact(spark, docs):
+    from duckdb_spatial_spark.operators.pipeline import quality_buckets
+
+    ex = quality_buckets(docs, "text", "lang", n_buckets=3, exact=True) \
+        .select("doc_id", F.col("bucket").alias("b_ex"))
+    ap = quality_buckets(docs, "text", "lang", n_buckets=3, exact=False) \
+        .select("doc_id", F.col("bucket").alias("b_ap"))
+    j = ex.join(ap, "doc_id")
+    n = j.count()
+    assert n == docs.count()
+    # approx path agrees for the overwhelming majority; never off by > 1
+    agree = j.filter(F.col("b_ex") == F.col("b_ap")).count()
+    assert agree >= 0.9 * n
+    assert j.filter(F.abs(F.col("b_ex") - F.col("b_ap")) > 1).count() == 0
