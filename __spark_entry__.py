@@ -2019,6 +2019,44 @@ def _q84_oracle_sql() -> str:
     """
 
 
+def q85_vocab_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed vocabulary induction (the corpus-wide stage of BPE
+    training): explode → partial-aggregated groupBy count → TakeOrdered
+    top-K by (freq DESC, word) — a per-partition heap + driver merge, no
+    full sort. Deterministic total order, so the top-K SET matches the
+    SQL oracle exactly."""
+    from duckdb_spatial_spark.operators.tokenize import word_frequencies
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    return word_frequencies(d, "text", max_words=100) \
+        .select("word", F.col("freq").cast("long").alias("freq"))
+
+
+def q86_bpe_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end BPE tier: induce vocabulary distributed, train merges on
+    the bounded word-frequency table (driver-side, like the IVF k-means
+    train), broadcast-apply to every document (Arrow-batched, memoized),
+    aggregate the token budget. Genuinely iterative/non-SQL — driver
+    records the rows-only check; unit tests pin apply against an
+    independent reference implementation."""
+    from duckdb_spatial_spark.operators.tokenize import (apply_bpe,
+                                                         train_bpe,
+                                                         word_frequencies)
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    wf = [(r.word, r.freq)
+          for r in word_frequencies(d, "text", max_words=5000).collect()]
+    merges = train_bpe(wf, num_merges=200)
+    tok = apply_bpe(d, "text", merges)
+    return tok.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens")).cast("long").alias("tokens_total"),
+        F.round(F.avg(F.size("tokens")), 4).alias("avg_tokens"),
+        F.countDistinct(F.element_at("tokens", 1)).cast("long")
+        .alias("n_first_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2030,7 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      also exercised by an in-window query) after the cut line.
     return {
         "q02_zone_pip_join": q02_zone_pip_join,
-        "q03_distance_sphere": q03_distance_sphere,
+        "q85_vocab_build": q85_vocab_build,
         "q84_quality_buckets": q84_quality_buckets,
         "q05_centroid_collect": q05_centroid_collect,
         "q06_convexhull_area": q06_convexhull_area,
@@ -2083,16 +2121,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries below fall outside the window. q42/q56/q40 were displaced
         # this round to give q80 (webdataset), q81 (stateful streaming) and
         # q82 (WARC ingestion), q83 (URL tier, displacing q39 whose
-        # simhash family q20 covers) and q84 (quality buckets, displacing
-        # q04 whose §2.I aggregate family q28+q75 cover) driver rows — all
-        # displaced queries were driver-GREEN in round 3 and unchanged
-        # since; their families stay covered in-window (q64 overlay, q31
-        # predicates, q07+q41 conversions, q20 simhash, q28 aggregates).
+        # simhash family q20 covers), q84 (quality buckets, displacing
+        # q04 whose §2.I aggregate family q28+q75 cover) and q85 (vocab
+        # induction, displacing q03 whose geodesy family q60 spheroid
+        # covers) driver rows — all displaced queries were driver-GREEN in
+        # round 3 and unchanged since; their families stay covered
+        # in-window (q64 overlay, q31 predicates, q07+q41 conversions,
+        # q20 simhash, q28 aggregates, q60 geodesy).
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
         "q39_simhash_hamming": q39_simhash_hamming,
         "q04_extent_agg": q04_extent_agg,
+        "q03_distance_sphere": q03_distance_sphere,
+        "q86_bpe_pipeline": q86_bpe_pipeline,
         "q37_dump": q37_dump,
         "q44_force_dims": q44_force_dims,
         "q46_geojson_roundtrip": q46_geojson_roundtrip,
@@ -3136,6 +3178,18 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CAST(user_id AS DOUBLE)), 6) AS ymax,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q85_vocab_build": """
+            WITH w AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                AS word
+              FROM documents
+            ), f AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+              WHERE word <> '' GROUP BY 1
+            )
+            SELECT word, freq FROM f
+            ORDER BY freq DESC, word LIMIT 100
         """,
         "q84_quality_buckets": _q84_oracle_sql(),
         "q83_url_domain_stats": _q83_oracle_sql(),

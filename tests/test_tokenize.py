@@ -1,0 +1,104 @@
+"""BPE tokenization tier: distributed word frequencies, deterministic merge
+training, broadcast apply — checked against an independent naive reference
+implementation."""
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.tokenize import (apply_bpe,
+                                                     bpe_encode_word,
+                                                     bpe_token_count,
+                                                     merges_from_df,
+                                                     merges_to_df, train_bpe,
+                                                     word_frequencies)
+
+_END = "</w>"
+
+
+def naive_apply(word, merges):
+    """Reference BPE apply: walk the merge list IN RANK ORDER, replacing
+    every adjacent occurrence (a different control flow from the library's
+    best-rank-first loop — but provably the same fixpoint)."""
+    sym = list(word) + [_END]
+    for a, b in merges:
+        i = 0
+        while i < len(sym) - 1:
+            if sym[i] == a and sym[i + 1] == b:
+                sym[i:i + 2] = [a + b]
+            else:
+                i += 1
+    return sym
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new new new",
+    "wider wide widest",
+    "low new wide lower newer",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+
+
+def test_word_frequencies(spark, docs):
+    wf = {r.word: r.freq for r in
+          word_frequencies(docs, "text").collect()}
+    assert wf["low"] == 4 and wf["new"] == 5 and wf["wider"] == 1
+    top = word_frequencies(docs, "text", max_words=2).collect()
+    assert [(r.word, r.freq) for r in top] == [("new", 5), ("low", 4)]
+
+
+def test_train_matches_reference_apply(spark, docs):
+    wf = [(r.word, r.freq) for r in word_frequencies(docs, "text").collect()]
+    merges = train_bpe(wf, num_merges=30)
+    assert len(merges) > 0
+    ranks = {p: i for i, p in enumerate(merges)}
+    for word in ("low", "lowest", "newer", "widest", "unseen"):
+        assert bpe_encode_word(word, ranks) == naive_apply(word, merges), word
+
+
+def test_apply_bpe_distributed(spark, docs):
+    wf = [(r.word, r.freq) for r in word_frequencies(docs, "text").collect()]
+    merges = train_bpe(wf, num_merges=30)
+    got = {r.doc_id: r.tokens for r in
+           apply_bpe(docs, "text", merges).collect()}
+    for i, line in enumerate(CORPUS):
+        want = [t for w in line.lower().split() for t in naive_apply(w, merges)]
+        assert got[i] == want, i
+    # counts path agrees with array sizes
+    n = {r.doc_id: r.n_tokens for r in
+         bpe_token_count(docs, "text", merges).collect()}
+    assert all(n[i] == len(got[i]) for i in got)
+    # frequent whole words collapse to single tokens
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("low", ranks) == ["low" + _END]
+    assert bpe_encode_word("new", ranks) == ["new" + _END]
+
+
+def test_merges_roundtrip_and_determinism(spark, docs):
+    wf = [(r.word, r.freq) for r in word_frequencies(docs, "text").collect()]
+    m1 = train_bpe(wf, num_merges=20)
+    m2 = train_bpe(list(reversed(wf)), num_merges=20)
+    assert m1 == m2  # input order must not matter
+    back = merges_from_df(merges_to_df(spark, m1))
+    assert back == m1
+
+
+def test_train_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wf = [(r.word, r.freq)
+          for r in word_frequencies(docs, "text", max_words=500).collect()]
+    merges = train_bpe(wf, num_merges=100)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = apply_bpe(docs.limit(50), "text", merges)
+    rows = out.select(
+        F.size("tokens").alias("n"),
+        (F.length(F.col("text")) > 0).alias("nonempty")).collect()
+    assert all(r.n > 0 for r in rows if r.nonempty)
+    # spot-check a handful of words against the reference
+    for r in docs.limit(5).collect():
+        for w in r.text.lower().split()[:10]:
+            assert bpe_encode_word(w, ranks) == naive_apply(w, merges)
