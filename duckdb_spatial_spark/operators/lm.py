@@ -1,0 +1,180 @@
+"""N-gram language-model perplexity scoring — the CCNet-style fluency
+signal (Wenzek et al. 2020, public method): train a smoothed bigram LM on
+a reference corpus, score every document, filter/bucket by perplexity.
+
+Spark-first architecture (train/apply split like the IVF and BPE tiers):
+
+- **train**: unigram + bigram counts are two partial-aggregated groupBy
+  shuffles; bigram pairs come straight off the projected word array
+  (zip of two shifted slices — no positional self-join, no row ids); the
+  vocabulary is heavy-hitter truncated (top-V by freq desc, word asc —
+  deterministic) and out-of-vocab words map to ``<unk>``, so the model
+  tables stay bounded regardless of corpus size.
+- **score**: explode the same shifted-slice pairs, broadcast joins (vocab
+  map on each side + bigram/unigram counts), add-k smoothed
+  log-probability, one groupBy back to documents. Everything JVM-side;
+  no Python workers.
+
+Exact semantics (mirrored verbatim by the SQL oracle):
+  words  = lowercased whitespace tokens
+  vocab  = top-V words; others → '<unk>'; effective vocab size V' = V+1
+  P(w2|w1) = (c12 + k) / (c1 + k·V')      (add-k smoothing, k=0.5 default)
+  nll(doc) = −mean ln P over the doc's bigrams; ppl = exp(nll)
+Documents with fewer than 2 words produce no bigrams (absent from the
+score output).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ngram_lm_train", "ngram_lm_score", "ngram_lm_score_sql", "UNK"]
+
+UNK = "<unk>"
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+
+
+def _pair_rows(df: DataFrame, text_col: str, extra: list) -> DataFrame:
+    """(…extra, w1, w2) — one row per adjacent word pair, via zip of two
+    shifted slices of the projected word array (the array is bound to a
+    column first: a slice captured inside a lambda would re-evaluate per
+    element — the round-4 codegen lesson)."""
+    ws = df.select(*extra, _words(text_col).alias("__ws"))
+    n = F.size("__ws")
+    pairs = F.zip_with(
+        F.slice(F.col("__ws"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("__ws"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return ws.select(*extra, F.explode(pairs).alias("p")) \
+        .select(*extra, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def _map_unk(df: DataFrame, vocab: DataFrame, col: str) -> DataFrame:
+    v = F.broadcast(vocab.select(F.col("word").alias(col))
+                    .withColumn("__in_" + col, F.lit(1)))
+    return df.join(v, col, "left").withColumn(
+        col,
+        F.when(F.col("__in_" + col).isNull(), F.lit(UNK))
+        .otherwise(F.col(col)),
+    ).drop("__in_" + col)
+
+
+def ngram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 10_000,
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """Train tables: (vocab, unigram counts, bigram counts) over the
+    ``<unk>``-mapped token stream. All three are bounded by vocab_size
+    (vocab: V rows; unigrams: ≤ V+1; bigrams: the observed pairs), so
+    they broadcast at score time."""
+    w = df.select(F.explode(_words(text_col)).alias("word"))
+    vocab = (
+        w.groupBy("word").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word")
+    )
+    uni = (
+        _map_unk(w.select(F.col("word").alias("w1")), vocab, "w1")
+        .groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    pairs = _pair_rows(df, text_col, [])
+    bi = (
+        _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
+    return vocab, uni, bi
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab_size: int,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document (nll, ppl) under the trained model. Broadcast joins
+    only — the scored corpus streams through one scan + one groupBy on
+    the document id."""
+    vprime = float(vocab_size + 1)
+    pairs = _pair_rows(df, text_col, [F.col(id_col)])
+    mapped = _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
+    scored = (
+        mapped.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                   + F.lit(k * vprime))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        (-F.avg("lp")).alias("nll"),
+        F.exp(-F.avg("lp")).alias("ppl"),
+    )
+
+
+def ngram_lm_score_sql(
+    table: str, id_expr: str, text_expr: str, vocab_size: int, k: float = 0.5
+) -> str:
+    """Self-contained DuckDB replica: trains on ``table`` and scores it,
+    with the identical vocab truncation, <unk> mapping and add-k formula.
+    Returns per-id (nll, ppl) — join/aggregate it as the query needs."""
+    vprime = float(vocab_size + 1)
+    ws = (f"list_filter(string_split_regex(lower(trim({text_expr})), "
+          f"'\\s+'), x -> x <> '')")
+    return f"""
+      WITH base AS (
+        SELECT {id_expr} AS __id, {ws} AS ws FROM {table}
+      ), toks AS (
+        SELECT __id, unnest(ws) AS word FROM base
+      ), vocab AS (
+        SELECT word FROM (
+          SELECT word, count(*) AS freq FROM toks GROUP BY 1
+        ) ORDER BY freq DESC, word LIMIT {vocab_size}
+      ), rawpairs AS (
+        SELECT __id,
+               unnest(ws[1:len(ws)-1]) AS w1r,
+               unnest(ws[2:len(ws)]) AS w2r
+        FROM base
+      ), pairs AS (
+        SELECT p.__id,
+               CASE WHEN va.word IS NULL THEN '{UNK}' ELSE p.w1r END AS w1,
+               CASE WHEN vb.word IS NULL THEN '{UNK}' ELSE p.w2r END AS w2
+        FROM rawpairs p
+        LEFT JOIN vocab va ON va.word = p.w1r
+        LEFT JOIN vocab vb ON vb.word = p.w2r
+      ), uni AS (
+        SELECT CASE WHEN v.word IS NULL THEN '{UNK}' ELSE t.word END AS w1,
+               count(*) AS c1
+        FROM toks t LEFT JOIN vocab v ON v.word = t.word
+        GROUP BY 1
+      ), bi AS (
+        SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+      ), scored AS (
+        SELECT p.__id,
+               ln((COALESCE(bi.c12, 0) + {k}) /
+                  (COALESCE(u.c1, 0) + {k} * {vprime})) AS lp
+        FROM pairs p
+        LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+        LEFT JOIN uni u ON u.w1 = p.w1
+      )
+      SELECT __id, -avg(lp) AS nll, exp(-avg(lp)) AS ppl
+      FROM scored GROUP BY 1
+    """

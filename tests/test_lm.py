@@ -1,0 +1,70 @@
+"""Bigram LM perplexity (CCNet-style fluency filter): Spark vs the
+self-contained DuckDB replica, plus semantic sanity checks."""
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.lm import (UNK, ngram_lm_score,
+                                               ngram_lm_score_sql,
+                                               ngram_lm_train)
+
+CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "the dog sat on the mat"),
+    (3, "colorless green ideas sleep furiously tonight"),
+    (4, "the the the the the"),
+    (5, "zzz"),  # single word: no bigrams → absent from score
+    (6, "the cat sat on the mat"),
+]
+V = 8  # smaller than the vocabulary → exercises <unk>
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_lm_spark_vs_duckdb(spark, docs):
+    vocab, uni, bi = ngram_lm_train(docs, "text", vocab_size=V)
+    got = {r.doc_id: (r.nll, r.ppl) for r in
+           ngram_lm_score(docs, "doc_id", "text", vocab, uni, bi,
+                          vocab_size=V).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in CORPUS)
+                + ") v(doc_id, text)")
+    sql = ngram_lm_score_sql("t", "doc_id", "text", vocab_size=V)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want) == {0, 1, 2, 3, 4, 6}
+    for d in got:
+        assert got[d][0] == pytest.approx(want[d][0], rel=1e-12), d
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12), d
+
+
+def test_lm_semantics(spark, docs):
+    vocab, uni, bi = ngram_lm_train(docs, "text", vocab_size=V)
+    vwords = {r.word for r in vocab.collect()}
+    assert len(vwords) == V and "the" in vwords
+    s = {r.doc_id: r.ppl for r in
+         ngram_lm_score(docs, "doc_id", "text", vocab, uni, bi,
+                        vocab_size=V).collect()}
+    # fluent in-domain docs beat the word-salad doc; identical docs tie
+    assert s[0] < s[3] and s[1] < s[3] and s[2] < s[3]
+    assert s[0] == s[6]
+    # all perplexities are finite and > 1
+    assert all(math.isfinite(p) and p > 1.0 for p in s.values())
+
+
+def test_lm_unk_mapping(spark, docs):
+    vocab, uni, bi = ngram_lm_train(docs, "text", vocab_size=V)
+    u = {r.w1: r.c1 for r in uni.collect()}
+    total_tokens = sum(len(t.split()) for _, t in CORPUS)
+    assert sum(u.values()) == total_tokens
+    assert u.get(UNK, 0) > 0  # truncation actually produced <unk> mass
+    b = bi.collect()
+    assert all(r.c12 > 0 for r in b)
+    words_ok = {UNK} | {r.word for r in vocab.collect()}
+    assert all(r.w1 in words_ok and r.w2 in words_ok for r in b)
