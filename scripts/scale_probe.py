@@ -141,6 +141,55 @@ def main() -> None:
         return repetition_metrics(df).agg(
             F.sum("dup_5gram_char_frac")).collect()[0][0]
 
+    def html_extract(df):
+        from duckdb_spatial_spark.operators.textops import (escape_html,
+                                                            html_to_text)
+
+        html = F.concat(F.lit("<html><body><p>"),
+                        escape_html(F.col("text")),
+                        F.lit("</p><script>x()</script></body></html>"))
+        return (df.select(html_to_text(html).alias("t"))
+                .agg(F.sum(F.length("t"))).collect()[0][0])
+
+    def url_normalize_w(df):
+        from duckdb_spatial_spark.operators import urlops as U
+
+        url = F.concat(F.lit("https://Shop"),
+                       (F.col("doc_id") % 500).cast("string"),
+                       F.lit(".example.COM:443/item/"),
+                       F.col("doc_id").cast("string"),
+                       F.lit("?utm_source=x&a=1"))
+        return (df.select(
+            U.url_normalize(url).alias("nu"),
+            U.registrable_domain(U.url_host(url)).alias("d"))
+            .groupBy("d").agg(F.countDistinct("nu")).count())
+
+    def q_buckets(df):
+        from duckdb_spatial_spark.operators.pipeline import quality_buckets
+
+        d = df.withColumn("lang", (F.col("doc_id") % 5).cast("string"))
+        return (quality_buckets(d, "text", "lang", exact=False)
+                .groupBy("lang", "bucket").count().count())
+
+    def bpe_apply(df):
+        from duckdb_spatial_spark.operators.tokenize import (apply_bpe,
+                                                             train_bpe,
+                                                             word_frequencies)
+
+        wf = [(r.word, r.freq)
+              for r in word_frequencies(df, "text", max_words=2000).collect()]
+        merges = train_bpe(wf, num_merges=100)
+        return (apply_bpe(df, "text", merges)
+                .agg(F.sum(F.size("tokens"))).collect()[0][0])
+
+    def lm_score(df):
+        from duckdb_spatial_spark.operators.lm import (ngram_lm_score,
+                                                       ngram_lm_train)
+
+        vocab, uni, bi = ngram_lm_train(df, "text", vocab_size=1000)
+        return (ngram_lm_score(df, "doc_id", "text", vocab, uni, bi, 1000)
+                .agg(F.sum("nll")).collect()[0][0])
+
     workloads = [
         ("pip_join", events, ["event_id"], pip_join),
         ("hilbert_layout", events, ["event_id"], hilbert),
@@ -152,6 +201,11 @@ def main() -> None:
         ("decontaminate", docs, ["doc_id"], decontam),
         ("paragraph_dedup", docs, ["doc_id"], para_dedup),
         ("repetition_metrics", docs, ["doc_id"], repetition),
+        ("html_extract", docs, ["doc_id"], html_extract),
+        ("url_normalize", docs, ["doc_id"], url_normalize_w),
+        ("quality_buckets_approx", docs, ["doc_id"], q_buckets),
+        ("bpe_train_apply", docs, ["doc_id"], bpe_apply),
+        ("lm_train_score", docs, ["doc_id"], lm_score),
     ]
     out = {}
     for name, base, keys, fn in workloads:
