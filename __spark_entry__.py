@@ -2103,6 +2103,37 @@ def _q87_oracle_sql() -> str:
     """
 
 
+def q88_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial KNN join (beyond-reference: the query shape next to the
+    reference's R-tree range scans): 3 nearest supplier sites per event
+    point, broadcast tier (right side bounded), deterministic
+    (dist, right_id) tie-break. Oracle: cross join + row_number window
+    with identical multiply-form distance arithmetic."""
+    from duckdb_spatial_spark.operators.knn import st_knn_join
+
+    ev = load_table(spark, sf, "events", fan_out=False).select(
+        F.col("event_id").alias("left_id"),
+        F.col("value").alias("x"),
+        (F.col("user_id") % 150).cast("double").alias("y"),
+    )
+    sup = load_table(spark, sf, "supplier", fan_out=False).select(
+        F.col("s_suppkey").alias("right_id"),
+        ((F.col("s_suppkey") * 37) % 200).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 91) % 150).cast("double").alias("y"),
+    )
+    knn = st_knn_join(ev, sup, k=3)
+    return (
+        knn.groupBy(F.col("rank").cast("long").alias("rank"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+            F.countDistinct("right_id").cast("long").alias("n_neighbors"),
+            F.sum("right_id").cast("long").alias("sum_rid"),
+        )
+        .orderBy("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2175,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window (q64 overlay, q31 predicates, q07+q41 conversions,
         # q20 simhash, q28 aggregates, q60 geodesy). q87 (LM perplexity)
         # displaces q36 (ST_DWithin; predicate family covered by q31).
+        "q88_knn_join": q88_knn_join,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3226,6 +3258,35 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CAST(user_id AS DOUBLE)), 6) AS ymax,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q88_knn_join": """
+            WITH ev AS (
+              SELECT event_id AS left_id, value AS x,
+                     CAST(user_id % 150 AS DOUBLE) AS y
+              FROM events
+            ), sup AS (
+              SELECT s_suppkey AS right_id,
+                     CAST((s_suppkey * 37) % 200 AS DOUBLE) AS x,
+                     CAST((s_suppkey * 91) % 150 AS DOUBLE) AS y
+              FROM supplier
+            ), cand AS (
+              SELECT e.left_id, s.right_id,
+                     sqrt((e.x - s.x) * (e.x - s.x)
+                          + (e.y - s.y) * (e.y - s.y)) AS dist,
+                     row_number() OVER (
+                       PARTITION BY e.left_id
+                       ORDER BY sqrt((e.x - s.x) * (e.x - s.x)
+                                     + (e.y - s.y) * (e.y - s.y)),
+                                s.right_id) AS rank
+              FROM ev e CROSS JOIN sup s
+            )
+            SELECT CAST(rank AS BIGINT) AS rank,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(dist), 6) AS avg_dist,
+                   CAST(count(DISTINCT right_id) AS BIGINT) AS n_neighbors,
+                   CAST(sum(right_id) AS BIGINT) AS sum_rid
+            FROM cand WHERE rank <= 3
+            GROUP BY 1 ORDER BY 1
         """,
         "q87_lm_perplexity": _q87_oracle_sql(),
         "q85_vocab_build": """

@@ -6,6 +6,7 @@ from .cluster import (  # noqa: F401
     with_bbox_columns,
 )
 from .join import st_join, st_join_broadcast, st_join_points  # noqa: F401
+from .knn import st_knn_join  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_pipeline,
     exact_dedup,

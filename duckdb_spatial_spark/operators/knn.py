@@ -1,0 +1,160 @@
+"""Spatial k-nearest-neighbor join over point columns — beyond the
+reference's operator set (its R-tree serves range scans,
+spatial/src/spatial/core/index/rtree/; KNN is the companion query shape a
+location workload needs next).
+
+Two tiers, mirroring the join module's shapes:
+
+- ``algorithm='broadcast'`` — right side bounded (dims, stations, POIs):
+  collected once into a flat numpy matrix, broadcast, and each Arrow batch
+  of the left stream computes a (batch × n_right) squared-distance matrix,
+  argpartition-selects k, then resolves value ties deterministically by
+  right id. Exact; one narrow scan of the left, zero shuffles.
+- ``algorithm='grid'`` — both sides large: assign rights to grid cells,
+  explode each left probe into its Chebyshev ring of radius R, equi-join
+  on the cell key, rank candidates per left row with a window ordered by
+  (distance, right id). Carries an ``exact`` flag per row: a result is
+  guaranteed-complete iff the kth distance ≤ R·cell (any unsearched point
+  is at least that far — ring-coverage bound), so callers re-run the rare
+  flagged rows with a larger R (or broadcast) instead of paying a bigger
+  ring everywhere. All candidate generation is equi-join + window —
+  shuffle-on-key, skew-safe, 100-TB shaped.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["st_knn_join"]
+
+
+def _knn_broadcast(
+    left: DataFrame, right: DataFrame, k: int,
+    lid: str, lx: str, ly: str, rid: str, rx: str, ry: str,
+) -> DataFrame:
+    rows = right.select(rid, rx, ry).collect()
+    mat = np.asarray([[r[0], r[1], r[2]] for r in rows], dtype=np.float64)
+    if len(mat) == 0:
+        raise ValueError("right side is empty")
+    kk = min(k, len(mat))
+    b = left.sparkSession.sparkContext.broadcast(mat)
+
+    out_schema = (f"{lid} long, {rid} long, dist double, rank int, "
+                  f"exact boolean")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = b.value
+        rids = m[:, 0].astype(np.int64)
+        rxs, rys = m[:, 1], m[:, 2]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lxs = pdf[lx].to_numpy(np.float64)
+            lys = pdf[ly].to_numpy(np.float64)
+            ids = pdf[lid].to_numpy(np.int64)
+            d2 = (lxs[:, None] - rxs[None, :]) ** 2 \
+                + (lys[:, None] - rys[None, :]) ** 2
+            out_l, out_r, out_d, out_k = [], [], [], []
+            for i in range(len(pdf)):
+                row = d2[i]
+                if kk < len(row):
+                    part = np.argpartition(row, kk - 1)[:kk]
+                    kth = row[part].max()
+                    cand = np.nonzero(row <= kth)[0]
+                else:
+                    cand = np.arange(len(row))
+                order = np.lexsort((rids[cand], row[cand]))
+                take = cand[order][:kk]
+                out_l.extend([ids[i]] * len(take))
+                out_r.extend(rids[take])
+                out_d.extend(np.sqrt(row[take]))
+                out_k.extend(range(1, len(take) + 1))
+            yield pd.DataFrame({
+                lid: out_l, rid: out_r, "dist": out_d,
+                "rank": np.asarray(out_k, dtype=np.int32),
+                "exact": True,
+            })
+
+    return left.select(lid, lx, ly).mapInPandas(probe, schema=out_schema)
+
+
+def _knn_grid(
+    left: DataFrame, right: DataFrame, k: int,
+    lid: str, lx: str, ly: str, rid: str, rx: str, ry: str,
+    cell: float, ring: int,
+) -> DataFrame:
+    # sides renamed internally — the natural case has identical coordinate
+    # column names (x, y) on both inputs
+    r = right.select(
+        F.col(rid), F.col(rx).alias("__rx"), F.col(ry).alias("__ry"),
+        F.floor(F.col(rx) / cell).cast("long").alias("__cx"),
+        F.floor(F.col(ry) / cell).cast("long").alias("__cy"),
+    )
+
+    offs = [(dx, dy) for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs
+    ])).alias("o")
+    probes = left.select(
+        F.col(lid), F.col(lx).alias("__lx"), F.col(ly).alias("__ly"),
+        F.floor(F.col(lx) / cell).cast("long").alias("__px"),
+        F.floor(F.col(ly) / cell).cast("long").alias("__py"),
+    ).select(lid, "__lx", "__ly", "__px", "__py", off).select(
+        lid, "__lx", "__ly",
+        (F.col("__px") + F.col("o.dx")).alias("__cx"),
+        (F.col("__py") + F.col("o.dy")).alias("__cy"),
+    )
+    cand = probes.join(r, ["__cx", "__cy"]).select(
+        lid, rid,
+        F.sqrt((F.col("__lx") - F.col("__rx")) ** 2
+               + (F.col("__ly") - F.col("__ry")) ** 2).alias("dist"),
+    )
+    w = Window.partitionBy(lid).orderBy(F.col("dist"), F.col(rid))
+    ranked = cand.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+    # coverage bound: kth (= max available) distance must sit inside the
+    # guaranteed-searched radius ring*cell, else neighbors may be missing
+    wmax = Window.partitionBy(lid)
+    return ranked.withColumn(
+        "exact",
+        # both conditions needed: found a full k (fewer ⇒ unsearched cells
+        # could hold more), and the kth distance sits inside the searched
+        # radius (farther ⇒ an unsearched cell could hold a closer point)
+        (F.max("dist").over(wmax) <= F.lit(float(ring) * cell))
+        & (F.count("*").over(wmax) >= F.lit(k)),
+    ).select(lid, rid, "dist", F.col("rank").cast("int"), "exact")
+
+
+def st_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "left_id",
+    left_x: str = "x",
+    left_y: str = "y",
+    right_id: str = "right_id",
+    right_x: str = "x",
+    right_y: str = "y",
+    algorithm: str = "broadcast",
+    cell: Optional[float] = None,
+    ring: int = 1,
+) -> DataFrame:
+    """k nearest right points per left point (planar Euclidean), output
+    (left_id, right_id, dist, rank 1..k, exact). Ties break by right id —
+    fully deterministic, SQL-replicable. See module docstring for the
+    broadcast vs grid trade."""
+    if algorithm == "broadcast":
+        return _knn_broadcast(left, right, k, left_id, left_x, left_y,
+                              right_id, right_x, right_y)
+    if algorithm == "grid":
+        if cell is None:
+            raise ValueError("grid algorithm requires cell=")
+        return _knn_grid(left, right, k, left_id, left_x, left_y,
+                         right_id, right_x, right_y, cell, ring)
+    raise ValueError(f"algorithm {algorithm!r}: broadcast or grid")
