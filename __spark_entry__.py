@@ -2134,6 +2134,100 @@ def q88_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q89_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.textops import split_sentences_sql
+
+    ss = split_sentences_sql(
+        "regexp_replace(text, '((?:\\w+ ){4}\\w+) ', '\\1. ', 'g')")
+    return f"""
+        WITH s AS (
+          SELECT lang, unnest({ss}) AS s FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_sent,
+               round(avg(len(string_split_regex(s, '\\s+'))), 6)
+                 AS avg_words,
+               CAST(max(length(s)) AS BIGINT) AS max_chars,
+               CAST(count(DISTINCT md5(s)) AS BIGINT) AS n_unique
+        FROM s GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q90_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators import urlops as U
+
+    dom = U.registrable_domain_sql(U.url_host_sql("url"))
+    return f"""
+        WITH u AS (
+          SELECT o_orderkey, {_Q83_URL_EXPR_SQL} AS url FROM orders
+        ), d AS (
+          SELECT o_orderkey, {dom} AS domain,
+                 row_number() OVER (PARTITION BY {dom}
+                                    ORDER BY o_orderkey) AS rn
+          FROM u
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM d WHERE rn <= 100
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def q89_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation (RE2-safe extraction — no lookbehind, so the
+    identical pattern runs in both engines): derive sentenced text by
+    terminating every 5-word run, split, aggregate per language."""
+    from duckdb_spatial_spark.operators.textops import split_sentences
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    sent = d.select(
+        "lang",
+        split_sentences(
+            F.regexp_replace(F.col("text"), r"((?:\w+ ){4}\w+) ", "$1. ")
+        ).alias("ss"),
+    )
+    ex = sent.select("lang", F.explode("ss").alias("s"))
+    return (
+        ex.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sent"),
+            F.round(F.avg(F.size(F.split(F.col("s"), r"\s+"))), 6)
+            .alias("avg_words"),
+            F.max(F.length("s")).cast("long").alias("max_chars"),
+            F.countDistinct(F.md5(F.col("s"))).cast("long")
+            .alias("n_unique"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q90_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (the anti-megadomain quota of web-corpus
+    recipes): cap each registrable domain at 100 URLs in deterministic
+    o_orderkey order, then report the realized mix."""
+    from duckdb_spatial_spark.operators import urlops as U
+    from duckdb_spatial_spark.operators.pipeline import cap_per_key
+
+    orders = load_table(spark, sf, "orders", fan_out=False)
+    u = orders.select("o_orderkey", _q83_url_expr_spark().alias("url"))
+    d = u.select(
+        "o_orderkey",
+        U.registrable_domain(U.url_host(F.col("url"))).alias("domain"),
+    )
+    kept = cap_per_key(d, "domain", 100, "o_orderkey")
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("domain")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2207,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q20 simhash, q28 aggregates, q60 geodesy). q87 (LM perplexity)
         # displaces q36 (ST_DWithin; predicate family covered by q31).
         "q88_knn_join": q88_knn_join,
+        "q89_sentence_stats": q89_sentence_stats,
+        "q90_domain_quota": q90_domain_quota,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3259,6 +3355,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "q89_sentence_stats": _q89_oracle_sql(),
+        "q90_domain_quota": _q90_oracle_sql(),
         "q88_knn_join": """
             WITH ev AS (
               SELECT event_id AS left_id, value AS x,

@@ -49,6 +49,7 @@ __all__ = [
     "GOPHER_REPETITION_THRESHOLDS",
     "pack_sequences",
     "quality_buckets",
+    "cap_per_key",
 ]
 
 
@@ -696,3 +697,20 @@ def quality_buckets(
         lambda acc, c: acc + (F.col("__q") < c).cast("int"),
     )
     return joined.withColumn("bucket", bucket).drop("__q", "__cuts")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic per-key quota: keep the first ``n`` rows of each key
+    ordered by ``order_col`` (the per-domain document cap every web-corpus
+    recipe applies so megadomains can't dominate the training mix).
+    Window row_number per key — the sort is per-key and the hot key IS the
+    thing being capped, so the skew this would normally create is bounded
+    by the quota itself."""
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))

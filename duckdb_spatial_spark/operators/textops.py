@@ -340,3 +340,25 @@ def quality_score_sql(e: str) -> str:
     stop_s = f"least({stop_ratio} * 4.0, 1.0)"
     return (f"({len_s} * 0.3 + {noise_s} * 0.3 + {word_s} * 0.2 "
             f"+ {stop_s} * 0.2)")
+
+
+# sentence segmentation — RE2-safe (no lookbehind: both engines extract
+# maximal "body + trailing terminators" runs), shared with the SQL twin
+_SENT_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(text: Column) -> Column:
+    """array<string> of trimmed sentences: runs of non-terminator chars
+    plus their trailing [.!?]+, empties dropped. The segmentation step
+    ahead of per-sentence dedup/quality passes."""
+    parts = F.regexp_extract_all(text, F.lit(_SENT_PATTERN), 0)
+    # explicit unary lambda: F.trim is binary (col, trimStr) in Spark 4,
+    # so passing it bare makes transform bind (element, INDEX) to it
+    return F.filter(F.transform(parts, lambda s: F.trim(s)),
+                    lambda s: s != "")
+
+
+def split_sentences_sql(e: str) -> str:
+    """DuckDB twin of ``split_sentences`` (same pattern constant)."""
+    return (f"list_filter(list_transform(regexp_extract_all({e}, "
+            f"'{_SENT_PATTERN}'), x -> trim(x)), x -> x <> '')")

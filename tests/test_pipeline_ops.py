@@ -586,3 +586,36 @@ def test_quality_buckets_approx_close_to_exact(spark, docs):
     agree = j.filter(F.col("b_ex") == F.col("b_ap")).count()
     assert agree >= 0.9 * n
     assert j.filter(F.abs(F.col("b_ex") - F.col("b_ap")) > 1).count() == 0
+
+
+def test_split_sentences(spark):
+    from duckdb_spatial_spark.operators.textops import (split_sentences,
+                                                        split_sentences_sql)
+    import duckdb
+
+    samples = ["One two. Three four! Five? Six", "no terminators here",
+               "...", "a.b.c", "  spaced .  out !  ", ""]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r.x for r in
+           df.select(split_sentences(F.col("t")).alias("x")).collect()]
+    assert got[0] == ["One two.", "Three four!", "Five?", "Six"]
+    assert got[1] == ["no terminators here"]
+    con = duckdb.connect()
+    for s, g in zip(samples, got):
+        want = con.execute(
+            f"SELECT {split_sentences_sql('?')}", [s]).fetchone()[0]
+        assert g == want, repr(s)
+
+
+def test_cap_per_key(spark):
+    from duckdb_spatial_spark.operators.pipeline import cap_per_key
+
+    rows = [(i, f"k{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    kept = cap_per_key(df, "key", 4, "id").collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.key, []).append(r.id)
+    # first 4 ids of each key in id order, deterministically
+    assert {k: sorted(v) for k, v in by.items()} == {
+        "k0": [0, 3, 6, 9], "k1": [1, 4, 7, 10], "k2": [2, 5, 8, 11]}
