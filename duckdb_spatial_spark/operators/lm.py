@@ -77,22 +77,42 @@ def ngram_lm_train(
     ``<unk>``-mapped token stream. All three are bounded by vocab_size
     (vocab: V rows; unigrams: ≤ V+1; bigrams: the observed pairs), so
     they broadcast at score time."""
-    w = df.select(F.explode(_words(text_col)).alias("word"))
-    vocab = (
-        w.groupBy("word").agg(F.count("*").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(vocab_size)
-        .select("word")
+    spark = df.sparkSession
+    # pass 1: word counts (persisted — both the top-V selection and the
+    # token total read it; without persist each derivation would re-scan
+    # the corpus)
+    wc = (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .persist()
     )
-    uni = (
-        _map_unk(w.select(F.col("word").alias("w1")), vocab, "w1")
-        .groupBy("w1").agg(F.count("*").alias("c1"))
-    )
+    try:
+        top = (wc.orderBy(F.col("freq").desc(), F.col("word"))
+               .limit(vocab_size).collect())
+        total = wc.agg(F.sum("freq")).collect()[0][0] or 0
+    finally:
+        wc.unpersist()
+    vocab = spark.createDataFrame(
+        [(r.word,) for r in top], "word string")
+    # unigram table derives from the counts already in hand (vocab words
+    # keep their frequency; everything else is the <unk> residual) — no
+    # second corpus pass
+    unk_mass = int(total) - sum(int(r.freq) for r in top)
+    uni_rows = [(r.word, int(r.freq)) for r in top]
+    if unk_mass > 0:
+        uni_rows.append((UNK, unk_mass))
+    uni = spark.createDataFrame(uni_rows, "w1 string, c1 long")
+    # pass 2: bigram counts over the <unk>-mapped pair stream; the result
+    # is bounded (observed pairs over a V+1 alphabet), so materialize it —
+    # broadcasting the raw plan at score time would re-run the pass
     pairs = _pair_rows(df, text_col, [])
-    bi = (
+    bi_plan = (
         _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
         .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     )
+    bi = spark.createDataFrame(
+        [(r.w1, r.w2, r.c12) for r in bi_plan.collect()],
+        "w1 string, w2 string, c12 long")
     return vocab, uni, bi
 
 
