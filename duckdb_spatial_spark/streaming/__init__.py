@@ -5,4 +5,5 @@ from .ops import (  # noqa: F401
     streaming_point_filter,
     streaming_session_extents,
     streaming_spatial_join,
+    streaming_interval_join,
 )

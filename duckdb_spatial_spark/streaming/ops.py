@@ -200,3 +200,32 @@ def _duration_ms(s: str) -> int:
         "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
     }[unit]
     return int(val * mult)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — the impressions↔clicks shape: rows
+    join when keys match and ``right_ts ∈ [left_ts + lower, left_ts +
+    upper]``. Both sides watermarked, so Spark bounds the join state to
+    the interval + watermark window (state is purged as event time
+    advances — the 100-TB-stream property that makes this runnable
+    forever). Inner join, append mode.
+
+    Column names must be disjoint apart from ``key``.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

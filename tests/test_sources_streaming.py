@@ -305,3 +305,39 @@ def test_streaming_multimodal_image_features(spark, tmp_path):
     assert len(got) == 12
     for i in range(12):
         assert abs(got[i] - (i * 20 % 255)) < 1e-9
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """Stream-stream interval join (impressions↔clicks shape) equals the
+    batch join over the same data — availableNow drains the files."""
+    from duckdb_spatial_spark.streaming import streaming_interval_join
+
+    rows_l = [(k, f"2024-01-01 10:{m:02d}:00") for k in range(4)
+              for m in (0, 20, 40)]
+    rows_r = [(k, f"2024-01-01 10:{m:02d}:00") for k in range(4)
+              for m in (5, 25, 59)]
+    ldf = spark.createDataFrame(rows_l, "k long, lt string") \
+        .select("k", F.col("lt").cast("timestamp").alias("lt"))
+    rdf = spark.createDataFrame(rows_r, "k long, rt string") \
+        .select("k", F.col("rt").cast("timestamp").alias("rt"))
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf.write.parquet(lp)
+    rdf.write.parquet(rp)
+
+    ls = spark.readStream.schema(ldf.schema).parquet(lp)
+    rs = spark.readStream.schema(rdf.schema).parquet(rp)
+    j = streaming_interval_join(ls, rs, "k", "lt", "rt",
+                                lower="0 seconds", upper="10 minutes",
+                                watermark="2 hours")
+    q = (j.writeStream.format("memory").queryName("ivj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.k, str(r.lt), str(r.rt))
+           for r in spark.table("ivj").collect()}
+
+    want = {(rl[0], str(l.lt), str(r.rt))
+            for rl, l in zip(rows_l, ldf.collect())
+            for rr, r in zip(rows_r, rdf.collect())
+            if rl[0] == rr[0]
+            and 0 <= (r.rt - l.lt).total_seconds() <= 600}
+    assert got == want and len(got) == 4 * 2  # 10:00→10:05, 10:20→10:25
