@@ -2228,6 +2228,49 @@ def q90_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q91_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join driven end-to-end: purchases follow
+    clicks by ≤ 10 minutes per user (events split into two derived
+    streams), availableNow drain, append sink. With all data drained the
+    result equals the batch interval join, so a plain SQL self-join is an
+    exact oracle."""
+    from duckdb_spatial_spark.streaming import streaming_interval_join
+
+    batch = load_table(spark, sf, "events", fan_out=False)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 50).alias("k"), F.col("ts").alias("lt"),
+        F.col("event_id").alias("click_id"))
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 50).alias("k"), F.col("ts").alias("rt"),
+        F.col("event_id").alias("buy_id"))
+    j = streaming_interval_join(clicks, buys, "k", "lt", "rt",
+                                lower="0 seconds", upper="10 minutes",
+                                watermark="365 days")
+    _Q75_SINK_SEQ[0] += 1
+    sink = f"q91_sink_{_Q75_SINK_SEQ[0]}"
+    q = (j.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("click_id").cast("long").alias("sum_click"),
+            F.sum("buy_id").cast("long").alias("sum_buy"),
+        )
+        .orderBy("k")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2303,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_knn_join": q88_knn_join,
         "q89_sentence_stats": q89_sentence_stats,
         "q90_domain_quota": q90_domain_quota,
+        "q91_streaming_interval_join": q91_streaming_interval_join,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3354,6 +3398,17 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CAST(user_id AS DOUBLE)), 6) AS ymax,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q91_streaming_interval_join": """
+            SELECT CAST(c.user_id % 50 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(c.event_id) AS BIGINT) AS sum_click,
+                   CAST(sum(b.event_id) AS BIGINT) AS sum_buy
+            FROM events c JOIN events b
+              ON c.user_id % 50 = b.user_id % 50
+             AND c.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+            GROUP BY 1 ORDER BY 1
         """,
         "q89_sentence_stats": _q89_oracle_sql(),
         "q90_domain_quota": _q90_oracle_sql(),
