@@ -2271,6 +2271,46 @@ def q91_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q92_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode corpus cleaning: inject decomposed accents, a control char
+    and a zero-width space into every document, clean (control/ZW strip
+    codegen-side + NFC pandas stage), verify canonicalization via
+    per-language md5/length aggregates. Oracle: DuckDB nfc_normalize +
+    the same regexp chain (twin constants)."""
+    from duckdb_spatial_spark.operators.textops import clean_text
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    # explicitly DECOMPOSED accent (e + U+0301) so NFC has real work to do
+    dirty = F.concat(F.col("text"), F.lit(" cafee\u0301\x07\u200bdone"))
+    c = d.select("lang", clean_text(dirty).alias("t"))
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5(F.col("t"))).cast("long")
+            .alias("n_unique"),
+            F.sum(F.length("t")).cast("long").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q92_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.textops import clean_text_sql
+
+    dirty = "text || ' cafee' || chr(769) || chr(7) || chr(8203) || 'done'"
+    return f"""
+        WITH c AS (
+          SELECT lang, {clean_text_sql(f"({dirty})")} AS t FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_unique,
+               CAST(sum(length(t)) AS BIGINT) AS chars_total
+        FROM c GROUP BY 1 ORDER BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2347,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_sentence_stats": q89_sentence_stats,
         "q90_domain_quota": q90_domain_quota,
         "q91_streaming_interval_join": q91_streaming_interval_join,
+        "q92_text_clean": q92_text_clean,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3399,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "q92_text_clean": _q92_oracle_sql(),
         "q91_streaming_interval_join": """
             SELECT CAST(c.user_id % 50 AS BIGINT) AS k,
                    CAST(count(*) AS BIGINT) AS n_pairs,

@@ -362,3 +362,42 @@ def split_sentences_sql(e: str) -> str:
     """DuckDB twin of ``split_sentences`` (same pattern constant)."""
     return (f"list_filter(list_transform(regexp_extract_all({e}, "
             f"'{_SENT_PATTERN}'), x -> trim(x)), x -> x <> '')")
+
+
+# ---------------------------------------------------------------------------
+# Unicode text cleaning (corpus normalization ahead of dedup/tokenization)
+# ---------------------------------------------------------------------------
+# Controls except \t\n\r, plus DEL; and the zero-width/BOM format chars —
+# RE2-compatible classes shared with the SQL twin.
+_CTRL_PATTERN = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+_ZW_PATTERN = "[​‌‍﻿]"
+
+
+def clean_text(text: Column, nfc: bool = True) -> Column:
+    """Corpus text normalization: strip control characters (keeping
+    tab/newline/CR) and zero-width/format characters — pure codegen
+    regexp — then NFC-normalize (``nfc=True``; Arrow-batched pandas UDF,
+    the one step Spark has no builtin for). Canonicalizing before
+    fingerprint/minhash makes visually-identical docs hash identically."""
+    out = F.regexp_replace(text, _CTRL_PATTERN, "")
+    out = F.regexp_replace(out, _ZW_PATTERN, "")
+    if not nfc:
+        return out
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    return _nfc(out)
+
+
+def clean_text_sql(e: str, nfc: bool = True) -> str:
+    """DuckDB twin of ``clean_text`` (same pattern constants;
+    nfc_normalize implements the same Unicode standard — parity-tested)."""
+    out = f"regexp_replace({e}, '{_CTRL_PATTERN}', '', 'g')"
+    out = f"regexp_replace({out}, '{_ZW_PATTERN}', '', 'g')"
+    return f"nfc_normalize({out})" if nfc else out

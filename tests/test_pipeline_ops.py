@@ -619,3 +619,24 @@ def test_cap_per_key(spark):
     # first 4 ids of each key in id order, deterministically
     assert {k: sorted(v) for k, v in by.items()} == {
         "k0": [0, 3, 6, 9], "k1": [1, 4, 7, 10], "k2": [2, 5, 8, 11]}
+
+
+def test_clean_text(spark):
+    from duckdb_spatial_spark.operators.textops import (clean_text,
+                                                        clean_text_sql)
+    import duckdb
+
+    samples = ["café", "a\x00b\x07c", "keep\ttabs\nand\nnewlines",
+               "zero​width‍ chars﻿", "한국어 ﬁne", ""]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r.c for r in
+           df.select(clean_text(F.col("t")).alias("c")).collect()]
+    assert got[0] == "café" and len(got[0]) == 4  # NFC composed
+    assert got[1] == "abc"
+    assert got[2] == "keep\ttabs\nand\nnewlines"
+    assert got[3] == "zerowidth chars"
+    con = duckdb.connect()
+    for s, g in zip(samples, got):
+        want = con.execute(
+            f"SELECT {clean_text_sql('?')}", [s]).fetchone()[0]
+        assert g == want, repr(s)
