@@ -2311,6 +2311,86 @@ def _q92_oracle_sql() -> str:
     """
 
 
+def q93_vec_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 embedding quantization (4× storage for ANN corpora):
+    quantize → dequantize, reconstruction-error stats per label. Pure
+    col-expr with an exact DuckDB twin (same round-half-away rule)."""
+    from duckdb_spatial_spark.operators.vectors import (dequantize_vec,
+                                                        quantize_vec)
+
+    e = load_table(spark, sf, "embeddings", fan_out=False)
+    q = e.select(
+        "label", "embedding",
+        quantize_vec(F.col("embedding")).alias("q"),
+    ).withColumn("deq", dequantize_vec(F.col("q")))
+    err = F.array_max(F.zip_with(
+        F.col("embedding"), F.col("deq"),
+        lambda a, b: F.abs(a.cast("double") - b)))
+    return (
+        q.select(F.col("label").cast("long").alias("label"),
+                 err.alias("err"),
+                 F.col("q.scale").alias("scale"),
+                 F.aggregate(F.col("q.codes"), F.lit(0),
+                             lambda acc, c: acc + F.abs(c))
+                 .cast("long").alias("l1"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("err"), 9).alias("avg_err"),
+            F.round(F.max("err"), 9).alias("max_err"),
+            F.round(F.avg("scale"), 9).alias("avg_scale"),
+            F.sum("l1").cast("long").alias("l1_total"),
+        )
+        .orderBy("label")
+    )
+
+
+def _q93_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.vectors import (dequantize_vec_sql,
+                                                        quantize_vec_sql)
+
+    qs = quantize_vec_sql("embedding")
+    deq = dequantize_vec_sql("q")
+    return f"""
+        WITH b AS (
+          SELECT label, embedding, {qs} AS q FROM embeddings
+        ), c AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 list_max(list_transform(
+                   list_zip(embedding, {deq}),
+                   p -> abs(CAST(p[1] AS DOUBLE) - p[2]))) AS err,
+                 q.scale AS scale,
+                 list_sum(list_transform(q.codes, x -> abs(x))) AS l1
+          FROM b
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(err), 9) AS avg_err,
+               round(max(err), 9) AS max_err,
+               round(avg(scale), 9) AS avg_scale,
+               CAST(sum(l1) AS BIGINT) AS l1_total
+        FROM c GROUP BY 1 ORDER BY 1
+    """
+
+
+def q94_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA (one Gramian pass, driver eigh, broadcast apply):
+    project embeddings to 8 dims, report per-axis projected variance —
+    which must equal the model's explained variance (asserted in unit
+    tests vs numpy). Eigendecomposition is not SQL-expressible → driver
+    records the rows-only check."""
+    from duckdb_spatial_spark.operators.vectors import pca_apply, pca_train
+
+    e = load_table(spark, sf, "embeddings", fan_out=False)
+    mean, comps, var = pca_train(e, "embedding", k=8)
+    p = pca_apply(e, "embedding", mean, comps)
+    axes = [F.round(
+        F.avg(F.col("pca")[i] * F.col("pca")[i])
+        - F.avg(F.col("pca")[i]) * F.avg(F.col("pca")[i]), 6
+    ).alias(f"var_{i}") for i in range(8)]
+    return p.agg(F.count("*").alias("n"), *axes)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2388,6 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_domain_quota": q90_domain_quota,
         "q91_streaming_interval_join": q91_streaming_interval_join,
         "q92_text_clean": q92_text_clean,
+        "q93_vec_quantize": q93_vec_quantize,
+        "q94_pca_project": q94_pca_project,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3440,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "q93_vec_quantize": _q93_oracle_sql(),
         "q92_text_clean": _q92_oracle_sql(),
         "q91_streaming_interval_join": """
             SELECT CAST(c.user_id % 50 AS BIGINT) AS k,

@@ -1,0 +1,142 @@
+"""Embedding-column infrastructure: distributed PCA and int8 quantization
+— the storage/indexing companions to the ANN tier (similarity.py). Both
+follow the train/apply split (like IVF/BPE/LM): bounded model state from
+one distributed pass, then embarrassingly-parallel application.
+
+- **PCA**: mean + covariance accumulate as per-partition partials
+  (count, Σx, ΣxᵀX) — ONE corpus pass, O(dim²) driver state —
+  eigendecomposition driver-side (dim ≤ a few thousand), components
+  broadcast for a batched-matmul Arrow apply. The dimensionality-reduction
+  step ahead of ANN indexing at 100 TB.
+- **int8 quantization**: per-vector symmetric scale (max|x|/127), pure
+  col-expr both ways — 4× storage reduction for embedding tables with an
+  exact SQL twin (same round-half-away arithmetic in Spark and DuckDB).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "pca_train", "pca_apply", "quantize_vec", "dequantize_vec",
+    "quantize_vec_sql", "dequantize_vec_sql",
+]
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over an ``array<float>`` column. Returns (mean[dim],
+    components[k, dim], explained_variance[k]).
+
+    One mapInPandas pass emits per-partition (n, Σx, XᵀX) partials —
+    dim²-sized rows, count = #partitions — combined driver-side into the
+    covariance; symmetric eigendecomposition picks the top-k. Component
+    sign is fixed deterministically (largest-|coefficient| positive)."""
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            gt = x.T @ x
+            g = gt if g is None else g + gt
+        if n:
+            yield pd.DataFrame({
+                "n": [n],
+                "s": [s.tolist()],
+                "g": [g.ravel().tolist()],
+            })
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("empty input")
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    dim = s.shape[0]
+    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, dim)
+    var = evals[order]
+    # deterministic sign: the largest-|coefficient| entry is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, var
+
+
+def pca_apply(
+    df: DataFrame,
+    vec_col: str,
+    mean: np.ndarray,
+    components: np.ndarray,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the trained components: model broadcast once,
+    one batched ``(X - mean) @ componentsᵀ`` per Arrow batch."""
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((np.asarray(mean, dtype=np.float64),
+                      np.asarray(components, dtype=np.float64)))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _proj(s: pd.Series) -> pd.Series:
+        m, c = b.value
+        x = np.asarray(list(s), dtype=np.float64)
+        p = (x - m) @ c.T
+        return pd.Series(list(p))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def quantize_vec(vec: Column) -> Column:
+    """(scale, int8 codes) struct: symmetric per-vector quantization
+    q_i = round(x_i / scale), scale = max|x| / 127 (scale 0 → zeros)."""
+    ax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = ax / F.lit(127.0)
+    codes = F.when(
+        ax == 0.0,
+        F.transform(vec, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(vec, lambda x: F.round(x.cast("double") / scale)
+                    .cast("int"))
+    )
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+def dequantize_vec(q: Column) -> Column:
+    """Inverse: codes·scale as array<double>."""
+    return F.transform(q["codes"],
+                       lambda c: c.cast("double") * q["scale"])
+
+
+def quantize_vec_sql(e: str) -> str:
+    """DuckDB twin of ``quantize_vec`` (struct(scale, codes))."""
+    ax = f"list_max(list_transform({e}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"({ax} / 127.0)"
+    codes = (f"CASE WHEN {ax} = 0.0 THEN "
+             f"list_transform({e}, x -> CAST(0 AS INT)) "
+             f"ELSE list_transform({e}, x -> "
+             f"CAST(round(CAST(x AS DOUBLE) / {scale}) AS INT)) END")
+    return f"struct_pack(scale := {scale}, codes := {codes})"
+
+
+def dequantize_vec_sql(q: str) -> str:
+    return (f"list_transform({q}.codes, "
+            f"c -> CAST(c AS DOUBLE) * {q}.scale)")

@@ -1,0 +1,82 @@
+"""Embedding infrastructure: distributed PCA vs numpy reference, int8
+quantization round-trip + DuckDB twin parity."""
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.vectors import (dequantize_vec,
+                                                    dequantize_vec_sql,
+                                                    pca_apply, pca_train,
+                                                    quantize_vec,
+                                                    quantize_vec_sql)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_pca_matches_numpy(spark, emb):
+    k = 8
+    mean, comps, var = pca_train(emb, "embedding", k)
+    x = np.asarray([list(r.embedding) for r in emb.collect()],
+                   dtype=np.float64)
+    # reference: eigh of the same biased covariance, same sign rule
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    ref = evecs[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert mean == pytest.approx(x.mean(axis=0), rel=1e-9)
+    assert var == pytest.approx(evals[order], rel=1e-6)
+    assert comps == pytest.approx(ref, abs=1e-6)
+    # components are orthonormal; variances are in decreasing order
+    assert comps @ comps.T == pytest.approx(np.eye(k), abs=1e-8)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(k - 1))
+
+
+def test_pca_apply_projection(spark, emb):
+    mean, comps, var = pca_train(emb, "embedding", 4)
+    rows = pca_apply(emb, "embedding", mean, comps).select(
+        "vec_id", "pca").collect()
+    x = {r.vec_id: np.asarray(list(r.embedding))
+         for r in emb.collect()}
+    for r in rows[:20]:
+        want = (x[r.vec_id] - mean) @ comps.T
+        assert np.asarray(r.pca) == pytest.approx(want, abs=1e-9)
+    # projected variance per axis ≈ explained variance
+    p = np.asarray([r.pca for r in rows])
+    assert p.var(axis=0, ddof=0) == pytest.approx(var, rel=1e-6)
+
+
+def test_quantize_roundtrip_and_twin(spark, emb):
+    q = emb.select(
+        "vec_id", "embedding",
+        quantize_vec(F.col("embedding")).alias("q"),
+    ).withColumn("deq", dequantize_vec(F.col("q")))
+    rows = q.collect()
+    for r in rows[:50]:
+        v = np.asarray(list(r.embedding), dtype=np.float64)
+        d = np.asarray(list(r.deq))
+        assert np.max(np.abs(v)) == 0 or \
+            np.max(np.abs(v - d)) <= np.max(np.abs(v)) / 127.0 + 1e-12
+        assert all(-127 <= c <= 127 for c in r.q.codes)
+    # DuckDB twin parity on the same parquet
+    con = duckdb.connect()
+    got = {r.vec_id: (r.q.scale, list(r.q.codes), list(r.deq))
+           for r in rows}
+    qs = quantize_vec_sql("embedding")
+    sql = (f"SELECT vec_id, {qs} AS q, "
+           f"{dequantize_vec_sql(f'({qs})')} AS deq "
+           f"FROM '{SF}/embeddings.parquet'")
+    for vid, qq, deq in con.execute(sql).fetchall():
+        s, codes, d = got[vid]
+        assert qq["scale"] == pytest.approx(s, rel=1e-12)
+        assert list(qq["codes"]) == codes, vid
+        assert d == pytest.approx(deq, rel=1e-12)
