@@ -2391,6 +2391,37 @@ def q94_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return p.agg(F.count("*").alias("n"), *axes)
 
 
+def q95_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality profile of lineitem (the ingest sanity pass): one job
+    computes every column's (n, nulls, distinct, min, max); the tall
+    result stacks driver-side. Oracle: per-column UNION ALL of the same
+    aggregates."""
+    from duckdb_spatial_spark.operators.pipeline import profile_table
+
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate",
+            "l_returnflag"]
+    return profile_table(li, cols).orderBy("column")
+
+
+def _q95_oracle_sql() -> str:
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate",
+            "l_returnflag"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+          SELECT '{c}' AS column,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(min({c}) AS VARCHAR) AS min_str,
+                 CAST(max({c}) AS VARCHAR) AS max_str
+          FROM lineitem""")
+        # noqa
+    return " UNION ALL ".join(parts) + " ORDER BY 1"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2470,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_text_clean": q92_text_clean,
         "q93_vec_quantize": q93_vec_quantize,
         "q94_pca_project": q94_pca_project,
+        "q95_profile_table": q95_profile_table,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3522,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "q95_profile_table": _q95_oracle_sql(),
         "q93_vec_quantize": _q93_oracle_sql(),
         "q92_text_clean": _q92_oracle_sql(),
         "q91_streaming_interval_join": """

@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 __all__ = ["st_knn_join"]
 
 
+_R_EARTH = 6370986.884258304  # the reference's ST_Distance_Sphere radius
+
+
 def _knn_broadcast(
     left: DataFrame, right: DataFrame, k: int,
     lid: str, lx: str, ly: str, rid: str, rx: str, ry: str,
+    metric: str = "euclidean",
 ) -> DataFrame:
     rows = right.select(rid, rx, ry).collect()
     mat = np.asarray([[r[0], r[1], r[2]] for r in rows], dtype=np.float64)
@@ -63,8 +67,18 @@ def _knn_broadcast(
             lxs = pdf[lx].to_numpy(np.float64)
             lys = pdf[ly].to_numpy(np.float64)
             ids = pdf[lid].to_numpy(np.int64)
-            d2 = (lxs[:, None] - rxs[None, :]) ** 2 \
-                + (lys[:, None] - rys[None, :]) ** 2
+            if metric == "haversine":
+                # x=lon, y=lat in degrees; d2 = monotone distance proxy
+                # (haversine's hav θ — sqrt'd to metres at output)
+                la = np.radians(lys)[:, None]
+                lb = np.radians(rys)[None, :]
+                dlat = lb - la
+                dlon = np.radians(rxs)[None, :] - np.radians(lxs)[:, None]
+                d2 = (np.sin(dlat / 2) ** 2
+                      + np.cos(la) * np.cos(lb) * np.sin(dlon / 2) ** 2)
+            else:
+                d2 = (lxs[:, None] - rxs[None, :]) ** 2 \
+                    + (lys[:, None] - rys[None, :]) ** 2
             if kk < nr:
                 # argpartition (O(R)) instead of a full stable argsort
                 # (O(R log R), 3× slower measured); index-sorting the
@@ -90,10 +104,15 @@ def _knn_broadcast(
                 vals = np.take_along_axis(d2, idx, axis=1)
                 ord2 = np.argsort(vals, axis=1, kind="stable")
                 idx = np.take_along_axis(idx, ord2, axis=1)
+            dvals = np.take_along_axis(d2, idx, axis=1)
+            if metric == "haversine":
+                dist = 2.0 * _R_EARTH * np.arcsin(np.sqrt(dvals))
+            else:
+                dist = np.sqrt(dvals)
             yield pd.DataFrame({
                 lid: np.repeat(ids, kk),
                 rid: rids[idx].ravel(),
-                "dist": np.sqrt(np.take_along_axis(d2, idx, axis=1)).ravel(),
+                "dist": dist.ravel(),
                 "rank": np.tile(ranks, nb),
                 "exact": True,
             })
@@ -169,6 +188,7 @@ def st_knn_join(
     algorithm: str = "broadcast",
     cell: Optional[float] = None,
     ring: int = 1,
+    metric: str = "euclidean",
 ) -> DataFrame:
     """k nearest right points per left point (planar Euclidean), output
     (left_id, right_id, dist, rank 1..k, exact). Ties break by right id —
@@ -176,8 +196,11 @@ def st_knn_join(
     broadcast vs grid trade."""
     if algorithm == "broadcast":
         return _knn_broadcast(left, right, k, left_id, left_x, left_y,
-                              right_id, right_x, right_y)
+                              right_id, right_x, right_y, metric)
     if algorithm == "grid":
+        if metric != "euclidean":
+            raise ValueError("grid tier is planar; use broadcast for "
+                             "haversine")
         if cell is None:
             raise ValueError("grid algorithm requires cell=")
         return _knn_grid(left, right, k, left_id, left_x, left_y,

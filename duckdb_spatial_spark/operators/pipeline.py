@@ -50,6 +50,7 @@ __all__ = [
     "pack_sequences",
     "quality_buckets",
     "cap_per_key",
+    "profile_table",
 ]
 
 
@@ -714,3 +715,27 @@ def cap_per_key(
     w = Window.partitionBy(key_col).orderBy(F.col(order_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Data-quality profile: one row per column with (n, n_null,
+    n_distinct, min, max) — values stringified so mixed types stack into
+    one tall table. ONE pass: every column's aggregates run in the same
+    job (a per-column loop would rescan the table per column); the tall
+    shape comes from stacking the single aggregate row driver-side into a
+    literal DataFrame (O(columns), no second scan)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [(c, row[f"__n_{c}"], row[f"__nn_{c}"], row[f"__nd_{c}"],
+            row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in columns]
+    return df.sparkSession.createDataFrame(
+        out, "column string, n long, n_null long, n_distinct long, "
+             "min_str string, max_str string")

@@ -98,3 +98,32 @@ def test_knn_k_larger_than_right(spark):
     rows = sorted(st_knn_join(left, right, k=10).collect(),
                   key=lambda r: r.rank)
     assert [(r.right_id, r.rank) for r in rows] == [(7, 1), (9, 2)]
+
+
+def test_knn_haversine(spark):
+    """lon/lat KNN against the great-circle formula (reference radius)."""
+    import math
+
+    R = 6370986.884258304
+    lpts = [(0, 2.35, 48.85)]  # Paris-ish
+    rpts = [(1, -0.13, 51.51), (2, 13.41, 52.52), (3, 2.35, 48.86),
+            (4, -74.01, 40.71)]
+    left = spark.createDataFrame(lpts, "left_id long, x double, y double")
+    right = spark.createDataFrame(rpts, "right_id long, x double, y double")
+    rows = sorted(st_knn_join(left, right, k=4, metric="haversine")
+                  .collect(), key=lambda r: r.rank)
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        dp = p2 - p1
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) \
+            * math.sin(dl / 2) ** 2
+        return 2 * R * math.asin(math.sqrt(a))
+
+    want = sorted((hav(2.35, 48.85, x, y), i) for i, x, y in rpts)
+    assert [r.right_id for r in rows] == [w[1] for w in want]
+    for r, (d, _) in zip(rows, want):
+        assert r.dist == pytest.approx(d, rel=1e-12)
+    # nearest is the 1km-away point, farthest is New York
+    assert rows[0].right_id == 3 and rows[-1].right_id == 4
