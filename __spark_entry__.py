@@ -2422,6 +2422,46 @@ def _q95_oracle_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY 1"
 
 
+def q96_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative PageRank (domain-authority shape): 5 synchronous
+    iterations over a part→supplier link graph; each iteration is one
+    equi-join + one aggregation, lineage kept O(1) by per-iteration
+    persist. Oracle: the SAME recurrence unrolled as chained SQL CTEs
+    (aggregates can't appear in a recursive CTE term, so fixed-iteration
+    unrolling IS the SQL form)."""
+    from duckdb_spatial_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    edges = li.select((F.col("l_partkey") % 300).alias("src"),
+                      (F.col("l_suppkey") % 300).alias("dst"))
+    r = pagerank(edges, iters=5)
+    return (
+        r.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.round(F.sum("rank"), 9).alias("mass"),
+            F.round(F.max("rank"), 9).alias("max_rank"),
+            F.round(F.min("rank"), 9).alias("min_rank"),
+            F.round(F.avg("rank"), 9).alias("avg_rank"),
+        )
+    )
+
+
+def _q96_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.graph import pagerank_sql
+
+    inner = pagerank_sql(
+        "SELECT l_partkey % 300 AS src, l_suppkey % 300 AS dst "
+        "FROM lineitem", iters=5)
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               round(sum(rank), 9) AS mass,
+               round(max(rank), 9) AS max_rank,
+               round(min(rank), 9) AS min_rank,
+               round(avg(rank), 9) AS avg_rank
+        FROM ({inner})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2502,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_vec_quantize": q93_vec_quantize,
         "q94_pca_project": q94_pca_project,
         "q95_profile_table": q95_profile_table,
+        "q96_pagerank": q96_pagerank,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3554,6 +3595,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "q96_pagerank": _q96_oracle_sql(),
         "q95_profile_table": _q95_oracle_sql(),
         "q93_vec_quantize": _q93_oracle_sql(),
         "q92_text_clean": _q92_oracle_sql(),

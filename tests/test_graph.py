@@ -1,0 +1,59 @@
+"""PageRank: Spark iterative implementation vs an independent pure-Python
+reference and the unrolled-SQL (DuckDB) replica."""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.graph import pagerank, pagerank_sql
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1),
+    (6, 7),  # 7 is dangling
+    (1, 2),  # duplicate edge — must count once
+]
+
+
+def ref_pagerank(edges, iters, d=0.85):
+    e = sorted(set(edges))
+    nodes = sorted({u for p in e for u in p})
+    n = len(nodes)
+    out = {}
+    for s, t in e:
+        out.setdefault(s, []).append(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nr = {}
+        for v in nodes:
+            nr[v] = (1 - d) / n + d * dang / n
+        for s, ts in out.items():
+            for t in ts:
+                nr[t] += d * r[s] / len(ts)
+        r = nr
+    return r
+
+
+def test_pagerank_vs_reference(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=8).collect()}
+    want = ref_pagerank(EDGES, 8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    # probabilities: ranks sum to 1
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # hub node 3 outranks leaf nodes
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_sql_replica(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"({s}, {t})" for s, t in EDGES)
+    sql = pagerank_sql(f"SELECT * FROM (VALUES {vals}) v(src, dst)",
+                       iters=5)
+    want = dict(con.execute(sql).fetchall())
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
