@@ -2462,6 +2462,65 @@ def _q96_oracle_sql() -> str:
     """
 
 
+def q97_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-level aggregation: lineitem revenue per return flag
+    (3 keys over 600k rows at sf0.1 — exactly the hot-key shape) through
+    the salted partial/final plan; result provably equals the direct
+    groupBy, which is the oracle."""
+    from duckdb_spatial_spark.operators.pipeline import salted_agg
+
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    out = salted_agg(
+        li, "l_returnflag",
+        {
+            "n": (F.col("l_quantity"), "count"),
+            "qty": (F.col("l_quantity").cast("long"), "sum"),
+            "min_ext": (F.col("l_extendedprice"), "min"),
+            "max_ext": (F.col("l_extendedprice"), "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("n").cast("long").alias("n"),
+        F.col("qty").cast("long").alias("qty"),
+        F.round("min_ext", 2).alias("min_ext"),
+        F.round("max_ext", 2).alias("max_ext"),
+    ).orderBy("l_returnflag")
+
+
+def q98_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot audit between two corpus versions (derived
+    deterministically: v2 drops doc_id%7==0, rewrites doc_id%5==0,
+    appends shifted ids): added/removed/changed/unchanged counts — only
+    hashes shuffle, never text."""
+    from duckdb_spatial_spark.operators.pipeline import corpus_diff
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    v2 = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            d.limit(0).select("doc_id", "text")  # schema anchor
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+    )
+    diff = corpus_diff(d.select("doc_id", "text"), v2, "doc_id", "text")
+    return (
+        diff.groupBy("status")
+        .agg(F.count("*").alias("n"),
+             F.sum("id").cast("long").alias("sum_id"))
+        .orderBy("status")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2543,6 +2602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_pca_project": q94_pca_project,
         "q95_profile_table": q95_profile_table,
         "q96_pagerank": q96_pagerank,
+        "q97_salted_agg": q97_salted_agg,
+        "q98_corpus_diff": q98_corpus_diff,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3594,6 +3655,36 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CAST(user_id AS DOUBLE)), 6) AS ymax,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q97_salted_agg": """
+            SELECT l_returnflag,
+                   CAST(count(l_quantity) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   round(min(l_extendedprice), 2) AS min_ext,
+                   round(max(l_extendedprice), 2) AS max_ext
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q98_corpus_diff": """
+            WITH v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 11 = 0
+            ), j AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM documents o FULL OUTER JOIN v2 n
+                ON o.doc_id = n.doc_id
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(id) AS BIGINT) AS sum_id
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "q96_pagerank": _q96_oracle_sql(),
         "q95_profile_table": _q95_oracle_sql(),

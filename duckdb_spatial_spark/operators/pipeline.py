@@ -51,6 +51,8 @@ __all__ = [
     "quality_buckets",
     "cap_per_key",
     "profile_table",
+    "salted_agg",
+    "corpus_diff",
 ]
 
 
@@ -739,3 +741,69 @@ def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "column string, n long, n_null long, n_distinct long, "
              "min_str string, max_str string")
+
+
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    aggs: Dict[str, tuple],
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe decomposable aggregation: stage 1 aggregates on
+    (key, salt) — a hot key's rows spread over ``salt`` reducers instead
+    of melting one — stage 2 combines the partials per key. ``aggs`` maps
+    output name → (column, kind) with kind ∈ sum/count/min/max (the
+    decomposable kinds; combine = sum for sum/count, min/max for the
+    rest). Result equals the direct groupBy exactly for these kinds
+    (integer/exact types; float sums may differ in addition order).
+
+    AQE's skew handling covers JOINS; a skewed AGGREGATION key still
+    lands on one reducer without this two-level shape."""
+    part_exprs = []
+    final_exprs = []
+    for name, (col, kind) in aggs.items():
+        p = f"__p_{name}"
+        if kind == "sum":
+            part_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(name))
+        elif kind == "count":
+            part_exprs.append(F.count(col).alias(p))
+            final_exprs.append(F.sum(p).cast("long").alias(name))
+        elif kind == "min":
+            part_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(name))
+        elif kind == "max":
+            part_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(name))
+        else:
+            raise ValueError(f"kind {kind!r}: sum/count/min/max")
+    staged = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(salt)))
+    p1 = staged.groupBy(key_col, "__salt").agg(*part_exprs)
+    return p1.groupBy(key_col).agg(*final_exprs)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+):
+    """Snapshot diff between two corpus versions: returns a DataFrame
+    (id, status) with status ∈ added/removed/changed/unchanged —
+    the audit step between ingestion runs. One full outer join on the id
+    with md5 content compare; no text leaves the executors (only hashes
+    shuffle)."""
+    o = old.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("__ho"))
+    n = new.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("__hn"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("id", status.alias("status"))

@@ -640,3 +640,33 @@ def test_clean_text(spark):
         want = con.execute(
             f"SELECT {clean_text_sql('?')}", [s]).fetchone()[0]
         assert g == want, repr(s)
+
+
+def test_salted_agg_equals_direct(spark):
+    from duckdb_spatial_spark.operators.pipeline import salted_agg
+
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(1000)],
+        "k long, v long, x double")
+    got = {r.k: (r.n, r.s, r.mn, r.mx) for r in salted_agg(
+        df, "k", {"n": (F.col("v"), "count"), "s": (F.col("v"), "sum"),
+                  "mn": (F.col("x"), "min"), "mx": (F.col("x"), "max")},
+        salt=8).collect()}
+    want = {r.k: (r.n, r.s, r.mn, r.mx) for r in
+            df.groupBy("k").agg(F.count("v").alias("n"),
+                                F.sum("v").alias("s"),
+                                F.min("x").alias("mn"),
+                                F.max("x").alias("mx")).collect()}
+    assert got == want
+
+
+def test_corpus_diff(spark):
+    from duckdb_spatial_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, t string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "id long, t string")
+    got = {r.id: r.status for r in
+           corpus_diff(old, new, "id", "t").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
