@@ -2537,12 +2537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_centroid_collect": q05_centroid_collect,
         "q06_convexhull_area": q06_convexhull_area,
         "q07_wkt_area": q07_wkt_area,
-        "q09_hilbert_distribution": q09_hilbert_distribution,
+        "q96_pagerank": q96_pagerank,
         "q12_npoints": q12_npoints,
         "q15_tpch_q1": q15_tpch_q1,
         "q18_dedup_exact": q18_dedup_exact,
         "q20_simhash": q20_simhash,
-        "q21_text_quality": q21_text_quality,
+        "q92_text_clean": q92_text_clean,
         "q25_embedding_neardup": q25_embedding_neardup,
         "q26_ngram_jaccard": q26_ngram_jaccard,
         "q28_union_agg": q28_union_agg,
@@ -2565,7 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_dedup_pipeline": q79_dedup_pipeline,
         "q70_decontaminate": q70_decontaminate,
         "q71_sample_stratified": q71_sample_stratified,
-        "q67_transform_epsg": q67_transform_epsg,
+        "q93_vec_quantize": q93_vec_quantize,
         "q54_langid_ngram": q54_langid_ngram,
         "q55_ann_ivf": q55_ann_ivf,
         "q81_streaming_sessions": q81_streaming_sessions,
@@ -2594,14 +2594,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q20 simhash, q28 aggregates, q60 geodesy). q87 (LM perplexity)
         # displaces q36 (ST_DWithin; predicate family covered by q31).
         "q88_knn_join": q88_knn_join,
+        "q09_hilbert_distribution": q09_hilbert_distribution,
+        "q21_text_quality": q21_text_quality,
+        "q67_transform_epsg": q67_transform_epsg,
         "q89_sentence_stats": q89_sentence_stats,
         "q90_domain_quota": q90_domain_quota,
         "q91_streaming_interval_join": q91_streaming_interval_join,
-        "q92_text_clean": q92_text_clean,
-        "q93_vec_quantize": q93_vec_quantize,
         "q94_pca_project": q94_pca_project,
         "q95_profile_table": q95_profile_table,
-        "q96_pagerank": q96_pagerank,
         "q97_salted_agg": q97_salted_agg,
         "q98_corpus_diff": q98_corpus_diff,
         "q42_general_overlay": q42_general_overlay,
