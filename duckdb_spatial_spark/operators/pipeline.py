@@ -113,6 +113,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     mode: str = "drop",
+    bloom_fpp: Optional[float] = None,
 ) -> DataFrame:
     """Remove (or flag) training docs that share any word n-gram with a
     benchmark corpus — test-set decontamination.
@@ -134,6 +135,18 @@ def decontaminate(
         F.col(id_col),
         F.explode(ngrams_of_words(F.col("_w"), n)).alias("gram"),
     )
+    if bloom_fpp is not None:
+        # scale path: when the benchmark gram set is too large to
+        # broadcast as an exact set, a Bloom prefilter drops ~(1-fpp) of
+        # corpus grams executor-side BEFORE the join shuffles anything;
+        # false positives are removed by the exact join that follows, so
+        # results are identical (tested) — only the shuffle volume drops.
+        from .bloom import bloom_might_contain, build_bloom
+
+        n_grams = grams.count()
+        bloom = build_bloom(grams, "gram", max(n_grams, 1), bloom_fpp)
+        exploded = bloom_might_contain(exploded, "gram", bloom) \
+            .filter(F.col("might")).drop("might")
     hit_ids = (
         exploded.join(F.broadcast(grams), "gram", "inner")
         .select(id_col)

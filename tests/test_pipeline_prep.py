@@ -365,3 +365,38 @@ def test_temperature_mix_caps_fraction_at_one(spark):
     out, fr = temperature_mix(df, "k", "src", target_rows=900, alpha=0.5)
     assert fr["b"] == 1.0  # tiny source fully kept
     assert out.filter("src = 'b'").count() == 10
+
+
+def test_bloom_filter_semantics(spark):
+    from duckdb_spatial_spark.operators.bloom import (bloom_might_contain,
+                                                      build_bloom)
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(2000)], "k string")
+    bloom = build_bloom(keys, "k", 2000, fpp=0.01)
+    # no false negatives: every inserted key passes
+    hits = bloom_might_contain(keys, "k", bloom).filter("might").count()
+    assert hits == 2000
+    # false-positive rate near fpp on a disjoint probe set
+    probes = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(5000)], "k string")
+    fp = bloom_might_contain(probes, "k", bloom).filter("might").count()
+    assert fp / 5000 < 0.05
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    import pyspark.sql.functions as F
+    from duckdb_spatial_spark.operators.pipeline import decontaminate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10))
+        .alias("text"))
+    a = set(r.doc_id for r in
+            decontaminate(docs, bench, n=8).select("doc_id").collect())
+    b = set(r.doc_id for r in
+            decontaminate(docs, bench, n=8, bloom_fpp=0.01)
+            .select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
