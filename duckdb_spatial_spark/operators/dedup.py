@@ -734,3 +734,53 @@ def dedup_pipeline(
     if return_clusters:
         return kept, comp
     return kept
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash index (build once / persist / query new batches)
+# ---------------------------------------------------------------------------
+
+def minhash_index_build(df: DataFrame, id_col: str, text_col: str,
+                        num_hashes: int = 16, bands: int = 4, k: int = 5,
+                        hash_fn: str = "md5") -> DataFrame:
+    """LSH bucket table (id, band, key) for the corpus — the persistable
+    index of an INCREMENTAL ingestion pipeline (write it as parquet
+    partitioned by ``band``; each day's query then prunes to its band
+    partitions). Built from :func:`minhash_table` (explode + one hash
+    aggregate — the codegen-stable shape)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_table(df, id_col, text_col, num_hashes, k, hash_fn)
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    return sig.select(
+        F.col(id_col),
+        F.explode(minhash_band_keys(sig_arr, bands, rows_per_band))
+        .alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
+def minhash_index_query(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Candidate near-dup pairs (new_id, old_id) between a NEW batch and
+    an existing index — near-dup ingestion without touching old text:
+    the new batch's buckets equi-join the index on (band, key). Feed the
+    result to :func:`jaccard_verify` with a text table covering both
+    sides for exact confirmation. One shuffle on the bucket key."""
+    new_buckets = minhash_index_build(new_df, id_col, text_col,
+                                      num_hashes, bands, k, hash_fn)
+    nb = new_buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+    ob = index.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        nb.join(ob, ["band", "key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -670,3 +670,46 @@ def test_corpus_diff(spark):
     got = {r.id: r.status for r in
            corpus_diff(old, new, "id", "t").collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_minhash_incremental_index(spark, tmp_path):
+    from duckdb_spatial_spark.operators.dedup import (jaccard_verify,
+                                                      minhash_index_build,
+                                                      minhash_index_query,
+                                                      minhash_lsh_candidates)
+
+    base = [(i, f"doc number {i} about spark batch window " * 3)
+            for i in range(20)]
+    batch1 = spark.createDataFrame(base, "doc_id long, text string")
+    # batch2: ids 100+, half of them near-dups of batch1 texts
+    b2 = [(100 + i, base[i][1] + " extra") for i in range(10)] + \
+         [(200 + i, f"completely different content {i} " * 5)
+          for i in range(5)]
+    batch2 = spark.createDataFrame(b2, "doc_id long, text string")
+
+    # persist the index as parquet and reload — the incremental contract
+    idx_path = str(tmp_path / "mh_index")
+    minhash_index_build(batch1, "doc_id", "text").write \
+        .partitionBy("band").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    cand = minhash_index_query(batch2, index, "doc_id", "text")
+    allc = cand.collect()
+    assert all(r.id_a >= 100 and r.id_b < 100 for r in allc)
+
+    # verified pairs match running full LSH over the union, restricted
+    # to cross-batch pairs
+    union = batch1.unionByName(batch2)
+    want = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b))
+        for r in jaccard_verify(
+            minhash_lsh_candidates(union, "doc_id", "text"),
+            union, "doc_id", "text", k=5, threshold=0.8).collect()
+        if (r.id_a < 100) != (r.id_b < 100)
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_verify(
+            cand, union, "doc_id", "text", k=5, threshold=0.8).collect()
+    }
+    assert got == want and len(got) > 0
