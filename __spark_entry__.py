@@ -2521,6 +2521,28 @@ def q98_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q99_minhash_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup ingestion: LSH index built over the OLD half
+    of the corpus, NEW half queried against it with one (band, key)
+    equi-join — old text never re-read. Oracle: the same signature/bucket
+    arithmetic in SQL with a cross-half bucket join."""
+    from duckdb_spatial_spark.operators.dedup import (minhash_index_build,
+                                                      minhash_index_query)
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    old = d.filter(F.col("doc_id") < 100)
+    new = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    index = minhash_index_build(old, "doc_id", "text",
+                                num_hashes=4, bands=2, k=4)
+    cand = minhash_index_query(new, index, "doc_id", "text",
+                               num_hashes=4, bands=2, k=4)
+    return cand.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+        .cast("long").alias("pair_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2604,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_profile_table": q95_profile_table,
         "q97_salted_agg": q97_salted_agg,
         "q98_corpus_diff": q98_corpus_diff,
+        "q99_minhash_index": q99_minhash_index,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -3655,6 +3678,31 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CAST(user_id AS DOUBLE)), 6) AS ymax,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q99_minhash_index": """
+            WITH s AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 4) AS sh
+              FROM documents, LATERAL (
+                SELECT unnest(range(1, greatest(length(text)-3, 1)+1)) AS i)
+              WHERE doc_id < 200
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+                     min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3
+              FROM s GROUP BY 1
+            ), b AS (
+              SELECT doc_id, m0 || '_' || m1 AS b0, m2 || '_' || m3 AS b1
+              FROM sig
+            ), pairs AS (
+              SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+              FROM b n JOIN b o
+                ON n.doc_id >= 100 AND n.doc_id < 200 AND o.doc_id < 100
+               AND (n.b0 = o.b0 OR n.b1 = o.b1)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(sum(id_a + id_b), 0) AS BIGINT)
+                     AS pair_sum
+            FROM pairs
         """,
         "q97_salted_agg": """
             SELECT l_returnflag,
