@@ -2543,6 +2543,30 @@ def q99_minhash_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q100_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """q70's decontamination through the Bloom-prefiltered scale path
+    (distributed bit-array build via treeReduce, executor-side gram drop
+    before the join). The Bloom is prefilter-only — false positives die
+    in the exact join — so the ORACLE IS THE SAME SQL as the exact path:
+    a driver-checked proof the scale path changes shuffle volume, not
+    results."""
+    from duckdb_spatial_spark.operators.pipeline import decontaminate
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    bench = d.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12))
+        .alias("text"),
+    )
+    flagged = decontaminate(d, bench, n=8, mode="flag", bloom_fpp=0.01)
+    return flagged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contam"),
+        F.sum(F.when(~F.col("contaminated"), F.col("n_chars"))
+              .otherwise(F.lit(0))).alias("chars_clean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2627,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_salted_agg": q97_salted_agg,
         "q98_corpus_diff": q98_corpus_diff,
         "q99_minhash_index": q99_minhash_index,
+        "q100_bloom_decontaminate": q100_bloom_decontaminate,
         "q42_general_overlay": q42_general_overlay,
         "q56_predicate_matrix2": q56_predicate_matrix2,
         "q40_hexwkb_roundtrip": q40_hexwkb_roundtrip,
@@ -2909,6 +2934,35 @@ def _q78_oracle_sql() -> str:
         WHERE {u} < fr.f
         GROUP BY d.source ORDER BY d.source
     """
+
+
+_Q70_ORACLE = """
+            WITH bench_t AS (
+              SELECT array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS text
+              FROM documents WHERE doc_id % 50 = 0
+            ), bn AS (
+              SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM bench_t
+            ), bg AS (
+              SELECT DISTINCT array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
+              FROM bn CROSS JOIN range(1, 13) r(i)
+              WHERE i <= greatest(len(w) - 7, 1)
+            ), norm AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), cg AS (
+              SELECT doc_id, array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
+              FROM norm CROSS JOIN range(1, 2048) r(i)
+              WHERE i <= greatest(len(w) - 7, 1)
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bg)
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+                   CAST(sum(CASE WHEN h.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_clean
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3638,33 +3692,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM part
         """,
-        "q70_decontaminate": """
-            WITH bench_t AS (
-              SELECT array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS text
-              FROM documents WHERE doc_id % 50 = 0
-            ), bn AS (
-              SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
-              FROM bench_t
-            ), bg AS (
-              SELECT DISTINCT array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
-              FROM bn CROSS JOIN range(1, 13) r(i)
-              WHERE i <= greatest(len(w) - 7, 1)
-            ), norm AS (
-              SELECT doc_id,
-                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
-              FROM documents
-            ), cg AS (
-              SELECT doc_id, array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
-              FROM norm CROSS JOIN range(1, 2048) r(i)
-              WHERE i <= greatest(len(w) - 7, 1)
-            ), hits AS (
-              SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bg)
-            )
-            SELECT count(*) AS n_docs,
-                   CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
-                   CAST(sum(CASE WHEN h.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_clean
-            FROM documents d LEFT JOIN hits h USING (doc_id)
-        """,
+        "q70_decontaminate": _Q70_ORACLE,
+        # same oracle by design: the Bloom prefilter must not
+        # change results, only shuffle volume
+        "q100_bloom_decontaminate": _Q70_ORACLE,
         "q71_sample_stratified": _q71_oracle_sql(),
         "q72_pii_redact": _q72_oracle_sql(),
         "q74_repetition_filter": _q74_oracle_sql(),
