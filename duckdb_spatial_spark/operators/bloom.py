@@ -70,21 +70,46 @@ def build_bloom(
     k = max(1, round(m_bits / max(expected_items, 1) * math.log(2)))
     nbytes = m_bits // 8
 
-    def partition_bits(it) -> Iterator[np.ndarray]:
+    def partition_bits(batches) -> Iterator[pd.DataFrame]:
         acc = np.zeros(nbytes, dtype=np.uint8)
-        vals = [r[0] for r in it]
-        if vals:
-            # chunked so the (n, k) position matrix stays bounded
-            for i in range(0, len(vals), 65536):
-                pos = _positions(vals[i:i + 65536], m_bits, k).ravel()
+        seen = False
+        for pdf in batches:
+            vals = pdf.iloc[:, 0].to_numpy(dtype=object)
+            if len(vals):
+                seen = True
+                pos = _positions(vals, m_bits, k).ravel()
                 np.bitwise_or.at(acc, pos >> 3,
                                  np.uint8(1) << (pos & 7).astype(np.uint8))
-        yield acc
+        if seen:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
 
-    bits = (
-        df.select(col).rdd.mapPartitions(partition_bits)
-        .treeReduce(np.bitwise_or, depth=2)
-    )
+    if nbytes * 256 <= 1 << 31:
+        # Arrow path: one bit-array partial per task, OR'd driver-side —
+        # the DataFrame→RDD serializer detour costs ~20 s cold (measured),
+        # mapInPandas reuses the warm Arrow worker pool
+        rows = df.select(col).mapInPandas(
+            partition_bits, schema="bits binary").collect()
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for r in rows:
+            bits |= np.frombuffer(r.bits, dtype=np.uint8)
+    else:
+        # giant filters (≥ ~1 GiB × many partitions): tree-OR so the
+        # driver never holds every partial at once
+        def rdd_partition_bits(it) -> Iterator[np.ndarray]:
+            acc = np.zeros(nbytes, dtype=np.uint8)
+            vals = [r[0] for r in it]
+            if vals:
+                for i in range(0, len(vals), 65536):
+                    pos = _positions(vals[i:i + 65536], m_bits, k).ravel()
+                    np.bitwise_or.at(
+                        acc, pos >> 3,
+                        np.uint8(1) << (pos & 7).astype(np.uint8))
+            yield acc
+
+        bits = (
+            df.select(col).rdd.mapPartitions(rdd_partition_bits)
+            .treeReduce(np.bitwise_or, depth=2)
+        )
     return BloomFilter(bits, m_bits, k)
 
 

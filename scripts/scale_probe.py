@@ -190,6 +190,41 @@ def main() -> None:
         return (ngram_lm_score(df, "doc_id", "text", vocab, uni, bi, 1000)
                 .agg(F.sum("nll")).collect()[0][0])
 
+    def pagerank_w(df):
+        from duckdb_spatial_spark.operators.graph import pagerank
+
+        edges = df.select((F.col("event_id") % 2000).alias("src"),
+                          ((F.col("event_id") * 7 + 1) % 2000).alias("dst"))
+        return pagerank(edges, iters=3).agg(F.sum("rank")).collect()[0][0]
+
+    def knn_w(df):
+        from duckdb_spatial_spark.operators.knn import st_knn_join
+
+        left = df.select(F.col("event_id").alias("left_id"), "x", "y")
+        # the broadcast tier's realistic shape: the dim side (stations/
+        # POIs) does NOT grow with the probe corpus — replicated copies
+        # carry shifted ids, so bounding below 10M keeps it fixed. (A
+        # first probe draft scaled both sides and measured ratio ≈ 96 at
+        # 10× — the inherent O(L·R) wall; big-big KNN is the grid tier.)
+        right = df.filter((F.col("event_id") % 100 == 0)
+                          & (F.col("event_id") < 10_000_000)).select(
+            F.col("event_id").alias("right_id"), "x", "y")
+        return (st_knn_join(left, right, k=3)
+                .agg(F.sum("dist")).collect()[0][0])
+
+    def bloom_w(df):
+        from duckdb_spatial_spark.operators.bloom import (
+            bloom_might_contain, build_bloom)
+
+        keys = df.filter(F.col("doc_id") % 20 == 0).select(
+            F.md5(F.col("text")).alias("k"))
+        n = keys.count()
+        bloom = build_bloom(keys, "k", max(n, 1), 0.01)
+        probes = df.select(F.md5(F.concat(F.col("text"), F.lit("x")))
+                           .alias("k"))
+        return bloom_might_contain(probes, "k", bloom) \
+            .filter("might").count()
+
     workloads = [
         ("pip_join", events, ["event_id"], pip_join),
         ("hilbert_layout", events, ["event_id"], hilbert),
@@ -206,6 +241,9 @@ def main() -> None:
         ("quality_buckets_approx", docs, ["doc_id"], q_buckets),
         ("bpe_train_apply", docs, ["doc_id"], bpe_apply),
         ("lm_train_score", docs, ["doc_id"], lm_score),
+        ("pagerank_3iter", events, ["event_id"], pagerank_w),
+        ("knn_broadcast", events, ["event_id"], knn_w),
+        ("bloom_build_probe", docs, ["doc_id"], bloom_w),
     ]
     out = {}
     for name, base, keys, fn in workloads:
