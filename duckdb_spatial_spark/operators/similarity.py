@@ -298,3 +298,37 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
     row order restored by cid."""
     rows = spark.read.parquet(path).orderBy("cid").collect()
     return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ann_recall(
+    df: DataFrame,
+    queries_df: DataFrame,
+    approx_fn,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k evaluation harness for the approximate ANN tiers —
+    "measure, don't guess": run ``approx_fn(df, queries_df, k)`` (any of
+    ann_lsh_topk / ann_ivf_topk / a custom method returning
+    (query_id, vec_id, rank ≤ k)) against the brute-force ground truth
+    and report per-query overlap. Returns (query_id, n_truth, n_hit,
+    recall). Both result sets stay distributed; the comparison is one
+    equi-join on (query_id, vec_id)."""
+    truth = ann_bruteforce_topk(df, queries_df, k, id_col, vec_col,
+                                query_id_col) \
+        .select(query_id_col, id_col)
+    approx = approx_fn(df, queries_df, k).select(query_id_col, id_col)
+    hits = truth.join(approx, [query_id_col, id_col]) \
+        .groupBy(query_id_col).agg(F.count("*").alias("n_hit"))
+    per_q = truth.groupBy(query_id_col).agg(F.count("*").alias("n_truth"))
+    return (
+        per_q.join(hits, query_id_col, "left")
+        .select(
+            query_id_col, "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+             / F.col("n_truth")).alias("recall"),
+        )
+    )

@@ -713,3 +713,34 @@ def test_minhash_incremental_index(spark, tmp_path):
             cand, union, "doc_id", "text", k=5, threshold=0.8).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ann_recall_harness(spark, emb):
+    from duckdb_spatial_spark.operators import (ann_lsh_topk,
+                                                ann_bruteforce_topk)
+    from duckdb_spatial_spark.operators.similarity import ann_recall
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+
+    def lsh_n(n):
+        def f(df, queries, k):
+            return ann_lsh_topk(df, queries, k, n_planes=n)
+        return f
+
+    def avg_recall(fn):
+        r = ann_recall(emb, qs, fn, k=10).collect()
+        assert len(r) == 5 and all(x.n_truth == 10 for x in r)
+        return sum(x.recall for x in r) / len(r)
+
+    # the knob the harness exists to expose: fewer planes → wider
+    # buckets → recall rises toward 1 (at more candidate cost)
+    r2, r8 = avg_recall(lsh_n(2)), avg_recall(lsh_n(8))
+    assert 0.0 < r8 <= r2 <= 1.0
+    assert r2 >= 0.5
+    # the brute-force method evaluated against itself is perfect
+    perfect = ann_recall(
+        emb, qs, lambda df, q, k: ann_bruteforce_topk(df, q, k),
+        k=10).collect()
+    assert all(x.recall == 1.0 for x in perfect)
