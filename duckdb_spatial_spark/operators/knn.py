@@ -41,23 +41,26 @@ def _knn_broadcast(
     metric: str = "euclidean",
 ) -> DataFrame:
     rows = right.select(rid, rx, ry).collect()
-    mat = np.asarray([[r[0], r[1], r[2]] for r in rows], dtype=np.float64)
-    if len(mat) == 0:
+    if not rows:
         raise ValueError("right side is empty")
+    # ids kept int64 end to end (a float64 matrix would corrupt ids
+    # ≥ 2^53); coordinates in their own float matrix
+    all_rids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    coords = np.asarray([[r[1], r[2]] for r in rows], dtype=np.float64)
     # sort the build side by id ONCE: a stable argsort over distances then
     # breaks value ties by id automatically — the whole batch resolves
     # with zero per-row Python (8.6 → ~1 s at 100k × 1k, measured)
-    mat = mat[np.argsort(mat[:, 0], kind="stable")]
-    kk = min(k, len(mat))
-    b = left.sparkSession.sparkContext.broadcast(mat)
+    order0 = np.argsort(all_rids, kind="stable")
+    all_rids, coords = all_rids[order0], coords[order0]
+    kk = min(k, len(all_rids))
+    b = left.sparkSession.sparkContext.broadcast((all_rids, coords))
 
     out_schema = (f"{lid} long, {rid} long, dist double, rank int, "
                   f"exact boolean")
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m = b.value
-        rids = m[:, 0].astype(np.int64)
-        rxs, rys = m[:, 1], m[:, 2]
+        rids, cc = b.value
+        rxs, rys = cc[:, 0], cc[:, 1]
         nr = len(rids)
         ranks = np.arange(1, kk + 1, dtype=np.int32)
         for pdf in batches:
@@ -106,7 +109,10 @@ def _knn_broadcast(
                 idx = np.take_along_axis(idx, ord2, axis=1)
             dvals = np.take_along_axis(d2, idx, axis=1)
             if metric == "haversine":
-                dist = 2.0 * _R_EARTH * np.arcsin(np.sqrt(dvals))
+                # clip: float rounding near antipodes can push hav θ a ULP
+                # above 1, which would arcsin to NaN
+                dist = 2.0 * _R_EARTH * np.arcsin(
+                    np.sqrt(np.clip(dvals, 0.0, 1.0)))
             else:
                 dist = np.sqrt(dvals)
             yield pd.DataFrame({
@@ -165,14 +171,30 @@ def _knn_grid(
     # coverage bound: kth (= max available) distance must sit inside the
     # guaranteed-searched radius ring*cell, else neighbors may be missing
     wmax = Window.partitionBy(lid)
-    return ranked.withColumn(
+    out = ranked.withColumn(
         "exact",
         # both conditions needed: found a full k (fewer ⇒ unsearched cells
         # could hold more), and the kth distance sits inside the searched
         # radius (farther ⇒ an unsearched cell could hold a closer point)
         (F.max("dist").over(wmax) <= F.lit(float(ring) * cell))
         & (F.count("*").over(wmax) >= F.lit(k)),
-    ).select(lid, rid, "dist", F.col("rank").cast("int"), "exact")
+    ).select(lid, rid, "dist", F.col("rank").cast("int").alias("rank"),
+             "exact")
+    # probes whose whole ring was empty would otherwise vanish from the
+    # output with NO exact=false signal — emit them as (lid, NULL, NULL,
+    # 0, false) so the documented "re-run flagged rows" contract holds
+    empty = (
+        left.select(F.col(lid)).distinct()
+        .join(out.select(lid).distinct(), lid, "left_anti")
+        .select(
+            lid,
+            F.lit(None).cast("long").alias(rid),
+            F.lit(None).cast("double").alias("dist"),
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(False).alias("exact"),
+        )
+    )
+    return out.unionByName(empty)
 
 
 def st_knn_join(
@@ -194,6 +216,10 @@ def st_knn_join(
     (left_id, right_id, dist, rank 1..k, exact). Ties break by right id —
     fully deterministic, SQL-replicable. See module docstring for the
     broadcast vs grid trade."""
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ (both {left_id!r}) — the "
+            f"output carries one column for each")
     if algorithm == "broadcast":
         return _knn_broadcast(left, right, k, left_id, left_x, left_y,
                               right_id, right_x, right_y, metric)

@@ -110,9 +110,18 @@ def ngram_lm_train(
         _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
         .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     )
-    bi = spark.createDataFrame(
-        [(r.w1, r.w2, r.c12) for r in bi_plan.collect()],
-        "w1 string, w2 string, c12 long")
+    # the bigram table is bounded by observed pairs over a V+1 alphabet,
+    # but at vocab_size=10k that can still be ~1e8 rows — far too many to
+    # collect as driver tuples. Small tables take the fast driver path;
+    # large ones materialize DISTRIBUTED (localCheckpoint severs the
+    # lineage so score-time use doesn't re-run the corpus pass).
+    n_bi = bi_plan.count()
+    if n_bi <= 200_000:
+        bi = spark.createDataFrame(
+            [(r.w1, r.w2, r.c12) for r in bi_plan.collect()],
+            "w1 string, w2 string, c12 long")
+    else:
+        bi = bi_plan.localCheckpoint(eager=True)
     return vocab, uni, bi
 
 

@@ -30,7 +30,8 @@ _P_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _P_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _P_PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)"
 _P_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_P_QUERY = r"\?([^#]*)"
+# query must precede the fragment: a '?' after '#' is fragment text
+_P_QUERY = r"^[^#]*?\?([^#]*)"
 # tracking params dropped by url_normalize (the public utm/click-id set)
 _P_TRACK = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)="
 

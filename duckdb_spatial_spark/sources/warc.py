@@ -95,6 +95,15 @@ def _read_headers(fh: IO[bytes]):
     return headers
 
 
+def _decode_uri(b: bytes) -> str:
+    """Target URIs are written utf-8 (WARC 1.1 allows it); legacy archives
+    may carry latin-1 bytes — fall back rather than fail the scan."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _split_http(block: bytes):
     """Split an HTTP message block into (status:int|None, content_type,
     body). Non-HTTP blocks return (None, None, block)."""
@@ -143,7 +152,7 @@ def _parse_warc(p: str, want: Optional[set]) -> Iterator[tuple]:
                 fname,
                 rtype,
                 headers.get("warc-record-id", b"").decode("ascii") or None,
-                headers.get("warc-target-uri", b"").decode("latin-1") or None,
+                _decode_uri(headers.get("warc-target-uri", b"")) or None,
                 headers.get("warc-date", b"").decode("ascii") or None,
                 ctype,
                 status,
@@ -168,9 +177,12 @@ def st_read_warc(
         raise ValueError(f"no .warc/.warc.gz files at {path!r}")
     want = set(record_types) if record_types is not None else None
 
+    # explicit index + range partitioning gives a true 1:1 file→task
+    # mapping (hash-partitioning on the path leaves ~1/e of tasks empty
+    # and stacks multiple large archives on others)
     paths_df = spark.createDataFrame(
-        [(p,) for p in files], "path string"
-    ).repartition(len(files), "path")
+        [(i, p) for i, p in enumerate(files)], "i long, path string"
+    ).repartitionByRange(len(files), "i")
 
     cols = ["file", "record_type", "record_id", "target_uri", "warc_date",
             "content_type", "http_status", "http_content_type", "payload",
@@ -254,7 +266,7 @@ def st_write_warc(
                         ("WARC-Type", b"response"),
                         ("WARC-Record-ID", rid.encode("ascii")),
                         ("WARC-Date", warc_date.encode("ascii")),
-                        ("WARC-Target-URI", uri.encode("latin-1")),
+                        ("WARC-Target-URI", uri.encode("utf-8")),
                         ("Content-Type",
                          b"application/http; msgtype=response"),
                     ],

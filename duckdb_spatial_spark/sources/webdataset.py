@@ -72,9 +72,12 @@ def st_read_webdataset(
         raise ValueError(f"no .tar shards at {path!r}")
     want = set(exts) if exts else None
 
+    # explicit index + range partitioning: a true 1:1 shard→task mapping
+    # (hash-partitioning on the path leaves ~1/e of tasks empty and
+    # stacks multiple shards on others)
     paths_df = spark.createDataFrame(
-        [(p,) for p in shards], "path string"
-    ).repartition(len(shards), "path")
+        [(i, p) for i, p in enumerate(shards)], "i long, path string"
+    ).repartitionByRange(len(shards), "i")
 
     def read_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -127,3 +127,25 @@ def test_knn_haversine(spark):
         assert r.dist == pytest.approx(d, rel=1e-12)
     # nearest is the 1km-away point, farthest is New York
     assert rows[0].right_id == 3 and rows[-1].right_id == 4
+
+
+def test_knn_grid_empty_ring_flagged(spark):
+    """A probe whose whole ring is empty must surface with exact=false
+    (not silently vanish)."""
+    left = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 500.0, 500.0)],
+        "left_id long, x double, y double")
+    right = spark.createDataFrame([(7, 1.0, 1.0)],
+                                  "right_id long, x double, y double")
+    rows = {r.left_id: r for r in
+            st_knn_join(left, right, k=1, algorithm="grid",
+                        cell=10.0, ring=1).collect()}
+    assert rows[0].right_id == 7 and rows[0].exact
+    assert rows[1].right_id is None and rows[1].rank == 0 \
+        and not rows[1].exact
+
+
+def test_knn_same_id_name_raises(spark):
+    df = spark.createDataFrame([(0, 0.0, 0.0)], "id long, x double, y double")
+    with pytest.raises(ValueError):
+        st_knn_join(df, df, k=1, left_id="id", right_id="id")
