@@ -2567,6 +2567,137 @@ def q100_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q101_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide repeated-span removal (word-level Lee et al. 2021):
+    every duplicated 8-word window keeps only its globally-first
+    occurrence. Int-only shuffles (window hash, then kill positions);
+    text never shuffles — the reconstruction join is on doc_id."""
+    from duckdb_spatial_spark.operators.dedup import substring_dedup
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    out = substring_dedup(d, "doc_id", "text", k=8)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("words_total"),
+            F.sum("n_removed").cast("long").alias("words_removed"),
+            F.sum(F.length("text")).cast("long").alias("chars_after"),
+        )
+        .orderBy("source")
+    )
+
+
+def _render_c4_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-line page corpus derived from documents (the word-soup rows
+    have no newlines/punctuation, so — like q82's HTML render — the query
+    first builds pages deterministically: 7-word lines whose terminator
+    cycles . ! ? <none> on (doc_id + line#) % 4, plus a 'lorem ipsum'
+    line on doc_id%41 and a curly-brace line on doc_id%43). The SQL
+    oracle replays the identical arithmetic."""
+    d = load_table(spark, sf, "documents", fan_out=False)
+    w = d.select(
+        "doc_id", "source",
+        F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))),
+                                 r"\s+", " "), " ").alias("_w"),
+    )
+    nlines = F.ceil(F.size(F.col("_w")) / F.lit(7.0)).cast("int")
+    term = lambda j: (
+        F.when((F.col("doc_id") + j) % 4 == 0, F.lit("."))
+        .when((F.col("doc_id") + j) % 4 == 1, F.lit("!"))
+        .when((F.col("doc_id") + j) % 4 == 2, F.lit("?"))
+        .otherwise(F.lit(""))
+    )
+    lines = F.transform(
+        F.sequence(F.lit(1), nlines),
+        lambda j: F.concat(
+            F.concat_ws(" ", F.slice(F.col("_w"), (j - 1) * 7 + 1, 7)),
+            term(j),
+        ),
+    )
+    page = F.concat_ws("\n", lines)
+    page = F.when(F.col("doc_id") % 41 == 0,
+                  F.concat(page, F.lit("\nlorem ipsum vestibulum amet.")))\
+        .otherwise(page)
+    page = F.when(F.col("doc_id") % 43 == 0,
+                  F.concat(page, F.lit("\nheader { margin: 0; }")))\
+        .otherwise(page)
+    return w.select("doc_id", "source", page.alias("page"))
+
+
+def q102_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """The published C4 cleaning heuristics (terminal-punctuation lines,
+    >=3 words/line, no javascript lines; pages need >=5 surviving lines,
+    no blocklist hit, no 'lorem ipsum', no '{') as one whole-stage-codegen
+    projection — zero shuffles before the final rollup."""
+    from duckdb_spatial_spark.operators.pipeline import c4_clean
+
+    pages = _render_c4_pages(spark, sf)
+    cleaned = c4_clean(pages, text_col="page", min_words_per_line=3,
+                       min_lines=5)
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum(F.col("c4_keep").cast("long")).alias("n_kept"),
+            F.sum("n_lines").cast("long").alias("lines_total"),
+            F.sum("n_lines_kept").cast("long").alias("lines_kept"),
+            F.sum(F.when(F.col("c4_keep"), F.length("clean_text"))
+                  .otherwise(F.lit(0))).cast("long").alias("chars_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+def q103_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 term saliency, top-3 terms per doc over a 100-doc slice:
+    one (doc, term) partial-agg shuffle; document frequencies, doc count
+    and avgdl broadcast back; per-doc window for the top-k. Scores join
+    identical double arithmetic in the SQL twin (constants embedded via
+    repr so both engines parse the same doubles)."""
+    from duckdb_spatial_spark.operators.rank import bm25_topk
+
+    d = load_table(spark, sf, "documents", fan_out=False) \
+        .filter(F.col("doc_id") < 100)
+    out = bm25_topk(d, "doc_id", "text", k=3, k1=1.2, b=0.75)
+    return out.select(
+        "doc_id", "term", "tf", "dfreq", "dl",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("doc_id", "rank")
+
+
+def q104_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells + within-cell
+    drop-if-earlier-neighbor-within-cosine-tau. Centroids are pinned to
+    the first 32 embeddings (like q55's IVF oracle) so the assignment is
+    SQL-replayable; tau=0.45 sits inside the corpus' cosine range. Only
+    ids leave the per-cell Python stage."""
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.similarity import semdedup
+
+    e = load_table(spark, sf, "embeddings", fan_out=False)
+    cent_rows = (
+        e.filter(F.col("vec_id") < 32).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    flagged = semdedup(e, "vec_id", "embedding", threshold=0.45,
+                       centroids=C, mode="flag")
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("semdedup_drop").cast("long")).alias("n_dropped"),
+            F.sum(F.when(~F.col("semdedup_drop"), F.col("vec_id"))
+                  .otherwise(F.lit(0))).cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("label")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2586,7 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_pagerank": q96_pagerank,
         "q12_npoints": q12_npoints,
         "q15_tpch_q1": q15_tpch_q1,
-        "q18_dedup_exact": q18_dedup_exact,
+        "q101_substring_dedup": q101_substring_dedup,
         "q20_simhash": q20_simhash,
         "q92_text_clean": q92_text_clean,
         "q25_embedding_neardup": q25_embedding_neardup,
@@ -2594,7 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_union_agg": q28_union_agg,
         "q31_predicate_matrix": q31_predicate_matrix,
         "q33_simplify": q33_simplify,
-        "q34_envelope_boundary": q34_envelope_boundary,
+        "q102_c4_filters": q102_c4_filters,
         "q35_transform": q35_transform,
         "q87_lm_perplexity": q87_lm_perplexity,
         "q38_minhash_lsh": q38_minhash_lsh,
@@ -2602,7 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_warc_pipeline": q82_warc_pipeline,
         "q41_casts": q41_casts,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
-        "q47_makepolygon": q47_makepolygon,
+        "q103_bm25_topk": q103_bm25_topk,
         "q50_validity": q50_validity,
         "q75_streaming_extent": q75_streaming_extent,
         "q76_pack_sequences": q76_pack_sequences,
@@ -2620,7 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_paragraph_dedup": q73_paragraph_dedup,
         "q60_spheroid": q60_spheroid,
         "q61_rtree_points": q61_rtree_points,
-        "q62_buffer_joinstyles": q62_buffer_joinstyles,
+        "q104_semdedup": q104_semdedup,
         "q74_repetition_filter": q74_repetition_filter,
         "q64_mixed_overlay": q64_mixed_overlay,
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
@@ -2640,6 +2771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q20 simhash, q28 aggregates, q60 geodesy). q87 (LM perplexity)
         # displaces q36 (ST_DWithin; predicate family covered by q31).
         "q88_knn_join": q88_knn_join,
+        "q18_dedup_exact": q18_dedup_exact,
+        "q34_envelope_boundary": q34_envelope_boundary,
+        "q47_makepolygon": q47_makepolygon,
+        "q62_buffer_joinstyles": q62_buffer_joinstyles,
         "q09_hilbert_distribution": q09_hilbert_distribution,
         "q21_text_quality": q21_text_quality,
         "q67_transform_epsg": q67_transform_epsg,
@@ -3961,4 +4096,140 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS chars_kept
             FROM re
         """,
+        "q101_substring_dedup": _q101_oracle_sql(),
+        "q102_c4_filters": _q102_oracle_sql(),
+        "q103_bm25_topk": _q103_oracle_sql(),
+        "q104_semdedup": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), cent AS (
+              SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 32
+            ), asgn AS (
+              SELECT vec_id, label, v,
+                     (SELECT cid FROM cent
+                      ORDER BY list_cosine_similarity(v, cvec) DESC, cid
+                      LIMIT 1) AS cell
+              FROM e
+            ), drops AS (
+              SELECT DISTINCT b.vec_id
+              FROM asgn a JOIN asgn b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= CAST(0.45 AS DOUBLE)
+            ), fl AS (
+              SELECT asgn.vec_id, asgn.label,
+                     (drops.vec_id IS NOT NULL) AS dropped
+              FROM asgn LEFT JOIN drops ON drops.vec_id = asgn.vec_id
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped,
+                   CAST(sum(CASE WHEN NOT dropped THEN vec_id ELSE 0 END)
+                     AS BIGINT) AS kept_id_sum
+            FROM fl GROUP BY 1 ORDER BY 1
+        """,
     }
+
+
+def _q101_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.dedup import substring_dedup_sql
+
+    return f"""
+        WITH _dd AS ({substring_dedup_sql("documents", k=8)})
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(_dd.n_words) AS BIGINT) AS words_total,
+               CAST(sum(_dd.n_removed) AS BIGINT) AS words_removed,
+               CAST(sum(length(_dd.text)) AS BIGINT) AS chars_after
+        FROM _dd JOIN documents d USING (doc_id)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q102_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.pipeline import c4_clean_sql
+
+    c4 = c4_clean_sql("page", min_words_per_line=3, min_lines=5)
+    return f"""
+        WITH _w AS (
+          SELECT doc_id, source,
+                 string_split(regexp_replace(trim(lower(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ), _pages AS (
+          SELECT doc_id, source,
+            array_to_string(
+              list_transform(
+                generate_series(1, CAST(ceil(len(w)/7.0) AS INT)),
+                j -> array_to_string(list_slice(w, (j-1)*7+1, (j-1)*7+7), ' ')
+                     || CASE CAST((doc_id + j) % 4 AS INT)
+                        WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+                        ELSE '' END),
+              chr(10))
+            || CASE WHEN doc_id % 41 = 0
+                    THEN chr(10) || 'lorem ipsum vestibulum amet.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 43 = 0
+                    THEN chr(10) || 'header {{ margin: 0; }}'
+                    ELSE '' END AS page
+          FROM _w
+        ), _clean AS (
+          SELECT source, {c4['n_lines']} AS n_lines,
+                 {c4['n_lines_kept']} AS n_lines_kept,
+                 {c4['c4_keep']} AS keep,
+                 {c4['clean_text']} AS clean_text
+          FROM _pages
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(n_lines) AS BIGINT) AS lines_total,
+               CAST(sum(n_lines_kept) AS BIGINT) AS lines_kept,
+               CAST(sum(CASE WHEN keep THEN length(clean_text) ELSE 0 END)
+                 AS BIGINT) AS chars_clean
+        FROM _clean GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q103_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    # float constants embedded via repr so both engines parse the very
+    # same doubles the Spark plan uses (0.5/1.0 are exact anyway; the
+    # k1-derived values are not)
+    _d = lambda v: f"CAST({v!r} AS DOUBLE)"
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(lower(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM d
+        ), terms AS (
+          SELECT doc_id, t.term
+          FROM words, LATERAL (SELECT unnest(w)) AS t(term)
+          WHERE t.term <> ''
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1
+        ), nd AS (
+          SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq, dl.dl,
+                 ln({_d(1.0)} + (n_docs - dfreq + {_d(0.5)})
+                                / (dfreq + {_d(0.5)}))
+                   * tf.tf * {_d(k1 + 1.0)}
+                   / (tf.tf + {_d(k1)} * ({_d(1.0 - b)}
+                                          + {_d(b)} * dl.dl / avgdl)) AS score
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), nd, ad
+        ), ranked AS (
+          SELECT doc_id, term, tf, dfreq, dl, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, dfreq, dl,
+               round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """

@@ -784,3 +784,165 @@ def minhash_index_query(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (repeated-span) dedup
+# ---------------------------------------------------------------------------
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Remove every repeated k-word span from all but its first occurrence
+    (corpus-wide exact substring dedup, the word-level analogue of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array pass removes byte spans repeated >=1
+    time; here the unit is a normalized word window).
+
+    Semantics (deterministic):
+      * Normalize text to a word array (lower, trim, collapse whitespace).
+      * Every k-word window that occurs more than once corpus-wide is a
+        duplicated span. Its canonical occurrence is the globally first
+        one by (id, position); every OTHER occurrence marks its k word
+        positions for deletion (internal repeats within one doc count —
+        the second occurrence in the same doc is removed too).
+      * Overlapping marked spans union their positions; surviving words
+        re-join with single spaces.
+
+    Returns ``df`` with ``out_col`` (default: ``text_col`` replaced) plus
+    ``n_words`` (pre-dedup) and ``n_removed`` columns.
+
+    Scale shape (the reason this is join-topology, not a suffix array):
+      1. window extraction is pure col-expr over a *projected* word array
+         (one row per input row, O(words) windows);
+      2. ONE shuffle on the 64-bit window hash (ints only — text never
+         shuffles here) finds duplicated windows and their canonical
+         occurrence via min(struct(id, pos));
+      3. kill positions aggregate per doc (second int-only shuffle, rows
+         bounded by duplicated occurrences, not corpus size);
+      4. one equi-join back on id attaches the kill list; reconstruction
+         is a codegen array filter. AQE broadcasts the kill side when
+         duplication is sparse (the common case at 100 TB).
+
+    Hash note: windows are compared by ``xxhash64`` of the gram string
+    (64-bit, seed-stable). A cross-gram collision would merge two
+    unrelated spans; at 2^64 that is negligible and the DuckDB oracle
+    (which groups the gram string itself) doubles as the collision check
+    at test scale.
+    """
+    out_col = out_col or text_col
+    other_cols = [c for c in df.columns if c != text_col]
+
+    words = df.select(
+        *other_cols,
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+            " ",
+        ).alias("_w"),
+    )
+    cnt = F.size(F.col("_w"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - F.lit(k - 1), F.lit(1))),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(F.col("_w"), i, k))).alias("h"),
+        ),
+    )
+    # docs shorter than k words have no k-window: slice(wins, 1, 0) keeps
+    # the struct element type while emptying the array
+    wins = F.when(cnt >= k, wins).otherwise(F.slice(wins, 1, 0))
+
+    occ = words.select(F.col(id_col), F.explode(wins).alias("o")).select(
+        id_col, F.col("o.pos").alias("pos"), F.col("o.h").alias("h")
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("h", F.col(f"first.{id_col}").alias("_fid"),
+                F.col("first.pos").alias("_fpos"))
+    )
+    kills = (
+        occ.join(dup, "h")
+        .filter(~((F.col(id_col) == F.col("_fid"))
+                  & (F.col("pos") == F.col("_fpos"))))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_kill"))
+    )
+
+    joined = words.join(kills, id_col, "left").withColumn(
+        "_kill",
+        F.coalesce(F.col("_kill"), F.expr("CAST(array() AS ARRAY<INT>)")),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_w"),
+            lambda x, i: F.struct(x.alias("x"), (i + 1).cast("int").alias("p")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_kill"),
+            lambda ks: (ks <= s["p"]) & (s["p"] < ks + F.lit(k)),
+        ),
+    )
+    return joined.select(
+        *other_cols,
+        F.concat_ws(" ", F.transform(kept, lambda s: s["x"])).alias(out_col),
+        F.size(F.col("_w")).alias("n_words"),
+        (F.size(F.col("_w")) - F.size(kept)).alias("n_removed"),
+    )
+
+
+def substring_dedup_sql(table: str, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8) -> str:
+    """ANSI/DuckDB twin of :func:`substring_dedup` (grams grouped by
+    string — doubles as the hash-collision check). Returns a SELECT of
+    (id, text, n_words, n_removed)."""
+    return f"""
+        WITH _docs AS (
+          SELECT {id_col} AS _id,
+                 string_split(regexp_replace(trim(lower({text_col})),
+                                             '\\s+', ' ', 'g'), ' ') AS _w
+          FROM {table}
+        ), _occ AS (
+          SELECT _id, i AS pos,
+                 array_to_string(list_slice(_w, i, i + {k} - 1), ' ') AS gram
+          FROM _docs, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(_w) - {k} + 1, 0)))
+          ) AS s(i)
+        ), _marked AS (
+          SELECT _id, pos,
+                 count(*) OVER (PARTITION BY gram) AS cnt,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY _id, pos) AS rn
+          FROM _occ
+        ), _kills AS (
+          SELECT _id, pos FROM _marked WHERE cnt > 1 AND rn > 1
+        ), _wordpos AS (
+          SELECT d._id, j, d._w[j] AS word
+          FROM _docs d, LATERAL (
+            SELECT unnest(generate_series(1, len(d._w)))
+          ) AS t(j)
+        ), _kept AS (
+          SELECT w._id, w.j, w.word
+          FROM _wordpos w
+          WHERE NOT EXISTS (
+            SELECT 1 FROM _kills x
+            WHERE x._id = w._id AND x.pos <= w.j AND w.j < x.pos + {k}
+          )
+        ), _agg AS (
+          SELECT _id, string_agg(word, ' ' ORDER BY j) AS new_text,
+                 count(*) AS n_kept
+          FROM _kept GROUP BY _id
+        )
+        SELECT d._id AS {id_col}, coalesce(a.new_text, '') AS {text_col},
+               CAST(len(d._w) AS BIGINT) AS n_words,
+               CAST(len(d._w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM _docs d LEFT JOIN _agg a ON a._id = d._id
+    """

@@ -53,6 +53,9 @@ __all__ = [
     "profile_table",
     "salted_agg",
     "corpus_diff",
+    "c4_clean",
+    "c4_clean_sql",
+    "C4_TERMINAL_PUNCT",
 ]
 
 
@@ -822,3 +825,105 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("id", status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic page cleaning (Raffel et al. 2020, §2.2 — the published rules)
+# ---------------------------------------------------------------------------
+
+# a kept line must end in one of these (C4's "terminal punctuation mark")
+C4_TERMINAL_PUNCT = ('.', '!', '?', '"')
+
+# placeholder blocklist — production passes the published "List of Dirty,
+# Naughty, Obscene or Otherwise Bad Words"; kept tiny and neutral here
+_C4_DEFAULT_BAD_WORDS = ("nsfw", "lorem ipsum")
+
+
+def _c4_line_keep(line: Column, min_words: int) -> Column:
+    """Line-level C4 predicate: ends in terminal punctuation, has at least
+    ``min_words`` words, and does not mention javascript."""
+    t = F.trim(line)
+    ends_ok = None
+    for p in C4_TERMINAL_PUNCT:
+        cond = t.endswith(p)
+        ends_ok = cond if ends_ok is None else (ends_ok | cond)
+    nwords = F.size(F.split(F.regexp_replace(t, r"\s+", " "), " "))
+    return (
+        ends_ok
+        & (nwords >= F.lit(min_words))
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 5,
+    bad_words: Sequence[str] = _C4_DEFAULT_BAD_WORDS,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The C4 cleaning heuristics as one codegen projection.
+
+    Line stage (C4 kept only lines that end in a terminal punctuation
+    mark, have >= 3 words, and don't mention javascript): lines split on
+    newline, filtered with a pure array lambda. Page stage (C4 dropped
+    pages with < 5 sentences, any blocklist word, 'lorem ipsum', or a
+    curly brace): emitted as a boolean ``c4_keep`` — callers filter on it
+    or keep it as an audit column.
+
+    Adds ``out_col`` (newline-joined surviving lines), ``n_lines`` /
+    ``n_lines_kept``, and ``c4_keep``. Zero shuffles, zero Python — the
+    whole operator is one whole-stage-codegen projection, so at 100 TB it
+    rides the scan (the ideal shape for a per-document filter).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: _c4_line_keep(l, min_words_per_line))
+    kept_text = F.concat_ws("\n", F.transform(kept, F.trim))
+    low = F.lower(F.col(text_col))
+    page_ok = (F.size(kept) >= F.lit(min_lines)) \
+        & ~F.col(text_col).contains("{")
+    for w in bad_words:
+        page_ok = page_ok & ~low.contains(w.lower())
+    return df.select(
+        "*",
+        kept_text.alias(out_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        page_ok.alias("c4_keep"),
+    )
+
+
+def c4_clean_sql(
+    text_expr: str,
+    min_words_per_line: int = 3,
+    min_lines: int = 5,
+    bad_words: Sequence[str] = _C4_DEFAULT_BAD_WORDS,
+) -> dict:
+    """DuckDB twins of :func:`c4_clean`, generated from the SAME
+    constants: a dict with ``clean_text``, ``n_lines``, ``n_lines_kept``
+    and ``c4_keep`` SQL expression strings over ``text_expr``."""
+    term = " OR ".join(
+        f"right(trim(x), 1) = '{p.replace(chr(39), chr(39) * 2)}'"
+        for p in C4_TERMINAL_PUNCT
+    )
+    line_pred = (
+        f"(({term}) AND len(string_split(regexp_replace(trim(x), '\\s+', ' ',"
+        f" 'g'), ' ')) >= {min_words_per_line}"
+        " AND NOT contains(lower(trim(x)), 'javascript'))"
+    )
+    kept = (f"list_filter(string_split({text_expr}, chr(10)), "
+            f"x -> {line_pred})")
+    bad = " AND ".join(
+        f"NOT contains(lower({text_expr}), '{w.lower()}')" for w in bad_words
+    )
+    return {
+        # coalesce: DuckDB's array_to_string of an empty list is NULL,
+        # Spark's concat_ws is ''
+        "clean_text": (f"coalesce(array_to_string(list_transform({kept},"
+                       " x -> trim(x)), chr(10)), '')"),
+        "n_lines": f"len(string_split({text_expr}, chr(10)))",
+        "n_lines_kept": f"len({kept})",
+        "c4_keep": (f"(len({kept}) >= {min_lines}"
+                    f" AND NOT contains({text_expr}, '{{') AND {bad})"),
+    }

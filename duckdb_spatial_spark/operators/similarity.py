@@ -332,3 +332,72 @@ def ann_recall(
              / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------------------ semantic dedup
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    centroids: Optional[np.ndarray] = None,
+    mode: str = "drop",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with a coarse k-means, then inside each cluster
+    drop every vector that has an earlier (smaller-id) cluster-mate with
+    cosine similarity >= ``threshold``.
+
+    The drop rule is deliberately NON-iterative (j is dropped when ANY
+    earlier i is close, whether or not i itself survives): it is
+    order-deterministic, one pass, and exactly replayable as a SQL EXISTS
+    over the within-cluster pair set — the same min-representative
+    semantics the star-capped LSH tier uses.
+
+    Scale shape: centroid TRAIN is a driver-side sample (standard IVF
+    recipe); ASSIGN is one broadcast-matmul Arrow pass; the quadratic
+    pairwise step runs only WITHIN a cluster (one applyInPandas group per
+    cell — choose ``n_centroids`` ~ n/target_cluster_size so a cluster
+    fits an executor, exactly as the paper sizes k). Only ids leave the
+    Python stage.
+
+    ``mode='drop'`` → surviving rows of ``df``; ``mode='flag'`` → ``df``
+    plus boolean ``semdedup_drop``.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if not threshold > 0.0:
+        raise ValueError("threshold must be > 0 (cosine upper tail)")
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_centroids=n_centroids)
+    from pyspark.sql import types as T
+
+    assign = _assign_cells_udf(np.asarray(centroids, dtype=np.float64), 1)
+    with_cell = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(assign(F.col(vec_col)), 1).alias("__cell"),
+    )
+    out_schema = T.StructType([df.schema[id_col]])
+    thr = float(threshold)
+
+    def find_drops(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        valid = pdf[vec_col].map(lambda v: v is not None).to_numpy()
+        sub = pdf.loc[valid]
+        if len(sub) < 2:
+            return pdf.iloc[0:0][[id_col]]
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        S = np.triu(X @ X.T, k=1)  # S[i, j] kept only for i < j (id order)
+        dropped = (S >= thr).any(axis=0)
+        return sub.loc[dropped, [id_col]]
+
+    drops = with_cell.groupBy("__cell").applyInPandas(find_drops, out_schema)
+    if mode == "drop":
+        return df.join(drops, id_col, "left_anti")
+    return df.join(
+        drops.withColumn("semdedup_drop", F.lit(True)), id_col, "left"
+    ).withColumn("semdedup_drop",
+                 F.coalesce(F.col("semdedup_drop"), F.lit(False)))
