@@ -1,0 +1,305 @@
+"""DSIR-style data selection via importance resampling.
+
+Public method (Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023): represent every document as a bag
+of hashed n-grams, fit two bucket-count models — p̂ on a *target* corpus
+(the domain you want more of) and q̂ on the *raw* corpus — and score each
+raw document by its importance log-weight
+
+    log w(d) = Σ_b  n_{d,b} · ( ln p̂_b − ln q̂_b )
+
+with add-α smoothing  p̂_b = (cnt_p,b + α) / (tot_p + α·B).  Selection is
+either deterministic top-k by log-weight or Gumbel top-k (which IS
+sampling-without-replacement ∝ w^{1/T}) with a portable seeded uniform,
+so both paths replay exactly in ANSI SQL for the oracle gate.
+
+Scale shape (100-TB posture):
+  * ONE explode of the projected word array per corpus pass (unigrams and
+    bigrams come out of the same array — no second text scan);
+  * the (doc, bucket) counts shuffle is partial-aggregated (map-side
+    combine collapses repeated grams before the exchange);
+  * both models are ≤ ``buckets`` rows (default 4096) → broadcast back;
+    no wide join ever carries text;
+  * the final per-doc reduction shuffles ids + longs only;
+  * everything is whole-stage codegen — no Python anywhere.
+
+Bucket hash: the first 4 hex digits of md5(gram) decoded with
+ascii-arithmetic (no engine-specific hex→int builtin), mod ``buckets`` —
+bit-identical in Spark and DuckDB, same trick as the simhash oracle.
+
+Reference analog: the reference engine has no data-selection tier; this
+module belongs to the LLM-training-data completion tier alongside
+operators/pipeline.py (C4/gopher) and operators/rank.py (BM25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.generate import _uniform01_portable, portable_uniform_sql
+from .pipeline import normalized_words
+
+__all__ = [
+    "hashed_bucket",
+    "doc_bucket_counts",
+    "dsir_log_weights",
+    "dsir_sample",
+    "bucket_sql",
+    "gram_rows_sql",
+    "dsir_logw_sql",
+]
+
+
+# --------------------------------------------------------------------------
+# portable bucket hash
+# --------------------------------------------------------------------------
+
+def hashed_bucket(gram: Column, buckets: int) -> Column:
+    """Bucket index in [0, buckets) from the first 4 hex digits of
+    md5(gram) — decoded via ascii arithmetic so the identical expression
+    exists in ANSI SQL (no conv/strtol dependency)."""
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536] (4 hex digits)")
+    h = F.md5(gram)
+
+    def digit(i: int) -> Column:
+        a = F.ascii(F.substring(h, i, 1))
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    v = digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)
+    return (v % F.lit(buckets)).cast("int")
+
+
+def bucket_sql(gram_expr: str, buckets: int) -> str:
+    """DuckDB mirror of :func:`hashed_bucket`.
+
+    ``gram_expr`` should be a cheap reference (alias md5 upstream is NOT
+    needed — DuckDB CSE handles the repeated md5), but callers usually
+    pass a column name from an unnested CTE.
+    """
+    h = f"md5({gram_expr})"
+
+    def digit(i: int) -> str:
+        a = f"ascii(substring({h}, {i}, 1))"
+        return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+    v = f"({digit(1)} * 4096 + {digit(2)} * 256 + {digit(3)} * 16 + {digit(4)})"
+    return f"(({v}) % {buckets})"
+
+
+# --------------------------------------------------------------------------
+# hashed-gram bag per document
+# --------------------------------------------------------------------------
+
+def _gram_rows(df: DataFrame, keep_cols: list, text_col: str,
+               bigrams: bool) -> DataFrame:
+    """One row per (kept cols…, gram): unigrams plus (optionally) bigrams
+    of the normalized word array. The array is PROJECTED first (bound
+    column) so the bigram ``transform`` stays linear — see
+    pipeline.ngrams_of_words' scale note."""
+    w = df.select(*keep_cols, normalized_words(F.col(text_col)).alias("_w"))
+    w = w.select(*keep_cols, "_w", F.size(F.col("_w")).alias("_n"))
+    grams = F.col("_w")
+    if bigrams:
+        bi = F.when(
+            F.col("_n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(grams, bi)
+    return (
+        w.select(*keep_cols, F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+
+
+def doc_bucket_counts(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", buckets: int = 4096,
+                      bigrams: bool = True) -> DataFrame:
+    """(id, bucket, cnt): hashed-gram counts per document. One explode +
+    one partial-aggregated shuffle on (id, bucket)."""
+    g = _gram_rows(df, [F.col(id_col)], text_col, bigrams)
+    return (
+        g.select(F.col(id_col), hashed_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# importance log-weights
+# --------------------------------------------------------------------------
+
+def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     buckets: int = 4096, alpha: float = 1.0,
+                     bigrams: bool = True) -> DataFrame:
+    """(id, n_grams, logw) for every raw document.
+
+    Both models are bucket-count tables of at most ``buckets`` rows,
+    broadcast onto the per-doc counts; the constant normalizers
+    ln(tot + α·B) fold into one scalar cross join. A document with no
+    grams (empty text) gets logw = 0.
+    """
+    doc_b = doc_bucket_counts(raw_df, id_col, text_col, buckets, bigrams)
+
+    p = (
+        _gram_rows(target_df, [], text_col, bigrams)
+        .select(hashed_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_p"))
+    )
+    q = doc_b.groupBy("bucket").agg(F.sum("cnt").alias("cnt_q"))
+    tot_p = p.agg(F.coalesce(F.sum("cnt_p"), F.lit(0)).alias("tot_p"))
+    tot_q = q.agg(F.coalesce(F.sum("cnt_q"), F.lit(0)).alias("tot_q"))
+
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * buckets)
+    joined = (
+        doc_b.join(F.broadcast(p), "bucket", "left")
+        .join(F.broadcast(q), "bucket")
+        .crossJoin(F.broadcast(tot_p))
+        .crossJoin(F.broadcast(tot_q))
+    )
+    per_bucket = F.col("cnt") * (
+        F.log(F.coalesce(F.col("cnt_p"), F.lit(0)) + a)
+        - F.log(F.col("cnt_q") + a)
+    )
+    # cnt_q comes from doc_b itself, so the q join is inner and total by
+    # construction (every doc bucket exists in q); only cnt_p can be null.
+    # The normalizer is subtracted AFTER the sum (not folded per-row) so
+    # the floating arithmetic matches the SQL twin term-for-term.
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(per_bucket).alias("_s"),
+            F.first("tot_p").alias("_tp"),
+            F.first("tot_q").alias("_tq"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            (F.col("_s") - F.col("n_grams")
+             * (F.log(F.col("_tp") + ab) - F.log(F.col("_tq") + ab))
+             ).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(raw_df: DataFrame, target_df: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                buckets: int = 4096, alpha: float = 1.0,
+                bigrams: bool = True, temperature: float = 1.0,
+                gumbel_seed: int | None = None) -> DataFrame:
+    """Select ``k`` raw documents by DSIR importance.
+
+    ``gumbel_seed=None`` → deterministic top-k by logw (ties on id).
+    With a seed, the key is logw/T + Gumbel(portable uniform of the id) —
+    Gumbel top-k is exactly sampling-without-replacement with probability
+    ∝ w^{1/T}, and the portable uniform makes the draw replayable in SQL.
+    Returns (id, n_grams, logw, key) ordered by the selection key.
+    """
+    lw = dsir_log_weights(raw_df, target_df, id_col, text_col, buckets,
+                          alpha, bigrams)
+    if gumbel_seed is None:
+        key = F.col("logw")
+    else:
+        u = _uniform01_portable(F.col(id_col).cast("long"),
+                                1_000_003 * gumbel_seed + 77)
+        # clamp away from 0 so ln never sees a non-positive value (Spark
+        # ln(0) is NULL while DuckDB gives -inf — keep engines identical)
+        ue = u * F.lit(0.999999999) + F.lit(1e-10)
+        key = F.col("logw") / F.lit(float(temperature)) - F.log(-F.log(ue))
+    out = lw.select(id_col, "n_grams", "logw", key.alias("key"))
+    return out.orderBy(F.col("key").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --------------------------------------------------------------------------
+# SQL twins (DuckDB) — built from the same constants/formulas
+# --------------------------------------------------------------------------
+
+def gram_rows_sql(table_expr: str, id_select: str, text_col: str,
+                  bigrams: bool) -> str:
+    """CTE body producing (…id_select…, gram) rows matching
+    :func:`_gram_rows`: normalized words, unigrams + bigrams, '' removed."""
+    words = (f"string_split(regexp_replace(trim(lower({text_col})), "
+             f"'\\s+', ' ', 'g'), ' ')")
+    uni = "w"
+    if bigrams:
+        grams = (f"list_concat({uni}, CASE WHEN len({uni}) >= 2 THEN "
+                 f"list_transform(range(1, len({uni})), "
+                 f"i -> {uni}[i] || ' ' || {uni}[i+1]) "
+                 f"ELSE [] END)")
+    else:
+        grams = uni
+    sel = (id_select + ", ") if id_select else ""
+    return (
+        f"SELECT {sel}unnest({grams}) AS gram "
+        f"FROM (SELECT *, {words} AS w FROM {table_expr})"
+    )
+
+
+def dsir_logw_sql(raw_table: str, target_table: str, id_col: str,
+                  text_col: str, buckets: int, alpha: float,
+                  bigrams: bool = True) -> str:
+    """Full DuckDB replica of :func:`dsir_log_weights` as a WITH…SELECT
+    producing (id, n_grams, logw). Shares the bucket hash and smoothing
+    constants with the Spark path via this module's helpers."""
+    b = bucket_sql("gram", buckets)
+    a = repr(float(alpha))
+    ab = repr(float(alpha) * buckets)
+    raw_grams = gram_rows_sql(raw_table, id_col, text_col, bigrams)
+    tgt_grams = gram_rows_sql(target_table, "", text_col, bigrams)
+    return f"""
+        WITH raw_g AS ({raw_grams}),
+        tgt_g AS ({tgt_grams}),
+        doc_b AS (
+          SELECT {id_col}, {b} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM raw_g WHERE gram <> '' GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT {b} AS bucket, CAST(count(*) AS BIGINT) AS cnt_p
+          FROM tgt_g WHERE gram <> '' GROUP BY 1
+        ),
+        qm AS (SELECT bucket, sum(cnt) AS cnt_q FROM doc_b GROUP BY 1),
+        tp AS (SELECT COALESCE(sum(cnt_p), 0) AS tot_p FROM p),
+        tq AS (SELECT COALESCE(sum(cnt_q), 0) AS tot_q FROM qm)
+        SELECT doc_b.{id_col} AS {id_col},
+               CAST(sum(cnt) AS BIGINT) AS n_grams,
+               sum(cnt * (ln(COALESCE(cnt_p, 0) + {a}) - ln(cnt_q + {a})))
+                 - sum(cnt) * (ln(first(tot_p) + {ab})
+                               - ln(first(tot_q) + {ab})) AS logw
+        FROM doc_b
+        LEFT JOIN p USING (bucket)
+        JOIN qm USING (bucket)
+        CROSS JOIN tp CROSS JOIN tq
+        GROUP BY 1
+    """
+
+
+def dsir_sample_sql(raw_table: str, target_table: str, id_col: str,
+                    text_col: str, buckets: int, alpha: float, k: int,
+                    temperature: float = 1.0,
+                    gumbel_seed: int | None = None,
+                    bigrams: bool = True) -> str:
+    """DuckDB replica of :func:`dsir_sample` (same key formula)."""
+    lw = dsir_logw_sql(raw_table, target_table, id_col, text_col, buckets,
+                       alpha, bigrams)
+    if gumbel_seed is None:
+        key = "logw"
+    else:
+        u = portable_uniform_sql(f"CAST({id_col} AS BIGINT)",
+                                 1_000_003 * gumbel_seed + 77)
+        key = (f"(logw / {repr(float(temperature))} "
+               f"- ln(-ln({u} * 0.999999999 + 1e-10)))")
+    return f"""
+        WITH lw AS ({lw})
+        SELECT {id_col}, n_grams, logw, {key} AS key
+        FROM lw
+        ORDER BY key DESC, {id_col} ASC
+        LIMIT {k}
+    """
