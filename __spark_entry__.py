@@ -437,7 +437,7 @@ def q22_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 def q23_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic language-ID guess counts (marker stopword argmax)."""
-    d = load_table(spark, sf, "documents", fan_out=False)
+    d = load_table(spark, sf, "documents", fan_out=True)
     return (
         d.select(textops.language_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
@@ -1468,7 +1468,7 @@ def q70_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     semi-join on the benchmark n-gram set — no wide shuffle of text."""
     from duckdb_spatial_spark.operators.pipeline import decontaminate
 
-    d = load_table(spark, sf, "documents", fan_out=False)
+    d = load_table(spark, sf, "documents", fan_out=True)
     bench = d.where(F.col("doc_id") % 50 == 0).select(
         "doc_id",
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)).alias("text"),
@@ -1804,7 +1804,7 @@ def q74_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     Counters are linear; a col-expr formulation would be O(words²))."""
     from duckdb_spatial_spark.operators.pipeline import repetition_metrics
 
-    d = load_table(spark, sf, "documents", fan_out=False)
+    d = load_table(spark, sf, "documents", fan_out=True)
     built = d.select(
         "doc_id",
         F.when(
@@ -1956,7 +1956,7 @@ def q83_url_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     from the same regex constants (operators/urlops.py)."""
     from duckdb_spatial_spark.operators import urlops as U
 
-    orders = load_table(spark, sf, "orders", fan_out=False)
+    orders = load_table(spark, sf, "orders", fan_out=True)
     u = orders.select(_q83_url_expr_spark().alias("url"))
     n = u.select(
         U.url_normalize(F.col("url")).alias("nu"),
@@ -2069,7 +2069,7 @@ def q87_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators.lm import (ngram_lm_score,
                                                    ngram_lm_train)
 
-    d = load_table(spark, sf, "documents", fan_out=False)
+    d = load_table(spark, sf, "documents", fan_out=True)
     vocab, uni, bi = ngram_lm_train(d, "text", vocab_size=_Q87_V)
     s = ngram_lm_score(d, "doc_id", "text", vocab, uni, bi,
                        vocab_size=_Q87_V)
@@ -2210,7 +2210,7 @@ def q90_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators import urlops as U
     from duckdb_spatial_spark.operators.pipeline import cap_per_key
 
-    orders = load_table(spark, sf, "orders", fan_out=False)
+    orders = load_table(spark, sf, "orders", fan_out=True)
     u = orders.select("o_orderkey", _q83_url_expr_spark().alias("url"))
     d = u.select(
         "o_orderkey",
@@ -2318,7 +2318,7 @@ def q93_vec_quantize(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators.vectors import (dequantize_vec,
                                                         quantize_vec)
 
-    e = load_table(spark, sf, "embeddings", fan_out=False)
+    e = load_table(spark, sf, "embeddings", fan_out=True)
     q = e.select(
         "label", "embedding",
         quantize_vec(F.col("embedding")).alias("q"),
@@ -2574,7 +2574,7 @@ def q101_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     text never shuffles — the reconstruction join is on doc_id."""
     from duckdb_spatial_spark.operators.dedup import substring_dedup
 
-    d = load_table(spark, sf, "documents", fan_out=False)
+    d = load_table(spark, sf, "documents", fan_out=True)
     out = substring_dedup(d, "doc_id", "text", k=8)
     return (
         out.groupBy("source")
