@@ -2720,6 +2720,28 @@ def q105_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.col("key").desc(), "doc_id")
 
 
+def q106_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    the GPT-3/LLaMA/CCNet recipes), as multinomial Naive Bayes over
+    hashed unigram+bigram buckets: trains in ONE distributed counting
+    pass on the even-doc_id half (label: lang='en'), scores the odd
+    half with a broadcast ≤2·buckets-row model. Exact oracle replays
+    train AND score (log-odds decomposed as delta-above-smoothing-floor
+    so untrained buckets cancel exactly in both engines)."""
+    from duckdb_spatial_spark.operators import classify
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    model_rows, stats = classify.nb_train(
+        train.withColumn("label", F.col("lang") == "en"),
+        buckets=2048, alpha=1.0)
+    out = classify.nb_score(score, model_rows, stats)
+    return out.select(
+        "doc_id", "n_grams", F.round("nb_score", 6).alias("nb_score"),
+    ).orderBy(F.col("nb_score").desc(), "doc_id").limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2757,7 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q103_bm25_topk": q103_bm25_topk,
         "q50_validity": q50_validity,
-        "q75_streaming_extent": q75_streaming_extent,
+        "q106_nb_quality_classifier": q106_nb_quality_classifier,
         "q76_pack_sequences": q76_pack_sequences,
         "q77_chunk_documents": q77_chunk_documents,
         "q78_temperature_mix": q78_temperature_mix,
@@ -2794,7 +2816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaces q36 (ST_DWithin; predicate family covered by q31).
         # q105 (DSIR selection) displaces q33 (ST_Simplify; processing
         # family covered in-window by q58 linemerge + q64 overlay + q28).
+        # q106 (NB quality classifier) displaces q75 (streaming extent;
+        # streaming family keeps q81 stateful sessions in-window).
         "q88_knn_join": q88_knn_join,
+        "q75_streaming_extent": q75_streaming_extent,
         "q33_simplify": q33_simplify,
         "q18_dedup_exact": q18_dedup_exact,
         "q34_envelope_boundary": q34_envelope_boundary,
@@ -4154,7 +4179,24 @@ def oracle_sql() -> dict[str, str]:
             FROM fl GROUP BY 1 ORDER BY 1
         """,
         "q105_dsir_select": _q105_oracle_sql(),
+        "q106_nb_quality_classifier": _q106_oracle_sql(),
     }
+
+
+def _q106_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.classify import nb_score_sql
+
+    inner = nb_score_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "lang = 'en'", "doc_id", "text", buckets=2048, alpha=1.0,
+    )
+    return f"""
+        SELECT doc_id, n_grams, round(nb_score, 6) AS nb_score
+        FROM ({inner})
+        ORDER BY nb_score DESC, doc_id
+        LIMIT 20
+    """
 
 
 def _q105_oracle_sql() -> str:

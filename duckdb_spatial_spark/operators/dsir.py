@@ -99,7 +99,8 @@ def _gram_rows(df: DataFrame, keep_cols: list, text_col: str,
     column) so the bigram ``transform`` stays linear — see
     pipeline.ngrams_of_words' scale note."""
     w = df.select(*keep_cols, normalized_words(F.col(text_col)).alias("_w"))
-    w = w.select(*keep_cols, "_w", F.size(F.col("_w")).alias("_n"))
+    keep = [c for c in w.columns if c != "_w"]
+    w = w.select(*keep, "_w", F.size(F.col("_w")).alias("_n"))
     grams = F.col("_w")
     if bigrams:
         bi = F.when(
@@ -111,7 +112,7 @@ def _gram_rows(df: DataFrame, keep_cols: list, text_col: str,
         ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(grams, bi)
     return (
-        w.select(*keep_cols, F.explode(grams).alias("gram"))
+        w.select(*keep, F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
     )
 
