@@ -10,6 +10,7 @@ from .knn import st_knn_join  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_pipeline,
     exact_dedup,
+    hamming_neardup_pairs,
     jaccard_verify,
     minhash_dedup,
     connected_components,

@@ -946,3 +946,60 @@ def substring_dedup_sql(table: str, id_col: str = "doc_id",
                CAST(len(d._w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         FROM _docs d LEFT JOIN _agg a ON a._id = d._id
     """
+
+
+def hamming_neardup_pairs(
+    df: DataFrame, id_col: str, hash_col: str, bits: int = 64,
+    bands: int = 8, max_hamming: int = 3,
+    bucket_cap: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs over an integer fingerprint column — the
+    modality-agnostic hamming tier: feed it the 64-bit perceptual aHash
+    that :func:`operators.multimodal.image_features` emits (image dedup),
+    a simhash, or any LSB-packed bit signature.
+
+    LSH shape: the fingerprint splits into ``bands`` disjoint bit ranges;
+    candidates share at least one (band, value) bucket. By pigeonhole any
+    pair with hamming distance < ``bands`` agrees on some band, so for
+    ``max_hamming <= bands - 1`` the candidate set has NO recall loss —
+    the post-join ``bit_count(xor) <= max_hamming`` verification makes
+    the result exact, never approximate. Cost: one explode to bands× the
+    fingerprint count (ids + longs only), one equi-join on (band, key),
+    one hash join back for the verify — no text/payload ever shuffles.
+
+    ``bucket_cap`` (default None = exact) star-collapses oversized
+    buckets like minhash_lsh_candidates; use it ONLY when feeding a
+    connected-components clustering (star candidates are connectivity-
+    equivalent but the per-pair hamming verification here would drop
+    star legs, under-reporting direct pairs — same caveat the round-3
+    advice fixed in minhash_dedup).
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            "max_hamming must be < bands for the exactness guarantee "
+            "(a pair differing in >= bands bits can miss every bucket)")
+    width = bits // bands
+    sig = df.select(F.col(id_col).alias("__id"),
+                    F.col(hash_col).cast("long").alias("__sh"))
+    parts = []
+    for b in range(bands):
+        # shift-then-mask keeps every literal under 2^62 (a direct
+        # ((1<<width)-1) << 56 mask overflows a signed-long literal)
+        key = F.shiftrightunsigned(F.col("__sh"), b * width) \
+            .bitwiseAND(F.lit((1 << width) - 1))
+        parts.append(sig.select(
+            "__id", F.lit(b).alias("band"), key.alias("key")))
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.union(p)
+    pairs = _bucket_pairs(bucketed, bucket_cap)
+    ha = sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__ha"))
+    hb = sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__hb"))
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        pairs.join(ha, "id_a").join(hb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

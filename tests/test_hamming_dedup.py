@@ -1,0 +1,80 @@
+"""hamming_neardup_pairs (operators/dedup.py): exactness guarantee vs a
+brute-force reference, parameter guards, hot-bucket star mode, and the
+end-to-end image-dedup path (real PPM decode → aHash → pairs).
+"""
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.dedup import hamming_neardup_pairs
+
+
+def _brute(rows, max_hamming):
+    out = set()
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1:]:
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            if bin(ha ^ hb).count("1") <= max_hamming:
+                out.add((a, b))
+    return out
+
+
+def test_exact_vs_bruteforce_random(spark):
+    rng = random.Random(99)
+    base = [rng.getrandbits(62) for _ in range(40)]
+    rows = []
+    for i in range(120):
+        h = base[i % 40]
+        # flip up to 3 random bits so some pairs straddle the threshold
+        for _ in range(rng.randint(0, 3)):
+            h ^= 1 << rng.randrange(62)
+        rows.append((i, h))
+    df = spark.createDataFrame(rows, "id long, ph long")
+    for mh in (1, 3, 7):
+        got = {(r.id_a, r.id_b) for r in hamming_neardup_pairs(
+            df, "id", "ph", bits=64, bands=8, max_hamming=mh).collect()}
+        assert got == _brute(rows, mh), mh
+
+
+def test_parameter_guards(spark):
+    df = spark.createDataFrame([(1, 5)], "id long, ph long")
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "id", "ph", bits=64, bands=7)
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "id", "ph", bands=8, max_hamming=8)
+
+
+def test_hamming_reported_exactly(spark):
+    df = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1010), (3, 0b1000)], "id long, ph long")
+    got = {(r.id_a, r.id_b): r.hamming for r in hamming_neardup_pairs(
+        df, "id", "ph", bits=64, bands=8, max_hamming=2).collect()}
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def test_image_ahash_neardup_end_to_end(spark):
+    # real codec path: solid PPM images; a near-identical pair (one pixel
+    # nudged) hashes within 1 bit, a different image lands far away
+    from duckdb_spatial_spark.operators.media_codecs import encode_ppm
+    from duckdb_spatial_spark.operators.multimodal import image_features
+    import numpy as np
+
+    base = np.zeros((16, 16, 3), dtype=np.uint8)
+    base[:8, :, :] = 200          # top half bright, bottom dark
+    near = base.copy()
+    near[15, 15, 0] = 30          # one-pixel nudge
+    other = np.zeros((16, 16, 3), dtype=np.uint8)
+    other[:, :8, :] = 200         # LEFT half bright → different hash
+
+    rows = [(1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_ppm(near))),
+            (3, bytearray(encode_ppm(other)))]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    feats = image_features(df, payload_col="payload").select(
+        "img_id", F.col("img_features.phash").alias("ph"))
+    pairs = hamming_neardup_pairs(feats, "img_id", "ph", bits=64,
+                                  bands=8, max_hamming=4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
