@@ -225,6 +225,39 @@ def main() -> None:
         return bloom_might_contain(probes, "k", bloom) \
             .filter("might").count()
 
+    def dsir_w(df):
+        from duckdb_spatial_spark.operators.dsir import dsir_log_weights
+
+        target = df.filter(F.col("doc_id") % 5 == 0)
+        return (dsir_log_weights(df, target, buckets=2048)
+                .agg(F.sum("logw")).collect()[0][0])
+
+    def nb_w(df):
+        from duckdb_spatial_spark.operators import classify
+
+        labeled = df.withColumn("label", F.col("doc_id") % 2 == 0)
+        model, stats = classify.nb_train(labeled, buckets=2048)
+        return (classify.nb_score(df, model, stats)
+                .agg(F.sum("nb_score")).collect()[0][0])
+
+    def hamming_w(df):
+        from duckdb_spatial_spark.operators.dedup import hamming_neardup_pairs
+
+        # one planted near-pair per (even, odd) id couple → the TRUE pair
+        # count grows linearly with rows. (A first draft used doc_id % 500
+        # bases; the 10M replica shift is a multiple of 500, so replication
+        # multiplied each base's multiplicity — output pairs, which are
+        # inherently quadratic in multiplicity, grew 23×. That is the
+        # boilerplate-bucket wall again, not a plan flaw; bucket_cap is
+        # the production guard, same as minhash_lsh.)
+        base = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+        ph = F.xxhash64(base)
+        flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 6 AS INT))")
+        d = df.select("doc_id", F.when(F.col("doc_id") % 2 == 0, ph)
+                      .otherwise(ph.bitwiseXOR(flip)).alias("ph"))
+        return hamming_neardup_pairs(d, "doc_id", "ph", bits=64, bands=8,
+                                     max_hamming=2).count()
+
     workloads = [
         ("pip_join", events, ["event_id"], pip_join),
         ("hilbert_layout", events, ["event_id"], hilbert),
@@ -244,6 +277,9 @@ def main() -> None:
         ("pagerank_3iter", events, ["event_id"], pagerank_w),
         ("knn_broadcast", events, ["event_id"], knn_w),
         ("bloom_build_probe", docs, ["doc_id"], bloom_w),
+        ("dsir_weights", docs, ["doc_id"], dsir_w),
+        ("nb_train_score", docs, ["doc_id"], nb_w),
+        ("hamming_neardup", docs, ["doc_id"], hamming_w),
     ]
     out = {}
     for name, base, keys, fn in workloads:
