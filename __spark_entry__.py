@@ -2784,6 +2784,34 @@ def q107_hamming_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q108_lm_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995 /
+    Chen & Goodman 1999 — the standard upgrade over q87's add-k for
+    fluency filtering): absolute discounting with distinct-continuation
+    backoff. All three KN statistics tables derive from the bigram
+    counts alone (no extra corpus pass), stay bounded by the vocab, and
+    broadcast at score time. Oracle: self-contained SQL replica of
+    train + KN score."""
+    from duckdb_spatial_spark.operators.lm import (ngram_lm_score_kn,
+                                                   ngram_lm_train)
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    vocab, _uni, bi = ngram_lm_train(d, "text", vocab_size=_Q87_V)
+    s = ngram_lm_score_kn(d, "doc_id", "text", vocab, bi,
+                          vocab_size=_Q87_V, discount=0.75)
+    return (
+        s.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+            F.round(F.min("ppl"), 4).alias("min_ppl"),
+            F.round(F.max("ppl"), 4).alias("max_ppl"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2818,7 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_url_domain_stats": q83_url_domain_stats,
         "q82_warc_pipeline": q82_warc_pipeline,
         "q41_casts": q41_casts,
-        "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
+        "q108_lm_kneser_ney": q108_lm_kneser_ney,
         "q103_bm25_topk": q103_bm25_topk,
         "q50_validity": q50_validity,
         "q106_nb_quality_classifier": q106_nb_quality_classifier,
@@ -2863,7 +2891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q107 (hamming fingerprint dedup) displaces q20 (simhash stats;
         # the hamming-fingerprint family stays repped by q107 itself and
         # dedup keeps 7 other in-window reps).
+        # q108 (Kneser-Ney LM) displaces q80 (webdataset roundtrip;
+        # container-format family keeps q82 WARC in-window).
         "q88_knn_join": q88_knn_join,
+        "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q20_simhash": q20_simhash,
         "q75_streaming_extent": q75_streaming_extent,
         "q33_simplify": q33_simplify,
@@ -4227,7 +4258,25 @@ def oracle_sql() -> dict[str, str]:
         "q105_dsir_select": _q105_oracle_sql(),
         "q106_nb_quality_classifier": _q106_oracle_sql(),
         "q107_hamming_image_dedup": _q107_oracle_sql(),
+        "q108_lm_kneser_ney": _q108_oracle_sql(),
     }
+
+
+def _q108_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.lm import ngram_lm_score_kn_sql
+
+    inner = ngram_lm_score_kn_sql("documents", "doc_id", "text",
+                                  vocab_size=_Q87_V, discount=0.75)
+    return f"""
+        WITH s AS ({inner})
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(s.ppl), 4) AS avg_ppl,
+               round(min(s.ppl), 4) AS min_ppl,
+               round(max(s.ppl), 4) AS max_ppl
+        FROM s JOIN documents d ON d.doc_id = s.__id
+        GROUP BY 1 ORDER BY 1
+    """
 
 
 def _q107_oracle_sql() -> str:

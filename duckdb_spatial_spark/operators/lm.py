@@ -30,7 +30,10 @@ from typing import Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_lm_train", "ngram_lm_score", "ngram_lm_score_sql", "UNK"]
+__all__ = [
+    "ngram_lm_train", "ngram_lm_score", "ngram_lm_score_sql",
+    "kn_tables", "ngram_lm_score_kn", "ngram_lm_score_kn_sql", "UNK",
+]
 
 UNK = "<unk>"
 
@@ -203,6 +206,145 @@ def ngram_lm_score_sql(
         FROM pairs p
         LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
         LEFT JOIN uni u ON u.w1 = p.w1
+      )
+      SELECT __id, -avg(lp) AS nll, exp(-avg(lp)) AS ppl
+      FROM scored GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney (Kneser & Ney 1995 / Chen & Goodman 1999 —
+# public method; the standard upgrade over add-k for fluency filtering)
+# ---------------------------------------------------------------------------
+
+def kn_tables(bi: DataFrame, vocab_size: int):
+    """Derive the three Kneser-Ney statistics tables from the bigram
+    counts alone — no extra corpus pass:
+
+      ctx:  (w1, c1ctx, n1p_fwd)  — w1's count AS CONTEXT (sum of its
+            bigrams, the standard KN denominator) and its distinct-
+            continuation count N1+(w1 ·)
+      cont: (w2, n1p_bwd)         — distinct-context count N1+(· w2)
+      n1p_all                     — distinct bigram types N1+(· ·)
+
+    All bounded by the <unk>-mapped alphabet (≤ V+1 rows each; n1p_all
+    is a scalar), so they broadcast at score time.
+    """
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1ctx"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_bwd"))
+    n1p_all = bi.count()
+    return ctx, cont, n1p_all
+
+
+def ngram_lm_score_kn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    bi: DataFrame,
+    vocab_size: int,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document (nll, ppl) under interpolated Kneser-Ney:
+
+      Pcont(w2)  = (N1+(· w2) + 1) / (N1+(· ·) + V')     (add-1 so a word
+                   never seen as a continuation keeps ln finite — mirrored
+                   verbatim in the SQL twin)
+      P(w2|w1)   = (max(c12 − d, 0) + d · N1+(w1 ·) · Pcont(w2)) / c1ctx(w1)
+                   when w1 has context mass; else backoff to Pcont(w2)
+                   (w1 can lack context mass when it only ever ended a
+                   training document).
+
+    Same plan shape as the add-k scorer: broadcast joins only, one scan
+    of the scored corpus, one groupBy on the document id.
+    """
+    vprime = float(vocab_size + 1)
+    d_ = float(discount)
+    ctx, cont, n1p_all = kn_tables(bi, vocab_size)
+    pairs = _pair_rows(df, text_col, [F.col(id_col)])
+    mapped = _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
+    pcont = (F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double")
+             + F.lit(1.0)) / F.lit(float(n1p_all) + vprime)
+    c12 = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+    c1ctx = F.coalesce(F.col("c1ctx"), F.lit(0)).cast("double")
+    n1p_fwd = F.coalesce(F.col("n1p_fwd"), F.lit(0)).cast("double")
+    p = F.when(
+        c1ctx > 0,
+        (F.greatest(c12 - F.lit(d_), F.lit(0.0))
+         + F.lit(d_) * n1p_fwd * pcont) / c1ctx,
+    ).otherwise(pcont)
+    scored = (
+        mapped.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .join(F.broadcast(cont), ["w2"], "left")
+        .select(id_col, F.log(p).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        (-F.avg("lp")).alias("nll"),
+        F.exp(-F.avg("lp")).alias("ppl"),
+    )
+
+
+def ngram_lm_score_kn_sql(
+    table: str, id_expr: str, text_expr: str, vocab_size: int,
+    discount: float = 0.75,
+) -> str:
+    """Self-contained DuckDB replica of train + Kneser-Ney score with the
+    identical vocab truncation, <unk> mapping, statistics and formula."""
+    vprime = float(vocab_size + 1)
+    d_ = repr(float(discount))
+    ws = (f"list_filter(string_split_regex(lower(trim({text_expr})), "
+          f"'\\s+'), x -> x <> '')")
+    return f"""
+      WITH base AS (
+        SELECT {id_expr} AS __id, {ws} AS ws FROM {table}
+      ), toks AS (
+        SELECT __id, unnest(ws) AS word FROM base
+      ), vocab AS (
+        SELECT word FROM (
+          SELECT word, count(*) AS freq FROM toks GROUP BY 1
+        ) ORDER BY freq DESC, word LIMIT {vocab_size}
+      ), rawpairs AS (
+        SELECT __id,
+               unnest(ws[1:len(ws)-1]) AS w1r,
+               unnest(ws[2:len(ws)]) AS w2r
+        FROM base
+      ), pairs AS (
+        SELECT p.__id,
+               CASE WHEN va.word IS NULL THEN '{UNK}' ELSE p.w1r END AS w1,
+               CASE WHEN vb.word IS NULL THEN '{UNK}' ELSE p.w2r END AS w2
+        FROM rawpairs p
+        LEFT JOIN vocab va ON va.word = p.w1r
+        LEFT JOIN vocab vb ON vb.word = p.w2r
+      ), bi AS (
+        SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+      ), ctx AS (
+        SELECT w1, sum(c12) AS c1ctx, count(*) AS n1p_fwd
+        FROM bi GROUP BY 1
+      ), cont AS (
+        SELECT w2, count(*) AS n1p_bwd FROM bi GROUP BY 1
+      ), allt AS (
+        SELECT count(*) AS n1p_all FROM bi
+      ), scored AS (
+        SELECT p.__id,
+               ln(CASE WHEN COALESCE(ctx.c1ctx, 0) > 0 THEN
+                    (greatest(CAST(COALESCE(bi.c12, 0) AS DOUBLE) - {d_}, 0.0)
+                     + {d_} * CAST(COALESCE(ctx.n1p_fwd, 0) AS DOUBLE)
+                       * ((CAST(COALESCE(cont.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                          / (CAST(allt.n1p_all AS DOUBLE) + {vprime})))
+                    / CAST(ctx.c1ctx AS DOUBLE)
+                  ELSE
+                    (CAST(COALESCE(cont.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                    / (CAST(allt.n1p_all AS DOUBLE) + {vprime})
+                  END) AS lp
+        FROM pairs p
+        LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+        LEFT JOIN ctx ON ctx.w1 = p.w1
+        LEFT JOIN cont ON cont.w2 = p.w2
+        CROSS JOIN allt
       )
       SELECT __id, -avg(lp) AS nll, exp(-avg(lp)) AS ppl
       FROM scored GROUP BY 1
