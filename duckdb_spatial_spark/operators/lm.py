@@ -115,13 +115,16 @@ def ngram_lm_train(
     )
     # the bigram table is bounded by observed pairs over a V+1 alphabet,
     # but at vocab_size=10k that can still be ~1e8 rows — far too many to
-    # collect as driver tuples. Small tables take the fast driver path;
-    # large ones materialize DISTRIBUTED (localCheckpoint severs the
-    # lineage so score-time use doesn't re-run the corpus pass).
-    n_bi = bi_plan.count()
-    if n_bi <= 200_000:
+    # collect as driver tuples. Probe with limit(cap+1).collect(): ONE job
+    # decides the path AND already holds the rows on the small side (a
+    # separate count() pass paid the whole aggregation twice). Large
+    # tables materialize DISTRIBUTED (localCheckpoint severs the lineage
+    # so score-time use doesn't re-run the corpus pass).
+    cap = 200_000
+    probe = bi_plan.limit(cap + 1).collect()
+    if len(probe) <= cap:
         bi = spark.createDataFrame(
-            [(r.w1, r.w2, r.c12) for r in bi_plan.collect()],
+            [(r.w1, r.w2, r.c12) for r in probe],
             "w1 string, w2 string, c12 long")
     else:
         bi = bi_plan.localCheckpoint(eager=True)
