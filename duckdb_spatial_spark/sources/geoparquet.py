@@ -29,6 +29,13 @@ _GEOM_TYPE_NAMES = {
 }
 
 
+def _bbox_arrow_type():
+    import pyarrow as pa
+
+    return pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                      ("xmax", pa.float64()), ("ymax", pa.float64())])
+
+
 def geoparquet_meta(path: str) -> Optional[dict]:
     """Parsed 'geo' footer metadata of a GeoParquet file (first file when
     given a directory); None when absent — then it's plain parquet."""
@@ -58,11 +65,20 @@ def st_write_geoparquet(
     path: str,
     geom_col: str = "geom",
     crs: Optional[str] = None,
+    covering: bool = False,
 ) -> None:
     """Distributed GeoParquet sink: per-partition pyarrow writer emits
-    part-*.parquet files whose footers carry GeoParquet v1.0.0 'geo'
-    metadata (encoding WKB, per-file bbox + geometry_types). No driver
-    collect; the geometry column must be WKB binary."""
+    part-*.parquet files whose footers carry GeoParquet 'geo' metadata
+    (encoding WKB, per-file bbox + geometry_types). No driver collect;
+    the geometry column must be WKB binary.
+
+    ``covering=True`` writes the GeoParquet 1.1 bbox covering: a per-row
+    ``bbox`` struct<xmin,ymin,xmax,ymax> column declared under
+    geo.columns.<geom>.covering.bbox. This is THE scale feature of the
+    format — parquet row-group min/max statistics on the four doubles
+    let any engine prune row groups for a spatial window without
+    decoding a single geometry (our reader turns the bbox option into
+    PushedFilters on these fields)."""
     if geom_col not in df.columns:
         raise ValueError(f"no geometry column {geom_col!r} in {df.columns}")
     os.makedirs(path, exist_ok=True)
@@ -84,11 +100,14 @@ def st_write_geoparquet(
         gtypes = set()
         n = 0
         for pdf in batches:
+            row_bounds = []
             for b in pdf[geom_col]:
                 if b is None:
+                    row_bounds.append(None)
                     continue
                 g = from_wkb(bytes(b))
                 bd = g.bounds()
+                row_bounds.append(bd)
                 if bd:
                     xmin = min(xmin, bd[0])
                     ymin = min(ymin, bd[1])
@@ -97,8 +116,17 @@ def st_write_geoparquet(
                 name = _GEOM_TYPE_NAMES.get(g.type_id)
                 if name:
                     gtypes.add(name)
-            tables.append(pa.Table.from_pandas(pdf, schema=arrow_schema,
-                                               preserve_index=False))
+            tb1 = pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                       preserve_index=False)
+            if covering:
+                bbox_arr = pa.array(
+                    [None if bd is None else
+                     {"xmin": bd[0], "ymin": bd[1],
+                      "xmax": bd[2], "ymax": bd[3]}
+                     for bd in row_bounds],
+                    type=_bbox_arrow_type())
+                tb1 = tb1.append_column("bbox", bbox_arr)
+            tables.append(tb1)
             n += len(pdf)
         if n:
             col_meta = {"encoding": "WKB",
@@ -108,10 +136,15 @@ def st_write_geoparquet(
                                     float(xmax), float(ymax)]
             if crs_val is not None:
                 col_meta["crs"] = crs_val
-            geo = {"version": "1.0.0", "primary_column": geom_col,
+            if covering:
+                col_meta["covering"] = {"bbox": {
+                    "xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
+                    "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"]}}
+            geo = {"version": "1.1.0" if covering else "1.0.0",
+                   "primary_column": geom_col,
                    "columns": {geom_col: col_meta}}
             tb = pa.concat_tables(tables)
-            meta = dict(arrow_schema.metadata or {})
+            meta = dict(tb.schema.metadata or {})
             meta[b"geo"] = json.dumps(geo).encode("utf-8")
             tb = tb.replace_schema_metadata(meta)
             fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")

@@ -246,15 +246,34 @@ def st_read(
             low.endswith(".json") and wkt_col is None and _looks_geojson(path)):
         df = read_geojson(spark, path)
     elif low.endswith((".parquet", ".pq")) or os.path.isdir(path):
+        from .geoparquet import geoparquet_meta
+
         df = spark.read.parquet(path)
+        gm = geoparquet_meta(path)
         if geom_col not in df.columns:
             # GeoParquet 'geo' footer names the primary geometry column —
             # surface it under the requested geom_col
-            from .geoparquet import geoparquet_meta
-
-            gm = geoparquet_meta(path)
             if gm and gm.get("primary_column") in df.columns:
                 df = df.withColumnRenamed(gm["primary_column"], geom_col)
+        if bbox is not None and gm:
+            # GeoParquet 1.1 bbox covering: the spatial window becomes
+            # four plain double comparisons that Spark pushes into the
+            # parquet scan (PushedFilters on bbox.* → row-group min/max
+            # pruning) — zero geometry decode on pruned groups
+            cov = (gm.get("columns", {})
+                   .get(gm.get("primary_column", geom_col), {})
+                   .get("covering", {}).get("bbox"))
+            if cov:
+                bcol = cov["xmin"][0]
+                if bcol in df.columns:
+                    qxmin, qymin, qxmax, qymax = bbox
+                    df = df.filter(
+                        (F.col(f"{bcol}.{cov['xmin'][1]}") <= qxmax)
+                        & (F.col(f"{bcol}.{cov['xmax'][1]}") >= qxmin)
+                        & (F.col(f"{bcol}.{cov['ymin'][1]}") <= qymax)
+                        & (F.col(f"{bcol}.{cov['ymax'][1]}") >= qymin)
+                    ).drop(bcol)
+                    bbox = None  # consumed — skip the st_extent fallback
     elif low.endswith(".csv"):
         df = spark.read.csv(path, header=True, inferSchema=True)
     elif low.endswith((".json", ".ndjson", ".jsonl")):

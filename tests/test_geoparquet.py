@@ -104,3 +104,49 @@ def test_real_geoparquet_metadata_segments(spark):
         .agg(F.min("e.xmin").alias("x0"), F.max("e.xmax").alias("x1")).collect()[0]
     bx = gm["columns"]["geometry"]["bbox"]
     assert bx[0] - 1e-6 <= ext["x0"] and ext["x1"] <= bx[2] + 1e-6
+
+
+def test_covering_roundtrip_and_pushdown(spark, tmp_path):
+    """GeoParquet 1.1 bbox covering: the writer emits the per-row bbox
+    struct + covering metadata; st_read turns the bbox option into plain
+    column comparisons the parquet scan can prune with (PushedFilters on
+    bbox.*), and hides the covering column from the result."""
+    out = str(tmp_path / "cov_gpq")
+    df = (spark.range(100)
+          .select(F.col("id"),
+                  ST.st_point(F.col("id").cast("double"),
+                              (F.col("id") % 10).cast("double"))
+                  .alias("geometry"))
+          .repartition(3))
+    st_write_geoparquet(df, out, geom_col="geometry", covering=True)
+
+    gm = geoparquet_meta(out)
+    assert gm["version"] == "1.1.0"
+    cov = gm["columns"]["geometry"]["covering"]["bbox"]
+    assert cov["xmin"] == ["bbox", "xmin"] and cov["ymax"] == ["bbox", "ymax"]
+    # the physical files carry the struct column
+    f = glob.glob(os.path.join(out, "*.parquet"))[0]
+    names = {fld.name for fld in pq.read_schema(f)}
+    assert "bbox" in names
+
+    got = st_read(spark, out, bbox=(10.0, 0.0, 20.0, 100.0), geom_col="geom")
+    ids = sorted(r.id for r in got.collect())
+    assert ids == list(range(10, 21))          # x in [10, 20]
+    assert "bbox" not in got.columns           # covering column is hidden
+    plan = got._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "bbox" in plan
+
+
+def test_covering_rows_match_uncovered_read(spark, tmp_path):
+    out1 = str(tmp_path / "plain")
+    out2 = str(tmp_path / "covered")
+    df = (spark.range(60)
+          .select(F.col("id"),
+                  ST.st_point((F.col("id") % 30).cast("double"),
+                              F.col("id").cast("double")).alias("geometry")))
+    st_write_geoparquet(df, out1, geom_col="geometry")
+    st_write_geoparquet(df, out2, geom_col="geometry", covering=True)
+    box = (5.0, 0.0, 9.0, 100.0)
+    a = sorted(r.id for r in st_read(spark, out1, bbox=box).collect())
+    b = sorted(r.id for r in st_read(spark, out2, bbox=box).collect())
+    assert a == b and len(a) > 0
