@@ -383,3 +383,62 @@ def video_metadata(df: DataFrame, payload_col: str = "payload",
                    out_col: str = "video_meta") -> DataFrame:
     """MP4/MOV metadata probe (duration, track codecs/dims/rates)."""
     return df.withColumn(out_col, video_metadata_col(F.col(payload_col)))
+
+
+def _audio_fingerprint_one(samples: np.ndarray, bits: int = 64) -> Optional[int]:
+    """Energy-difference fingerprint (the time-domain core of the
+    Haitsma-Kalman 2002 audio-fingerprint family, public method): split
+    the signal into ``bits``+1 equal frames, take each frame's energy,
+    and emit one bit per adjacent-frame energy INCREASE. Amplitude-
+    invariant (scaling multiplies every energy equally) and stable under
+    small noise; near-duplicate audio lands within a few bits, so
+    :func:`~duckdb_spatial_spark.operators.dedup.hamming_neardup_pairs`
+    is the matching join."""
+    n = len(samples)
+    if n < bits + 1:
+        return None
+    frames = bits + 1
+    # trim to a multiple of `frames` so the reshape is exact
+    m = n - n % frames
+    e = (samples[:m].astype(np.float64).reshape(frames, m // frames) ** 2).sum(axis=1)
+    up = e[1:] > e[:-1]
+    fp = 0
+    for i, v in enumerate(up):
+        if v:
+            fp |= 1 << i
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+def audio_fingerprint_col(payload, bits: int = 64,
+                          decode_fn: Optional[Callable[[bytes], tuple]] = None):
+    """Column form: payload → 64-bit fingerprint (long, NULL for missing
+    or too-short audio). One scalar pandas UDF — only the payload crosses
+    the Python boundary."""
+    if decode_fn is None:
+        from .media_codecs import decode_wav_any
+
+        decode_fn = decode_wav_any
+
+    @F.pandas_udf(T.LongType())
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+                continue
+            samples, _sr = decode_fn(bytes(b))
+            out.append(_audio_fingerprint_one(np.asarray(samples), bits))
+        return pd.Series(out, dtype="object")
+
+    return _f(payload)
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
+                      out_col: str = "audio_fp",
+                      decode_fn: Optional[Callable[[bytes], tuple]] = None) -> DataFrame:
+    """Audio near-dup dedup, stage 1: 64-bit energy-delta fingerprints.
+    Stage 2 is ``hamming_neardup_pairs(df, id, out_col)`` — the same
+    modality-agnostic hamming tier the image aHash uses."""
+    return df.withColumn(out_col, audio_fingerprint_col(F.col(payload_col)))

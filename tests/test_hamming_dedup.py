@@ -78,3 +78,46 @@ def test_image_ahash_neardup_end_to_end(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_fingerprint_neardup_end_to_end(spark):
+    # real WAV codec path: a noisy copy of a tone sequence fingerprints
+    # within a few bits; a different sequence lands far away
+    import numpy as np
+    from duckdb_spatial_spark.operators.media_codecs import encode_wav
+    from duckdb_spatial_spark.operators.multimodal import audio_fingerprint
+
+    rng = np.random.default_rng(3)
+    t = np.arange(13000) / 8000.0
+    # amplitude-modulated tone: distinct frame-energy profile
+    env = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 1.7 * t))
+    base = (env * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    near = base * 0.5 + rng.normal(0, 0.004, base.shape)   # rescaled + noise
+    env2 = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 5.3 * t + 1.0))
+    other = (env2 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+
+    def wav(x):
+        # encode_wav takes floats in [-1, 1]
+        return bytearray(encode_wav(x, 8000))
+
+    df = spark.createDataFrame(
+        [(1, wav(base)), (2, wav(near)), (3, wav(other))],
+        "clip_id long, payload binary")
+    fp = audio_fingerprint(df).select("clip_id", "audio_fp")
+    pairs = hamming_neardup_pairs(fp, "clip_id", "audio_fp", bits=64,
+                                  bands=8, max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_fingerprint_amplitude_invariant(spark):
+    import numpy as np
+    from duckdb_spatial_spark.operators.multimodal import _audio_fingerprint_one
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, 6500)
+    a = _audio_fingerprint_one(x)
+    b = _audio_fingerprint_one(x * 3.7)
+    assert a == b
+    assert _audio_fingerprint_one(np.zeros(10)) is None  # too short
