@@ -66,6 +66,7 @@ def st_write_geoparquet(
     geom_col: str = "geom",
     crs: Optional[str] = None,
     covering: bool = False,
+    row_group_size: Optional[int] = None,
 ) -> None:
     """Distributed GeoParquet sink: per-partition pyarrow writer emits
     part-*.parquet files whose footers carry GeoParquet 'geo' metadata
@@ -148,7 +149,13 @@ def st_write_geoparquet(
             meta[b"geo"] = json.dumps(geo).encode("utf-8")
             tb = tb.replace_schema_metadata(meta)
             fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
-            pq.write_table(tb, fname)
+            # smaller row groups = finer min/max pruning granularity for
+            # the covering; pair with a hilbert/space-filling sort so each
+            # group's bbox stats are tight (sources/../operators/cluster)
+            if row_group_size is not None:
+                pq.write_table(tb, fname, row_group_size=row_group_size)
+            else:
+                pq.write_table(tb, fname)
             yield pd.DataFrame({"file": [fname], "rows": [n]})
 
     df.mapInPandas(write, schema="file string, rows long").collect()
