@@ -24,6 +24,7 @@ DataFrame so it can be persisted as parquet like the IVF centroids.
 """
 from __future__ import annotations
 
+import math
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import pandas as pd
@@ -34,6 +35,7 @@ from pyspark.sql import types as T
 __all__ = [
     "word_frequencies", "train_bpe", "apply_bpe", "bpe_token_count",
     "bpe_encode_word", "merges_to_df", "merges_from_df",
+    "train_unigram", "apply_unigram",
 ]
 
 _END = "</w>"  # Sennrich end-of-word marker
@@ -192,3 +194,148 @@ def bpe_token_count(
     packing/mixing stage needs)."""
     tok = apply_bpe(df, text_col, merges, out_col="__toks")
     return tok.withColumn(out_col, F.size("__toks")).drop("__toks")
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model tokenizer (Kudo 2018, the SentencePiece ULM
+# algorithm — public method). Same train/apply split as BPE: training
+# runs driver-side over the heavy-hitter-bounded word-frequency table
+# (word_frequencies caps it), apply is a broadcast + Arrow-batched UDF.
+# Simplifications vs the paper, stated so tests can pin them: hard-EM
+# (Viterbi counts instead of forward-backward expectations) and
+# count-rank pruning (instead of likelihood-loss ranking); both are
+# standard lightweight variants and keep every step deterministic
+# (ties break count desc, piece asc).
+# ---------------------------------------------------------------------------
+
+def _viterbi_segment(word: str, logp: Dict[str, float],
+                     floor: float) -> List[str]:
+    """Best segmentation of ``word`` under piece log-probs. A character
+    absent from the piece table falls back to a single-char piece at the
+    ``floor`` log-prob, so segmentation always succeeds (concat of the
+    tokens reproduces the word exactly)."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    maxlen = max((len(p) for p in logp), default=1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - maxlen), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = floor
+            cand = best[j] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram(
+    word_freqs: Sequence[Tuple[str, int]],
+    vocab_size: int = 1000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    prune_rounds: int = 3,
+    seed_factor: int = 4,
+) -> Dict[str, float]:
+    """Train a unigram tokenizer; returns {piece: log-prob}.
+
+    Seed = every substring up to ``max_piece_len`` (freq-weighted counts),
+    truncated to seed_factor×vocab_size multi-char pieces + ALL single
+    characters (which are never pruned — they guarantee full coverage).
+    Each round runs ``em_iters`` hard-EM sweeps (Viterbi re-segmentation
+    → piece counts) and then prunes to a shrinking target, ending at
+    ``vocab_size``.
+    """
+    from collections import Counter
+
+    # ---- seed counts
+    seed = Counter()
+    chars = set()
+    for w, f in word_freqs:
+        chars.update(w)
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                seed[w[i:j]] += f
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: seed_factor * vocab_size]
+    pieces = {p: float(c) for p, c in multi}
+    for ch in chars:
+        pieces[ch] = float(seed[ch])
+
+    def to_logp(counts: Dict[str, float]) -> Dict[str, float]:
+        total = sum(counts.values()) or 1.0
+        return {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+    targets = []
+    cur = len(pieces)
+    for r in range(prune_rounds):
+        frac = (prune_rounds - 1 - r) / prune_rounds
+        targets.append(max(vocab_size, int(vocab_size + frac * (cur - vocab_size))))
+    targets[-1] = vocab_size
+
+    counts = pieces
+    for target in targets:
+        for _ in range(em_iters):
+            logp = to_logp(counts)
+            floor = min(logp.values(), default=-10.0) - 10.0
+            new = Counter()
+            for w, f in word_freqs:
+                for piece in _viterbi_segment(w, logp, floor):
+                    new[piece] += f
+            counts = {p: float(c) for p, c in new.items()}
+            for ch in chars:           # coverage floor survives EM
+                counts.setdefault(ch, 1e-9)
+        keep_multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[: max(0, target - len(chars))]
+        counts = {p: c for p, c in keep_multi}
+        for ch in chars:
+            counts[ch] = max(counts.get(ch, 0.0), seed[ch] * 1e-9, 1e-9)
+    return to_logp(counts)
+
+
+def apply_unigram(
+    df: DataFrame,
+    text_col: str,
+    logp: Dict[str, float],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize with a trained unigram model: log-prob table broadcast
+    once, Arrow-batched scalar pandas UDF, per-batch word→tokens memo —
+    identical plan shape to :func:`apply_bpe`."""
+    sc = df.sparkSession.sparkContext
+    b_logp = sc.broadcast(dict(logp))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        lp = b_logp.value
+        floor = min(lp.values(), default=-10.0) - 10.0
+        memo: Dict[str, List[str]] = {}
+        out = []
+        for t in texts:
+            toks: List[str] = []
+            for w in (t or "").lower().split():
+                got = memo.get(w)
+                if got is None:
+                    got = _viterbi_segment(w, lp, floor)
+                    memo[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))

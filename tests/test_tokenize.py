@@ -102,3 +102,59 @@ def test_train_on_real_documents(spark):
     for r in docs.limit(5).collect():
         for w in r.text.lower().split()[:10]:
             assert bpe_encode_word(w, ranks) == naive_apply(w, merges)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM tokenizer (Kudo 2018 — hard-EM variant)
+# ---------------------------------------------------------------------------
+
+def _toy_wf():
+    # "token"-like corpus: frequent multi-char units should become pieces
+    words = (["tokenization"] * 50 + ["tokens"] * 80 + ["token"] * 100
+             + ["ization"] * 40 + ["nation"] * 30 + ["nice"] * 20)
+    from collections import Counter
+    return sorted(Counter(words).items())
+
+
+def test_unigram_train_keeps_coverage_and_size():
+    from duckdb_spatial_spark.operators.tokenize import train_unigram
+
+    logp = train_unigram(_toy_wf(), vocab_size=30, max_piece_len=6)
+    chars = set("".join(w for w, _ in _toy_wf()))
+    assert chars <= set(p for p in logp if len(p) == 1)
+    assert len(logp) <= 30 + len(chars)
+    assert any(len(p) > 1 for p in logp)  # learned multi-char pieces
+    # probabilities normalized at the last M step: sum(exp) ≈ 1 pre-prune
+    # is not guaranteed post-prune, but every logp must be finite
+    import math as m
+    assert all(m.isfinite(v) for v in logp.values())
+
+
+def test_unigram_segmentation_roundtrip_and_determinism():
+    from duckdb_spatial_spark.operators.tokenize import (_viterbi_segment,
+                                                         train_unigram)
+
+    logp = train_unigram(_toy_wf(), vocab_size=30, max_piece_len=6)
+    floor = min(logp.values()) - 10.0
+    for w in ["tokenization", "tokens", "renationalization", "xyzzy"]:
+        toks = _viterbi_segment(w, logp, floor)
+        assert "".join(toks) == w                       # exact coverage
+        assert toks == _viterbi_segment(w, logp, floor)  # deterministic
+    # frequent word segments into few pieces
+    assert len(_viterbi_segment("token", logp, floor)) <= 2
+
+
+def test_apply_unigram_spark(spark):
+    from duckdb_spatial_spark.operators.tokenize import (apply_unigram,
+                                                         train_unigram)
+
+    logp = train_unigram(_toy_wf(), vocab_size=30, max_piece_len=6)
+    df = spark.createDataFrame(
+        [(1, "Token tokenization NATION"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.tokens
+           for r in apply_unigram(df, "text", logp).collect()}
+    assert "".join(out[1]).startswith("token")
+    assert "".join(out[1]) == "tokentokenizationnation"
+    assert out[2] == []
+    assert out[3] == []
