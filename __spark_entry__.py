@@ -2846,6 +2846,37 @@ def q109_geoparquet_covering(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q110_unigram_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
+    """SentencePiece-ULM tokenization end-to-end (train driver-side over
+    the heavy-hitter word table, broadcast Viterbi apply): per-language
+    document counts and total token characters. The oracle is the
+    tokenizer's coverage INVARIANT — Viterbi segmentation with never-
+    pruned single-char pieces reproduces each word exactly, so the total
+    token characters equal the corpus' non-whitespace characters, which
+    SQL computes directly (the training itself is iterative and has no
+    SQL form; this pins that the full train+apply pipeline ran and
+    covered every word)."""
+    from duckdb_spatial_spark.operators.tokenize import (apply_unigram,
+                                                         train_unigram,
+                                                         word_frequencies)
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    wf = [(r.word, r.freq)
+          for r in word_frequencies(d, "text", max_words=3000).collect()]
+    logp = train_unigram(wf, vocab_size=400, max_piece_len=6,
+                         em_iters=1, prune_rounds=2)
+    toks = apply_unigram(d, "text", logp)
+    return (
+        toks.select("lang",
+                    F.aggregate(F.transform("tokens", lambda t: F.length(t)),
+                                F.lit(0), lambda a, x: a + x).alias("_tc"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("_tc").cast("long").alias("token_chars"))
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2930,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q109 (GeoParquet covering roundtrip) displaces q06 (convex hull;
         # measures family keeps q05 centroid + q07 area in-window).
         "q88_knn_join": q88_knn_join,
+        "q110_unigram_tokenizer": q110_unigram_tokenizer,
         "q06_convexhull_area": q06_convexhull_area,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q20_simhash": q20_simhash,
@@ -4304,6 +4336,15 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             WHERE (s_suppkey % 200) BETWEEN 50 AND 120
               AND s_acctbal BETWEEN -100000.0 AND 100000.0
+        """,
+        # coverage invariant of ULM Viterbi segmentation: token chars ==
+        # non-whitespace chars (training is iterative — no SQL form)
+        "q110_unigram_tokenizer": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(regexp_replace(text, '\\s+', '', 'g')))
+                        AS BIGINT) AS token_chars
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
     }
 
