@@ -951,7 +951,7 @@ def substring_dedup_sql(table: str, id_col: str = "doc_id",
 def hamming_neardup_pairs(
     df: DataFrame, id_col: str, hash_col: str, bits: int = 64,
     bands: int = 8, max_hamming: int = 3,
-    bucket_cap: Optional[int] = None,
+    bucket_cap: Optional[int] = None, persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs over an integer fingerprint column — the
     modality-agnostic hamming tier: feed it the 64-bit perceptual aHash
@@ -983,6 +983,14 @@ def hamming_neardup_pairs(
     width = bits // bands
     sig = df.select(F.col(id_col).alias("__id"),
                     F.col(hash_col).cast("long").alias("__sh"))
+    if persist:
+        # the (id, hash) projection feeds 8 band branches, BOTH self-join
+        # sides and both verify joins — ~18 lineage replays of the
+        # caller's fingerprint expression without this (measured 11.5 s →
+        # 1.5 s on a 5k-doc q107 at sf0.1). Two longs per row: persisting
+        # is bounded and scale-safe; the ContextCleaner drops it when the
+        # result goes out of scope.
+        sig = sig.persist()
     parts = []
     for b in range(bands):
         # shift-then-mask keeps every literal under 2^62 (a direct
