@@ -1,5 +1,6 @@
 from .ops import (  # noqa: F401
     streaming_dedup_exact,
+    streaming_hamming_dedup,
     streaming_neardup_dedup,
     streaming_extent_agg,
     streaming_point_filter,

@@ -124,6 +124,35 @@ def streaming_neardup_dedup(
     )
 
 
+def streaming_hamming_dedup(
+    stream: DataFrame,
+    hash_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+    bits: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """Streaming near-duplicate suppression over an integer fingerprint
+    column (the 64-bit image aHash / audio energy-delta signature) — the
+    streaming tier of ``hamming_neardup_pairs``. The fingerprint's first
+    band (bits/bands low bits) is the dedup key inside the watermark:
+    same conservative one-key-per-row shape as streaming_neardup_dedup —
+    a row is dropped only when a recent row shared band 0, which any
+    fingerprint within hamming < bands has a 1/bands chance per band of
+    hitting (exact suppression of IDENTICAL fingerprints; probabilistic
+    for near ones — full multi-band suppression belongs in the batch
+    compaction pass where hamming_neardup_pairs verifies exactly).
+    State is one band value per in-watermark row: bounded."""
+    width = bits // bands
+    band0 = F.col(hash_col).cast("long").bitwiseAND(F.lit((1 << width) - 1))
+    return (
+        stream.withColumn("__hband0", band0)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__hband0"])
+        .drop("__hband0")
+    )
+
+
 _SESSION_STATE_SCHEMA = "xmin double, ymin double, xmax double, ymax double, n long"
 _SESSION_OUT_SCHEMA = (
     "key string, xmin double, ymin double, xmax double, ymax double, n long, closed boolean"

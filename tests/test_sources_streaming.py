@@ -341,3 +341,34 @@ def test_streaming_interval_join(spark, tmp_path):
             if rl[0] == rr[0]
             and 0 <= (r.rt - l.lt).total_seconds() <= 600}
     assert got == want and len(got) == 4 * 2  # 10:00→10:05, 10:20→10:25
+
+
+def test_streaming_hamming_dedup(spark, tmp_path):
+    """Identical fingerprints collapse within the watermark; a fingerprint
+    differing in band 0 survives — the streaming tier of
+    hamming_neardup_pairs (image/audio near-dup)."""
+    from duckdb_spatial_spark.streaming import streaming_hamming_dedup
+
+    src = tmp_path / "hamdedup_src"
+    src.mkdir()
+    rows = [
+        (1, 0x1234567890ABCDEF),
+        (2, 0x1234567890ABCDEF),          # exact dup → dropped
+        (3, 0x1234567890ABCD00),          # band 0 differs → survives
+    ]
+    spark.createDataFrame(rows, ["img_id", "ph"]).coalesce(1).write.parquet(
+        str(src / "batch"))
+    stream = (
+        spark.readStream.schema("img_id long, ph long")
+        .parquet(str(src / "batch"))
+        .withColumn("ts", F.current_timestamp())
+    )
+    out = streaming_hamming_dedup(stream, "ph", "ts")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("hamdedup_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["img_id"] for r in
+                 spark.sql("SELECT img_id FROM hamdedup_out").collect())
+    assert 3 in ids and len(ids) == 2
