@@ -2877,6 +2877,22 @@ def q110_unigram_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q111_pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """Principal component by pinned power iteration (8 fixed steps from
+    v0 = 1/√64): each step is ONE distributed pass — per-row centered dot
+    with the broadcast v, then 64 covariance averages — so, unlike q94's
+    eigh path, the whole computation replays exactly in SQL (unrolled
+    CTEs, like the PageRank oracle). Output: the 64 loadings and the
+    Rayleigh-quotient eigenvalue, hash-checked."""
+    from duckdb_spatial_spark.operators.vectors import power_iteration_top1
+
+    e = load_table(spark, sf, "embeddings", fan_out=False)
+    v, lam = power_iteration_top1(e, "embedding", dim=64, iters=8)
+    rows = [(i + 1, round(v[i], 6), round(lam, 6)) for i in range(64)]
+    return spark.createDataFrame(
+        rows, "i long, loading double, eigenvalue double").orderBy("i")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2899,7 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_substring_dedup": q101_substring_dedup,
         "q107_hamming_image_dedup": q107_hamming_image_dedup,
         "q92_text_clean": q92_text_clean,
-        "q25_embedding_neardup": q25_embedding_neardup,
+        "q111_pca_power_iteration": q111_pca_power_iteration,
         "q26_ngram_jaccard": q26_ngram_jaccard,
         "q28_union_agg": q28_union_agg,
         "q31_predicate_matrix": q31_predicate_matrix,
@@ -2960,7 +2976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # container-format family keeps q82 WARC in-window).
         # q109 (GeoParquet covering roundtrip) displaces q06 (convex hull;
         # measures family keeps q05 centroid + q07 area in-window).
+        # q111 (exact power-iteration PCA) displaces q25 (embedding
+        # near-dup; family kept by q104 semdedup + q55 IVF in-window).
         "q88_knn_join": q88_knn_join,
+        "q25_embedding_neardup": q25_embedding_neardup,
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
         "q06_convexhull_area": q06_convexhull_area,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
@@ -4337,6 +4356,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (s_suppkey % 200) BETWEEN 50 AND 120
               AND s_acctbal BETWEEN -100000.0 AND 100000.0
         """,
+        "q111_pca_power_iteration": _q111_oracle_sql(),
         # coverage invariant of ULM Viterbi segmentation: token chars ==
         # non-whitespace chars (training is iterative — no SQL form)
         "q110_unigram_tokenizer": """
@@ -4408,6 +4428,19 @@ def _q106_oracle_sql() -> str:
         FROM ({inner})
         ORDER BY nb_score DESC, doc_id
         LIMIT 20
+    """
+
+
+def _q111_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.vectors import power_iteration_sql
+
+    inner = power_iteration_sql("embeddings", "embedding", dim=64, iters=8)
+    return f"""
+        SELECT CAST(i AS BIGINT) AS i,
+               round(loading, 6) AS loading,
+               round(eigenvalue, 6) AS eigenvalue
+        FROM ({inner})
+        ORDER BY i
     """
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 __all__ = [
     "pca_train", "pca_apply", "quantize_vec", "dequantize_vec",
     "quantize_vec_sql", "dequantize_vec_sql",
+    "power_iteration_top1", "power_iteration_sql",
 ]
 
 
@@ -140,3 +141,89 @@ def quantize_vec_sql(e: str) -> str:
 def dequantize_vec_sql(q: str) -> str:
     return (f"list_transform({q}.codes, "
             f"c -> CAST(c AS DOUBLE) * {q}.scale)")
+
+
+# ---------------------------------------------------------------------------
+# pinned power iteration — the SQL-replayable principal-component path
+# ---------------------------------------------------------------------------
+
+def power_iteration_top1(df: DataFrame, vec_col: str, dim: int,
+                         iters: int = 8):
+    """Top principal component by ``iters`` fixed power-iteration steps
+    from the pinned start v0 = 1/√dim — every step is one distributed
+    pass (per-row dot with the broadcast v, then d centered-covariance
+    averages), so the whole computation replays exactly in SQL
+    (:func:`power_iteration_sql`), unlike the eigh path in
+    :func:`pca_train`. Returns (v: list[dim], eigenvalue: float); the
+    eigenvalue is avg(s²) under the final v — the Rayleigh quotient.
+
+    Scale shape: iters+1 corpus passes, O(dim) driver state per step —
+    the textbook distributed power method. Deterministic: no randomness,
+    so the converged sign is pinned by v0."""
+    import math
+
+    mu = df.agg(*[
+        F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)
+    ]).collect()[0]
+    mu = [float(mu[f"m{i}"]) for i in range(dim)]
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        s = sum((F.col(vec_col)[i] - F.lit(mu[i])) * F.lit(v[i])
+                for i in range(dim))
+        row = df.select(s.alias("_s"), vec_col).agg(*[
+            F.avg((F.col(vec_col)[i] - F.lit(mu[i])) * F.col("_s"))
+            .alias(f"w{i}") for i in range(dim)
+        ]).collect()[0]
+        w = [float(row[f"w{i}"]) for i in range(dim)]
+        norm = math.sqrt(sum(x * x for x in w))
+        v = [x / norm for x in w]
+    s = sum((F.col(vec_col)[i] - F.lit(mu[i])) * F.lit(v[i])
+            for i in range(dim))
+    lam = df.select(s.alias("_s")).agg(F.avg(F.col("_s") * F.col("_s"))) \
+        .collect()[0][0]
+    return v, float(lam)
+
+
+def power_iteration_sql(table: str, vec_expr: str, dim: int,
+                        iters: int = 8) -> str:
+    """DuckDB replica of :func:`power_iteration_top1` as unrolled CTEs
+    (aggregates cannot appear in a recursive term — fixed-iteration
+    unrolling IS the SQL form, same as the PageRank oracle). Produces
+    (i, loading, eigenvalue) — 1-indexed dimensions."""
+    import math
+
+    v0 = repr(1.0 / math.sqrt(dim))
+    pre = f"""
+        idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+        u AS (
+          SELECT ROW_NUMBER() OVER () AS rid, {vec_expr} AS e FROM {table}
+        ),
+        x AS (SELECT rid, i, CAST(e[i] AS DOUBLE) AS x FROM u CROSS JOIN idx),
+        mu AS (SELECT i, avg(x) AS m FROM x GROUP BY i),
+        xc AS MATERIALIZED (
+          SELECT x.rid, x.i, x.x - mu.m AS xc FROM x JOIN mu USING (i)),
+        v0 AS (SELECT i, {v0} AS val FROM idx)"""
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+        s{t} AS MATERIALIZED (
+          SELECT xc.rid, sum(xc.xc * v{t}.val) AS s
+          FROM xc JOIN v{t} USING (i) GROUP BY xc.rid
+        ),
+        w{t} AS MATERIALIZED (
+          SELECT xc.i, avg(xc.xc * s{t}.s) AS w
+          FROM xc JOIN s{t} USING (rid) GROUP BY xc.i
+        ),
+        v{t + 1} AS MATERIALIZED (
+          SELECT i, w / sqrt((SELECT sum(w * w) FROM w{t})) AS val
+          FROM w{t}
+        )""")
+    final = f"""
+        sf AS (
+          SELECT xc.rid, sum(xc.xc * v{iters}.val) AS s
+          FROM xc JOIN v{iters} USING (i) GROUP BY xc.rid
+        ),
+        lam AS (SELECT avg(s * s) AS l FROM sf)
+        SELECT v{iters}.i AS i, v{iters}.val AS loading, lam.l AS eigenvalue
+        FROM v{iters} CROSS JOIN lam"""
+    return "WITH" + pre + "," + ",".join(steps) + "," + final

@@ -80,3 +80,52 @@ def test_quantize_roundtrip_and_twin(spark, emb):
         assert qq["scale"] == pytest.approx(s, rel=1e-12)
         assert list(qq["codes"]) == codes, vid
         assert d == pytest.approx(deq, rel=1e-12)
+
+
+def test_power_iteration_matches_eigh(spark):
+    """8 pinned power-iteration steps land on the eigh top component
+    (|cos| ≈ 1) and the Rayleigh quotient on its eigenvalue."""
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.vectors import (pca_train,
+                                                        power_iteration_top1)
+
+    rng = np.random.default_rng(12)
+    # anisotropic cloud with a dominant axis (gap keeps convergence fast)
+    base = rng.normal(0, 1, (400, 8))
+    base[:, 0] *= 6.0
+    base[:, 1] *= 2.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v, lam = power_iteration_top1(df, "embedding", dim=8, iters=8)
+    _mean, comps, var = pca_train(df, "embedding", k=1)
+    cos = abs(float(np.dot(np.asarray(v), comps[0])))
+    assert cos > 0.9999, cos
+    assert lam == pytest.approx(float(var[0]), rel=1e-3)
+
+
+def test_power_iteration_sql_twin_parity(spark):
+    import duckdb
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.vectors import (power_iteration_sql,
+                                                        power_iteration_top1)
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (60, 6))
+    base[:, 2] *= 4.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v, lam = power_iteration_top1(df, "embedding", dim=6, iters=6)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {vec!r}::DOUBLE[])" for i, vec in rows)
+        + ") t(vec_id, embedding)")
+    got = con.execute(
+        power_iteration_sql("emb", "embedding", 6, iters=6)).fetchall()
+    by_i = {r[0]: (r[1], r[2]) for r in got}
+    for i in range(6):
+        assert by_i[i + 1][0] == pytest.approx(v[i], rel=1e-9, abs=1e-9)
+        assert by_i[i + 1][1] == pytest.approx(lam, rel=1e-9)
