@@ -46,6 +46,8 @@ def nb_train(labeled_df: DataFrame, label_col: str = "label",
     counts and tot_pos/tot_neg gram totals — everything downstream needs,
     bounded at 2·buckets rows of driver memory.
     """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (log of the smoothed counts)")
     g = _gram_rows(labeled_df, [F.col(label_col).alias("_y")], text_col,
                    bigrams)
     bcounts = (

@@ -151,6 +151,8 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
     arithmetic stays inside Spark expressions on exact integer counts so
     the SQL twin replays it bit-for-bit.
     """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (log of the smoothed counts)")
     doc_b = doc_bucket_counts(raw_df, id_col, text_col, buckets, bigrams)
     if persist:
         doc_b = doc_b.persist()

@@ -183,6 +183,8 @@ def power_iteration_top1(df: DataFrame, vec_col: str, dim: int,
     rows = df.select(vec_col).mapInPandas(
         partials, schema="n long, s array<double>, g array<double>"
     ).collect()
+    if not rows:
+        raise ValueError("empty input")
     n = sum(r.n for r in rows)
     s = np.sum([np.asarray(r.s) for r in rows], axis=0)
     g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
