@@ -146,7 +146,9 @@ def nb_score_sql(train_table: str, score_table: str, label_expr: str,
           SELECT {b} AS bucket,
                  CAST(sum(CASE WHEN _y THEN 1 ELSE 0 END) AS BIGINT)
                    AS cnt_pos,
-                 CAST(sum(CASE WHEN _y THEN 0 ELSE 1 END) AS BIGINT)
+                 -- NOT NULL is NULL -> falls to ELSE 0, matching Spark's
+                 -- null-skipping sum (a NULL label counts toward neither)
+                 CAST(sum(CASE WHEN NOT _y THEN 1 ELSE 0 END) AS BIGINT)
                    AS cnt_neg
           FROM tg WHERE gram <> '' GROUP BY 1
         ),

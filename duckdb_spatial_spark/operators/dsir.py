@@ -48,6 +48,7 @@ __all__ = [
     "bucket_sql",
     "gram_rows_sql",
     "dsir_logw_sql",
+    "dsir_sample_sql",
 ]
 
 
@@ -219,6 +220,14 @@ def dsir_sample(raw_df: DataFrame, target_df: DataFrame, k: int,
     if gumbel_seed is None:
         key = F.col("logw")
     else:
+        # the portable uniform needs an integral id: a failed cast would
+        # silently NULL the key (selection degrades to smallest-id) while
+        # the SQL twin errors — reject early instead
+        id_type = raw_df.schema[id_col].dataType.typeName()
+        if id_type not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"gumbel_seed requires an integral {id_col!r} "
+                f"(got {id_type}); pass a numeric surrogate id")
         u = _uniform01_portable(F.col(id_col).cast("long"),
                                 1_000_003 * gumbel_seed + 77)
         # clamp away from 0 so ln never sees a non-positive value (Spark

@@ -29,18 +29,11 @@ __all__ = [
 ]
 
 
-def pca_train(
-    df: DataFrame,
-    vec_col: str,
-    k: int,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Fit PCA over an ``array<float>`` column. Returns (mean[dim],
-    components[k, dim], explained_variance[k]).
-
-    One mapInPandas pass emits per-partition (n, Σx, XᵀX) partials —
-    dim²-sized rows, count = #partitions — combined driver-side into the
-    covariance; symmetric eigendecomposition picks the top-k. Component
-    sign is fixed deterministically (largest-|coefficient| positive)."""
+def _moment_partials(df: DataFrame, vec_col: str):
+    """ONE mapInPandas pass over the vector column accumulating the
+    (n, Σx, XᵀX) sufficient statistic — per-partition partials of
+    dim²-sized rows, combined driver-side. Shared by :func:`pca_train`
+    and :func:`power_iteration_top1`. Returns (n, s[dim], g[dim, dim])."""
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
         s = None
@@ -69,6 +62,21 @@ def pca_train(
     s = np.sum([np.asarray(r.s) for r in rows], axis=0)
     dim = s.shape[0]
     g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
+    return n, s, g
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over an ``array<float>`` column. Returns (mean[dim],
+    components[k, dim], explained_variance[k]).
+
+    One Gramian pass (:func:`_moment_partials`), eigendecomposition
+    driver-side; component sign is fixed deterministically
+    (largest-|coefficient| positive)."""
+    n, s, g = _moment_partials(df, vec_col)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -108,15 +116,25 @@ def pca_apply(
 
 def quantize_vec(vec: Column) -> Column:
     """(scale, int8 codes) struct: symmetric per-vector quantization
-    q_i = round(x_i / scale), scale = max|x| / 127 (scale 0 → zeros)."""
+    q_i = round(x_i / scale), scale = max|x| / 127 (scale 0 → zeros).
+
+    The scale is zipped in via ``array_repeat`` (evaluated ONCE per row)
+    rather than referenced inside the transform lambda — a captured
+    expression inside a higher-order function is re-evaluated per
+    element, turning quantization O(dim²)/row (the measured
+    ngrams_of_words lesson). Codes are tinyint: the value range is
+    [-127, 127] by construction, and int8 is the whole point (4× smaller
+    than float32 inputs)."""
     ax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = ax / F.lit(127.0)
     codes = F.when(
         ax == 0.0,
-        F.transform(vec, lambda x: F.lit(0).cast("int")),
+        F.transform(vec, lambda x: F.lit(0).cast("tinyint")),
     ).otherwise(
-        F.transform(vec, lambda x: F.round(x.cast("double") / scale)
-                    .cast("int"))
+        F.zip_with(
+            vec, F.array_repeat(scale, F.size(vec)),
+            lambda x, s: F.round(x.cast("double") / s).cast("tinyint"),
+        )
     )
     return F.struct(scale.alias("scale"), codes.alias("codes"))
 
@@ -132,9 +150,9 @@ def quantize_vec_sql(e: str) -> str:
     ax = f"list_max(list_transform({e}, x -> abs(CAST(x AS DOUBLE))))"
     scale = f"({ax} / 127.0)"
     codes = (f"CASE WHEN {ax} = 0.0 THEN "
-             f"list_transform({e}, x -> CAST(0 AS INT)) "
+             f"list_transform({e}, x -> CAST(0 AS TINYINT)) "
              f"ELSE list_transform({e}, x -> "
-             f"CAST(round(CAST(x AS DOUBLE) / {scale}) AS INT)) END")
+             f"CAST(round(CAST(x AS DOUBLE) / {scale}) AS TINYINT)) END")
     return f"struct_pack(scale := {scale}, codes := {codes})"
 
 
@@ -164,30 +182,10 @@ def power_iteration_top1(df: DataFrame, vec_col: str, dim: int,
     of plan analysis × 9 jobs (measured 14 s at sf0.1 vs 0.9 s here)."""
     import math
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = 0
-        s = None
-        g = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            n += x.shape[0]
-            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
-            gt = x.T @ x
-            g = gt if g is None else g + gt
-        if n:
-            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
-                                "g": [g.ravel().tolist()]})
-
-    rows = df.select(vec_col).mapInPandas(
-        partials, schema="n long, s array<double>, g array<double>"
-    ).collect()
-    if not rows:
-        raise ValueError("empty input")
-    n = sum(r.n for r in rows)
-    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
-    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in rows], axis=0)
+    n, s, g = _moment_partials(df, vec_col)
+    if s.shape[0] != dim:
+        raise ValueError(
+            f"dim={dim} but vectors have {s.shape[0]} dimensions")
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     v = np.full(dim, 1.0 / math.sqrt(dim))
