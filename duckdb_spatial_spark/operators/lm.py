@@ -147,8 +147,13 @@ def ngram_lm_score(
     vprime = float(vocab_size + 1)
     pairs = _pair_rows(df, text_col, [F.col(id_col)])
     mapped = _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
+    # no broadcast hint on bi: ngram_lm_train returns it DISTRIBUTED
+    # past the 200k-row probe cap precisely because it can reach ~1e8
+    # rows at vocab_size=10k — a forced broadcast would collect that to
+    # the driver. The small path is a LocalRelation whose accurate size
+    # stats make the optimizer broadcast it anyway.
     scored = (
-        mapped.join(F.broadcast(bi), ["w1", "w2"], "left")
+        mapped.join(bi, ["w1", "w2"], "left")
         .join(F.broadcast(uni), ["w1"], "left")
         .select(
             id_col,
@@ -220,7 +225,7 @@ def ngram_lm_score_sql(
 # public method; the standard upgrade over add-k for fluency filtering)
 # ---------------------------------------------------------------------------
 
-def kn_tables(bi: DataFrame, vocab_size: int):
+def kn_tables(bi: DataFrame):
     """Derive the three Kneser-Ney statistics tables from the bigram
     counts alone — no extra corpus pass:
 
@@ -266,7 +271,7 @@ def ngram_lm_score_kn(
     """
     vprime = float(vocab_size + 1)
     d_ = float(discount)
-    ctx, cont, n1p_all = kn_tables(bi, vocab_size)
+    ctx, cont, n1p_all = kn_tables(bi)
     pairs = _pair_rows(df, text_col, [F.col(id_col)])
     mapped = _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
     pcont = (F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double")
@@ -279,8 +284,9 @@ def ngram_lm_score_kn(
         (F.greatest(c12 - F.lit(d_), F.lit(0.0))
          + F.lit(d_) * n1p_fwd * pcont) / c1ctx,
     ).otherwise(pcont)
+    # same no-hint rationale as ngram_lm_score: bi may be distributed
     scored = (
-        mapped.join(F.broadcast(bi), ["w1", "w2"], "left")
+        mapped.join(bi, ["w1", "w2"], "left")
         .join(F.broadcast(ctx), ["w1"], "left")
         .join(F.broadcast(cont), ["w2"], "left")
         .select(id_col, F.log(p).alias("lp"))

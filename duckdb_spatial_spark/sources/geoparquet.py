@@ -88,6 +88,12 @@ def st_write_geoparquet(
     arrow_schema = to_arrow_schema(df.schema)
     crs_val = crs
 
+    # a partition larger than this flushes intermediate part files — the
+    # 'geo' footer is PER FILE by spec (readers union file bboxes), so
+    # bounded-memory chunking is free; pyarrow 16 has no post-hoc footer
+    # API, which rules out a single streaming ParquetWriter per partition
+    flush_bytes = 256 * 1024 * 1024
+
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pyarrow as pa
@@ -96,45 +102,18 @@ def st_write_geoparquet(
         from ..geom.wkb import from_wkb
 
         tables: List[pa.Table] = []
-        xmin = ymin = np.inf
-        xmax = ymax = -np.inf
-        gtypes = set()
-        n = 0
-        for pdf in batches:
-            row_bounds = []
-            for b in pdf[geom_col]:
-                if b is None:
-                    row_bounds.append(None)
-                    continue
-                g = from_wkb(bytes(b))
-                bd = g.bounds()
-                row_bounds.append(bd)
-                if bd:
-                    xmin = min(xmin, bd[0])
-                    ymin = min(ymin, bd[1])
-                    xmax = max(xmax, bd[2])
-                    ymax = max(ymax, bd[3])
-                name = _GEOM_TYPE_NAMES.get(g.type_id)
-                if name:
-                    gtypes.add(name)
-            tb1 = pa.Table.from_pandas(pdf, schema=arrow_schema,
-                                       preserve_index=False)
-            if covering:
-                bbox_arr = pa.array(
-                    [None if bd is None else
-                     {"xmin": bd[0], "ymin": bd[1],
-                      "xmax": bd[2], "ymax": bd[3]}
-                     for bd in row_bounds],
-                    type=_bbox_arrow_type())
-                tb1 = tb1.append_column("bbox", bbox_arr)
-            tables.append(tb1)
-            n += len(pdf)
-        if n:
+        state = {"xmin": np.inf, "ymin": np.inf,
+                 "xmax": -np.inf, "ymax": -np.inf,
+                 "gtypes": set(), "n": 0, "bytes": 0}
+
+        def flush():
+            if not state["n"]:
+                return None
             col_meta = {"encoding": "WKB",
-                        "geometry_types": sorted(gtypes)}
-            if np.isfinite(xmin):
-                col_meta["bbox"] = [float(xmin), float(ymin),
-                                    float(xmax), float(ymax)]
+                        "geometry_types": sorted(state["gtypes"])}
+            if np.isfinite(state["xmin"]):
+                col_meta["bbox"] = [float(state["xmin"]), float(state["ymin"]),
+                                    float(state["xmax"]), float(state["ymax"])]
             if crs_val is not None:
                 col_meta["crs"] = crs_val
             if covering:
@@ -156,6 +135,48 @@ def st_write_geoparquet(
                 pq.write_table(tb, fname, row_group_size=row_group_size)
             else:
                 pq.write_table(tb, fname)
-            yield pd.DataFrame({"file": [fname], "rows": [n]})
+            out = (fname, state["n"])
+            tables.clear()
+            state.update(xmin=np.inf, ymin=np.inf, xmax=-np.inf,
+                         ymax=-np.inf, gtypes=set(), n=0, bytes=0)
+            return out
+
+        for pdf in batches:
+            row_bounds = []
+            for b in pdf[geom_col]:
+                if b is None:
+                    row_bounds.append(None)
+                    continue
+                g = from_wkb(bytes(b))
+                bd = g.bounds()
+                row_bounds.append(bd)
+                if bd:
+                    state["xmin"] = min(state["xmin"], bd[0])
+                    state["ymin"] = min(state["ymin"], bd[1])
+                    state["xmax"] = max(state["xmax"], bd[2])
+                    state["ymax"] = max(state["ymax"], bd[3])
+                name = _GEOM_TYPE_NAMES.get(g.type_id)
+                if name:
+                    state["gtypes"].add(name)
+            tb1 = pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                       preserve_index=False)
+            if covering:
+                bbox_arr = pa.array(
+                    [None if bd is None else
+                     {"xmin": bd[0], "ymin": bd[1],
+                      "xmax": bd[2], "ymax": bd[3]}
+                     for bd in row_bounds],
+                    type=_bbox_arrow_type())
+                tb1 = tb1.append_column("bbox", bbox_arr)
+            tables.append(tb1)
+            state["n"] += len(pdf)
+            state["bytes"] += tb1.nbytes
+            if state["bytes"] >= flush_bytes:
+                out = flush()
+                if out:
+                    yield pd.DataFrame({"file": [out[0]], "rows": [out[1]]})
+        out = flush()
+        if out:
+            yield pd.DataFrame({"file": [out[0]], "rows": [out[1]]})
 
     df.mapInPandas(write, schema="file string, rows long").collect()

@@ -114,7 +114,11 @@ def streaming_neardup_dedup(
     from ..operators.dedup import minhash_signature
 
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
+    # only band 0 is the dedup key, so only its rows_per_band hashes are
+    # computed — minhash_signature re-derives the shingle array per seed,
+    # so asking for all num_hashes would pay bands x the per-row cost for
+    # hashes that are immediately sliced away
+    sig = minhash_signature(F.col(text_col), k=k, num_hashes=rows_per_band)
     band0 = F.slice(sig, 1, rows_per_band).cast("array<string>")
     return (
         stream.withColumn("__band0", F.concat_ws("|", band0))
@@ -129,27 +133,24 @@ def streaming_hamming_dedup(
     hash_col: str,
     ts_col: str,
     watermark: str = "1 hour",
-    bits: int = 64,
-    bands: int = 8,
 ) -> DataFrame:
-    """Streaming near-duplicate suppression over an integer fingerprint
-    column (the 64-bit image aHash / audio energy-delta signature) — the
-    streaming tier of ``hamming_neardup_pairs``. The fingerprint's first
-    band (bits/bands low bits) is the dedup key inside the watermark:
-    same conservative one-key-per-row shape as streaming_neardup_dedup —
-    a row is dropped only when a recent row shared band 0, which any
-    fingerprint within hamming < bands has a 1/bands chance per band of
-    hitting (exact suppression of IDENTICAL fingerprints; probabilistic
-    for near ones — full multi-band suppression belongs in the batch
-    compaction pass where hamming_neardup_pairs verifies exactly).
-    State is one band value per in-watermark row: bounded."""
-    width = bits // bands
-    band0 = F.col(hash_col).cast("long").bitwiseAND(F.lit((1 << width) - 1))
+    """Streaming duplicate suppression over an integer fingerprint column
+    (the 64-bit image aHash / audio energy-delta signature): drop rows
+    whose EXACT fingerprint was seen inside the watermark. Perceptual
+    hashes already collapse re-encoded/rescaled copies to the same 64
+    bits, so this catches the common duplicate mass with bounded state.
+
+    Deliberately NOT keyed on a sub-band: an 8-bit band has only 256
+    possible values, so any real stream saturates the key space and
+    unrelated rows get dropped as "duplicates". Near-duplicate
+    suppression (hamming > 0) cannot be expressed as one dropDuplicates
+    key without false positives — it belongs in the batch compaction
+    pass, where ``hamming_neardup_pairs`` verifies candidates exactly."""
     return (
-        stream.withColumn("__hband0", band0)
+        stream.withColumn("__hfp", F.col(hash_col).cast("long"))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["__hband0"])
-        .drop("__hband0")
+        .dropDuplicatesWithinWatermark(["__hfp"])
+        .drop("__hfp")
     )
 
 

@@ -99,7 +99,7 @@ def test_kn_is_proper_distribution(spark, docs):
     from duckdb_spatial_spark.operators.lm import kn_tables
 
     vocab, _uni, bi = ngram_lm_train(docs, "text", vocab_size=V)
-    ctx_df, cont_df, n1p_all = kn_tables(bi, V)
+    ctx_df, cont_df, n1p_all = kn_tables(bi)
     alphabet = sorted({r.word for r in vocab.collect()} | {UNK})
     assert len(alphabet) == V + 1
     bi_c = {(r.w1, r.w2): r.c12 for r in bi.collect()}

@@ -344,9 +344,9 @@ def test_streaming_interval_join(spark, tmp_path):
 
 
 def test_streaming_hamming_dedup(spark, tmp_path):
-    """Identical fingerprints collapse within the watermark; a fingerprint
-    differing in band 0 survives — the streaming tier of
-    hamming_neardup_pairs (image/audio near-dup)."""
+    """Identical fingerprints collapse within the watermark; a different
+    fingerprint survives — the exact streaming tier feeding
+    hamming_neardup_pairs batch compaction (image/audio dedup)."""
     from duckdb_spatial_spark.streaming import streaming_hamming_dedup
 
     src = tmp_path / "hamdedup_src"
