@@ -463,24 +463,29 @@ def simhash_candidates(
     texts share every band, so duplicate multiplicity makes the bucket
     self-join quadratic; oversized buckets emit a connectivity-equivalent
     star instead (None = exact all-pairs graph)."""
-    width = bits // bands
     sig = simhash_table(df, id_col, text_col, bits).select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
     )
+    return _bucket_pairs(_band_buckets(sig, bits, bands), bucket_cap)
+
+
+def _band_buckets(sig: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(__id, band, key) rows from a (__id, __sh) integer-signature frame
+    — the shared banding step of simhash_candidates and
+    hamming_neardup_pairs. Keys come from shift-then-mask: a direct
+    ``((1<<width)-1) << (b*width)`` mask overflows a signed-long literal
+    for the top band at bits=64."""
+    width = bits // bands
     parts = []
     for b in range(bands):
-        mask = ((1 << width) - 1) << (b * width)
-        parts.append(
-            sig.select(
-                "__id",
-                F.lit(b).alias("band"),
-                F.col("__sh").bitwiseAND(F.lit(mask)).alias("key"),
-            )
-        )
+        key = F.shiftrightunsigned(F.col("__sh").cast("long"), b * width) \
+            .bitwiseAND(F.lit((1 << width) - 1))
+        parts.append(sig.select(
+            "__id", F.lit(b).alias("band"), key.alias("key")))
     bucketed = parts[0]
     for p in parts[1:]:
         bucketed = bucketed.union(p)
-    return _bucket_pairs(bucketed, bucket_cap)
+    return bucketed
 
 
 def _local_union_find(pdf_iter, src_name: str, dst_name: str):
@@ -980,29 +985,20 @@ def hamming_neardup_pairs(
         raise ValueError(
             "max_hamming must be < bands for the exactness guarantee "
             "(a pair differing in >= bands bits can miss every bucket)")
-    width = bits // bands
     sig = df.select(F.col(id_col).alias("__id"),
                     F.col(hash_col).cast("long").alias("__sh"))
     if persist:
-        # the (id, hash) projection feeds 8 band branches, BOTH self-join
-        # sides and both verify joins — ~18 lineage replays of the
-        # caller's fingerprint expression without this (measured 11.5 s →
-        # 1.5 s on a 5k-doc q107 at sf0.1). Two longs per row: persisting
-        # is bounded and scale-safe; the ContextCleaner drops it when the
-        # result goes out of scope.
-        sig = sig.persist()
-    parts = []
-    for b in range(bands):
-        # shift-then-mask keeps every literal under 2^62 (a direct
-        # ((1<<width)-1) << 56 mask overflows a signed-long literal)
-        key = F.shiftrightunsigned(F.col("__sh"), b * width) \
-            .bitwiseAND(F.lit((1 << width) - 1))
-        parts.append(sig.select(
-            "__id", F.lit(b).alias("band"), key.alias("key")))
-    bucketed = parts[0]
-    for p in parts[1:]:
-        bucketed = bucketed.union(p)
-    pairs = _bucket_pairs(bucketed, bucket_cap)
+        # the (id, hash) projection feeds the band branches, BOTH
+        # self-join sides and both verify joins — ~18 lineage replays of
+        # the caller's fingerprint expression without materialization
+        # (measured 11.5 s → 1.5 s on a 5k-doc q107 at sf0.1). Two longs
+        # per row: bounded and scale-safe. localCheckpoint, NOT persist:
+        # Dataset caches live in the CacheManager until an explicit
+        # unpersist (which a lazily-returned result can't schedule),
+        # while checkpoint RDD blocks are GC-reclaimed by the
+        # ContextCleaner once the result goes out of scope.
+        sig = sig.localCheckpoint(eager=True)
+    pairs = _bucket_pairs(_band_buckets(sig, bits, bands), bucket_cap)
     ha = sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__ha"))
     hb = sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__hb"))
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))

@@ -141,9 +141,9 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
                      bigrams: bool = True, persist: bool = True) -> DataFrame:
     """(id, n_grams, logw) for every raw document.
 
-    Plan shape: the raw corpus is exploded ONCE into ``doc_b`` (persisted
-    unless ``persist=False`` — ints only, ~2% of corpus bytes; the
-    ContextCleaner unpersists it when the result goes out of scope). Both
+    Plan shape: the raw corpus is exploded ONCE into ``doc_b`` (locally
+    checkpointed unless ``persist=False`` — ints only, ~2% of corpus
+    bytes; the checkpoint blocks are GC-reclaimed with the result). Both
     bucket models are ≤ ``buckets`` rows, so they are COLLECTED and
     re-shipped as one broadcast LocalRelation — without this, Catalyst
     replays the whole explode lineage once per model/total subtree
@@ -156,7 +156,11 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
         raise ValueError("alpha must be > 0 (log of the smoothed counts)")
     doc_b = doc_bucket_counts(raw_df, id_col, text_col, buckets, bigrams)
     if persist:
-        doc_b = doc_b.persist()
+        # localCheckpoint, NOT persist: Dataset caches live in the
+        # CacheManager until an explicit unpersist (which a lazily-
+        # returned result can't schedule); checkpoint RDD blocks are
+        # GC-reclaimed by the ContextCleaner once out of scope
+        doc_b = doc_b.localCheckpoint(eager=True)
 
     q_rows = doc_b.groupBy("bucket").agg(
         F.sum("cnt").cast("long").alias("cnt_q")).collect()

@@ -428,7 +428,13 @@ def audio_fingerprint_col(payload, bits: int = 64,
             if b is None:
                 out.append(None)
                 continue
-            samples, _sr = decode_fn(bytes(b))
+            try:
+                samples, _sr = decode_fn(bytes(b))
+            except Exception:
+                # corrupt/mistyped payloads NULL out instead of failing
+                # the job — same contract as video_metadata's probe
+                out.append(None)
+                continue
             out.append(_audio_fingerprint_one(np.asarray(samples), bits))
         return pd.Series(out, dtype="object")
 
@@ -436,9 +442,10 @@ def audio_fingerprint_col(payload, bits: int = 64,
 
 
 def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
-                      out_col: str = "audio_fp",
+                      out_col: str = "audio_fp", bits: int = 64,
                       decode_fn: Optional[Callable[[bytes], tuple]] = None) -> DataFrame:
     """Audio near-dup dedup, stage 1: 64-bit energy-delta fingerprints.
     Stage 2 is ``hamming_neardup_pairs(df, id, out_col)`` — the same
     modality-agnostic hamming tier the image aHash uses."""
-    return df.withColumn(out_col, audio_fingerprint_col(F.col(payload_col)))
+    return df.withColumn(
+        out_col, audio_fingerprint_col(F.col(payload_col), bits, decode_fn))
