@@ -121,3 +121,20 @@ def test_audio_fingerprint_amplitude_invariant(spark):
     b = _audio_fingerprint_one(x * 3.7)
     assert a == b
     assert _audio_fingerprint_one(np.zeros(10)) is None  # too short
+
+
+def test_band_buckets_top_band_64bit(spark):
+    """The shared banding helper handles bits=64 without overflowing a
+    long literal (the in-place band mask ((1<<8)-1)<<56 exceeds int64 —
+    the latent simhash_candidates bug the helper fixed). Two hashes
+    differing ONLY in the top band must still share the other 7 bands."""
+    from duckdb_spatial_spark.operators.dedup import _band_buckets
+
+    a = 0x7A345678_90ABCDEF
+    b = 0x01345678_90ABCDEF  # top byte differs
+    sig = spark.createDataFrame([(1, a), (2, b)], "__id long, __sh long")
+    rows = _band_buckets(sig, bits=64, bands=8).collect()
+    assert len(rows) == 16
+    shared = {r.band for r in rows if
+              sum(1 for q in rows if q.band == r.band and q.key == r.key) == 2}
+    assert shared == set(range(7))  # all but band 7 agree
