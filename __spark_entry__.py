@@ -2626,15 +2626,16 @@ def _render_c4_pages(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q102_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
-    """The published C4 cleaning heuristics (terminal-punctuation lines,
-    >=3 words/line, no javascript lines; pages need >=5 surviving lines,
-    no blocklist hit, no 'lorem ipsum', no '{') as one whole-stage-codegen
-    projection — zero shuffles before the final rollup."""
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2:
+    terminal-punctuation lines of >=5 words, no javascript lines; pages
+    need >=3 surviving sentence-lines, no blocklist hit, no 'lorem
+    ipsum', no '{') as one whole-stage-codegen projection — zero
+    shuffles before the final rollup."""
     from duckdb_spatial_spark.operators.pipeline import c4_clean
 
     pages = _render_c4_pages(spark, sf)
-    cleaned = c4_clean(pages, text_col="page", min_words_per_line=3,
-                       min_lines=5)
+    cleaned = c4_clean(pages, text_col="page", min_words_per_line=5,
+                       min_lines=3)
     return (
         cleaned.groupBy("source")
         .agg(
@@ -4480,7 +4481,7 @@ def _q101_oracle_sql() -> str:
 def _q102_oracle_sql() -> str:
     from duckdb_spatial_spark.operators.pipeline import c4_clean_sql
 
-    c4 = c4_clean_sql("page", min_words_per_line=3, min_lines=5)
+    c4 = c4_clean_sql("page", min_words_per_line=5, min_lines=3)
     return f"""
         WITH _w AS (
           SELECT doc_id, source,

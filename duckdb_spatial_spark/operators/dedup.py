@@ -842,12 +842,14 @@ def substring_dedup(
     out_col = out_col or text_col
     other_cols = [c for c in df.columns if c != text_col]
 
+    # the corpus-wide normalization rule lives in pipeline.normalized_words
+    # (function-level import — pipeline.py is import-independent of this
+    # module, but keep the dependency one-directional and lazy)
+    from .pipeline import normalized_words
+
     words = df.select(
         *other_cols,
-        F.split(
-            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
-            " ",
-        ).alias("_w"),
+        normalized_words(F.col(text_col)).alias("_w"),
     )
     cnt = F.size(F.col("_w"))
     wins = F.transform(

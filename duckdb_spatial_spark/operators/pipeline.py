@@ -862,19 +862,21 @@ def _c4_line_keep(line: Column, min_words: int) -> Column:
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",
-    min_words_per_line: int = 3,
-    min_lines: int = 5,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
     bad_words: Sequence[str] = _C4_DEFAULT_BAD_WORDS,
     out_col: str = "clean_text",
 ) -> DataFrame:
     """The C4 cleaning heuristics as one codegen projection.
 
-    Line stage (C4 kept only lines that end in a terminal punctuation
-    mark, have >= 3 words, and don't mention javascript): lines split on
-    newline, filtered with a pure array lambda. Page stage (C4 dropped
-    pages with < 5 sentences, any blocklist word, 'lorem ipsum', or a
-    curly brace): emitted as a boolean ``c4_keep`` — callers filter on it
-    or keep it as an audit column.
+    Line stage (Raffel et al. 2020 §2.2 kept only lines that end in a
+    terminal punctuation mark, have >= 5 words, and don't mention
+    javascript): lines split on newline, filtered with a pure array
+    lambda. Page stage (C4 dropped pages with fewer than 3 sentences —
+    approximated here as fewer than ``min_lines`` surviving terminal-
+    punctuated lines — any blocklist word, 'lorem ipsum', or a curly
+    brace): emitted as a boolean ``c4_keep`` — callers filter on it or
+    keep it as an audit column.
 
     Adds ``out_col`` (newline-joined surviving lines), ``n_lines`` /
     ``n_lines_kept``, and ``c4_keep``. Zero shuffles, zero Python — the
@@ -900,8 +902,8 @@ def c4_clean(
 
 def c4_clean_sql(
     text_expr: str,
-    min_words_per_line: int = 3,
-    min_lines: int = 5,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
     bad_words: Sequence[str] = _C4_DEFAULT_BAD_WORDS,
 ) -> dict:
     """DuckDB twins of :func:`c4_clean`, generated from the SAME
@@ -919,7 +921,9 @@ def c4_clean_sql(
     kept = (f"list_filter(string_split({text_expr}, chr(10)), "
             f"x -> {line_pred})")
     bad = " AND ".join(
-        f"NOT contains(lower({text_expr}), '{w.lower()}')" for w in bad_words
+        "NOT contains(lower(" + text_expr + "), '"
+        + w.lower().replace("'", "''") + "')"
+        for w in bad_words
     )
     return {
         # coalesce: DuckDB's array_to_string of an empty list is NULL,

@@ -60,9 +60,16 @@ def _tf_and_stats(df: DataFrame, id_col: str, text_col: str):
 
 def tf_idf(df: DataFrame, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
-    """(id, term, tf, dfreq, score) with the smoothed-idf tf-idf score."""
+    """(id, term, tf, dfreq, score) with the smoothed-idf tf-idf score.
+
+    No broadcast hint on the document-frequency table: its cardinality is
+    the corpus' distinct-term count, unbounded at web scale (URLs, typos,
+    multilingual tokens) — a forced hint would collect it regardless of
+    size. Small corpora still broadcast via size estimation; huge ones
+    fall back to an equi-join on the term, which both sides already
+    shuffle on."""
     tf, dfreq, ndocs = _tf_and_stats(df, id_col, text_col)
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(ndocs))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(ndocs))
     idf = F.log((F.lit(1.0) + F.col("n_docs"))
                 / (F.lit(1.0) + F.col("dfreq"))) + F.lit(1.0)
     return scored.select(
@@ -93,8 +100,10 @@ def bm25(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     tf, dfreq, ndocs = _tf_and_stats(df, id_col, text_col)
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    # no broadcast hint on dfreq — unbounded distinct-term cardinality
+    # at web scale; see tf_idf
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(ndocs))
         .crossJoin(F.broadcast(avgdl))

@@ -89,15 +89,19 @@ def test_substring_dedup_sql_twin_parity(spark):
 def test_c4_line_and_page_rules(spark):
     from duckdb_spatial_spark.operators.pipeline import c4_clean
 
+    # published C4 rules (Raffel et al. 2020 §2.2): lines need a terminal
+    # punctuation mark AND >= 5 words; pages need >= 3 surviving lines
     good = "\n".join(f"alpha beta gamma delta line{i}." for i in range(5))
+    two = "alpha beta gamma delta one.\nalpha beta gamma delta two."
     pages = [
         (1, good),                                    # keeps all 5 lines
         (2, good + "\nno terminal punct here"),       # line dropped, page ok
-        (3, good + "\nshort."),                       # <3 words line dropped
-        (4, good + "\nuses javascript everywhere."),  # javascript line out
-        (5, good.replace("line4.", "line4")),         # only 4 lines → page out
+        (3, good + "\nshort words here."),            # <5 words line dropped
+        (4, good + "\nuses javascript everywhere ok more."),  # js line out
+        (5, good.replace("line4.", "line4")),         # 4 lines >= 3 → kept
         (6, good + "\nlorem ipsum dolor sit."),       # page blocklisted
         (7, good + "\ncss { color: red; }"),          # '{' → page out
+        (8, two),                                     # 2 lines < 3 → page out
     ]
     df = spark.createDataFrame(pages, "doc_id long, text string")
     out = {r.doc_id: r for r in c4_clean(df).collect()}
@@ -105,9 +109,10 @@ def test_c4_line_and_page_rules(spark):
     assert out[2].c4_keep and out[2].n_lines_kept == 5
     assert out[3].c4_keep and out[3].n_lines_kept == 5
     assert out[4].c4_keep and out[4].n_lines_kept == 5
-    assert not out[5].c4_keep and out[5].n_lines_kept == 4
+    assert out[5].c4_keep and out[5].n_lines_kept == 4
     assert not out[6].c4_keep          # blocklist hits the raw page
     assert not out[7].c4_keep
+    assert not out[8].c4_keep and out[8].n_lines_kept == 2
     assert out[2].clean_text == good
 
 
