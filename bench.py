@@ -169,13 +169,27 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver keeps only the last 2000 chars of output; with 111 queries
+    # the full-name dict blew past that and round 4's line arrived headless
+    # (BENCH_r04.json "parsed": null). Emit the per-query map under the qNN
+    # prefix (unique by construction — q01..qNNN) with compact separators so
+    # the whole line stays well under the buffer; the full-name timings go to
+    # bench_full.json for human reading (qNN ↔ full name via queries()).
+    short: dict[str, float] = {}
+    for name, v in timings.items():
+        key = name.split("_", 1)[0]
+        short[key if key not in short else name] = round(v, 2)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump({"metric": "headline_queries_total", "value": total,
+                   "unit": "sec", "queries": timings, "sf": sf}, f, indent=1)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": short,
         "sf": sf,
-    }))
+    }, separators=(",", ":")))
     spark.stop()
 
 
