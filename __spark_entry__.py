@@ -2894,6 +2894,144 @@ def q111_pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
         rows, "i long, loading double, eigenvalue double").orderBy("i")
 
 
+def _events_utc(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """events.ts as TIMESTAMP (LTZ): the driver parquet may surface NTZ,
+    which unix_micros rejects — pin the session to UTC so the cast is
+    epoch-faithful (the q75/q91 pattern)."""
+    if dict(e.dtypes).get("ts") == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
+
+
+def q112_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, the temporal operator DuckDB ships natively (ASOF JOIN)
+    and Spark lacks: every click event picks the latest purchase at or
+    before it within its user-group key, 1-hour tolerance. Spark plan: the
+    union-tag window formulation — ONE hash shuffle on the key, no range
+    join (operators/temporal.py). Oracle: DuckDB's own ASOF LEFT JOIN with
+    the identical tolerance CASE — a different algorithm entirely."""
+    from duckdb_spatial_spark.operators.temporal import asof_join
+
+    e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 50).alias("k"), F.col("ts"),
+        F.col("event_id").alias("click_id"))
+    # purchases deduped to one row per (k, ts): ASOF tie-breaking between
+    # equal right timestamps is engine-defined, so the inputs make it moot
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 50).alias("k"), F.col("ts"))
+        .agg(F.max("event_id").alias("buy_id"),
+             F.max("value").alias("buy_value"))
+    )
+    j = asof_join(clicks, buys, "ts", "ts", by=["k"],
+                  value_cols=["buy_id", "buy_value"],
+                  tolerance_us=3_600_000_000)
+    return (
+        j.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.count("matched_ts").cast("long").alias("n_matched"),
+            F.sum("buy_id").cast("long").alias("sum_buy"),
+            F.round(F.sum("buy_value"), 6).alias("sum_value"),
+            F.sum(F.unix_micros("ts") - F.unix_micros("matched_ts"))
+            .cast("long").alias("lag_us"),
+        )
+        .orderBy("k")
+    )
+
+
+def q113_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (DuckDB: IEJoin range join; Spark has no
+    native range join): click validity windows [ts, ts+10·value s] overlap
+    purchase windows [ts, ts+600 s] per user-group key. Plan: fixed-width
+    bucket grid, pairs deduped by the greatest-start bucket (no distinct),
+    long intervals diverted to a broadcast path (operators/temporal.py).
+    Oracle: the plain overlap-predicate join."""
+    from duckdb_spatial_spark.operators.temporal import interval_join
+
+    e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
+    us = F.unix_micros(F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 50).alias("k"), us.alias("s"),
+        (us + F.floor(F.col("value") * 10).cast("long") * 1_000_000)
+        .alias("e"),
+        F.col("event_id").alias("click_id"))
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 50).alias("k"), us.alias("s"),
+        (us + F.lit(600_000_000)).alias("e"),
+        F.col("event_id").alias("buy_id"))
+    j = interval_join(clicks, buys, "s", "e", "s", "e", by=["k"],
+                      bucket_width=600e6)
+    overlap = (F.least(F.col("e"), F.col("e_r"))
+               - F.greatest(F.col("s"), F.col("s_r")))
+    return (
+        j.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("click_id").cast("long").alias("sum_click"),
+            F.sum("buy_id").cast("long").alias("sum_buy"),
+            F.sum(overlap).cast("long").alias("overlap_us"),
+        )
+        .orderBy("k")
+    )
+
+
+def q114_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language distinct-word cardinality by portable HyperLogLog
+    (m=1024) next to the exact count. The registers are a map-side-combined
+    groupBy(bucket).max(rho) — the sketch, not the values, crosses the
+    wire; merging corpora is the same max. The oracle replays the IDENTICAL
+    register computation in SQL (ascii-decoded md5, integer harmonic sum) —
+    both engines produce the same estimate to the last bit before
+    rounding."""
+    from duckdb_spatial_spark.operators.sketch import (hll_estimate,
+                                                       hll_registers)
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    words = (
+        d.select("lang", F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    regs = hll_registers(words, F.col("word"), 10, by=["lang"])
+    est = hll_estimate(regs, 10, by=["lang"]).withColumn(
+        "hll_est", F.round(F.col("est"), 4)).drop("est")
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("word").cast("long").alias("n_exact"))
+    return exact.join(est, "lang").select(
+        "lang", "n_exact", "hll_est").orderBy("lang")
+
+
+def q115_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min frequency sketch (depth 4 × width 1024) over corpus words:
+    the sketch is a bounded 4096-cell table (map-side partial sums — raw
+    words never shuffle), probed for the 15 globally most frequent words.
+    Estimates are upper bounds; the oracle rebuilds the identical sketch
+    cells in SQL and reports the same (est, true) pairs."""
+    from duckdb_spatial_spark.operators.sketch import (count_min_estimate,
+                                                       count_min_sketch)
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    words = (
+        d.select(F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    sk = count_min_sketch(words, F.col("word"), depth=4, width=1024)
+    top = (
+        words.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(15)
+    )
+    est = count_min_estimate(sk, top, F.col("word"), depth=4, width=1024)
+    return est.select(
+        "word", "freq", "est",
+        (F.col("est") - F.col("freq")).cast("long").alias("overshoot"),
+    ).orderBy(F.col("freq").desc(), F.col("word"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round 2 left q51-q66 (every new feature family: gpkg
@@ -2917,13 +3055,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_hamming_image_dedup": q107_hamming_image_dedup,
         "q92_text_clean": q92_text_clean,
         "q111_pca_power_iteration": q111_pca_power_iteration,
-        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q112_asof_join": q112_asof_join,
         "q28_union_agg": q28_union_agg,
         "q31_predicate_matrix": q31_predicate_matrix,
         "q105_dsir_select": q105_dsir_select,
         "q102_c4_filters": q102_c4_filters,
         "q35_transform": q35_transform,
-        "q87_lm_perplexity": q87_lm_perplexity,
+        "q113_interval_join": q113_interval_join,
         "q38_minhash_lsh": q38_minhash_lsh,
         "q83_url_domain_stats": q83_url_domain_stats,
         "q82_warc_pipeline": q82_warc_pipeline,
@@ -2937,14 +3075,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_temperature_mix": q78_temperature_mix,
         "q79_dedup_pipeline": q79_dedup_pipeline,
         "q70_decontaminate": q70_decontaminate,
-        "q71_sample_stratified": q71_sample_stratified,
+        "q114_hll_distinct": q114_hll_distinct,
         "q93_vec_quantize": q93_vec_quantize,
         "q54_langid_ngram": q54_langid_ngram,
         "q55_ann_ivf": q55_ann_ivf,
         "q81_streaming_sessions": q81_streaming_sessions,
         "q58_linemerge_normalize": q58_linemerge_normalize,
         "q72_pii_redact": q72_pii_redact,
-        "q73_paragraph_dedup": q73_paragraph_dedup,
+        "q115_count_min": q115_count_min,
         "q60_spheroid": q60_spheroid,
         "q61_rtree_points": q61_rtree_points,
         "q104_semdedup": q104_semdedup,
@@ -2979,6 +3117,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # measures family keeps q05 centroid + q07 area in-window).
         # q111 (exact power-iteration PCA) displaces q25 (embedding
         # near-dup; family kept by q104 semdedup + q55 IVF in-window).
+        # Round-5 window rotation: q112-q115 (asof join, interval join,
+        # HLL, count-min) displace q26 (ngram-jaccard; dedup keeps q38
+        # LSH + q101 substring + q107 hamming + q79 pipeline + q104
+        # semdedup + q69 components in-window), q87 (add-k LM; LM family
+        # keeps q108 Kneser-Ney), q71 (stratified sampling; sampling
+        # keeps q78 temperature-mix + q105 DSIR Gumbel top-k) and q73
+        # (paragraph dedup; same family rows as q26). All four were
+        # driver-green in rounds 3 AND 4 and are byte-unchanged.
+        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q87_lm_perplexity": q87_lm_perplexity,
+        "q71_sample_stratified": q71_sample_stratified,
+        "q73_paragraph_dedup": q73_paragraph_dedup,
         "q88_knn_join": q88_knn_join,
         "q25_embedding_neardup": q25_embedding_neardup,
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
@@ -3314,6 +3464,130 @@ _Q70_ORACLE = """
                    CAST(sum(CASE WHEN h.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_clean
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """
+
+
+def _q112_oracle_sql() -> str:
+    """DuckDB's NATIVE ASOF JOIN — a different algorithm (sort-merge range
+    probe) validating the union-tag window plan."""
+    tol = ("mts IS NOT NULL AND epoch_us(ts) - epoch_us(mts) <= 3600000000")
+    return f"""
+        WITH c AS (
+          SELECT CAST(user_id % 50 AS BIGINT) AS k, ts, event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        ), b AS (
+          SELECT CAST(user_id % 50 AS BIGINT) AS k, ts,
+                 CAST(max(event_id) AS BIGINT) AS buy_id,
+                 max(value) AS buy_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), j AS (
+          SELECT c.k, c.ts, b.ts AS mts, b.buy_id, b.buy_value
+          FROM c ASOF LEFT JOIN b ON c.k = b.k AND c.ts >= b.ts
+        ), t AS (
+          SELECT k, ts,
+                 CASE WHEN {tol} THEN mts END AS mts,
+                 CASE WHEN {tol} THEN buy_id END AS buy_id,
+                 CASE WHEN {tol} THEN buy_value END AS buy_value
+          FROM j
+        )
+        SELECT k,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(count(mts) AS BIGINT) AS n_matched,
+               CAST(sum(buy_id) AS BIGINT) AS sum_buy,
+               round(sum(buy_value), 6) AS sum_value,
+               CAST(sum(epoch_us(ts) - epoch_us(mts)) AS BIGINT) AS lag_us
+        FROM t GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q113_oracle_sql() -> str:
+    """Plain overlap-predicate join (DuckDB plans IEJoin) — validates the
+    bucket-grid + greatest-start-dedup plan."""
+    return """
+        WITH c AS (
+          SELECT CAST(user_id % 50 AS BIGINT) AS k,
+                 epoch_us(ts) AS s,
+                 epoch_us(ts) + CAST(floor(value * 10) AS BIGINT) * 1000000
+                   AS e,
+                 event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        ), b AS (
+          SELECT CAST(user_id % 50 AS BIGINT) AS k, epoch_us(ts) AS s,
+                 epoch_us(ts) + 600000000 AS e, event_id AS buy_id
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.k,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(c.click_id) AS BIGINT) AS sum_click,
+               CAST(sum(b.buy_id) AS BIGINT) AS sum_buy,
+               CAST(sum(least(c.e, b.e) - greatest(c.s, b.s)) AS BIGINT)
+                 AS overlap_us
+        FROM c JOIN b ON c.k = b.k AND c.s <= b.e AND b.s <= c.e
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q114_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.sketch import (hll_estimate_sql,
+                                                       hll_register_sql)
+
+    bucket, rho = hll_register_sql("word", 10)
+    return f"""
+        WITH w AS (
+          SELECT lang,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents
+        ), ww AS (
+          SELECT lang, word FROM w WHERE word <> ''
+        ), regs AS (
+          SELECT lang, {bucket} AS bucket, max({rho}) AS reg
+          FROM ww GROUP BY 1, 2
+        ), g AS (
+          SELECT lang,
+                 CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+                   AS s_present,
+                 CAST(count(*) AS BIGINT) AS n_present
+          FROM regs GROUP BY 1
+        ), est AS (
+          SELECT lang, round({hll_estimate_sql(10)}, 4) AS hll_est FROM g
+        ), ex AS (
+          SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+          FROM ww GROUP BY 1
+        )
+        SELECT ex.lang, n_exact, hll_est
+        FROM ex JOIN est USING (lang) ORDER BY 1
+    """
+
+
+def _q115_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.sketch import cms_bucket_sql
+
+    d, wdt = 4, 1024
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_bucket_sql('word', i, wdt)} AS col, "
+        f"1 AS one FROM ww" for i in range(d))
+    probes = " UNION ALL ".join(
+        f"SELECT word, freq, {i} AS row, "
+        f"{cms_bucket_sql('word', i, wdt)} AS col FROM top" for i in range(d))
+    return f"""
+        WITH w AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents
+        ), ww AS (
+          SELECT word FROM w WHERE word <> ''
+        ), cells AS ({cells}),
+        sk AS (
+          SELECT row, col, CAST(sum(one) AS BIGINT) AS cnt
+          FROM cells GROUP BY 1, 2
+        ), top AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq
+          FROM ww GROUP BY 1 ORDER BY freq DESC, word LIMIT 15
+        ), probes AS ({probes})
+        SELECT word, freq,
+               CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est,
+               CAST(min(coalesce(cnt, 0)) - freq AS BIGINT) AS overshoot
+        FROM probes LEFT JOIN sk USING (row, col)
+        GROUP BY word, freq ORDER BY freq DESC, word
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4120,6 +4394,10 @@ def oracle_sql() -> dict[str, str]:
         "q95_profile_table": _q95_oracle_sql(),
         "q93_vec_quantize": _q93_oracle_sql(),
         "q92_text_clean": _q92_oracle_sql(),
+        "q112_asof_join": _q112_oracle_sql(),
+        "q113_interval_join": _q113_oracle_sql(),
+        "q114_hll_distinct": _q114_oracle_sql(),
+        "q115_count_min": _q115_oracle_sql(),
         "q91_streaming_interval_join": """
             SELECT CAST(c.user_id % 50 AS BIGINT) AS k,
                    CAST(count(*) AS BIGINT) AS n_pairs,

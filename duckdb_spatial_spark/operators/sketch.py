@@ -1,0 +1,236 @@
+"""Distributed cardinality / frequency sketches with ANSI-SQL twins.
+
+At 100 TB, exact ``count(DISTINCT …)`` and exact per-item frequency tables
+are the two aggregations that stop fitting: both need a full shuffle of
+every distinct value.  The sketches here are the standard decomposable
+answers — HyperLogLog (Flajolet et al. 2007) for cardinality and count-min
+(Cormode & Muthukrishnan 2005) for frequency — built so that BOTH engines
+(Spark and the DuckDB oracle) compute bit-identical sketch state:
+
+* the item hash is md5 decoded with ascii arithmetic (the repo-wide
+  portable-hash recipe from :mod:`..operators.dsir` — no engine-specific
+  hex→int builtin), so register indexes and rho values agree exactly;
+* the HLL harmonic sum is kept in INTEGER arithmetic (``sum(1 << (49 -
+  rho))`` over a 48-bit hash) — float summation order would de-sync the
+  engines at the ulp level, an integer sum cannot;
+* only the final estimate touches doubles (one division, one optional
+  ``ln``), rounded before comparison.
+
+Scale shape: HLL registers are a ``groupBy(bucket).max(rho)`` — map-side
+partial max, at most ``m`` rows per group survive the shuffle; merging
+sketches from two corpora is the same ``max``.  The count-min table is a
+``groupBy(row, col).sum`` — map-side partial sum, ``depth × width`` rows
+total regardless of corpus size; merge is ``+``.  Neither ever shuffles
+raw values.  (Spark's built-in ``approx_count_distinct`` is also HLL but
+its register layout is not reproducible in ANSI SQL, which is why the
+oracle-checkable variant exists; use either at scale.)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_registers", "hll_estimate", "hll_register_sql", "hll_estimate_sql",
+    "count_min_sketch", "count_min_estimate", "cms_bucket_sql",
+]
+
+_W = 48  # rho source bits (hex digits 5..16 of md5)
+
+
+def _digit(h: Column, i: int) -> Column:
+    a = F.ascii(F.substring(h, i, 1))
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+def _digit_sql(hexpr: str, i: int) -> str:
+    a = f"ascii(substring({hexpr}, {i}, 1))"
+    return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+
+def _hex_long(h: Column, start: int, n: int) -> Column:
+    """Decode ``n`` hex digits of a hex string to a BIGINT (portable)."""
+    v: Optional[Column] = None
+    for i in range(start, start + n):
+        d = _digit(h, i).cast("long")
+        v = d if v is None else v * F.lit(16) + d
+    return v
+
+
+def _hex_long_sql(hexpr: str, start: int, n: int) -> str:
+    # seed as BIGINT so the whole chain promotes (INT32 overflows at 8 digits)
+    v = f"CAST({_digit_sql(hexpr, start)} AS BIGINT)"
+    for i in range(start + 1, start + n):
+        v = f"({v} * 16 + {_digit_sql(hexpr, i)})"
+    return v
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _est_const(m: int) -> float:
+    """alpha_m * m^2 * 2^(W+1) as one python double, shared with the twin."""
+    return _alpha(m) * m * m * float(1 << (_W + 1))
+
+
+def hll_registers(
+    df: DataFrame, item: Column, p: int, by: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Non-empty HLL registers: one row per (``by``…, bucket) with
+    ``reg = max(rho)``.  ``p`` ∈ [4, 12] → m = 2^p buckets (the bucket
+    index comes from 4 md5 hex digits, the rho source from the next 12;
+    p ≤ 12 also keeps the integer harmonic sum below 2^63).
+
+    Decomposable: ``max`` merges across partitions, days, or corpora.
+    """
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12]")
+    m = 1 << p
+    keys = list(by or [])
+    h = F.md5(item)
+    bucket = (_hex_long(h, 1, 4) % F.lit(m)).cast("int")
+    v = _hex_long(h, 5, 12)  # 48-bit rho source
+    rho = F.when(v == 0, F.lit(_W + 1)).otherwise(
+        F.lit(_W + 1) - F.length(F.bin(v))
+    ).cast("int")
+    return (
+        df.select(*[F.col(k) for k in keys], bucket.alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, p: int, by: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Cardinality estimate from :func:`hll_registers` output, one row per
+    ``by`` group, column ``est`` (double).  Empty registers are NOT
+    materialized: with ``z`` of the ``m`` buckets absent, the harmonic sum
+    gains ``z << 49`` and the linear-counting path uses ``z`` directly.
+    Small-range correction per the HLL paper (E ≤ 2.5 m and zeros > 0 →
+    linear counting); the 48-bit hash needs no large-range correction at
+    any realistic cardinality.
+    """
+    m = 1 << p
+    keys = list(by or [])
+    g = registers.groupBy(*keys).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({_W + 1} - reg as int))"))
+        .cast("long").alias("s_present"),
+        F.count("*").cast("long").alias("n_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    s_total = F.col("s_present") + zeros * F.lit(1 << (_W + 1)).cast("long")
+    # ONE python float constant shared verbatim with the SQL twin — both
+    # engines then divide the identical double by the identical integer.
+    e_raw = F.lit(_est_const(m)) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return g.select(*keys, est.alias("est"))
+
+
+def hll_register_sql(item_expr: str, p: int) -> tuple:
+    """(bucket_expr, reg_expr_pieces) for the SQL twin: returns SQL strings
+    ``bucket`` and ``rho`` to aggregate as ``max(rho)`` grouped by bucket.
+    """
+    m = 1 << p
+    h = f"md5({item_expr})"
+    bucket = f"(({_hex_long_sql(h, 1, 4)}) % {m})"
+    v = _hex_long_sql(h, 5, 12)
+    rho = (f"(CASE WHEN {v} = 0 THEN {_W + 1} "
+           f"ELSE {_W + 1} - length(bin({v})) END)")
+    return bucket, rho
+
+
+def hll_estimate_sql(p: int) -> str:
+    """SQL expression over columns ``s_present``/``n_present`` (as built by
+    the twin's register aggregation) yielding the same estimate."""
+    m = 1 << p
+    s_total = (f"(s_present + ({m} - n_present) * "
+               f"(CAST(1 AS BIGINT) << {_W + 1}))")
+    e_raw = (f"(CAST({_est_const(m)!r} AS DOUBLE) / "
+             f"CAST({s_total} AS DOUBLE))")
+    zeros = f"({m} - n_present)"
+    return (f"CASE WHEN {e_raw} <= CAST({2.5 * m!r} AS DOUBLE) AND {zeros} > 0 "
+            f"THEN CAST({float(m)!r} AS DOUBLE) * "
+            f"ln(CAST({float(m)!r} AS DOUBLE) / {zeros}) "
+            f"ELSE {e_raw} END")
+
+
+# --------------------------------------------------------------------------
+# count-min
+# --------------------------------------------------------------------------
+
+def _cms_col(item: Column, row: int, width: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), item))
+    return (_hex_long(h, 1, 8) % F.lit(width)).cast("int")
+
+
+def cms_bucket_sql(item_expr: str, row: int, width: int) -> str:
+    h = f"md5('cms{row}:' || {item_expr})"
+    return f"(({_hex_long_sql(h, 1, 8)}) % {width})"
+
+
+def count_min_sketch(
+    df: DataFrame, item: Column, depth: int = 4, width: int = 1024,
+    weight: Optional[Column] = None,
+) -> DataFrame:
+    """Count-min table: ``depth × width`` cells, ``cnt = Σ weight`` (default
+    1 per row).  One shuffle of (row, col, partial-count) int triples —
+    map-side combine collapses each partition to ≤ depth·width rows first.
+    """
+    w = weight if weight is not None else F.lit(1).cast("long")
+    parts = [
+        df.select(
+            F.lit(d).alias("row"),
+            _cms_col(item, d, width).alias("col"),
+            w.alias("w"),
+        )
+        for d in range(depth)
+    ]
+    u = parts[0]
+    for pdf in parts[1:]:
+        u = u.unionByName(pdf)
+    return u.groupBy("row", "col").agg(F.sum("w").cast("long").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, items: DataFrame, item: Column,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point estimates (upper bounds) for each row of ``items``: the min
+    over the ``depth`` cells the item hashes to.  The sketch is
+    depth·width rows — broadcast; the probe never shuffles ``items``.
+    Output: items' columns + ``est`` (long).
+    """
+    probes = None
+    for d in range(depth):
+        pr = items.select(
+            *[F.col(c) for c in items.columns],
+            F.lit(d).alias("row"),
+            _cms_col(item, d, width).alias("col"),
+        )
+        probes = pr if probes is None else probes.unionByName(pr)
+    j = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (
+        j.groupBy(*[F.col(c) for c in items.columns])
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+             .alias("est"))
+    )

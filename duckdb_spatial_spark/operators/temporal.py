@@ -1,0 +1,346 @@
+"""Temporal joins: as-of join and interval (range-overlap) join.
+
+The reference engine inherits these from its host SQL engine (DuckDB ships
+native ``ASOF JOIN`` and an IEJoin-backed range join; the spatial extension
+relies on them for its trajectory/range workloads). Spark has neither as a
+built-in logical operator, so this module re-expresses both as compositions
+of DataFrame primitives that scale on a 1000-executor cluster:
+
+``asof_join``
+    The classic union-tag formulation: tag both inputs, union them, and run
+    ONE window (``last(..., ignorenulls=True)``) ordered by (time, tag) so
+    each left row sees the latest earlier right row.  One hash shuffle on
+    the ``by`` keys — no range join, no per-row binary search, no driver
+    state.  With no ``by`` key a naive window would collapse to a single
+    partition, so the keyless path range-buckets the timeline instead:
+    rows are bucketed by sampled time quantiles, the per-bucket carry-in
+    (each bucket's last right row) is a bucket-count-sized aggregate that
+    is collected once and broadcast back — the timeline sort never
+    concentrates on one task.
+
+``interval_join``
+    The standard bucket-grid overlap join: each interval explodes to the
+    fixed-width buckets it covers and candidates meet on (key, bucket).
+    Each overlapping pair is emitted EXACTLY once without a distinct — the
+    join keeps only the bucket containing ``greatest(l_start, r_start)``
+    (every real overlap has exactly one such bucket).  Long intervals are
+    the classic skew killer (one row → thousands of bucket copies), so rows
+    spanning more than ``max_buckets_per_row`` buckets are split off and
+    joined via a broadcast predicate join instead — they are rare by
+    construction (the cap is ~256 bucket-widths) while the bulk stays on
+    the shuffle-bounded grid path.
+
+Reference parity: DuckDB ``ASOF JOIN`` semantics (latest right.ts <=
+left.ts, ties matching) per duckdb docs/sql/query_syntax/from; range join
+per the IEJoin paper (Khayyat et al., VLDB 2015) — both re-derived here as
+shuffle-bounded Spark plans, not ports.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def _as_list(x) -> List[str]:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: Optional[Sequence[str]] = None,
+    value_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    tolerance_us: Optional[int] = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """As-of join ``left`` to the temporally nearest ``right`` row.
+
+    For every left row, attach the right row with the largest
+    ``right_on`` <= ``left_on`` (``direction='backward'``, ties match —
+    DuckDB ASOF semantics) or smallest ``right_on`` >= ``left_on``
+    (``'forward'``), within the same ``by`` group.  ``value_cols`` (default:
+    every non-key right column except ``right_on``) arrive suffixed as-is,
+    plus ``matched_<right_on>`` with the matched timestamp (NULL when no
+    match).  ``tolerance_us`` drops matches farther than the given number
+    of microseconds (the time columns may be TimestampType or plain
+    numerics; tolerance is interpreted in the column's own unit for
+    numerics).
+
+    Scale shape: one shuffle. Keyed: hash-partition on ``by``; each
+    partition sorts once for the window. Keyless: the timeline is cut into
+    ``n_buckets`` quantile buckets; the only global state is one
+    ``n_buckets``-row aggregate (each bucket's last right row) collected
+    and broadcast as the carry-in, so no single task ever holds the whole
+    timeline.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = _as_list(by)
+    vals = _as_list(value_cols)
+    if not vals:
+        vals = [c for c in right.columns if c != right_on and c not in keys]
+    overlap = [c for c in vals if c in left.columns]
+    if overlap:
+        raise ValueError(f"right value columns collide with left: {overlap}")
+
+    ts_l = F.col(left_on)
+    # Numeric ordering key that is exact for timestamps (microseconds).
+    # TIMESTAMP_NTZ lacks unix_micros — cast to LTZ first (pin the session
+    # timezone to UTC for an epoch-faithful cast; ordering and tolerance
+    # are correct under any fixed zone either way).
+    def _ord(c: Column, dt: str) -> Column:
+        if dt == "timestamp_ntz":
+            return F.unix_micros(c.cast("timestamp"))
+        if dt.startswith("timestamp"):
+            return F.unix_micros(c)
+        return c.cast("double")
+
+    l_dt = dict(left.dtypes)[left_on]
+    r_dt = dict(right.dtypes)[right_on]
+
+    # Pack right values into ONE struct so the window propagates a whole
+    # right ROW; per-column last(ignorenulls) could stitch values from
+    # different right rows when a value column is legitimately NULL.
+    payload = F.struct(
+        F.col(right_on).alias("__rt"), *[F.col(v).alias(v) for v in vals]
+    )
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__tag"),
+        _ord(ts_l, l_dt).alias("__ord"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("__p"),
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns if c not in keys],
+        F.lit(0).alias("__tag"),
+        _ord(F.col(right_on), r_dt).alias("__ord"),
+        payload.alias("__p"),
+    )
+    if keys:
+        u = lhs.unionByName(rhs)
+        order = [F.col("__ord"), F.col("__tag")]
+        if direction == "forward":
+            order = [F.col("__ord").desc(), F.col("__tag")]
+        w = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    else:
+        u = lhs.unionByName(rhs)
+        # Keyless: quantile-bucket the timeline so the sort distributes.
+        bounds = u.approxQuantile(
+            "__ord", [i / n_buckets for i in range(1, n_buckets)], 0.001
+        )
+        bounds = sorted(set(bounds))
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        u = u.withColumn(
+            "__bkt", F.size(F.filter(barr, lambda b: b <= F.col("__ord")))
+        )
+        order = [F.col("__ord"), F.col("__tag")]
+        if direction == "forward":
+            order = [F.col("__ord").desc(), F.col("__tag")]
+        w = (
+            Window.partitionBy("__bkt")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        # Carry-in: per bucket, the payload of its extreme right row.  A
+        # bucket-count-sized aggregate — collect once, cumulate driver-side,
+        # broadcast back.  (max_by on __ord with __tag==0 rows only.)
+        per_bkt = (
+            u.filter(F.col("__tag") == 0)
+            .groupBy("__bkt")
+            .agg(
+                (
+                    F.max_by("__p", F.col("__ord"))
+                    if direction == "backward"
+                    else F.min_by("__p", F.col("__ord"))
+                ).alias("__cp")
+            )
+            .collect()
+        )
+        by_b = {r["__bkt"]: r["__cp"] for r in per_bkt}
+        total = len(bounds) + 1  # __bkt ranges over 0..len(bounds)
+        scan = range(total) if direction == "backward" else reversed(
+            range(total))
+        # carry[b] = extreme right payload from buckets strictly before b
+        # in scan order (earlier buckets for backward, later for forward).
+        acc = None
+        seen: dict = {}
+        for b in scan:
+            seen[b] = acc
+            if b in by_b:
+                acc = by_b[b]
+        carry_rows = [
+            (b, p) for b, p in seen.items() if p is not None
+        ]
+        if carry_rows:
+            cdf = u.sparkSession.createDataFrame(
+                carry_rows,
+                schema=u.select(
+                    F.col("__bkt"), F.col("__p").alias("__carry")
+                ).schema,
+            )
+            u = u.join(F.broadcast(cdf), "__bkt", "left")
+            u = u.withColumn("__m", F.coalesce(F.col("__m"), F.col("__carry")))
+            u = u.drop("__carry")
+        u = u.drop("__bkt")
+
+    res = u.filter(F.col("__tag") == 1)
+    matched_ord = (
+        F.unix_micros(F.col("__m.__rt").cast("timestamp"))
+        if r_dt == "timestamp_ntz"
+        else F.unix_micros(F.col("__m.__rt"))
+        if r_dt.startswith("timestamp")
+        else F.col("__m.__rt").cast("double")
+    )
+    if tolerance_us is not None:
+        dist = F.abs(F.col("__ord") - matched_ord)
+        res = res.withColumn(
+            "__m",
+            F.when(dist <= F.lit(tolerance_us), F.col("__m")),
+        )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__m.__rt").alias(f"matched_{right_on}"))
+    out_cols.extend(F.col(f"__m.{v}").alias(v) for v in vals)
+    return res.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: Optional[Sequence[str]] = None,
+    bucket_width: Optional[float] = None,
+    max_buckets_per_row: int = 256,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner join on interval overlap: ``l_start <= r_end AND r_start <=
+    l_end`` (closed intervals), optionally also equi-matching ``by`` keys.
+
+    Scale shape: both sides explode onto a fixed-width bucket grid and meet
+    with an equi-join on (keys..., bucket) — the overlap predicate never
+    reaches a cross join.  Pair uniqueness comes from keeping only the
+    bucket that contains ``greatest(l_start, r_start)`` — no distinct.
+    Intervals longer than ``max_buckets_per_row`` buckets would each fan
+    out into thousands of grid rows (the skew path), so they divert to a
+    broadcast predicate join; the grid bulk stays one shuffle per side.
+    ``bucket_width`` defaults to the median interval length of a sample
+    (never below 1/4096 of the sampled span).
+    """
+    keys = _as_list(by)
+    overlap = [c for c in right.columns if c in left.columns and c not in keys]
+    right_renamed = right
+    for c in overlap:
+        right_renamed = right_renamed.withColumnRenamed(c, c + suffix)
+    rs, re_ = (r_start + suffix if r_start in overlap else r_start,
+               r_end + suffix if r_end in overlap else r_end)
+
+    def _num(df: DataFrame, col: str) -> Column:
+        dt = dict(df.dtypes)[col]
+        if dt == "timestamp_ntz":
+            return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+        if dt.startswith("timestamp"):
+            return F.unix_micros(F.col(col)).cast("double")
+        return F.col(col).cast("double")
+
+    lnum_s, lnum_e = _num(left, l_start), _num(left, l_end)
+    rnum_s, rnum_e = _num(right_renamed, rs), _num(right_renamed, re_)
+
+    if bucket_width is None:
+        samp = (
+            left.select((lnum_e - lnum_s).alias("len"), lnum_s.alias("s"),
+                        lnum_e.alias("e"))
+            .limit(20000)
+        )
+        qs = samp.approxQuantile(["len", "s", "e"], [0.5], 0.01)
+        med = qs[0][0] if qs[0] else None
+        span_s = qs[1][0] if qs[1] else 0.0
+        span_e = qs[2][0] if qs[2] else 1.0
+        bucket_width = max(
+            float(med or 1.0), abs(span_e - span_s) / 4096.0, 1e-9
+        )
+
+    bw = float(bucket_width)
+    lb = left.withColumn("__s", lnum_s).withColumn("__e", lnum_e)
+    rb = right_renamed.withColumn("__s2", rnum_s).withColumn("__e2", rnum_e)
+
+    def _with_buckets(df, s, e):
+        return df.withColumn(
+            "__b0", F.floor(F.col(s) / F.lit(bw)).cast("long")
+        ).withColumn("__b1", F.floor(F.col(e) / F.lit(bw)).cast("long"))
+
+    lb = _with_buckets(lb, "__s", "__e")
+    rb = _with_buckets(rb, "__s2", "__e2")
+
+    cap = int(max_buckets_per_row)
+    l_short = lb.filter(F.col("__b1") - F.col("__b0") < cap)
+    l_long = lb.filter(F.col("__b1") - F.col("__b0") >= cap)
+    r_short = rb.filter(F.col("__b1") - F.col("__b0") < cap)
+    r_long = rb.filter(F.col("__b1") - F.col("__b0") >= cap)
+
+    le = l_short.withColumn(
+        "__b", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    ).drop("__b0", "__b1")
+    re2 = r_short.withColumn(
+        "__b", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    ).drop("__b0", "__b1")
+
+    cond = (
+        (F.col("__s") <= F.col("__e2"))
+        & (F.col("__s2") <= F.col("__e"))
+        & (
+            F.col("__b")
+            == F.floor(F.greatest(F.col("__s"), F.col("__s2")) / F.lit(bw))
+            .cast("long")
+        )
+    )
+    join_keys = keys + ["__b"]
+    grid = le.join(re2, on=join_keys, how="inner").filter(cond)
+
+    out_cols = [c for c in left.columns] + [
+        c for c in right_renamed.columns if c not in keys
+    ]
+    parts = [grid.select(*out_cols)]
+
+    # Skew diversions: long intervals are few — broadcast them against the
+    # other side's raw rows with the plain predicate.
+    pred = (F.col("__s") <= F.col("__e2")) & (F.col("__s2") <= F.col("__e"))
+
+    def _pred_join(a, b):
+        j = a.join(F.broadcast(b), on=keys, how="inner") if keys else (
+            a.crossJoin(F.broadcast(b)))
+        return j.filter(pred).select(*out_cols)
+
+    l_long_c = l_long.drop("__b0", "__b1")
+    r_long_c = r_long.drop("__b0", "__b1")
+    # long-left × all-right, short-left × long-right (avoid double count of
+    # long×long by routing it only through the first part)
+    parts.append(_pred_join(l_long_c, rb.drop("__b0", "__b1")))
+    parts.append(_pred_join(l_short.drop("__b0", "__b1"), r_long_c))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("__s", "__e", "__s2", "__e2")

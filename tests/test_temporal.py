@@ -1,0 +1,170 @@
+"""asof_join / interval_join vs brute-force oracles (and DuckDB ASOF)."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.temporal import asof_join, interval_join
+
+
+def _brute_asof(L, R, keyed, direction="backward", tol=None):
+    out = {}
+    for (k, t, lid) in L:
+        cands = [
+            (t2, rid, v)
+            for (k2, t2, rid, v) in R
+            if (not keyed or k2 == k)
+            and (t2 <= t if direction == "backward" else t2 >= t)
+        ]
+        m = (max(cands) if direction == "backward" else min(cands)) \
+            if cands else None
+        if m is not None and tol is not None and abs(m[0] - t) > tol:
+            m = None
+        out[lid] = m
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = random.Random(7)
+    L = [(i % 5, rng.randint(0, 1000), i) for i in range(300)]
+    seen, R = set(), []
+    for i in range(200):
+        k, t = i % 5, rng.randint(0, 1000)
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        R.append((k, t, i * 10, float(i)))
+    return L, R
+
+
+def _check(res, exp):
+    bad = []
+    for row in res:
+        got = (
+            (row["matched_t"], row["rid"], row["v"])
+            if row["matched_t"] is not None else None
+        )
+        if got != exp[row["lid"]]:
+            bad.append((row["lid"], got, exp[row["lid"]]))
+    assert not bad, bad[:5]
+
+
+def test_asof_keyed_backward(spark, data):
+    L, R = data
+    l = spark.createDataFrame(L, "k int, t long, lid long")
+    r = spark.createDataFrame(R, "k int, t long, rid long, v double")
+    res = asof_join(l, r, "t", "t", by=["k"], value_cols=["rid", "v"])
+    assert res.count() == len(L)
+    _check(res.collect(), _brute_asof(L, R, True))
+
+
+def test_asof_keyed_forward_and_tolerance(spark, data):
+    L, R = data
+    l = spark.createDataFrame(L, "k int, t long, lid long")
+    r = spark.createDataFrame(R, "k int, t long, rid long, v double")
+    res = asof_join(l, r, "t", "t", by=["k"], value_cols=["rid", "v"],
+                    direction="forward")
+    _check(res.collect(), _brute_asof(L, R, True, "forward"))
+    res = asof_join(l, r, "t", "t", by=["k"], value_cols=["rid", "v"],
+                    tolerance_us=50)
+    _check(res.collect(), _brute_asof(L, R, True, tol=50))
+
+
+def test_asof_keyless_bucketed(spark, data):
+    """The scale path for un-keyed asof: quantile buckets + broadcast
+    carry-in, exercised with a bucket count small enough that carries
+    actually cross buckets."""
+    L, R = data
+    seen, R3 = set(), []
+    for (k, t, rid, v) in R:
+        if t in seen:
+            continue
+        seen.add(t)
+        R3.append((t, rid, v))
+    l3 = spark.createDataFrame([(t, lid) for (_, t, lid) in L],
+                               "t long, lid long")
+    r3 = spark.createDataFrame(R3, "t long, rid long, v double")
+    res = asof_join(l3, r3, "t", "t", value_cols=["rid", "v"], n_buckets=7)
+    exp = _brute_asof(
+        [(0, t, lid) for (_, t, lid) in L],
+        [(0, t, rid, v) for (t, rid, v) in R3], keyed=False)
+    _check(res.collect(), exp)
+
+
+def test_asof_matches_duckdb_asof_join(spark, data):
+    """Cross-engine: same semantics as DuckDB's native ASOF JOIN."""
+    L, R = data
+    l = spark.createDataFrame(L, "k int, t long, lid long")
+    r = spark.createDataFrame(R, "k int, t long, rid long, v double")
+    res = {
+        row["lid"]: (row["matched_t"], row["rid"])
+        for row in asof_join(l, r, "t", "t", by=["k"],
+                             value_cols=["rid", "v"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table l(k int, t bigint, lid bigint)")
+    con.execute("create table r(k int, t bigint, rid bigint, v double)")
+    con.executemany("insert into l values (?,?,?)", L)
+    con.executemany("insert into r values (?,?,?,?)", R)
+    duck = con.execute(
+        "select l.lid, r.t, r.rid from l asof left join r "
+        "on l.k = r.k and l.t >= r.t"
+    ).fetchall()
+    for lid, rt, rid in duck:
+        assert res[lid] == (rt, rid), (lid, res[lid], (rt, rid))
+
+
+def test_asof_timestamp_columns(spark):
+    rows_l = [(1, "2024-01-01 00:00:10", 1), (1, "2024-01-01 00:01:00", 2)]
+    rows_r = [(1, "2024-01-01 00:00:05", 7.0),
+              (1, "2024-01-01 00:00:30", 9.0)]
+    l = spark.createDataFrame(rows_l, "k int, ts string, lid int") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    r = spark.createDataFrame(rows_r, "k int, ts string, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {row["lid"]: row["v"]
+           for row in asof_join(l, r, "ts", "ts", by=["k"]).collect()}
+    assert got == {1: 7.0, 2: 9.0}
+    # tolerance in microseconds: 10 s window drops the 30 s-old match
+    got = {row["lid"]: row["v"]
+           for row in asof_join(l, r, "ts", "ts", by=["k"],
+                                tolerance_us=10_000_000).collect()}
+    assert got == {1: 7.0, 2: None}
+
+
+def test_interval_join_exact_and_skew_path(spark):
+    rng = random.Random(11)
+    LI = [(i % 5, s, s + rng.randint(0, 80), i)
+          for i, s in enumerate(rng.randint(0, 2000) for _ in range(250))]
+    RI = [(i % 5, s, s + rng.randint(0, 120), i + 1000)
+          for i, s in enumerate(rng.randint(0, 2000) for _ in range(250))]
+    li = spark.createDataFrame(LI, "k int, s long, e long, lid long")
+    ri = spark.createDataFrame(RI, "k int, s long, e long, rid long")
+    exp = sorted(
+        (a[3], b[3]) for a in LI for b in RI
+        if a[0] == b[0] and a[1] <= b[2] and b[1] <= a[2])
+    # cap=2 forces most rows down the long-interval broadcast diversion;
+    # the result must not change (and must not double-count long×long)
+    for cap in (256, 2):
+        res = interval_join(li, ri, "s", "e", "s", "e", by=["k"],
+                            bucket_width=64.0, max_buckets_per_row=cap)
+        got = sorted((r0["lid"], r0["rid"]) for r0 in res.collect())
+        assert got == exp, f"cap={cap}"
+
+
+def test_interval_join_keyless(spark):
+    rng = random.Random(3)
+    LI = [(s, s + rng.randint(0, 50), i)
+          for i, s in enumerate(rng.randint(0, 500) for _ in range(80))]
+    RI = [(s, s + rng.randint(0, 50), i + 1000)
+          for i, s in enumerate(rng.randint(0, 500) for _ in range(80))]
+    li = spark.createDataFrame(LI, "s long, e long, lid long")
+    ri = spark.createDataFrame(RI, "s long, e long, rid long")
+    exp = sorted((a[2], b[2]) for a in LI for b in RI
+                 if a[0] <= b[1] and b[0] <= a[1])
+    res = interval_join(li, ri, "s", "e", "s", "e", bucket_width=32.0)
+    got = sorted((r0["lid"], r0["rid"]) for r0 in res.collect())
+    assert got == exp
