@@ -2977,6 +2977,93 @@ def _q116_oracle_sql() -> str:
     """
 
 
+def q117_dbscan(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distributed DBSCAN (grid method): eps-neighbors via a 3×3
+    cell equi-join (one shuffle, no cross join), core points by a
+    map-side-combined neighbor count, clusters as connected components of
+    the core-core graph (the dedup tier's three-tier components), borders
+    adopt the smallest core-neighbor label — fully deterministic, so the
+    oracle replays it with the same cell grid and a recursive reach.
+    Points: the q88 synthetic plane (value, user_id%150), pinned to
+    event_id < 1500 — a fixed workload at every sf, so the oracle's
+    quadratic recursive reach stays bounded (the Spark components tier
+    itself has no such bound)."""
+    from duckdb_spatial_spark.operators.dbscan import dbscan
+
+    e = load_table(spark, sf, "events", fan_out=False)
+    pts = e.filter(F.col("event_id") < 1500).select(
+        F.col("event_id").alias("id"), F.col("value").alias("x"),
+        (F.col("user_id") % 150).cast("double").alias("y"))
+    lab = dbscan(pts, "id", "x", "y", eps=6.0, min_pts=5)
+    return (
+        lab.groupBy("role")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+            F.sum("label").cast("long").alias("sum_label"),
+        )
+        .orderBy("role")
+    )
+
+
+def _q117_oracle_sql() -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT event_id AS id, value AS x,
+                 CAST(user_id % 150 AS DOUBLE) AS y
+          FROM events WHERE event_id < 1500
+        ), cell AS (
+          SELECT id, x, y,
+                 CAST(floor(x / 6.0) AS BIGINT) AS cx,
+                 CAST(floor(y / 6.0) AS BIGINT) AS cy
+          FROM p
+        ), probe AS (
+          SELECT c.id, c.x, c.y, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+          FROM cell c, (VALUES {offs}) o(dx, dy)
+        ), nbr AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM probe a JOIN cell b ON a.cx = b.cx AND a.cy = b.cy
+          WHERE a.id <> b.id
+            AND (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= 36.0
+        ), cnt AS (
+          SELECT p.id, 1 + count(n.id_b) AS n_nbr
+          FROM p LEFT JOIN nbr n ON n.id_a = p.id GROUP BY p.id
+        ), core AS (
+          SELECT id FROM cnt WHERE n_nbr >= 5
+        ), edges AS (
+          SELECT n.id_a AS src, n.id_b AS dst FROM nbr n
+          JOIN core c1 ON c1.id = n.id_a
+          JOIN core c2 ON c2.id = n.id_b
+        ), reach AS (
+          SELECT id AS node, id AS lbl FROM core
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ), comp AS (
+          SELECT node AS id, min(lbl) AS comp FROM reach GROUP BY 1
+        ), border AS (
+          SELECT n.id_a AS id, min(c.comp) AS b_label
+          FROM nbr n JOIN comp c ON c.id = n.id_b
+          WHERE n.id_a NOT IN (SELECT id FROM core)
+          GROUP BY 1
+        ), lab AS (
+          SELECT p.id,
+                 COALESCE(c.comp, b.b_label, -1) AS label,
+                 CASE WHEN c.comp IS NOT NULL THEN 'core'
+                      WHEN b.b_label IS NOT NULL THEN 'border'
+                      ELSE 'noise' END AS role
+          FROM p LEFT JOIN comp c ON c.id = p.id
+                 LEFT JOIN border b ON b.id = p.id
+        )
+        SELECT role,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(sum(label) AS BIGINT) AS sum_label
+        FROM lab GROUP BY 1 ORDER BY 1
+    """
+
+
 def _events_utc(spark: SparkSession, e: DataFrame) -> DataFrame:
     """events.ts as TIMESTAMP (LTZ): the driver parquet may surface NTZ,
     which unix_micros rejects — pin the session to UTC so the cast is
@@ -3165,7 +3252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below (driver-green r3+r4, unchanged — same family).
         "q116_ann_ivfpq": q116_ann_ivfpq,
         "q81_streaming_sessions": q81_streaming_sessions,
-        "q58_linemerge_normalize": q58_linemerge_normalize,
+        # q117 DBSCAN holds this slot; q58 linemerge moved below (green
+        # r3+r4, unchanged; processing family keeps q64 overlay in-window).
+        "q117_dbscan": q117_dbscan,
         "q72_pii_redact": q72_pii_redact,
         "q115_count_min": q115_count_min,
         "q60_spheroid": q60_spheroid,
@@ -3211,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (paragraph dedup; same family rows as q26). All four were
         # driver-green in rounds 3 AND 4 and are byte-unchanged.
         "q55_ann_ivf": q55_ann_ivf,
+        "q58_linemerge_normalize": q58_linemerge_normalize,
         "q26_ngram_jaccard": q26_ngram_jaccard,
         "q87_lm_perplexity": q87_lm_perplexity,
         "q71_sample_stratified": q71_sample_stratified,
@@ -4481,6 +4571,7 @@ def oracle_sql() -> dict[str, str]:
         "q93_vec_quantize": _q93_oracle_sql(),
         "q92_text_clean": _q92_oracle_sql(),
         "q116_ann_ivfpq": _q116_oracle_sql(),
+        "q117_dbscan": _q117_oracle_sql(),
         "q112_asof_join": _q112_oracle_sql(),
         "q113_interval_join": _q113_oracle_sql(),
         "q114_hll_distinct": _q114_oracle_sql(),
