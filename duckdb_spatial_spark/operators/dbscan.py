@@ -83,6 +83,11 @@ def dbscan(
         .filter((F.col("id_a") != F.col("id")) & (d2 <= F.lit(eps * eps)))
         .select(F.col("id_a"), F.col("id").alias("id_b"))
     )
+    # the neighbor graph feeds THREE branches (counts, core edges, border
+    # adoption) — without a cut Catalyst replays the cell join per branch.
+    # localCheckpoint, not persist: nothing downstream can schedule an
+    # unpersist, and CacheManager never frees Dataset caches on its own.
+    nbr = nbr.localCheckpoint(eager=True)
     # neighbor count includes the point itself
     counts = (
         nbr.groupBy(F.col("id_a").alias("id"))

@@ -6,7 +6,7 @@ here is shuffle-on-equi-keys / broadcast / col-expr, so time should grow
 The 10x input is the sf0.1 table unioned with shifted keys — same value
 distribution, 10x rows, no new files needed (do NOT write to /root/testdata).
 
-Usage: python scripts/scale_probe.py [replication]
+Usage: python scripts/scale_probe.py [replication] [workload ...]
 Prints one JSON line: {workload: {rows, sec_1x, sec_Nx, ratio}}
 """
 from __future__ import annotations
@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2:])
 
 
 def main() -> None:
@@ -258,7 +259,88 @@ def main() -> None:
         return hamming_neardup_pairs(d, "doc_id", "ph", bits=64, bands=8,
                                      max_hamming=2).count()
 
+    def asof_w(df):
+        from duckdb_spatial_spark.operators.temporal import asof_join
+
+        # % 997 keys: the 10M replica shift is NOT a multiple, so copies
+        # spread over new keys — per-key multiplicity stays constant
+        # (shift-divisible moduli would grow hot keys 10×)
+        clicks = df.select((F.col("event_id") % 997).alias("k"),
+                           F.col("event_id").alias("t"),
+                           F.col("x").alias("vx"))
+        rights = df.filter(F.col("event_id") % 3 == 0).select(
+            (F.col("event_id") % 997).alias("k"),
+            (F.col("event_id") + 1).alias("t"), F.col("y").alias("v"))
+        return (asof_join(clicks, rights, "t", "t", by=["k"],
+                          value_cols=["v"])
+                .agg(F.sum("v")).collect()[0][0])
+
+    def interval_w(df):
+        from duckdb_spatial_spark.operators.temporal import interval_join
+
+        l = df.select((F.col("event_id") % 997).alias("k"),
+                      F.col("x").alias("s"), (F.col("x") + 2.0).alias("e"),
+                      F.col("event_id").alias("lid"))
+        r = df.filter(F.col("event_id") % 5 == 0).select(
+            (F.col("event_id") % 997).alias("k"), F.col("x").alias("s"),
+            (F.col("x") + 3.0).alias("e"), F.col("event_id").alias("rid"))
+        return interval_join(l, r, "s", "e", "s", "e", by=["k"],
+                             bucket_width=4.0).count()
+
+    def hll_w(df):
+        from duckdb_spatial_spark.operators.sketch import (hll_estimate,
+                                                           hll_registers)
+
+        words = df.select(
+            (F.col("doc_id") % 16).alias("g"),
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        return hll_estimate(
+            hll_registers(words, F.col("w"), 10, by=["g"]), 10, by=["g"]
+        ).count()
+
+    def cms_w(df):
+        from duckdb_spatial_spark.operators.sketch import count_min_sketch
+
+        words = df.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        return count_min_sketch(words, F.col("w"), depth=4,
+                                width=1024).count()
+
+    def pq_w(df):
+        from duckdb_spatial_spark.operators.pq import ann_pq_topk, train_pq
+
+        books = train_pq(df, "embedding", m=8, ks=16, sample=2000, iters=2)
+        qs = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        return ann_pq_topk(df, qs, books, k=5).count()
+
+    def dbscan_w(df):
+        from duckdb_spatial_spark.operators.dbscan import dbscan
+
+        # replicas land on their own y-plane: density (DBSCAN's intrinsic
+        # quadratic knob) stays constant while rows grow linearly.  Thinned
+        # 1-in-5 (10M shift ≡ 0 mod 5, so every replica thins identically):
+        # at full sf0.1 density the plane percolates into one ~97k-node
+        # component and the components step alone is ~60 s per run — a
+        # property of the PLANE, not the plan; the probe measures scaling,
+        # so it uses the moderate-density regime.
+        pts = df.filter(F.col("event_id") % 5 == 0).select(
+            "event_id", "x",
+            (F.col("y") + F.floor(F.col("event_id") / 10_000_000) * 200.0)
+            .alias("y2"))
+        return (dbscan(pts, "event_id", "x", "y2", eps=2.0, min_pts=5)
+                .groupBy("role").count().count())
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
     workloads = [
+        ("asof_join", events, ["event_id"], asof_w),
+        ("interval_join", events, ["event_id"], interval_w),
+        ("hll_registers", docs, ["doc_id"], hll_w),
+        ("count_min", docs, ["doc_id"], cms_w),
+        ("pq_adc_scan", emb, ["vec_id"], pq_w),
+        ("dbscan_grid", events, ["event_id"], dbscan_w),
         ("pip_join", events, ["event_id"], pip_join),
         ("hilbert_layout", events, ["event_id"], hilbert),
         ("grid_join", events, ["event_id"], grid_join),
@@ -283,6 +365,8 @@ def main() -> None:
     ]
     out = {}
     for name, base, keys, fn in workloads:
+        if ONLY and name not in ONLY:
+            continue
         small = base.localCheckpoint(eager=True)
         big = replicate(base, keys, REP).localCheckpoint(eager=True)
         n1, nN = small.count(), big.count()
