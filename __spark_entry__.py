@@ -3064,6 +3064,70 @@ def _q117_oracle_sql() -> str:
     """
 
 
+def q118_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe equi-join: events join a per-type dim on event_type —
+    5 distinct keys, the textbook mega-key shape that melts one reducer
+    in a plain shuffle join. salted_join spreads each key over 8 sub-keys
+    (deterministic row-hash salt) and replicates the dim side per salt;
+    the result is row-identical to the plain join, which is exactly what
+    the oracle runs."""
+    from duckdb_spatial_spark.operators.pipeline import salted_join
+
+    e = load_table(spark, sf, "events", fan_out=False)
+    dim = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("type_avg"))
+    j = salted_join(e.select("event_type", "value"), dim,
+                    ["event_type"], salt=8)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.max("type_avg"), 6).alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q119_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable quantiles from a fixed-bin histogram sketch: per event
+    type, p50/p90/p99 of value from a ≤256-row-per-group sketch
+    (map-side-combined counts; merge across corpora = per-bin +). Unlike
+    Spark's native approxQuantile (Greenwald-Khanna), every step —
+    binning, cumsum, interpolation — replays in ANSI SQL, so the oracle
+    is bit-identical before rounding."""
+    from duckdb_spatial_spark.operators.sketch import (histogram_quantiles,
+                                                       histogram_sketch)
+
+    e = load_table(spark, sf, "events", fan_out=False)
+    sk = histogram_sketch(e, F.col("value"), 0.0, 500.0, 256,
+                          by=["event_type"])
+    out = histogram_quantiles(sk, [0.5, 0.9, 0.99], 0.0, 500.0, 256,
+                              by=["event_type"])
+    return out.select(
+        "event_type", "q", F.round("est", 6).alias("est")
+    ).orderBy("event_type", "q")
+
+
+def _q119_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.sketch import (histogram_bin_sql,
+                                                       histogram_quantile_sql)
+
+    b = histogram_bin_sql("value", 0.0, 500.0, 256)
+    parts = " UNION ALL ".join(
+        f"SELECT event_type, q, round(est, 6) AS est FROM ("
+        f"{histogram_quantile_sql(q, 0.0, 500.0, 256, 'sk', ['event_type'])})"
+        for q in (0.5, 0.9, 0.99))
+    return f"""
+        WITH sk AS (
+          SELECT event_type, {b} AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT * FROM ({parts}) ORDER BY event_type, q
+    """
+
+
 def _events_utc(spark: SparkSession, e: DataFrame) -> DataFrame:
     """events.ts as TIMESTAMP (LTZ): the driver parquet may surface NTZ,
     which unix_micros rejects — pin the session to UTC so the cast is
@@ -3246,7 +3310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_dedup_pipeline": q79_dedup_pipeline,
         "q70_decontaminate": q70_decontaminate,
         "q114_hll_distinct": q114_hll_distinct,
-        "q93_vec_quantize": q93_vec_quantize,
+        # q119 histogram-quantile sketch takes this slot; q93 int8
+        # quantize moved below (green r3+r4; vectors family keeps q111
+        # PCA + q116 PQ in-window).
+        "q119_histogram_quantiles": q119_histogram_quantiles,
         "q54_langid_ngram": q54_langid_ngram,
         # q116 (PQ/ADC ANN) holds the in-window ANN row; q55 IVF moved
         # below (driver-green r3+r4, unchanged — same family).
@@ -3255,7 +3322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q117 DBSCAN holds this slot; q58 linemerge moved below (green
         # r3+r4, unchanged; processing family keeps q64 overlay in-window).
         "q117_dbscan": q117_dbscan,
-        "q72_pii_redact": q72_pii_redact,
+        # q118 salted join takes this slot; q72 PII redact moved below
+        # (green r3+r4; regex-clean family keeps q92+q102 in-window).
+        "q118_salted_join": q118_salted_join,
         "q115_count_min": q115_count_min,
         "q60_spheroid": q60_spheroid,
         "q61_rtree_points": q61_rtree_points,
@@ -3300,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (paragraph dedup; same family rows as q26). All four were
         # driver-green in rounds 3 AND 4 and are byte-unchanged.
         "q55_ann_ivf": q55_ann_ivf,
+        "q93_vec_quantize": q93_vec_quantize,
+        "q72_pii_redact": q72_pii_redact,
         "q58_linemerge_normalize": q58_linemerge_normalize,
         "q26_ngram_jaccard": q26_ngram_jaccard,
         "q87_lm_perplexity": q87_lm_perplexity,
@@ -4572,6 +4643,19 @@ def oracle_sql() -> dict[str, str]:
         "q92_text_clean": _q92_oracle_sql(),
         "q116_ann_ivfpq": _q116_oracle_sql(),
         "q117_dbscan": _q117_oracle_sql(),
+        "q118_salted_join": """
+            WITH dim AS (
+              SELECT event_type, round(avg(value), 6) AS type_avg
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(e.value), 6) AS sum_value,
+                   round(max(d.type_avg), 6) AS type_avg
+            FROM events e JOIN dim d USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q119_histogram_quantiles": _q119_oracle_sql(),
         "q112_asof_join": _q112_oracle_sql(),
         "q113_interval_join": _q113_oracle_sql(),
         "q114_hll_distinct": _q114_oracle_sql(),

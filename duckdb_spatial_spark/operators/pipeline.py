@@ -806,6 +806,41 @@ def salted_agg(
     return p1.groupBy(key_col).agg(*final_exprs)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the left side's rows spread over ``salt``
+    sub-keys (a deterministic hash of a per-row id, so a single mega-key's
+    rows land on ``salt`` reducers instead of melting one) and the right
+    side replicates once per sub-key.  Result is row-identical to the
+    plain join; cost is ``salt×`` the RIGHT side's shuffle volume — use it
+    when the right side is the small-but-not-broadcastable one and a few
+    left keys dominate.
+
+    AQE's skew-join handling splits oversized sort-merge partitions at
+    runtime and usually makes manual salting unnecessary — this operator
+    is for the cases AQE can't touch: AQE disabled (deterministic plan
+    reproduction), shuffle-hash joins, or a skewed key feeding a
+    downstream co-partitioned stage that must not be split.  ``how``
+    supports inner/left joins (right replication keeps both exact).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = list(key_cols)
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(salt)).cast("int"))
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = lsalt.join(rsalt, keys + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

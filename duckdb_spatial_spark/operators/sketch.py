@@ -31,12 +31,14 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "hll_registers", "hll_estimate", "hll_register_sql", "hll_estimate_sql",
     "count_min_sketch", "count_min_estimate", "cms_bucket_sql",
+    "histogram_sketch", "histogram_quantiles", "histogram_bin_sql",
+    "histogram_quantile_sql",
 ]
 
 _W = 48  # rho source bits (hex digits 5..16 of md5)
@@ -234,3 +236,113 @@ def count_min_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
              .alias("est"))
     )
+
+
+# --------------------------------------------------------------------------
+# fixed-bin histogram quantiles
+# --------------------------------------------------------------------------
+
+def _bin_expr(col: Column, lo: float, hi: float, bins: int) -> Column:
+    scaled = (col.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins)
+    b = F.floor(scaled).cast("int")
+    return F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+
+
+def histogram_bin_sql(expr: str, lo: float, hi: float, bins: int) -> str:
+    scaled = (f"(CAST({expr} AS DOUBLE) - CAST({lo!r} AS DOUBLE)) / "
+              f"CAST({hi - lo!r} AS DOUBLE) * {bins}")
+    return (f"least(greatest(CAST(floor({scaled}) AS INT), 0), {bins - 1})")
+
+
+def histogram_sketch(
+    df: DataFrame, col: Column, lo: float, hi: float, bins: int = 256,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Fixed-edge histogram: ≤ ``bins`` rows per group, (``by``…, bin,
+    cnt).  Values clamp into the edge bins.  Unlike Spark's native
+    ``approxQuantile`` (Greenwald-Khanna, not replayable in ANSI SQL),
+    the deterministic edges make the whole estimate portable — and the
+    sketch merges across corpora/days by summing counts per bin."""
+    keys = list(by or [])
+    return (
+        df.select(*[F.col(k) for k in keys],
+                  _bin_expr(col, lo, hi, bins).alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame, qs: Sequence[float], lo: float, hi: float,
+    bins: int = 256, by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the value
+    at the q-th fraction assuming uniform mass inside each bin (error ≤
+    one bin width).  Output: (``by``…, q, est).  Pure col-expr — the bin
+    cumsum is a window over ≤ ``bins`` rows per group."""
+    keys = list(by or [])
+    w = (Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot_w = Window.partitionBy(*[F.col(k) for k in keys])
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("total", F.sum("cnt").over(tot_w))
+    )
+    width = (hi - lo) / bins
+    outs = []
+    for q in qs:
+        target = F.ceil(F.lit(float(q)) * F.col("total"))
+        # first bin whose cumulative count reaches the target
+        hit = (
+            cum.filter(F.col("cum") >= target)
+            .groupBy(*keys)
+            .agg(F.min_by(
+                F.struct("bin", "cum", "cnt", "total"), F.col("bin")
+            ).alias("h"))
+        )
+        target_h = F.ceil(F.lit(float(q)) * F.col("h.total"))
+        frac = (
+            (target_h.cast("double")
+             - (F.col("h.cum") - F.col("h.cnt")).cast("double"))
+            / F.col("h.cnt").cast("double")
+        )
+        est = (F.lit(lo) + (F.col("h.bin").cast("double") + frac)
+               * F.lit(width))
+        outs.append(hit.select(
+            *keys, F.lit(float(q)).alias("q"), est.alias("est")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def histogram_quantile_sql(
+    q: float, lo: float, hi: float, bins: int,
+    sketch_cte: str, keys: Sequence[str],
+) -> str:
+    """SQL twin of one :func:`histogram_quantiles` entry over a CTE named
+    ``sketch_cte`` with columns (keys..., bin, cnt).  Yields a SELECT of
+    (keys..., q, est) replaying the identical cumsum/interpolation."""
+    ks = ", ".join(keys)
+    kpfx = f"{ks}, " if ks else ""
+    part = f"PARTITION BY {ks} " if ks else ""
+    width = (hi - lo) / bins
+    return f"""
+        SELECT {kpfx}CAST({float(q)!r} AS DOUBLE) AS q,
+               CAST({lo!r} AS DOUBLE)
+                 + (CAST(bin AS DOUBLE)
+                    + (CAST(target AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                      / CAST(cnt AS DOUBLE))
+                   * CAST({width!r} AS DOUBLE) AS est
+        FROM (
+          SELECT {kpfx}bin, cnt, cum, target,
+                 row_number() OVER ({part}ORDER BY bin) AS rn
+          FROM (
+            SELECT {kpfx}bin, cnt,
+                   sum(cnt) OVER ({part}ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   CAST(ceil({float(q)!r} * sum(cnt) OVER ({part.strip() or ''})) AS BIGINT) AS target
+            FROM {sketch_cte}
+          ) WHERE cum >= target
+        ) WHERE rn = 1
+    """

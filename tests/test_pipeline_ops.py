@@ -744,3 +744,20 @@ def test_ann_recall_harness(spark, emb):
         emb, qs, lambda df, q, k: ann_bruteforce_topk(df, q, k),
         k=10).collect()
     assert all(x.recall == 1.0 for x in perfect)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from duckdb_spatial_spark.operators.pipeline import salted_join
+
+    left = spark.createDataFrame(
+        [(i, ["hot", "hot", "hot", "cold", "warm"][i % 5], float(i))
+         for i in range(500)], "id long, k string, v double")
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0), ("missing", 9.0)], "k string, w double")
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(
+            left, right, ["k"], salt=4, how=how).collect()))
+        exp = sorted(map(tuple, left.join(right, ["k"], how).select(
+            *salted_join(left, right, ["k"], salt=4, how=how).columns
+        ).collect()))
+        assert got == exp, how

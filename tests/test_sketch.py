@@ -114,3 +114,63 @@ def test_cms_sketch_size_is_bounded(spark, corpus):
     df = spark.createDataFrame(corpus, "w string, grp int")
     assert count_min_sketch(df, F.col("w"), depth=D, width=W).count() \
         <= D * W
+
+
+def test_histogram_quantiles_cross_engine_and_accuracy(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.expovariate(0.02), ["a", "b", "c"][i % 3])
+            for i in range(5000)]
+    from duckdb_spatial_spark.operators.sketch import (
+        histogram_bin_sql, histogram_quantile_sql, histogram_quantiles,
+        histogram_sketch)
+
+    df = spark.createDataFrame(rows, "v double, g string")
+    sk = histogram_sketch(df, F.col("v"), 0.0, 300.0, 64, by=["g"])
+    got = sorted(
+        (r["g"], r["q"], round(r["est"], 6))
+        for r in histogram_quantiles(
+            sk, [0.5, 0.9], 0.0, 300.0, 64, by=["g"]).collect())
+    con = duckdb.connect()
+    con.execute("create table t(v double, g string)")
+    con.executemany("insert into t values (?,?)", rows)
+    b = histogram_bin_sql("v", 0.0, 300.0, 64)
+    parts = " UNION ALL ".join(
+        f"({histogram_quantile_sql(q, 0.0, 300.0, 64, 'sk', ['g'])})"
+        for q in (0.5, 0.9))
+    duck = sorted(
+        (g, q, round(e, 6)) for g, q, e in con.execute(
+            f"WITH sk AS (SELECT g, {b} AS bin, "
+            f"CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1,2) {parts}"
+        ).fetchall())
+    assert got == duck
+    # accuracy: within one bin width of the true quantile
+    import numpy as np
+    vs = np.array([v for v, g in rows if g == "a"])
+    width = 300.0 / 64
+    est = {(g, q): e for g, q, e in got}
+    for q in (0.5, 0.9):
+        assert abs(est[("a", q)] - float(np.quantile(vs, q))) <= width
+
+
+def test_histogram_sketch_merges_and_clamps(spark):
+    from duckdb_spatial_spark.operators.sketch import (histogram_quantiles,
+                                                       histogram_sketch)
+
+    rows = [(float(i % 100),) for i in range(2000)] + [(-5.0,), (1e9,)]
+    df = spark.createDataFrame(rows, "v double")
+    sk = histogram_sketch(df, F.col("v"), 0.0, 100.0, 50)
+    bins = {r["bin"]: r["cnt"] for r in sk.collect()}
+    assert min(bins) == 0 and max(bins) == 49  # out-of-range clamps
+    # merge two halves by summing bins == whole
+    h1 = histogram_sketch(spark.createDataFrame(rows[:1000], "v double"),
+                          F.col("v"), 0.0, 100.0, 50)
+    h2 = histogram_sketch(spark.createDataFrame(rows[1000:], "v double"),
+                          F.col("v"), 0.0, 100.0, 50)
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in h1.unionByName(h2).groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == bins
