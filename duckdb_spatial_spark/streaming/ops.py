@@ -259,3 +259,37 @@ def streaming_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def streaming_count_min(
+    stream: DataFrame,
+    item: Column,
+    ts_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming count-min sketch: per event-time window, the depth×width
+    cell table of the batch :func:`~..operators.sketch.count_min_sketch`
+    as a watermarked streaming aggregation.  State is bounded at
+    depth·width rows per open window regardless of stream rate — the
+    whole point of sketching a stream — and each emitted window's cells
+    merge with any other sketch (batch or stream) by cell-wise sum.
+    Output: (window, row, col, cnt) in append mode once the watermark
+    closes the window."""
+    from ..operators.sketch import _cms_col
+
+    parts = None
+    for d in range(depth):
+        p = stream.select(
+            F.col(ts_col),
+            F.lit(d).alias("row"),
+            _cms_col(item, d, width).alias("col"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return (
+        parts.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "row", "col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -372,3 +372,38 @@ def test_streaming_hamming_dedup(spark, tmp_path):
     ids = sorted(r["img_id"] for r in
                  spark.sql("SELECT img_id FROM hamdedup_out").collect())
     assert 3 in ids and len(ids) == 2
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
+    """The streamed CMS cells (availableNow drain, one closed window)
+    equal the batch count_min_sketch over the same items — the
+    sketch-merge contract across the batch/stream boundary."""
+    from duckdb_spatial_spark.operators.sketch import count_min_sketch
+    from duckdb_spatial_spark.streaming import streaming_count_min
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    rows = [(i, f"item-{i % 37}", "2024-01-01 00:%02d:00" % (i % 50))
+            for i in range(400)]
+    # sentinel two days later: advances the watermark past day 1 so the
+    # day-1 window CLOSES and append mode emits it during the drain
+    sentinel = [(9999, "late", "2024-01-03 00:00:00")]
+    (spark.createDataFrame(rows + sentinel, "id long, w string, ts string")
+     .withColumn("ts", F.to_timestamp("ts"))
+     .coalesce(1).write.parquet(str(src / "batch")))
+    stream = (spark.readStream.schema("id long, w string, ts timestamp")
+              .parquet(str(src / "batch")))
+    out = streaming_count_min(stream, F.col("w"), "ts", depth=4, width=64,
+                              window="1 day", watermark="0 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("cms_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    day1 = "2024-01-01"
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in spark.table("cms_out").collect()
+           if str(r["window"]["start"]).startswith(day1)}
+    batch = count_min_sketch(
+        spark.createDataFrame(rows, "id long, w string, ts string"),
+        F.col("w"), depth=4, width=64)
+    want = {(r["row"], r["col"]): r["cnt"] for r in batch.collect()}
+    assert got == want and len(got) > 0
