@@ -3128,6 +3128,39 @@ def _q119_oracle_sql() -> str:
     """
 
 
+def q120_wordpiece_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece (BERT) tokenization end-to-end — the third tokenizer
+    next to BPE (q85/q86) and unigram-LM (q110): likelihood-scored merge
+    training driver-side over the heavy-hitter word table, broadcast
+    greedy longest-match apply. Oracle: the coverage invariant (single-
+    char fallback pieces make segmentation lossless, so token characters
+    minus '##' prefixes equal the corpus' non-whitespace characters,
+    which SQL computes directly — the q110 pattern; the segmentations
+    themselves are pinned by unit tests)."""
+    from duckdb_spatial_spark.operators.tokenize import (apply_wordpiece,
+                                                         train_wordpiece,
+                                                         word_frequencies)
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    wf = [(r.word, r.freq)
+          for r in word_frequencies(d, "text", max_words=3000).collect()]
+    vocab = train_wordpiece(wf, vocab_size=600)
+    toks = apply_wordpiece(d, "text", vocab)
+    tlen = F.transform(
+        "tokens",
+        lambda t: F.length(t)
+        - F.when(t.startswith("##"), F.lit(2)).otherwise(F.lit(0)))
+    return (
+        toks.select(
+            "lang",
+            F.aggregate(tlen, F.lit(0), lambda a, x: a + x).alias("_tc"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("_tc").cast("long").alias("token_chars"))
+        .orderBy("lang")
+    )
+
+
 def _events_utc(spark: SparkSession, e: DataFrame) -> DataFrame:
     """events.ts as TIMESTAMP (LTZ): the driver parquet may surface NTZ,
     which unix_micros rejects — pin the session to UTC so the cast is
@@ -3379,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_knn_join": q88_knn_join,
         "q25_embedding_neardup": q25_embedding_neardup,
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
+        "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         "q06_convexhull_area": q06_convexhull_area,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q20_simhash": q20_simhash,
@@ -4901,6 +4935,13 @@ def oracle_sql() -> dict[str, str]:
         # coverage invariant of ULM Viterbi segmentation: token chars ==
         # non-whitespace chars (training is iterative — no SQL form)
         "q110_unigram_tokenizer": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(regexp_replace(text, '\\s+', '', 'g')))
+                        AS BIGINT) AS token_chars
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "q120_wordpiece_tokenizer": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(regexp_replace(text, '\\s+', '', 'g')))

@@ -339,3 +339,143 @@ def apply_unigram(
         return pd.Series(out)
 
     return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer — public method).
+# Third member of the tokenizer trio next to BPE and unigram-LM, same
+# train/apply split: training runs driver-side over the heavy-hitter-
+# bounded word-frequency table, apply is a broadcast + Arrow-batched UDF.
+# Differences vs BPE, stated so tests can pin them: merges are scored by
+# the LIKELIHOOD gain count(ab)/(count(a)·count(b)) rather than raw pair
+# count, and apply is vocabulary-driven greedy longest-match-first (it
+# never replays merges). Continuation pieces carry the '##' prefix.
+# ---------------------------------------------------------------------------
+
+def _wp_sym(word: str) -> Tuple[str, ...]:
+    return tuple([word[0]] + ["##" + c for c in word[1:]]) if word else ()
+
+
+def _wp_join(a: str, b: str) -> str:
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def train_wordpiece(
+    word_freq: Iterable[Tuple[str, int]],
+    vocab_size: int = 1000,
+    min_pair_freq: int = 2,
+) -> List[str]:
+    """WordPiece vocabulary: the character alphabet (word-initial chars +
+    '##'-continuations) plus greedy merges maximizing
+    ``count(ab) / (count(a) * count(b))``; ties break on higher pair
+    count then lexicographically — fully deterministic. Returns the vocab
+    sorted (a set for apply; order carries no meaning)."""
+    vocab_words: Dict[Tuple[str, ...], int] = {}
+    for word, freq in word_freq:
+        if not word:
+            continue
+        sym = _wp_sym(word)
+        vocab_words[sym] = vocab_words.get(sym, 0) + int(freq)
+    pieces = set()
+    for sym in vocab_words:
+        pieces.update(sym)
+    while len(pieces) < vocab_size:
+        pair_n: Dict[Tuple[str, str], int] = {}
+        unit_n: Dict[str, int] = {}
+        for sym, f in vocab_words.items():
+            for s in sym:
+                unit_n[s] = unit_n.get(s, 0) + f
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + f
+        best, best_key = None, None
+        for p, n in pair_n.items():
+            if n < min_pair_freq:
+                continue
+            score = n / (unit_n[p[0]] * unit_n[p[1]])
+            key = (score, n, (p[0], p[1]))
+            # deterministic argmax: score, then count, then lexicographic
+            # SMALLEST pair (so invert the pair in the comparison key)
+            if best_key is None or (
+                (key[0], key[1]) > (best_key[0], best_key[1])
+                or ((key[0], key[1]) == (best_key[0], best_key[1])
+                    and key[2] < best_key[2])
+            ):
+                best, best_key = p, key
+        if best is None:
+            break
+        new_piece = _wp_join(best[0], best[1])
+        pieces.add(new_piece)
+
+        def _merge(sym):
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(new_piece)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            return tuple(out)
+
+        nv: Dict[Tuple[str, ...], int] = {}
+        for sym, f in vocab_words.items():
+            ns = _merge(sym)
+            nv[ns] = nv.get(ns, 0) + f
+        vocab_words = nv
+    return sorted(pieces)
+
+
+def wordpiece_encode_word(word: str, vocab: set) -> List[str]:
+    """Greedy longest-match-first segmentation (the BERT apply loop).
+    A character absent from the vocab falls back to its single-char
+    piece, so segmentation always succeeds and concatenating the tokens
+    (minus '##') reproduces the word exactly."""
+    toks: List[str] = []
+    i, n = 0, len(word)
+    max_len = max((len(p) for p in vocab), default=1)
+    while i < n:
+        matched = None
+        top = min(max_len, n - i)
+        for L in range(top, 0, -1):
+            piece = word[i:i + L]
+            cand = piece if i == 0 else "##" + piece
+            if cand in vocab:
+                matched = (cand, L)
+                break
+        if matched is None:
+            matched = (word[i] if i == 0 else "##" + word[i], 1)
+        toks.append(matched[0])
+        i += matched[1]
+    return toks
+
+
+def apply_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    vocab: Iterable[str],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained WordPiece vocab: vocab
+    broadcast once, Arrow-batched scalar pandas UDF, per-batch word memo
+    (same shape as apply_bpe). Adds ``out_col`` array<string>."""
+    sc = df.sparkSession.sparkContext
+    b_vocab = sc.broadcast(set(vocab))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        v = b_vocab.value
+        memo: Dict[str, List[str]] = {}
+        out = []
+        for t in texts:
+            toks: List[str] = []
+            for w in (t or "").lower().split():
+                got = memo.get(w)
+                if got is None:
+                    got = wordpiece_encode_word(w, v)
+                    memo[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))

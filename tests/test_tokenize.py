@@ -158,3 +158,48 @@ def test_apply_unigram_spark(spark):
     assert "".join(out[1]) == "tokentokenizationnation"
     assert out[2] == []
     assert out[3] == []
+
+
+# --------------------------------------------------------------------- WP
+
+def test_wordpiece_train_scores_likelihood_not_count():
+    from duckdb_spatial_spark.operators.tokenize import train_wordpiece
+
+    # 'xq' appears 5 times but x,q are rare → high score; 'ee' appears 8
+    # times but e is everywhere → low score. WordPiece must merge xq
+    # before ee (BPE, scoring raw counts, would do the opposite).
+    wf = [("xq", 5), ("seed", 4), ("week", 4), ("peel", 4), ("exe", 4)]
+    v = train_wordpiece(wf, vocab_size=len(set("xqsdwkple")) * 2 + 1)
+    assert "xq" in v
+
+
+def test_wordpiece_greedy_longest_match_and_fallback():
+    from duckdb_spatial_spark.operators.tokenize import \
+        wordpiece_encode_word
+
+    vocab = {"un", "##able", "##abl", "##e", "able", "a", "##b", "##l",
+             "##a", "u", "##n"}
+    # longest-first: un + ##able (not un ##abl ##e)
+    assert wordpiece_encode_word("unable", vocab) == ["un", "##able"]
+    # OOV chars fall back to single-char pieces; concat reproduces word
+    toks = wordpiece_encode_word("zebra", vocab)
+    assert "".join(t[2:] if t.startswith("##") else t for t in toks) \
+        == "zebra"
+
+
+def test_wordpiece_apply_spark_coverage(spark):
+    from duckdb_spatial_spark.operators.tokenize import (apply_wordpiece,
+                                                         train_wordpiece,
+                                                         word_frequencies)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the lazy dog the fox")],
+        "id long, text string")
+    wf = [(r.word, r.freq)
+          for r in word_frequencies(df, "text", max_words=100).collect()]
+    vocab = train_wordpiece(wf, vocab_size=40)
+    toks = apply_wordpiece(df, "text", vocab).collect()
+    for r in toks:
+        rebuilt = "".join(
+            t[2:] if t.startswith("##") else t for t in r["tokens"])
+        assert rebuilt == r["text"].replace(" ", "")
