@@ -3161,6 +3161,66 @@ def q120_wordpiece_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q121_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap-fill (TimescaleDB time_bucket_gapfill + locf /
+    InfluxDB fill(previous)): per user-group, a regular 6-hour grid over
+    the observed span carrying the latest purchase at-or-before each tick
+    — grid = distinct keys × sequence (no driver loop), fill = the asof
+    machinery, two narrow shuffles total. Oracle: DuckDB generate-series
+    grid + native ASOF LEFT JOIN."""
+    from duckdb_spatial_spark.operators.temporal import resample_ffill
+
+    e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
+    obs = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 20).alias("k"),
+                 F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("value").alias("v"))
+    )
+    grid = resample_ffill(obs, ["k"], "t_us", ["v"],
+                          step_us=6 * 3600 * 1_000_000)
+    return (
+        grid.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_ticks"),
+            F.count("v").cast("long").alias("n_filled"),
+            F.round(F.sum("v"), 6).alias("v_sum"),
+        )
+        .orderBy("k")
+    )
+
+
+def q122_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time rolling aggregate via Spark's native RANGE window frame
+    (rangeBetween −7 days … now over integer µs): per user-group, each
+    event's trailing-week spend (exact BIGINT cents — no float drift
+    across engines) and event count; checksummed per key. Pure built-in
+    window — §2.J relational breadth the reference gets from DuckDB's
+    RANGE frames."""
+    e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
+    pts = e.select(
+        (F.col("user_id") % 20).alias("k"),
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("k").orderBy("t")
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    out = pts.withColumn("roll_cents", F.sum("cents").over(w)) \
+             .withColumn("roll_n", F.count("cents").over(w))
+    return (
+        out.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("roll_cents").cast("long").alias("sum_roll_cents"),
+            F.max("roll_n").cast("long").alias("max_roll_n"),
+            F.sum("roll_n").cast("long").alias("sum_roll_n"),
+        )
+        .orderBy("k")
+    )
+
+
 def _events_utc(spark: SparkSession, e: DataFrame) -> DataFrame:
     """events.ts as TIMESTAMP (LTZ): the driver parquet may surface NTZ,
     which unix_micros rejects — pin the session to UTC so the cast is
@@ -3413,6 +3473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_embedding_neardup": q25_embedding_neardup,
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
+        "q121_resample_ffill": q121_resample_ffill,
+        "q122_rolling_window": q122_rolling_window,
         "q06_convexhull_area": q06_convexhull_area,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q20_simhash": q20_simhash,
@@ -4677,6 +4739,51 @@ def oracle_sql() -> dict[str, str]:
         "q92_text_clean": _q92_oracle_sql(),
         "q116_ann_ivfpq": _q116_oracle_sql(),
         "q117_dbscan": _q117_oracle_sql(),
+        "q121_resample_ffill": """
+            WITH obs AS (
+              SELECT CAST(user_id % 20 AS BIGINT) AS k, epoch_us(ts) AS t_us,
+                     max(value) AS v
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), b AS (
+              SELECT min(t_us) AS lo, max(t_us) AS hi FROM obs
+            ), ks AS (
+              SELECT DISTINCT k FROM obs
+            ), grid AS (
+              SELECT k, unnest(range(lo, hi + 1, 21600000000)) AS tick
+              FROM ks, b
+            ), j AS (
+              SELECT g.k, g.tick, o.v
+              FROM grid g ASOF LEFT JOIN obs o
+                ON g.k = o.k AND g.tick >= o.t_us
+            )
+            SELECT k,
+                   CAST(count(*) AS BIGINT) AS n_ticks,
+                   CAST(count(v) AS BIGINT) AS n_filled,
+                   round(sum(v), 6) AS v_sum
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "q122_rolling_window": """
+            WITH pts AS (
+              SELECT CAST(user_id % 20 AS BIGINT) AS k, epoch_us(ts) AS t,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), r AS (
+              SELECT k,
+                     sum(cents) OVER (PARTITION BY k ORDER BY t
+                       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+                       AS roll_cents,
+                     count(cents) OVER (PARTITION BY k ORDER BY t
+                       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+                       AS roll_n
+              FROM pts
+            )
+            SELECT k,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(roll_cents) AS BIGINT) AS sum_roll_cents,
+                   CAST(max(roll_n) AS BIGINT) AS max_roll_n,
+                   CAST(sum(roll_n) AS BIGINT) AS sum_roll_n
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
         "q118_salted_join": """
             WITH dim AS (
               SELECT event_type, round(avg(value), 6) AS type_avg

@@ -344,3 +344,48 @@ def interval_join(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.drop("__s", "__e", "__s2", "__e2")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    value_cols,
+    step_us: int,
+    start_us: Optional[int] = None,
+    end_us: Optional[int] = None,
+) -> DataFrame:
+    """Regularize an irregular time series: per key, one row per ``step_us``
+    tick over [start, end], carrying the latest observation at-or-before
+    the tick (forward fill; ticks before the first observation stay NULL).
+
+    The gap-fill every time-series store ships (TimescaleDB
+    time_bucket_gapfill + locf, InfluxDB fill(previous)) — expressed as
+    grid generation (``sequence`` + explode: per-key row count is
+    span/step, no driver loop) followed by :func:`asof_join` backward,
+    so the whole thing is two narrow shuffles on the key.
+
+    ``start_us``/``end_us`` default to the GLOBAL min/max of ``ts_col``
+    (one tiny aggregate) so every key shares the same grid — the shape a
+    downstream matrix/tensor export wants.  The time column must already
+    be integer microseconds (use ``unix_micros`` upstream); the output
+    grid column is ``tick_us``.
+    """
+    keys = _as_list(key_cols)
+    vals = _as_list(value_cols)
+    if start_us is None or end_us is None:
+        row = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+                     ).collect()[0]
+        start_us = int(row["lo"]) if start_us is None else start_us
+        end_us = int(row["hi"]) if end_us is None else end_us
+    grid = (
+        df.select(*keys).distinct()
+        .withColumn(
+            "tick_us",
+            F.explode(F.sequence(
+                F.lit(start_us), F.lit(end_us), F.lit(int(step_us)))))
+    )
+    right = df.select(*keys, F.col(ts_col).alias("__obs_ts"), *vals)
+    return asof_join(
+        grid, right, "tick_us", "__obs_ts", by=keys, value_cols=vals,
+    ).withColumnRenamed("matched___obs_ts", "obs_ts")

@@ -168,3 +168,22 @@ def test_interval_join_keyless(spark):
     res = interval_join(li, ri, "s", "e", "s", "e", bucket_width=32.0)
     got = sorted((r0["lid"], r0["rid"]) for r0 in res.collect())
     assert got == exp
+
+
+def test_resample_ffill(spark):
+    from duckdb_spatial_spark.operators.temporal import resample_ffill
+
+    rows = [(1, 100, 10.0), (1, 250, 11.0), (2, 120, 20.0)]
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    out = resample_ffill(df, ["k"], "t", ["v"], step_us=50)
+    got = {(r["k"], r["tick_us"]): r["v"] for r in out.collect()}
+    # global grid 100..250 step 50 for both keys
+    assert got == {
+        (1, 100): 10.0, (1, 150): 10.0, (1, 200): 10.0, (1, 250): 11.0,
+        (2, 100): None, (2, 150): 20.0, (2, 200): 20.0, (2, 250): 20.0,
+    }
+    # explicit bounds override the global span
+    out2 = resample_ffill(df, ["k"], "t", ["v"], step_us=100,
+                          start_us=0, end_us=300)
+    ticks = sorted(r["tick_us"] for r in out2.filter("k = 1").collect())
+    assert ticks == [0, 100, 200, 300]
