@@ -2913,8 +2913,8 @@ def q116_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
         .select("embedding").collect()
     )
-    books = subvectors_from_rows([r["embedding"] for r in rows], 8)
-    codebooks = np.ascontiguousarray(books.transpose(0, 1, 2))  # (8,16,8)
+    codebooks = subvectors_from_rows(
+        [r["embedding"] for r in rows], 8)  # (8,16,8)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"))

@@ -799,8 +799,10 @@ def salted_agg(
             final_exprs.append(F.max(p).alias(name))
         else:
             raise ValueError(f"kind {kind!r}: sum/count/min/max")
+    # content-derived salt: retry-stable (see salted_join); identical
+    # rows co-locating is harmless for decomposable aggregates
     staged = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                          F.lit(salt)))
     p1 = staged.groupBy(key_col, "__salt").agg(*part_exprs)
     return p1.groupBy(key_col).agg(*final_exprs)
@@ -814,7 +816,7 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: the left side's rows spread over ``salt``
-    sub-keys (a deterministic hash of a per-row id, so a single mega-key's
+    sub-keys (a deterministic hash of the row content, so a single mega-key's
     rows land on ``salt`` reducers instead of melting one) and the right
     side replicates once per sub-key.  Result is row-identical to the
     plain join; cost is ``salt×`` the RIGHT side's shuffle volume — use it
@@ -831,8 +833,14 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
     keys = list(key_cols)
+    # salt from the row's CONTENT, not monotonically_increasing_id: the
+    # id expression is nondeterministic under partial stage retry, and a
+    # retried map task re-salting rows differently duplicates/loses join
+    # rows (the SPARK-23207 class). Identical rows share a salt — for a
+    # pathological all-identical-rows key the salt stops spreading, which
+    # is the price of retry-exactness.
     lsalt = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                          F.lit(salt)).cast("int"))
     rsalt = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

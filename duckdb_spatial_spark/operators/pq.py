@@ -120,11 +120,13 @@ def pq_encode(
         S = X.reshape(len(X), m, dsub)
         codes = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
-            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin needs only the
-            # last two terms — one matmul per subspace per batch
-            dots = S[:, j, :] @ books[j].T
-            c2 = (books[j] ** 2).sum(axis=1)
-            codes[:, j] = (c2[None, :] - 2.0 * dots).argmin(axis=1)
+            # FULL ||x-c||² (not the reduced ||c||²-2x·c): the SQL oracle
+            # computes the full form, and the two formulas round
+            # differently — a near-equidistant pair could argmin to
+            # different codes across engines (review finding). batch×ks×
+            # dsub temporaries stay small (Arrow batch ≤10k rows).
+            diff = S[:, j, :][:, None, :] - books[j][None, :, :]
+            codes[:, j] = (diff * diff).sum(axis=2).argmin(axis=1)
         return pd.Series(list(codes))
 
     return df.withColumn(out_col, _encode(F.col(vec_col)))
@@ -146,8 +148,16 @@ def _adc_lut(
             for c in range(ks):
                 out.append((r[query_id], j, c, float(d2[c])))
     spark = queries.sparkSession
-    return spark.createDataFrame(
-        out, f"{query_id} long, j int, c int, d2 double")
+    from pyspark.sql import types as T
+
+    qid_field = queries.schema[query_id]
+    schema = T.StructType([
+        T.StructField(query_id, qid_field.dataType),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("c", T.IntegerType()),
+        T.StructField("d2", T.DoubleType()),
+    ])
+    return spark.createDataFrame(out, schema)
 
 
 def ann_pq_topk(

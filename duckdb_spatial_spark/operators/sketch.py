@@ -273,6 +273,10 @@ def histogram_sketch(
     return (
         df.select(*[F.col(k) for k in keys],
                   _bin_expr(col, lo, hi, bins).alias("bin"))
+        # NULL values are EXCLUDED (standard histogram semantics) — a
+        # NULL bin would also sort nulls-first in Spark's cumsum window
+        # but nulls-last in the DuckDB twin, desyncing the estimate
+        .filter(F.col("bin").isNotNull())
         .groupBy(*keys, "bin")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

@@ -336,9 +336,12 @@ def interval_join(
 
     l_long_c = l_long.drop("__b0", "__b1")
     r_long_c = r_long.drop("__b0", "__b1")
-    # long-left × all-right, short-left × long-right (avoid double count of
-    # long×long by routing it only through the first part)
-    parts.append(_pred_join(l_long_c, rb.drop("__b0", "__b1")))
+    # all-right × broadcast(long-left), short-left × broadcast(long-right):
+    # the LONG rows are the rare diverted side and must be the broadcast
+    # argument — broadcasting the full right table would materialize it on
+    # every executor even when no interval is long (review finding, round
+    # 5). long×long pairs route only through the first part.
+    parts.append(_pred_join(rb.drop("__b0", "__b1"), l_long_c))
     parts.append(_pred_join(l_short.drop("__b0", "__b1"), r_long_c))
     out = parts[0]
     for p in parts[1:]:
@@ -376,8 +379,11 @@ def resample_ffill(
     if start_us is None or end_us is None:
         row = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
                      ).collect()[0]
-        start_us = int(row["lo"]) if start_us is None else start_us
-        end_us = int(row["hi"]) if end_us is None else end_us
+        if row["lo"] is None:  # empty (or all-NULL-ts) input: empty grid
+            start_us, end_us = 0, 0
+        else:
+            start_us = int(row["lo"]) if start_us is None else start_us
+            end_us = int(row["hi"]) if end_us is None else end_us
     grid = (
         df.select(*keys).distinct()
         .withColumn(
@@ -385,7 +391,8 @@ def resample_ffill(
             F.explode(F.sequence(
                 F.lit(start_us), F.lit(end_us), F.lit(int(step_us)))))
     )
-    right = df.select(*keys, F.col(ts_col).alias("__obs_ts"), *vals)
+    right = df.filter(F.col(ts_col).isNotNull()).select(
+        *keys, F.col(ts_col).alias("__obs_ts"), *vals)
     return asof_join(
         grid, right, "tick_us", "__obs_ts", by=keys, value_cols=vals,
     ).withColumnRenamed("matched___obs_ts", "obs_ts")

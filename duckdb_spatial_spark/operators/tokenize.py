@@ -379,6 +379,7 @@ def train_wordpiece(
     pieces = set()
     for sym in vocab_words:
         pieces.update(sym)
+    banned: set = set()
     while len(pieces) < vocab_size:
         pair_n: Dict[Tuple[str, str], int] = {}
         unit_n: Dict[str, int] = {}
@@ -390,7 +391,7 @@ def train_wordpiece(
                 pair_n[p] = pair_n.get(p, 0) + f
         best, best_key = None, None
         for p, n in pair_n.items():
-            if n < min_pair_freq:
+            if n < min_pair_freq or p in banned:
                 continue
             score = n / (unit_n[p[0]] * unit_n[p[1]])
             key = (score, n, (p[0], p[1]))
@@ -405,6 +406,15 @@ def train_wordpiece(
         if best is None:
             break
         new_piece = _wp_join(best[0], best[1])
+        if (not best[0].startswith("##")) and new_piece.startswith("##"):
+            # a word containing literal '#' chars (markdown headings) can
+            # merge into a WORD-INITIAL piece spelled '##…', colliding
+            # with the continuation prefix and breaking the lossless
+            # round-trip — ban the pair and pick the next best
+            # (review finding; pair_n is rebuilt per round, so the ban
+            # must persist across rounds or this would loop forever)
+            banned.add(best)
+            continue
         pieces.add(new_piece)
 
         def _merge(sym):
@@ -440,6 +450,10 @@ def wordpiece_encode_word(word: str, vocab: set) -> List[str]:
         for L in range(top, 0, -1):
             piece = word[i:i + L]
             cand = piece if i == 0 else "##" + piece
+            # a word-initial slice spelled '##…' must not hit a
+            # CONTINUATION vocab entry of the same spelling
+            if i == 0 and cand.startswith("##"):
+                continue
             if cand in vocab:
                 matched = (cand, L)
                 break

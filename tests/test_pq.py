@@ -121,3 +121,15 @@ def test_precoded_corpus_skips_encode(spark, corpus):
     b = ann_pq_topk(corpus, queries, books, k=3).collect()
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_string_query_ids(spark, corpus, vecs):
+    """Review regression: the ADC LUT must follow the query-id column's
+    actual type, not assume long."""
+    books = train_pq(corpus, "embedding", m=M, ks=KS, iters=0)
+    queries = spark.createDataFrame(
+        [("qA", [float(v) for v in vecs[0]]),
+         ("qB", [float(v) for v in vecs[1]])],
+        "query_id string, query_vec array<double>")
+    res = ann_pq_topk(corpus, queries, books, k=3).collect()
+    assert {r["query_id"] for r in res} == {"qA", "qB"}

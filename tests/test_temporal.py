@@ -187,3 +187,12 @@ def test_resample_ffill(spark):
                           start_us=0, end_us=300)
     ticks = sorted(r["tick_us"] for r in out2.filter("k = 1").collect())
     assert ticks == [0, 100, 200, 300]
+
+
+def test_resample_ffill_empty_input(spark):
+    """Review regression: empty input (defaulted bounds) returns empty,
+    not a driver TypeError."""
+    from duckdb_spatial_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame([], "k int, t long, v double")
+    assert resample_ffill(df, ["k"], "t", ["v"], step_us=10).count() == 0

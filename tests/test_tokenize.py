@@ -203,3 +203,18 @@ def test_wordpiece_apply_spark_coverage(spark):
         rebuilt = "".join(
             t[2:] if t.startswith("##") else t for t in r["tokens"])
         assert rebuilt == r["text"].replace(" ", "")
+
+
+def test_wordpiece_hash_words_roundtrip():
+    """Review regression: literal '#' words (markdown headings) must not
+    mint a word-initial piece spelled '##…' (collides with the
+    continuation prefix) and must still round-trip losslessly."""
+    from duckdb_spatial_spark.operators.tokenize import (
+        train_wordpiece, wordpiece_encode_word)
+
+    wf = [("##", 50), ("###", 40), ("#x", 30), ("hello", 10)]
+    v = train_wordpiece(wf, vocab_size=40)
+    for w in ("##", "###", "#x#", "####hello"):
+        toks = wordpiece_encode_word(w, set(v))
+        rebuilt = "".join(t[2:] if t.startswith("##") else t for t in toks)
+        assert rebuilt == w, (w, toks)
