@@ -3221,6 +3221,98 @@ def q122_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q123_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL set algebra: estimated vocabulary overlap between two document
+    sources — union is register-wise max (the merge that makes the sketch
+    shardable), intersection is inclusion-exclusion. Exact overlap
+    computed alongside. Every register and every estimator step replays
+    in SQL, so the oracle is hash-exact after rounding."""
+    from duckdb_spatial_spark.operators.sketch import (hll_overlap_estimate,
+                                                       hll_registers)
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    words = (
+        d.filter(F.col("source").isin("src1", "src2"))
+        .select("source", F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    ra = hll_registers(words.filter(F.col("source") == "src1"),
+                       F.col("word"), 10)
+    rb = hll_registers(words.filter(F.col("source") == "src2"),
+                       F.col("word"), 10)
+    est = hll_overlap_estimate(ra, rb, 10)
+    exact = (
+        words.groupBy("word")
+        .agg(F.countDistinct("source").alias("ns"))
+        .agg(F.count("*").cast("long").alias("n_union_exact"),
+             F.sum(F.when(F.col("ns") == 2, 1).otherwise(0))
+             .cast("long").alias("n_both_exact"))
+    )
+    return est.crossJoin(exact).select(
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round("est_intersect", 4).alias("est_intersect"),
+        "n_union_exact", "n_both_exact",
+    )
+
+
+def _q123_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.sketch import (hll_estimate_sql,
+                                                       hll_register_sql)
+
+    bucket, rho = hll_register_sql("word", 10)
+    est = hll_estimate_sql(10)
+    return f"""
+        WITH w AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents WHERE source IN ('src1', 'src2')
+        ), ww AS (
+          SELECT source, word FROM w WHERE word <> ''
+        ), ra AS (
+          SELECT {bucket} AS bucket, max({rho}) AS reg FROM ww
+          WHERE source = 'src1' GROUP BY 1
+        ), rb AS (
+          SELECT {bucket} AS bucket, max({rho}) AS reg FROM ww
+          WHERE source = 'src2' GROUP BY 1
+        ), ru AS (
+          SELECT bucket, max(reg) AS reg FROM (
+            SELECT * FROM ra UNION ALL SELECT * FROM rb
+          ) GROUP BY 1
+        ), ga AS (
+          SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+                   AS s_present,
+                 CAST(count(*) AS BIGINT) AS n_present FROM ra
+        ), gb AS (
+          SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+                   AS s_present,
+                 CAST(count(*) AS BIGINT) AS n_present FROM rb
+        ), gu AS (
+          SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+                   AS s_present,
+                 CAST(count(*) AS BIGINT) AS n_present FROM ru
+        ), ests AS (
+          SELECT (SELECT {est} FROM ga) AS est_a,
+                 (SELECT {est} FROM gb) AS est_b,
+                 (SELECT {est} FROM gu) AS est_union
+        ), exact AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_union_exact,
+                 CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both_exact
+          FROM (SELECT word, count(DISTINCT source) AS ns
+                FROM ww GROUP BY 1)
+        )
+        SELECT round(est_a, 4) AS est_a,
+               round(est_b, 4) AS est_b,
+               round(est_union, 4) AS est_union,
+               round(est_a + est_b - est_union, 4) AS est_intersect,
+               n_union_exact, n_both_exact
+        FROM ests, exact
+    """
+
+
 def _events_utc(spark: SparkSession, e: DataFrame) -> DataFrame:
     """events.ts as TIMESTAMP (LTZ): the driver parquet may surface NTZ,
     which unix_micros rejects — pin the session to UTC so the cast is
@@ -3475,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         "q121_resample_ffill": q121_resample_ffill,
         "q122_rolling_window": q122_rolling_window,
+        "q123_hll_overlap": q123_hll_overlap,
         "q06_convexhull_area": q06_convexhull_area,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q20_simhash": q20_simhash,
@@ -4739,6 +4832,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_text_clean": _q92_oracle_sql(),
         "q116_ann_ivfpq": _q116_oracle_sql(),
         "q117_dbscan": _q117_oracle_sql(),
+        "q123_hll_overlap": _q123_oracle_sql(),
         "q121_resample_ffill": """
             WITH obs AS (
               SELECT CAST(user_id % 20 AS BIGINT) AS k, epoch_us(ts) AS t_us,

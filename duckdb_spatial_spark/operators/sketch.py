@@ -38,7 +38,7 @@ __all__ = [
     "hll_registers", "hll_estimate", "hll_register_sql", "hll_estimate_sql",
     "count_min_sketch", "count_min_estimate", "cms_bucket_sql",
     "histogram_sketch", "histogram_quantiles", "histogram_bin_sql",
-    "histogram_quantile_sql",
+    "histogram_quantile_sql", "hll_union", "hll_overlap_estimate",
 ]
 
 _W = 48  # rho source bits (hex digits 5..16 of md5)
@@ -356,3 +356,39 @@ def histogram_quantile_sql(
           ) WHERE cum >= target
         ) WHERE rn = 1
     """
+
+
+def hll_union(
+    regs_a: DataFrame, regs_b: DataFrame,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Union of two HLL sketches: register-wise max — the merge that makes
+    HLL composable across corpora/shards/days without re-reading data."""
+    keys = list(by or [])
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_overlap_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, p: int,
+) -> DataFrame:
+    """|A|, |B|, |A∪B| and the inclusion-exclusion |A∩B| estimate from two
+    keyless sketches — one row (est_a, est_b, est_union, est_intersect).
+    Standard HLL practice: intersection error grows as the true overlap
+    shrinks relative to the union (inclusion-exclusion subtracts two
+    large estimates), so treat small intersections as noisy.  Every step
+    is the portable estimator, so the whole computation replays in SQL.
+    """
+    ea = hll_estimate(regs_a, p).select(F.col("est").alias("est_a"))
+    eb = hll_estimate(regs_b, p).select(F.col("est").alias("est_b"))
+    eu = hll_estimate(hll_union(regs_a, regs_b), p).select(
+        F.col("est").alias("est_union"))
+    one = ea.crossJoin(eb).crossJoin(eu)
+    return one.select(
+        "est_a", "est_b", "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .alias("est_intersect"),
+    )

@@ -174,3 +174,24 @@ def test_histogram_sketch_merges_and_clamps(spark):
         .agg(F.sum("cnt").alias("cnt")).collect()
     }
     assert merged == bins
+
+
+def test_hll_union_and_overlap(spark):
+    from duckdb_spatial_spark.operators.sketch import (hll_overlap_estimate,
+                                                       hll_registers,
+                                                       hll_union)
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "w string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(1000, 4000)],
+                              "w string")
+    ra = hll_registers(a, F.col("w"), 10)
+    rb = hll_registers(b, F.col("w"), 10)
+    # union sketch ≡ sketch of the union
+    whole = hll_registers(a.unionByName(b), F.col("w"), 10)
+    assert sorted(map(tuple, hll_union(ra, rb).collect())) == \
+        sorted(map(tuple, whole.collect()))
+    row = hll_overlap_estimate(ra, rb, 10).collect()[0]
+    # true: |A|=2000 |B|=3000 |A∪B|=4000 |A∩B|=1000; σ≈3.3% of each
+    assert abs(row["est_union"] - 4000) / 4000 < 0.15
+    # inclusion-exclusion compounds three errors — generous bound
+    assert abs(row["est_intersect"] - 1000) < 600
