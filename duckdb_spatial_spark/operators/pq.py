@@ -171,6 +171,7 @@ def ann_pq_topk(
     query_vec: str = "query_vec",
     code_col: Optional[str] = None,
     round_digits: Optional[int] = 6,
+    refine: Optional[int] = None,
 ) -> DataFrame:
     """Compressed exhaustive ADC scan: top-k per query by approximate
     squared-L2.  ``code_col`` names a pre-encoded code column (skip the
@@ -178,6 +179,13 @@ def ann_pq_topk(
     otherwise the corpus is encoded inline.  ``round_digits`` rounds the
     distance before ranking so the (distance, id) order is reproducible
     across engines/summation orders; None keeps raw doubles.
+
+    ``refine``: the standard IVFPQ+R re-rank — keep ``refine × k`` ADC
+    candidates, fetch ONLY those candidates' raw vectors (a semi-join on
+    id, not a scan), compute exact squared-L2 against the broadcast
+    queries, and re-rank to k.  Output gains an ``exact_d2`` column; the
+    ADC compression error disappears from the final ordering at the cost
+    of reading refine·k·n_queries raw vectors.
 
     Plan: explode codes to (id, j, code) ints, equi-join the broadcast
     LUT on (query, j, code)… actually (j, code) with the query id carried
@@ -204,10 +212,40 @@ def ann_pq_topk(
     scored = scored.withColumn("adc_d2", dist)
     w = Window.partitionBy(query_id).orderBy(
         F.asc("adc_d2"), F.asc(corpus_id))
-    return (
+    if refine is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "adc_d2", "rank")
+        )
+    cand = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(refine) * k)
+        .select(query_id, corpus_id, "adc_d2")
+    )
+    # fetch raw vectors ONLY for the candidate ids (semi-join shape),
+    # exact distance via a fold over the zipped arrays — pure col-expr
+    qvecs = queries.select(
+        F.col(query_id),
+        F.col(query_vec).cast("array<double>").alias("__qv"))
+    raw = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"))
+    joined = (
+        cand.join(raw, corpus_id)
+        .join(F.broadcast(qvecs), query_id)
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    rer = joined.withColumn("exact_d2", F.round(exact_d2, round_digits)
+                            if round_digits is not None else exact_d2)
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.asc("exact_d2"), F.asc(corpus_id))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "adc_d2", "rank")
+        .select(query_id, corpus_id, "adc_d2", "exact_d2", "rank")
     )
 
 

@@ -2,6 +2,7 @@ from .ops import (  # noqa: F401
     streaming_dedup_exact,
     streaming_hamming_dedup,
     streaming_count_min,
+    streaming_hll,
     streaming_neardup_dedup,
     streaming_extent_agg,
     streaming_point_filter,

@@ -293,3 +293,35 @@ def streaming_count_min(
         .groupBy(F.window(F.col(ts_col), window), "row", "col")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def streaming_hll(
+    stream: DataFrame,
+    item: Column,
+    ts_col: str,
+    p: int = 10,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming HyperLogLog: per event-time window, the same registers
+    as the batch :func:`~..operators.sketch.hll_registers` — a
+    watermarked max aggregation whose state is ≤ 2^p rows per open
+    window at any stream rate.  Emitted windows merge with batch or
+    other stream sketches by register-wise max (``hll_union``), and
+    :func:`~..operators.sketch.hll_estimate` reads them unchanged.
+    Output: (window, bucket, reg) in append mode at window close."""
+    from ..operators.sketch import _W, _hex_long
+
+    m = 1 << p
+    h = F.md5(item)
+    bucket = (_hex_long(h, 1, 4) % F.lit(m)).cast("int")
+    v = _hex_long(h, 5, 12)
+    rho = F.when(v == 0, F.lit(_W + 1)).otherwise(
+        F.lit(_W + 1) - F.length(F.bin(v))).cast("int")
+    return (
+        stream.select(F.col(ts_col), bucket.alias("bucket"),
+                      rho.alias("rho"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )

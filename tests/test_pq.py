@@ -133,3 +133,20 @@ def test_string_query_ids(spark, corpus, vecs):
         "query_id string, query_vec array<double>")
     res = ann_pq_topk(corpus, queries, books, k=3).collect()
     assert {r["query_id"] for r in res} == {"qA", "qB"}
+
+
+def test_refine_rerank_recovers_exact_topk(spark, corpus, vecs):
+    """IVFPQ+R: with a generous refine multiplier the exact re-rank must
+    reproduce the true top-k (ADC only shortlists)."""
+    books = train_pq(corpus, "embedding", m=M, ks=KS, iters=8)
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(3)],
+        "query_id long, query_vec array<double>")
+    res = ann_pq_topk(corpus, queries, books, k=5, refine=20).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in range(3):
+        got = [v for _, v in sorted(by_q[q])]
+        exact = _brute_l2_topk(vecs, vecs[q], 5)
+        assert got == exact, (q, got, exact)

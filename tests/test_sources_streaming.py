@@ -407,3 +407,40 @@ def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
         F.col("w"), depth=4, width=64)
     want = {(r["row"], r["col"]): r["cnt"] for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_equals_batch_registers(spark, tmp_path):
+    """Streamed HLL registers for the closed window equal the batch
+    hll_registers over the same items, and hll_estimate reads them
+    unchanged."""
+    from duckdb_spatial_spark.operators.sketch import (hll_estimate,
+                                                       hll_registers)
+    from duckdb_spatial_spark.streaming import streaming_hll
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    rows = [(i, f"item-{i % 300}", "2024-01-01 00:%02d:00" % (i % 50))
+            for i in range(900)] + [(9999, "late", "2024-01-03 00:00:00")]
+    (spark.createDataFrame(rows, "id long, w string, ts string")
+     .withColumn("ts", F.to_timestamp("ts"))
+     .coalesce(1).write.parquet(str(src / "batch")))
+    stream = (spark.readStream.schema("id long, w string, ts timestamp")
+              .parquet(str(src / "batch")))
+    out = streaming_hll(stream, F.col("w"), "ts", p=8,
+                        window="1 day", watermark="0 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("hll_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["bucket"], r["reg"]) for r in spark.table("hll_out").collect()
+           if str(r["window"]["start"]).startswith("2024-01-01")}
+    batch = hll_registers(
+        spark.createDataFrame(rows[:-1], "id long, w string, ts string"),
+        F.col("w"), 8)
+    want = {(r["bucket"], r["reg"]) for r in batch.collect()}
+    assert got == want
+    est = hll_estimate(
+        spark.table("hll_out")
+        .filter(F.col("window.start").cast("string")
+                .startswith("2024-01-01"))
+        .select("bucket", "reg"), 8).collect()[0]
+    assert abs(est["est"] - 300) / 300 < 0.25
