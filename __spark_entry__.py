@@ -3313,6 +3313,70 @@ def _q123_oracle_sql() -> str:
     """
 
 
+def q124_corpus_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift metric: add-k-smoothed unigram KL(A‖B)/KL(B‖A)/JS
+    between two source halves of the corpus over the shared heavy-hitter
+    vocabulary — the language-level monitoring step next to q98's
+    document-level corpus_diff. One bounded vocab table, single-pass
+    divergence aggregates; the oracle replays counts, the deterministic
+    vocab cut, and the identical double arithmetic."""
+    from duckdb_spatial_spark.operators.textops import corpus_divergence
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    half_a = F.col("source").rlike("^src[0-9]$")
+    res = corpus_divergence(
+        d.filter(half_a), d.filter(~half_a), vocab_limit=3000)
+    return res.select(
+        "vocab_size", "n_a", "n_b",
+        F.round("kl_ab", 6).alias("kl_ab"),
+        F.round("kl_ba", 6).alias("kl_ba"),
+        F.round("js", 6).alias("js"),
+    )
+
+
+def _q124_oracle_sql() -> str:
+    add_k, lim = 0.5, 3000
+    return f"""
+        WITH w AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents
+        ), ww AS (
+          SELECT regexp_matches(source, '^src[0-9]$') AS in_a, word
+          FROM w WHERE word <> ''
+        ), ca AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS na FROM ww
+          WHERE in_a GROUP BY 1
+        ), cb AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS nb FROM ww
+          WHERE NOT in_a GROUP BY 1
+        ), merged AS (
+          SELECT coalesce(ca.word, cb.word) AS word,
+                 coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb ON ca.word = cb.word
+        ), vocab AS (
+          SELECT * FROM merged ORDER BY na + nb DESC, word LIMIT {lim}
+        ), tot AS (
+          SELECT CAST(sum(na) AS BIGINT) AS ta,
+                 CAST(sum(nb) AS BIGINT) AS tb,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM vocab
+        ), probs AS (
+          SELECT (na + {add_k!r}) / (ta + {add_k!r} * v) AS pa,
+                 (nb + {add_k!r}) / (tb + {add_k!r} * v) AS pb
+          FROM vocab, tot
+        )
+        SELECT (SELECT v FROM tot) AS vocab_size,
+               (SELECT ta FROM tot) AS n_a,
+               (SELECT tb FROM tot) AS n_b,
+               round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+               round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+               round(0.5 * sum(pa * ln(pa / ((pa + pb) / 2.0)))
+                     + 0.5 * sum(pb * ln(pb / ((pa + pb) / 2.0))), 6) AS js
+        FROM probs
+    """
+
+
 def _events_utc(spark: SparkSession, e: DataFrame) -> DataFrame:
     """events.ts as TIMESTAMP (LTZ): the driver parquet may surface NTZ,
     which unix_micros rejects — pin the session to UTC so the cast is
@@ -3568,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_resample_ffill": q121_resample_ffill,
         "q122_rolling_window": q122_rolling_window,
         "q123_hll_overlap": q123_hll_overlap,
+        "q124_corpus_divergence": q124_corpus_divergence,
         "q06_convexhull_area": q06_convexhull_area,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q20_simhash": q20_simhash,
@@ -4833,6 +4898,7 @@ def oracle_sql() -> dict[str, str]:
         "q116_ann_ivfpq": _q116_oracle_sql(),
         "q117_dbscan": _q117_oracle_sql(),
         "q123_hll_overlap": _q123_oracle_sql(),
+        "q124_corpus_divergence": _q124_oracle_sql(),
         "q121_resample_ffill": """
             WITH obs AS (
               SELECT CAST(user_id % 20 AS BIGINT) AS k, epoch_us(ts) AS t_us,

@@ -401,3 +401,78 @@ def clean_text_sql(e: str, nfc: bool = True) -> str:
     out = f"regexp_replace({e}, '{_CTRL_PATTERN}', '', 'g')"
     out = f"regexp_replace({out}, '{_ZW_PATTERN}', '', 'g')"
     return f"nfc_normalize({out})" if nfc else out
+
+
+# ---------------------------------------------------------------------------
+# corpus drift: divergence between word distributions
+# ---------------------------------------------------------------------------
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    add_k: float = 0.5,
+    vocab_limit: int = 50_000,
+) -> DataFrame:
+    """Distribution drift between two corpora: add-k-smoothed unigram
+    KL(A‖B), KL(B‖A) and Jensen-Shannon divergence over the shared
+    heavy-hitter vocabulary — the snapshot-to-snapshot monitoring metric
+    a training-data pipeline runs next to :func:`~.pipeline.corpus_diff`
+    (which compares documents; this compares the *language*).
+
+    Scale shape: one word-count aggregation per corpus (map-side
+    combined), vocabulary capped at the ``vocab_limit`` globally most
+    frequent words (a bounded TakeOrdered, so the joined distribution
+    table is vocabulary-sized regardless of corpus size), then the
+    divergences are single-pass aggregates over that bounded table.
+    Smoothing puts ``add_k`` pseudo-count on every vocab word in both
+    corpora, so the support matches and KL is finite.  All arithmetic is
+    plain sums/logs over identical doubles — ANSI-SQL-replayable.
+
+    Returns one row: (vocab_size, n_a, n_b, kl_ab, kl_ba, js).
+    """
+    def counts(df):
+        return (
+            df.select(F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    ca, cb = counts(a), counts(b)
+    merged = (
+        ca.withColumnRenamed("n", "na")
+        .join(cb.withColumnRenamed("n", "nb"), "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    vocab = (
+        merged.orderBy(F.desc(F.col("na") + F.col("nb")), F.asc("word"))
+        .limit(vocab_limit)
+    )
+    tot = vocab.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+        F.count("*").cast("long").alias("v"),
+    ).collect()[0]
+    ta, tb, v = int(tot["ta"]), int(tot["tb"]), int(tot["v"])
+    pa = (F.col("na") + F.lit(add_k)) / F.lit(ta + add_k * v)
+    pb = (F.col("nb") + F.lit(add_k)) / F.lit(tb + add_k * v)
+    pm = (pa + pb) / F.lit(2.0)
+    agg = vocab.agg(
+        F.sum(pa * F.log(pa / pb)).alias("kl_ab"),
+        F.sum(pb * F.log(pb / pa)).alias("kl_ba"),
+        (F.lit(0.5) * F.sum(pa * F.log(pa / pm))
+         + F.lit(0.5) * F.sum(pb * F.log(pb / pm))).alias("js"),
+    )
+    return agg.select(
+        F.lit(v).cast("long").alias("vocab_size"),
+        F.lit(ta).cast("long").alias("n_a"),
+        F.lit(tb).cast("long").alias("n_b"),
+        "kl_ab", "kl_ba", "js",
+    )

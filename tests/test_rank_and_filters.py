@@ -240,3 +240,24 @@ def test_semdedup_trained_centroids_smoke(spark):
     emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
     out = semdedup(emb, threshold=0.45, n_centroids=8)
     assert out.count() <= emb.count()
+
+
+def test_corpus_divergence_properties(spark):
+    """KL ≥ 0, = 0 for identical corpora; JS symmetric and bounded by
+    ln 2; drift between disjoint-vocabulary corpora is large."""
+    from duckdb_spatial_spark.operators.textops import corpus_divergence
+    import math
+
+    a = spark.createDataFrame(
+        [(1, "apple banana cherry apple"), (2, "banana apple")],
+        "id long, text string")
+    same = corpus_divergence(a, a).collect()[0]
+    assert abs(same["kl_ab"]) < 1e-12 and abs(same["js"]) < 1e-12
+    b = spark.createDataFrame(
+        [(1, "xylophone zebra quartz"), (2, "zebra quartz")],
+        "id long, text string")
+    drift = corpus_divergence(a, b).collect()[0]
+    assert drift["kl_ab"] > 0.5 and drift["kl_ba"] > 0.5
+    assert 0.0 < drift["js"] <= math.log(2) + 1e-9
+    sym = corpus_divergence(b, a).collect()[0]
+    assert abs(sym["js"] - drift["js"]) < 1e-9
