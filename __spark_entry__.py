@@ -3122,7 +3122,7 @@ def _q119_oracle_sql() -> str:
         WITH sk AS (
           SELECT event_type, {b} AS bin,
                  CAST(count(*) AS BIGINT) AS cnt
-          FROM events GROUP BY 1, 2
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         )
         SELECT * FROM ({parts}) ORDER BY event_type, q
     """
@@ -5200,18 +5200,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q111_pca_power_iteration": _q111_oracle_sql(),
         # coverage invariant of ULM Viterbi segmentation: token chars ==
-        # non-whitespace chars (training is iterative — no SQL form)
+        # non-whitespace chars (training is iterative — no SQL form).
+        # lower() inside the oracle mirrors the tokenizers' .lower()
+        # normalization so case folds that change code-point count
+        # (e.g. U+0130 'İ' → 'i' + U+0307) can't desync the two sides.
         "q110_unigram_tokenizer": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(length(regexp_replace(text, '\\s+', '', 'g')))
+                   CAST(sum(length(regexp_replace(lower(text), '\\s+', '',
+                                                  'g')))
                         AS BIGINT) AS token_chars
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "q120_wordpiece_tokenizer": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(length(regexp_replace(text, '\\s+', '', 'g')))
+                   CAST(sum(length(regexp_replace(lower(text), '\\s+', '',
+                                                  'g')))
                         AS BIGINT) AS token_chars
             FROM documents GROUP BY 1 ORDER BY 1
         """,

@@ -765,6 +765,27 @@ def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return reduce(DataFrame.unionByName, outs)
 
 
+def _salt_expr(df: DataFrame, salt: int) -> Column:
+    """Retry-deterministic salt in [0, salt): xxhash64 over the row's
+    hashable columns plus spark_partition_id(). MapType columns are
+    excluded (xxhash64 rejects maps — their iteration order is
+    undefined); the partition id spreads identical rows that land in
+    different partitions while staying stable under stage retry (a
+    retried task recomputes the same partition, unlike
+    monotonically_increasing_id / row_number, whose values depend on
+    within-partition row order — the SPARK-23207 class). Identical rows
+    within one partition still share a salt: the price of
+    retry-exactness."""
+    hashable = [
+        F.col(fld.name) for fld in df.schema.fields
+        if "MapType" not in fld.dataType.__class__.__name__
+        and "map<" not in fld.dataType.simpleString()
+    ]
+    return F.pmod(
+        F.xxhash64(*hashable, F.spark_partition_id()), F.lit(salt)
+    ).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     key_col: str,
@@ -799,11 +820,9 @@ def salted_agg(
             final_exprs.append(F.max(p).alias(name))
         else:
             raise ValueError(f"kind {kind!r}: sum/count/min/max")
-    # content-derived salt: retry-stable (see salted_join); identical
-    # rows co-locating is harmless for decomposable aggregates
-    staged = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
-                         F.lit(salt)))
+    # content+partition-derived salt: retry-stable (see _salt_expr);
+    # identical rows co-locating is harmless for decomposable aggregates
+    staged = df.withColumn("__salt", _salt_expr(df, salt))
     p1 = staged.groupBy(key_col, "__salt").agg(*part_exprs)
     return p1.groupBy(key_col).agg(*final_exprs)
 
@@ -833,15 +852,12 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
     keys = list(key_cols)
-    # salt from the row's CONTENT, not monotonically_increasing_id: the
-    # id expression is nondeterministic under partial stage retry, and a
-    # retried map task re-salting rows differently duplicates/loses join
-    # rows (the SPARK-23207 class). Identical rows share a salt — for a
-    # pathological all-identical-rows key the salt stops spreading, which
-    # is the price of retry-exactness.
-    lsalt = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
-                         F.lit(salt)).cast("int"))
+    # salt from row content + partition id, not
+    # monotonically_increasing_id (nondeterministic under partial stage
+    # retry — a retried map task re-salting rows differently
+    # duplicates/loses join rows). See _salt_expr for the determinism
+    # and MapType notes.
+    lsalt = left.withColumn("__salt", _salt_expr(left, salt))
     rsalt = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))

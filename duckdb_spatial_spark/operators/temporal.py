@@ -124,7 +124,13 @@ def asof_join(
             right.select(payload.alias("p")).schema["p"].dataType
         ).alias("__p"),
     )
-    rhs = right.select(
+    # DuckDB ASOF never matches a right row whose ordering key is NULL.
+    # Dropping them here also prevents a window hazard: a NULL __ord sorts
+    # nulls-first under ascending order, so its payload would otherwise
+    # propagate as a bogus "match" to every left row preceding the first
+    # real right row (with matched_<right_on> NULL and tolerance unable to
+    # filter it, since the distance is NULL too).
+    rhs = right.filter(F.col(right_on).isNotNull()).select(
         *[F.col(k) for k in keys],
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left.columns if c not in keys],
@@ -219,6 +225,12 @@ def asof_join(
             "__m",
             F.when(dist <= F.lit(tolerance_us), F.col("__m")),
         )
+    # A left row with a NULL ordering key never matches (DuckDB ASOF);
+    # under forward order its NULL __ord sorts last and would otherwise
+    # inherit the final payload.
+    res = res.withColumn(
+        "__m", F.when(F.col("__ord").isNotNull(), F.col("__m"))
+    )
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col("__m.__rt").alias(f"matched_{right_on}"))
     out_cols.extend(F.col(f"__m.{v}").alias(v) for v in vals)
@@ -236,6 +248,7 @@ def interval_join(
     bucket_width: Optional[float] = None,
     max_buckets_per_row: int = 256,
     suffix: str = "_r",
+    max_diverted_rows: int = 500_000,
 ) -> DataFrame:
     """Inner join on interval overlap: ``l_start <= r_end AND r_start <=
     l_end`` (closed intervals), optionally also equi-matching ``by`` keys.
@@ -336,6 +349,22 @@ def interval_join(
 
     l_long_c = l_long.drop("__b0", "__b1")
     r_long_c = r_long.drop("__b0", "__b1")
+    # Size-guard the diversion: with a badly chosen bucket_width (e.g. a
+    # sampled median far below typical lengths) the "rare" long side can
+    # be most of the table, and broadcasting it would OOM the executors
+    # silently. A limit(K+1).count() probe short-circuits once K+1 rows
+    # are seen, so the common zero-long case costs one near-empty scan.
+    for side, frame in (("left", l_long_c), ("right", r_long_c)):
+        probe = frame.limit(max_diverted_rows + 1).count()
+        if probe > max_diverted_rows:
+            raise ValueError(
+                f"interval_join: >{max_diverted_rows} {side} intervals span"
+                f" >= {cap} buckets (bucket_width={bw:g}) — the broadcast"
+                " diversion tier would not fit. Pass a larger bucket_width"
+                " (close to the typical interval length), raise"
+                " max_buckets_per_row, or raise max_diverted_rows if the"
+                " executors can hold the broadcast."
+            )
     # all-right × broadcast(long-left), short-left × broadcast(long-right):
     # the LONG rows are the rare diverted side and must be the broadcast
     # argument — broadcasting the full right table would materialize it on

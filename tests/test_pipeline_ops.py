@@ -660,6 +660,34 @@ def test_salted_agg_equals_direct(spark):
     assert got == want
 
 
+def test_salted_ops_tolerate_map_columns_and_spread(spark):
+    """xxhash64 rejects MapType — the salt must skip map columns, not
+    throw — and identical rows across partitions must still spread over
+    more than one salt (partition-id mix-in)."""
+    from duckdb_spatial_spark.operators.pipeline import (_salt_expr,
+                                                         salted_agg,
+                                                         salted_join)
+
+    df = spark.createDataFrame(
+        [(i % 3, i, {"a": i}) for i in range(300)],
+        "k long, v long, m map<string,long>")
+    got = {r.k: (r.n, r.s) for r in salted_agg(
+        df, "k", {"n": (F.col("v"), "count"), "s": (F.col("v"), "sum")},
+        salt=8).collect()}
+    assert got == {0: (100, 14850), 1: (100, 14950), 2: (100, 15050)}
+
+    right = spark.createDataFrame([(0, 7.0)], "k long, w double")
+    j = salted_join(df.select("k", "v", "m"), right, ["k"], salt=4)
+    assert j.count() == 100
+
+    # identical rows spread across partitions → >1 distinct salt
+    same = spark.createDataFrame(
+        [("x", 1)] * 200, "k string, v long").repartition(8)
+    nsalts = same.select(
+        _salt_expr(same, 16).alias("s")).distinct().count()
+    assert nsalts > 1, nsalts
+
+
 def test_corpus_diff(spark):
     from duckdb_spatial_spark.operators.pipeline import corpus_diff
 

@@ -135,6 +135,51 @@ def test_asof_timestamp_columns(spark):
     assert got == {1: 7.0, 2: None}
 
 
+def test_interval_join_diversion_guard(spark):
+    """A pathological bucket_width that makes every interval 'long' must
+    raise (not silently broadcast the whole table)."""
+    rows = [(i, float(i * 100), float(i * 100 + 5000)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s double, e double")
+    with pytest.raises(ValueError, match="diversion|broadcast"):
+        interval_join(df, df.withColumnRenamed("id", "id2"),
+                      "s", "e", "s", "e",
+                      bucket_width=1e-3, max_buckets_per_row=4,
+                      max_diverted_rows=10)
+
+
+def test_asof_null_keys_never_match(spark):
+    """DuckDB ASOF semantics: a NULL ordering key on either side never
+    produces a match — right NULL-ts rows must not leak their payload to
+    early left rows (nulls-first hazard), and left NULL-ts rows must not
+    inherit the last payload under forward order (nulls-last hazard)."""
+    l = spark.createDataFrame(
+        [(1, 5, 1), (1, 100, 2), (1, None, 3)], "k int, t long, lid int")
+    r = spark.createDataFrame(
+        [(1, None, 666, -1.0), (1, 50, 10, 1.5)],
+        "k int, t long, rid long, v double")
+    for direction in ("backward", "forward"):
+        got = {row["lid"]: (row["matched_t"], row["rid"], row["v"])
+               for row in asof_join(l, r, "t", "t", by=["k"],
+                                    value_cols=["rid", "v"],
+                                    direction=direction).collect()}
+        # the NULL-ts right row (rid=666) must never appear
+        assert all(g[1] != 666 for g in got.values()), got
+        # the NULL-ts left row must have no match
+        assert got[3] == (None, None, None), got
+        if direction == "backward":
+            assert got[1] == (None, None, None) and got[2] == (50, 10, 1.5)
+        else:
+            assert got[1] == (50, 10, 1.5) and got[2] == (None, None, None)
+    # keyless path too
+    for direction in ("backward", "forward"):
+        got = {row["lid"]: row["rid"]
+               for row in asof_join(l.drop("k"), r.drop("k"), "t", "t",
+                                    value_cols=["rid", "v"],
+                                    direction=direction).collect()}
+        assert all(v != 666 for v in got.values()), got
+        assert got[3] is None, got
+
+
 def test_interval_join_exact_and_skew_path(spark):
     rng = random.Random(11)
     LI = [(i % 5, s, s + rng.randint(0, 80), i)
