@@ -622,6 +622,8 @@ def st_join_points(
     x: str = "x",
     y: str = "y",
     right_geom: str = "geom",
+    broadcast_threshold: int = 200_000,
+    broadcast_byte_budget: int = 256 << 20,
 ) -> DataFrame:
     """Broadcast point-probe spatial join on raw double columns — the
     POINT_2D tier of ``st_join_broadcast``. The probe side never builds or
@@ -641,7 +643,22 @@ def st_join_points(
     if overlap:
         raise ValueError(f"column name collision between sides: {sorted(overlap)}")
 
-    right_rows = right.collect()
+    # Broadcast guard, same shape as st_join's: a limit(threshold+1) probe
+    # stops scanning after threshold+1 rows (no full count of a derived
+    # right plan), and the sampled rows double as the build side. An
+    # over-budget right side redirects to the grid tier (st_join) instead
+    # of OOMing the driver/executors with an unguarded collect.
+    right_rows = right.limit(broadcast_threshold + 1).collect()
+    geom_bytes = sum(
+        len(r[right_geom]) for r in right_rows if r[right_geom] is not None
+    )
+    if (len(right_rows) > broadcast_threshold
+            or geom_bytes > broadcast_byte_budget):
+        raise ValueError(
+            f"st_join_points: right side exceeds the broadcast budget "
+            f"(>{broadcast_threshold} rows or >{broadcast_byte_budget >> 20}"
+            " MiB of geometry) — use st_join (grid-partitioned tier) for "
+            "build sides this large, or raise the thresholds explicitly")
     right_cols = right.columns
     geoms = []
     bounds = []

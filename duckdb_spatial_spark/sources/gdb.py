@@ -25,6 +25,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..geom import gdbtable as GT
@@ -167,13 +168,17 @@ _MAX_SINK_BYTES = 1 << 30
 def st_write_gdb(df: DataFrame, path: str, layer: str = "layer",
                  geom_col: str = "geom") -> None:
     """Create ``path`` as a one-layer .gdb directory (system catalog +
-    layer table). Single-writer by format nature; byte-guarded."""
-    rows = df.collect()
-    est = sum(len(r[geom_col] or b"") + 64 for r in rows) if rows else 0
+    layer table). Single-writer by format nature; byte-guarded BEFORE the
+    collect (one distributed aggregate over the WKB column), so an
+    over-budget frame raises without materializing rows on the driver."""
+    est = df.agg(
+        F.sum(F.length(F.col(geom_col)) + 64).alias("b")
+    ).collect()[0]["b"] or 0
     if est > _MAX_SINK_BYTES:
         raise ValueError(
             f"st_write_gdb: ~{est >> 20} MiB exceeds the single-writer "
             "guard (1 GiB); write parquet for datasets this size")
+    rows = df.collect()
     os.makedirs(path, exist_ok=True)
 
     fields: List[GT.FieldDef] = [GT.FieldDef("OBJECTID", GT.FT_OBJECTID,

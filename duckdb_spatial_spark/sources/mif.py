@@ -29,6 +29,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..geom.core import (Geometry, LINESTRING, MULTILINESTRING, MULTIPOINT,
@@ -305,13 +306,18 @@ def _geom_to_mif(g: Geometry) -> List[str]:
 
 def st_write_mif(df: DataFrame, path: str, geom_col: str = "geom") -> None:
     """Write a .mif/.mid pair (single-writer text interchange format,
-    byte-guarded like the shp/gpkg sinks)."""
-    rows = df.collect()
-    est = sum(len(r[geom_col] or b"") * 4 + 64 for r in rows)
-    if est > _MAX_SINK_BYTES:
+    byte-guarded like the shp/gpkg sinks). The guard runs BEFORE the
+    collect — one distributed aggregate over the WKB column — so an
+    over-budget frame raises without ever materializing rows on the
+    driver."""
+    est_row = df.agg(
+        F.sum(F.length(F.col(geom_col)) * 4 + 64).alias("b")
+    ).collect()[0]["b"] or 0
+    if est_row > _MAX_SINK_BYTES:
         raise ValueError(
-            f"st_write_mif: ~{est >> 20} MiB exceeds the single-writer "
+            f"st_write_mif: ~{est_row >> 20} MiB exceeds the single-writer "
             "guard (1 GiB); write parquet for datasets this size")
+    rows = df.collect()
     base = os.path.splitext(path)[0]
     attr_fields = [f for f in df.schema.fields if f.name != geom_col]
 

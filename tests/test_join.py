@@ -221,3 +221,28 @@ def test_pred_pairs_mixed_fallback():
     ], dtype=object)
     got = J.pred_pairs("within", a, b)
     assert got.tolist() == [True, True, False]
+
+
+def test_st_join_points_broadcast_guard(spark):
+    """An over-budget right side must raise with a redirect to the grid
+    tier instead of collecting it all onto the driver. The
+    limit(threshold+1) probe means only threshold+1 rows are ever
+    fetched."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_spatial_spark.functions.scalar import st_geomfromtext
+    from duckdb_spatial_spark.operators.join import st_join_points
+
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], "pid int, x double, y double")
+    zones = spark.range(500).select(
+        F.col("id").alias("zid"),
+        st_geomfromtext(
+            F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")).alias("zone"),
+    )
+    with pytest.raises(ValueError, match="st_join"):
+        st_join_points(pts, zones, "within", "x", "y", "zone",
+                       broadcast_threshold=100)
+    with pytest.raises(ValueError, match="st_join"):
+        st_join_points(pts, zones, "within", "x", "y", "zone",
+                       broadcast_byte_budget=1024)

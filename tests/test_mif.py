@@ -119,3 +119,32 @@ def test_mif_udtf_sql(spark, tmp_path):
         f"SELECT count(*) AS n, sum(kind) AS sk FROM ST_Read('{p}')"
     ).collect()[0]
     assert r["n"] == 5 and r["sk"] == 7 + 8 + 9 + 11
+
+
+def test_mif_gdb_sink_guard_precedes_collect(spark, tmp_path):
+    """The single-writer byte guard must run BEFORE any driver-side
+    collect: a poison UDF column would throw if the sink ever
+    materialized rows, but the guard's one-column aggregate prunes it
+    away, so the over-budget frame raises ValueError — not the poison."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_spatial_spark.sources.gdb import st_write_gdb
+    from duckdb_spatial_spark.sources.mif import st_write_mif
+
+    def _boom():
+        raise RuntimeError("rows were materialized on the driver")
+
+    poison = F.udf(lambda: _boom(), "string")
+    # 3000 rows x ~600 KB of WKB-sized payload ≈ 1.7 GiB estimate — over
+    # the 1 GiB guard; the payload is generated executor-side, never
+    # collected.
+    df = spark.range(3000).select(
+        F.col("id").cast("int").alias("k"),
+        poison().alias("p"),
+        F.encode(F.repeat(F.lit("a"), 600_000), "utf-8").alias("geom"),
+    )
+    with pytest.raises(ValueError, match="single-writer"):
+        st_write_mif(df, str(tmp_path / "big.mif"))
+    with pytest.raises(ValueError, match="single-writer"):
+        st_write_gdb(df, str(tmp_path / "big.gdb"))
