@@ -2066,13 +2066,13 @@ def q87_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     score every document via broadcast joins, aggregate perplexity per
     language. Oracle: the self-contained SQL replica trains and scores
     with the identical formula."""
-    from duckdb_spatial_spark.operators.lm import (ngram_lm_score,
-                                                   ngram_lm_train)
+    from duckdb_spatial_spark.operators.lm import ngram_lm_doc_scores
 
     d = load_table(spark, sf, "documents", fan_out=True)
-    vocab, uni, bi = ngram_lm_train(d, "text", vocab_size=_Q87_V)
-    s = ngram_lm_score(d, "doc_id", "text", vocab, uni, bi,
-                       vocab_size=_Q87_V)
+    # fused train+score: one word-count pass + ONE shared pair pass
+    # (the unfused train/score pair paid the pair explode twice)
+    s = ngram_lm_doc_scores(d, "doc_id", "text", vocab_size=_Q87_V,
+                            kind="addk")
     return (
         s.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
@@ -2734,10 +2734,11 @@ def q106_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents", fan_out=True)
     train = d.filter(F.col("doc_id") % 2 == 0)
     score = d.filter(F.col("doc_id") % 2 == 1)
-    model_rows, stats = classify.nb_train(
-        train.withColumn("label", F.col("lang") == "en"),
+    # fused in-plan train+score: the model/stats never round-trip
+    # through the driver (broadcast frames), cutting the job barriers
+    out = classify.nb_train_score(
+        train.withColumn("label", F.col("lang") == "en"), score,
         buckets=2048, alpha=1.0)
-    out = classify.nb_score(score, model_rows, stats)
     return out.select(
         "doc_id", "n_grams", F.round("nb_score", 6).alias("nb_score"),
     ).orderBy(F.col("nb_score").desc(), "doc_id").limit(20)
@@ -2793,13 +2794,13 @@ def q108_lm_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
     counts alone (no extra corpus pass), stay bounded by the vocab, and
     broadcast at score time. Oracle: self-contained SQL replica of
     train + KN score."""
-    from duckdb_spatial_spark.operators.lm import (ngram_lm_score_kn,
-                                                   ngram_lm_train)
+    from duckdb_spatial_spark.operators.lm import ngram_lm_doc_scores
 
     d = load_table(spark, sf, "documents", fan_out=True)
-    vocab, _uni, bi = ngram_lm_train(d, "text", vocab_size=_Q87_V)
-    s = ngram_lm_score_kn(d, "doc_id", "text", vocab, bi,
-                          vocab_size=_Q87_V, discount=0.75)
+    # fused train+score (see q87): KN statistics re-aggregate the same
+    # persisted per-doc pair table that scoring consumes
+    s = ngram_lm_doc_scores(d, "doc_id", "text", vocab_size=_Q87_V,
+                            kind="kn", discount=0.75)
     return (
         s.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
@@ -3502,12 +3503,24 @@ def q115_count_min(spark: SparkSession, sf: str) -> DataFrame:
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )
-    sk = count_min_sketch(words, F.col("word"), depth=4, width=1024)
-    top = (
+    # ONE corpus-weight shuffle: aggregate words→freq first, then derive
+    # BOTH the sketch (weight=freq: Σ_cell freq ≡ Σ_cell 1-per-occurrence,
+    # exact integers) and the top-15 from that vocab-bounded table. The
+    # raw-words formulation paid the corpus scan 5× (4 sketch branches +
+    # the count): measured 4.7 s → this shape. LAZY persist, not eager
+    # localCheckpoint or a limit-probe: the sketch broadcast evaluates
+    # first and fills the cache, the top-15 branch then reads it — the
+    # corpus shuffle runs once with NO extra job barrier (localCheckpoint
+    # added a 0.5 s materialization job; a limit(cap).collect() probe was
+    # worse still — CollectLimit's incremental partition waves re-ran the
+    # whole aggregate per wave, measured 4.3 s).
+    wf = (
         words.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(15)
+        .persist()
     )
+    sk = count_min_sketch(wf, F.col("word"), depth=4, width=1024,
+                          weight=F.col("freq"))
+    top = wf.orderBy(F.col("freq").desc(), F.col("word")).limit(15)
     est = count_min_estimate(sk, top, F.col("word"), depth=4, width=1024)
     return est.select(
         "word", "freq", "est",

@@ -50,22 +50,28 @@ def nb_train(labeled_df: DataFrame, label_col: str = "label",
         raise ValueError("alpha must be > 0 (log of the smoothed counts)")
     g = _gram_rows(labeled_df, [F.col(label_col).alias("_y")], text_col,
                    bigrams)
-    bcounts = (
+    # ONE collect for the bucket counts AND the doc-count stats: the doc
+    # totals ride along as a sentinel bucket=-1 row (hashed buckets are
+    # always >= 0), halving the train-time job barriers.
+    both = (
         g.select("_y", hashed_bucket(F.col("gram"), buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.sum(F.col("_y").cast("long")).alias("cnt_pos"),
             F.sum((~F.col("_y")).cast("long")).alias("cnt_neg"),
         )
+        .unionByName(labeled_df.agg(
+            F.lit(-1).alias("bucket"),
+            F.sum(F.col(label_col).cast("long")).alias("cnt_pos"),
+            F.sum((~F.col(label_col)).cast("long")).alias("cnt_neg"),
+        ))
     ).collect()
-    docs = labeled_df.agg(
-        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
-        F.sum((~F.col(label_col)).cast("long")).alias("n_neg"),
-    ).collect()[0]
-    model_rows = [(r["bucket"], r["cnt_pos"], r["cnt_neg"]) for r in bcounts]
+    docs = next(r for r in both if r["bucket"] == -1)
+    model_rows = [(r["bucket"], r["cnt_pos"], r["cnt_neg"])
+                  for r in both if r["bucket"] >= 0]
     stats = {
-        "n_pos": docs["n_pos"] or 0,
-        "n_neg": docs["n_neg"] or 0,
+        "n_pos": docs["cnt_pos"] or 0,
+        "n_neg": docs["cnt_neg"] or 0,
         "tot_pos": sum(r[1] for r in model_rows),
         "tot_neg": sum(r[2] for r in model_rows),
         "buckets": buckets,
@@ -117,6 +123,81 @@ def nb_score(df: DataFrame, model_rows, stats, id_col: str = "doc_id",
     return (
         doc_b.join(F.broadcast(model), "bucket", "left")
         .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_grams"), F.sum(delta).alias("_d"))
+        .select(
+            id_col,
+            "n_grams",
+            (prior + F.col("_d") + F.col("n_grams") * floor)
+            .alias("nb_score"),
+        )
+    )
+
+
+def nb_train_score(train_df: DataFrame, score_df: DataFrame,
+                   label_col: str = "label", text_col: str = "text",
+                   buckets: int = 4096, alpha: float = 1.0,
+                   bigrams: bool = True,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Fused train+score with NO driver round trip: the bucket-count
+    model and the (tot/doc-count) stats stay in-plan as broadcast
+    frames, so the whole pipeline is one collected job plus its
+    broadcast evaluations (the persisted model fills its cache during
+    the first broadcast). Identical arithmetic to nb_train + nb_score —
+    the smoothing-floor decomposition reads the totals from a 1-row
+    cross-joined frame instead of Python floats (same IEEE doubles).
+
+    Measured: the collect-model-then-rebuild-plan shape paid an extra
+    full train-scan job barrier; this shape cut q106 at sf0.1 from
+    1.6 s toward the single-scan floor."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (log of the smoothed counts)")
+    g = _gram_rows(train_df, [F.col(label_col).alias("_y")], text_col,
+                   bigrams)
+    model = (
+        g.select("_y", hashed_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("_y").cast("long")).alias("cnt_pos"),
+            F.sum((~F.col("_y")).cast("long")).alias("cnt_neg"),
+        )
+        .persist()  # ≤ buckets rows; feeds the stats agg AND the join
+    )
+    stats = (
+        model.agg(
+            F.coalesce(F.sum("cnt_pos"), F.lit(0)).alias("_tot_pos"),
+            F.coalesce(F.sum("cnt_neg"), F.lit(0)).alias("_tot_neg"),
+        )
+        .crossJoin(train_df.agg(
+            F.coalesce(F.sum(F.col(label_col).cast("long")),
+                       F.lit(0)).alias("_n_pos"),
+            F.coalesce(F.sum((~F.col(label_col)).cast("long")),
+                       F.lit(0)).alias("_n_neg"),
+        ))
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * buckets)
+    prior = (F.log(F.col("_n_pos") + F.lit(1.0))
+             - F.log(F.col("_n_neg") + F.lit(1.0)))
+    floor = (F.log(a) - F.log(F.col("_tot_pos") + ab)) \
+        - (F.log(a) - F.log(F.col("_tot_neg") + ab))
+    delta = F.col("cnt") * (
+        (F.log(F.coalesce(F.col("cnt_pos"), F.lit(0)) + a)
+         - F.log(F.col("_tot_pos") + ab))
+        - (F.log(F.coalesce(F.col("cnt_neg"), F.lit(0)) + a)
+           - F.log(F.col("_tot_neg") + ab))
+        - floor
+    )
+    doc_b = (
+        _gram_rows(score_df, [F.col(id_col)], text_col, bigrams)
+        .select(F.col(id_col),
+                hashed_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        doc_b.join(F.broadcast(model), "bucket", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col, "_n_pos", "_n_neg", "_tot_pos", "_tot_neg")
         .agg(F.sum("cnt").alias("n_grams"), F.sum(delta).alias("_d"))
         .select(
             id_col,

@@ -128,3 +128,33 @@ def test_kn_prefers_fluent_docs(spark, docs):
     assert s[0] < s[3] and s[1] < s[3]
     assert s[0] == s[6]
     assert all(math.isfinite(p) and p > 0 for p in s.values())
+
+
+def test_fused_doc_scores_match_unfused(spark, docs):
+    """ngram_lm_doc_scores (one shared pair pass, weighted mean) must
+    reproduce the unfused train+score pipelines for both smoothing
+    kinds."""
+    from duckdb_spatial_spark.operators.lm import (ngram_lm_doc_scores,
+                                                   ngram_lm_score_kn)
+
+    vocab, uni, bi = ngram_lm_train(docs, "text", vocab_size=V)
+
+    ref = {r.doc_id: (r.nll, r.ppl) for r in ngram_lm_score(
+        docs, "doc_id", "text", vocab, uni, bi, vocab_size=V).collect()}
+    got = {r.doc_id: (r.nll, r.ppl) for r in ngram_lm_doc_scores(
+        docs, "doc_id", "text", vocab_size=V, kind="addk").collect()}
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][0] == pytest.approx(ref[k][0], rel=1e-12)
+        assert got[k][1] == pytest.approx(ref[k][1], rel=1e-12)
+
+    ref = {r.doc_id: (r.nll, r.ppl) for r in ngram_lm_score_kn(
+        docs, "doc_id", "text", vocab, bi, vocab_size=V,
+        discount=0.75).collect()}
+    got = {r.doc_id: (r.nll, r.ppl) for r in ngram_lm_doc_scores(
+        docs, "doc_id", "text", vocab_size=V, kind="kn",
+        discount=0.75).collect()}
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][0] == pytest.approx(ref[k][0], rel=1e-12)
+        assert got[k][1] == pytest.approx(ref[k][1], rel=1e-12)
