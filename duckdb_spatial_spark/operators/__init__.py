@@ -1,6 +1,8 @@
 from .cluster import (  # noqa: F401
     st_cluster,
+    st_cluster_append,
     st_cluster_bbox,
+    st_cluster_compact,
     st_filter_points,
     st_layout_info,
     with_bbox_columns,

@@ -73,6 +73,82 @@ def st_cluster_bbox(
     return out.drop("__cx", "__cy")
 
 
+def st_cluster_append(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    extent: Optional[Tuple[float, float, float, float]] = None,
+    num_partitions: Optional[int] = None,
+    order: int = 16,
+) -> None:
+    """Incrementally add rows to an existing Hilbert-clustered Parquet
+    dataset — the maintenance analog of the reference R-tree's insert
+    path (rtree.cpp:75-267, exercised by rtree_crud.test): new rows land
+    in fresh hilbert-sorted files without touching existing ones, so
+    query results are immediately correct (a Parquet scan is the union
+    of files) and pruning quality degrades only gradually — each
+    appended file carries its own tight min/max stats — until
+    :func:`st_cluster_compact` merges the small files.
+
+    ``num_partitions`` defaults to 1 for appends (a batch usually is a
+    small fraction of the dataset; one sorted file per append keeps the
+    file count linear in the number of appends, not in cores).
+    Not concurrent-safe: like the reference's index maintenance, run
+    appends/compaction from a single maintenance job.
+    """
+    out = st_cluster(df, x, y, extent=extent,
+                     num_partitions=num_partitions or 1, order=order)
+    out.write.mode("append").parquet(path)
+
+
+def st_cluster_compact(
+    spark,
+    path: str,
+    x: str,
+    y: str,
+    small_file_bytes: int = 16 << 20,
+    extent: Optional[Tuple[float, float, float, float]] = None,
+    num_partitions: Optional[int] = None,
+    order: int = 16,
+) -> int:
+    """Merge the small files a sequence of :func:`st_cluster_append`
+    calls leaves behind — the analog of the reference R-tree's node
+    merge/vacuum on delete+insert churn (rtree.cpp:228-267). Minor
+    compaction, not a full rewrite: files ≥ ``small_file_bytes`` are
+    left untouched (at scale you never rewrite the clustered bulk), the
+    small ones are read, re-clustered as one sorted batch, written as
+    fresh files, and the originals deleted. Returns the number of files
+    compacted away (0 = nothing to do).
+
+    Non-transactional (plain Parquet directory, no table format): run
+    offline like the reference's index build. A crash between write and
+    delete leaves duplicates — use a table format (Iceberg/Delta) when
+    atomic swap matters.
+    """
+    import glob as _glob
+    import os
+
+    files = sorted(
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.getsize(f) < small_file_bytes
+    )
+    if len(files) < 2:
+        return 0
+    small = spark.read.parquet(*files)
+    st_cluster(
+        small, x, y, extent=extent,
+        num_partitions=num_partitions or 1, order=order,
+    ).write.mode("append").parquet(path)
+    for f in files:
+        os.remove(f)
+        for side in (f + ".crc", os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc")):
+            if os.path.exists(side):
+                os.remove(side)
+    return len(files)
+
+
 def st_filter_points(
     df: DataFrame,
     x: str,

@@ -142,6 +142,66 @@ def test_layout_info(spark, tmp_path):
     assert min(spans) < full * 0.9
 
 
+def test_cluster_append_and_compact(spark, tmp_path):
+    """Incremental layout maintenance (the reference rtree_crud.test
+    analog): appends add hilbert-sorted files without touching existing
+    ones and stay query-correct; compaction merges ONLY the small files
+    and leaves the clustered bulk alone; results are identical before
+    and after."""
+    from duckdb_spatial_spark.operators import (
+        st_cluster,
+        st_cluster_append,
+        st_cluster_compact,
+        st_layout_info,
+    )
+
+    def pts(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("x", (F.col("id") % 100).cast("double"))
+            .withColumn("y", (F.col("id") / 100).cast("double"))
+        )
+
+    out = str(tmp_path / "ds")
+    st_cluster(pts(0, 4000), "x", "y", num_partitions=4) \
+        .write.parquet(out)
+    n_base_files = len({r["file"] for r in
+                        st_layout_info(spark, out).collect()})
+
+    for lo, hi in ((4000, 4500), (4500, 5000), (5000, 5500)):
+        st_cluster_append(pts(lo, hi), out, "x", "y")
+
+    info = st_layout_info(spark, out).collect()
+    files_after_append = {r["file"] for r in info}
+    assert len(files_after_append) == n_base_files + 3
+    # correctness after append: full count + envelope count vs recompute
+    ds = spark.read.parquet(out)
+    assert ds.count() == 5500
+    env = (F.col("x") >= 20) & (F.col("x") <= 40) & \
+          (F.col("y") >= 10) & (F.col("y") <= 30)
+    want = pts(0, 5500).filter(env).count()
+    assert ds.filter(env).count() == want
+
+    # compaction merges exactly the 3 small appended files (the base
+    # files pass the small threshold too here, so bound it: set the
+    # threshold between append-file size and base-file size)
+    import os
+    sizes = sorted(os.path.getsize(os.path.join(out, f))
+                   for f in os.listdir(out) if f.endswith(".parquet"))
+    threshold = sizes[3 - 1] + 1  # the 3 appended files are the smallest
+    merged = st_cluster_compact(spark, out, "x", "y",
+                                small_file_bytes=threshold)
+    assert merged == 3
+    info2 = st_layout_info(spark, out).collect()
+    assert len({r["file"] for r in info2}) == n_base_files + 1
+    ds2 = spark.read.parquet(out)
+    assert ds2.count() == 5500
+    assert ds2.filter(env).count() == want
+    # idempotent: nothing small left to merge
+    assert st_cluster_compact(spark, out, "x", "y",
+                              small_file_bytes=threshold) in (0,)
+
+
 def test_constructor_fusion_no_python_stage(spark):
     """st_point→st_makeline→st_length, st_makeenvelope→st_area/perimeter,
     buffer(point)→area, shortestline→length, and box predicates over
