@@ -100,10 +100,19 @@ def st_drivers(spark: SparkSession) -> DataFrame:
 
 def _geojson_files(path: str) -> List[str]:
     if os.path.isdir(path):
-        return sorted(
+        found = sorted(
             _glob.glob(os.path.join(path, "**", "*.json"), recursive=True)
             + _glob.glob(os.path.join(path, "**", "*.geojson"), recursive=True)
         )
+        if not found:
+            # the distributed geojson sink emits newline-delimited
+            # features as Spark text part files (part-*.txt) — pick those
+            # up so a sink directory roundtrips through the reader
+            found = sorted(
+                f for f in _glob.glob(os.path.join(path, "part-*"))
+                if not f.endswith(".crc")
+            )
+        return found
     return sorted(_glob.glob(path)) or [path]
 
 
@@ -245,7 +254,15 @@ def st_read(
                      ".geojsonl", ".geojsons")) or (
             low.endswith(".json") and wkt_col is None and _looks_geojson(path)):
         df = read_geojson(spark, path)
-    elif low.endswith((".parquet", ".pq")) or os.path.isdir(path):
+    elif low.endswith((".parquet", ".pq")) or (
+            # extension-less directory → parquet dataset; a directory whose
+            # NAME carries a format extension (x.csv/x.arrow/x.geojson part
+            # directories from the distributed sinks) must fall through to
+            # that format's reader, not be force-read as parquet
+            os.path.isdir(path)
+            and not low.rstrip("/").endswith((
+                ".csv", ".json", ".ndjson", ".jsonl", ".orc", ".arrow",
+                ".feather", ".ipc", ".geojson", ".geojsonl", ".geojsons"))):
         from .geoparquet import geoparquet_meta
 
         df = spark.read.parquet(path)
