@@ -17,6 +17,7 @@ from .warc import st_read_warc, st_write_warc  # noqa: F401
 from .spatialite import st_read_spatialite, st_write_spatialite  # noqa: F401
 from .geoparquet import geoparquet_meta, st_write_geoparquet  # noqa: F401
 from .dxf import st_read_dxf, st_write_dxf  # noqa: F401
+from .mvt import st_read_mvt, st_write_mvt  # noqa: F401
 from .topojson import st_read_topojson, topojson_layers  # noqa: F401
 from .read import (  # noqa: F401
     OSM_SCHEMA,

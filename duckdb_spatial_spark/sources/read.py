@@ -85,6 +85,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("arrow", "Apache Arrow IPC / Feather V2 (batch-range parallel scan, distributed sink)", True, True, True),
         ("sqlite", "SpatiaLite (native BLOB-geometry codec, stdlib sqlite3)", True, True, True),
         ("dxf", "AutoCAD DXF (native group-code parser: POINT/LINE/LWPOLYLINE/POLYLINE/CIRCLE/ARC)", True, True, True),
+        ("mvt", "Mapbox Vector Tiles 2.1 (native protobuf codec; .mvt / .vector.pbf, gzip-transparent)", True, True, True),
         ("topojson", "TopoJSON (native arc-topology decoder; read-only like OGR's driver)", True, False, False),
         ("xlsx", "Office Open XML spreadsheet (native zip+XML reader)", True, False, True),
         ("gml", "GML 2/3 (native XML reader)", True, False, True),
@@ -340,6 +341,10 @@ def st_read(
         from .dxf import st_read_dxf
 
         df = st_read_dxf(spark, path, geom_col=geom_col)
+    elif low.endswith((".mvt", ".vector.pbf")):
+        from .mvt import st_read_mvt
+
+        df = st_read_mvt(spark, path, layer=layer, geom_col=geom_col)
     elif low.endswith(".gpx"):
         from .gpx import st_read_gpx
 
@@ -694,6 +699,11 @@ def st_write(
         from .dxf import st_write_dxf
 
         st_write_dxf(df, path, geom_col=geom_col)
+        return
+    if fmt == "mvt":
+        from .mvt import st_write_mvt
+
+        st_write_mvt(df, path, geom_col=geom_col)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 

@@ -29,7 +29,7 @@ TRI_WKB = bytes(to_wkb(from_wkt(TRI)))
 
 FORMATS = [
     "parquet", "geoparquet", "csv", "geojson", "shp", "gpkg", "fgb",
-    "kml", "mif", "tab", "gdb", "arrow", "spatialite", "gpx",
+    "kml", "mif", "tab", "gdb", "arrow", "spatialite", "gpx", "mvt",
 ]
 
 
