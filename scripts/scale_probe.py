@@ -184,11 +184,10 @@ def main() -> None:
                 .agg(F.sum(F.size("tokens"))).collect()[0][0])
 
     def lm_score(df):
-        from duckdb_spatial_spark.operators.lm import (ngram_lm_score,
-                                                       ngram_lm_train)
+        # the fused shared-pair-pass plan q87/q108 use since round 6
+        from duckdb_spatial_spark.operators.lm import ngram_lm_doc_scores
 
-        vocab, uni, bi = ngram_lm_train(df, "text", vocab_size=1000)
-        return (ngram_lm_score(df, "doc_id", "text", vocab, uni, bi, 1000)
+        return (ngram_lm_doc_scores(df, "doc_id", "text", vocab_size=1000)
                 .agg(F.sum("nll")).collect()[0][0])
 
     def pagerank_w(df):
@@ -234,11 +233,11 @@ def main() -> None:
                 .agg(F.sum("logw")).collect()[0][0])
 
     def nb_w(df):
+        # the fused in-plan train+score q106 uses since round 6
         from duckdb_spatial_spark.operators import classify
 
         labeled = df.withColumn("label", F.col("doc_id") % 2 == 0)
-        model, stats = classify.nb_train(labeled, buckets=2048)
-        return (classify.nb_score(df, model, stats)
+        return (classify.nb_train_score(labeled, df, buckets=2048)
                 .agg(F.sum("nb_score")).collect()[0][0])
 
     def hamming_w(df):
