@@ -3570,6 +3570,118 @@ def q125_cluster_append(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q126_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (Snowflake SESSIONIZE / Flink session-window
+    analog, the batch twin of q81's stateful streaming sessions): per
+    user-group, events split into sessions at >30-minute gaps with a
+    total (ts, event_id) order; per-key session count, event count, max
+    session size and summed session span. One shuffle + one window pass
+    (operators/temporal.py sessionize); integer-µs arithmetic keeps the
+    oracle bit-exact — the oracle is the same lag/cumsum window replayed
+    in ANSI SQL."""
+    from duckdb_spatial_spark.operators.temporal import sessionize
+
+    e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
+    ev = e.select(
+        (F.col("user_id") % 50).alias("k"),
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("eid"),
+    )
+    sess = sessionize(ev, ["k"], "t", gap_us=30 * 60 * 1_000_000,
+                      order_cols=["eid"])
+    per_sess = sess.groupBy("k", "session_id").agg(
+        F.count("*").alias("n"),
+        (F.max("t") - F.min("t")).alias("span"),
+    )
+    return (
+        per_sess.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("max_session_events"),
+            F.sum("span").cast("long").alias("span_sum_us"),
+        )
+        .orderBy("k")
+    )
+
+
+def _q126_oracle_sql() -> str:
+    return """
+        WITH ev AS (
+          SELECT user_id % 50 AS k,
+                 epoch_us(ts) AS t,
+                 event_id AS eid
+          FROM events
+        ), flagged AS (
+          SELECT k, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ev WINDOW w AS (PARTITION BY k ORDER BY t, eid)
+        ), sess AS (
+          SELECT k, t,
+                 sum(new_s) OVER (PARTITION BY k ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        ), per_sess AS (
+          SELECT k, sid, count(*) AS n, max(t) - min(t) AS span
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT k,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(max(n) AS BIGINT) AS max_session_events,
+               CAST(sum(span) AS BIGINT) AS span_sum_us
+        FROM per_sess GROUP BY 1 ORDER BY 1
+    """
+
+
+def q127_edit_distance_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact edit-distance near-dup over document-head fingerprints
+    (the string-similarity dedup tier next to jaccard/minhash/simhash/
+    hamming): all pairs within levenshtein distance 2 of the first-32-
+    char whitespace-stripped lowercased head. Candidates via the q-gram
+    COUNT filter (Gravano et al., VLDB 2001 — multiset-intersection
+    bound, zero recall loss), verified with Spark's banded levenshtein.
+    Oracle: the brute-force quadratic definition in DuckDB — a different
+    algorithm agreeing on the same exact pair set."""
+    from duckdb_spatial_spark.operators.dedup import edit_distance_pairs
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    s = d.select(
+        "doc_id",
+        F.lower(F.regexp_replace(
+            F.substring("text", 1, 32), r"\s", "")).alias("head"),
+    )
+    # q=6: templated corpus heads share most trigrams at most positions,
+    # so 3-gram candidates were ~2.7M pairs for 256 survivors; 6-grams
+    # cut the candidate join ~7x (the bound stays positive: heads are
+    # >= 24 chars > q*(d+1)-1 = 17)
+    pairs = edit_distance_pairs(s, "doc_id", "head", max_distance=2, q=6)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("int").alias("distance"),
+    ).orderBy("id_a", "id_b")
+
+
+def _q127_oracle_sql() -> str:
+    return """
+        WITH s AS (
+          SELECT doc_id,
+                 lower(regexp_replace(substring(text, 1, 32),
+                                      '\\s', '', 'g')) AS head
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.head, b.head) AS INT) AS distance
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE abs(length(a.head) - length(b.head)) <= 2
+          AND levenshtein(a.head, b.head) <= 2
+        ORDER BY id_a, id_b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-6 rotation (VERDICT r5 ask #1): the 21 queries that had
@@ -3597,7 +3709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_pagerank": q96_pagerank,
         "q12_npoints": q12_npoints,
         "q15_tpch_q1": q15_tpch_q1,
-        "q107_hamming_image_dedup": q107_hamming_image_dedup,
+        # q127 (exact edit-distance dedup, NEW round 6) takes the dedup
+        # slot of q107 hamming (green r5, unchanged; dedup keeps
+        # q99+q100+q127 in-window).
+        "q127_edit_distance_dedup": q127_edit_distance_dedup,
         "q112_asof_join": q112_asof_join,
         "q28_union_agg": q28_union_agg,
         "q31_predicate_matrix": q31_predicate_matrix,
@@ -3641,7 +3756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         "q121_resample_ffill": q121_resample_ffill,
-        "q122_rolling_window": q122_rolling_window,
+        # q126 (batch sessionize, NEW round 6) takes the temporal slot of
+        # q122 RANGE frames (green r6-judge-window candidate, unchanged;
+        # temporal keeps q112+q113+q121+q126 in-window).
+        "q126_sessionize": q126_sessionize,
         "q123_hll_overlap": q123_hll_overlap,
         "q124_corpus_divergence": q124_corpus_divergence,
         # ---- driver cut line (round 6). Displaced THIS round — all were
@@ -3683,6 +3801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
         "q69_dedup_components": q69_dedup_components,
         "q61_rtree_points": q61_rtree_points,
+        "q122_rolling_window": q122_rolling_window,
+        "q107_hamming_image_dedup": q107_hamming_image_dedup,
         # ---- displaced in rounds 2-5 (driver-green in an earlier round,
         # unchanged since; redundant family coverage above).
         "q55_ann_ivf": q55_ann_ivf,
@@ -5235,6 +5355,8 @@ def oracle_sql() -> dict[str, str]:
               AND s_acctbal BETWEEN -100000.0 AND 100000.0
         """,
         "q111_pca_power_iteration": _q111_oracle_sql(),
+        "q126_sessionize": _q126_oracle_sql(),
+        "q127_edit_distance_dedup": _q127_oracle_sql(),
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -43,7 +43,7 @@ from typing import List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "resample_ffill", "sessionize"]
 
 
 def _as_list(x) -> List[str]:
@@ -425,3 +425,41 @@ def resample_ffill(
     return asof_join(
         grid, right, "tick_us", "__obs_ts", by=keys, value_cols=vals,
     ).withColumnRenamed("matched___obs_ts", "obs_ts")
+
+
+def sessionize(
+    df: DataFrame,
+    by,
+    ts_col: str,
+    gap_us: int,
+    order_cols=None,
+) -> DataFrame:
+    """Batch sessionization: assign each row a per-key ``session_id``
+    (0-based, in time order) where a new session starts whenever the gap
+    to the previous event exceeds ``gap_us`` microseconds — the batch
+    twin of the streaming session operator (streaming/ops.py) and of
+    every analytics store's SESSION window (Snowflake SESSIONIZE /
+    Flink session windows).
+
+    Scale shape: ONE shuffle on the keys; the boundary flag and its
+    running sum are a single window pass (two frames over the same sort,
+    no second shuffle). The ordering is made total with ``order_cols``
+    (ties on ``ts_col`` would otherwise make session numbering
+    nondeterministic under retry) — pass the row's unique id there.
+
+    ``ts_col`` must be integer microseconds (unix_micros upstream), the
+    repo-wide convention that keeps engines bit-identical.
+    """
+    keys = _as_list(by)
+    order = [F.col(ts_col)] + [F.col(c) for c in _as_list(order_cols or [])]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > F.lit(int(gap_us))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "session_id", (F.sum(new_sess).over(run) - F.lit(1)).cast("long")
+    )
