@@ -3682,6 +3682,39 @@ def _q127_oracle_sql() -> str:
     """
 
 
+def q128_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle counting over an events-derived graph — the third
+    graph workload next to PageRank (q96) and connected components
+    (q69): degree-ordered edge orientation (Suri & Vassilvitskii
+    WWW'11) caps the wedge join's fanout at ~sqrt(m) per vertex, so hub
+    neighborhoods never go quadratic. Oracle: the a<b<c three-way
+    self-join definition in SQL — a different enumeration agreeing on
+    the exact count."""
+    from duckdb_spatial_spark.operators.graph import triangle_count
+
+    e = load_table(spark, sf, "events", fan_out=False)
+    edges = e.select(
+        (F.col("user_id") % 2000).alias("src"),
+        ((F.col("user_id") * 31 + F.col("event_id")) % 2000).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+_Q128_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM (SELECT user_id % 2000 AS src,
+                   (user_id * 31 + event_id) % 2000 AS dst
+            FROM events)
+      WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e xy
+    JOIN e yz ON yz.a = xy.b
+    JOIN e xz ON xz.a = xy.a AND xz.b = yz.b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-6 rotation (VERDICT r5 ask #1): the 21 queries that had
@@ -3717,7 +3750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_union_agg": q28_union_agg,
         "q31_predicate_matrix": q31_predicate_matrix,
         "q105_dsir_select": q105_dsir_select,
-        "q102_c4_filters": q102_c4_filters,
+        # q128 (triangle counting, NEW round 6) takes this slot; q102 c4
+        # filters moved below (green r5, unchanged; quality family keeps
+        # q89 sentence stats + q106 NB classifier in-window).
+        "q128_triangle_count": q128_triangle_count,
         "q113_interval_join": q113_interval_join,
         "q41_casts": q41_casts,
         "q108_lm_kneser_ney": q108_lm_kneser_ney,
@@ -3803,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_rtree_points": q61_rtree_points,
         "q122_rolling_window": q122_rolling_window,
         "q107_hamming_image_dedup": q107_hamming_image_dedup,
+        "q102_c4_filters": q102_c4_filters,
         # ---- displaced in rounds 2-5 (driver-green in an earlier round,
         # unchanged since; redundant family coverage above).
         "q55_ann_ivf": q55_ann_ivf,
@@ -5357,6 +5394,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_pca_power_iteration": _q111_oracle_sql(),
         "q126_sessionize": _q126_oracle_sql(),
         "q127_edit_distance_dedup": _q127_oracle_sql(),
+        "q128_triangle_count": _Q128_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -57,3 +57,31 @@ def test_pagerank_sql_replica(spark):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-9), v
+
+
+def test_triangle_count_vs_brute(spark):
+    import itertools
+    import random
+
+    from duckdb_spatial_spark.operators.graph import triangle_count
+
+    rng = random.Random(5)
+    edges = {(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(220)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1 for x, y, z in itertools.combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == brute, (got, brute)
+    # edge cases: empty + triangle-free (star) graphs
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).collect()[0]["n_triangles"] == 0
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)],
+                                 "src long, dst long")
+    assert triangle_count(star).collect()[0]["n_triangles"] == 0
