@@ -130,3 +130,23 @@ def test_edit_distance_short_guard(spark):
     with pytest.raises(ValueError, match="short"):
         edit_distance_pairs(df, "id", "t", max_distance=1,
                             max_short_rows=10)
+
+
+def test_edit_distance_pairs_fuzz(spark):
+    """Randomized corpora over a tiny alphabet (maximizes collisions and
+    short strings — the hard cases for the positional-gram bound and the
+    short-string tier) must match brute force for every (d, q)."""
+    rng = random.Random(99)
+    for trial in range(3):
+        strings = {
+            i: "".join(rng.choice("abc")
+                       for _ in range(rng.randint(0, 10)))
+            for i in range(40)
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in strings.items()], "id long, t string")
+        for d, q in ((1, 2), (2, 3), (0, 3)):
+            got = {(r["id_a"], r["id_b"], r["distance"])
+                   for r in edit_distance_pairs(
+                       df, "id", "t", max_distance=d, q=q).collect()}
+            assert got == _brute_ed(strings, d), (trial, d, q)
