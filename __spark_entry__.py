@@ -3613,14 +3613,14 @@ def _q126_oracle_sql() -> str:
                  event_id AS eid
           FROM events
         ), flagged AS (
-          SELECT k, t,
+          SELECT k, t, eid,
                  CASE WHEN lag(t) OVER w IS NULL
                        OR t - lag(t) OVER w > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM ev WINDOW w AS (PARTITION BY k ORDER BY t, eid)
         ), sess AS (
           SELECT k, t,
-                 sum(new_s) OVER (PARTITION BY k ORDER BY t
+                 sum(new_s) OVER (PARTITION BY k ORDER BY t, eid
                                   ROWS UNBOUNDED PRECEDING) AS sid
           FROM flagged
         ), per_sess AS (

@@ -148,7 +148,13 @@ def nb_train_score(train_df: DataFrame, score_df: DataFrame,
 
     Measured: the collect-model-then-rebuild-plan shape paid an extra
     full train-scan job barrier; this shape cut q106 at sf0.1 from
-    1.6 s toward the single-scan floor."""
+    1.6 s toward the single-scan floor.
+
+    Cache lifetime: the persisted model frame stays cached after the
+    caller's action (the return is lazy, so no in-function unpersist
+    point exists); ContextCleaner reclaims the ≤``buckets``-row blocks
+    once the caller drops the returned DataFrame, and long-lived
+    sessions can force it with ``spark.catalog.clearCache()``."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (log of the smoothed counts)")
     g = _gram_rows(train_df, [F.col(label_col).alias("_y")], text_col,

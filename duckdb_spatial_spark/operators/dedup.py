@@ -17,6 +17,7 @@ parity); ``xxhash64`` is the faster production path — same topology.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1018,6 +1019,7 @@ def edit_distance_pairs(
     max_distance: int = 2,
     q: int = 3,
     max_short_rows: int = 50_000,
+    max_short_pairs: int = 4_000_000,
 ) -> DataFrame:
     """Exact edit-distance near-dup: all unordered pairs with
     ``levenshtein(a, b) <= max_distance`` — the string-similarity tier
@@ -1036,8 +1038,10 @@ def edit_distance_pairs(
     can never be within distance ``d`` and never reach the verifier.
     Strings short enough that the bound is non-positive
     (``len <= q*(d+1) - 1``) can pair while sharing zero grams, so
-    short×short pairs divert to a guarded broadcast cross tier
-    (bounded by ``max_short_rows``).
+    short×short pairs divert to a guarded broadcast cross tier. The
+    guard bounds BOTH the broadcast side (``max_short_rows``) and the
+    implied candidate-pair count n·(n−1)/2 (``max_short_pairs``) — the
+    row cap alone would admit a 50k×50k ≈ 2.5B-pair cross join.
 
     Verification is Spark's banded ``levenshtein(l, r, threshold)`` —
     the candidate filter affects COST only, never the result set, which
@@ -1098,13 +1102,18 @@ def edit_distance_pairs(
     # count filter can miss. Guarded probe, broadcast cross, same-pair
     # orientation.
     shorts = s.filter(F.col("__len") <= short_max)
-    probe = shorts.limit(max_short_rows + 1).count()
-    if probe > max_short_rows:
+    # effective row cap: whichever of the row budget and the pair budget
+    # binds first (n rows imply n·(n−1)/2 cross-tier candidate pairs)
+    pair_rows = int((1 + math.isqrt(1 + 8 * max_short_pairs)) // 2)
+    row_cap = min(max_short_rows, pair_rows)
+    probe = shorts.limit(row_cap + 1).count()
+    if probe > row_cap:
         raise ValueError(
-            f"edit_distance_pairs: >{max_short_rows} strings shorter than "
-            f"{short_max + 1} chars — the short-string cross tier would "
-            "blow up; raise q, pre-filter trivial strings, or raise "
-            "max_short_rows")
+            f"edit_distance_pairs: >{row_cap} strings shorter than "
+            f"{short_max + 1} chars (row budget {max_short_rows}, pair "
+            f"budget {max_short_pairs} ≈ {pair_rows} rows) — the "
+            "short-string cross tier would blow up; raise q, pre-filter "
+            "trivial strings, or raise the budgets")
     if probe >= 2:
         sa = shorts.select(F.col("__id").alias("id_a"))
         sb = shorts.select(F.col("__id").alias("id_b"))

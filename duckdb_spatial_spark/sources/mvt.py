@@ -56,7 +56,12 @@ def _decode_value(buf: bytes):
         if fno == 3:
             return v if isinstance(v, float) else \
                 struct.unpack("<d", struct.pack("<q", v))[0]
-        if fno in (4, 5):
+        if fno == 4:
+            # int_value is a signed int64 carried as a plain varint: the
+            # encoder two's-complements negatives into the 64-bit space.
+            v = int(v)
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if fno == 5:
             return int(v)
         if fno == 6:
             return (v >> 1) ^ -(v & 1)

@@ -52,6 +52,17 @@ def test_decode_roundtrip_all_types(tmp_path):
     assert area(mp) == 200.0
 
 
+def test_negative_int_property_roundtrip():
+    # int_value (field 4) is signed int64: the encoder two's-complements
+    # negatives, and the decoder must reinterpret, not return huge uint64s.
+    feats = [(1, _wkb("POINT (1 2)"),
+              {"neg": -1, "big_neg": -(2 ** 40), "pos": 42, "zero": 0})]
+    rows = decode_mvt(encode_mvt_tile({"t": feats}, extent=256))
+    props = rows[0][3]
+    assert props == {"neg": "-1", "big_neg": str(-(2 ** 40)),
+                     "pos": "42", "zero": "0"}
+
+
 def test_spark_read_write_and_dispatch(spark, tmp_path):
     src = spark.range(20).select(
         F.col("id").cast("long").alias("k"),
