@@ -3715,6 +3715,72 @@ _Q128_ORACLE = """
 """
 
 
+def q129_cluster_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Full CRUD cycle on a hilbert-clustered layout — the reference
+    R-tree's delete path (rtree.cpp:75-267 RTreeIndex::Delete,
+    test/sql/index/rtree_crud.test:14,37): cluster the even-key supplier
+    half, st_cluster_append the odd half, st_cluster_delete a spatially
+    tight slice (rewrites only the affected files), st_cluster_compact
+    the small remainder; deleted-row count + count-in-envelope +
+    checksums off the maintained dataset must equal the full-recompute
+    oracle over supplier with the delete predicate negated."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import (st_cluster,
+                                                st_cluster_append,
+                                                st_cluster_compact,
+                                                st_cluster_delete)
+
+    sup = (
+        load_table(spark, sf, "supplier", fan_out=False)
+        .select(
+            F.col("s_suppkey").alias("k"),
+            (F.col("s_suppkey") % 200).cast("double").alias("x"),
+            F.col("s_acctbal").cast("double").alias("y"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q129_"), "ds")
+    st_cluster(sup.filter(F.col("k") % 2 == 0), "x", "y",
+               num_partitions=4).write.parquet(path)
+    st_cluster_append(sup.filter(F.col("k") % 2 == 1), path, "x", "y")
+    nd = st_cluster_delete(
+        spark, path, "x >= 80.0 AND x <= 130.0 AND y < 0.0")
+    st_cluster_compact(spark, path, "x", "y", small_file_bytes=256 << 10)
+    ds = spark.read.parquet(path)
+    win = ds.filter(
+        (F.col("x") >= 50.0) & (F.col("x") <= 120.0)
+        & (F.col("y") >= -1000.0) & (F.col("y") <= 5000.0)
+    )
+    return win.agg(
+        F.lit(int(nd)).cast("long").alias("nd"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sk"),
+        F.round(F.sum("x"), 2).alias("sx"),
+        F.round(F.sum("y"), 2).alias("sy"),
+    )
+
+
+_Q129_ORACLE = """
+    WITH t AS (
+      SELECT s_suppkey AS k,
+             CAST(s_suppkey % 200 AS DOUBLE) AS x,
+             CAST(s_acctbal AS DOUBLE) AS y
+      FROM supplier
+    ), kept AS (
+      SELECT * FROM t WHERE NOT (x >= 80.0 AND x <= 130.0 AND y < 0.0)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t
+            WHERE x >= 80.0 AND x <= 130.0 AND y < 0.0) AS nd,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sk,
+           round(sum(x), 2) AS sx,
+           round(sum(y), 2) AS sy
+    FROM kept
+    WHERE x BETWEEN 50.0 AND 120.0 AND y BETWEEN -1000.0 AND 5000.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-6 rotation (VERDICT r5 ask #1): the 21 queries that had
@@ -3767,10 +3833,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_salted_join": q118_salted_join,
         "q115_count_min": q115_count_min,
         "q60_spheroid": q60_spheroid,
-        # q125 (layout maintenance: append/compact + the same
-        # count-in-envelope workload) holds the layout-family slot; q61
-        # (static rtree_points, green r1-r5, unchanged) moved below.
-        "q125_cluster_append": q125_cluster_append,
+        # q129 (layout CRUD: append+DELETE+compact, NEW round 7) holds the
+        # layout-family slot — it exercises q125's append/compact path as
+        # a superset; q125 (green r6, unchanged) and q61 (static
+        # rtree_points, green r1-r5, unchanged) sit below.
+        "q129_cluster_delete": q129_cluster_delete,
         "q64_mixed_overlay": q64_mixed_overlay,
         "q66_multimodal": q66_multimodal,
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
@@ -3791,10 +3858,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_bloom_decontaminate": q100_bloom_decontaminate,
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
-        "q121_resample_ffill": q121_resample_ffill,
-        # q126 (batch sessionize, NEW round 6) takes the temporal slot of
-        # q122 RANGE frames (green r6-judge-window candidate, unchanged;
-        # temporal keeps q112+q113+q121+q126 in-window).
+        # q122 rotated IN round 7 (VERDICT r6 ask #1): the one query that
+        # never earned a driver CORRECTNESS row; q121 (green r6,
+        # unchanged) moves below — temporal keeps q112+q113+q122+q126.
+        "q122_rolling_window": q122_rolling_window,
+        # q126 (batch sessionize, NEW round 6; oracle tie-break touched
+        # round 7 — stays in-window to re-earn a fresh row).
         "q126_sessionize": q126_sessionize,
         "q123_hll_overlap": q123_hll_overlap,
         "q124_corpus_divergence": q124_corpus_divergence,
@@ -3837,7 +3906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
         "q69_dedup_components": q69_dedup_components,
         "q61_rtree_points": q61_rtree_points,
-        "q122_rolling_window": q122_rolling_window,
+        "q125_cluster_append": q125_cluster_append,
+        "q121_resample_ffill": q121_resample_ffill,
         "q107_hamming_image_dedup": q107_hamming_image_dedup,
         "q102_c4_filters": q102_c4_filters,
         # ---- displaced in rounds 2-5 (driver-green in an earlier round,
@@ -5395,6 +5465,9 @@ def oracle_sql() -> dict[str, str]:
         "q126_sessionize": _q126_oracle_sql(),
         "q127_edit_distance_dedup": _q127_oracle_sql(),
         "q128_triangle_count": _Q128_ORACLE,
+        # full-recompute oracle for the append→delete→compact-maintained
+        # dataset (delete predicate negated on the oracle side)
+        "q129_cluster_delete": _Q129_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

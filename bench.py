@@ -22,6 +22,15 @@ ONLY = set(sys.argv[1:])
 VERBOSE = os.environ.get("SPARK_GRAFT_VERBOSE") == "1"
 
 
+def short_key(name: str) -> str:
+    """Compact per-query key for the one-line JSON the driver keeps (its
+    tail buffer is 2000 chars): 'q129_cluster_delete' → '129'. The bare
+    number is unique by construction (q01..qNNN); bench_full.json keeps
+    the full names."""
+    head = name.split("_", 1)[0]
+    return head[1:] if head.startswith("q") and head[1:].isdigit() else head
+
+
 def main() -> None:
     import atexit
 
@@ -196,7 +205,7 @@ def main() -> None:
         _emitted["line"] = json.dumps(
             {"metric": "headline_queries_total", "value": -1.0,
              "unit": "sec",
-             "queries": {k.split("_", 1)[0]: round(v, 2)
+             "queries": {short_key(k): round(v, 2)
                          for k, v in timings.items()},
              "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1]},
             separators=(",", ":"))
@@ -212,13 +221,15 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver keeps only the last 2000 chars of output; with 111 queries
     # the full-name dict blew past that and round 4's line arrived headless
-    # (BENCH_r04.json "parsed": null). Emit the per-query map under the qNN
-    # prefix (unique by construction — q01..qNNN) with compact separators so
-    # the whole line stays well under the buffer; the full-name timings go to
-    # bench_full.json for human reading (qNN ↔ full name via queries()).
+    # (BENCH_r04.json "parsed": null). Emit the per-query map under the bare
+    # query number (unique by construction — q01..qNNN) with compact
+    # separators so the whole line stays under the buffer through ~150
+    # queries (length pinned by tests/test_bench_line.py); the full-name
+    # timings go to bench_full.json for human reading (NN ↔ full name via
+    # queries()).
     short: dict[str, float] = {}
     for name, v in timings.items():
-        key = name.split("_", 1)[0]
+        key = short_key(name)
         short[key if key not in short else name] = round(v, 2)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as f:

@@ -3,6 +3,7 @@ from .cluster import (  # noqa: F401
     st_cluster_append,
     st_cluster_bbox,
     st_cluster_compact,
+    st_cluster_delete,
     st_filter_points,
     st_layout_info,
     with_bbox_columns,

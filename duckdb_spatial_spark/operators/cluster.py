@@ -149,6 +149,69 @@ def st_cluster_compact(
     return len(files)
 
 
+def st_cluster_delete(
+    spark,
+    path: str,
+    where: str,
+) -> int:
+    """Delete rows matching a SQL predicate from a Hilbert-clustered
+    Parquet dataset by rewriting ONLY the affected files — the
+    maintenance analog of the reference R-tree's delete path
+    (rtree.cpp:75-267 RTreeIndex::Delete with node shrink/rebalance;
+    exercised by test/sql/index/rtree_crud.test:14,37 — predicate
+    DELETE and full-table DELETE). Completes the CRUD story next to
+    :func:`st_cluster_append` (insert) and :func:`st_cluster_compact`
+    (vacuum/merge).
+
+    DELETE semantics match SQL: rows where ``where`` evaluates TRUE are
+    removed; FALSE **and NULL** rows survive.
+
+    Scale shape: finding the affected files is one aggregation over the
+    filtered scan (``input_file_name`` groupBy — output bounded by the
+    file count, and a pushable predicate prunes via the same min/max
+    stats queries use: hilbert locality means a spatially tight delete
+    touches few files). Only those files are then re-read, anti-filtered
+    and rewritten as fresh files; the untouched bulk — at 100 TB,
+    ~everything — is never read. Files whose every row dies are simply
+    removed. New-files-then-delete-originals ordering gives the same
+    non-transactional crash story as :func:`st_cluster_compact`
+    (duplicates, never loss); use a table format when atomic swap
+    matters.
+
+    Returns the number of rows deleted.
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
+    pred = F.expr(where)
+    ds = spark.read.parquet(path)
+    # one job: per-file deleted-row counts == the affected-file list
+    hits = (
+        ds.filter(pred)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    )
+    if not hits:
+        return 0
+    files = sorted(unquote(urlparse(r["__f"]).path) for r in hits)
+    deleted = sum(r["__n"] for r in hits)
+    survivors = (
+        spark.read.parquet(*files)
+        .filter(~F.coalesce(pred, F.lit(False)))
+    )
+    # each rewritten file keeps rows from hilbert-contiguous source files
+    # (scan order is file-major), so file-level min/max stats stay tight
+    survivors.write.mode("append").parquet(path)
+    for f in files:
+        os.remove(f)
+        for side in (f + ".crc", os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc")):
+            if os.path.exists(side):
+                os.remove(side)
+    return int(deleted)
+
+
 def st_filter_points(
     df: DataFrame,
     x: str,

@@ -202,6 +202,63 @@ def test_cluster_append_and_compact(spark, tmp_path):
                               small_file_bytes=threshold) in (0,)
 
 
+def test_cluster_delete(spark, tmp_path):
+    """Delete-path layout maintenance (rtree_crud.test:14,37 analog):
+    a predicate DELETE rewrites ONLY the affected files (hilbert
+    locality), keeps SQL NULL semantics (NULL predicate rows survive),
+    and a full-table DELETE leaves a readable empty dataset."""
+    import os
+
+    from duckdb_spatial_spark.operators import (
+        st_cluster,
+        st_cluster_delete,
+    )
+
+    df = (
+        spark.range(4000)
+        .withColumn("x", (F.col("id") % 100).cast("double"))
+        .withColumn("y", (F.col("id") / 100).cast("double"))
+        .withColumn(
+            "tag",
+            F.when(F.col("id") % 7 == 0, F.lit(None).cast("int"))
+            .otherwise((F.col("id") % 3).cast("int")),
+        )
+    )
+    out = str(tmp_path / "ds")
+    st_cluster(df, "x", "y", num_partitions=8).write.parquet(out)
+    before = {f for f in os.listdir(out) if f.endswith(".parquet")}
+
+    # spatially tight predicate — hilbert locality must leave most of
+    # the 8 files untouched (same name on disk, never rewritten)
+    n = st_cluster_delete(spark, out, "x >= 10.0 AND x < 13.0 AND y < 5.0")
+    want_deleted = df.filter(
+        (F.col("x") >= 10.0) & (F.col("x") < 13.0) & (F.col("y") < 5.0)
+    ).count()
+    assert n == want_deleted > 0
+    after = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert len(before & after) >= 5, "tight delete rewrote too many files"
+    ds = spark.read.parquet(out)
+    assert ds.count() == 4000 - n
+
+    # NULL semantics: DELETE WHERE tag = 0 keeps the NULL-tag rows
+    survivors_before = ds.filter(
+        F.col("tag").isNull() | (F.col("tag") != 0)).count()
+    n2 = st_cluster_delete(spark, out, "tag = 0")
+    ds2 = spark.read.parquet(out)
+    assert ds2.count() == survivors_before
+    assert ds2.filter(F.col("tag").isNull()).count() > 0
+
+    # no-match predicate is a no-op
+    assert st_cluster_delete(spark, out, "x > 1e9") == 0
+
+    # full-table delete: readable, zero rows, schema preserved
+    n3 = st_cluster_delete(spark, out, "true")
+    assert n3 == survivors_before
+    empty = spark.read.parquet(out)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "x", "y", "tag"}
+
+
 def test_constructor_fusion_no_python_stage(spark):
     """st_point→st_makeline→st_length, st_makeenvelope→st_area/perimeter,
     buffer(point)→area, shortestline→length, and box predicates over
