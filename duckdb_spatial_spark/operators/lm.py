@@ -25,9 +25,9 @@ score output).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -71,45 +71,40 @@ def _map_unk(df: DataFrame, vocab: DataFrame, col: str) -> DataFrame:
     ).drop("__in_" + col)
 
 
+def _vocab_top(
+    df: DataFrame, text_col: str, vocab_size: int
+) -> Tuple[List[Tuple[str, int]], int]:
+    """(top-V ``(word, freq)`` list in (freq desc, word asc) order, total
+    token count) in ONE job with no persist: ``rollup(word)`` makes the
+    grand total ride the same shuffle as the per-word counts, and the
+    total row (word NULL, freq = Σ ≥ any word's freq, NULLs sorting
+    first on ties) is always the first row of the TakeOrdered, so
+    ``limit(V+1)`` returns exactly total + top-V."""
+    rows = (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .rollup("word").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc_nulls_first())
+        .limit(vocab_size + 1)
+        .collect()
+    )
+    if not rows:  # empty corpus: no tokens at all
+        return [], 0
+    assert rows[0]["word"] is None, "rollup total row must sort first"
+    return [(r["word"], int(r["freq"])) for r in rows[1:]], int(rows[0]["freq"])
+
+
 def _vocab_tables(
     df: DataFrame, text_col: str, vocab_size: int
 ) -> Tuple[DataFrame, DataFrame]:
-    """(vocab, unigram counts) from ONE word-count pass: the top-V
-    selection and the token total read one persisted frame; the unigram
-    table derives from the counts already in hand (vocab words keep their
-    frequency, everything else is the <unk> residual) — no second
-    corpus pass."""
+    """(vocab, unigram counts) from ONE word-count pass (:func:`_vocab_top`);
+    the unigram table derives from the counts already in hand (vocab words
+    keep their frequency, everything else is the <unk> residual) — no
+    second corpus pass."""
     spark = df.sparkSession
-    wc = (
-        df.select(F.explode(_words(text_col)).alias("word"))
-        .groupBy("word").agg(F.count("*").alias("freq"))
-        .persist()
-    )
-    # ONE collect for both the top-V selection and the token total: the
-    # union's first branch fills the cache, the second reads it — a
-    # separate total agg was a whole extra job barrier. The sentinel row
-    # can't collide with a real word (words are whitespace-split, so no
-    # word contains \x00).
-    _TOTAL = "\x00__total__"
-    try:
-        both = (
-            wc.orderBy(F.col("freq").desc(), F.col("word"))
-            .limit(vocab_size)
-            .unionByName(wc.agg(
-                F.lit(_TOTAL).alias("word"),
-                F.sum("freq").alias("freq")))
-            .collect()
-        )
-    finally:
-        wc.unpersist()
-    # union output order is not contractual — re-derive the top-V order
-    top = sorted((r for r in both if r.word != _TOTAL),
-                 key=lambda r: (-r.freq, r.word))
-    total = next((r.freq for r in both if r.word == _TOTAL), None) or 0
-    vocab = spark.createDataFrame(
-        [(r.word,) for r in top], "word string")
-    unk_mass = int(total) - sum(int(r.freq) for r in top)
-    uni_rows = [(r.word, int(r.freq)) for r in top]
+    top, total = _vocab_top(df, text_col, vocab_size)
+    vocab = spark.createDataFrame([(w,) for w, _ in top], "word string")
+    unk_mass = total - sum(f for _, f in top)
+    uni_rows = [(w, f) for w, f in top]
     if unk_mass > 0:
         uni_rows.append((UNK, unk_mass))
     uni = spark.createDataFrame(uni_rows, "w1 string, c1 long")
@@ -328,6 +323,130 @@ def ngram_lm_score_kn(
     )
 
 
+#: literal-expression vocab ceiling for the fused fast path: a V-entry
+#: ``create_map`` / array literal compiles into the row codegen, so it must
+#: stay small enough not to blow the generated method size.
+_LITERAL_VOCAB_MAX = 512
+
+
+def _doc_scores_small_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int,
+    kind: str,
+    k: float,
+    discount: float,
+    carry_cols: List[str],
+) -> DataFrame:
+    """Fused train+score, small-vocab (≤ :data:`_LITERAL_VOCAB_MAX`) path —
+    TWO jobs total, the train/score minimum:
+
+      job 1  :func:`_vocab_top` (rollup word counts, one shuffle);
+      job 2  everything else in ONE plan: words map to integer ids
+             through a literal ``create_map`` (pure codegen, no join),
+             the pair stream takes ONE salted exchange on
+             ``(v1, v2, salt)`` and is lazily persisted so the model
+             branch and the score branch share it in-job; the model
+             table (bigram counts + the Kneser-Ney statistics) derives
+             from the bounded per-salt partials via window functions
+             whose groups hold ≤ salt_parts (addk) / ≤ (V+1)·salt_parts
+             (kn) rows; the score join is co-partitioned (zero extra
+             exchange) and the salt spreads the hot ``(unk, unk)`` key,
+             so no task ever sees more than ~1/salt_parts of a hot pair
+             — the 100-TB skew story the plain (v1, v2) window/broadcast
+             shapes lack.
+
+    Unigram counts come as a literal array indexed by word id (they are
+    known after job 1), so the add-k denominator costs no join at all.
+    """
+    spark = df.sparkSession
+    vprime = float(vocab_size + 1)
+    salt_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "200") or 200), 1)
+    top, total = _vocab_top(df, text_col, vocab_size)
+    unk_mass = float(total - sum(f for _, f in top))
+    carry = [F.col(c) for c in carry_cols]
+
+    n = F.size("__ws")
+    ws = df.select(F.col(id_col), *carry, _words(text_col).alias("__ws"))
+    pairs = ws.select(
+        id_col, *carry_cols,
+        F.explode(F.zip_with(
+            F.slice(F.col("__ws"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("__ws"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("__p"),
+    )
+    if top:
+        vmap = F.create_map(*[x for i, (w, _) in enumerate(top)
+                              for x in (F.lit(w), F.lit(i + 1))])
+        vid = lambda c: F.coalesce(F.element_at(vmap, c), F.lit(0))  # noqa: E731
+    else:
+        vid = lambda c: F.lit(0)  # noqa: E731
+    mp = pairs.select(
+        id_col, *carry_cols,
+        vid(F.col("__p.w1")).alias("v1"),
+        vid(F.col("__p.w2")).alias("v2"),
+        F.pmod(F.xxhash64(id_col), F.lit(salt_parts)).cast("int").alias("__s"),
+    )
+    # lazy persist: one exchange feeds the model branch AND the score
+    # branch of the single final job (trap #6 — without it the corpus
+    # re-scans); cache lifetime as documented on ngram_lm_doc_scores
+    cached = mp.repartition("v1", "v2", "__s").persist()
+    part = cached.groupBy("v1", "v2", "__s").agg(F.count("*").alias("__pc"))
+    w_pair = Window.partitionBy("v1", "v2")
+    model = part.select(
+        "v1", "v2", "__s",
+        F.sum("__pc").over(w_pair).alias("c12"),
+    )
+    c1_arr = F.array(F.lit(unk_mass), *[F.lit(float(f)) for _, f in top])
+    if kind == "addk":
+        c1 = F.element_at(c1_arr, F.col("v1") + 1)
+        lp = F.log(
+            (F.col("c12").cast("double") + F.lit(k))
+            / (c1 + F.lit(k * vprime)))
+    else:
+        # Kneser-Ney statistics as windows over the BOUNDED part frame
+        # (≤ (V+1)²·salt_parts rows): one row per (v1, v2) carries a
+        # flag (the min-salt row — an UNSORTED frame, unlike
+        # row_number), making the distinct-continuation counts plain
+        # window sums that share the c12 window's exchange.
+        first = F.when(
+            F.col("__s") == F.min("__s").over(w_pair), F.lit(1)
+        ).otherwise(F.lit(0))
+        flagged = part.withColumn("__f", first)
+        model = flagged.select(
+            "v1", "v2", "__s",
+            F.sum("__pc").over(w_pair).alias("c12"),
+            F.sum("__pc").over(Window.partitionBy("v1")).alias("c1ctx"),
+            F.sum("__f").over(Window.partitionBy("v1")).alias("n1p_fwd"),
+            F.sum("__f").over(Window.partitionBy("v2")).alias("n1p_bwd"),
+            F.sum("__f").over(
+                Window.partitionBy(F.lit(1))).alias("n1p_all"),
+        )
+        d_ = float(discount)
+        pcont = (F.col("n1p_bwd").cast("double") + F.lit(1.0)) \
+            / (F.col("n1p_all").cast("double") + F.lit(vprime))
+        c12 = F.col("c12").cast("double")
+        c1ctx = F.col("c1ctx").cast("double")
+        n1p_fwd = F.col("n1p_fwd").cast("double")
+        lp = F.log(F.when(
+            c1ctx > 0,
+            (F.greatest(c12 - F.lit(d_), F.lit(0.0))
+             + F.lit(d_) * n1p_fwd * pcont) / c1ctx,
+        ).otherwise(pcont))
+    scored = (
+        cached.hint("SHUFFLE_HASH")
+        .join(model, ["v1", "v2", "__s"])
+        .select(id_col, *carry_cols, lp.alias("lp"))
+    )
+    return scored.groupBy(id_col, *carry_cols).agg(
+        (-F.avg("lp")).alias("nll"),
+        F.exp(-F.avg("lp")).alias("ppl"),
+    )
+
+
 def ngram_lm_doc_scores(
     df: DataFrame,
     id_col: str,
@@ -336,38 +455,46 @@ def ngram_lm_doc_scores(
     kind: str = "addk",
     k: float = 0.5,
     discount: float = 0.75,
+    carry_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Fused train+score — per-document (nll, ppl) with the training
     tables derived from the SAME pair pass that scores the corpus.
+    ``carry_cols`` are threaded through the whole pipeline and come back
+    on the output rows (they must be functionally dependent on the id,
+    e.g. a language tag), so callers aggregating by them avoid a
+    post-hoc join with the source table.
 
-    Plan shape (2 corpus scans total, the train/score minimum):
-      1. word counts → vocab + unigram tables (:func:`_vocab_tables`);
-      2. ``dp`` = per-(id, w1, w2) <unk>-mapped pair counts, persisted
-         lazily: the bigram table (and the KN statistics) re-aggregate
-         dp's cached partitions, and scoring weighs each dp row by ``n``
-         instead of re-exploding the corpus a second time.
+    Two plan shapes by vocab size:
 
-    The <unk>-mapped bigram table is bounded by (V+1)² rows, so it gets
-    a broadcast hint while (V+1)² stays under ~1M; past that the hint is
-    dropped and Catalyst falls back to a shuffle join (same results).
-    Versus the unfused ``ngram_lm_train`` + ``ngram_lm_score_*`` pair
-    this halves the corpus passes and cuts the job count — measured
-    3.8 s → ~1.6 s for the whole q108 pipeline at sf0.1.
+    * ``vocab_size <= _LITERAL_VOCAB_MAX`` — the two-job fast path
+      (:func:`_doc_scores_small_vocab`): literal-map word→id, one salted
+      exchange shared by the model and score branches, co-partitioned
+      join (measured q87 at sf0.1: 1.97 s → 0.66 s).
+    * larger vocabularies — ``dp`` per-(id, w1, w2) <unk>-mapped pair
+      counts persisted lazily; the bigram table (and KN statistics)
+      re-aggregate dp's cached partitions; broadcast hint on the bigram
+      table while (V+1)² stays under ~1M, shuffle join past that.
 
-    Cache lifetime: ``dp`` stays persisted after the caller's action —
-    the returned frame is lazy, so there is no point inside this function
-    where the blocks are safe to drop. Spark's ContextCleaner reclaims
-    them once the caller releases the returned DataFrame (Python GC →
-    JVM RDD unreference); long-lived sessions that pin the result should
-    drop the reference or call ``spark.catalog.clearCache()``.
+    Cache lifetime (both paths persist one frame): blocks stay cached
+    after the caller's action — the returned frame is lazy, so there is
+    no point inside this function where they are safe to drop. Spark's
+    ContextCleaner reclaims them once the caller releases the returned
+    DataFrame (Python GC → JVM RDD unreference); long-lived sessions
+    that pin the result should drop the reference or call
+    ``spark.catalog.clearCache()``.
     """
     if kind not in ("addk", "kn"):
         raise ValueError("kind must be 'addk' or 'kn'")
+    carry = list(carry_cols or [])
+    if vocab_size <= _LITERAL_VOCAB_MAX:
+        return _doc_scores_small_vocab(
+            df, id_col, text_col, vocab_size, kind, k, discount, carry)
     vocab, uni = _vocab_tables(df, text_col, vocab_size)
-    pairs = _pair_rows(df, text_col, [F.col(id_col)])
+    pairs = _pair_rows(df, text_col,
+                       [F.col(id_col)] + [F.col(c) for c in carry])
     dp = (
         _map_unk(_map_unk(pairs, vocab, "w1"), vocab, "w2")
-        .groupBy(id_col, "w1", "w2")
+        .groupBy(id_col, *carry, "w1", "w2")
         .agg(F.count("*").cast("long").alias("n"))
         .persist()
     )
@@ -384,7 +511,7 @@ def ngram_lm_doc_scores(
         scored = (
             dp.join(bi, ["w1", "w2"], "left")
             .join(F.broadcast(uni), ["w1"], "left")
-            .select(id_col, lp.alias("lp"), F.col("n"))
+            .select(id_col, *carry, lp.alias("lp"), F.col("n"))
         )
     else:
         d_ = float(discount)
@@ -413,13 +540,13 @@ def ngram_lm_doc_scores(
             .join(F.broadcast(ctx), ["w1"], "left")
             .join(F.broadcast(cont), ["w2"], "left")
             .crossJoin(F.broadcast(n1p))
-            .select(id_col, F.log(p).alias("lp"), F.col("n"))
+            .select(id_col, *carry, F.log(p).alias("lp"), F.col("n"))
         )
     # weighted mean ≡ per-pair avg (lp·n sums the identical addends the
     # row-per-pair plan produced; float addition order differs, which the
     # queries' round(·, 4) already absorbs cross-engine)
     nll = -(F.sum(F.col("lp") * F.col("n")) / F.sum("n"))
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *carry).agg(
         nll.alias("nll"), F.exp(nll).alias("ppl"))
 
 

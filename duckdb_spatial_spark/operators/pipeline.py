@@ -675,6 +675,7 @@ def quality_buckets(
     score: Optional[Column] = None,
     exact: bool = True,
     id_col: str = "doc_id",
+    score_col: Optional[str] = None,
 ):
     """Assign each document to a per-language quality bucket (1 = best),
     the CCNet head/middle/tail split that web-corpus pipelines use to
@@ -690,16 +691,23 @@ def quality_buckets(
     broadcast back), bucket assigned by comparison — no sort, no window,
     one scan. Boundary docs may land one bucket off vs exact; that is the
     documented trade of the approximate quantile sketch.
+
+    ``score_col``: when set, the computed score is kept on the output
+    under that name — consumers aggregating the score avoid paying the
+    whole score expression (a multi-regex scan per row) a second time.
     """
     from ..operators.textops import quality_score
 
     s = score if score is not None else quality_score(F.col(text_col))
     scored = df.withColumn("__q", s)
+    out_score = ([] if score_col is None
+                 else [F.col("__q").alias(score_col)])
     if exact:
         w = Window.partitionBy(lang_col).orderBy(
             F.col("__q").desc(), F.col(id_col))
-        return scored.withColumn("bucket", F.ntile(n_buckets).over(w)) \
-            .drop("__q")
+        return scored.select(
+            "*", *out_score, F.ntile(n_buckets).over(w).alias("bucket")
+        ).drop("__q")
     cuts = scored.groupBy(lang_col).agg(
         F.percentile_approx(
             "__q",
@@ -715,7 +723,8 @@ def quality_buckets(
         F.lit(0),
         lambda acc, c: acc + (F.col("__q") < c).cast("int"),
     )
-    return joined.withColumn("bucket", bucket).drop("__q", "__cuts")
+    return joined.select("*", *out_score,
+                         bucket.alias("bucket")).drop("__q", "__cuts")
 
 
 def cap_per_key(

@@ -221,12 +221,16 @@ def count_min_sketch(
 
 def count_min_estimate(
     sketch: DataFrame, items: DataFrame, item: Column,
-    depth: int = 4, width: int = 1024,
+    depth: int = 4, width: int = 1024, broadcast: bool = True,
 ) -> DataFrame:
     """Point estimates (upper bounds) for each row of ``items``: the min
     over the ``depth`` cells the item hashes to.  The sketch is
-    depth·width rows — broadcast; the probe never shuffles ``items``.
-    Output: items' columns + ``est`` (long).
+    depth·width rows — broadcast by default, so the probe never
+    shuffles ``items``. Pass ``broadcast=False`` when the probe side is
+    itself tiny (e.g. a top-K list): the sketch then joins as a plain
+    shuffle join INSIDE the probe's job, skipping the broadcast-build
+    job barrier (both exchanges are ≤ depth·width rows — still bounded,
+    still scale-safe). Output: items' columns + ``est`` (long).
     """
     probes = None
     for d in range(depth):
@@ -236,7 +240,8 @@ def count_min_estimate(
             _cms_col(item, d, width).alias("col"),
         )
         probes = pr if probes is None else probes.unionByName(pr)
-    j = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    side = F.broadcast(sketch) if broadcast else sketch
+    j = probes.join(side, ["row", "col"], "left")
     return (
         j.groupBy(*[F.col(c) for c in items.columns])
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")

@@ -57,9 +57,6 @@ OSM_SCHEMA = T.StructType(
     ]
 )
 
-_OGR_EXTS = {".shp", ".gpkg", ".fgb", ".kml", ".gml", ".xlsx"}
-
-
 def st_drivers(spark: SparkSession) -> DataFrame:
     """Supported format drivers (analog of ST_Drivers, st_drivers.cpp)."""
     try:
@@ -371,18 +368,20 @@ def st_read(
 
         return st_read_fgb(spark, path, columns=columns, bbox=bbox,
                            geom_col=geom_col)
-    elif any(low.endswith(e) for e in _OGR_EXTS):
+    else:
+        # GDAL long tail (S-57, DGN, TIGER, GMT, …): every extension
+        # without a native driver falls through to the optional pyogrio
+        # gate — the analog of the reference linking GDAL for formats it
+        # has no specialized path for (docs/internals.md:25-78).
         try:
             import pyogrio  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                f"reading {os.path.splitext(path)[1]} requires pyogrio (GDAL), "
-                "which is not installed in this environment; native formats: "
-                "parquet/geoparquet, csv(+wkt), json, orc, geojson, shp"
+                f"no native driver for {os.path.splitext(path)[1] or path!r} "
+                "and pyogrio (the optional GDAL long-tail gate) is not "
+                "installed; see st_drivers() for the 23 native formats"
             ) from e
         return _st_read_ogr(spark, path, layer, columns, bbox, geom_col)
-    else:
-        raise ValueError(f"unsupported file extension for {path!r}")
 
     if wkt_col is not None:
         from ..functions import scalar as S
@@ -585,6 +584,71 @@ def read(spark: SparkSession, path: str, **opts) -> DataFrame:
     return st_read(spark, path, **opts)
 
 
+def _opt_bool(v) -> bool:
+    """GDAL-style boolean creation-option values: YES/NO/TRUE/FALSE/ON/OFF
+    (case-insensitive) or a real bool."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().upper()
+    if s in ("YES", "TRUE", "ON", "1"):
+        return True
+    if s in ("NO", "FALSE", "OFF", "0"):
+        return False
+    raise ValueError(f"invalid boolean creation-option value {v!r} "
+                     "(expected YES/NO/TRUE/FALSE/ON/OFF)")
+
+
+#: GDAL-style creation options per sink → (sink kwarg, coercion). The
+#: validation contract mirrors the reference's option parsing
+#: (st_write.cpp:60-172: LAYER_CREATION_OPTIONS / SRS parsed by name,
+#: anything unknown is an error, values type-checked).
+_WRITE_OPTIONS: dict = {
+    "parquet": {"COMPRESSION": ("__writer_compression", str)},
+    "orc": {"COMPRESSION": ("__writer_compression", str)},
+    "csv": {"COMPRESSION": ("__writer_compression", str)},
+    "geojson": {},
+    "geoparquet": {"SRS": ("crs", str),
+                   "COVERING_BBOX": ("covering", _opt_bool),
+                   "ROW_GROUP_SIZE": ("row_group_size", int)},
+    "shp": {},
+    "gpkg": {"LAYER_NAME": ("layer", str), "SRID": ("srs_id", int),
+             "MAX_BYTES": ("max_bytes", int)},
+    "kml": {"NAME_FIELD": ("name_col", str), "MAX_BYTES": ("max_bytes", int)},
+    "fgb": {"LAYER_NAME": ("layer", str), "MAX_BYTES": ("max_bytes", int)},
+    "gdb": {"LAYER_NAME": ("layer", str)},
+    "mif": {},
+    "tab": {},
+    "gpx": {"NAME_FIELD": ("name_col", str), "MAX_BYTES": ("max_bytes", int)},
+    "arrow": {"COMPRESSION": ("compression", str)},
+    "sqlite": {"LAYER_NAME": ("layer", str), "SRID": ("srid", int),
+               "MAX_BYTES": ("max_bytes", int)},
+    "dxf": {"LAYER_FIELD": ("layer_col", str),
+            "MAX_BYTES": ("max_bytes", int)},
+    "mvt": {"LAYER_NAME": ("layer", str), "EXTENT": ("extent", int)},
+}
+_WRITE_OPTIONS["pq"] = _WRITE_OPTIONS["parquet"]
+_WRITE_OPTIONS["feather"] = _WRITE_OPTIONS["ipc"] = _WRITE_OPTIONS["arrow"]
+_WRITE_OPTIONS["spatialite"] = _WRITE_OPTIONS["sqlite"]
+
+
+def _resolve_write_options(fmt: str, options: Optional[dict]) -> dict:
+    """Validate GDAL-style creation options for ``fmt`` and map them to
+    the native sink's kwargs; unknown names raise with the valid list
+    (the st_write.cpp:60-172 shape)."""
+    table = _WRITE_OPTIONS.get(fmt, {})
+    kwargs: dict = {}
+    for name, value in (options or {}).items():
+        spec = table.get(str(name).upper())
+        if spec is None:
+            valid = ", ".join(sorted(table)) or "(none)"
+            raise ValueError(
+                f"unknown creation option {name!r} for format {fmt!r}; "
+                f"valid options: {valid}")
+        kwarg, coerce = spec
+        kwargs[kwarg] = coerce(value)
+    return kwargs
+
+
 def st_write(
     df: DataFrame,
     path: str,
@@ -592,22 +656,39 @@ def st_write(
     geom_col: str = "geom",
     mode: str = "overwrite",
     single_file: bool = False,
+    options: Optional[dict] = None,
 ) -> None:
     """COPY … (FORMAT GDAL) analog (st_write.cpp:559-570). Native sinks:
     parquet (geometry stays WKB — GeoParquet-style), csv (geometry → WKT),
     geojson (FeatureCollection per partition, or single file with
-    ``single_file=True`` mirroring the reference's single-writer Sink)."""
+    ``single_file=True`` mirroring the reference's single-writer Sink).
+
+    ``options`` takes GDAL-style creation options (the reference's
+    LAYER_CREATION_OPTIONS / SRS surface, st_write.cpp:60-172): names are
+    case-insensitive, validated per format, and mapped onto the native
+    sink's knobs — e.g. ``{"LAYER_NAME": "roads"}`` for gpkg/fgb/gdb/mvt,
+    ``{"SRS": "EPSG:4326", "ROW_GROUP_SIZE": 1000}`` for geoparquet,
+    ``{"COMPRESSION": "zstd"}`` for parquet/orc/csv/arrow. Unknown names
+    raise ValueError listing the valid set."""
     fmt = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    sink_kw = _resolve_write_options(fmt, options)
+    compression = sink_kw.pop("__writer_compression", None)
     if fmt in ("parquet", "pq"):
-        df.write.mode(mode).parquet(path)
+        w = df.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.parquet(path)
         return
     if fmt == "geoparquet":
         from .geoparquet import st_write_geoparquet
 
-        st_write_geoparquet(df, path, geom_col=geom_col)
+        st_write_geoparquet(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "orc":
-        df.write.mode(mode).orc(path)
+        w = df.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.orc(path)
         return
     if fmt == "csv":
         from ..functions import scalar as S
@@ -615,7 +696,10 @@ def st_write(
         out = df
         if geom_col in df.columns and isinstance(df.schema[geom_col].dataType, T.BinaryType):
             out = df.withColumn(geom_col, S.st_astext(geom_col))
-        out.write.mode(mode).option("header", "true").csv(path)
+        w = out.write.mode(mode).option("header", "true")
+        if compression:
+            w = w.option("compression", compression)
+        w.csv(path)
         return
     if fmt == "geojson":
         from ..functions import scalar as S
@@ -648,62 +732,62 @@ def st_write(
     if fmt == "shp":
         from .shapefile import st_write_shp
 
-        st_write_shp(df, path, geom_col=geom_col)
+        st_write_shp(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "gpkg":
         from .gpkg import st_write_gpkg
 
-        st_write_gpkg(df, path, geom_col=geom_col)
+        st_write_gpkg(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "kml":
         from .kml import st_write_kml
 
-        st_write_kml(df, path, geom_col=geom_col)
+        st_write_kml(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "fgb":
         from .fgb import st_write_fgb
 
-        st_write_fgb(df, path, geom_col=geom_col)
+        st_write_fgb(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "gdb":
         from .gdb import st_write_gdb
 
-        st_write_gdb(df, path, geom_col=geom_col)
+        st_write_gdb(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "mif":
         from .mif import st_write_mif
 
-        st_write_mif(df, path, geom_col=geom_col)
+        st_write_mif(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "tab":
         from .tab import st_write_tab
 
-        st_write_tab(df, path, geom_col=geom_col)
+        st_write_tab(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "gpx":
         from .gpx import st_write_gpx
 
-        st_write_gpx(df, path, geom_col=geom_col)
+        st_write_gpx(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt in ("arrow", "feather", "ipc"):
         from .arrow import st_write_arrow
 
-        st_write_arrow(df, path)
+        st_write_arrow(df, path, **sink_kw)
         return
     if fmt in ("sqlite", "spatialite"):
         from .spatialite import st_write_spatialite
 
-        st_write_spatialite(df, path, geom_col=geom_col)
+        st_write_spatialite(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "dxf":
         from .dxf import st_write_dxf
 
-        st_write_dxf(df, path, geom_col=geom_col)
+        st_write_dxf(df, path, geom_col=geom_col, **sink_kw)
         return
     if fmt == "mvt":
         from .mvt import st_write_mvt
 
-        st_write_mvt(df, path, geom_col=geom_col)
+        st_write_mvt(df, path, geom_col=geom_col, **sink_kw)
         return
     raise NotImplementedError(f"st_write format {fmt!r}; OGR formats need pyogrio")
 
