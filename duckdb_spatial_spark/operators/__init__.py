@@ -8,6 +8,11 @@ from .cluster import (  # noqa: F401
     st_layout_info,
     with_bbox_columns,
 )
+from .invindex import (  # noqa: F401
+    build_inverted_index,
+    conjunctive_query,
+    index_term_stats,
+)
 from .join import st_join, st_join_broadcast, st_join_points  # noqa: F401
 from .knn import st_knn_join  # noqa: F401
 from .dedup import (  # noqa: F401

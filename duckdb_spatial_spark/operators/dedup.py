@@ -1051,6 +1051,14 @@ def edit_distance_pairs(
     (gram, bucket) equi-join with map-side-combined pair counting,
     broadcast joins for the two text lookups, exact verify on the
     surviving pairs.
+
+    Worst case (measured): the positional bound caps a hot gram at its
+    ±d positional NEIGHBORHOOD — a gram shared by many strings **at the
+    same position** (e.g. a constant prefix every string carries, or a
+    low-entropy alphabet where the q-gram space itself collides) still
+    joins quadratically within that neighborhood. Strip shared literal
+    prefixes and size ``q`` to the alphabet (hex needs q≥5; see
+    scripts/scale_probe.py) before running at scale.
     """
     d = int(max_distance)
     if d < 0:

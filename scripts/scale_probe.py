@@ -331,9 +331,95 @@ def main() -> None:
         return (dbscan(pts, "event_id", "x", "y2", eps=2.0, min_pts=5)
                 .groupBy("role").count().count())
 
+    def sessionize_w(df):
+        from duckdb_spatial_spark.operators.temporal import sessionize
+
+        # % 997 keys (shift-coprime, same rationale as asof): per-key
+        # multiplicity grows with rows — ONE shuffle + one window pass,
+        # the per-key sort is the cost that must stay ~linear
+        ev = df.select((F.col("event_id") % 997).alias("k"),
+                       (F.col("event_id") * 7).cast("long").alias("t"),
+                       F.col("event_id").alias("eid"))
+        s = sessionize(ev, ["k"], "t", gap_us=50_000, order_cols=["eid"])
+        return s.groupBy("k", "session_id").count().count()
+
+    def editdist_w(df):
+        from duckdb_spatial_spark.operators.dedup import edit_distance_pairs
+
+        # one planted distance-1 pair per (even, odd) doc couple: md5 of
+        # the couple base makes every couple's head DISTINCT, so the true
+        # pair count grows linearly (identical-duplicate multiplicity is
+        # the inherently quadratic regime, same wall as hamming/minhash).
+        # 32-char md5 heads keep every string above the q-gram short
+        # tier — the short×short cross tier is row/pair-capped by its
+        # guard and deliberately out of the linear-scaling claim. Two
+        # measured traps baked into this input's design: (a) q=6, not 3
+        # — hex is a 16-char alphabet, so 3-grams span only 4096 values
+        # and the candidate equi-join goes quadratic by pure collision;
+        # (b) NO shared literal prefix — a constant "doc-head-" prefix
+        # put identical grams at identical positions in EVERY doc, and
+        # a gram hot at one position meets all its same-position
+        # occurrences (102M join rows from 5k docs — the operator's
+        # documented worst case, which its q127 usage avoids the same
+        # way: by gram entropy, not by luck).
+        base = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+        h = F.md5(base)
+        s = df.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, h)
+            .otherwise(F.concat(h, F.lit("x"))).alias("head"))
+        return edit_distance_pairs(s, "doc_id", "head",
+                                   max_distance=2, q=6).count()
+
+    def triangle_w(df):
+        from duckdb_spatial_spark.operators.graph import triangle_count
+
+        # replicas form DISJOINT copies of one skewed graph (block-local
+        # node ids), so true triangles grow linearly; within each block
+        # every 97th edge points at the block hub — the degree-ordered
+        # orientation must keep the hub's wedge fanout capped (the
+        # skew-hazard the verdict asked the probe to watch). The node
+        # space scales with the rows (sparse, m ~ n): densifying a FIXED
+        # node set instead is the inherent m^1.5 triangle regime — a
+        # property of the problem, not the plan (a 2000-node first draft
+        # went near-complete at 600k events and ran for minutes at 1×).
+        blk = (F.floor(F.col("event_id") / 10_000_000)
+               * 10_000_000).cast("long")
+        u = blk + (F.col("event_id") % 80_000)
+        v = F.when(F.col("event_id") % 97 == 0, blk) \
+            .otherwise(blk + (F.col("event_id") * 31 + 7) % 80_000)
+        return triangle_count(df.select(u.alias("src"), v.alias("dst"))) \
+            .collect()[0][0]
+
+    def cluster_crud_w(df):
+        import tempfile
+
+        from duckdb_spatial_spark.operators import (st_cluster,
+                                                    st_cluster_append,
+                                                    st_cluster_compact,
+                                                    st_cluster_delete)
+
+        # full CRUD cycle on a fresh layout: x/y distributions don't
+        # change under replication, so the deleted slice and the
+        # affected-file fraction stay constant while rows grow
+        path = os.path.join(tempfile.mkdtemp(prefix="dss_probe_"), "ds")
+        pts = df.select("event_id", "x", "y")
+        st_cluster(pts.filter(F.col("event_id") % 2 == 0), "x", "y",
+                   num_partitions=8).write.parquet(path)
+        st_cluster_append(pts.filter(F.col("event_id") % 2 == 1),
+                          path, "x", "y")
+        st_cluster_delete(spark, path, "x >= 10.0 AND x < 11.0")
+        st_cluster_compact(spark, path, "x", "y",
+                           small_file_bytes=1 << 20)
+        return spark.read.parquet(path).count()
+
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     workloads = [
+        ("sessionize", events, ["event_id"], sessionize_w),
+        ("edit_distance", docs, ["doc_id"], editdist_w),
+        ("triangle_count", events, ["event_id"], triangle_w),
+        ("cluster_crud", events, ["event_id"], cluster_crud_w),
         ("asof_join", events, ["event_id"], asof_w),
         ("interval_join", events, ["event_id"], interval_w),
         ("hll_registers", docs, ["doc_id"], hll_w),
