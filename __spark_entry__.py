@@ -3806,6 +3806,131 @@ def q130_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q131_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k SEARCH served from the scored inverted-index layout
+    (term frequencies and doc lengths denormalized into the postings —
+    the norms-in-the-index design), INCLUDING the append path: build
+    the index over the even docs, ``scored_index_append`` the odd docs
+    (new generation files only — the old postings are never re-read),
+    then answer a 3-term disjunctive query from the index ALONE (pruned
+    postings scan + one per-doc aggregation; document frequency and
+    (N, avgdl) aggregate across generations at query time). The oracle
+    recomputes BM25 over the WHOLE corpus, so a stale df or stats row
+    after the append would hash-mismatch. Per-doc double sums fold in
+    ascending-term order so the oracle's ``SUM(p ORDER BY term)``
+    replays them bit-for-bit; ranking uses the ROUNDED score so the
+    k-boundary can't split on a last-ulp difference."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index,
+                                                scored_index_append)
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q131_"), "sidx")
+    build_scored_index(d.filter(F.col("doc_id") % 2 == 0), path,
+                       "doc_id", "text", segment_size=500)
+    scored_index_append(d.filter(F.col("doc_id") % 2 == 1), path,
+                        "doc_id", "text", segment_size=500)
+    return (
+        bm25_search(spark, path, ["hash", "vector", "data"], k=10)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
+def _q131_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    # constants embedded via repr so both engines parse the very same
+    # doubles the Spark plan uses (q103's convention)
+    _d = lambda v: f"CAST({v!r} AS DOUBLE)"
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)),
+                                         '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, t.term
+      FROM words, LATERAL (SELECT unnest(w)) AS t(term)
+      WHERE t.term <> ''
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM terms GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), ad AS (SELECT avg(dl) AS avgdl FROM dl),
+    q AS (SELECT unnest(['hash', 'vector', 'data']) AS term),
+    partials AS (
+      SELECT tf.doc_id, tf.term,
+             ln({_d(1.0)} + (n_docs - dfreq + {_d(0.5)})
+                            / (dfreq + {_d(0.5)}))
+               * tf.tf * {_d(k1 + 1.0)}
+               / (tf.tf + {_d(k1)} * ({_d(1.0 - b)}
+                                      + {_d(b)} * dl.dl / avgdl)) AS p
+      FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc_id), nd, ad
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(p ORDER BY term), 6) AS score
+    FROM partials GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def q132_shard_permutation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard assignment (the seeded global
+    shuffle every LLM export runs): shard = portable-hash bucket of the
+    doc id, pos = rank of a second independent hash within the shard —
+    a retry-stable pseudo-random permutation with ONE hash exchange and
+    a per-shard spillable sort, never a corpus-wide total sort. Output:
+    per-shard row count, pos range, and a (doc, pos)-coupling checksum
+    the oracle replays from the same portable hash."""
+    from duckdb_spatial_spark.operators import shard_assign
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    a = shard_assign(d, "doc_id", n_shards=16, seed=7)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("pos").cast("long").alias("min_pos"),
+            F.max("pos").cast("long").alias("max_pos"),
+            F.sum(F.col("doc_id") * (F.col("pos") % 97)).cast("long")
+             .alias("sk"),
+        )
+        .orderBy("shard")
+        .select(F.col("shard").cast("int").alias("shard"),
+                "n", "min_pos", "max_pos", "sk")
+    )
+
+
+def _q132_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators import shard_assign_sql
+
+    shard, u2 = shard_assign_sql("doc_id", 16, 7)
+    return f"""
+        WITH a AS (
+          SELECT doc_id, {shard} AS shard, {u2} AS u2 FROM documents
+        ), p AS (
+          SELECT doc_id, shard,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY u2, doc_id) - 1 AS pos
+          FROM a
+        )
+        SELECT CAST(shard AS INT) AS shard,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(pos) AS BIGINT) AS min_pos,
+               CAST(max(pos) AS BIGINT) AS max_pos,
+               CAST(sum(doc_id * (pos % 97)) AS BIGINT) AS sk
+        FROM p GROUP BY shard ORDER BY shard
+    """
+
+
 _Q130_ORACLE = """
     WITH toks AS (
       SELECT DISTINCT doc_id,
@@ -3925,7 +4050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_bpe_pipeline": q86_bpe_pipeline,
         "q88_knn_join": q88_knn_join,
         "q89_sentence_stats": q89_sentence_stats,
-        "q90_domain_quota": q90_domain_quota,
+        # q131 (NEW round 7: BM25 search off the scored inverted index)
+        # takes q90's slot (domain quota, green r6, unchanged; sampling
+        # keeps q105 in-window).
+        "q131_bm25_search": q131_bm25_search,
         "q91_streaming_interval_join": q91_streaming_interval_join,
         "q94_pca_project": q94_pca_project,
         "q95_profile_table": q95_profile_table,
@@ -3942,7 +4070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q126 (batch sessionize, NEW round 6; oracle tie-break touched
         # round 7 — stays in-window to re-earn a fresh row).
         "q126_sessionize": q126_sessionize,
-        "q123_hll_overlap": q123_hll_overlap,
+        # q132 (NEW round 7: deterministic shard permutation) takes
+        # q123's slot (HLL overlap, green r6, unchanged; sketches keep
+        # q115 in-window, q114/q119/q123 below).
+        "q132_shard_permutation": q132_shard_permutation,
         "q124_corpus_divergence": q124_corpus_divergence,
         # ---- driver cut line (round 6). Displaced THIS round — all were
         # driver-green in CORRECTNESS_r05 and are byte-unchanged; each
@@ -3961,6 +4092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (streaming q75+q91), q104 semdedup (embeddings q88+q94),
         # q74 repetition filter (quality q89+q102+q106), q65 GPKG roundtrip
         # (sinks q68+q80+q109), q69 components (graph q96).
+        # q90 quota + q123 HLL overlap displaced round 7 by q131/q132
+        # (both driver-green r6, byte-unchanged).
+        "q90_domain_quota": q90_domain_quota,
+        "q123_hll_overlap": q123_hll_overlap,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -5548,6 +5683,8 @@ def oracle_sql() -> dict[str, str]:
         "q129_cluster_delete": _Q129_ORACLE,
         # corpus-recompute oracle for the index-answered conjunctive query
         "q130_inverted_index": _Q130_ORACLE,
+        "q131_bm25_search": _q131_oracle_sql(),
+        "q132_shard_permutation": _q132_oracle_sql(),
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -30,7 +30,14 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["build_inverted_index", "index_term_stats", "conjunctive_query"]
+__all__ = [
+    "build_inverted_index",
+    "index_term_stats",
+    "conjunctive_query",
+    "build_scored_index",
+    "scored_index_append",
+    "bm25_search",
+]
 
 
 def _terms(text_col: str) -> Column:
@@ -117,3 +124,176 @@ def conjunctive_query(spark: SparkSession, path: str,
         .filter(F.col("__k") == k)
         .select("doc_id")
     )
+
+
+def _scored_generation(df: DataFrame, path: str, id_col: str,
+                       text_col: str, segment_size: int,
+                       num_partitions: Optional[int], mode: str) -> None:
+    from .pipeline import normalized_words
+
+    terms = (
+        df.select(F.col(id_col).alias("__d"),
+                  F.explode(normalized_words(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("__d", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = tf.groupBy("__d").agg(F.sum("tf").cast("long").alias("dl"))
+    rows = tf.join(dl, "__d")
+
+    seg = F.floor(F.col("__d") / F.lit(int(segment_size))).cast("long")
+    segs = (
+        rows.groupBy("term", seg.alias("seg"))
+        .agg(F.sort_array(
+                F.collect_list(F.struct("__d", "tf", "dl"))).alias("__p"))
+    )
+    out = segs.select(
+        "term", "seg",
+        F.transform("__p", lambda x: x["__d"]).alias("docs"),
+        F.transform("__p", lambda x: x["tf"]).alias("tfs"),
+        F.transform("__p", lambda x: x["dl"]).alias("dls"),
+    )
+    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(np_, "term", "seg")
+        .sortWithinPartitions("term", "seg")
+        .write.mode(mode).parquet(path.rstrip("/") + "/postings")
+    )
+    stats = df.agg(
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs")
+    ).crossJoin(F.broadcast(dl.agg(
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_dl"),
+    )))
+    stats.coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/stats")
+
+
+def build_scored_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_size: int = 100_000,
+    num_partitions: Optional[int] = None,
+) -> None:
+    """Write a BM25-servable posting layout: ``{path}/postings`` rows are
+    (term, seg, docs, tfs, dls) — term frequency and document length
+    DENORMALIZED into the postings (the classic norms-in-the-index
+    design) so a query never touches the corpus or a doc-length side
+    table; ``{path}/stats`` holds one (n_docs, sum_dl, n_dl) row per
+    generation, so corpus-level constants (N, avgdl) aggregate exactly
+    across appends.
+
+    Tokenization matches ``operators.rank`` (``normalized_words``) so
+    scores off the index equal a straight ``bm25()`` corpus recompute.
+
+    Plan: one (doc, term) partial-agg shuffle for tf → per-doc dl (both
+    shuffle on the doc id, co-partitioned join) → one (term, seg)
+    shuffle of bounded segments. Segment arrays stay ≤ ``segment_size``
+    entries, so a stopword's posting mass spreads over many rows.
+    """
+    _scored_generation(df, path, id_col, text_col, segment_size,
+                       num_partitions, "overwrite")
+
+
+def scored_index_append(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_size: int = 100_000,
+    num_partitions: Optional[int] = None,
+) -> None:
+    """Append NEW documents to a scored layout without re-reading the
+    existing postings (the text twin of ``st_cluster_append``): the new
+    generation's (term, seg) rows land as fresh sorted files next to the
+    old ones, and a stats row for the new docs joins the stats table.
+    Queries stay exact because document frequency is recomputed at query
+    time from the pruned scan (Σ segment sizes per term — generations
+    add up) and (N, avgdl) aggregate from the per-generation stats rows.
+
+    Contract: appended ``id_col`` values must be NEW (an id present in
+    an earlier generation would double-count, same as appending a
+    duplicate row to any Parquet dataset).
+    """
+    _scored_generation(df, path, id_col, text_col, segment_size,
+                       num_partitions, "append")
+
+
+def bm25_search(
+    spark: SparkSession,
+    path: str,
+    terms: List[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a disjunctive BM25 query, answered from a
+    ``build_scored_index`` layout ALONE — pruned scan of the query
+    terms' segments (term filter reaches Parquet as a PushedFilter over
+    the (term, seg)-sorted layout), explode the aligned posting arrays,
+    one per-doc aggregation over Σ posting sizes of the query terms.
+
+    Output: (doc_id, n_terms, score) ordered by (score DESC, doc_id),
+    ``score`` rounded to 6 decimals. The per-doc sum folds partials in
+    ascending-term order (sort_array → F.aggregate) so the double
+    summation is order-deterministic and an ANSI oracle can replay it
+    bit-for-bit with ``SUM(partial ORDER BY term)``. The fold lambda
+    runs interpreted (trap #11) but over ≤ |query| elements per doc —
+    not a hot path.
+    """
+    from pyspark.sql import Window
+
+    stats = spark.read.parquet(path.rstrip("/") + "/stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.sum("sum_dl").cast("double")
+         / F.sum("n_dl").cast("double")).alias("avgdl"),
+    )
+    idx = (
+        spark.read.parquet(path.rstrip("/") + "/postings")
+        .filter(F.col("term").isin(list(terms)))
+    )
+    # document frequency recomputed from the pruned scan: Σ segment
+    # sizes per term — exact across append generations, and the window
+    # group is the query terms' segment rows only (bounded). The window
+    # must live in its OWN projection: co-planned with the explode it
+    # would evaluate over the generated rows (Σ size² per term).
+    segs = idx.select(
+        "term", "docs", "tfs", "dls",
+        F.sum(F.size("docs")).over(Window.partitionBy("term"))
+         .cast("long").alias("df"),
+    )
+    hits = (
+        segs.select("term", "df",
+                    F.explode(F.arrays_zip("docs", "tfs", "dls")).alias("z"))
+        .select("term", "df",
+                F.col("z.docs").alias("doc_id"),
+                F.col("z.tfs").alias("tf"),
+                F.col("z.dls").alias("dl"))
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    partial = (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("p")
+    per_doc = (
+        hits.select("doc_id", "term", partial)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "p"))).alias("__a"))
+        .select(
+            "doc_id",
+            F.size("__a").cast("long").alias("n_terms"),
+            F.round(
+                F.aggregate(F.transform("__a", lambda x: x["p"]),
+                            F.lit(0.0).cast("double"),
+                            lambda acc, x: acc + x),
+                6,
+            ).alias("score"),
+        )
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

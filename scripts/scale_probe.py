@@ -413,9 +413,37 @@ def main() -> None:
                            small_file_bytes=1 << 20)
         return spark.read.parquet(path).count()
 
+    def invindex_w(df):
+        import tempfile
+
+        from duckdb_spatial_spark.operators import (bm25_search,
+                                                    build_scored_index)
+
+        # build + one 3-term disjunctive query: the build is the linear
+        # part (two doc-keyed shuffles + one (term, seg) shuffle of
+        # bounded segments); the query's cost is the queried terms'
+        # posting mass, which grows with the corpus because replicated
+        # docs repeat the same vocabulary — both should stay ~linear
+        path = os.path.join(tempfile.mkdtemp(prefix="dss_probe_"), "sidx")
+        build_scored_index(df, path, "doc_id", "text", segment_size=50_000)
+        return bm25_search(df.sparkSession, path,
+                           ["hash", "vector", "data"], k=10).count()
+
+    def shard_w(df):
+        from duckdb_spatial_spark.operators import shard_assign
+
+        # fixed shard count, rows/shard grows with the corpus: ONE hash
+        # exchange + a per-shard sort — the external sort is the cost
+        # that must stay ~linear (n log n with a spillable constant)
+        a = shard_assign(df.select("doc_id"), "doc_id",
+                         n_shards=32, seed=7)
+        return a.groupBy("shard").agg(F.max("pos")).count()
+
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     workloads = [
+        ("invindex_bm25", docs, ["doc_id"], invindex_w),
+        ("shard_permutation", docs, ["doc_id"], shard_w),
         ("sessionize", events, ["event_id"], sessionize_w),
         ("edit_distance", docs, ["doc_id"], editdist_w),
         ("triangle_count", events, ["event_id"], triangle_w),

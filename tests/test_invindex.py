@@ -78,3 +78,96 @@ def test_term_filter_prunes_scan(spark, corpus, tmp_path):
              if f.endswith(".parquet")]
     metas = [pq.ParquetFile(f).metadata for f in files]
     assert any(m.num_rows > 0 for m in metas)
+
+
+# ---------------------------------------------------------------- scored
+
+
+def test_scored_index_matches_corpus_bm25(spark, tmp_path):
+    """bm25_search off the index == per-doc sum of operators.rank.bm25
+    partials for the query terms, straight off the corpus."""
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index)
+    from duckdb_spatial_spark.operators.rank import bm25
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick fox"),
+        (3, "lazy lazy lazy dog"),
+        (4, "brown dog and brown fox"),
+        (5, "unrelated words entirely different"),
+        (6, ""),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "sidx")
+    build_scored_index(corpus, path, segment_size=2)
+
+    terms = ["fox", "lazy", "the"]
+    got = {r["doc_id"]: (r["n_terms"], r["score"])
+           for r in bm25_search(spark, path, terms, k=10).collect()}
+
+    ref_rows = (
+        bm25(corpus, "doc_id", "text")
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("score").alias("s"))
+        .collect()
+    )
+    ref = {r["doc_id"]: (r["n"], round(r["s"], 6)) for r in ref_rows}
+    assert set(got) == set(ref)
+    for d, (n, s) in ref.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - s) < 1e-6, (d, got[d], s)
+
+
+def test_scored_index_topk_deterministic(spark, tmp_path):
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index)
+
+    # identical docs -> identical scores -> tie-break on doc_id
+    rows = [(i, "same text here") for i in range(8)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "sidx2")
+    build_scored_index(corpus, path)
+    got = [r["doc_id"] for r in
+           bm25_search(spark, path, ["same"], k=3).collect()]
+    assert got == [0, 1, 2]
+
+
+def test_scored_index_prunes_to_query_terms(spark, tmp_path):
+    """The postings scan of a query carries the term filter down to
+    Parquet (PushedFilters In(term, ...))."""
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index)
+
+    rows = [(i, f"w{i % 5} shared") for i in range(50)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "sidx3")
+    build_scored_index(corpus, path)
+    plan = (bm25_search(spark, path, ["w1"], k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "term" in plan
+
+
+def test_scored_index_append_matches_full_build(spark, tmp_path):
+    """build(evens) + append(odds) answers queries identically to a
+    one-shot build over the whole corpus (df/N/avgdl aggregate across
+    generations)."""
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index,
+                                                scored_index_append)
+
+    rows = [(i, f"alpha w{i % 7} beta" if i % 3 else "alpha only here")
+            for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    full = str(tmp_path / "full")
+    build_scored_index(corpus, full, segment_size=8)
+    inc = str(tmp_path / "inc")
+    build_scored_index(corpus.filter(F.col("doc_id") % 2 == 0), inc,
+                       segment_size=8)
+    scored_index_append(corpus.filter(F.col("doc_id") % 2 == 1), inc,
+                        segment_size=8)
+    terms = ["alpha", "w1", "only"]
+    a = sorted(map(tuple, bm25_search(spark, full, terms, k=40).collect()))
+    b = sorted(map(tuple, bm25_search(spark, inc, terms, k=40).collect()))
+    assert a == b and len(a) == 40
