@@ -3909,6 +3909,92 @@ def q132_shard_permutation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q133_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """N-dimensional Z-order layout (the multi-column generalization of
+    the hilbert family; Delta/Iceberg's OPTIMIZE ZORDER BY shape):
+    events clustered on (value, user_id) with an interleaved-bit
+    col-expr key, written to Parquet, then a 2-column range query runs
+    OFF THE LAYOUT — count + id/value checksums must equal a straight
+    recompute from the source table (the layout must preserve the
+    multiset exactly; pruning effectiveness is pinned by
+    tests/test_zorder.py's row-group stats assertions)."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import zorder_cluster
+
+    ev = load_table(spark, sf, "events", fan_out=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q133_"), "z")
+    zorder_cluster(ev.select("event_id", "user_id", "value"),
+                   ["value", "user_id"], num_partitions=8).write.parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("value").between(100.0, 250.0)
+                    & F.col("user_id").between(20, 80))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("event_id").cast("long").alias("sk"),
+             F.round(F.sum("value"), 2).alias("sv"))
+    )
+
+
+_Q133_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sk,
+           round(sum(value), 2) AS sv
+    FROM events
+    WHERE value BETWEEN 100.0 AND 250.0 AND user_id BETWEEN 20 AND 80
+"""
+
+
+def q134_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-phrase search ('hash join') off a POSITIONAL inverted
+    index: postings carry each term's token positions per doc, so the
+    phrase becomes an adjacency fold —
+    array_intersect(positions+1, next_positions) over doc-keyed joins
+    of the two terms' postings; the corpus is never re-scanned at query
+    time. Oracle recomputes via tokenize-with-ordinality + positional
+    self-join straight off the documents table."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import (build_positional_index,
+                                                phrase_query)
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q134_"), "pidx")
+    build_positional_index(d, path, "doc_id", "text", segment_size=500)
+    m = phrase_query(spark, path, ["hash", "join"])
+    return m.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_occurrences").cast("long").alias("n_occ"),
+        F.max("n_occurrences").cast("long").alias("max_occ"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sk"),
+    )
+
+
+_Q134_ORACLE = """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)),
+                                         '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+      FROM w
+    ), hits AS (
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'hash' AND b.term = 'join'
+      GROUP BY a.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_occurrences) AS BIGINT) AS n_occ,
+           CAST(max(n_occurrences) AS BIGINT) AS max_occ,
+           CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS sk
+    FROM hits
+"""
+
+
 def _q132_oracle_sql() -> str:
     from duckdb_spatial_spark.operators import shard_assign_sql
 
@@ -4057,11 +4143,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_streaming_interval_join": q91_streaming_interval_join,
         "q94_pca_project": q94_pca_project,
         "q95_profile_table": q95_profile_table,
-        "q97_salted_agg": q97_salted_agg,
+        # q133 (NEW round 7: multi-column Z-order layout) takes q97's
+        # slot (salted agg, green r6, unchanged; skew keeps q118
+        # in-window) — layout family holds q129 (hilbert CRUD) + q133.
+        "q133_zorder_layout": q133_zorder_layout,
         "q98_corpus_diff": q98_corpus_diff,
         "q99_minhash_index": q99_minhash_index,
         "q100_bloom_decontaminate": q100_bloom_decontaminate,
-        "q110_unigram_tokenizer": q110_unigram_tokenizer,
+        # q134 (NEW round 7: positional index + exact-phrase search)
+        # takes q110's slot (unigram tokenizer, green r6, unchanged;
+        # tokenizers keep q86+q120 in-window).
+        "q134_phrase_search": q134_phrase_search,
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         # q122 rotated IN round 7 (VERDICT r6 ask #1): the one query that
         # never earned a driver CORRECTNESS row; q121 (green r6,
@@ -4092,10 +4184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (streaming q75+q91), q104 semdedup (embeddings q88+q94),
         # q74 repetition filter (quality q89+q102+q106), q65 GPKG roundtrip
         # (sinks q68+q80+q109), q69 components (graph q96).
-        # q90 quota + q123 HLL overlap displaced round 7 by q131/q132
-        # (both driver-green r6, byte-unchanged).
+        # q90 quota + q123 HLL overlap + q97 salted agg displaced round 7
+        # by q131/q132/q133 (all driver-green r6, byte-unchanged).
         "q90_domain_quota": q90_domain_quota,
         "q123_hll_overlap": q123_hll_overlap,
+        "q97_salted_agg": q97_salted_agg,
+        "q110_unigram_tokenizer": q110_unigram_tokenizer,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -5685,6 +5779,8 @@ def oracle_sql() -> dict[str, str]:
         "q130_inverted_index": _Q130_ORACLE,
         "q131_bm25_search": _q131_oracle_sql(),
         "q132_shard_permutation": _q132_oracle_sql(),
+        "q133_zorder_layout": _Q133_ORACLE,
+        "q134_phrase_search": _Q134_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -11,12 +11,15 @@ from .cluster import (  # noqa: F401
 from .invindex import (  # noqa: F401
     bm25_search,
     build_inverted_index,
+    build_positional_index,
     build_scored_index,
     conjunctive_query,
     index_term_stats,
+    phrase_query,
     scored_index_append,
 )
 from .shard import shard_assign, shard_assign_sql, shard_write  # noqa: F401
+from .zorder import zorder_cluster, zorder_key  # noqa: F401
 from .join import st_join, st_join_broadcast, st_join_points  # noqa: F401
 from .knn import st_knn_join  # noqa: F401
 from .dedup import (  # noqa: F401

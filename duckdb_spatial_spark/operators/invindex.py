@@ -37,6 +37,8 @@ __all__ = [
     "build_scored_index",
     "scored_index_append",
     "bm25_search",
+    "build_positional_index",
+    "phrase_query",
 ]
 
 
@@ -297,3 +299,98 @@ def bm25_search(
         )
     )
     return per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def build_positional_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_size: int = 100_000,
+    num_partitions: Optional[int] = None,
+) -> None:
+    """Write a POSITIONAL posting layout for phrase queries: one row per
+    (term, segment) with aligned ``docs`` (sorted doc ids) and
+    ``pos_lists`` (each doc's sorted 0-based token positions of the
+    term). Positions are what a phrase query needs — adjacency checks
+    replace the corpus re-scan a naive LIKE would do.
+
+    Same scale shape as the scored layout: one (doc, term) shuffle with
+    the positions aggregated map-side, one bounded (term, seg) shuffle;
+    the per-(doc, term) position array is bounded by the document's
+    token count, never the corpus.
+    """
+    from .pipeline import normalized_words
+
+    toks = (
+        df.select(F.col(id_col).alias("__d"),
+                  F.posexplode(normalized_words(F.col(text_col)))
+                  .alias("pos", "term"))
+        .filter(F.col("term") != "")
+    )
+    occ = toks.groupBy("__d", "term").agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("int")))
+        .alias("positions"))
+    seg = F.floor(F.col("__d") / F.lit(int(segment_size))).cast("long")
+    segs = (
+        occ.groupBy("term", seg.alias("seg"))
+        .agg(F.sort_array(
+                F.collect_list(F.struct("__d", "positions"))).alias("__p"))
+    )
+    out = segs.select(
+        "term", "seg",
+        F.transform("__p", lambda x: x["__d"]).alias("docs"),
+        F.transform("__p", lambda x: x["positions"]).alias("pos_lists"),
+    )
+    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(np_, "term", "seg")
+        .sortWithinPartitions("term", "seg")
+        .write.mode("overwrite").parquet(path.rstrip("/") + "/postings")
+    )
+
+
+def phrase_query(spark: SparkSession, path: str,
+                 phrase: List[str]) -> DataFrame:
+    """Documents containing the exact phrase (terms at consecutive
+    token positions), answered from a positional index alone. Output:
+    (doc_id, n_occurrences) — one row per matching doc, occurrence
+    count = number of phrase start positions.
+
+    Plan: pruned scan of the phrase's K distinct terms → explode to
+    (term, doc, positions) → left-fold adjacency with
+    ``array_intersect(positions_so_far + 1, next_term_positions)`` —
+    K-1 doc-keyed equi-joins over posting-bounded rows, all the
+    position math in col-exprs. A phrase of stopwords degrades to
+    their posting mass, the inherent cost of the answer.
+    """
+    if not phrase:
+        raise ValueError("phrase_query: empty phrase")
+    idx = (
+        spark.read.parquet(path.rstrip("/") + "/postings")
+        .filter(F.col("term").isin(list(set(phrase))))
+    )
+    hits = (
+        idx.select("term",
+                   F.explode(F.arrays_zip("docs", "pos_lists")).alias("z"))
+        .select("term", F.col("z.docs").alias("doc_id"),
+                F.col("z.pos_lists").alias("positions"))
+    )
+    cur = (hits.filter(F.col("term") == phrase[0])
+           .select("doc_id", F.col("positions").alias("__cur")))
+    for t in phrase[1:]:
+        nxt = (hits.filter(F.col("term") == t)
+               .select("doc_id", F.col("positions").alias("__nxt")))
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("__cur", lambda p: p + F.lit(1)),
+                    F.col("__nxt"),
+                ).alias("__cur"),
+            )
+            .filter(F.size("__cur") > 0)
+        )
+    return cur.select(
+        "doc_id", F.size("__cur").cast("long").alias("n_occurrences"))

@@ -185,12 +185,58 @@ def st_read(
     wkt_col: Optional[str] = None,
     keep_wkb: bool = True,
     spatial_filter: Optional[bytes] = None,
+    max_threads: Optional[int] = None,
+    sequential_layer_scan: bool = False,
+    max_batch_size: Optional[int] = None,
 ) -> DataFrame:
     """ST_Read analog with extension dispatch (replacement scan,
     st_read.cpp:538-545). ``columns``/``bbox`` are the projection/spatial
     pushdown options; ``spatial_filter`` takes a WKB geometry and keeps
     only intersecting rows (bbox prefilter + exact predicate), mirroring
-    the reference's spatial_filter option (st_read.cpp:153-240)."""
+    the reference's spatial_filter option (st_read.cpp:153-240).
+
+    Scan-tuning options (st_read.cpp:153-240 parity):
+
+    * ``max_threads`` — caps reader-task concurrency with a NARROW
+      coalesce (no shuffle: at most N tasks execute the scan), the
+      Spark analog of the reference's GDAL reader-thread cap;
+    * ``sequential_layer_scan`` — one in-order scan task (coalesce(1)),
+      the analog of iterating features sequentially instead of a
+      parallel random-access scan;
+    * ``max_batch_size`` — validated for option-surface compatibility
+      but a documented no-op: Spark's Arrow batch config owns
+      vectorized batch sizing
+      (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+    """
+    if max_threads is not None and (
+            not isinstance(max_threads, int) or max_threads <= 0):
+        raise ValueError(f"st_read: max_threads must be a positive int, "
+                         f"got {max_threads!r}")
+    if max_batch_size is not None and (
+            not isinstance(max_batch_size, int) or max_batch_size <= 0):
+        raise ValueError(f"st_read: max_batch_size must be a positive int, "
+                         f"got {max_batch_size!r}")
+    df = _st_read_dispatch(spark, path, layer=layer, columns=columns,
+                           bbox=bbox, geom_col=geom_col, wkt_col=wkt_col,
+                           keep_wkb=keep_wkb, spatial_filter=spatial_filter)
+    if sequential_layer_scan:
+        return df.coalesce(1)
+    if max_threads is not None:
+        return df.coalesce(max_threads)
+    return df
+
+
+def _st_read_dispatch(
+    spark: SparkSession,
+    path: str,
+    layer: Optional[str] = None,
+    columns: Optional[List[str]] = None,
+    bbox: Optional[tuple] = None,
+    geom_col: str = "geom",
+    wkt_col: Optional[str] = None,
+    keep_wkb: bool = True,
+    spatial_filter: Optional[bytes] = None,
+) -> DataFrame:
     if spatial_filter is not None:
         from ..geom.wkb import from_wkb as _fw
 

@@ -439,11 +439,34 @@ def main() -> None:
                          n_shards=32, seed=7)
         return a.groupBy("shard").agg(F.max("pos")).count()
 
+    def zorder_w(df):
+        from duckdb_spatial_spark.operators import zorder_cluster
+
+        # key build is a pure col-expr; cost = one range exchange +
+        # per-partition sort, the identical family as hilbert_layout
+        out = zorder_cluster(df.select("event_id", "x", "y"),
+                             ["x", "y"], num_partitions=8)
+        return out.count()
+
+    def phrase_w(df):
+        import tempfile
+
+        from duckdb_spatial_spark.operators import (build_positional_index,
+                                                    phrase_query)
+
+        path = os.path.join(tempfile.mkdtemp(prefix="dss_probe_"), "pidx")
+        build_positional_index(df, path, "doc_id", "text",
+                               segment_size=50_000)
+        return phrase_query(df.sparkSession, path,
+                            ["hash", "join"]).count()
+
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     workloads = [
         ("invindex_bm25", docs, ["doc_id"], invindex_w),
         ("shard_permutation", docs, ["doc_id"], shard_w),
+        ("zorder_layout", events, ["event_id"], zorder_w),
+        ("phrase_search", docs, ["doc_id"], phrase_w),
         ("sessionize", events, ["event_id"], sessionize_w),
         ("edit_distance", docs, ["doc_id"], editdist_w),
         ("triangle_count", events, ["event_id"], triangle_w),

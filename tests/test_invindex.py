@@ -171,3 +171,39 @@ def test_scored_index_append_matches_full_build(spark, tmp_path):
     a = sorted(map(tuple, bm25_search(spark, full, terms, k=40).collect()))
     b = sorted(map(tuple, bm25_search(spark, inc, terms, k=40).collect()))
     assert a == b and len(a) == 40
+
+
+def test_positional_index_phrase_query(spark, tmp_path):
+    from duckdb_spatial_spark.operators import (build_positional_index,
+                                                phrase_query)
+
+    rows = [
+        (1, "hash join beats sort merge join"),
+        (2, "the hash join hash join doubled"),
+        (3, "hash then join but not adjacent"),
+        (4, "join hash reversed order"),
+        (5, "three word phrase hash join win"),
+        (6, ""),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "pidx")
+    build_positional_index(corpus, path, segment_size=2)
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_query(spark, path, ["hash", "join"]).collect()}
+    assert got == {1: 1, 2: 2, 5: 1}
+    # 3-term phrase
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_query(spark, path,
+                                  ["hash", "join", "beats"]).collect()}
+    assert got3 == {1: 1}
+    # repeated term in the phrase
+    got_rep = {r["doc_id"]: r["n_occurrences"]
+               for r in phrase_query(spark, path,
+                                     ["join", "hash", "join"]).collect()}
+    assert got_rep == {2: 1}
+    # single term == posting presence with occurrence counts
+    got1 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_query(spark, path, ["join"]).collect()}
+    assert got1 == {1: 2, 2: 2, 3: 1, 4: 1, 5: 1}
+    # absent phrase
+    assert phrase_query(spark, path, ["sort", "hash"]).count() == 0
