@@ -3995,6 +3995,103 @@ _Q134_ORACLE = """
 """
 
 
+def q135_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Topic-balanced subset selection (DataComp/DFN recipe shape):
+    nearest-centroid assignment over pinned centroids (first 16
+    embeddings, the q55/q104 convention that makes the assignment
+    SQL-replayable) + a deterministic k-per-cluster pick — candidate
+    pool u*size <= oversample*k, then the k smallest (u, id). Both
+    steps are the SEMANTICS, so the oracle replays them bit-for-bit;
+    the per-cluster sort never sees a whole cluster."""
+    import numpy as np
+
+    from duckdb_spatial_spark.operators import cluster_balanced_sample
+
+    e = load_table(spark, sf, "embeddings", fan_out=False)
+    cent_rows = (
+        e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+    out = cluster_balanced_sample(e, "vec_id", "embedding",
+                                  centroids=C, k=4, seed=3)
+    return out.orderBy("cluster", "rk")
+
+
+def _q135_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.pipeline import group_sample_sql
+
+    # same salt stream as cluster_balanced_sample (1_000_003*seed + 71)
+    from duckdb_spatial_spark.sources.generate import portable_uniform_sql
+
+    u = portable_uniform_sql("vec_id", 1_000_003 * 3 + 71)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cent AS (
+          SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16
+        ), asgn AS (
+          SELECT vec_id,
+                 (SELECT cid FROM cent
+                  ORDER BY list_cosine_similarity(v, cvec) DESC, cid
+                  LIMIT 1) AS cluster,
+                 {u} AS u
+          FROM e
+        ), sized AS (
+          SELECT vec_id, cluster, u,
+                 count(*) OVER (PARTITION BY cluster) AS n
+          FROM asgn
+        ), cand AS (
+          SELECT vec_id, cluster, u FROM sized
+          WHERE u * n <= {float(4.0 * 4)!r}
+        ), ranked AS (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY u, vec_id) AS rk
+          FROM cand
+        )
+        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 4 ORDER BY cluster, rk
+    """
+
+
+def q136_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-count per-group sampling (eval-set carving: k docs per
+    (lang, source) cell): candidate pool u*group_size <= oversample*k,
+    then the k smallest (u, id) — deterministic, retry-stable, and the
+    per-group sort is bounded by the pool, not the group."""
+    from duckdb_spatial_spark.operators import group_sample
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    out = group_sample(d.select("doc_id", "lang", "source"),
+                       ["lang", "source"], k=3, id_col="doc_id", seed=11)
+    return out.select("lang", "source", "rk", "doc_id") \
+        .orderBy("lang", "source", "rk")
+
+
+def _q136_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.pipeline import group_sample_sql
+
+    u, cutoff = group_sample_sql("doc_id", 3, seed=11)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang, source, {u} AS u,
+                 count(*) OVER (PARTITION BY lang, source) AS n
+          FROM documents
+        ), cand AS (
+          SELECT doc_id, lang, source, u FROM t WHERE u * n <= {cutoff}
+        ), ranked AS (
+          SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY u, doc_id) AS rk
+          FROM cand
+        )
+        SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id
+        FROM ranked WHERE rk <= 3 ORDER BY lang, source, rk
+    """
+
+
 def _q132_oracle_sql() -> str:
     from duckdb_spatial_spark.operators import shard_assign_sql
 
@@ -4094,7 +4191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_asof_join": q112_asof_join,
         "q28_union_agg": q28_union_agg,
         "q31_predicate_matrix": q31_predicate_matrix,
-        "q105_dsir_select": q105_dsir_select,
+        # q135 (NEW round 7: cluster-balanced sampling) takes q105's
+        # slot (DSIR, green r6, unchanged; selection family keeps
+        # q135/q136 in-window, q90/q105 below).
+        "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
         # q128 (triangle counting, NEW round 6) takes this slot; q102 c4
         # filters moved below (green r5, unchanged; quality family keeps
         # q89 sentence stats + q106 NB classifier in-window).
@@ -4148,7 +4248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window) — layout family holds q129 (hilbert CRUD) + q133.
         "q133_zorder_layout": q133_zorder_layout,
         "q98_corpus_diff": q98_corpus_diff,
-        "q99_minhash_index": q99_minhash_index,
+        # q136 (NEW round 7: exact-count per-group sampling) takes
+        # q99's slot (minhash index, green r6, unchanged; dedup keeps
+        # q127+q100 in-window).
+        "q136_group_sample": q136_group_sample,
         "q100_bloom_decontaminate": q100_bloom_decontaminate,
         # q134 (NEW round 7: positional index + exact-phrase search)
         # takes q110's slot (unigram tokenizer, green r6, unchanged;
@@ -4190,6 +4293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_hll_overlap": q123_hll_overlap,
         "q97_salted_agg": q97_salted_agg,
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
+        "q105_dsir_select": q105_dsir_select,
+        "q99_minhash_index": q99_minhash_index,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -5781,6 +5886,8 @@ def oracle_sql() -> dict[str, str]:
         "q132_shard_permutation": _q132_oracle_sql(),
         "q133_zorder_layout": _Q133_ORACLE,
         "q134_phrase_search": _Q134_ORACLE,
+        "q135_cluster_balanced_sample": _q135_oracle_sql(),
+        "q136_group_sample": _q136_oracle_sql(),
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -42,6 +42,7 @@ from .similarity import (  # noqa: F401
     ann_bruteforce_topk,
     ann_ivf_topk,
     ann_lsh_topk,
+    cluster_balanced_sample,
     cosine_similarity,
     dot,
     embedding_neardup_pairs,
@@ -58,6 +59,8 @@ from .pipeline import (  # noqa: F401
     benchmark_ngrams,
     decontaminate,
     gopher_repetition_filter,
+    group_sample,
+    group_sample_sql,
     hash_sample,
     paragraph_dedup,
     pii_count,

@@ -212,6 +212,58 @@ def stratified_sample(
     return df.where(u < frac)
 
 
+def group_sample(
+    df: DataFrame,
+    group_cols,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exact-count deterministic sampling: the k smallest portable-hash
+    rows per group (the eval-set-carving / per-domain-cap step a corpus
+    pipeline runs where a FRACTION isn't the contract, a COUNT is).
+    Adds ``rk`` ∈ [1, k]; retry-stable and ANSI-replayable.
+
+    Two deterministic steps, both part of the semantics so an oracle
+    replays them exactly: rows with ``u * group_size <= oversample * k``
+    form the candidate pool (≈ oversample·k rows per group with uniform
+    u — the per-group sort never sees the whole group), then the k
+    smallest (u, id) survive. Groups with fewer than ~k candidates
+    deterministically yield fewer rows (raise ``oversample`` when exact
+    k matters more than the sort bound).
+
+    Scale: one group-keyed size aggregate joined back (both sides
+    shuffle on the group key — group cardinality is unbounded, so no
+    forced broadcast) + one exchange of the candidate pool.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    group_cols = list(group_cols)
+    u = _uniform01_portable(F.col(id_col).cast("long"),
+                            1_000_003 * seed + 131)
+    t = df.withColumn("__u", u)
+    sizes = t.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    cand = (
+        t.join(sizes, group_cols)
+        .filter(F.col("__u") * F.col("__n") <= F.lit(float(oversample * k)))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u"), F.col(id_col))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .drop("__u", "__n")
+    )
+
+
+def group_sample_sql(id_expr: str, k: int, seed: int = 0,
+                     oversample: float = 4.0) -> tuple:
+    """(u_expr, cutoff_expr) — the DuckDB twins of
+    :func:`group_sample`'s hash and candidate cutoff, for oracles."""
+    u = portable_uniform_sql(id_expr, 1_000_003 * seed + 131)
+    return u, f"{float(oversample * k)!r}"
+
+
 def stratified_predicate_sql(
     id_expr: str,
     strata_expr: str,

@@ -401,3 +401,60 @@ def semdedup(
         drops.withColumn("semdedup_drop", F.lit(True)), id_col, "left"
     ).withColumn("semdedup_drop",
                  F.coalesce(F.col("semdedup_drop"), F.lit(False)))
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    k: int = 100,
+    seed: int = 0,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Topic-balanced subset selection (the DataComp/DFN recipe shape):
+    assign every row to its nearest centroid by cosine, then keep a
+    DETERMINISTIC ``k`` rows per cluster — equalizing topic mass no
+    matter how skewed the corpus is. Output: (id, cluster, rk) with
+    rk ∈ [1, k].
+
+    Selection is two deterministic steps, BOTH part of the semantics
+    (so an ANSI oracle replays them exactly): rows whose portable-hash
+    uniform ``u`` satisfies ``u * cluster_size <= oversample * k`` form
+    the candidate pool, then the k smallest (u, id) per cluster are
+    kept. With uniform u the pool holds ~oversample*k rows per cluster,
+    so the per-cluster sort is O(oversample*k) regardless of cluster
+    size — the full-cluster sort a naive row_number-top-k would pay
+    never happens. Clusters with fewer than ~k candidates deterministically
+    yield fewer rows (raise ``oversample`` if exact-k matters more than
+    the sort bound).
+
+    Scale: one Arrow-batched matmul pass for assignment, one bounded
+    (n_centroids-row) size aggregate broadcast back, one hash exchange
+    of the candidate pool.
+    """
+    from ..sources.generate import _uniform01_portable
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    assign = _assign_cells_udf(C, 1)
+    u = _uniform01_portable(F.col(id_col).cast("long"),
+                            1_000_003 * seed + 71)
+    t = df.select(
+        F.col(id_col),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+        u.alias("__u"),
+    )
+    sizes = t.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+    cand = (
+        t.join(F.broadcast(sizes), "cluster")
+        .filter(F.col("__u") * F.col("__n")
+                <= F.lit(float(oversample * k)))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("__u"), F.col(id_col))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, F.col("cluster").cast("int").alias("cluster"),
+                F.col("rk").cast("long").alias("rk"))
+    )

@@ -1,0 +1,62 @@
+"""cluster_balanced_sample + group_sample: determinism, balance,
+bounded-pool semantics."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators import (cluster_balanced_sample,
+                                            group_sample)
+
+
+def test_group_sample_exact_k_and_deterministic(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("g"))
+    a = group_sample(df, "g", k=5, id_col="doc_id", seed=2)
+    rows = a.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["g"], []).append(r["rk"])
+    assert set(per) == {"0", "1", "2", "3"}
+    for g, rks in per.items():
+        assert sorted(rks) == [1, 2, 3, 4, 5]
+    b = {(r["doc_id"], r["g"], r["rk"]) for r in
+         group_sample(df, "g", k=5, id_col="doc_id", seed=2).collect()}
+    assert {(r["doc_id"], r["g"], r["rk"]) for r in rows} == b
+    c = {(r["doc_id"], r["g"], r["rk"]) for r in
+         group_sample(df, "g", k=5, id_col="doc_id", seed=3).collect()}
+    assert b != c
+
+
+def test_group_sample_small_group(spark):
+    # a group smaller than k yields all its rows, ranked
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(200)] + [(1000, "tiny"), (1001, "tiny")],
+        "doc_id long, g string")
+    out = group_sample(df, "g", k=10, id_col="doc_id", seed=0,
+                       oversample=50.0)
+    tiny = sorted(r["rk"] for r in out.collect() if r["g"] == "tiny")
+    assert tiny == [1, 2]
+
+
+def test_cluster_balanced_sample_balances_skew(spark):
+    # two well-separated clusters with 10:1 mass skew -> equal k each
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(440):
+        base = np.array([10.0, 0.0]) if i < 400 else np.array([0.0, 10.0])
+        v = base + rng.normal(0, 0.1, 2)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = np.array([[10.0, 0.0], [0.0, 10.0]])
+    out = cluster_balanced_sample(df, "vec_id", "embedding",
+                                  centroids=C, k=6, seed=1,
+                                  oversample=8.0)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert set(per) == {0, 1}
+    assert len(per[0]) == 6 and len(per[1]) == 6
+    # members actually belong to the cluster they were sampled from
+    assert all(v < 400 for v in per[0]) and all(v >= 400 for v in per[1])
