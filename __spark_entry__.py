@@ -3839,7 +3839,8 @@ def q131_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q131_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+def _q131_oracle_sql(k1: float = 1.2, b: float = 0.75,
+                     terms=("hash", "vector", "data")) -> str:
     # constants embedded via repr so both engines parse the very same
     # doubles the Spark plan uses (q103's convention)
     _d = lambda v: f"CAST({v!r} AS DOUBLE)"
@@ -3864,7 +3865,7 @@ def _q131_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
     ), dl AS (
       SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
     ), ad AS (SELECT avg(dl) AS avgdl FROM dl),
-    q AS (SELECT unnest(['hash', 'vector', 'data']) AS term),
+    q AS (SELECT unnest([{', '.join(repr(t) for t in terms)}]) AS term),
     partials AS (
       SELECT tf.doc_id, tf.term,
              ln({_d(1.0)} + (n_docs - dfreq + {_d(0.5)})
@@ -3992,6 +3993,96 @@ _Q134_ORACLE = """
            CAST(max(n_occurrences) AS BIGINT) AS max_occ,
            CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS sk
     FROM hits
+"""
+
+
+def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming maintenance of the BM25 index: the even
+    docs are batch-built, the odd docs arrive as a file STREAM
+    (availableNow) whose micro-batches append index GENERATIONS via
+    foreachBatch → scored_index_append (existing postings never read);
+    after the drain the index answers a 3-term search that the oracle
+    recomputes over the whole corpus — stale df/stats from any batch
+    would hash-mismatch. The streaming form of q131's append path."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index)
+    from duckdb_spatial_spark.streaming import streaming_index_append
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q138_"), "sidx")
+    build_scored_index(d.filter(F.col("doc_id") % 2 == 0), path,
+                       "doc_id", "text", segment_size=500)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    q = streaming_index_append(stream, path, segment_size=500)
+    q.awaitTermination()
+    return (
+        bm25_search(spark, path, ["merge", "scan", "row"], k=10)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
+def q137_zorder_crud(spark: SparkSession, sf: str) -> DataFrame:
+    """Full CRUD cycle on a MULTI-COLUMN z-order layout (the twin of
+    q129's hilbert cycle, proving layout maintenance generalizes past
+    geometry): cluster the even events → zorder_append the odds (fresh
+    Morton-sorted files only) → st_cluster_delete a (value, user_id)
+    predicate (layout-agnostic affected-file rewrite) → zorder_compact
+    the small files → a 2-column range aggregate off the maintained
+    dataset. Oracle recomputes from the source with the delete
+    predicate negated — any stale/duplicated/lost row hash-mismatches."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import (st_cluster_delete,
+                                                zorder_append,
+                                                zorder_cluster,
+                                                zorder_compact)
+
+    ev = load_table(spark, sf, "events", fan_out=True) \
+        .select("event_id", "user_id", "value")
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q137_"), "z")
+    zorder_cluster(ev.filter(F.col("event_id") % 2 == 0),
+                   ["value", "user_id"], num_partitions=4) \
+        .write.parquet(path)
+    zorder_append(ev.filter(F.col("event_id") % 2 == 1), path,
+                  ["value", "user_id"])
+    nd = st_cluster_delete(
+        spark, path,
+        "value >= 300.0 AND value < 350.0 AND user_id % 3 = 0")
+    zorder_compact(spark, path, ["value", "user_id"],
+                   small_file_bytes=1 << 20)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("value").between(100.0, 400.0)
+                    & F.col("user_id").between(10, 120))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("event_id").cast("long").alias("sk"),
+             F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.lit(int(nd)).cast("long").alias("nd"), "n", "sk", "sv")
+    )
+
+
+_Q137_ORACLE = """
+    WITH kept AS (
+      SELECT event_id, user_id, value FROM events
+      WHERE NOT (value >= 300.0 AND value < 350.0 AND user_id % 3 = 0)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE value >= 300.0 AND value < 350.0
+              AND user_id % 3 = 0) AS nd,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sk,
+           round(sum(value), 2) AS sv
+    FROM kept
+    WHERE value BETWEEN 100.0 AND 400.0 AND user_id BETWEEN 10 AND 120
 """
 
 
@@ -4157,26 +4248,30 @@ _Q129_ORACLE = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-7 window (VERDICT r6 asks #1/#3): q122 rotates IN
-    # (the one query that never held a driver CORRECTNESS row — with it,
-    # cumulative driver coverage reaches 129/129) and q129 (NEW: layout
-    # CRUD delete) takes the layout slot; q121 and q125 (both driver-green
-    # r6, byte-unchanged) move below the cut, as do q113/q119 to make
-    # room for the changed-code rotations. Code changed THIS round stays
-    # in-window to re-earn fresh rows: q84/q87 rotated IN (score_col
-    # fusion / small-vocab fused LM), q106/q108/q115 (fused plans),
-    # q126 (oracle tie-break), q127 (cross-tier guard).
+    # entries. Round-7 window: q122 rotates IN (the one query that never
+    # held a driver CORRECTNESS row — with it, cumulative driver coverage
+    # reaches 100%), the eight NEW round-7 queries are all in-window
+    # (q129 CRUD delete, q130 inverted index, q131 BM25 search+append,
+    # q132 shard permutation, q133 zorder layout, q134 phrase search,
+    # q135 cluster-balanced sample, q136 group sample), and code changed
+    # this round stays in-window to re-earn fresh rows: q84/q87
+    # (score_col fusion / small-vocab fused LM), q106/q108/q115 (fused
+    # plans), q126 (oracle tie-break), q127 (cross-tier guard).
+    # Displaced to make room — ALL driver-green r6 and byte-unchanged:
+    # q121/q125/q113/q119 (r6 rotation), q90/q123/q97/q110/q105/q99
+    # (round-7 rotation).
     # Every SURVEY §2 family keeps at least one in-window representative:
-    #   spatial join q02 | layout CRUD q129 (append+delete+compact ⊇
-    #   q125/q61) | overlay q64 | predicates q31 | casts q41 | validity
-    #   q50 | accessors q12 | measures q07+q57 | geodesy q60 | transforms
-    #   q53 | sinks/containers q68+q80+q109 | multimodal q66 | streaming
-    #   q75+q91 | dedup q99+q100+q127 | graph q96+q128 | vectors q88+q94 |
-    #   sketches q115+q119+q123 | temporal q112+q113+q122+q126 | skew
-    #   q97+q118 | LM q108+q87 | tokenizers q86+q110+q120 | quality
-    #   q84+q89+q106 | sampling q90+q105 | packing q76 | ranking q103 |
-    #   langid q54 | clustering q117 | relational q15 | profiling q95 |
-    #   diff q98 | divergence q124.
+    #   spatial join q02 | layout q129 (append+delete+compact ⊇ q125/q61)
+    #   + q133 zorder | text index q130+q131+q134 | overlay q64 |
+    #   predicates q31 | casts q41 | validity q50 | accessors q12 |
+    #   measures q07+q57 | geodesy q60 | transforms q53 |
+    #   sinks/containers q68+q109 | multimodal q66 | streaming q75+q91 |
+    #   dedup q100+q127 | graph q96+q128 | vectors q88+q94 | sketches
+    #   q115 | temporal q112+q122+q126 | skew q118 | LM q108+q87 |
+    #   tokenizers q86+q120 | quality q84+q89+q106 | selection/sampling
+    #   q135+q136 | shards q132 | packing q76 | ranking q103 | langid
+    #   q54 | clustering q117 | relational q15 | profiling q95 | diff
+    #   q98 | divergence q124.
     return {
         "q02_zone_pip_join": q02_zone_pip_join,
         "q109_geoparquet_covering": q109_geoparquet_covering,
@@ -4205,7 +4300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_quality_buckets": q84_quality_buckets,
         "q41_casts": q41_casts,
         "q108_lm_kneser_ney": q108_lm_kneser_ney,
-        "q103_bm25_topk": q103_bm25_topk,
+        # q137 (NEW round 7: z-order CRUD cycle) takes q103's slot
+        # (BM25 term saliency, green r6, unchanged — q131 exercises the
+        # same BM25 arithmetic off the scored index, so ranking keeps an
+        # in-window rep).
+        "q137_zorder_crud": q137_zorder_crud,
         "q50_validity": q50_validity,
         "q106_nb_quality_classifier": q106_nb_quality_classifier,
         "q76_pack_sequences": q76_pack_sequences,
@@ -4228,7 +4327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q53_transform_utm": q53_transform_utm,
         "q57_shortestline": q57_shortestline,
-        "q75_streaming_extent": q75_streaming_extent,
+        # q138 (NEW round 7: streaming index maintenance) takes q75's
+        # slot (streaming extent, green r6, unchanged; streaming keeps
+        # q91 + q138 in-window).
+        "q138_streaming_index": q138_streaming_index,
         # q130 (NEW round 7: inverted-index layout) takes this slot;
         # q80 webdataset (r6-green, unchanged) moves below — containers
         # keep q68+q109 in-window.
@@ -4295,6 +4397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_unigram_tokenizer": q110_unigram_tokenizer,
         "q105_dsir_select": q105_dsir_select,
         "q99_minhash_index": q99_minhash_index,
+        "q103_bm25_topk": q103_bm25_topk,
+        "q75_streaming_extent": q75_streaming_extent,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -5888,6 +5992,9 @@ def oracle_sql() -> dict[str, str]:
         "q134_phrase_search": _Q134_ORACLE,
         "q135_cluster_balanced_sample": _q135_oracle_sql(),
         "q136_group_sample": _q136_oracle_sql(),
+        "q137_zorder_crud": _Q137_ORACLE,
+        "q138_streaming_index": _q131_oracle_sql(
+            terms=("merge", "scan", "row")),
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

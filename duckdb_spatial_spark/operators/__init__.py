@@ -19,7 +19,12 @@ from .invindex import (  # noqa: F401
     scored_index_append,
 )
 from .shard import shard_assign, shard_assign_sql, shard_write  # noqa: F401
-from .zorder import zorder_cluster, zorder_key  # noqa: F401
+from .zorder import (  # noqa: F401
+    zorder_append,
+    zorder_cluster,
+    zorder_compact,
+    zorder_key,
+)
 from .join import st_join, st_join_broadcast, st_join_points  # noqa: F401
 from .knn import st_knn_join  # noqa: F401
 from .dedup import (  # noqa: F401

@@ -24,7 +24,8 @@ from typing import Dict, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_cluster"]
+__all__ = ["zorder_key", "zorder_cluster", "zorder_append",
+           "zorder_compact"]
 
 
 def zorder_key(cols: Sequence[str],
@@ -89,3 +90,74 @@ def zorder_cluster(
         .sortWithinPartitions(key_col)
         .drop(key_col)
     )
+
+
+def zorder_append(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    num_partitions: Optional[int] = None,
+    bits: int = 12,
+) -> None:
+    """Incrementally add rows to a z-ordered Parquet dataset: the batch
+    lands as fresh Morton-sorted files, existing files are never read —
+    the multi-column twin of ``st_cluster_append``. Queries are
+    immediately correct (a Parquet scan is the union of files) and each
+    appended file carries its own tight per-column min/max stats, so
+    pruning degrades only gradually until :func:`zorder_compact` merges
+    the small files. ``ranges`` defaults to the BATCH's extent — keys
+    only order rows within the new files, so a range drift between
+    generations affects locality, never correctness.
+
+    ``num_partitions`` defaults to 1 (file count stays linear in the
+    number of appends, not in cores). Not concurrent-safe — single
+    maintenance job, like the reference's index maintenance.
+    """
+    out = zorder_cluster(df, cols, ranges=ranges,
+                         num_partitions=num_partitions or 1, bits=bits)
+    out.write.mode("append").parquet(path)
+
+
+def zorder_compact(
+    spark,
+    path: str,
+    cols: Sequence[str],
+    small_file_bytes: int = 16 << 20,
+    ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    num_partitions: Optional[int] = None,
+    bits: int = 12,
+) -> int:
+    """Merge the small files a sequence of :func:`zorder_append` calls
+    leaves behind — minor compaction only: files ≥ ``small_file_bytes``
+    are left untouched (at scale the clustered bulk is never rewritten),
+    the small ones re-cluster as one sorted batch. Returns the number of
+    files compacted away. Predicate deletes need no z-order-specific
+    code: ``st_cluster_delete`` is layout-agnostic (affected-file
+    discovery via input_file_name + anti-filter rewrite) and works on a
+    z-ordered dataset as-is.
+
+    Same non-transactional crash story as ``st_cluster_compact``
+    (write-then-delete: duplicates on a crash window, never loss).
+    """
+    import glob as _glob
+    import os
+
+    files = sorted(
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.getsize(f) < small_file_bytes
+    )
+    if len(files) < 2:
+        return 0
+    small = spark.read.parquet(*files)
+    zorder_cluster(
+        small, cols, ranges=ranges,
+        num_partitions=num_partitions or 1, bits=bits,
+    ).write.mode("append").parquet(path)
+    for f in files:
+        os.remove(f)
+        for side in (f + ".crc", os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc")):
+            if os.path.exists(side):
+                os.remove(side)
+    return len(files)

@@ -5,6 +5,7 @@ from .ops import (  # noqa: F401
     streaming_hll,
     streaming_neardup_dedup,
     streaming_extent_agg,
+    streaming_index_append,
     streaming_point_filter,
     streaming_session_extents,
     streaming_spatial_join,

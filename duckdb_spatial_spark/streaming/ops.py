@@ -325,3 +325,44 @@ def streaming_hll(
         .groupBy(F.window(F.col(ts_col), window), "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def streaming_index_append(
+    stream: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_size: int = 100_000,
+    checkpoint: str = None,
+    available_now: bool = True,
+):
+    """Structured-Streaming maintenance of the scored inverted index:
+    every micro-batch lands as a NEW GENERATION via
+    ``scored_index_append`` (fresh posting + stats files only — the
+    existing index is never read), so ``bm25_search`` over the index is
+    exact after each batch commits: document frequency and (N, avgdl)
+    aggregate across generations at query time, which is precisely what
+    makes the layout streaming-appendable without a rebuild.
+
+    foreachBatch is the canonical bridge to a non-streaming sink.
+    Delivery is at-least-once on batch RETRY (a replayed batch would
+    double-append its docs — same non-transactional story as
+    ``st_cluster_append``); pair with a transactional table format when
+    exactly-once matters. Returns the started StreamingQuery.
+    """
+    import tempfile
+
+    from ..operators.invindex import scored_index_append
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored_index_append(batch_df, path, id_col=id_col,
+                            text_col=text_col, segment_size=segment_size)
+
+    w = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation",
+        checkpoint or tempfile.mkdtemp(prefix="dss_sidx_ckpt_"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -448,6 +448,27 @@ def main() -> None:
                              ["x", "y"], num_partitions=8)
         return out.count()
 
+    def zorder_crud_w(df):
+        import tempfile
+
+        from duckdb_spatial_spark.operators import (st_cluster_delete,
+                                                    zorder_append,
+                                                    zorder_cluster,
+                                                    zorder_compact)
+
+        # same CRUD-cycle shape as cluster_crud but on the multi-column
+        # Morton layout; x/y distributions are replication-invariant so
+        # deleted slice + affected-file fraction stay constant
+        path = os.path.join(tempfile.mkdtemp(prefix="dss_probe_"), "zc")
+        pts = df.select("event_id", "x", "y")
+        zorder_cluster(pts.filter(F.col("event_id") % 2 == 0),
+                       ["x", "y"], num_partitions=8).write.parquet(path)
+        zorder_append(pts.filter(F.col("event_id") % 2 == 1),
+                      path, ["x", "y"])
+        st_cluster_delete(spark, path, "x >= 10.0 AND x < 11.0")
+        zorder_compact(spark, path, ["x", "y"], small_file_bytes=1 << 20)
+        return spark.read.parquet(path).count()
+
     def phrase_w(df):
         import tempfile
 
@@ -466,6 +487,7 @@ def main() -> None:
         ("invindex_bm25", docs, ["doc_id"], invindex_w),
         ("shard_permutation", docs, ["doc_id"], shard_w),
         ("zorder_layout", events, ["event_id"], zorder_w),
+        ("zorder_crud", events, ["event_id"], zorder_crud_w),
         ("phrase_search", docs, ["doc_id"], phrase_w),
         ("sessionize", events, ["event_id"], sessionize_w),
         ("edit_distance", docs, ["doc_id"], editdist_w),

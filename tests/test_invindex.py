@@ -207,3 +207,77 @@ def test_positional_index_phrase_query(spark, tmp_path):
     assert got1 == {1: 2, 2: 2, 3: 1, 4: 1, 5: 1}
     # absent phrase
     assert phrase_query(spark, path, ["sort", "hash"]).count() == 0
+
+
+def test_scored_index_three_generations_and_absent_terms(spark, tmp_path):
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index,
+                                                scored_index_append)
+
+    rows = [(i, f"alpha beta w{i % 5}") for i in range(30)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    full = str(tmp_path / "full")
+    build_scored_index(corpus, full, segment_size=4)
+    inc = str(tmp_path / "inc")
+    build_scored_index(corpus.filter(F.col("doc_id") % 3 == 0), inc,
+                       segment_size=4)
+    scored_index_append(corpus.filter(F.col("doc_id") % 3 == 1), inc,
+                        segment_size=4)
+    scored_index_append(corpus.filter(F.col("doc_id") % 3 == 2), inc,
+                        segment_size=4)
+    a = sorted(map(tuple,
+                   bm25_search(spark, full, ["alpha", "w2"], k=30).collect()))
+    b = sorted(map(tuple,
+                   bm25_search(spark, inc, ["alpha", "w2"], k=30).collect()))
+    assert a == b and len(a) == 30
+    # absent term contributes nothing; fully-absent query -> empty
+    assert bm25_search(spark, inc, ["zzz"], k=5).count() == 0
+    c = sorted(map(tuple,
+                   bm25_search(spark, inc, ["alpha", "zzz"], k=30).collect()))
+    d = sorted(map(tuple,
+                   bm25_search(spark, inc, ["alpha"], k=30).collect()))
+    assert c == d
+
+
+def test_phrase_query_absent_term_and_empty_phrase(spark, tmp_path):
+    from duckdb_spatial_spark.operators import (build_positional_index,
+                                                phrase_query)
+
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    path = str(tmp_path / "pidx2")
+    build_positional_index(corpus, path)
+    assert phrase_query(spark, path, ["a", "zzz"]).count() == 0
+    with pytest.raises(ValueError):
+        phrase_query(spark, path, [])
+
+
+def test_streaming_index_append_drain_equals_batch(spark, tmp_path):
+    """availableNow drain of a doc stream through foreachBatch appends
+    == one-shot batch build over the union corpus."""
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index)
+    from duckdb_spatial_spark.streaming import streaming_index_append
+
+    rows = [(i, f"alpha w{i % 5} beta") for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    corpus.filter(F.col("doc_id") % 2 == 1).repartition(3) \
+        .write.parquet(src)
+
+    full = str(tmp_path / "full")
+    build_scored_index(corpus, full, segment_size=8)
+    inc = str(tmp_path / "inc")
+    build_scored_index(corpus.filter(F.col("doc_id") % 2 == 0), inc,
+                       segment_size=8)
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_index_append(stream, inc, segment_size=8,
+                               checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    terms = ["alpha", "w3"]
+    a = sorted(map(tuple, bm25_search(spark, full, terms, k=40).collect()))
+    b = sorted(map(tuple, bm25_search(spark, inc, terms, k=40).collect()))
+    assert a == b and len(a) == 40
+    # multiple micro-batches actually happened (one per file)
+    import glob
+    assert len(glob.glob(inc + "/stats/*.parquet")) >= 3

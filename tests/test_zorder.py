@@ -79,3 +79,30 @@ def test_zorder_prunes_on_every_column(spark, tmp_path):
     want = (df.filter((F.col("a") < 20.0) & (F.col("b") < 21.0))
             .agg(F.count("*"), F.sum("k")).collect()[0])
     assert tuple(got) == tuple(want)
+
+
+def test_zorder_crud_cycle(spark, tmp_path):
+    """append -> delete -> compact maintains the exact multiset."""
+    from duckdb_spatial_spark.operators import (st_cluster_delete,
+                                                zorder_append,
+                                                zorder_cluster,
+                                                zorder_compact)
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("a"),
+        ((F.col("id") * 31) % 89).cast("double").alias("b"))
+    path = str(tmp_path / "zc")
+    zorder_cluster(df.filter(F.col("k") % 2 == 0), ["a", "b"],
+                   num_partitions=2).write.parquet(path)
+    zorder_append(df.filter(F.col("k") % 2 == 1), path, ["a", "b"])
+    nd = st_cluster_delete(spark, path, "a >= 10.0 AND a < 20.0")
+    merged = zorder_compact(spark, path, ["a", "b"],
+                            small_file_bytes=1 << 20)
+    assert merged >= 2
+    back = spark.read.parquet(path)
+    want = df.filter(~((F.col("a") >= 10.0) & (F.col("a") < 20.0)))
+    assert nd == df.count() - want.count()
+    assert back.count() == want.count()
+    assert (back.agg(F.sum("k")).collect()[0][0]
+            == want.agg(F.sum("k")).collect()[0][0])
