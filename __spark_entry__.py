@@ -4029,6 +4029,116 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q140_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture downsampling to TOKEN budgets (the recipe-weights
+    step of a training-data pipeline): keep fraction
+    min(1, budget_d / domain_tokens_d) per source, document-level
+    deterministic Bernoulli via the portable hash. src1's huge budget
+    passes the domain whole (keep_frac exactly 1.0 — the oracle pins
+    the least() clamp), src0's budget trims it, everything else rides
+    the default. Output: per-source kept doc/token counts + id
+    checksum."""
+    from duckdb_spatial_spark.operators import token_budget_mix
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    kept = token_budget_mix(
+        d, "source",
+        budgets={"src0": 700.0, "src1": 10_000_000.0},
+        id_col="doc_id", text_col="text", seed=5, default_budget=500.0)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"),
+             F.sum("tokens").cast("long").alias("tokens_kept"),
+             F.round(F.max("keep_frac"), 6).alias("keep_frac"),
+             F.sum("doc_id").cast("long").alias("sk"))
+        .orderBy("source")
+    )
+
+
+def _q140_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators import token_budget_sql
+
+    u = token_budget_sql("doc_id", seed=5)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                 END AS tokens
+          FROM documents
+        ), totals AS (
+          SELECT source, CAST(sum(tokens) AS BIGINT) AS tot
+          FROM t GROUP BY source
+        ), j AS (
+          SELECT t.doc_id, t.source, t.tokens,
+                 CASE WHEN tot > 0 THEN least(CAST(1.0 AS DOUBLE),
+                        CASE WHEN t.source = 'src0' THEN {700.0!r}
+                             WHEN t.source = 'src1' THEN {10_000_000.0!r}
+                             ELSE {500.0!r} END / tot)
+                      ELSE 0.0 END AS keep_frac
+          FROM t JOIN totals USING (source)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(tokens) AS BIGINT) AS tokens_kept,
+               round(max(keep_frac), 6) AS keep_frac,
+               CAST(sum(doc_id) AS BIGINT) AS sk
+        FROM j WHERE {u} < keep_frac
+        GROUP BY source ORDER BY source
+    """
+
+
+def q139_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-pipeline shape: BM25 top-50 lexical
+    candidates OFF THE SCORED INDEX (corpus never re-read) → inner-join
+    the embeddings table (docs without embeddings drop, deterministic)
+    → cosine re-rank against a pinned query vector (vec_id 0, the
+    q55/q104 pinning convention) → top-10 by (rounded cosine DESC,
+    doc_id). Lexical recall pays one pruned postings scan; the dense
+    re-rank touches only the 50 candidates — the two-stage cost shape
+    that makes hybrid search viable at corpus scale."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import (bm25_search,
+                                                build_scored_index)
+    from duckdb_spatial_spark.operators.similarity import cosine_similarity
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    e = load_table(spark, sf, "embeddings", fan_out=False)
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q139_"), "sidx")
+    build_scored_index(d, path, "doc_id", "text", segment_size=500)
+    cands = bm25_search(spark, path, ["hash", "vector", "data"], k=50) \
+        .withColumnRenamed("score", "bm25")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    rer = (
+        cands.join(e, cands["doc_id"] == e["vec_id"])
+        .select(cands["doc_id"], "bm25",
+                F.round(cosine_similarity(
+                    F.col("embedding").cast("array<double>"), qlit), 6)
+                 .alias("cos"))
+    )
+    return rer.orderBy(F.col("cos").desc(), F.col("doc_id")).limit(10)
+
+
+def _q139_oracle_sql() -> str:
+    # stage 1 reuses the BM25 corpus recompute (q131's generator CTEs)
+    inner = _q131_oracle_sql(terms=("hash", "vector", "data"))
+    # swap the final LIMIT 10 for the candidate LIMIT 50
+    inner = inner.replace("ORDER BY score DESC, doc_id LIMIT 10",
+                          "ORDER BY score DESC, doc_id LIMIT 50")
+    return f"""
+        WITH cands AS ({inner}),
+        qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id = 0)
+        SELECT c.doc_id, c.score AS bm25,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), qv.v), 6) AS cos
+        FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id, qv
+        ORDER BY cos DESC, c.doc_id LIMIT 10
+    """
+
+
 def q137_zorder_crud(spark: SparkSession, sf: str) -> DataFrame:
     """Full CRUD cycle on a MULTI-COLUMN z-order layout (the twin of
     q129's hilbert cycle, proving layout maintenance generalizes past
@@ -4326,7 +4436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_multimodal": q66_multimodal,
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q53_transform_utm": q53_transform_utm,
-        "q57_shortestline": q57_shortestline,
+        # q140 (NEW round 7: token-budget domain mixing) takes q57's
+        # slot (shortestline, green r6, unchanged; measures keep q07,
+        # processing keeps q64 in-window).
+        "q140_token_budget_mix": q140_token_budget_mix,
         # q138 (NEW round 7: streaming index maintenance) takes q75's
         # slot (streaming extent, green r6, unchanged; streaming keeps
         # q91 + q138 in-window).
@@ -4337,7 +4450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_inverted_index": q130_inverted_index,
         "q86_bpe_pipeline": q86_bpe_pipeline,
         "q88_knn_join": q88_knn_join,
-        "q89_sentence_stats": q89_sentence_stats,
+        # q139 (NEW round 7: hybrid BM25+cosine retrieval) takes q89's
+        # slot (sentence stats, green r6, unchanged; quality keeps
+        # q84+q106 in-window).
+        "q139_hybrid_search": q139_hybrid_search,
         # q131 (NEW round 7: BM25 search off the scored inverted index)
         # takes q90's slot (domain quota, green r6, unchanged; sampling
         # keeps q105 in-window).
@@ -4399,6 +4515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_minhash_index": q99_minhash_index,
         "q103_bm25_topk": q103_bm25_topk,
         "q75_streaming_extent": q75_streaming_extent,
+        "q89_sentence_stats": q89_sentence_stats,
+        "q57_shortestline": q57_shortestline,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -5995,6 +6113,8 @@ def oracle_sql() -> dict[str, str]:
         "q137_zorder_crud": _Q137_ORACLE,
         "q138_streaming_index": _q131_oracle_sql(
             terms=("merge", "scan", "row")),
+        "q139_hybrid_search": _q139_oracle_sql(),
+        "q140_token_budget_mix": _q140_oracle_sql(),
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -72,6 +72,8 @@ from .pipeline import (  # noqa: F401
     redact_pii,
     repetition_metrics,
     stratified_sample,
+    token_budget_mix,
+    token_budget_sql,
     word_ngrams,
 )
 from .multimodal import (  # noqa: F401

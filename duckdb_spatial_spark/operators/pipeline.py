@@ -236,6 +236,10 @@ def group_sample(
     Scale: one group-keyed size aggregate joined back (both sides
     shuffle on the group key — group cardinality is unbounded, so no
     forced broadcast) + one exchange of the candidate pool.
+
+    ``id_col`` must be UNIQUE within each group: the hash and the
+    (u, id) tie-break both derive from it, so duplicate ids rank
+    arbitrarily among themselves.
     """
     if isinstance(group_cols, str):
         group_cols = [group_cols]
@@ -254,6 +258,56 @@ def group_sample(
         .filter(F.col("rk") <= k)
         .drop("__u", "__n")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    domain_col: str,
+    budgets: Dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    default_budget: float = 0.0,
+) -> DataFrame:
+    """Downsample each domain to a TOKEN budget (the mixture-weights
+    step of a training-data recipe: "at most B_d tokens from domain d").
+    Document-level deterministic Bernoulli with keep fraction
+    ``min(1, budget_d / domain_tokens_d)`` — hits the budget in
+    expectation while keeping whole documents; exact-count trims are
+    :func:`group_sample`'s job. Adds ``tokens`` (whitespace count) and
+    ``keep_frac`` columns; rows from domains over budget are dropped
+    with probability 1 - f_d, under-budget domains pass whole.
+
+    Scale: one domain-keyed token-total aggregate joined back (no
+    forced broadcast — domain cardinality is unbounded) + the same
+    portable-hash predicate every sampler here uses; deterministic and
+    retry-stable given the corpus.
+    """
+    from .textops import token_count
+
+    t = df.withColumn("tokens", token_count(F.col(text_col)).cast("long"))
+    totals = t.groupBy(domain_col).agg(
+        F.sum("tokens").cast("long").alias("__tot"))
+    budget = F.lit(float(default_budget))
+    for dom, b in sorted(budgets.items()):
+        budget = F.when(F.col(domain_col) == dom,
+                        F.lit(float(b))).otherwise(budget)
+    f = F.when(F.col("__tot") > 0,
+               F.least(F.lit(1.0), budget / F.col("__tot"))) \
+        .otherwise(F.lit(0.0))
+    u = _uniform01_portable(F.col(id_col).cast("long"),
+                            1_000_003 * seed + 173)
+    return (
+        t.join(totals, domain_col)
+        .withColumn("keep_frac", f)
+        .filter(u < F.col("keep_frac"))
+        .drop("__tot")
+    )
+
+
+def token_budget_sql(id_expr: str, seed: int = 0) -> str:
+    """The DuckDB twin of :func:`token_budget_mix`'s keep-hash."""
+    return portable_uniform_sql(id_expr, 1_000_003 * seed + 173)
 
 
 def group_sample_sql(id_expr: str, k: int, seed: int = 0,

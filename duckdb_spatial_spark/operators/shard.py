@@ -43,6 +43,10 @@ def shard_assign(df: DataFrame, id_col: str = "doc_id",
     external sort; pick ``n_shards`` so corpus/n_shards fits a task's
     spillable sort (at 100 TB, thousands of shards — the exchange is
     uniform by construction, no skew).
+
+    ``id_col`` must be UNIQUE: both hashes derive from it, so duplicate
+    ids collide to the same (shard, u) and their relative ``pos`` is
+    tie-broken arbitrarily (determinism holds only per distinct id).
     """
     s1, s2 = _salts(seed)
     u1 = _uniform01_portable(F.col(id_col).cast("long"), s1)

@@ -60,3 +60,34 @@ def test_cluster_balanced_sample_balances_skew(spark):
     assert len(per[0]) == 6 and len(per[1]) == 6
     # members actually belong to the cluster they were sampled from
     assert all(v < 400 for v in per[0]) and all(v >= 400 for v in per[1])
+
+
+def test_token_budget_mix(spark):
+    from duckdb_spatial_spark.operators import token_budget_mix
+
+    rows = ([(i, "big", "one two three four") for i in range(500)]
+            + [(1000 + i, "small", "a b") for i in range(10)]
+            + [(2000, "empty", "")])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = token_budget_mix(df, "source",
+                            budgets={"big": 200.0},
+                            id_col="doc_id", text_col="text",
+                            seed=1, default_budget=1_000_000.0)
+    got = {r["source"]: r for r in
+           kept.groupBy("source").agg(
+               F.count("*").alias("n"),
+               F.sum("tokens").alias("tok"),
+               F.max("keep_frac").alias("f")).collect()}
+    # big: 2000 tokens total, budget 200 -> f = 0.1, ~50 docs in expectation
+    assert abs(got["big"]["f"] - 0.1) < 1e-12
+    assert 20 <= got["big"]["n"] <= 90
+    # small: under budget -> passes whole at f == 1.0
+    assert got["small"]["n"] == 10 and got["small"]["f"] == 1.0
+    # zero-token domain: f = 0, dropped entirely
+    assert "empty" not in got
+    # deterministic
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in token_budget_mix(
+        df, "source", budgets={"big": 200.0}, id_col="doc_id",
+        text_col="text", seed=1, default_budget=1_000_000.0).collect())
+    assert a == b
