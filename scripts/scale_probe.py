@@ -481,9 +481,29 @@ def main() -> None:
         return phrase_query(df.sparkSession, path,
                             ["hash", "join"]).count()
 
+    def group_sample_w(df):
+        from duckdb_spatial_spark.operators import group_sample
+
+        # 97 groups whose size grows with rows: the bounded-pool
+        # semantics must keep the per-group sort at ~oversample*k rows
+        # no matter how big the group gets
+        g = df.select("doc_id", (F.col("doc_id") % 97).alias("g"))
+        return group_sample(g, "g", k=20, id_col="doc_id").count()
+
+    def token_budget_w(df):
+        from duckdb_spatial_spark.operators import token_budget_mix
+
+        d = df.select("doc_id", (F.col("doc_id") % 13).cast("string")
+                      .alias("source"), "text")
+        kept = token_budget_mix(d, "source", budgets={"0": 5_000.0},
+                                default_budget=10_000.0)
+        return kept.groupBy("source").count().count()
+
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     workloads = [
+        ("group_sample", docs, ["doc_id"], group_sample_w),
+        ("token_budget_mix", docs, ["doc_id"], token_budget_w),
         ("invindex_bm25", docs, ["doc_id"], invindex_w),
         ("shard_permutation", docs, ["doc_id"], shard_w),
         ("zorder_layout", events, ["event_id"], zorder_w),
