@@ -4220,8 +4220,6 @@ def q135_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q135_oracle_sql() -> str:
-    from duckdb_spatial_spark.operators.pipeline import group_sample_sql
-
     # same salt stream as cluster_balanced_sample (1_000_003*seed + 71)
     from duckdb_spatial_spark.sources.generate import portable_uniform_sql
 
