@@ -4029,6 +4029,60 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q141_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-novelty scoring (the rarity signal next to the Gopher
+    repetition filters): per doc, the fraction of its distinct word
+    8-grams unique to it corpus-wide. Gram text never shuffles — md5
+    hashes carry the count join; the oracle groups by the SAME md5 so
+    even a hash collision couldn't desync the engines. Aggregated per
+    source: the duplicated docs planted in the corpus drag their
+    sources' novelty down, which is what the signal is for."""
+    from duckdb_spatial_spark.operators import ngram_novelty
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    nov = ngram_novelty(d, "doc_id", "text", n=8, rare_max_df=1)
+    return (
+        nov.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_grams").cast("long").alias("grams"),
+             F.sum("n_rare").cast("long").alias("rare"),
+             F.round(F.avg("novelty"), 6).alias("avg_novelty"))
+        .orderBy("source")
+    )
+
+
+_Q141_ORACLE = """
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(trim(lower(text)),
+                                         '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), cg AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(w, CAST(i AS BIGINT),
+                                            CAST(i AS BIGINT) + 7),
+                                 ' ')) AS h
+      FROM norm CROSS JOIN range(1, 4096) r(i)
+      WHERE i <= greatest(len(w) - 7, 1)
+    ), dfreq AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS df FROM cg GROUP BY h
+    ), per AS (
+      SELECT cg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare
+      FROM cg JOIN dfreq USING (h) GROUP BY cg.doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS grams,
+           CAST(sum(n_rare) AS BIGINT) AS rare,
+           round(avg(CAST(n_rare AS DOUBLE) / n_grams), 6) AS avg_novelty
+    FROM per JOIN norm USING (doc_id)
+    GROUP BY source ORDER BY source
+"""
+
+
 def q140_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-mixture downsampling to TOKEN budgets (the recipe-weights
     step of a training-data pipeline): keep fraction
@@ -4475,7 +4529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # takes q110's slot (unigram tokenizer, green r6, unchanged;
         # tokenizers keep q86+q120 in-window).
         "q134_phrase_search": q134_phrase_search,
-        "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
+        # q141 (NEW round 7: n-gram novelty scoring) takes q120's slot
+        # (WordPiece, green r6, unchanged; tokenizers keep q86
+        # in-window).
+        "q141_ngram_novelty": q141_ngram_novelty,
         # q122 rotated IN round 7 (VERDICT r6 ask #1): the one query that
         # never earned a driver CORRECTNESS row; q121 (green r6,
         # unchanged) moves below — temporal keeps q112+q113+q122+q126.
@@ -4517,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_streaming_extent": q75_streaming_extent,
         "q89_sentence_stats": q89_sentence_stats,
         "q57_shortestline": q57_shortestline,
+        "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -6115,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
             terms=("merge", "scan", "row")),
         "q139_hybrid_search": _q139_oracle_sql(),
         "q140_token_budget_mix": _q140_oracle_sql(),
+        "q141_ngram_novelty": _Q141_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -67,6 +67,7 @@ from .pipeline import (  # noqa: F401
     group_sample,
     group_sample_sql,
     hash_sample,
+    ngram_novelty,
     paragraph_dedup,
     pii_count,
     redact_pii,

@@ -305,6 +305,48 @@ def token_budget_mix(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    rare_max_df: int = 1,
+) -> DataFrame:
+    """Corpus-novelty scoring: per document, the fraction of its
+    DISTINCT word n-grams whose corpus-wide document frequency is
+    ≤ ``rare_max_df`` — high = original content, low = boilerplate /
+    template / near-copy mass (the rarity signal curation recipes pair
+    with the repetition filters). Output: (id, n_grams, n_rare,
+    novelty); documents shorter than ``n`` words score on their single
+    truncated gram (same clamp as :func:`word_ngrams`).
+
+    Plan: distinct-gram explode → md5 so only a fixed-width hash
+    shuffles (gram text never leaves the scan stage) → one map-side-
+    combined (hash) count (per-doc distinct rows make the count the
+    DOCUMENT frequency directly) → hash-keyed join back → per-doc agg.
+    """
+    words = df.select(F.col(id_col),
+                      normalized_words(F.col(text_col)).alias("__w"))
+    # explode first, hash row-side: a generator can't nest in md5(), and
+    # per-row md5 stays in whole-stage codegen (trap #11)
+    hashed = words.select(
+        F.col(id_col),
+        F.explode(ngrams_of_words(F.col("__w"), n)).alias("__g"),
+    ).select(F.col(id_col), F.md5("__g").alias("__h"))
+    dfreq = hashed.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__df"))
+    return (
+        hashed.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+             F.sum(F.when(F.col("__df") <= rare_max_df, 1).otherwise(0))
+              .cast("long").alias("n_rare"))
+        .withColumn("novelty",
+                    F.col("n_rare").cast("double")
+                    / F.col("n_grams").cast("double"))
+    )
+
+
 def token_budget_sql(id_expr: str, seed: int = 0) -> str:
     """The DuckDB twin of :func:`token_budget_mix`'s keep-hash."""
     return portable_uniform_sql(id_expr, 1_000_003 * seed + 173)

@@ -91,3 +91,24 @@ def test_token_budget_mix(spark):
         df, "source", budgets={"big": 200.0}, id_col="doc_id",
         text_col="text", seed=1, default_budget=1_000_000.0).collect())
     assert a == b
+
+
+def test_ngram_novelty(spark):
+    from duckdb_spatial_spark.operators import ngram_novelty
+
+    rows = [
+        (1, "a b c d e f g h unique tail one"),    # shares the 8-gram head
+        (2, "a b c d e f g h unique tail two"),    # with doc 1
+        (3, "totally different words in this doc span here"),
+        (4, "tiny"),                                # < n words: one gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           ngram_novelty(df, n=8, rare_max_df=1).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # docs 1/2 share every gram except the last (they differ only at
+    # the final word): 4 grams, exactly 1 unique each
+    assert got[1]["n_grams"] == 4 and got[1]["n_rare"] == 1
+    assert got[2]["n_rare"] == 1
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_grams"] == 1 and got[4]["novelty"] == 1.0
