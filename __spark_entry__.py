@@ -4412,18 +4412,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Round-7 window: q122 rotates IN (the one query that never
     # held a driver CORRECTNESS row — with it, cumulative driver coverage
-    # reaches 100%), the twelve NEW round-7 queries are all in-window
+    # reaches 100%), the THIRTEEN new round-7 queries are all in-window
     # (q129 CRUD delete, q130 inverted index, q131 BM25 search+append,
     # q132 shard permutation, q133 zorder layout, q134 phrase search,
     # q135 cluster-balanced sample, q136 group sample, q137 zorder CRUD,
     # q138 streaming index, q139 hybrid retrieval, q140 token-budget
-    # mix), and code changed this round stays in-window to re-earn fresh
-    # rows: q84/q87 (score_col fusion / small-vocab fused LM),
-    # q106/q108/q115 (fused plans), q126 (oracle tie-break), q127
-    # (cross-tier guard).
+    # mix, q141 ngram novelty), and code changed this round stays
+    # in-window to re-earn fresh rows: q84/q87 (score_col fusion /
+    # small-vocab fused LM), q106/q108/q115 (fused plans), q126 (oracle
+    # tie-break), q127 (cross-tier guard).
     # Displaced to make room — ALL driver-green r6 and byte-unchanged:
     # q121/q125/q113/q119 (r6 rotation), q90/q123/q97/q110/q105/q99/
-    # q103/q75/q89/q57 (round-7 rotation).
+    # q103/q75/q89/q57/q120 (round-7 rotation).
     # Every SURVEY §2 family keeps at least one in-window representative:
     #   spatial join q02 | layout q129 (append+delete+compact ⊇ q125/q61)
     #   + q133 zorder | text index q130+q131+q134 | overlay q64 |

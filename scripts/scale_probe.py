@@ -481,6 +481,14 @@ def main() -> None:
         return phrase_query(df.sparkSession, path,
                             ["hash", "join"]).count()
 
+    def novelty_w(df):
+        from duckdb_spatial_spark.operators import ngram_novelty
+
+        # same explode family as decontaminate: corpus gram mass grows
+        # linearly, the (hash) count agg is map-side combined
+        nov = ngram_novelty(df, "doc_id", "text", n=8)
+        return nov.agg(F.sum("n_rare")).collect()[0][0]
+
     def group_sample_w(df):
         from duckdb_spatial_spark.operators import group_sample
 
@@ -502,6 +510,7 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     workloads = [
+        ("ngram_novelty", docs, ["doc_id"], novelty_w),
         ("group_sample", docs, ["doc_id"], group_sample_w),
         ("token_budget_mix", docs, ["doc_id"], token_budget_w),
         ("invindex_bm25", docs, ["doc_id"], invindex_w),
