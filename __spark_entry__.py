@@ -4029,6 +4029,59 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q142_streaming_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous ingest into a multi-column z-order layout: half the
+    events seed the layout (batch), the other half arrive as a file
+    STREAM whose micro-batches append Morton-sorted generation files
+    via foreachBatch → zorder_append (shared key ranges so batches land
+    on the dataset's grid); after the availableNow drain a 2-column
+    range aggregate runs OFF THE LAYOUT and must equal a straight
+    recompute — a lost/duplicated batch or a key-grid corruption
+    hash-mismatches. The streaming form of q137's append path (the
+    hypertable continuous-ingest shape)."""
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.operators import zorder_cluster
+    from duckdb_spatial_spark.streaming import streaming_zorder_append
+
+    ev = load_table(spark, sf, "events", fan_out=False) \
+        .select("event_id", "user_id", "value")
+    path = os.path.join(tempfile.mkdtemp(prefix="dss_q142_"), "z")
+    ranges = {"value": (0.0, 600.0), "user_id": (0.0, 1500.0)}
+    zorder_cluster(ev.filter(F.col("event_id") % 2 == 0),
+                   ["value", "user_id"], ranges=ranges,
+                   num_partitions=4).write.parquet(path)
+    batch = load_table(spark, sf, "events", fan_out=False)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "user_id", "value")
+    )
+    q = streaming_zorder_append(stream, path, ["value", "user_id"],
+                                ranges=ranges)
+    q.awaitTermination()
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("value").between(50.0, 300.0)
+                    & F.col("user_id").between(5, 100))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("event_id").cast("long").alias("sk"),
+             F.round(F.sum("value"), 2).alias("sv"))
+    )
+
+
+_Q142_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sk,
+           round(sum(value), 2) AS sv
+    FROM events
+    WHERE value BETWEEN 50.0 AND 300.0 AND user_id BETWEEN 5 AND 100
+"""
+
+
 def q141_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-novelty scoring (the rarity signal next to the Gopher
     repetition filters): per doc, the fraction of its distinct word
@@ -4513,7 +4566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps q105 in-window).
         "q131_bm25_search": q131_bm25_search,
         "q91_streaming_interval_join": q91_streaming_interval_join,
-        "q94_pca_project": q94_pca_project,
+        # q142 (NEW round 7: streaming layout ingest) takes q94's slot
+        # (PCA project, rows-only, green r6, unchanged; vectors keep
+        # q88 + q135 in-window).
+        "q142_streaming_layout": q142_streaming_layout,
         "q95_profile_table": q95_profile_table,
         # q133 (NEW round 7: multi-column Z-order layout) takes q97's
         # slot (salted agg, green r6, unchanged; skew keeps q118
@@ -4575,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_sentence_stats": q89_sentence_stats,
         "q57_shortestline": q57_shortestline,
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
+        "q94_pca_project": q94_pca_project,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -6174,6 +6231,7 @@ def oracle_sql() -> dict[str, str]:
         "q139_hybrid_search": _q139_oracle_sql(),
         "q140_token_budget_mix": _q140_oracle_sql(),
         "q141_ngram_novelty": _Q141_ORACLE,
+        "q142_streaming_layout": _Q142_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -366,3 +366,63 @@ def streaming_index_append(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _foreach_batch_append(stream: DataFrame, append, checkpoint,
+                          available_now: bool):
+    import tempfile
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append(batch_df)
+
+    w = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation",
+        checkpoint or tempfile.mkdtemp(prefix="dss_layout_ckpt_"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def streaming_cluster_append(
+    stream: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    extent=None,
+    checkpoint: str = None,
+    available_now: bool = True,
+):
+    """Continuous ingest into a Hilbert-clustered layout: every
+    micro-batch lands as fresh hilbert-sorted files via
+    ``st_cluster_append`` (existing files never read; queries correct
+    after each commit; pruning degrades gradually until an offline
+    ``st_cluster_compact``). Pass ``extent`` so batch keys share the
+    dataset's grid — per-batch extents only affect locality, never
+    correctness. At-least-once on batch retry, like every
+    non-transactional append here. Returns the StreamingQuery."""
+    from ..operators.cluster import st_cluster_append
+
+    return _foreach_batch_append(
+        stream, lambda b: st_cluster_append(b, path, x, y, extent=extent),
+        checkpoint, available_now)
+
+
+def streaming_zorder_append(
+    stream: DataFrame,
+    path: str,
+    cols,
+    ranges=None,
+    checkpoint: str = None,
+    available_now: bool = True,
+):
+    """The multi-column twin of :func:`streaming_cluster_append`:
+    micro-batches land as Morton-sorted generation files via
+    ``zorder_append``. Pass ``ranges`` to share the dataset's key grid
+    across batches (locality only — correctness never depends on it)."""
+    from ..operators.zorder import zorder_append
+
+    return _foreach_batch_append(
+        stream, lambda b: zorder_append(b, path, cols, ranges=ranges),
+        checkpoint, available_now)

@@ -106,3 +106,29 @@ def test_zorder_crud_cycle(spark, tmp_path):
     assert back.count() == want.count()
     assert (back.agg(F.sum("k")).collect()[0][0]
             == want.agg(F.sum("k")).collect()[0][0])
+
+
+def test_streaming_zorder_append_drain_equals_batch(spark, tmp_path):
+    """availableNow drain through foreachBatch zorder appends == the
+    batch union, and the layout stays a readable z-ordered dataset."""
+    from duckdb_spatial_spark.operators import zorder_cluster
+    from duckdb_spatial_spark.streaming import streaming_zorder_append
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("a"),
+        ((F.col("id") * 31) % 89).cast("double").alias("b"))
+    src = str(tmp_path / "src")
+    df.filter(F.col("k") % 2 == 1).repartition(3).write.parquet(src)
+    path = str(tmp_path / "z")
+    r = {"a": (0.0, 97.0), "b": (0.0, 89.0)}
+    zorder_cluster(df.filter(F.col("k") % 2 == 0), ["a", "b"],
+                   ranges=r, num_partitions=2).write.parquet(path)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_zorder_append(stream, path, ["a", "b"], ranges=r,
+                                checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(2000))
