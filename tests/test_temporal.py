@@ -241,3 +241,41 @@ def test_resample_ffill_empty_input(spark):
 
     df = spark.createDataFrame([], "k int, t long, v double")
     assert resample_ffill(df, ["k"], "t", ["v"], step_us=10).count() == 0
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_depths_and_window(spark):
+    from datetime import datetime
+
+    from duckdb_spatial_spark.operators.temporal import funnel
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1 completes all three in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # user 2: click BEFORE view -> only depth 1 (view at t=5)
+        (2, T(4), "click"), (2, T(5), "view"),
+        # user 3: view+click, purchase outside the 10 s window
+        (3, T(1), "view"), (3, T(2), "click"), (3, T(30), "purchase"),
+        # user 4: never views
+        (4, T(1), "click"), (4, T(2), "purchase"),
+        # user 5: equal timestamps are NOT strictly after -> depth 1
+        (5, T(7), "view"), (5, T(7), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r for r in
+           funnel(df, ["view", "click", "purchase"],
+                  within_us=10_000_000).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["steps_completed"] == 3
+    assert got[2]["steps_completed"] == 1
+    assert got[3]["steps_completed"] == 2
+    assert got[5]["steps_completed"] == 1
+    # span = last matched step time - first step time
+    assert got[1]["t_last_us"] - got[1]["t_first_us"] == 2_000_000
+    # unlimited window lets user 3 complete
+    got_nl = {r["user_id"]: r["steps_completed"] for r in
+              funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got_nl[3] == 3
