@@ -4029,6 +4029,47 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q144_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column handling (every event pipeline carries a
+    JSON props blob): from_json with an explicit schema — Catalyst
+    keeps the parse in codegen and prunes it to the referenced field
+    (JSON is parsed once per row, no UDF) — then typed aggregation per
+    event_type. Oracle uses DuckDB's native json_extract on the same
+    strings."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf, "events", fan_out=False)
+    k = F.from_json(F.col("props"),
+                    T.StructType([T.StructField("k", T.LongType())]))["k"]
+    return (
+        ev.select("event_type", "user_id", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("k").cast("long").alias("sum_k"),
+             F.min("k").cast("long").alias("min_k"),
+             F.max("k").cast("long").alias("max_k"),
+             F.round(F.avg("k"), 6).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+_Q144_ORACLE = """
+    WITH t AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           round(avg(k), 6) AS avg_k
+    FROM t WHERE k IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q143_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel view→click→purchase with a 3-day completion
     window (greedy earliest-match semantics, replayed identically by
@@ -4589,7 +4630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q119 (r6-green, unchanged) moves below — sketches keep
         # q115+q123.
         "q87_lm_perplexity": q87_lm_perplexity,
-        "q54_langid_ngram": q54_langid_ngram,
+        # q144 (NEW round 7: JSON props extraction — semi-structured
+        # family) takes q54's slot (langid, green r6, unchanged; text
+        # analysis keeps q141 in-window).
+        "q144_json_extract": q144_json_extract,
         "q117_dbscan": q117_dbscan,
         # q143 (NEW round 7: ordered funnel) takes q118's slot (salted
         # join, green r6, unchanged; the skew family keeps q97/q118
@@ -4696,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         "q94_pca_project": q94_pca_project,
         "q118_salted_join": q118_salted_join,
+        "q54_langid_ngram": q54_langid_ngram,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -6297,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "q141_ngram_novelty": _Q141_ORACLE,
         "q142_streaming_layout": _Q142_ORACLE,
         "q143_funnel": _Q143_ORACLE,
+        "q144_json_extract": _Q144_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,
