@@ -4029,6 +4029,46 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q145_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention (the signup-week → active-week matrix every
+    growth dashboard runs): cohort = each user's first event week,
+    retention = distinct users active k weeks later. Two user-keyed
+    aggregates + one distinct — all codegen date arithmetic
+    (date_trunc/datediff), no UDFs; the oracle replays the identical
+    truncation in DuckDB."""
+    ev = load_table(spark, sf, "events", fan_out=False)
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    act = ev.select(F.col("user_id"), wk.alias("w")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("w").alias("c"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("c", F.floor(F.datediff(F.col("w"), F.col("c")) / 7)
+                 .cast("long").alias("k"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"),
+             F.sum("user_id").cast("long").alias("su"))
+        .orderBy("c", "k")
+        .select(F.col("c").cast("string").alias("cohort_week"),
+                "k", "n_users", "su")
+    )
+
+
+_Q145_ORACLE = """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(w) AS c FROM act GROUP BY user_id
+    )
+    SELECT CAST(c AS VARCHAR) AS cohort_week,
+           CAST(floor((w - c) / 7) AS BIGINT) AS k,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users,
+           CAST(sum(act.user_id) AS BIGINT) AS su
+    FROM act JOIN cohort USING (user_id)
+    GROUP BY c, k ORDER BY cohort_week, k
+"""
+
+
 def q144_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured column handling (every event pipeline carries a
     JSON props blob): from_json with an explicit schema — Catalyst
@@ -4648,7 +4688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_cluster_delete": q129_cluster_delete,
         "q64_mixed_overlay": q64_mixed_overlay,
         "q66_multimodal": q66_multimodal,
-        "q68_gdb_roundtrip": q68_gdb_roundtrip,
+        # q145 (NEW round 7: cohort retention) takes q68's slot (GDB
+        # roundtrip, green r6, unchanged; sinks/containers keep q109
+        # geoparquet in-window, q65/q68/q80 below).
+        "q145_cohort_retention": q145_cohort_retention,
         "q53_transform_utm": q53_transform_utm,
         # q140 (NEW round 7: token-budget domain mixing) takes q57's
         # slot (shortestline, green r6, unchanged; measures keep q07,
@@ -4741,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_pca_project": q94_pca_project,
         "q118_salted_join": q118_salted_join,
         "q54_langid_ngram": q54_langid_ngram,
+        "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -6343,6 +6387,7 @@ def oracle_sql() -> dict[str, str]:
         "q142_streaming_layout": _Q142_ORACLE,
         "q143_funnel": _Q143_ORACLE,
         "q144_json_extract": _Q144_ORACLE,
+        "q145_cohort_retention": _Q145_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,
