@@ -4029,6 +4029,49 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q146_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 PMI collocations over the corpus (the corpus-linguistics
+    association signal): one pair explode + one word explode, two
+    map-side-combined counts, the unigram table joined twice, exact
+    integer counts through a single ln. Orders by the ROUNDED score so
+    the k-boundary can't split on an ulp."""
+    from duckdb_spatial_spark.operators.textops import collocations
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    return collocations(d, "text", min_count=5, k=20)
+
+
+_Q146_ORACLE = """
+    WITH w AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), p AS (
+      SELECT w[CAST(i AS BIGINT)] AS a, w[CAST(i AS BIGINT) + 1] AS b
+      FROM w CROSS JOIN range(1, 4096) r(i)
+      WHERE i <= len(w) - 1
+    ), c2 AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM p GROUP BY 1, 2
+    ), u AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1
+    ), n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM u),
+    n2 AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n2 FROM c2),
+    scored AS (
+      SELECT a || ' ' || b AS pair, c_ab,
+             round(ln((CAST(c_ab AS DOUBLE) / n2)
+                      / ((CAST(ua.c AS DOUBLE) / n1)
+                         * (CAST(ub.c AS DOUBLE) / n1))), 6) AS pmi
+      FROM c2 JOIN u ua ON ua.t = c2.a JOIN u ub ON ub.t = c2.b,
+           n1, n2
+      WHERE c_ab >= 5
+    )
+    SELECT pair, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, pair LIMIT 20
+"""
+
+
 def q145_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (the signup-week → active-week matrix every
     growth dashboard runs): cohort = each user's first event week,
@@ -4663,7 +4706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same BM25 arithmetic off the scored index, so ranking keeps an
         # in-window rep).
         "q137_zorder_crud": q137_zorder_crud,
-        "q50_validity": q50_validity,
+        # q146 (NEW round 7: PMI collocations) takes q50's slot
+        # (validity trio, green r6, unchanged; predicates/validity keep
+        # q31 in-window).
+        "q146_collocations": q146_collocations,
         "q106_nb_quality_classifier": q106_nb_quality_classifier,
         "q76_pack_sequences": q76_pack_sequences,
         # q87 rotated IN round 7 (small-vocab fused plan + carry_cols);
@@ -4785,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_salted_join": q118_salted_join,
         "q54_langid_ngram": q54_langid_ngram,
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
+        "q50_validity": q50_validity,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -6388,6 +6435,7 @@ def oracle_sql() -> dict[str, str]:
         "q143_funnel": _Q143_ORACLE,
         "q144_json_extract": _Q144_ORACLE,
         "q145_cohort_retention": _Q145_ORACLE,
+        "q146_collocations": _Q146_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -476,3 +476,68 @@ def corpus_divergence(
         F.lit(tb).cast("long").alias("n_b"),
         "kl_ab", "kl_ba", "js",
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    classic corpus-linguistics signal ("hash join" scores high because
+    the pair is far more frequent than its parts predict; a stopword
+    bigram scores ~0). Formula, stated so the SQL twin can't drift:
+
+        pmi = ln( (c_ab / N2) / ((c_a / N1) * (c_b / N1)) )
+
+    with token-instance counts: c_ab adjacent-pair occurrences, N2
+    total pairs, c_* unigram occurrences, N1 total tokens.
+
+    Output: (pair, c_ab, pmi) — pairs with c_ab ≥ ``min_count``,
+    ordered by (rounded pmi DESC, pair), limited to ``k``.
+
+    Scale: one pair explode + one word explode of the corpus, two
+    map-side-combined count aggregates, the unigram table joined twice
+    on the word (no broadcast hint — vocabulary is unbounded at web
+    scale), scalar totals broadcast. Pure codegen; nothing leaves the
+    JVM.
+    """
+    from pyspark.sql import functions as F
+
+    from .pipeline import normalized_words
+
+    words = df.select(
+        F.filter(normalized_words(F.col(text_col)),
+                 lambda w: w != "").alias("__w"))
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(0))),
+        lambda i: F.struct(F.element_at("__w", i).alias("a"),
+                           F.element_at("__w", i + 1).alias("b")),
+    )
+    pairs = (words.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    c2 = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab"))
+    uni = (words.select(F.explode("__w").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
+    n2 = c2.agg(F.sum("c_ab").cast("long").alias("n2"))
+    scored = (
+        c2.filter(F.col("c_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "a")
+                 .withColumnRenamed("c", "c_a"), "a")
+        .join(uni.withColumnRenamed("w", "b")
+                 .withColumnRenamed("c", "c_b"), "b")
+        .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("pair"),
+            F.col("c_ab"),
+            F.round(F.log(
+                (F.col("c_ab").cast("double") / F.col("n2"))
+                / ((F.col("c_a").cast("double") / F.col("n1"))
+                   * (F.col("c_b").cast("double") / F.col("n1")))), 6)
+             .alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("pair")).limit(k)

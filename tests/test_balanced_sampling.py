@@ -112,3 +112,23 @@ def test_ngram_novelty(spark):
     assert got[2]["n_rare"] == 1
     assert got[3]["novelty"] == 1.0
     assert got[4]["n_grams"] == 1 and got[4]["novelty"] == 1.0
+
+
+def test_collocations_pmi(spark):
+    import math
+
+    from duckdb_spatial_spark.operators.textops import collocations
+
+    # "alpha beta" always adjacent; "noise" words are independent
+    rows = [(i, "alpha beta x" + str(i % 7) + " y" + str(i % 3))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["pair"]: r for r in
+           collocations(df, "text", min_count=5, k=50).collect()}
+    assert "alpha beta" in got
+    r = got["alpha beta"]
+    # c_ab=60, N2=180, c_a=c_b=60, N1=240
+    want = math.log((60 / 180) / ((60 / 240) * (60 / 240)))
+    assert abs(r["pmi"] - round(want, 6)) < 1e-9 and r["c_ab"] == 60
+    # the strongly-associated pair beats every frequency-driven one
+    assert r["pmi"] == max(v["pmi"] for v in got.values())
