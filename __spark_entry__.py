@@ -4029,6 +4029,30 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q147_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement ∝ document length
+    (Efraimidis–Spirakis Gumbel keys off the portable hash — the
+    deterministic weighted pick a mixture recipe needs): top-25 by
+    (rounded key DESC, id); pure projection + TakeOrdered, zero
+    shuffles. The oracle replays the identical key expression."""
+    from duckdb_spatial_spark.operators import weighted_sample
+
+    d = load_table(spark, sf, "documents", fan_out=False)
+    return weighted_sample(d.select("doc_id", "n_chars"),
+                           "n_chars", k=25, id_col="doc_id", seed=9)
+
+
+def _q147_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators import weighted_sample_sql
+
+    key = weighted_sample_sql("doc_id", "n_chars", seed=9)
+    return f"""
+        SELECT doc_id, n_chars AS weight, {key} AS key
+        FROM documents WHERE n_chars > 0
+        ORDER BY key DESC, doc_id LIMIT 25
+    """
+
+
 def q146_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 PMI collocations over the corpus (the corpus-linguistics
     association signal): one pair explode + one word explode, two
@@ -4699,7 +4723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q113 (r6-green, unchanged) moves below — temporal keeps
         # q112+q122+q126.
         "q84_quality_buckets": q84_quality_buckets,
-        "q41_casts": q41_casts,
+        # q147 (NEW round 7: weighted sampling) takes q41's slot
+        # (casts, green r6, unchanged; the cast family's golden corpus
+        # coverage rides tests/test_reference_golden.py).
+        "q147_weighted_sample": q147_weighted_sample,
         "q108_lm_kneser_ney": q108_lm_kneser_ney,
         # q137 (NEW round 7: z-order CRUD cycle) takes q103's slot
         # (BM25 term saliency, green r6, unchanged — q131 exercises the
@@ -4832,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_langid_ngram": q54_langid_ngram,
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q50_validity": q50_validity,
+        "q41_casts": q41_casts,
         "q85_vocab_build": q85_vocab_build,
         "q05_centroid_collect": q05_centroid_collect,
         "q101_substring_dedup": q101_substring_dedup,
@@ -6436,6 +6464,7 @@ def oracle_sql() -> dict[str, str]:
         "q144_json_extract": _Q144_ORACLE,
         "q145_cohort_retention": _Q145_ORACLE,
         "q146_collocations": _Q146_ORACLE,
+        "q147_weighted_sample": _q147_oracle_sql(),
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -75,6 +75,8 @@ from .pipeline import (  # noqa: F401
     stratified_sample,
     token_budget_mix,
     token_budget_sql,
+    weighted_sample,
+    weighted_sample_sql,
     word_ngrams,
 )
 from .multimodal import (  # noqa: F401

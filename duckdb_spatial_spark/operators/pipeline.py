@@ -347,6 +347,51 @@ def ngram_novelty(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Sampling WITHOUT replacement with probability ∝ weight
+    (Efraimidis–Spirakis 2006: key = ln(u)/w, keep the k largest —
+    equivalent to u^(1/w) order): the weighted pick a mixture recipe
+    needs when domains aren't equal ("sample documents ∝ length").
+    Deterministic via the portable hash of the id, so retry-stable and
+    ANSI-replayable; rows with weight ≤ 0 are excluded (they carry no
+    sampling mass).
+
+    Output: (id, weight, key) — ``key`` rounded to 6 and the top-k
+    taken by (rounded key DESC, id), so the k-boundary can't split on
+    an ulp across engines.
+
+    Scale: a pure projection + TakeOrdered (per-partition heaps, never
+    a full sort); no shuffle at all.
+    """
+    u = _uniform01_portable(F.col(id_col).cast("long"),
+                            1_000_003 * seed + 211)
+    # clamp away u=0 (ln(0) = -inf) — part of the semantics, replayed
+    # identically by the SQL twin
+    key = F.log(F.greatest(u, F.lit(1e-12))) \
+        / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col).alias("weight"),
+                F.round(key, 6).alias("key"))
+        .orderBy(F.col("key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(id_expr: str, weight_expr: str,
+                        seed: int = 0) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s Gumbel key."""
+    u = portable_uniform_sql(id_expr, 1_000_003 * seed + 211)
+    return (f"round(ln(greatest({u}, 1e-12)) "
+            f"/ CAST({weight_expr} AS DOUBLE), 6)")
+
+
 def token_budget_sql(id_expr: str, seed: int = 0) -> str:
     """The DuckDB twin of :func:`token_budget_mix`'s keep-hash."""
     return portable_uniform_sql(id_expr, 1_000_003 * seed + 173)

@@ -132,3 +132,22 @@ def test_collocations_pmi(spark):
     assert abs(r["pmi"] - round(want, 6)) < 1e-9 and r["c_ab"] == 60
     # the strongly-associated pair beats every frequency-driven one
     assert r["pmi"] == max(v["pmi"] for v in got.values())
+
+
+def test_weighted_sample(spark):
+    from duckdb_spatial_spark.operators import weighted_sample
+
+    # one giant-weight row must essentially always be picked into top-k;
+    # zero/negative weights are excluded; deterministic across runs
+    rows = [(i, 1.0) for i in range(200)] + [(900, 1e9), (901, 0.0),
+                                             (902, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = weighted_sample(df, "w", k=10, id_col="doc_id", seed=4).collect()
+    ids = [r["doc_id"] for r in a]
+    assert 900 in ids and 901 not in ids and 902 not in ids
+    assert len(a) == 10
+    b = weighted_sample(df, "w", k=10, id_col="doc_id", seed=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = [r["doc_id"] for r in
+         weighted_sample(df, "w", k=10, id_col="doc_id", seed=5).collect()]
+    assert ids != c
