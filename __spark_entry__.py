@@ -4029,6 +4029,123 @@ def q138_streaming_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q148_group_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group standardization (the feature-engineering normalize
+    step): z = (value − mean_g) / stddev_samp_g per event_type — one
+    bounded stats aggregate joined back (codegen end to end), with
+    min/max/avg of z per group as the checksum."""
+    ev = load_table(spark, sf, "events", fan_out=False)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__m"),
+        F.stddev_samp("value").alias("__s"))
+    z = (F.col("value") - F.col("__m")) / F.col("__s")
+    return (
+        ev.join(stats, "event_type")
+        .select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.min("z"), 6).alias("z_min"),
+             F.round(F.max("z"), 6).alias("z_max"),
+             F.round(F.avg("z"), 6).alias("z_avg"))
+        .orderBy("event_type")
+    )
+
+
+_Q148_ORACLE = """
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_type, (e.value - s.m) / s.sd AS z
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(min(z), 6) AS z_min, round(max(z), 6) AS z_max,
+           round(avg(z), 6) AS z_avg
+    FROM z GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q149_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Argmax-row selection (top-2 longest docs per language): one
+    window partitioned by the group, deterministic (n_chars DESC,
+    doc_id) tie-break — the per-group-champion primitive every
+    pipeline reaches for."""
+    d = load_table(spark, sf, "documents", fan_out=False)
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(),
+                                           F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars",
+                 F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 2)
+        .orderBy("lang", "rk")
+    )
+
+
+_Q149_ORACLE = """
+    SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 2 ORDER BY lang, rk
+"""
+
+
+def q150_time_bucket_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily OHLC rollup per event_type (the open/high/low/close shape
+    every metrics pipeline computes): open/close picked by a
+    deterministic (ts, event_id)-ordered window — no arg_min tie
+    ambiguity across engines — high/low/count as plain aggregates."""
+    ev = load_table(spark, sf, "events", fan_out=False)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    base = ev.select("event_type", day.alias("d"), "event_id", "ts",
+                     "value")
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("event_type", "d") \
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    tagged = base.select(
+        "event_type", "d", "value",
+        F.row_number().over(w).alias("__a"),
+        F.row_number().over(wdesc).alias("__z"))
+    return (
+        tagged.groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.max(F.when(F.col("__a") == 1, F.col("value")))
+              .alias("open"),
+             F.max(F.when(F.col("__z") == 1, F.col("value")))
+              .alias("close"),
+             F.round(F.max("value"), 2).alias("hi"),
+             F.round(F.min("value"), 2).alias("lo"))
+        .orderBy("event_type", "d")
+        .select("event_type", F.col("d").cast("string").alias("day"),
+                "n", "open", "close", "hi", "lo")
+    )
+
+
+_Q150_ORACLE = """
+    WITH base AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             event_id, ts, value
+      FROM events
+    ), tagged AS (
+      SELECT event_type, d, value,
+             row_number() OVER (PARTITION BY event_type, d
+                                ORDER BY ts, event_id) AS a,
+             row_number() OVER (PARTITION BY event_type, d
+                                ORDER BY ts DESC, event_id DESC) AS z
+      FROM base
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN a = 1 THEN value END) AS open,
+           max(CASE WHEN z = 1 THEN value END) AS close,
+           round(max(value), 2) AS hi, round(min(value), 2) AS lo
+    FROM tagged GROUP BY event_type, d ORDER BY event_type, day
+"""
+
+
 def q147_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling without replacement ∝ document length
     (Efraimidis–Spirakis Gumbel keys off the portable hash — the
@@ -4942,6 +5059,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_flip_reverse": q43_flip_reverse,
         "q45_removerepeated": q45_removerepeated,
         "q19_minhash": q19_minhash,
+            # ---- round-7 below-cut additions (appended at the end; judge-
+        # verified, no window rotation needed).
+        "q148_group_zscore": q148_group_zscore,
+        "q149_topk_per_group": q149_topk_per_group,
+        "q150_time_bucket_ohlc": q150_time_bucket_ohlc,
     }
 
 
@@ -6465,6 +6587,9 @@ def oracle_sql() -> dict[str, str]:
         "q145_cohort_retention": _Q145_ORACLE,
         "q146_collocations": _Q146_ORACLE,
         "q147_weighted_sample": _q147_oracle_sql(),
+        "q148_group_zscore": _Q148_ORACLE,
+        "q149_topk_per_group": _Q149_ORACLE,
+        "q150_time_bucket_ohlc": _Q150_ORACLE,
         # full-recompute oracle for the append/compact-maintained dataset
         "q125_cluster_append": """
             SELECT CAST(count(*) AS BIGINT) AS n,
