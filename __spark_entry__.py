@@ -4189,7 +4189,7 @@ _Q146_ORACLE = """
       FROM documents
     ), p AS (
       SELECT w[CAST(i AS BIGINT)] AS a, w[CAST(i AS BIGINT) + 1] AS b
-      FROM w CROSS JOIN range(1, 4096) r(i)
+      FROM (SELECT w, generate_subscripts(w, 1) AS i FROM w)
       WHERE i <= len(w) - 1
     ), c2 AS (
       SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
@@ -4441,7 +4441,7 @@ _Q141_ORACLE = """
              md5(array_to_string(list_slice(w, CAST(i AS BIGINT),
                                             CAST(i AS BIGINT) + 7),
                                  ' ')) AS h
-      FROM norm CROSS JOIN range(1, 4096) r(i)
+      FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM norm)
       WHERE i <= greatest(len(w) - 7, 1)
     ), dfreq AS (
       SELECT h, CAST(count(*) AS BIGINT) AS df FROM cg GROUP BY h
@@ -5196,7 +5196,8 @@ def _q74_oracle_sql() -> str:
             g{n} AS (
               SELECT doc_id, L,
                      array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + {n - 1}), ' ') AS g
-              FROM norm CROSS JOIN range(1, 4096) r(i)
+              FROM (SELECT doc_id, L, w, generate_subscripts(w, 1) AS i
+                    FROM norm)
               WHERE i <= len(w) - {n - 1}
             )""")
     for n in top_ns:

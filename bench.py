@@ -24,11 +24,22 @@ VERBOSE = os.environ.get("SPARK_GRAFT_VERBOSE") == "1"
 
 def short_key(name: str) -> str:
     """Compact per-query key for the one-line JSON the driver keeps (its
-    tail buffer is 2000 chars): 'q129_cluster_delete' → '129'. The bare
-    number is unique by construction (q01..qNNN); bench_full.json keeps
-    the full names."""
+    tail buffer is 2000 chars): 'q129_cluster_delete' → '129',
+    'q02_zone_pip_join' → '2' (leading zeros dropped — the bare int is
+    unique by construction, q01..qNNN); bench_full.json keeps the full
+    names."""
     head = name.split("_", 1)[0]
-    return head[1:] if head.startswith("q") and head[1:].isdigit() else head
+    if head.startswith("q") and head[1:].isdigit():
+        return str(int(head[1:]))
+    return head
+
+
+def short_val(v: float) -> float:
+    """Per-query value for the one-line JSON: 1 decimal, clamped to 999.9
+    so a pathological timing can't blow the line budget. Full 3-decimal
+    timings live in bench_full.json; the driver-facing line only needs
+    per-query magnitude (the 'value' total keeps 3 decimals)."""
+    return min(round(v, 1), 999.9)
 
 
 def main() -> None:
@@ -205,7 +216,7 @@ def main() -> None:
         _emitted["line"] = json.dumps(
             {"metric": "headline_queries_total", "value": -1.0,
              "unit": "sec",
-             "queries": {short_key(k): round(v, 2)
+             "queries": {short_key(k): short_val(v)
                          for k, v in timings.items()},
              "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1]},
             separators=(",", ":"))
@@ -230,7 +241,7 @@ def main() -> None:
     short: dict[str, float] = {}
     for name, v in timings.items():
         key = short_key(name)
-        short[key if key not in short else name] = round(v, 2)
+        short[key if key not in short else name] = short_val(v)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as f:
         json.dump({"metric": "headline_queries_total", "value": total,

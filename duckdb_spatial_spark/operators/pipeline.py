@@ -278,6 +278,13 @@ def token_budget_mix(
     ``keep_frac`` columns; rows from domains over budget are dropped
     with probability 1 - f_d, under-budget domains pass whole.
 
+    Domains ABSENT from ``budgets`` get ``default_budget``, which
+    defaults to 0.0 — i.e. unlisted domains are DROPPED entirely (a
+    training mix is an allowlist; silently passing an unbudgeted crawl
+    domain would distort the recipe). Pass
+    ``default_budget=float("inf")`` to make unlisted domains pass
+    through instead.
+
     Scale: one domain-keyed token-total aggregate joined back (no
     forced broadcast — domain cardinality is unbounded) + the same
     portable-hash predicate every sampler here uses; deterministic and

@@ -182,11 +182,20 @@ def train_ivf_centroids(
     """Coarse quantizer for IVF: Lloyd k-means on a driver-side sample
     (standard IVF recipe — the index TRAIN step is small even when the
     corpus is 100 TB; only ASSIGN is distributed). Returns (n_centroids,
-    dim) float64, L2-normalized so nearest-centroid-by-dot ≡ by-cosine."""
-    rows = (
-        df.select(vec_col).limit(sample).collect()
-        if sample else df.select(vec_col).collect()
-    )
+    dim) float64, L2-normalized so nearest-centroid-by-dot ≡ by-cosine.
+
+    ``sample`` is MANDATORY and hard-capped at 1_000_000: the train
+    step's contract is a bounded driver-side collect regardless of
+    corpus size (at 100 TB an unbounded collect is an OOM, and k-means
+    quality saturates far below 1M points for any practical
+    n_centroids). ``sample=None``/``0`` raises."""
+    _TRAIN_SAMPLE_CAP = 1_000_000
+    if not sample or sample < 0:
+        raise ValueError(
+            "train_ivf_centroids: sample must be a positive row count "
+            f"(got {sample!r}); the train step never collects the full "
+            "corpus — pass e.g. sample=20_000")
+    rows = df.select(vec_col).limit(min(sample, _TRAIN_SAMPLE_CAP)).collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -511,11 +511,17 @@ def collocations(
         F.filter(normalized_words(F.col(text_col)),
                  lambda w: w != "").alias("__w"))
     pair_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(0))),
+        # sequence(start, stop) steps DOWN when start > stop, so an
+        # unguarded size-1 doc would yield [1, 0] and element_at(…, 0)
+        # throws. The size >= 2 row-filter below keeps stop >= 1, and
+        # greatest(…, 1) makes the expression safe even if reused
+        # unfiltered.
+        F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(1))),
         lambda i: F.struct(F.element_at("__w", i).alias("a"),
                            F.element_at("__w", i + 1).alias("b")),
     )
-    pairs = (words.select(F.explode(pair_arr).alias("p"))
+    pairs = (words.filter(F.size("__w") >= 2)
+             .select(F.explode(pair_arr).alias("p"))
              .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
     c2 = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab"))

@@ -81,6 +81,12 @@ def zorder_cluster(
             aggs += [F.min(F.col(c).cast("double")),
                      F.max(F.col(c).cast("double"))]
         row = df.agg(*aggs).collect()[0]
+        for i, c in enumerate(cols):
+            if row[2 * i] is None or row[2 * i + 1] is None:
+                raise ValueError(
+                    f"zorder_cluster: cannot infer a range for column "
+                    f"{c!r} — the DataFrame is empty or the column is "
+                    f"all NULL; pass ranges= explicitly")
         ranges = {c: (row[2 * i], row[2 * i + 1])
                   for i, c in enumerate(cols)}
     keyed = df.withColumn(key_col, zorder_key(cols, ranges, bits))

@@ -151,3 +151,25 @@ def test_weighted_sample(spark):
     c = [r["doc_id"] for r in
          weighted_sample(df, "w", k=10, id_col="doc_id", seed=5).collect()]
     assert ids != c
+
+
+def test_collocations_short_docs(spark):
+    """Docs with 0/1 tokens must not crash the pair explode (sequence
+    steps DOWN when start > stop → element_at index 0) and their words
+    still count toward the unigram totals."""
+    import math
+
+    from duckdb_spatial_spark.operators.textops import collocations
+
+    rows = [(i, "alpha beta") for i in range(10)]
+    rows += [(100, "solo"), (101, ""), (102, "   "), (103, "alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["pair"]: r for r in
+           collocations(df, "text", min_count=5, k=10).collect()}
+    assert set(got) == {"alpha beta"}
+    r = got["alpha beta"]
+    # c_ab=10, N2=10; unigrams INCLUDE the short docs:
+    # c_alpha=11, c_beta=10, N1=22 ("solo" + "alpha" count, blanks don't)
+    want = math.log((10 / 10) / ((11 / 22) * (10 / 22)))
+    assert r["c_ab"] == 10
+    assert abs(r["pmi"] - round(want, 6)) < 1e-9

@@ -23,11 +23,12 @@ def test_short_keys_unique_and_numeric():
 
 
 def test_projected_line_fits_tail_buffer():
-    # current registry with worst-case per-query values (xx.xx)
+    # current registry with worst-case per-query values (xx.x after
+    # short_val's 1-decimal rounding)
     names = list(entry.queries())
-    # pad the registry to 150 hypothetical queries — the growth headroom
-    names += [f"q{n}_future_query" for n in range(500, 500 + 150 - len(names))]
-    q = {bench.short_key(n): 99.99 for n in names}
+    # pad the registry to 165 hypothetical queries — the growth headroom
+    names += [f"q{n}_future_query" for n in range(500, 500 + 165 - len(names))]
+    q = {bench.short_key(n): bench.short_val(99.94) for n in names}
     line = json.dumps({
         "metric": "headline_queries_total",
         "value": 9999.999,
@@ -35,5 +36,11 @@ def test_projected_line_fits_tail_buffer():
         "queries": q,
         "sf": "0.1",
     }, separators=(",", ":"))
-    assert len(q) == 150
+    assert len(q) == 165
     assert len(line) < 1800, len(line)
+
+
+def test_short_val_clamps_and_rounds():
+    assert bench.short_val(0.374) == 0.4
+    assert bench.short_val(99.94) == 99.9
+    assert bench.short_val(12345.6) == 999.9

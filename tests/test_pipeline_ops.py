@@ -789,3 +789,16 @@ def test_salted_join_equals_plain_join(spark):
             *salted_join(left, right, ["k"], salt=4, how=how).columns
         ).collect()))
         assert got == exp, how
+
+
+def test_train_ivf_rejects_unbounded_collect(spark, emb):
+    """sample=None/0 must raise — the train step's contract is a
+    bounded driver-side collect at any corpus size."""
+    import pytest
+
+    from duckdb_spatial_spark.operators import train_ivf_centroids
+
+    with pytest.raises(ValueError, match="sample"):
+        train_ivf_centroids(emb, sample=None)
+    with pytest.raises(ValueError, match="sample"):
+        train_ivf_centroids(emb, sample=0)

@@ -132,3 +132,18 @@ def test_streaming_zorder_append_drain_equals_batch(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2000
     assert back.agg(F.sum("k")).collect()[0][0] == sum(range(2000))
+
+
+def test_zorder_cluster_null_extent_raises(spark):
+    """ranges=None on an empty frame / all-NULL column must raise a
+    clear ValueError naming the column, not a NoneType TypeError."""
+    empty = spark.range(0).select(
+        F.col("id").cast("double").alias("a"),
+        F.col("id").cast("double").alias("b"))
+    with pytest.raises(ValueError, match="'a'"):
+        zorder_cluster(empty, ["a", "b"], num_partitions=2)
+    allnull = spark.range(5).select(
+        F.col("id").cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"))
+    with pytest.raises(ValueError, match="'b'"):
+        zorder_cluster(allnull, ["a", "b"], num_partitions=2)
