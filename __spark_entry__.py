@@ -2038,9 +2038,11 @@ def q86_bpe_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end BPE tier: induce vocabulary distributed, train merges on
     the bounded word-frequency table (driver-side, like the IVF k-means
     train), broadcast-apply to every document (Arrow-batched, memoized),
-    aggregate the token budget. Genuinely iterative/non-SQL — driver
-    records the rows-only check; unit tests pin apply against an
-    independent reference implementation."""
+    aggregate the token budget. Value-oracled since round 8: the DuckDB
+    twin replays train AND apply with 200 unrolled merge-round CTEs
+    (tokenize.bpe_doc_tokens_sql — the q111/PageRank unrolling pattern);
+    unit tests additionally pin apply against an independent reference
+    implementation."""
     from duckdb_spatial_spark.operators.tokenize import (apply_bpe,
                                                          train_bpe,
                                                          word_frequencies)
@@ -2054,9 +2056,26 @@ def q86_bpe_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size("tokens")).cast("long").alias("tokens_total"),
         F.round(F.avg(F.size("tokens")), 4).alias("avg_tokens"),
-        F.countDistinct(F.element_at("tokens", 1)).cast("long")
+        # get() (0-based) instead of element_at: NULL for empty docs
+        # rather than an ANSI INVALID_ARRAY_INDEX error
+        F.countDistinct(F.get("tokens", 0)).cast("long")
         .alias("n_first_tokens"),
     )
+
+
+def _q86_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.tokenize import bpe_doc_tokens_sql
+
+    inner = bpe_doc_tokens_sql("documents", "text", "doc_id",
+                               num_merges=200, max_words=5000)
+    return f"""
+        WITH __bpe AS ({inner})
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               CAST(count(DISTINCT first_tok) AS BIGINT) AS n_first_tokens
+        FROM __bpe
+    """
 
 
 _Q87_V = 20  # vocab truncation small enough to force real <unk> mass
@@ -2376,21 +2395,61 @@ def _q93_oracle_sql() -> str:
 
 
 def q94_pca_project(spark: SparkSession, sf: str) -> DataFrame:
-    """Distributed PCA (one Gramian pass, driver eigh, broadcast apply):
-    project embeddings to 8 dims, report per-axis projected variance —
-    which must equal the model's explained variance (asserted in unit
-    tests vs numpy). Eigendecomposition is not SQL-expressible → driver
-    records the rows-only check."""
-    from duckdb_spatial_spark.operators.vectors import pca_apply, pca_train
+    """Distributed PCA projection: one Gramian pass, pinned DEFLATED
+    power iteration driver-side (8 components × 8 fixed steps from
+    v0 = 1/√64 — vectors.pca_power_train), broadcast batched-matmul
+    apply; report per-axis projected variance. Value-oracled since
+    round 8: the recurrence replays exactly in SQL (pca_power_sql, the
+    q111 unrolling extended with per-component deflation CTEs) — the
+    eigh path (pca_train) stays for library users but is not
+    SQL-replayable, which kept this query rows-only through round 7."""
+    from duckdb_spatial_spark.operators.vectors import (pca_apply,
+                                                        pca_power_train)
 
     e = load_table(spark, sf, "embeddings", fan_out=False)
-    mean, comps, var = pca_train(e, "embedding", k=8)
+    mean, comps, _lams = pca_power_train(e, "embedding", dim=64, k=8)
     p = pca_apply(e, "embedding", mean, comps)
     axes = [F.round(
         F.avg(F.col("pca")[i] * F.col("pca")[i])
         - F.avg(F.col("pca")[i]) * F.avg(F.col("pca")[i]), 6
     ).alias(f"var_{i}") for i in range(8)]
     return p.agg(F.count("*").alias("n"), *axes)
+
+
+def _q94_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.vectors import pca_power_sql
+
+    comps = pca_power_sql("embeddings", "embedding", dim=64, k=8, iters=8)
+    axes = ",\n               ".join(
+        f"round(max(CASE WHEN comp = {c + 1} THEN v END), 6) AS var_{c}"
+        for c in range(8))
+    return f"""
+        WITH comps AS MATERIALIZED ({comps}),
+        idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+        x AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER () AS rid, embedding AS e
+          FROM embeddings
+        ),
+        xi AS MATERIALIZED (
+          SELECT rid, i, CAST(e[i] AS DOUBLE) AS x FROM x CROSS JOIN idx
+        ),
+        nn AS (SELECT count(*) AS n FROM x),
+        mu AS (SELECT i, sum(x) / nn.n AS m
+               FROM xi CROSS JOIN nn GROUP BY i, nn.n),
+        proj AS (
+          SELECT xi.rid, comps.comp,
+                 sum((xi.x - mu.m) * comps.loading) AS p
+          FROM xi JOIN mu USING (i) JOIN comps USING (i)
+          GROUP BY 1, 2
+        ),
+        vars AS (
+          SELECT comp, avg(p * p) - avg(p) * avg(p) AS v
+          FROM proj GROUP BY 1
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n,
+               {axes}
+        FROM vars
+    """
 
 
 def q95_profile_table(spark: SparkSession, sf: str) -> DataFrame:
@@ -6367,6 +6426,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "q87_lm_perplexity": _q87_oracle_sql(),
+        "q86_bpe_pipeline": _q86_oracle_sql(),
         "q85_vocab_build": """
             WITH w AS (
               SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
@@ -6562,6 +6622,7 @@ def oracle_sql() -> dict[str, str]:
               AND s_acctbal BETWEEN -100000.0 AND 100000.0
         """,
         "q111_pca_power_iteration": _q111_oracle_sql(),
+        "q94_pca_project": _q94_oracle_sql(),
         "q126_sessionize": _q126_oracle_sql(),
         "q127_edit_distance_dedup": _q127_oracle_sql(),
         "q128_triangle_count": _Q128_ORACLE,

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "word_frequencies", "train_bpe", "apply_bpe", "bpe_token_count",
+    "bpe_doc_tokens_sql",
     "bpe_encode_word", "merges_to_df", "merges_from_df",
     "train_unigram", "apply_unigram",
 ]
@@ -182,6 +183,86 @@ def apply_bpe(
         return pd.Series(out)
 
     return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
+def bpe_doc_tokens_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 200,
+    max_words: int = 5000,
+) -> str:
+    """DuckDB twin of the whole BPE pipeline (train + apply), as one
+    self-contained SQL string producing ``(doc_id, n_tokens, first_tok)``
+    per input row. TRAINING is replayed with ``num_merges`` unrolled
+    merge rounds (the q111/PageRank MATERIALIZED-CTE pattern — aggregates
+    can't sit in a recursive CTE term, so fixed-iteration unrolling IS
+    the SQL form): each round counts adjacent token pairs over the
+    heavy-hitter-bounded word table, picks the (count DESC, pair ASC)
+    argmax exactly like :func:`train_bpe`, and rewrites every distinct
+    corpus word. APPLY replays merges in rank order, which equals
+    :func:`bpe_encode_word`'s lowest-rank-first loop: a merge of rank r
+    can never create a pair of rank < r, because the lower-rank pair's
+    right/left tokens would themselves require an earlier merge.
+
+    The greedy left-to-right single-pair rewrite is a ``list_reduce``
+    with a string accumulator (tokens joined by chr(31), which never
+    appears inside a token — tokens come from whitespace-split words):
+    "last whole token == a AND current == b → append b to the
+    accumulator" is exactly :func:`_merge_word`. Rounds after training
+    has converged (best pair count < 2) produce an empty merge row and
+    pass tokens through unchanged, mirroring the Python loop's break.
+    """
+    sep = "chr(31)"
+    parts = [f"""__norm AS MATERIALIZED (
+  SELECT {id_col} AS __id,
+         list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM {table}
+), __wf AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(ws) AS w FROM __norm) GROUP BY 1
+), __train AS MATERIALIZED (
+  SELECT word FROM __wf ORDER BY freq DESC, word LIMIT {max_words}
+), __t0 AS MATERIALIZED (
+  SELECT __wf.word, __wf.freq, (t.word IS NOT NULL) AS in_train,
+         list_append(list_transform(range(1, length(__wf.word) + 1),
+                                    i -> substr(__wf.word, CAST(i AS INT), 1)),
+                     '</w>') AS toks
+  FROM __wf LEFT JOIN __train t USING (word)
+)"""]
+    for r in range(1, num_merges + 1):
+        parts.append(f"""__m{r} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT toks[CAST(i AS BIGINT)] AS a, toks[CAST(i AS BIGINT) + 1] AS b,
+           sum(freq) AS n
+    FROM (SELECT toks, freq, generate_subscripts(toks, 1) AS i
+          FROM __t{r - 1} WHERE in_train)
+    WHERE i < len(toks) GROUP BY 1, 2)
+  WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1
+), __t{r} AS MATERIALIZED (
+  SELECT word, freq, in_train,
+    CASE WHEN m.a IS NULL THEN toks
+         ELSE string_split(
+           list_reduce(toks, (acc, x) ->
+             CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, {sep} || m.a))
+                  THEN acc || m.b ELSE acc || {sep} || x END), {sep})
+    END AS toks
+  FROM __t{r - 1} LEFT JOIN __m{r} m ON true
+)""")
+    parts.append(f"""__dw AS (
+  SELECT __id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+  FROM __norm
+), __per AS (
+  SELECT __dw.__id, CAST(sum(len(tk.toks)) AS BIGINT) AS n_tokens,
+         max(CASE WHEN __dw.pos = 1 THEN tk.toks[1] END) AS first_tok
+  FROM __dw JOIN __t{num_merges} tk USING (word) GROUP BY 1
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT n.__id AS {id_col},
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       p.first_tok
+FROM __norm n LEFT JOIN __per p USING (__id)""")
 
 
 def bpe_token_count(

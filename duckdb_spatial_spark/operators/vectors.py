@@ -26,6 +26,7 @@ __all__ = [
     "pca_train", "pca_apply", "quantize_vec", "dequantize_vec",
     "quantize_vec_sql", "dequantize_vec_sql",
     "power_iteration_top1", "power_iteration_sql",
+    "pca_power_train", "pca_power_sql",
 ]
 
 
@@ -194,6 +195,119 @@ def power_iteration_top1(df: DataFrame, vec_col: str, dim: int,
         v = w / math.sqrt(float(w @ w))
     lam = float(v @ (cov @ v))
     return [float(x) for x in v], lam
+
+
+def pca_power_train(df: DataFrame, vec_col: str, dim: int, k: int,
+                    iters: int = 8):
+    """Top-k principal components by pinned DEFLATED power iteration —
+    the SQL-replayable multi-component train (:func:`pca_power_sql` is
+    the DuckDB twin; :func:`pca_train`'s eigh path is NOT replayable,
+    which kept q94 oracle-less through round 7). Every component runs
+    ``iters`` fixed steps from v0 = 1/√dim on the running matrix, then
+    the matrix deflates by λ·vvᵀ — a deterministic recurrence, so both
+    engines compute bit-near-identical values (no eigensolver sign/order
+    ambiguity to pin).
+
+    Scale shape: ONE Arrow pass for the (n, Σx, XᵀX) Gramian partials
+    (O(dim²) driver state, constant in corpus size); the k×iters
+    mat-vecs are dim×dim driver-side. Returns (mean[dim],
+    comps[k, dim], eigvals[k]) — eigvals are Rayleigh quotients, i.e.
+    the projected variance along each component."""
+    import math
+
+    n, s, g = _moment_partials(df, vec_col)
+    if s.shape[0] != dim:
+        raise ValueError(
+            f"dim={dim} but vectors have {s.shape[0]} dimensions")
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    comps = np.zeros((k, dim))
+    lams = np.zeros(k)
+    for c in range(k):
+        v = np.full(dim, 1.0 / math.sqrt(dim))
+        for _ in range(iters):
+            w = cov @ v
+            v = w / math.sqrt(float(w @ w))
+        lam = float(v @ (cov @ v))
+        comps[c] = v
+        lams[c] = lam
+        # same float op order as the SQL twin: lam * (v_i * v_j)
+        cov = cov - lam * np.outer(v, v)
+    return mean, comps, lams
+
+
+def pca_power_sql(table: str, vec_expr: str, dim: int, k: int,
+                  iters: int = 8) -> str:
+    """DuckDB replica of :func:`pca_power_train` as unrolled MATERIALIZED
+    CTEs (the :func:`power_iteration_sql` pattern, one chain per
+    component with an explicit deflation CTE between them). Produces
+    (comp, i, loading, eigenvalue) — comp 1-indexed, i 1-indexed."""
+    import math
+
+    v0 = repr(1.0 / math.sqrt(dim))
+    pre = f"""
+        idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+        x AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER () AS rid, {vec_expr} AS e FROM {table}
+        ),
+        xi AS MATERIALIZED (
+          SELECT rid, i, CAST(e[i] AS DOUBLE) AS x
+          FROM x CROSS JOIN idx
+        ),
+        nn AS (SELECT count(*) AS n FROM x),
+        mu AS MATERIALIZED (SELECT i, sum(x) / nn.n AS m
+                            FROM xi CROSS JOIN nn GROUP BY i, nn.n),
+        cov1 AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 sum(a.x * b.x) / nn.n - ma.m * mb.m AS c
+          FROM xi a JOIN xi b USING (rid)
+          CROSS JOIN nn
+          JOIN mu ma ON ma.i = a.i
+          JOIN mu mb ON mb.i = b.i
+          GROUP BY a.i, b.i, nn.n, ma.m, mb.m
+        )"""
+    chains = []
+    finals = []
+    for c in range(1, k + 1):
+        chains.append(f"""
+        v{c}_0 AS (SELECT i, {v0} AS val FROM idx)""")
+        for t in range(iters):
+            chains.append(f"""
+        w{c}_{t} AS MATERIALIZED (
+          SELECT cov{c}.i, sum(cov{c}.c * v{c}_{t}.val) AS w
+          FROM cov{c} JOIN v{c}_{t} ON v{c}_{t}.i = cov{c}.j
+          GROUP BY cov{c}.i
+        ),
+        v{c}_{t + 1} AS MATERIALIZED (
+          SELECT i, w / sqrt((SELECT sum(w * w) FROM w{c}_{t})) AS val
+          FROM w{c}_{t}
+        )""")
+        chains.append(f"""
+        cv{c} AS MATERIALIZED (
+          SELECT cov{c}.i, sum(cov{c}.c * v{c}_{iters}.val) AS w
+          FROM cov{c} JOIN v{c}_{iters} ON v{c}_{iters}.i = cov{c}.j
+          GROUP BY cov{c}.i
+        ),
+        lam{c} AS MATERIALIZED (
+          SELECT sum(cv{c}.w * v{c}_{iters}.val) AS l
+          FROM cv{c} JOIN v{c}_{iters} USING (i)
+        )""")
+        if c < k:
+            chains.append(f"""
+        cov{c + 1} AS MATERIALIZED (
+          SELECT cov{c}.i, cov{c}.j,
+                 cov{c}.c - lam{c}.l * (va.val * vb.val) AS c
+          FROM cov{c}
+          JOIN v{c}_{iters} va ON va.i = cov{c}.i
+          JOIN v{c}_{iters} vb ON vb.i = cov{c}.j
+          CROSS JOIN lam{c}
+        )""")
+        finals.append(
+            f"SELECT {c} AS comp, v{c}_{iters}.i AS i, "
+            f"v{c}_{iters}.val AS loading, lam{c}.l AS eigenvalue "
+            f"FROM v{c}_{iters} CROSS JOIN lam{c}")
+    return ("WITH" + pre + "," + ",".join(chains) + " "
+            + " UNION ALL ".join(finals))
 
 
 def power_iteration_sql(table: str, vec_expr: str, dim: int,

@@ -218,3 +218,65 @@ def test_wordpiece_hash_words_roundtrip():
         toks = wordpiece_encode_word(w, set(v))
         rebuilt = "".join(t[2:] if t.startswith("##") else t for t in toks)
         assert rebuilt == w, (w, toks)
+
+
+def test_bpe_doc_tokens_sql_matches_python(spark):
+    """The unrolled-CTE DuckDB twin must replay train+apply exactly —
+    including greedy left-to-right runs ('a a a a' style) and docs
+    shorter than one merge."""
+    import duckdb
+
+    from duckdb_spatial_spark.operators.tokenize import (
+        apply_bpe, bpe_doc_tokens_sql, train_bpe, word_frequencies)
+
+    rows = [
+        (1, "aaaa aaaa aa banana bandana"),
+        (2, "aaaa aa aa banana banana band"),
+        (3, "x"),
+        (4, "  "),
+        (5, "banana aaaa band bandana na na na"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = [(r.word, r.freq)
+          for r in word_frequencies(df, "text", max_words=5000).collect()]
+    merges = train_bpe(wf, num_merges=30)
+    tok = apply_bpe(df, "text", merges)
+    from pyspark.sql import functions as F
+    want = {r["doc_id"]: (r["nt"], r["ft"]) for r in tok.select(
+        "doc_id", F.size("tokens").alias("nt"),
+        F.get("tokens", 0).alias("ft")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    got = {d: (n, f) for d, n, f in con.execute(
+        bpe_doc_tokens_sql("docs", "text", "doc_id",
+                           num_merges=30, max_words=5000)).fetchall()}
+    assert got == want
+
+
+def test_bpe_doc_tokens_sql_respects_max_words(spark):
+    """max_words truncation must hit the same (freq DESC, word ASC)
+    boundary in both engines."""
+    import duckdb
+
+    from duckdb_spatial_spark.operators.tokenize import (
+        apply_bpe, bpe_doc_tokens_sql, train_bpe, word_frequencies)
+
+    rows = [(1, "pear pear pear plum plum apple"),
+            (2, "pear plum peach apple apple grape")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = [(r.word, r.freq)
+          for r in word_frequencies(df, "text", max_words=3).collect()]
+    merges = train_bpe(wf, num_merges=20)
+    tok = apply_bpe(df, "text", merges)
+    from pyspark.sql import functions as F
+    want = {r["doc_id"]: r["nt"] for r in
+            tok.select("doc_id", F.size("tokens").alias("nt")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    got = {d: n for d, n, _f in con.execute(
+        bpe_doc_tokens_sql("docs", "text", "doc_id",
+                           num_merges=20, max_words=3)).fetchall()}
+    assert got == want

@@ -129,3 +129,49 @@ def test_power_iteration_sql_twin_parity(spark):
     for i in range(6):
         assert by_i[i + 1][0] == pytest.approx(v[i], rel=1e-9, abs=1e-9)
         assert by_i[i + 1][1] == pytest.approx(lam, rel=1e-9)
+
+
+def test_pca_power_train_matches_sql_twin(spark):
+    """pca_power_train's pinned deflated recurrence must replay in
+    DuckDB (pca_power_sql) to ~1e-9 on loadings and eigenvalues."""
+    import duckdb
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.vectors import (pca_power_sql,
+                                                        pca_power_train)
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 6) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    mean, comps, lams = pca_power_train(df, "v", dim=6, k=3, iters=8)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vid BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = con.execute(pca_power_sql("t", "v", dim=6, k=3, iters=8)
+                      + " ORDER BY comp, i").fetchall()
+    for comp, i, loading, eig in got:
+        assert abs(loading - comps[comp - 1][i - 1]) < 1e-9, (comp, i)
+        assert abs(eig - lams[comp - 1]) < 1e-9, comp
+
+
+def test_pca_power_train_approximates_eigh(spark):
+    """With a well-separated spectrum the deflated power iteration must
+    land on the eigh components (up to sign), and its Rayleigh
+    eigenvalues on the explained variances."""
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.vectors import (pca_power_train,
+                                                        pca_train)
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(300, 5) * np.array([8.0, 4.0, 2.0, 0.3, 0.05])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    _, comps_p, lams = pca_power_train(df, "v", dim=5, k=2, iters=30)
+    _, comps_e, var = pca_train(df, "v", k=2)
+    for c in range(2):
+        cos = abs(float(np.dot(comps_p[c], comps_e[c])))
+        assert cos > 1.0 - 1e-6, (c, cos)
+        assert abs(lams[c] - var[c]) < 1e-4 * max(1.0, var[c]), c
