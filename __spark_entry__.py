@@ -39,6 +39,17 @@ from duckdb_spatial_spark.sources.tables import load_table
 
 # --------------------------------------------------------------- helpers
 
+
+def _ssort(df: DataFrame, *cols) -> DataFrame:
+    """Presentation sort for a SMALL (bounded-by-construction) result:
+    one-partition exchange + in-partition sort. A trailing global
+    orderBy plans a RangePartitioning whose bounds-SAMPLING job
+    re-executes everything after the last exchange (measured 2.0x on
+    q122, whose whole 600k-row window sat between the exchange and the
+    sort); for results bounded to tens/hundreds of rows the
+    single-partition sort is strictly cheaper and scale-safe."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
 def _events_pts(spark: SparkSession, sf: str, fan_out: bool = True) -> DataFrame:
     """Point substrate from events: x = value ∈ (0, ~490), y = user_id.
     ``fan_out=False`` for pure col-expr consumers (no Python stage)."""
@@ -109,7 +120,7 @@ def q02_zone_pip_join(spark: SparkSession, sf: str) -> DataFrame:
     # stage (st_join_points), build side broadcast
     j = st_join_points(pts, zones, "within", "x", "y", "zone")
     return (
-        j.groupBy("zone_id").agg(F.count("*").alias("n")).orderBy("zone_id")
+        j.groupBy("zone_id").agg(F.count("*").alias("n")).transform(_ssort, "zone_id")
     )
 
 
@@ -124,7 +135,7 @@ def q03_distance_sphere(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(F.round(F.avg(d), 3).alias("avg_dist_m"), F.count("*").alias("n"))
-        .orderBy("l_returnflag")
+        .transform(_ssort, "l_returnflag")
     )
 
 
@@ -140,7 +151,7 @@ def q04_extent_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.max("y").alias("ymax"),
             F.count("*").alias("n"),
         )
-        .orderBy("event_type")
+        .transform(_ssort, "event_type")
     )
 
 
@@ -163,7 +174,7 @@ def q05_centroid_collect(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("c.x"), 6).alias("cx"),
             F.round(F.col("c.y"), 6).alias("cy"),
         )
-        .orderBy("c_nationkey")
+        .transform(_ssort, "c_nationkey")
     )
 
 
@@ -203,7 +214,7 @@ def q06_convexhull_area(spark: SparkSession, sf: str) -> DataFrame:
     return (
         cust.groupBy("c_mktsegment")
         .applyInPandas(hull_area, "c_mktsegment string, hull_area double")
-        .orderBy("c_mktsegment")
+        .transform(_ssort, "c_mktsegment")
     )
 
 
@@ -219,7 +230,7 @@ def q07_wkt_area(spark: SparkSession, sf: str) -> DataFrame:
     return (
         part.groupBy("p_brand")
         .agg(F.round(F.sum(ST.st_area(g)), 2).alias("area_sum"), F.count("*").alias("n"))
-        .orderBy("p_brand")
+        .transform(_ssort, "p_brand")
     )
 
 
@@ -231,7 +242,7 @@ def q08_buffer_area(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pts.groupBy("event_type")
         .agg(F.round(F.avg(area), 6).alias("avg_buf_area"), F.count("*").alias("n"))
-        .orderBy("event_type")
+        .transform(_ssort, "event_type")
     )
 
 
@@ -267,7 +278,7 @@ def q10_quadkey(spark: SparkSession, sf: str) -> DataFrame:
         pts.select(qk.alias("quadkey"))
         .groupBy("quadkey")
         .agg(F.count("*").alias("n"))
-        .orderBy("quadkey")
+        .transform(_ssort, "quadkey")
     )
 
 
@@ -285,7 +296,7 @@ def q11_geometrytype(spark: SparkSession, sf: str) -> DataFrame:
     t = ST.st_geometrytype(ST.st_geomfromtext(wkt))
     return part.select(t.alias("gtype")).groupBy("gtype").agg(
         F.count("*").alias("n")
-    ).orderBy("gtype")
+    ).transform(_ssort, "gtype")
 
 
 def q12_npoints(spark: SparkSession, sf: str) -> DataFrame:
@@ -312,7 +323,7 @@ def q13_length(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(F.round(F.sum(ln), 2).alias("len_sum"))
-        .orderBy("l_returnflag")
+        .transform(_ssort, "l_returnflag")
     )
 
 
@@ -328,7 +339,7 @@ def q14_envelope_area(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum(ST.st_area(env)), 2).alias("area_sum"),
             F.round(F.sum(ST.st_perimeter(env)), 2).alias("perim_sum"),
         )
-        .orderBy("o_orderstatus")
+        .transform(_ssort, "o_orderstatus")
     )
 
 
@@ -350,7 +361,7 @@ def q15_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(_ssort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -385,7 +396,7 @@ def q18_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup on documents.text (keep min doc_id), counts per lang."""
     d = load_table(spark, sf, "documents", fan_out=False)
     kept = exact_dedup(d, ["text"], "doc_id")
-    return kept.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+    return kept.groupBy("lang").agg(F.count("*").alias("n")).transform(_ssort, "lang")
 
 
 def q19_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -422,7 +433,7 @@ def q21_text_quality(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg(textops.stopword_ratio(F.col("text"))), 6).alias("avg_stop"),
             F.count("*").alias("n"),
         )
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -442,7 +453,7 @@ def q23_langid(spark: SparkSession, sf: str) -> DataFrame:
         d.select(textops.language_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang_guess")
+        .transform(_ssort, "lang_guess")
     )
 
 
@@ -456,7 +467,7 @@ def q24_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     out = ann_bruteforce_topk(emb, queries, k=5)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank"
-    ).orderBy("query_id", "rank")
+    ).transform(_ssort, "query_id", "rank")
 
 
 def q25_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -512,7 +523,7 @@ def q28_union_agg(spark: SparkSession, sf: str) -> DataFrame:
     return (
         u.select(
             "c_nationkey", F.round(ST.st_area("u"), 4).alias("union_area")
-        ).orderBy("c_nationkey")
+        ).transform(_ssort, "c_nationkey")
     )
 
 
@@ -661,7 +672,7 @@ def q35_transform(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg(ST.st_y(t)), 2).alias("avg_my"),
             F.count("*").alias("n"),
         )
-        .orderBy("event_type")
+        .transform(_ssort, "event_type")
     )
 
 
@@ -980,7 +991,7 @@ def q54_langid_ngram(spark: SparkSession, sf: str) -> DataFrame:
         d.select(textops.language_id_ngram(F.col("text")).alias("lang"))
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -1202,7 +1213,7 @@ def q63_intersection_agg(spark: SparkSession, sf: str) -> DataFrame:
     ig = st_intersection_agg(df, "box", ["c_nationkey"], out_col="ig")
     return ig.select(
         "c_nationkey", F.round(ST.st_area("ig"), 4).alias("inter_area")
-    ).orderBy("c_nationkey")
+    ).transform(_ssort, "c_nationkey")
 
 
 def q64_mixed_overlay(spark: SparkSession, sf: str) -> DataFrame:
@@ -1496,7 +1507,7 @@ def q71_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_kept"),
             F.sum("n_chars").alias("chars_kept"),
         )
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -1612,7 +1623,7 @@ def q75_streaming_extent(spark: SparkSession, sf: str) -> DataFrame:
             F.round("ymax", 6).alias("ymax"),
             F.col("n"),
         )
-        .orderBy("event_type", "day_idx")
+        .transform(_ssort, "event_type", "day_idx")
     )
 
 
@@ -1667,7 +1678,7 @@ def q78_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     return (
         out.groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
-        .orderBy("source")
+        .transform(_ssort, "source")
     )
 
 
@@ -1793,7 +1804,7 @@ def q81_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("ymax"), 6).alias("ymax"),
             F.max("n").alias("n"),
         )
-        .orderBy("key")
+        .transform(_ssort, "key")
     )
 
 
@@ -1875,7 +1886,7 @@ def q82_warc_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_unique"),
             F.sum(F.length("t")).cast("long").alias("chars_total"),
         )
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -1995,7 +2006,7 @@ def q84_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("__qs"), 6).alias("avg_q"),
             F.sum("n_chars").cast("long").alias("chars_total"),
         )
-        .orderBy("lang", "bucket")
+        .transform(_ssort, "lang", "bucket")
     )
 
 
@@ -2103,7 +2114,7 @@ def q87_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.min("ppl"), 4).alias("min_ppl"),
             F.round(F.max("ppl"), 4).alias("max_ppl"),
         )
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -2151,7 +2162,7 @@ def q88_knn_join(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("right_id").cast("long").alias("n_neighbors"),
             F.sum("right_id").cast("long").alias("sum_rid"),
         )
-        .orderBy("rank")
+        .transform(_ssort, "rank")
     )
 
 
@@ -2220,7 +2231,7 @@ def q89_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct(F.md5(F.col("s"))).cast("long")
             .alias("n_unique"),
         )
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -2288,7 +2299,7 @@ def q91_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("click_id").cast("long").alias("sum_click"),
             F.sum("buy_id").cast("long").alias("sum_buy"),
         )
-        .orderBy("k")
+        .transform(_ssort, "k")
     )
 
 
@@ -2312,7 +2323,7 @@ def q92_text_clean(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_unique"),
             F.sum(F.length("t")).cast("long").alias("chars_total"),
         )
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -2362,7 +2373,7 @@ def q93_vec_quantize(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("scale"), 9).alias("avg_scale"),
             F.sum("l1").cast("long").alias("l1_total"),
         )
-        .orderBy("label")
+        .transform(_ssort, "label")
     )
 
 
@@ -2462,7 +2473,7 @@ def q95_profile_table(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem", fan_out=False)
     cols = ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate",
             "l_returnflag"]
-    return profile_table(li, cols).orderBy("column")
+    return profile_table(li, cols).transform(_ssort, "column")
 
 
 def _q95_oracle_sql() -> str:
@@ -2546,7 +2557,7 @@ def q97_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.col("qty").cast("long").alias("qty"),
         F.round("min_ext", 2).alias("min_ext"),
         F.round("max_ext", 2).alias("max_ext"),
-    ).orderBy("l_returnflag")
+    ).transform(_ssort, "l_returnflag")
 
 
 def q98_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
@@ -2578,7 +2589,7 @@ def q98_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
         diff.groupBy("status")
         .agg(F.count("*").alias("n"),
              F.sum("id").cast("long").alias("sum_id"))
-        .orderBy("status")
+        .transform(_ssort, "status")
     )
 
 
@@ -2613,13 +2624,17 @@ def q100_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     results."""
     from duckdb_spatial_spark.operators.pipeline import decontaminate
 
-    d = load_table(spark, sf, "documents", fan_out=False)
+    # fan_out=True: the gram explode + hash is the heavy stage and the
+    # testdata file is a single row group — without the fan-out the
+    # whole 2.3M-gram build runs on ONE core
+    d = load_table(spark, sf, "documents", fan_out=True)
     bench = d.where(F.col("doc_id") % 50 == 0).select(
         "doc_id",
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12))
         .alias("text"),
     )
-    flagged = decontaminate(d, bench, n=8, mode="flag", bloom_fpp=0.01)
+    flagged = decontaminate(d, bench, n=8, mode="flag", bloom_fpp=0.01,
+                            flag_projection=["n_chars"])
     return flagged.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("contaminated").cast("long")).alias("n_contam"),
@@ -2645,7 +2660,7 @@ def q101_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_removed").cast("long").alias("words_removed"),
             F.sum(F.length("text")).cast("long").alias("chars_after"),
         )
-        .orderBy("source")
+        .transform(_ssort, "source")
     )
 
 
@@ -2707,7 +2722,7 @@ def q102_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("c4_keep"), F.length("clean_text"))
                   .otherwise(F.lit(0))).cast("long").alias("chars_clean"),
         )
-        .orderBy("source")
+        .transform(_ssort, "source")
     )
 
 
@@ -2726,7 +2741,7 @@ def q103_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "term", "tf", "dfreq", "dl",
         F.round(F.col("score"), 6).alias("score"),
         F.col("rank").cast("long").alias("rank"),
-    ).orderBy("doc_id", "rank")
+    ).transform(_ssort, "doc_id", "rank")
 
 
 def q104_semdedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2756,7 +2771,7 @@ def q104_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(~F.col("semdedup_drop"), F.col("vec_id"))
                   .otherwise(F.lit(0))).cast("long").alias("kept_id_sum"),
         )
-        .orderBy("label")
+        .transform(_ssort, "label")
     )
 
 
@@ -2779,7 +2794,7 @@ def q105_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "n_grams",
         F.round("logw", 6).alias("logw"),
         F.round("key", 6).alias("key"),
-    ).orderBy(F.col("key").desc(), "doc_id")
+    ).transform(_ssort, F.col("key").desc(), "doc_id")
 
 
 def q106_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
@@ -2793,12 +2808,12 @@ def q106_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators import classify
 
     d = load_table(spark, sf, "documents", fan_out=True)
-    train = d.filter(F.col("doc_id") % 2 == 0)
-    score = d.filter(F.col("doc_id") % 2 == 1)
-    # fused in-plan train+score: the model/stats never round-trip
-    # through the driver (broadcast frames), cutting the job barriers
-    out = classify.nb_train_score(
-        train.withColumn("label", F.col("lang") == "en"), score,
+    # split-of-one-corpus form: ONE shared gram aggregate feeds both the
+    # train counts and the scored side via exchange reuse, and the tiny
+    # model shuffle-joins instead of broadcasting — one job end to end
+    out = classify.nb_train_score_split(
+        d.withColumn("label", F.col("lang") == "en"),
+        F.col("doc_id") % 2 == 0,
         buckets=2048, alpha=1.0)
     return out.select(
         "doc_id", "n_grams", F.round("nb_score", 6).alias("nb_score"),
@@ -2871,7 +2886,7 @@ def q108_lm_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.min("ppl"), 4).alias("min_ppl"),
             F.round(F.max("ppl"), 4).alias("max_ppl"),
         )
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -2936,7 +2951,7 @@ def q110_unigram_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"),
              F.sum("_tc").cast("long").alias("token_chars"))
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -2953,7 +2968,7 @@ def q111_pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
     v, lam = power_iteration_top1(e, "embedding", dim=64, iters=8)
     rows = [(i + 1, round(v[i], 6), round(lam, 6)) for i in range(64)]
     return spark.createDataFrame(
-        rows, "i long, loading double, eigenvalue double").orderBy("i")
+        rows, "i long, loading double, eigenvalue double").transform(_ssort, "i")
 
 
 def q116_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
@@ -2983,7 +2998,7 @@ def q116_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ann_pq_topk(emb, queries, codebooks, k=5)
         .withColumn("rank", F.col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+        .transform(_ssort, "query_id", "rank")
     )
 
 
@@ -3064,7 +3079,7 @@ def q117_dbscan(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("label").cast("long").alias("n_labels"),
             F.sum("label").cast("long").alias("sum_label"),
         )
-        .orderBy("role")
+        .transform(_ssort, "role")
     )
 
 
@@ -3147,7 +3162,7 @@ def q118_salted_join(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
             F.round(F.max("type_avg"), 6).alias("type_avg"),
         )
-        .orderBy("event_type")
+        .transform(_ssort, "event_type")
     )
 
 
@@ -3168,7 +3183,7 @@ def q119_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
                               by=["event_type"])
     return out.select(
         "event_type", "q", F.round("est", 6).alias("est")
-    ).orderBy("event_type", "q")
+    ).transform(_ssort, "event_type", "q")
 
 
 def _q119_oracle_sql() -> str:
@@ -3219,7 +3234,7 @@ def q120_wordpiece_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"),
              F.sum("_tc").cast("long").alias("token_chars"))
-        .orderBy("lang")
+        .transform(_ssort, "lang")
     )
 
 
@@ -3248,7 +3263,7 @@ def q121_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
             F.count("v").cast("long").alias("n_filled"),
             F.round(F.sum("v"), 6).alias("v_sum"),
         )
-        .orderBy("k")
+        .transform(_ssort, "k")
     )
 
 
@@ -3279,7 +3294,7 @@ def q122_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
             F.max("roll_n").cast("long").alias("max_roll_n"),
             F.sum("roll_n").cast("long").alias("sum_roll_n"),
         )
-        .orderBy("k")
+        .transform(_ssort, "k")
     )
 
 
@@ -3483,7 +3498,7 @@ def q112_asof_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.unix_micros("ts") - F.unix_micros("matched_ts"))
             .cast("long").alias("lag_us"),
         )
-        .orderBy("k")
+        .transform(_ssort, "k")
     )
 
 
@@ -3519,7 +3534,7 @@ def q113_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("buy_id").cast("long").alias("sum_buy"),
             F.sum(overlap).cast("long").alias("overlap_us"),
         )
-        .orderBy("k")
+        .transform(_ssort, "k")
     )
 
 
@@ -3546,7 +3561,7 @@ def q114_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     exact = words.groupBy("lang").agg(
         F.countDistinct("word").cast("long").alias("n_exact"))
     return exact.join(est, "lang").select(
-        "lang", "n_exact", "hll_est").orderBy("lang")
+        "lang", "n_exact", "hll_est").transform(_ssort, "lang")
 
 
 def q115_count_min(spark: SparkSession, sf: str) -> DataFrame:
@@ -3591,7 +3606,7 @@ def q115_count_min(spark: SparkSession, sf: str) -> DataFrame:
     return est.select(
         "word", "freq", "est",
         (F.col("est") - F.col("freq")).cast("long").alias("overshoot"),
-    ).orderBy(F.col("freq").desc(), F.col("word"))
+    ).transform(_ssort, F.col("freq").desc(), F.col("word"))
 
 
 def q125_cluster_append(spark: SparkSession, sf: str) -> DataFrame:
@@ -3667,7 +3682,7 @@ def q126_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             F.max("n").cast("long").alias("max_session_events"),
             F.sum("span").cast("long").alias("span_sum_us"),
         )
-        .orderBy("k")
+        .transform(_ssort, "k")
     )
 
 
@@ -4106,7 +4121,7 @@ def q148_group_zscore(spark: SparkSession, sf: str) -> DataFrame:
              F.round(F.min("z"), 6).alias("z_min"),
              F.round(F.max("z"), 6).alias("z_max"),
              F.round(F.avg("z"), 6).alias("z_avg"))
-        .orderBy("event_type")
+        .transform(_ssort, "event_type")
     )
 
 
@@ -4137,7 +4152,7 @@ def q149_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
         d.select("lang", "doc_id", "n_chars",
                  F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 2)
-        .orderBy("lang", "rk")
+        .transform(_ssort, "lang", "rk")
     )
 
 
@@ -4177,7 +4192,7 @@ def q150_time_bucket_ohlc(spark: SparkSession, sf: str) -> DataFrame:
               .alias("close"),
              F.round(F.max("value"), 2).alias("hi"),
              F.round(F.min("value"), 2).alias("lo"))
-        .orderBy("event_type", "d")
+        .transform(_ssort, "event_type", "d")
         .select("event_type", F.col("d").cast("string").alias("day"),
                 "n", "open", "close", "hi", "lo")
     )
@@ -4289,7 +4304,7 @@ def q145_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
                  .cast("long").alias("k"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"),
              F.sum("user_id").cast("long").alias("su"))
-        .orderBy("c", "k")
+        .transform(_ssort, "c", "k")
         .select(F.col("c").cast("string").alias("cohort_week"),
                 "k", "n_users", "su")
     )
@@ -4333,7 +4348,7 @@ def q144_json_extract(spark: SparkSession, sf: str) -> DataFrame:
              F.min("k").cast("long").alias("min_k"),
              F.max("k").cast("long").alias("max_k"),
              F.round(F.avg("k"), 6).alias("avg_k"))
-        .orderBy("event_type")
+        .transform(_ssort, "event_type")
     )
 
 
@@ -4371,7 +4386,7 @@ def q143_funnel(spark: SparkSession, sf: str) -> DataFrame:
              F.sum("user_id").cast("long").alias("su"),
              F.sum(F.col("t_last_us") - F.col("t_first_us"))
               .cast("long").alias("span_us"))
-        .orderBy("steps_completed")
+        .transform(_ssort, "steps_completed")
     )
 
 
@@ -4485,7 +4500,7 @@ def q141_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
              F.sum("n_grams").cast("long").alias("grams"),
              F.sum("n_rare").cast("long").alias("rare"),
              F.round(F.avg("novelty"), 6).alias("avg_novelty"))
-        .orderBy("source")
+        .transform(_ssort, "source")
     )
 
 
@@ -4542,7 +4557,7 @@ def q140_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
              F.sum("tokens").cast("long").alias("tokens_kept"),
              F.round(F.max("keep_frac"), 6).alias("keep_frac"),
              F.sum("doc_id").cast("long").alias("sk"))
-        .orderBy("source")
+        .transform(_ssort, "source")
     )
 
 
@@ -4707,7 +4722,7 @@ def q135_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
     out = cluster_balanced_sample(e, "vec_id", "embedding",
                                   centroids=C, k=4, seed=3)
-    return out.orderBy("cluster", "rk")
+    return out.transform(_ssort, "cluster", "rk")
 
 
 def _q135_oracle_sql() -> str:
@@ -4757,7 +4772,7 @@ def q136_group_sample(spark: SparkSession, sf: str) -> DataFrame:
     out = group_sample(d.select("doc_id", "lang", "source"),
                        ["lang", "source"], k=3, id_col="doc_id", seed=11)
     return out.select("lang", "source", "rk", "doc_id") \
-        .orderBy("lang", "source", "rk")
+        .transform(_ssort, "lang", "source", "rk")
 
 
 def _q136_oracle_sql() -> str:

@@ -25,7 +25,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BloomFilter", "build_bloom", "bloom_might_contain"]
+__all__ = ["BloomFilter", "build_bloom", "bloom_might_contain",
+           "bloom_size", "build_bloom_bits_local", "bloom_expr",
+           "LITERAL_BLOOM_MAX_BITS"]
 
 
 def _positions(values, m_bits: int, k: int) -> np.ndarray:
@@ -111,6 +113,66 @@ def build_bloom(
             .treeReduce(np.bitwise_or, depth=2)
         )
     return BloomFilter(bits, m_bits, k)
+
+
+def bloom_size(expected_items: int, fpp: float) -> tuple:
+    """(m_bits, k) for the target capacity/fpp — shared by every build
+    path so filters built anywhere agree on geometry."""
+    m_bits = max(64, int(-expected_items * math.log(fpp)
+                         / (math.log(2) ** 2)))
+    m_bits = (m_bits + 63) & ~63
+    # cap k at 4: the optimal k for small fpp (7+ at 1%) buys little —
+    # at the same m, k=4 gives ~2% fpp instead of 1% — and every probe
+    # is per-row work on the scan side; false positives are corrected
+    # downstream by construction everywhere this filter is used
+    k = min(4, max(1, round(m_bits / max(expected_items, 1)
+                            * math.log(2))))
+    return m_bits, k
+
+
+# Literal-expression blooms cap at 64 Ki bits (1024 array<long> words,
+# ~6.8k items at fpp 0.01): beyond that the plan literal itself becomes
+# the cost and the distributed build_bloom + Arrow-UDF path takes over.
+LITERAL_BLOOM_MAX_BITS = 1 << 16
+
+
+def build_bloom_bits_local(hash_pairs, m_bits: int, k: int) -> list:
+    """Bit array (as little-endian int64 words) from pre-computed 64-bit
+    hash pairs — the build half of :func:`bloom_expr`. ``hash_pairs``
+    are SIGNED (h1, h2) longs, e.g. collected ``xxhash64`` columns, so
+    the position math (floor-mod, then k small additions) is identical
+    to the Spark-side ``pmod`` expression."""
+    words = [0] * (m_bits // 64)
+    for h1, h2 in hash_pairs:
+        a, b = h1 % m_bits, h2 % m_bits
+        for j in range(k):
+            p = (a + j * b) % m_bits
+            words[p >> 6] |= 1 << (p & 63)
+    # to signed int64 so the values round-trip as Spark LongType literals
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_expr(words: list, m_bits: int, k: int,
+               h1: Column, h2: Column) -> Column:
+    """Pure-codegen Bloom membership test — no Python worker, no
+    broadcast: the bit array rides the plan as an array<long> literal
+    and each of the k probes is an element_at + shift + mask. Built for
+    bounded key sets (≤ :data:`LITERAL_BLOOM_MAX_BITS`); the double-
+    hash positions avoid bigint overflow under ANSI by reducing h1/h2
+    mod m FIRST (floor-mod keeps both engines' arithmetic identical —
+    Python ``%`` on signed ints IS Spark's ``pmod``)."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    a = F.pmod(h1, F.lit(m_bits)).cast("long")
+    b = F.pmod(h2, F.lit(m_bits)).cast("long")
+    cond = None
+    for j in range(k):
+        p = F.pmod(a + F.lit(j) * b, F.lit(m_bits))
+        word = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
+        # getbit takes a COLUMN position (shiftright's DataFrame form
+        # only accepts a Python-int literal)
+        t = F.getbit(word, p.bitwiseAND(F.lit(63))) == F.lit(1)
+        cond = t if cond is None else (cond & t)
+    return cond
 
 
 def bloom_might_contain(df: DataFrame, col: str, bloom: BloomFilter,

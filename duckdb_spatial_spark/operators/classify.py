@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from .dsir import _gram_rows, bucket_sql, gram_rows_sql, hashed_bucket
 from .pipeline import normalized_words
 
-__all__ = ["nb_train", "nb_score", "nb_score_sql"]
+__all__ = ["nb_train", "nb_score", "nb_score_sql",
+           "nb_train_score", "nb_train_score_split"]
 
 
 def nb_train(labeled_df: DataFrame, label_col: str = "label",
@@ -167,6 +168,99 @@ def _bucket_rows(df: DataFrame, keep_cols: list, text_col: str,
         *keep,
         F.when(F.col("gram") == "", F.lit(-1))
         .otherwise(hashed_bucket(F.col("gram"), buckets)).alias("bucket"),
+    )
+
+
+def nb_train_score_split(df: DataFrame, train_pred,
+                         label_col: str = "label", text_col: str = "text",
+                         buckets: int = 4096, alpha: float = 1.0,
+                         bigrams: bool = True,
+                         id_col: str = "doc_id") -> DataFrame:
+    """:func:`nb_train_score` for the train/score-split-of-one-corpus
+    case (held-out scoring, the common quality-classifier setup): rows
+    where ``train_pred`` holds train the model, the rest are scored.
+
+    Both sides derive from ONE shared (id, bucket, cnt) aggregate with
+    the split predicate applied AFTER it, so the two branches'
+    exchange subplans canonicalize identically and Spark's
+    ReuseExchange runs the gram explode + hash + count ONCE — the
+    separate-scan form paid that scan (and a whole broadcast-build job)
+    twice. The tiny model side then shuffle-joins on the bucket instead
+    of broadcasting: a broadcast exchange of a derived frame is its own
+    job barrier in local mode, while the extra hash exchange moves only
+    the ≤ 2·buckets+1 model rows. Arithmetic identical to
+    nb_train + nb_score (same smoothing-floor decomposition)."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (log of the smoothed counts)")
+    from pyspark.sql import Window
+
+    # _tr comes out of the aggregate (max of a per-doc constant), NOT a
+    # grouping key: a filter on a grouping column pushes below the
+    # aggregate and the exchange, splitting the shared gram scan back
+    # into two (defeating ReuseExchange); a predicate on an aggregate
+    # output cannot push, so both branches share ONE exchange.
+    db = (
+        _bucket_rows(df, [F.col(id_col),
+                          F.col(label_col).alias("_y"),
+                          train_pred.alias("_tr")],
+                     text_col, bigrams, buckets, sentinel=True)
+        .groupBy(id_col, "_y", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+             F.max("_tr").alias("_tr"))
+    )
+    real = F.col("bucket") >= 0
+    raw = db.filter(F.col("_tr")).groupBy("bucket").agg(
+        F.sum(F.when(F.col("_y"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long").alias("cnt_pos"),
+        F.sum(F.when(~F.col("_y"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long").alias("cnt_neg"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    model = raw.select(
+        "bucket", "cnt_pos", "cnt_neg",
+        F.sum(F.when(real, F.col("cnt_pos")).otherwise(F.lit(0)))
+        .over(w_all).alias("_tot_pos"),
+        F.sum(F.when(real, F.col("cnt_neg")).otherwise(F.lit(0)))
+        .over(w_all).alias("_tot_neg"),
+        F.max(F.when(~real, F.col("cnt_pos"))).over(w_all).alias("_n_pos"),
+        F.max(F.when(~real, F.col("cnt_neg"))).over(w_all).alias("_n_neg"),
+    )
+
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * buckets)
+    prior = (F.log(F.coalesce(F.col("_n_pos"), F.lit(0)) + F.lit(1.0))
+             - F.log(F.coalesce(F.col("_n_neg"), F.lit(0)) + F.lit(1.0)))
+    floor = (F.log(a) - F.log(F.col("_tot_pos") + ab)) \
+        - (F.log(a) - F.log(F.col("_tot_neg") + ab))
+    delta = F.when(
+        real & F.col("cnt_pos").isNotNull(),
+        F.col("cnt") * (
+            (F.log(F.col("cnt_pos") + a) - F.log(F.col("_tot_pos") + ab))
+            - (F.log(F.col("cnt_neg") + a) - F.log(F.col("_tot_neg") + ab))
+            - floor
+        ),
+    ).otherwise(F.lit(0.0))
+
+    doc_b = db.filter(~F.col("_tr")).select(id_col, "bucket", "cnt")
+    return (
+        doc_b.join(model, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(real, F.col("cnt")).otherwise(F.lit(0)))
+            .alias("n_grams"),
+            F.sum(delta).alias("_d"),
+            F.max("_n_pos").alias("_n_pos"),
+            F.max("_n_neg").alias("_n_neg"),
+            F.max("_tot_pos").alias("_tot_pos"),
+            F.max("_tot_neg").alias("_tot_neg"),
+        )
+        .filter(F.col("n_grams") > 0)
+        .select(
+            id_col,
+            "n_grams",
+            (prior + F.col("_d") + F.col("n_grams") * floor)
+            .alias("nb_score"),
+        )
     )
 
 

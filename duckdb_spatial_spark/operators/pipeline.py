@@ -117,12 +117,18 @@ def decontaminate(
     n: int = 8,
     mode: str = "drop",
     bloom_fpp: Optional[float] = None,
+    flag_projection: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Remove (or flag) training docs that share any word n-gram with a
     benchmark corpus — test-set decontamination.
 
     ``mode='drop'`` returns the clean subset of ``df``; ``mode='flag'``
     returns ``df`` plus a boolean ``contaminated`` column.
+    ``flag_projection`` (flag mode + bounded benchmark only) narrows the
+    result to ``(id_col, *flag_projection, contaminated)`` — the named
+    columns ride the gram explode, so the flag computes as ONE scan +
+    one per-doc aggregate with no join back to ``df`` (the join re-scans
+    the corpus; a downstream aggregate rarely needs every column).
 
     Scale shape: the benchmark n-gram set is broadcast (eval sets are
     small by construction); the corpus side is one explode + broadcast
@@ -133,25 +139,85 @@ def decontaminate(
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     grams = benchmark_ngrams(bench_df, text_col, n)
-    words = df.select(F.col(id_col), normalized_words(F.col(text_col)).alias("_w"))
+    carry = list(flag_projection or [])
+    words = df.select(F.col(id_col), *carry,
+                      normalized_words(F.col(text_col)).alias("_w"))
     exploded = words.select(
-        F.col(id_col),
+        F.col(id_col), *carry,
         F.explode(ngrams_of_words(F.col("_w"), n)).alias("gram"),
     )
     if bloom_fpp is not None:
-        # scale path: when the benchmark gram set is too large to
-        # broadcast as an exact set, a Bloom prefilter drops ~(1-fpp) of
-        # corpus grams executor-side BEFORE the join shuffles anything;
-        # false positives are removed by the exact join that follows, so
-        # results are identical (tested) — only the shuffle volume drops.
-        from .bloom import bloom_might_contain, build_bloom
+        # scale path: a Bloom prefilter drops ~(1-fpp) of corpus grams
+        # executor-side BEFORE the join shuffles anything; false
+        # positives are removed by the exact join that follows, so
+        # results are identical (tested) — only the shuffle volume
+        # drops. Two tiers:
+        from .bloom import (LITERAL_BLOOM_MAX_BITS, bloom_expr,
+                            bloom_might_contain, bloom_size,
+                            build_bloom, build_bloom_bits_local)
 
-        n_grams = grams.count()
-        bloom = build_bloom(grams, "gram", max(n_grams, 1), bloom_fpp)
-        exploded = bloom_might_contain(exploded, "gram", bloom) \
-            .filter(F.col("might")).drop("might")
+        probe = grams.select(
+            "gram",
+            F.xxhash64("gram").alias("__h1"),
+            # second hash from the 8-byte first hash — half the string
+            # hashing on the (much larger) corpus probe side
+            F.xxhash64(F.xxhash64("gram"), F.lit(0xB10F)).alias("__h2"))
+        cap_items = LITERAL_BLOOM_MAX_BITS // 10  # fpp 0.01 sizing bound
+        # coalesce(1): one CollectLimit wave (limit-collect on an
+        # aggregate otherwise re-runs reduce partitions wave by wave)
+        head = probe.coalesce(1).limit(cap_items + 1).collect()
+        if len(head) <= cap_items:
+            # bounded benchmark (the common decontamination case): the
+            # ONE collect the exact broadcast join needs anyway also
+            # carries xxhash64 pairs, so the filter builds driver-side
+            # and rides the plan as a pure-codegen literal — no count
+            # job, no distributed build job, no Python worker at scan.
+            m_bits, k = bloom_size(max(len(head), 1), bloom_fpp)
+            bit_words = build_bloom_bits_local(
+                [(r["__h1"], r["__h2"]) for r in head], m_bits, k)
+            hashed = exploded.select(
+                id_col, *carry, "gram",
+                F.xxhash64("gram").alias("__h1"),
+                F.xxhash64(F.xxhash64("gram"), F.lit(0xB10F))
+                .alias("__h2"),
+            )
+            # exact verification as a literal InSet (codegen hash-set
+            # probe) — a createDataFrame+broadcast would cost a whole
+            # parallelize job just to ship rows the driver already holds
+            gram_set = [r["gram"] for r in head]
+            hit = (bloom_expr(bit_words, m_bits, k,
+                              F.col("__h1"), F.col("__h2"))
+                   & F.col("gram").isin(gram_set))
+            if mode == "flag" and carry:
+                # join-free flag: every doc emits >= 1 gram (short docs
+                # produce one truncated gram), so the per-doc max(hit)
+                # aggregate covers the whole corpus in ONE scan
+                return (
+                    hashed.groupBy(id_col, *carry)
+                    .agg(F.max(hit).alias("contaminated"))
+                )
+            hit_ids = (
+                hashed.filter(hit).select(id_col).distinct()
+            )
+            if mode == "drop":
+                return df.join(hit_ids, id_col, "left_anti")
+            return df.join(
+                hit_ids.withColumn("contaminated", F.lit(True)),
+                id_col, "left",
+            ).withColumn("contaminated",
+                         F.coalesce(F.col("contaminated"), F.lit(False)))
+        else:
+            # benchmark too large for a plan literal: distributed bit-
+            # array build (treeAggregate OR), Arrow-UDF membership.
+            n_grams = grams.count()
+            bloom = build_bloom(grams, "gram", max(n_grams, 1), bloom_fpp)
+            exploded = bloom_might_contain(exploded, "gram", bloom) \
+                .filter(F.col("might")).drop("might")
+            grams = F.broadcast(grams)
+    else:
+        grams = F.broadcast(grams)
     hit_ids = (
-        exploded.join(F.broadcast(grams), "gram", "inner")
+        exploded.join(grams, "gram", "inner")
         .select(id_col)
         .distinct()
     )
