@@ -4220,6 +4220,234 @@ _Q150_ORACLE = """
 """
 
 
+def q151_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    Goldstein 1998 — the retrieval-diversity step between ANN search
+    and context assembly): top-32 query-relevant vectors by one codegen
+    cosine scan + TakeOrdered, then the greedy λ-tradeoff selection
+    over that BOUNDED pool driver-side (pool size is a parameter, not a
+    data scale — the IVF/BPE train-apply discipline). Every similarity
+    rounds to 6 dp before any comparison and ties break on the id, so
+    the oracle replays the selection exactly with k unrolled argmax
+    CTEs (the q111 pattern)."""
+    from duckdb_spatial_spark.operators.rank import mmr_rerank
+
+    e = load_table(spark, sf, "embeddings", fan_out=False)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    rows = mmr_rerank(e.filter(F.col("vec_id") > 0), q, id_col="vec_id",
+                      vec_col="embedding", k=8, pool=32, lam=0.7)
+    return spark.createDataFrame(
+        rows, "rank long, id long, rel double, mmr double").orderBy("rank")
+
+
+def _q151_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.rank import mmr_sql
+
+    return mmr_sql("(SELECT * FROM embeddings WHERE vec_id > 0)",
+                   "embedding", "vec_id", "embeddings", "vec_id = 0",
+                   k=8, pool=32, lam=0.7)
+
+
+def q152_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-SESSION funnel conversion — the composition every product
+    analytics store runs (sessionize ∘ funnel): events sessionize at
+    >30-minute gaps per user, then each session runs the ordered
+    view→click→purchase funnel independently (greedy earliest-match
+    WITHIN the session — the composite session key bounds matching, no
+    extra time window needed). Same one-shuffle sessionize + K-1
+    session-keyed min-joins; the oracle replays the lag/cumsum
+    sessionization and the iterative min-CTE funnel on the identical
+    composite key."""
+    from duckdb_spatial_spark.operators.temporal import funnel, sessionize
+
+    e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
+    ev = e.select("user_id", "event_type", "ts",
+                  F.unix_micros("ts").alias("t"),
+                  F.col("event_id").alias("eid"))
+    sess = sessionize(ev, ["user_id"], "t", gap_us=30 * 60 * 1_000_000,
+                      order_cols=["eid"])
+    # composite session key: sessions-per-user is gap-bounded tiny, so
+    # user_id*1000+session_id is collision-free and checksummable
+    keyed = sess.select(
+        (F.col("user_id") * F.lit(1000) + F.col("session_id")).alias("sk"),
+        "event_type", "ts")
+    out = funnel(keyed, ["view", "click", "purchase"], user_col="sk",
+                 ts_col="ts")
+    return (
+        out.groupBy("steps_completed")
+        .agg(F.count("*").cast("long").alias("n_sessions"),
+             F.sum("sk").cast("long").alias("sks"),
+             F.sum(F.col("t_last_us") - F.col("t_first_us"))
+              .cast("long").alias("span_us"))
+        .transform(_ssort, "steps_completed")
+    )
+
+
+_Q152_ORACLE = """
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+             event_type AS et
+      FROM events
+    ), flagged AS (
+      SELECT u, t, eid, et,
+             CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, eid)
+    ), keyed AS (
+      SELECT u * 1000 + sum(new_s) OVER (PARTITION BY u ORDER BY t, eid
+                                         ROWS UNBOUNDED PRECEDING) - 1
+               AS sk,
+             et, t
+      FROM flagged
+    ), s1 AS (
+      SELECT sk, CAST(min(t) AS BIGINT) AS t1 FROM keyed
+      WHERE et = 'view' GROUP BY sk
+    ), h2 AS (
+      SELECT k.sk, CAST(min(k.t) AS BIGINT) AS t2
+      FROM keyed k JOIN s1 ON k.sk = s1.sk
+      WHERE k.et = 'click' AND k.t > s1.t1
+      GROUP BY k.sk
+    ), h3 AS (
+      SELECT k.sk, CAST(min(k.t) AS BIGINT) AS t3
+      FROM keyed k JOIN h2 ON k.sk = h2.sk
+      WHERE k.et = 'purchase' AND k.t > h2.t2
+      GROUP BY k.sk
+    ), per AS (
+      SELECT s1.sk,
+             CASE WHEN h3.sk IS NOT NULL THEN 3
+                  WHEN h2.sk IS NOT NULL THEN 2 ELSE 1 END AS d,
+             s1.t1,
+             CASE WHEN h3.sk IS NOT NULL THEN h3.t3
+                  WHEN h2.sk IS NOT NULL THEN h2.t2 ELSE s1.t1 END AS tl
+      FROM s1 LEFT JOIN h2 ON s1.sk = h2.sk LEFT JOIN h3 ON s1.sk = h3.sk
+    )
+    SELECT CAST(d AS INT) AS steps_completed,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(sk) AS BIGINT) AS sks,
+           CAST(sum(tl - t1) AS BIGINT) AS span_us
+    FROM per GROUP BY d ORDER BY d
+"""
+
+
+def q153_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ordered funnel via applyInPandasWithState — the
+    stateful-operator twin of q143: events drain as a file stream, each
+    user\'s state accumulates step-relevant event times, every update
+    recomputes the greedy matches so emitted (depth, n_seen) are
+    monotone per user and the LAST update row per user is the batch
+    answer. The oracle is the BATCH funnel over the same events — a
+    lost batch, a state merge bug, or a non-greedy match desyncs the
+    hash."""
+    from duckdb_spatial_spark.streaming import streaming_funnel
+
+    batch = load_table(spark, sf, "events", fan_out=False)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", (F.col("ts") / F.lit(1e9)).cast("timestamp"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # thin the stream (1/7 of events) so the depth distribution spans
+    # 0..3 — on the full table every user completes the funnel and the
+    # check degenerates to one row
+    fun = streaming_funnel(stream.filter(F.col("event_id") % 7 == 0),
+                           ["view", "click", "purchase"])
+    _Q75_SINK_SEQ[0] += 1
+    sink = f"q153_sink_{_Q75_SINK_SEQ[0]}"
+    q = (
+        fun.writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    upd = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_seen").desc(), F.col("depth").desc())
+    final = (upd.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1))
+    return (
+        final.groupBy(F.col("depth").cast("int").alias("steps_completed"))
+        .agg(F.count("*").cast("long").alias("n_users"),
+             F.sum("user_id").cast("long").alias("su"))
+        .transform(_ssort, "steps_completed")
+    )
+
+
+_Q153_ORACLE = """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events WHERE event_id % 7 = 0
+    ), users AS (SELECT DISTINCT u FROM ev),
+    s1 AS (
+      SELECT u, CAST(min(us) AS BIGINT) AS t1 FROM ev
+      WHERE t = 'view' GROUP BY u
+    ), h2 AS (
+      SELECT ev.u, CAST(min(ev.us) AS BIGINT) AS t2
+      FROM ev JOIN s1 ON ev.u = s1.u
+      WHERE ev.t = 'click' AND ev.us > s1.t1
+      GROUP BY ev.u
+    ), h3 AS (
+      SELECT ev.u, CAST(min(ev.us) AS BIGINT) AS t3
+      FROM ev JOIN h2 ON ev.u = h2.u
+      WHERE ev.t = 'purchase' AND ev.us > h2.t2
+      GROUP BY ev.u
+    ), per AS (
+      SELECT users.u,
+             CASE WHEN h3.u IS NOT NULL THEN 3
+                  WHEN h2.u IS NOT NULL THEN 2
+                  WHEN s1.u IS NOT NULL THEN 1 ELSE 0 END AS d
+      FROM users LEFT JOIN s1 ON users.u = s1.u
+                 LEFT JOIN h2 ON users.u = h2.u
+                 LEFT JOIN h3 ON users.u = h3.u
+    )
+    SELECT CAST(d AS INT) AS steps_completed,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u) AS BIGINT) AS su
+    FROM per GROUP BY d ORDER BY d
+"""
+
+
+def q154_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-entropy quality profile per source (the gibberish /
+    boilerplate signal a web-scale cleaner thresholds on): one char
+    explode + one partial-aggregated (doc, char) shuffle + per-doc sum
+    (operators/textops.char_entropy_per_doc — relational on purpose;
+    the array-side scalar would re-evaluate the split per distinct
+    char). Decomposed as H = ln L − (Σ n·ln n)/L so both engines sum
+    the identical terms."""
+    from duckdb_spatial_spark.operators.textops import char_entropy_per_doc
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    ent = char_entropy_per_doc(d, "doc_id", "text", carry_cols=["source"])
+    return (
+        ent.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+             F.round(F.min("entropy"), 6).alias("min_entropy"),
+             F.round(F.max("entropy"), 6).alias("max_entropy"))
+        .transform(_ssort, "source")
+    )
+
+
+def _q154_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.textops import char_entropy_sql
+
+    inner = char_entropy_sql("documents", "doc_id", "text", carry="source")
+    return f"""
+        WITH ent AS ({inner})
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(entropy), 6) AS avg_entropy,
+               round(min(entropy), 6) AS min_entropy,
+               round(max(entropy), 6) AS max_entropy
+        FROM ent GROUP BY source ORDER BY source
+    """
+
+
 def q147_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling without replacement ∝ document length
     (Efraimidis–Spirakis Gumbel keys off the portable hash — the
@@ -4929,7 +5157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q31 in-window).
         "q146_collocations": q146_collocations,
         "q106_nb_quality_classifier": q106_nb_quality_classifier,
-        "q76_pack_sequences": q76_pack_sequences,
         # q87 rotated IN round 7 (small-vocab fused plan + carry_cols);
         # q119 (r6-green, unchanged) moves below — sketches keep
         # q115+q123.
@@ -4944,7 +5171,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below with q126-family temporal coverage in-window).
         "q143_funnel": q143_funnel,
         "q115_count_min": q115_count_min,
-        "q60_spheroid": q60_spheroid,
+        # ROUND-8 rotation: q94 (train switched to pinned deflated
+        # power iteration + first value-oracle), q74 (oracle position
+        # enumeration rewritten), q148-q150 (added below-cut at round-7
+        # close, never driver-checked) take the slots of q76/q95/q98/
+        # q124/q60 — all driver-green r7 and byte-unchanged except the
+        # presentation-sort sweep, which the row-sorted compare cannot
+        # observe.
+        "q94_pca_project": q94_pca_project,
+        "q74_repetition_filter": q74_repetition_filter,
+        "q148_group_zscore": q148_group_zscore,
+        "q149_topk_per_group": q149_topk_per_group,
+        "q150_time_bucket_ohlc": q150_time_bucket_ohlc,
         # q129 (layout CRUD: append+DELETE+compact, NEW round 7) holds the
         # layout-family slot — it exercises q125's append/compact path as
         # a superset; q125 (green r6, unchanged) and q61 (static
@@ -4968,7 +5206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q130 (NEW round 7: inverted-index layout) takes this slot;
         # q80 webdataset (r6-green, unchanged) moves below — containers
         # keep q68+q109 in-window.
-        "q130_inverted_index": q130_inverted_index,
         "q86_bpe_pipeline": q86_bpe_pipeline,
         "q88_knn_join": q88_knn_join,
         # q139 (NEW round 7: hybrid BM25+cosine retrieval) takes q89's
@@ -4984,12 +5221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (PCA project, rows-only, green r6, unchanged; vectors keep
         # q88 + q135 in-window).
         "q142_streaming_layout": q142_streaming_layout,
-        "q95_profile_table": q95_profile_table,
         # q133 (NEW round 7: multi-column Z-order layout) takes q97's
         # slot (salted agg, green r6, unchanged; skew keeps q118
         # in-window) — layout family holds q129 (hilbert CRUD) + q133.
-        "q133_zorder_layout": q133_zorder_layout,
-        "q98_corpus_diff": q98_corpus_diff,
         # q136 (NEW round 7: exact-count per-group sampling) takes
         # q99's slot (minhash index, green r6, unchanged; dedup keeps
         # q127+q100 in-window).
@@ -4998,7 +5232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q134 (NEW round 7: positional index + exact-phrase search)
         # takes q110's slot (unigram tokenizer, green r6, unchanged;
         # tokenizers keep q86+q120 in-window).
-        "q134_phrase_search": q134_phrase_search,
         # q141 (NEW round 7: n-gram novelty scoring) takes q120's slot
         # (WordPiece, green r6, unchanged; tokenizers keep q86
         # in-window).
@@ -5007,14 +5240,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never earned a driver CORRECTNESS row; q121 (green r6,
         # unchanged) moves below — temporal keeps q112+q113+q122+q126.
         "q122_rolling_window": q122_rolling_window,
+        # ROUND-8 additions (all in-window): MMR re-rank, session
+        # funnel, streaming funnel, char entropy. Displaced to make
+        # room: q130/q134 (text-index keeps q131/q138/q139 in-window),
+        # q133 (layout keeps q129/q137/q142), q132 (sampling keeps
+        # q135/q136/q147) — all driver-green r7, byte-unchanged.
+        "q151_mmr_rerank": q151_mmr_rerank,
+        "q152_session_funnel": q152_session_funnel,
+        "q153_streaming_funnel": q153_streaming_funnel,
+        "q154_char_entropy": q154_char_entropy,
         # q126 (batch sessionize, NEW round 6; oracle tie-break touched
         # round 7 — stays in-window to re-earn a fresh row).
         "q126_sessionize": q126_sessionize,
         # q132 (NEW round 7: deterministic shard permutation) takes
         # q123's slot (HLL overlap, green r6, unchanged; sketches keep
         # q115 in-window, q114/q119/q123 below).
-        "q132_shard_permutation": q132_shard_permutation,
-        "q124_corpus_divergence": q124_corpus_divergence,
         # ---- driver cut line (round 6). Displaced THIS round — all were
         # driver-green in CORRECTNESS_r05 and are byte-unchanged; each
         # family keeps an in-window representative (mapping above):
@@ -5034,6 +5274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sinks q68+q80+q109), q69 components (graph q96).
         # q90 quota + q123 HLL overlap + q97 salted agg displaced round 7
         # by q131/q132/q133 (all driver-green r6, byte-unchanged).
+        "q76_pack_sequences": q76_pack_sequences,
+        "q95_profile_table": q95_profile_table,
+        "q98_corpus_diff": q98_corpus_diff,
+        "q124_corpus_divergence": q124_corpus_divergence,
+        "q60_spheroid": q60_spheroid,
+        "q130_inverted_index": q130_inverted_index,
+        "q134_phrase_search": q134_phrase_search,
+        "q133_zorder_layout": q133_zorder_layout,
+        "q132_shard_permutation": q132_shard_permutation,
         "q90_domain_quota": q90_domain_quota,
         "q123_hll_overlap": q123_hll_overlap,
         "q97_salted_agg": q97_salted_agg,
@@ -5045,7 +5294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_sentence_stats": q89_sentence_stats,
         "q57_shortestline": q57_shortestline,
         "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
-        "q94_pca_project": q94_pca_project,
         "q118_salted_join": q118_salted_join,
         "q54_langid_ngram": q54_langid_ngram,
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
@@ -5068,7 +5316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_ann_ivfpq": q116_ann_ivfpq,
         "q81_streaming_sessions": q81_streaming_sessions,
         "q104_semdedup": q104_semdedup,
-        "q74_repetition_filter": q74_repetition_filter,
         "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
         "q69_dedup_components": q69_dedup_components,
         "q61_rtree_points": q61_rtree_points,
@@ -5135,9 +5382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_minhash": q19_minhash,
             # ---- round-7 below-cut additions (appended at the end; judge-
         # verified, no window rotation needed).
-        "q148_group_zscore": q148_group_zscore,
-        "q149_topk_per_group": q149_topk_per_group,
-        "q150_time_bucket_ohlc": q150_time_bucket_ohlc,
     }
 
 
@@ -6637,6 +6881,10 @@ def oracle_sql() -> dict[str, str]:
               AND s_acctbal BETWEEN -100000.0 AND 100000.0
         """,
         "q111_pca_power_iteration": _q111_oracle_sql(),
+        "q151_mmr_rerank": _q151_oracle_sql(),
+        "q152_session_funnel": _Q152_ORACLE,
+        "q153_streaming_funnel": _Q153_ORACLE,
+        "q154_char_entropy": _q154_oracle_sql(),
         "q94_pca_project": _q94_oracle_sql(),
         "q126_sessionize": _q126_oracle_sql(),
         "q127_edit_distance_dedup": _q127_oracle_sql(),

@@ -28,8 +28,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .pipeline import normalized_words
+from .similarity import cosine_similarity
 
-__all__ = ["doc_terms", "tf_idf", "tf_idf_topk", "bm25", "bm25_topk"]
+__all__ = ["doc_terms", "tf_idf", "tf_idf_topk", "bm25", "bm25_topk",
+           "mmr_rerank", "mmr_sql"]
 
 
 def doc_terms(df: DataFrame, id_col: str = "doc_id",
@@ -133,3 +135,136 @@ def bm25_topk(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "dfreq", "dl", "score", "rank")
     )
+
+
+def mmr_rerank(df, query_vec, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 8, pool: int = 32,
+               lam: float = 0.7):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the corpus, take the ``pool`` most query-relevant
+    vectors, then greedily pick ``k`` of them trading relevance against
+    similarity-to-already-picked:
+
+        mmr_i = λ·rel_i − (1−λ)·max_{s∈S} cos(e_i, e_s)
+
+    Scale split (the IVF/BPE train-apply discipline): RELEVANCE is the
+    distributed part — one codegen cosine scan + TakeOrdered, never a
+    sort; the greedy loop runs driver-side over the BOUNDED pool (pool
+    is a parameter, not a data scale). Determinism: every similarity
+    rounds to 6 dp before comparisons and ties break on the id, so the
+    selection replays exactly in SQL (:func:`mmr_sql`, k unrolled
+    rounds — the q111 pattern).
+
+    Returns list of (rank, id, rel, mmr) with 6-dp rounded scores.
+    """
+    import math
+
+    def _r6(x):
+        # DuckDB's round(DOUBLE, 6) arithmetic exactly (floor of
+        # x*1e6 + 0.5, sign-aware) — Python's round() is half-EVEN and
+        # desyncs on the exact-half decimals that λ·(6-dp value)
+        # products produce systematically.
+        return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+                else math.ceil(x * 1e6 - 0.5) / 1e6)
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    rel = cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in q]))
+    top = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"),
+                  F.round(rel, 6).alias("__rel"))
+        .orderBy(F.col("__rel").desc(), F.col("__id"))
+        .limit(pool)
+        .collect()
+    )
+    cand = {r["__id"]: (r["__rel"], [float(x) for x in r["__e"]])
+            for r in top}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return _r6(d / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    sel = []
+    out = []
+    while cand and len(sel) < k:
+        best = None
+        for i, (r, e) in cand.items():
+            ms = max((cos(e, se) for _, se in sel), default=0.0)
+            score = _r6(lam * r - (1.0 - lam) * ms)
+            key = (score, -i)  # score DESC, id ASC
+            if best is None or key > best[0]:
+                best = (key, i, r, score)
+        _, i, r, score = best
+        sel.append((i, cand[i][1]))
+        cand.pop(i)
+        out.append((len(sel), i, r, score))
+    return out
+
+
+def mmr_sql(table: str, vec_expr: str, id_col: str, query_table: str,
+            query_where: str,
+            k: int = 8, pool: int = 32, lam: float = 0.7) -> str:
+    """DuckDB twin of :func:`mmr_rerank` — pool by (rounded cos DESC,
+    id), pairwise 6-dp sims, then k unrolled greedy rounds (argmax via
+    ORDER BY score DESC, id LIMIT 1; aggregates can't live in a
+    recursive CTE term, so fixed-round unrolling IS the SQL form).
+    Produces (rank, id, rel, mmr)."""
+    lam_r = repr(float(lam))
+    # embed the PYTHON-computed complement: 1.0 - 0.7 is
+    # 0.30000000000000004 in binary floats, while SQL's (1.0 - 0.7) is
+    # exact DECIMAL 0.3 → a 1-ulp multiplier difference that flips
+    # 6-dp rounding at the half-boundaries λ·(6-dp) products hit
+    # systematically
+    om_r = repr(1.0 - float(lam))
+    pre = f"""
+        q AS (SELECT CAST({vec_expr} AS DOUBLE[]) AS qv
+              FROM {query_table} WHERE {query_where}),
+        pool AS MATERIALIZED (
+          SELECT {id_col} AS id, ev, rel FROM (
+            SELECT {id_col},
+                   CAST({vec_expr} AS DOUBLE[]) AS ev,
+                   round(list_cosine_similarity(
+                       CAST({vec_expr} AS DOUBLE[]), q.qv), 6) AS rel,
+                   row_number() OVER (
+                     ORDER BY round(list_cosine_similarity(
+                         CAST({vec_expr} AS DOUBLE[]), q.qv), 6) DESC,
+                       {id_col}) AS rn
+            FROM {table}, q
+          ) WHERE rn <= {pool}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib,
+                 round(list_cosine_similarity(a.ev, b.ev), 6) AS s
+          FROM pool a JOIN pool b ON a.id <> b.id
+        ),
+        sel1 AS MATERIALIZED (
+          SELECT id, rel, round({lam_r} * rel, 6) AS mmr, 1 AS rank
+          FROM pool ORDER BY round({lam_r} * rel, 6) DESC, id LIMIT 1
+        )"""
+    rounds = []
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT id FROM sel{i}"
+                                  for i in range(1, r))
+        prev_rows = " UNION ALL ".join(
+            f"SELECT id, rel, mmr, rank FROM sel{i}" for i in range(1, r))
+        rounds.append(f"""
+        sel{r} AS MATERIALIZED (
+          SELECT p.id, p.rel,
+                 round({lam_r} * p.rel
+                       - {om_r} * max(s.s), 6) AS mmr,
+                 {r} AS rank
+          FROM pool p
+          JOIN sims s ON s.ia = p.id AND s.ib IN ({prev})
+          WHERE p.id NOT IN ({prev})
+          GROUP BY p.id, p.rel
+          ORDER BY round({lam_r} * p.rel
+                         - {om_r} * max(s.s), 6) DESC, p.id
+          LIMIT 1
+        )""")
+    all_rows = " UNION ALL ".join(f"SELECT id, rel, mmr, rank FROM sel{i}"
+                                  for i in range(1, k + 1))
+    return ("WITH" + pre + "," + ",".join(rounds)
+            + f" SELECT CAST(rank AS BIGINT) AS rank, id, rel, mmr"
+              f" FROM ({all_rows}) ORDER BY rank")

@@ -547,3 +547,72 @@ def collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("pair")).limit(k)
+
+
+def char_entropy_per_doc(df, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        carry_cols=()) -> "DataFrame":
+    """Per-document character-level Shannon entropy (nats) — the classic
+    gibberish/boilerplate quality signal (low entropy = runs and
+    repeats; abnormally high = random noise):
+
+        H = -Σ_c (n_c / L) · ln(n_c / L),   L = length(text)
+
+    Relational one-pass shape (NOT an array-side scalar: a per-distinct-
+    char filter over a captured char array re-evaluates the split per
+    element — the ngrams_of_words O(L²) trap): explode the chars, one
+    partial-aggregated (doc, char) count shuffle, then a per-doc sum.
+    Empty documents score 0.0 via the explode of split('', '') = ['']
+    (one char, p=1, H=0) — identical in DuckDB, so the SQL twin
+    (:func:`char_entropy_sql`) is hash-exact.
+    """
+    from pyspark.sql import functions as F
+
+    carry = list(carry_cols)
+    chars = df.select(
+        F.col(id_col), *carry,
+        F.explode(F.split(F.col(text_col), "")).alias("__c"))
+    counts = chars.groupBy(id_col, *carry, "__c").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    return (
+        counts.groupBy(id_col, *carry)
+        .agg(
+            F.sum("__n").cast("long").alias("n_chars_split"),
+            (-F.sum(F.col("__n") * F.log(F.col("__n")))).alias("__snl"),
+        )
+        .select(
+            id_col, *carry,
+            F.when(
+                F.col("n_chars_split") > 1,
+                F.col("__snl") / F.col("n_chars_split")
+                + F.log(F.col("n_chars_split").cast("double")),
+            ).otherwise(F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def char_entropy_sql(table: str, id_col: str = "doc_id",
+                     text_col: str = "text", carry: str = "") -> str:
+    """DuckDB twin of :func:`char_entropy_per_doc` — same decomposition
+    H = ln L − (Σ n ln n)/L so the float op order matches."""
+    carry_sel = f", {carry}" if carry else ""
+    return f"""
+        SELECT {id_col}{carry_sel},
+               CASE WHEN n_chars_split > 1
+                    THEN __snl / n_chars_split
+                         + ln(CAST(n_chars_split AS DOUBLE))
+                    ELSE 0.0 END AS entropy
+        FROM (
+          SELECT {id_col}{carry_sel},
+                 CAST(sum(__n) AS BIGINT) AS n_chars_split,
+                 -sum(__n * ln(__n)) AS __snl
+          FROM (
+            SELECT {id_col}{carry_sel}, c,
+                   CAST(count(*) AS DOUBLE) AS __n
+            FROM (SELECT {id_col}{carry_sel},
+                         unnest(string_split({text_col}, '')) AS c
+                  FROM {table})
+            GROUP BY ALL
+          ) GROUP BY ALL
+        )
+    """

@@ -426,3 +426,90 @@ def streaming_zorder_append(
     return _foreach_batch_append(
         stream, lambda b: zorder_append(b, path, cols, ranges=ranges),
         checkpoint, available_now)
+
+
+_FUNNEL_OUT_SCHEMA = ("user_id long, depth int, t_first_us long, "
+                      "t_last_us long, n_seen long")
+_FUNNEL_STATE_SCHEMA = ("s1 array<long>, s2 array<long>, s3 array<long>, "
+                        "n_seen long")
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming ordered-funnel via ``applyInPandasWithState`` — the
+    stateful twin of ``operators.temporal.funnel`` (greedy
+    earliest-match, exactly 3 steps). Per user, the state holds the
+    sorted step-relevant event times seen so far; each batch merges its
+    events and recomputes the greedy matches from scratch, so the
+    emitted depth is EXACTLY the batch funnel over the prefix of the
+    stream — depth and n_seen are monotone per user, making the final
+    update row per user the final answer (how the oracle checks it).
+
+    State size: per user, only funnel-step event times are retained
+    (other event types never enter state). In a production deployment
+    the watermark bounds retention — once the watermark passes t, the
+    step-1 minimum is final and any step-k time below the now-frozen
+    step-(k-1) match can be evicted; this reference implementation
+    keeps the full per-step lists (the tests pin exact batch parity).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if len(list(steps)) != 3:
+        raise ValueError("streaming_funnel: exactly 3 steps supported")
+    s_a, s_b, s_c = list(steps)
+
+    def greedy(t1s, t2s, t3s):
+        if not t1s:
+            return 0, None, None
+        m1 = min(t1s)
+        elig2 = [t for t in t2s if t > m1]
+        if not elig2:
+            return 1, m1, m1
+        m2 = min(elig2)
+        elig3 = [t for t in t3s if t > m2]
+        if not elig3:
+            return 2, m1, m2
+        return 3, m1, min(elig3)
+
+    def update(key, pdfs, state: GroupState):
+        t1s, t2s, t3s, n = ([], [], [], 0)
+        if state.exists:
+            p1, p2, p3, n = state.get
+            t1s, t2s, t3s = list(p1), list(p2), list(p3)
+        for pdf in pdfs:
+            n += len(pdf)
+            tt = pdf[type_col]
+            us = pdf["__us"]
+            t1s.extend(int(v) for v in us[tt == s_a])
+            t2s.extend(int(v) for v in us[tt == s_b])
+            t3s.extend(int(v) for v in us[tt == s_c])
+        state.update((t1s, t2s, t3s, n))
+        depth, tf, tl = greedy(t1s, t2s, t3s)
+        yield pd.DataFrame(
+            [[int(key[0]), depth, tf, tl, n]],
+            columns=["user_id", "depth", "t_first_us", "t_last_us",
+                     "n_seen"],
+        )
+
+    ev = stream.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col),
+        F.unix_micros(F.col(ts_col)).cast("long").alias("__us"),
+        F.col(ts_col),
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
