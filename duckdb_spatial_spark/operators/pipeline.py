@@ -394,9 +394,14 @@ def ngram_novelty(
     truncated gram (same clamp as :func:`word_ngrams`).
 
     Plan: distinct-gram explode → md5 so only a fixed-width hash
-    shuffles (gram text never leaves the scan stage) → one map-side-
-    combined (hash) count (per-doc distinct rows make the count the
-    DOCUMENT frequency directly) → hash-keyed join back → per-doc agg.
+    shuffles (gram text never leaves the scan stage) → the corpus
+    document frequency as a PARTITION-ONLY window count over the one
+    (hash) exchange (per-doc distinct rows make the count the DOCUMENT
+    frequency directly) → per-doc agg. The earlier groupBy+join-back
+    formulation ran the explode+md5 scan TWICE: the join's left
+    exchange carries (id, hash) rows while the count side's exchange
+    carries partial aggregates, so the two subplans never canonicalize
+    equal and ReuseExchange can't fire.
     """
     words = df.select(F.col(id_col),
                       normalized_words(F.col(text_col)).alias("__w"))
@@ -406,10 +411,11 @@ def ngram_novelty(
         F.col(id_col),
         F.explode(ngrams_of_words(F.col("__w"), n)).alias("__g"),
     ).select(F.col(id_col), F.md5("__g").alias("__h"))
-    dfreq = hashed.groupBy("__h").agg(
-        F.count(F.lit(1)).cast("long").alias("__df"))
+    dfreq = hashed.withColumn(
+        "__df",
+        F.count(F.lit(1)).over(Window.partitionBy("__h")).cast("long"))
     return (
-        hashed.join(dfreq, "__h")
+        dfreq
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
              F.sum(F.when(F.col("__df") <= rare_max_df, 1).otherwise(0))

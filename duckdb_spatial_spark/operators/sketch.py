@@ -55,12 +55,15 @@ def _digit_sql(hexpr: str, i: int) -> str:
 
 
 def _hex_long(h: Column, start: int, n: int) -> Column:
-    """Decode ``n`` hex digits of a hex string to a BIGINT (portable)."""
-    v: Optional[Column] = None
-    for i in range(start, start + n):
-        d = _digit(h, i).cast("long")
-        v = d if v is None else v * F.lit(16) + d
-    return v
+    """Decode ``n`` hex digits of a hex string to a BIGINT (n <= 15).
+
+    ONE builtin (conv base 16 -> 10, cast long) — the digit-by-digit
+    ascii/substring chain this replaces was ~10 py4j ROUND TRIPS per
+    digit at DataFrame-BUILD time (measured 1.0 s of q115's 1.3 s wall
+    just constructing the plan; the executed values are identical). The
+    SQL twin (:func:`_hex_long_sql`) keeps the digit chain — DuckDB has
+    no conv()."""
+    return F.conv(F.substring(h, start, n), 16, 10).cast("long")
 
 
 def _hex_long_sql(hexpr: str, start: int, n: int) -> str:
