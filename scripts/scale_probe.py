@@ -507,9 +507,112 @@ def main() -> None:
                                 default_budget=10_000.0)
         return kept.groupBy("source").count().count()
 
+
+    def funnel_w(df):
+        from duckdb_spatial_spark.operators.temporal import funnel
+
+        # K-1 user-keyed min-joins: replicating BOTH users and events
+        # 10x must scale the per-step aggregates linearly (the event
+        # mass is scanned once per step, never joined row-to-row)
+        ev = df.select(F.col("event_id").alias("user_id"),
+                       F.when(F.col("event_id") % 3 == 0, "view")
+                        .when(F.col("event_id") % 3 == 1, "click")
+                        .otherwise("purchase").alias("event_type"),
+                       F.timestamp_micros(
+                           (F.col("event_id") * 1000 + (F.col("event_id")
+                            % 97)).cast("long")).alias("ts"))
+        out = funnel(ev, ["view", "click", "purchase"])
+        return out.agg(F.sum("steps_completed")).collect()[0][0]
+
+    def ohlc_w(df):
+        from pyspark.sql import Window
+
+        # q150's shape: per (coarse key, bucket) first/last via
+        # (t, id)-ordered windows + min/max — the window sort per
+        # partition is the growth dimension (n log n)
+        base = df.select(
+            (F.col("event_id") % 5).alias("k"),
+            (F.col("event_id") % 150).alias("d"),
+            F.col("event_id").alias("eid"),
+            F.col("x").alias("v"))
+        wa = Window.partitionBy("k", "d").orderBy("eid")
+        wz = Window.partitionBy("k", "d").orderBy(F.col("eid").desc())
+        t = base.select("k", "d", "v",
+                        F.row_number().over(wa).alias("a"),
+                        F.row_number().over(wz).alias("z"))
+        return (t.groupBy("k", "d")
+                .agg(F.max(F.when(F.col("a") == 1, F.col("v"))),
+                     F.max(F.when(F.col("z") == 1, F.col("v"))),
+                     F.max("v"), F.min("v")).count())
+
+    def hybrid_w(df):
+        import tempfile
+
+        from duckdb_spatial_spark.operators import (bm25_search,
+                                                    build_scored_index)
+        from duckdb_spatial_spark.operators.similarity import (
+            cosine_similarity)
+
+        # two-stage hybrid retrieval: pruned postings scan for lexical
+        # candidates, dense re-rank touches ONLY the candidate set —
+        # index build grows linearly, search must grow sublinearly
+        path = os.path.join(tempfile.mkdtemp(prefix="dss_probe_"), "hidx")
+        build_scored_index(df, path, "doc_id", "text",
+                           segment_size=50_000)
+        cands = bm25_search(df.sparkSession, path,
+                            ["hash", "vector", "data"], k=50)
+        emb16 = F.array(*[
+            (F.pmod(F.xxhash64(F.col("doc_id") + F.lit(i)), F.lit(1000))
+             .cast("double") / 500.0 - 1.0) for i in range(16)])
+        e = df.select(F.col("doc_id").alias("vec_id"),
+                      emb16.alias("embedding"))
+        qlit = F.array(*[F.lit(float(i) / 16.0) for i in range(16)])
+        rer = (cands.join(e, cands["doc_id"] == e["vec_id"])
+               .select(cands["doc_id"],
+                       F.round(cosine_similarity(F.col("embedding"),
+                                                 qlit), 6).alias("cos")))
+        return rer.orderBy(F.col("cos").desc(), F.col("doc_id"))                   .limit(10).count()
+
+    _EV_BASE_ROWS = [None]
+
+    def layout_generations_w(df):
+        import tempfile
+
+        from duckdb_spatial_spark.operators import (zorder_append,
+                                                    zorder_cluster,
+                                                    zorder_compact)
+
+        # q142's growth dimension is GENERATION COUNT, not rows: every
+        # streamed micro-batch lands as fresh sorted files. Fixed-size
+        # batches => 10x rows = 10x generations; the post-ingest scan
+        # must stay linear BECAUSE compaction merges the small files —
+        # without the compact call the file count (and footer overhead)
+        # grows with generations unboundedly.
+        n = df.count()
+        if _EV_BASE_ROWS[0] is None:
+            _EV_BASE_ROWS[0] = n
+        gens = max(3, round(n / _EV_BASE_ROWS[0]) * 3)
+        path = os.path.join(tempfile.mkdtemp(prefix="dss_probe_"), "lg")
+        pts = df.select("event_id", "x", "y")
+        zorder_cluster(pts.filter(F.col("event_id") % (gens + 1) == 0),
+                       ["x", "y"], num_partitions=8).write.parquet(path)
+        for g in range(gens):
+            zorder_append(
+                pts.filter(F.col("event_id") % (gens + 1) == g + 1),
+                path, ["x", "y"])
+        zorder_compact(spark, path, ["x", "y"],
+                       small_file_bytes=1 << 22)
+        back = spark.read.parquet(path)
+        return back.filter((F.col("x") >= 10.0) & (F.col("x") < 30.0))                    .count()
+
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     workloads = [
+        ("funnel", events, ["event_id"], funnel_w),
+        ("ohlc_windows", events, ["event_id"], ohlc_w),
+        ("hybrid_retrieval", docs, ["doc_id"], hybrid_w),
+        ("layout_generations", events, ["event_id"],
+         layout_generations_w),
         ("ngram_novelty", docs, ["doc_id"], novelty_w),
         ("group_sample", docs, ["doc_id"], group_sample_w),
         ("token_budget_mix", docs, ["doc_id"], token_budget_w),
