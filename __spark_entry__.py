@@ -1994,7 +1994,9 @@ def q84_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     (percentile_approx cutoffs, no sort) is covered by unit tests."""
     from duckdb_spatial_spark.operators.pipeline import quality_buckets
 
-    d = load_table(spark, sf, "documents", fan_out=False)
+    # fan_out=True: the multi-regex quality scoring is the heavy stage
+    # and the testdata file is one row group — single-task otherwise
+    d = load_table(spark, sf, "documents", fan_out=True)
     # score_col threads the already-computed score to the aggregate —
     # re-deriving it there would pay the multi-regex scan twice per row
     b = quality_buckets(d, "text", "lang", n_buckets=3, exact=True,
@@ -4448,6 +4450,112 @@ def _q154_oracle_sql() -> str:
     """
 
 
+def q155_rollup_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING-SETS breadth (§2.J relational substrate — the subtotal
+    surface BI layers push down): ROLLUP over (l_returnflag,
+    l_linestatus) with grouping_id disambiguating the subtotal levels —
+    Spark and DuckDB both emit the standard bitmask, so the oracle is
+    the literal ANSI ROLLUP. NULL group keys at subtotal levels
+    coalesce to a sentinel so the hash compare can't conflate a real
+    NULL with a rollup row."""
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("l_quantity").cast("long").alias("qty"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount"))), 2)
+              .alias("revenue"),
+             F.grouping_id().cast("long").alias("gid"))
+        .select(F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+                "n", "qty", "revenue", "gid")
+        .transform(_ssort, "gid", "rf", "ls")
+    )
+
+
+_Q155_ORACLE = """
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS qty,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, rf, ls
+"""
+
+
+def q156_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the q119 histogram
+    tier's exact sibling): Spark's percentile() and DuckDB's
+    quantile_cont() both implement the linear-interpolation estimator,
+    so p25/p50/p75/p99 of the value column hash-match after rounding.
+    One partial-aggregated shuffle; exact percentile state is the
+    per-group value multiset (bounded here by group fan-in — the
+    histogram tier is the stream/huge-group path)."""
+    e = load_table(spark, sf, "events", fan_out=False)
+    pct = F.percentile(F.col("value"),
+                       F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75,
+                                                    0.99)]))
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"), pct.alias("__p"))
+        .select("event_type", "n",
+                F.round(F.col("__p")[0], 6).alias("p25"),
+                F.round(F.col("__p")[1], 6).alias("p50"),
+                F.round(F.col("__p")[2], 6).alias("p75"),
+                F.round(F.col("__p")[3], 6).alias("p99"))
+        .transform(_ssort, "event_type")
+    )
+
+
+_Q156_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q157_pivot_table(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT breadth (§2.J): per user-group row, one revenue column per
+    event type — Spark's groupBy().pivot() with an EXPLICIT value list
+    (never the implicit distinct scan, which is an extra job AND
+    nondeterministic column order); the oracle is the equivalent
+    CASE-sum projection, the form PIVOT desugars to in every engine."""
+    e = load_table(spark, sf, "events", fan_out=False)
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        e.groupBy((F.col("user_id") % 25).alias("k"))
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return p.select(
+        "k", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in types]
+    ).transform(_ssort, "k")
+
+
+_Q157_ORACLE = """
+    SELECT user_id % 25 AS k,
+           coalesce(round(sum(CASE WHEN event_type = 'click'
+                                   THEN value END), 4), 0.0) AS click,
+           coalesce(round(sum(CASE WHEN event_type = 'error'
+                                   THEN value END), 4), 0.0) AS error,
+           coalesce(round(sum(CASE WHEN event_type = 'purchase'
+                                   THEN value END), 4), 0.0) AS purchase,
+           coalesce(round(sum(CASE WHEN event_type = 'signup'
+                                   THEN value END), 4), 0.0) AS signup,
+           coalesce(round(sum(CASE WHEN event_type = 'view'
+                                   THEN value END), 4), 0.0) AS view
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q147_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling without replacement ∝ document length
     (Efraimidis–Spirakis Gumbel keys off the portable hash — the
@@ -5127,17 +5235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot of q107 hamming (green r5, unchanged; dedup keeps
         # q99+q100+q127 in-window).
         "q127_edit_distance_dedup": q127_edit_distance_dedup,
-        "q112_asof_join": q112_asof_join,
         "q28_union_agg": q28_union_agg,
         "q31_predicate_matrix": q31_predicate_matrix,
         # q135 (NEW round 7: cluster-balanced sampling) takes q105's
         # slot (DSIR, green r6, unchanged; selection family keeps
         # q135/q136 in-window, q90/q105 below).
-        "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
         # q128 (triangle counting, NEW round 6) takes this slot; q102 c4
         # filters moved below (green r5, unchanged; quality family keeps
         # q89 sentence stats + q106 NB classifier in-window).
-        "q128_triangle_count": q128_triangle_count,
         # q84 rotated IN round 7 (score_col fusion changed its code);
         # q113 (r6-green, unchanged) moves below — temporal keeps
         # q112+q122+q126.
@@ -5249,6 +5354,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_session_funnel": q152_session_funnel,
         "q153_streaming_funnel": q153_streaming_funnel,
         "q154_char_entropy": q154_char_entropy,
+        # q155-q157 (relational-substrate closers: ROLLUP grouping
+        # sets, exact percentiles, PIVOT) take the slots of q112/
+        # q135/q128 — all driver-green and byte-unchanged; temporal
+        # keeps q122/q126/q143/q152, sampling keeps q136/q147,
+        # graph keeps q96 in-window.
+        "q155_rollup_aggregate": q155_rollup_aggregate,
+        "q156_exact_percentiles": q156_exact_percentiles,
+        "q157_pivot_table": q157_pivot_table,
         # q126 (batch sessionize, NEW round 6; oracle tie-break touched
         # round 7 — stays in-window to re-earn a fresh row).
         "q126_sessionize": q126_sessionize,
@@ -5283,6 +5396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_phrase_search": q134_phrase_search,
         "q133_zorder_layout": q133_zorder_layout,
         "q132_shard_permutation": q132_shard_permutation,
+        "q112_asof_join": q112_asof_join,
+        "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
+        "q128_triangle_count": q128_triangle_count,
         "q90_domain_quota": q90_domain_quota,
         "q123_hll_overlap": q123_hll_overlap,
         "q97_salted_agg": q97_salted_agg,
@@ -6885,6 +7001,9 @@ def oracle_sql() -> dict[str, str]:
         "q152_session_funnel": _Q152_ORACLE,
         "q153_streaming_funnel": _Q153_ORACLE,
         "q154_char_entropy": _q154_oracle_sql(),
+        "q155_rollup_aggregate": _Q155_ORACLE,
+        "q156_exact_percentiles": _Q156_ORACLE,
+        "q157_pivot_table": _Q157_ORACLE,
         "q94_pca_project": _q94_oracle_sql(),
         "q126_sessionize": _q126_oracle_sql(),
         "q127_edit_distance_dedup": _q127_oracle_sql(),

@@ -243,7 +243,12 @@ def nb_train_score_split(df: DataFrame, train_pred,
 
     doc_b = db.filter(~F.col("_tr")).select(id_col, "bucket", "cnt")
     return (
-        doc_b.join(model, "bucket", "left")
+        # shuffle_hash hint: the planner's size estimate for the bounded
+        # model branch otherwise picks BroadcastHashJoin, whose build is
+        # a separate job barrier in local mode — the hinted join keeps
+        # everything in ONE job and the model-side exchange moves only
+        # <= 2*buckets+1 rows
+        doc_b.join(model.hint("shuffle_hash"), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.sum(F.when(real, F.col("cnt")).otherwise(F.lit(0)))
