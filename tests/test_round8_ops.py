@@ -139,3 +139,76 @@ def test_session_funnel_splits_on_gap(spark):
            funnel(keyed, ["view", "click", "purchase"],
                   user_col="sk").collect()}
     assert out == {9000: 2, 9001: 3}
+
+
+def test_streaming_funnel_random_parity(spark, tmp_path):
+    """Property-style parity: random event soup (types, shuffled order,
+    duplicate timestamps) — streaming depth per user must equal the
+    batch funnel exactly."""
+    import random
+
+    from duckdb_spatial_spark.operators.temporal import funnel
+    from duckdb_spatial_spark.streaming import streaming_funnel
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    eid = 0
+    for u in range(1, 30):
+        for _ in range(rng.randint(1, 12)):
+            t = rng.randint(0, 5_000)
+            h, m, sec = t // 3600, (t // 60) % 60, t % 60
+            rows.append((eid, u, rng.choice(types),
+                         f"2024-01-01 {h:02d}:{m:02d}:{sec:02d}"))
+            eid += 1
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ev2")
+    df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    fun = streaming_funnel(stream, ["view", "click", "purchase"])
+    sink = "t_sfun_rand"
+    q = (fun.writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    got = {r["user_id"]: r["depth"] for r in
+           spark.table(sink).withColumn("rn", F.row_number().over(w))
+           .filter("rn = 1").collect()}
+    batch = {r["user_id"]: r["steps_completed"] for r in
+             funnel(df, ["view", "click", "purchase"]).collect()}
+    for u in range(1, 30):
+        assert got.get(u, 0) == batch.get(u, 0), u
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= ln(|alphabet|) on arbitrary strings."""
+    import math
+
+    from duckdb_spatial_spark.operators.textops import char_entropy_per_doc
+
+    rows = [(i, s) for i, s in enumerate(
+        ["hello world", "aAbB  cC", "....", "a" * 50 + "b",
+         "the quick brown fox", "x y z w v u t s r q"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in char_entropy_per_doc(df).collect():
+        text = rows[r["doc_id"]][1]
+        k = len(set(text))
+        assert -1e-12 <= r["entropy"] <= math.log(max(k, 1)) + 1e-12
+
+
+def test_mmr_pool_and_k_bounds(spark):
+    """k > pool and pool > corpus degrade gracefully (no crash, no
+    duplicates, ranks contiguous)."""
+    from duckdb_spatial_spark.operators.rank import mmr_rerank
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [1.0, 0.0, 0.0], k=10, pool=50, lam=0.6)
+    ids = [i for _, i, _, _ in out]
+    assert sorted(ids) == [1, 2, 3, 4, 5]
+    assert [r for r, _, _, _ in out] == [1, 2, 3, 4, 5]
