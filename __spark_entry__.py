@@ -4562,6 +4562,77 @@ _Q157_ORACLE = """
 """
 
 
+def q158_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Breadth-first hop distances from a source node over the
+    undirected part-supplier graph (the shortest-path surface DuckDB
+    gets from recursive CTEs and Spark expresses as iterative
+    frontier joins — §2 graph family next to PageRank/components/
+    triangles): 4 unrolled rounds of (dist join edges → min-relax),
+    each ONE equi-join + one min-aggregate with per-round persist for
+    O(1) lineage (the PageRank discipline — without it the union's
+    double reference to dist re-evaluates the whole prefix,
+    2^rounds). Output: node count + id checksum per distance. The
+    oracle unrolls the same 4 relaxations as chained CTEs."""
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    e0 = li.select((F.col("l_partkey") % 300).alias("src"),
+                   (F.col("l_suppkey") % 300).alias("dst")).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()  # reused by every round — 4 lineitem scans otherwise;
+    # like q115's wf, reclaimed by the ContextCleaner when refs drop
+    dist = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"),
+        F.lit(0).cast("int").alias("d"))
+    for r in range(1, 5):
+        nxt = (dist.join(edges, dist["node"] == edges["src"])
+               .select(F.col("dst").alias("node"),
+                       F.lit(r).cast("int").alias("d")))
+        dist = (dist.unionByName(nxt)
+                .groupBy("node").agg(F.min("d").alias("d"))
+                .persist())
+    return (
+        dist.groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_nodes"),
+             F.sum("node").cast("long").alias("node_sum"))
+        .transform(_ssort, "d")
+    )
+
+
+_Q158_ORACLE = """
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+      FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), d0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS d),
+    d1 AS MATERIALIZED (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d0
+        UNION ALL SELECT e.dst, 1 FROM d0 JOIN edges e ON e.src = d0.node
+      ) GROUP BY node
+    ), d2 AS MATERIALIZED (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d1
+        UNION ALL SELECT e.dst, 2 FROM d1 JOIN edges e ON e.src = d1.node
+      ) GROUP BY node
+    ), d3 AS MATERIALIZED (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d2
+        UNION ALL SELECT e.dst, 3 FROM d2 JOIN edges e ON e.src = d2.node
+      ) GROUP BY node
+    ), d4 AS MATERIALIZED (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d3
+        UNION ALL SELECT e.dst, 4 FROM d3 JOIN edges e ON e.src = d3.node
+      ) GROUP BY node
+    )
+    SELECT CAST(d AS INT) AS d,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_sum
+    FROM d4 GROUP BY d ORDER BY d
+"""
+
+
 def q147_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling without replacement ∝ document length
     (Efraimidis–Spirakis Gumbel keys off the portable hash — the
@@ -5256,7 +5327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q147 (NEW round 7: weighted sampling) takes q41's slot
         # (casts, green r6, unchanged; the cast family's golden corpus
         # coverage rides tests/test_reference_golden.py).
-        "q147_weighted_sample": q147_weighted_sample,
         "q108_lm_kneser_ney": q108_lm_kneser_ney,
         # q137 (NEW round 7: z-order CRUD cycle) takes q103's slot
         # (BM25 term saliency, green r6, unchanged — q131 exercises the
@@ -5368,6 +5438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_rollup_aggregate": q155_rollup_aggregate,
         "q156_exact_percentiles": q156_exact_percentiles,
         "q157_pivot_table": q157_pivot_table,
+        # q158 BFS hop distances takes the q147 slot (weighted
+        # sampling, driver-green r7, byte-unchanged; sampling
+        # keeps q136 + q152-adjacent reps in-window).
+        "q158_bfs_hops": q158_bfs_hops,
         # q126 (batch sessionize, NEW round 6; oracle tie-break touched
         # round 7 — stays in-window to re-earn a fresh row).
         "q126_sessionize": q126_sessionize,
@@ -5405,6 +5479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_asof_join": q112_asof_join,
         "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
         "q128_triangle_count": q128_triangle_count,
+        "q147_weighted_sample": q147_weighted_sample,
         "q90_domain_quota": q90_domain_quota,
         "q123_hll_overlap": q123_hll_overlap,
         "q97_salted_agg": q97_salted_agg,
@@ -7010,6 +7085,7 @@ def oracle_sql() -> dict[str, str]:
         "q155_rollup_aggregate": _Q155_ORACLE,
         "q156_exact_percentiles": _Q156_ORACLE,
         "q157_pivot_table": _Q157_ORACLE,
+        "q158_bfs_hops": _Q158_ORACLE,
         "q94_pca_project": _q94_oracle_sql(),
         "q126_sessionize": _q126_oracle_sql(),
         "q127_edit_distance_dedup": _q127_oracle_sql(),
