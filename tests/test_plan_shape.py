@@ -334,3 +334,65 @@ def test_redact_pii_stays_codegen(spark):
     plan = _explain(df.select(redact_pii(F.col("t")).alias("r")))
     assert "codegen id" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_split_reuses_exchange(spark):
+    """q106's train/score split must share ONE gram-scan exchange: the
+    split flag comes out of the aggregate, so the filter can't push
+    below it (a grouping-key flag splits the scan back in two)."""
+    from duckdb_spatial_spark.operators.classify import nb_train_score_split
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma", i % 3 == 0)
+         for i in range(60)],
+        "doc_id long, text string, label boolean")
+    # AQE defers exchange reuse to runtime — assert on the static plan
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = nb_train_score_split(df, F.col("doc_id") % 2 == 0,
+                                   buckets=64, alpha=1.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan, "gram-scan exchange not shared"
+    # the bounded model must NOT cost a broadcast-build job
+    assert "BroadcastExchange" not in plan
+
+
+def test_decontaminate_literal_bloom_stays_jvm(spark):
+    """The bounded-benchmark bloom tier must be pure codegen: no Python
+    eval node, no broadcast exchange — the filter rides the plan as an
+    array<long> literal probed with getbit, the exact check as InSet."""
+    from duckdb_spatial_spark.operators.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "w" + " w".join(str((i * 7 + j) % 40) for j in range(30)),
+          30 + i) for i in range(50)],
+        "doc_id long, text string, n_chars long")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    out = decontaminate(docs, bench, n=8, mode="flag", bloom_fpp=0.01,
+                        flag_projection=["n_chars"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "getbit" in plan.lower()
+    # and the semantics: every benchmark doc flags itself
+    got = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert all(got[i] for i in range(0, 50, 10))
+    assert len(got) == 50
+
+
+def test_ssort_has_no_range_sampling(spark):
+    """_ssort results must not plan a RangePartitioning (whose bounds
+    sampling re-executes the final stage)."""
+    import __spark_entry__ as entry
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+    out = entry._ssort(agg, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    ks = [r["k"] for r in out.collect()]
+    assert ks == sorted(ks)
