@@ -104,3 +104,59 @@ def test_quality_score_fuzz_parity(spark):
     for s, g in zip(samples, got):
         want = con.execute(sql, [s]).fetchone()[0]
         assert g == pytest.approx(want, abs=1e-12), repr(s[:60])
+
+
+def test_char_entropy_fuzz_parity(spark):
+    """char_entropy_per_doc vs its DuckDB twin on adversarial strings
+    (runs, unicode, whitespace-only, empties, long alphabets)."""
+    rng = random.Random(13)
+    alphabets = ["a", "ab", "abc", "abcdefgh", " .,!?", "é中ß", "a b\tc\n"]
+    samples = [""]
+    for _ in range(150):
+        alpha = rng.choice(alphabets)
+        samples.append("".join(rng.choice(alpha)
+                               for _ in range(rng.randint(0, 80))))
+    from duckdb_spatial_spark.operators.textops import (char_entropy_per_doc,
+                                                        char_entropy_sql)
+
+    rows = [(i, s) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["entropy"]
+           for r in char_entropy_per_doc(df).collect()}
+    con = _con()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = dict(con.execute(
+        char_entropy_sql("docs", "doc_id", "text")).fetchall())
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, (k, repr(samples[k]))
+
+
+def test_bpe_twin_fuzz_parity(spark):
+    """bpe_doc_tokens_sql vs the Python train+apply on random small
+    corpora — greedy runs, repeated words, single-char words, empties."""
+    rng = random.Random(99)
+    words = ["a", "aa", "aaa", "ab", "ba", "abab", "banana", "bandana",
+             "x", "xyzzy", "na"]
+    from duckdb_spatial_spark.operators.tokenize import (
+        apply_bpe, bpe_doc_tokens_sql, train_bpe, word_frequencies)
+
+    for trial in range(3):
+        rows = [(i, " ".join(rng.choice(words)
+                             for _ in range(rng.randint(0, 9))))
+                for i in range(25)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        wf = [(r.word, r.freq) for r in
+              word_frequencies(df, "text", max_words=50).collect()]
+        merges = train_bpe(wf, num_merges=15)
+        tok = apply_bpe(df, "text", merges)
+        want = {r["doc_id"]: r["nt"] for r in tok.select(
+            "doc_id", F.size("tokens").alias("nt")).collect()}
+        con = _con()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        got = {d: n for d, n, _f in con.execute(
+            bpe_doc_tokens_sql("docs", "text", "doc_id",
+                               num_merges=15, max_words=50)).fetchall()}
+        assert got == want, trial
