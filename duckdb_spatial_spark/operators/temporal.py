@@ -508,7 +508,14 @@ def funnel(
                          F.col("__s1"), F.col("__s1").alias("__last"))
     prev = cur.select("__u", F.col("__s1"), F.col("__s1").alias("__p"))
     for i, s in enumerate(steps[1:], start=2):
-        nxt = ev.filter(F.col("__t") == s).join(prev, "__u") \
+        # shuffle_hash hint: the per-user min-frame is corpus-derived,
+        # so the planner's auto-broadcast would pay a broadcast-BUILD
+        # job per step that re-executes everything upstream of prev
+        # (q152 measured two 440 ms builds, each re-running the
+        # sessionize window); the user-keyed shuffle join is also the
+        # scale-correct plan — prev is user-count-sized, not small.
+        nxt = ev.filter(F.col("__t") == s) \
+            .join(prev.hint("shuffle_hash"), "__u") \
             .filter(F.col("__us") > F.col("__p"))
         if within_us is not None:
             nxt = nxt.filter(F.col("__us")
