@@ -4128,7 +4128,11 @@ def q148_group_zscore(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"),
              F.round(F.min("z"), 6).alias("z_min"),
              F.round(F.max("z"), 6).alias("z_max"),
-             F.round(F.avg("z"), 6).alias("z_avg"))
+             # + 0.0 normalizes IEEE -0.0 → +0.0: avg(z) is mathematically
+             # zero, so the float residue (~1e-16) has an order-dependent
+             # SIGN and round(...,6) yields ±0.0 engine-dependently — the
+             # driver's value-hash distinguishes them (round-8 red row).
+             (F.round(F.avg("z"), 6) + F.lit(0.0)).alias("z_avg"))
         .transform(_ssort, "event_type")
     )
 
@@ -4143,7 +4147,7 @@ _Q148_ORACLE = """
     )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(min(z), 6) AS z_min, round(max(z), 6) AS z_max,
-           round(avg(z), 6) AS z_avg
+           round(avg(z), 6) + 0.0 AS z_avg
     FROM z GROUP BY event_type ORDER BY event_type
 """
 
@@ -5598,14 +5602,10 @@ def _q54_oracle_sql() -> str:
                      || ' ' AS t
           FROM documents
         ),
-        idx AS (
-          -- constant upper bound (documents are capped well below this)
-          SELECT i FROM range(1, 32768) r(i)
-        ),
         grams AS (
           SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
-          FROM norm CROSS JOIN idx
-          WHERE i <= length(t) - 2
+          FROM norm, LATERAL (
+            SELECT unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i)
         ),
         counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
         docg AS (
@@ -5821,7 +5821,7 @@ _Q70_ORACLE = """
               FROM bench_t
             ), bg AS (
               SELECT DISTINCT array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
-              FROM bn CROSS JOIN range(1, 13) r(i)
+              FROM (SELECT w, generate_subscripts(w, 1) AS i FROM bn)
               WHERE i <= greatest(len(w) - 7, 1)
             ), norm AS (
               SELECT doc_id,
@@ -5829,7 +5829,7 @@ _Q70_ORACLE = """
               FROM documents
             ), cg AS (
               SELECT doc_id, array_to_string(list_slice(w, CAST(i AS BIGINT), CAST(i AS BIGINT) + 7), ' ') AS gram
-              FROM norm CROSS JOIN range(1, 2048) r(i)
+              FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM norm)
               WHERE i <= greatest(len(w) - 7, 1)
             ), hits AS (
               SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bg)

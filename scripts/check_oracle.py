@@ -38,7 +38,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return ("f", round(v, 6))
+        # Carry the sign bit explicitly: the driver's value-hash renders
+        # -0.0 and 0.0 differently (round-8 q148 red row — DuckDB emitted
+        # mixed ±0.0 from round(avg(z),6) while Spark emitted +0.0, and
+        # this replica's tuple compare said equal because -0.0 == 0.0).
+        return ("f", round(v, 6), math.copysign(1.0, v))
     if isinstance(v, int):
         return ("i", v)
     import decimal
