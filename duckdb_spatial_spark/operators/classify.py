@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dsir import _gram_rows, bucket_sql, gram_rows_sql, hashed_bucket
+from .dsir import (_bigrams_zip, _gram_rows, bucket_sql, gram_rows_sql,
+                   hashed_bucket)
 from .pipeline import normalized_words
 
 __all__ = ["nb_train", "nb_score", "nb_score_sql",
@@ -147,14 +148,7 @@ def _bucket_rows(df: DataFrame, keep_cols: list, text_col: str,
     w = w.select(*keep, "_w", F.size(F.col("_w")).alias("_n"))
     grams = F.col("_w")
     if bigrams:
-        bi = F.when(
-            F.col("_n") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.col("_n") - 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(grams, bi)
+        grams = F.concat(grams, _bigrams_zip(F.col("_w"), F.col("_n")))
     # hash at ROW level after the explode — higher-order array lambdas
     # run interpreted, so an array-side md5 would fall out of
     # whole-stage codegen (measured 1.5× slower). The sentinel rides as
