@@ -162,7 +162,15 @@ def decontaminate(
             # second hash from the 8-byte first hash — half the string
             # hashing on the (much larger) corpus probe side
             F.xxhash64(F.xxhash64("gram"), F.lit(0xB10F)).alias("__h2"))
-        cap_items = LITERAL_BLOOM_MAX_BITS // 10  # fpp 0.01 sizing bound
+        # largest n whose bloom_size(n, fpp) geometry still fits the
+        # plan-literal bit budget (the old `// 10` hardcoded the
+        # fpp=0.01 sizing: a smaller fpp made bloom_size exceed
+        # LITERAL_BLOOM_MAX_BITS and broke bloom.py's documented bound)
+        import math as _math
+
+        cap_items = max(1, int(LITERAL_BLOOM_MAX_BITS
+                               * (_math.log(2) ** 2)
+                               / -_math.log(bloom_fpp)))
         # coalesce(1): one CollectLimit wave (limit-collect on an
         # aggregate otherwise re-runs reduce partitions wave by wave)
         head = probe.coalesce(1).limit(cap_items + 1).collect()
@@ -221,6 +229,20 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
+    if mode == "flag" and carry:
+        # the projected flag schema holds on EVERY path (the literal-
+        # bloom fast path above returns it join-free): flag against the
+        # PROJECTED base — not the exploded rows, which the bloom
+        # prefilter may have emptied for a clean doc — so the output
+        # schema no longer silently widens to df.* when the benchmark
+        # outgrows the plan-literal cap
+        return (
+            df.select(id_col, *carry)
+            .join(hit_ids.withColumn("contaminated", F.lit(True)),
+                  id_col, "left")
+            .withColumn("contaminated",
+                        F.coalesce(F.col("contaminated"), F.lit(False)))
+        )
     if mode == "drop":
         return df.join(hit_ids, id_col, "left_anti")
     return df.join(

@@ -193,9 +193,12 @@ def mmr_rerank(df, query_vec, id_col: str = "vec_id",
         for i, (r, e) in cand.items():
             ms = max((cos(e, se) for _, se in sel), default=0.0)
             score = _r6(lam * r - (1.0 - lam) * ms)
-            key = (score, -i)  # score DESC, id ASC
-            if best is None or key > best[0]:
-                best = (key, i, r, score)
+            # score DESC, id ASC — compare without negating the id so a
+            # string/any-orderable id works exactly like the SQL twin's
+            # ORDER BY score DESC, id (arithmetic -i raised TypeError)
+            if (best is None or score > best[3]
+                    or (score == best[3] and i < best[1])):
+                best = (None, i, r, score)
         _, i, r, score = best
         sel.append((i, cand[i][1]))
         cand.pop(i)

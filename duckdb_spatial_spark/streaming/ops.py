@@ -385,6 +385,16 @@ def _foreach_batch_append(stream: DataFrame, append, checkpoint,
     return w.start()
 
 
+def _small_parquet_files(path: str, small_file_bytes: int) -> int:
+    import glob as _glob
+    import os
+
+    return sum(
+        1 for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.getsize(f) < small_file_bytes
+    )
+
+
 def streaming_cluster_append(
     stream: DataFrame,
     path: str,
@@ -393,20 +403,37 @@ def streaming_cluster_append(
     extent=None,
     checkpoint: str = None,
     available_now: bool = True,
+    auto_compact_files: int = 16,
+    small_file_bytes: int = 16 << 20,
 ):
     """Continuous ingest into a Hilbert-clustered layout: every
     micro-batch lands as fresh hilbert-sorted files via
     ``st_cluster_append`` (existing files never read; queries correct
-    after each commit; pruning degrades gradually until an offline
-    ``st_cluster_compact``). Pass ``extent`` so batch keys share the
+    after each commit). Pass ``extent`` so batch keys share the
     dataset's grid — per-batch extents only affect locality, never
     correctness. At-least-once on batch retry, like every
-    non-transactional append here. Returns the StreamingQuery."""
-    from ..operators.cluster import st_cluster_append
+    non-transactional append here. Returns the StreamingQuery.
 
-    return _foreach_batch_append(
-        stream, lambda b: st_cluster_append(b, path, x, y, extent=extent),
-        checkpoint, available_now)
+    Generation growth is SELF-BOUNDING: once the layout holds
+    ``auto_compact_files`` small files (< ``small_file_bytes``), the
+    batch hook runs :func:`st_cluster_compact` inline before returning,
+    so scan cost stays linear in data size no matter how many batches
+    arrive (the unbounded-generations probe measured 7× super-linear
+    growth at 10× generations without this). Set
+    ``auto_compact_files=0`` to opt out and schedule compaction
+    offline."""
+    from ..operators.cluster import st_cluster_append, st_cluster_compact
+
+    def _ingest(b: DataFrame) -> None:
+        st_cluster_append(b, path, x, y, extent=extent)
+        if auto_compact_files and _small_parquet_files(
+                path, small_file_bytes) >= auto_compact_files:
+            st_cluster_compact(b.sparkSession, path, x, y,
+                               small_file_bytes=small_file_bytes,
+                               extent=extent)
+
+    return _foreach_batch_append(stream, _ingest, checkpoint,
+                                 available_now)
 
 
 def streaming_zorder_append(
@@ -416,22 +443,60 @@ def streaming_zorder_append(
     ranges=None,
     checkpoint: str = None,
     available_now: bool = True,
+    auto_compact_files: int = 16,
+    small_file_bytes: int = 16 << 20,
 ):
     """The multi-column twin of :func:`streaming_cluster_append`:
     micro-batches land as Morton-sorted generation files via
     ``zorder_append``. Pass ``ranges`` to share the dataset's key grid
-    across batches (locality only — correctness never depends on it)."""
-    from ..operators.zorder import zorder_append
+    across batches (locality only — correctness never depends on it).
+    Same self-bounding compaction contract: ``auto_compact_files``
+    small files trigger an inline :func:`zorder_compact` (0 = opt
+    out)."""
+    from ..operators.zorder import zorder_append, zorder_compact
 
-    return _foreach_batch_append(
-        stream, lambda b: zorder_append(b, path, cols, ranges=ranges),
-        checkpoint, available_now)
+    def _ingest(b: DataFrame) -> None:
+        zorder_append(b, path, cols, ranges=ranges)
+        if auto_compact_files and _small_parquet_files(
+                path, small_file_bytes) >= auto_compact_files:
+            zorder_compact(b.sparkSession, path, cols,
+                           small_file_bytes=small_file_bytes,
+                           ranges=ranges)
+
+    return _foreach_batch_append(stream, _ingest, checkpoint,
+                                 available_now)
 
 
 _FUNNEL_OUT_SCHEMA = ("user_id long, depth int, t_first_us long, "
                       "t_last_us long, n_seen long")
 _FUNNEL_STATE_SCHEMA = ("s1 array<long>, s2 array<long>, s3 array<long>, "
                         "n_seen long")
+
+
+def _funnel_compact(t1s, t2s, t3s, wm_us):
+    """Output-neutral funnel-state eviction (see
+    :func:`streaming_funnel`): drop every stored time that can never
+    change a future greedy match. ``wm_us`` is the event-time
+    watermark in µs — Spark drops rows below it before they reach
+    state, so a match below the watermark is frozen."""
+    if not t1s:
+        return t1s, t2s, t3s
+    m1 = min(t1s)
+    t1s = [m1]                            # only the min is ever read
+    elig2 = [t for t in t2s if t > m1]
+    m2 = min(elig2) if elig2 else None
+    if m2 is not None:
+        t2s = [t for t in t2s if t <= m2]  # above the match: dead
+    if wm_us > m1:                         # m1 frozen by watermark
+        t2s = [t for t in t2s if t > m1]
+    if m2 is not None:
+        elig3 = [t for t in t3s if t > m2]
+        m3 = min(elig3) if elig3 else None
+        if m3 is not None:
+            t3s = [t for t in t3s if t <= m3]
+        if wm_us > m2:                     # m2 frozen by watermark
+            t3s = [t for t in t3s if t > m2]
+    return t1s, t2s, t3s
 
 
 def streaming_funnel(
@@ -451,12 +516,23 @@ def streaming_funnel(
     stream — depth and n_seen are monotone per user, making the final
     update row per user the final answer (how the oracle checks it).
 
-    State size: per user, only funnel-step event times are retained
-    (other event types never enter state). In a production deployment
-    the watermark bounds retention — once the watermark passes t, the
-    step-1 minimum is final and any step-k time below the now-frozen
-    step-(k-1) match can be evicted; this reference implementation
-    keeps the full per-step lists (the tests pin exact batch parity).
+    State size — bounded, output-neutral eviction each update:
+
+    * step-1 keeps only its minimum (the greedy match never reads
+      anything else);
+    * step-k times above the current step-k match are dropped (the
+      eligibility set only grows as earlier step-(k-1) events arrive,
+      so its minimum only decreases — larger values can never win);
+    * once the event-time watermark passes the step-(k-1) match, that
+      match is frozen (late rows below the watermark are dropped by
+      Spark before they reach state), so step-k times at or below it
+      are dead and evicted.
+
+    After the watermark passes a user's matches, their state is three
+    ≤1-element lists; before that it is bounded by the user's events
+    inside the allowed-lateness window — never the full stream. Every
+    eviction is provably unable to change any future output, so batch
+    parity (which the tests pin) is exact.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -489,8 +565,11 @@ def streaming_funnel(
             t1s.extend(int(v) for v in us[tt == s_a])
             t2s.extend(int(v) for v in us[tt == s_b])
             t3s.extend(int(v) for v in us[tt == s_c])
-        state.update((t1s, t2s, t3s, n))
         depth, tf, tl = greedy(t1s, t2s, t3s)
+        t1s, t2s, t3s = _funnel_compact(t1s, t2s, t3s,
+                                        state.getCurrentWatermarkMs()
+                                        * 1000)
+        state.update((t1s, t2s, t3s, n))
         yield pd.DataFrame(
             [[int(key[0]), depth, tf, tl, n]],
             columns=["user_id", "depth", "t_first_us", "t_last_us",

@@ -147,3 +147,34 @@ def test_zorder_cluster_null_extent_raises(spark):
         F.lit(None).cast("double").alias("b"))
     with pytest.raises(ValueError, match="'b'"):
         zorder_cluster(allnull, ["a", "b"], num_partitions=2)
+
+
+def test_streaming_zorder_auto_compact_bounds_file_count(spark, tmp_path):
+    """With auto_compact_files=4, many micro-batches may NOT accumulate
+    unbounded generation files: the inline compact keeps the small-file
+    population under the threshold (+1 for the merged output) while
+    row-level results stay exact — the q142 growth-probe fix."""
+    import glob
+    from duckdb_spatial_spark.streaming import streaming_zorder_append
+
+    df = spark.range(1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("a"),
+        ((F.col("id") * 31) % 89).cast("double").alias("b"))
+    src = str(tmp_path / "src")
+    # 12 source files -> 12 micro-batches with maxFilesPerTrigger=1
+    df.repartition(12).write.parquet(src)
+    path = str(tmp_path / "z")
+    r = {"a": (0.0, 97.0), "b": (0.0, 89.0)}
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_zorder_append(stream, path, ["a", "b"], ranges=r,
+                                checkpoint=str(tmp_path / "ckpt"),
+                                auto_compact_files=4)
+    q.awaitTermination()
+    n_files = len(glob.glob(path + "/*.parquet"))
+    # 12 appends without compaction would leave 12 generation files
+    assert n_files <= 5, f"auto-compact did not bound files: {n_files}"
+    back = spark.read.parquet(path)
+    assert back.count() == 1200
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(1200))
