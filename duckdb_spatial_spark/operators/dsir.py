@@ -165,10 +165,17 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
     measured SLOWER (2.5 s vs 2.1 s at sf0.1) — AQE's runtime exchange
     reuse only dedupes the (id, bucket) exchange, while the model-side
     window/pivot adds two more stage barriers to the critical path; the
-    two-job collect shape keeps the bounded model off the hot path. Kept
-    as the documented floor: job 1 = explode + (id,bucket) agg + both
-    model aggs (~1.2 s), job 2 = checkpoint read + model join + per-doc
-    reduce (~0.8 s).
+    two-job collect shape keeps the bounded model off the hot path.
+
+    Documented FLOOR (bench profile: AQE off, 8 shuffle partitions,
+    local[32], sf0.1): raw gram explode+count alone = 0.55 s warm,
+    (id,bucket) aggregate = +0.3 s, target model = 0.25 s, score job =
+    ~0.5 s → ~1.4-1.6 s total, vs DuckDB replaying the WHOLE query in
+    0.50 s. A sub-2× ratio would require the full pipeline under 1.0 s
+    — below the cost of the single mandatory explode pass plus any one
+    exchange; the gap is Spark's per-row overhead on ~2.9 M gram rows,
+    not topology (two jobs is the collect-model minimum; every
+    alternative shape measured slower — see above and PLANS.md round 9).
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (log of the smoothed counts)")
@@ -222,13 +229,12 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
     # The normalizer is subtracted AFTER the sum (not folded per-row) so
     # the floating arithmetic matches the SQL twin term-for-term.
     norm = F.log(F.lit(tot_p) + ab) - F.log(F.lit(tot_q) + ab)
-    # plain join, no broadcast hint: the model is a parallelized local
-    # list whose broadcast BUILD is its own 32-task job barrier in local
-    # mode; as a join side inside the one final job it costs a bounded
-    # exchange instead (at cluster scale Spark's size estimate keeps
-    # auto-broadcast available for real LocalRelations)
+    # broadcast the bounded model: its parallelize+broadcast build is a
+    # ~2048-row job, while the join-side alternative re-exchanges the
+    # FULL (id, bucket) frame by bucket — measured 1.97 → 1.44 s at
+    # sf0.1 under the bench profile (AQE off, 8 shuffle partitions)
     return (
-        doc_b.join(model, "bucket")
+        doc_b.join(F.broadcast(model), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_grams"),

@@ -46,25 +46,41 @@ def pagerank(
 
     d = float(damping)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
-    ranks.count()
     dangling = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
+    # ONE job materializes the generation AND returns the dangling mass
+    # the NEXT iteration needs: the inner join with the (persisted)
+    # dangling set scans every ranks partition, filling its cache as a
+    # side effect — the separate per-iteration `.count()` +
+    # dangling-collect pair cost two driver job barriers per iteration
+    # (~0.25-0.3 s each at the local-mode job floor; q96 = 14 jobs
+    # before, 9 after). The mass still leaves the plan through a 1-row
+    # collect — the single-reference loop shape that avoids the
+    # exponential-lineage trap (PLANS.md trap 19).
+    _mass = ranks.join(dangling, "node").agg(F.sum("rank"))
+    dang_mass = _mass.collect()[0][0] or 0.0
+
+    # node-cardinality frames broadcast only under an EXPLICIT n-guard:
+    # n is exact (just counted), so this is a measured decision, not an
+    # estimate — at sf0.1 it converts the two per-iteration rank joins
+    # from shuffle joins (3 exchanges each on 8 reduce partitions) into
+    # broadcast probes; above the guard the same code stays a shuffle
+    # equi-join on the key, the 100-TB shape
+    small = n <= 1_000_000
+    bcast = F.broadcast if small else (lambda df: df)
 
     for _ in range(iters):
-        dang_mass = (
-            ranks.join(dangling, "node").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
         contribs = (
-            links.join(ranks.withColumnRenamed("node", "src"), "src")
+            links.join(bcast(ranks.withColumnRenamed("node", "src")),
+                       "src")
             .select(F.col("dst").alias("node"),
                     (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(bcast(contribs), "node", "left")
             .select(
                 "node",
                 (F.lit((1.0 - d) / n)
@@ -73,7 +89,10 @@ def pagerank(
             )
             .persist()
         )
-        new_ranks.count()
+        dang_mass = (
+            new_ranks.join(bcast(dangling), "node").agg(F.sum("rank"))
+            .collect()[0][0] or 0.0
+        )
         ranks.unpersist()
         ranks = new_ranks
     nodes.unpersist()
