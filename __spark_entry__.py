@@ -5279,259 +5279,54 @@ _Q129_ORACLE = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Round-8 window: the eight NEW queries (q151 MMR, q152
-    # session funnel, q153 streaming funnel, q154 char entropy, q155
-    # ROLLUP, q156 exact percentiles, q157 PIVOT, q158 BFS) are all
-    # in-window, as are q148-q150 (added below-cut at round-7 close,
-    # never driver-checked) and every query whose CODE or ORACLE
-    # changed this round: q86 (BPE value-oracle + get()), q94 (power-
-    # iteration train + value-oracle), q74/q141/q146 (oracle position
-    # enumeration), q84/q100/q102/q106/q115/q122/q105-family (perf
-    # restructures). Displaced to make room — ALL driver-green and
-    # byte-unchanged except the presentation-sort sweep (value-
-    # neutral: the driver compare sorts rows): q76/q95/q98/q124/q60/
-    # q130/q134/q133/q132/q112/q135/q128/q147.
-    # Every SURVEY §2 family keeps at least one in-window rep:
-    #   spatial join q02 | layout q129+q137+q142 | text index
-    #   q131+q138+q139 | overlay q64 | predicates q31 | accessors q12 |
-    #   measures q07 | geodesy/transforms q53 | sinks/containers
-    #   q68(below)+q109 | multimodal q66 | streaming q91+q138+q153 |
-    #   dedup q100+q127 | graph q96+q158 | vectors q88+q94 | sketches
-    #   q115 | temporal q112(below)+q122+q126+q143+q152 | LM q108+q87 |
-    #   tokenizers q86 | quality q84+q106+q154 | selection/sampling
-    #   q136+q140 | relational q15+q155+q156+q157 | retrieval
-    #   q139+q151.
+    # entries. ROUND-9 window — staleness-first, per the round-8
+    # verdict's ask #6 ("rotate the long-displaced greens back through"):
+    #   * the 11 queries whose CODE or ORACLE changed this round lead:
+    #     q148 (signed-zero checksum fix), q70+q54 (oracle fixed-range
+    #     bounds closed), q105/q106/q107 (conv bucket hash + zip_with
+    #     bigrams + broadcast model), q96 (one job per iteration +
+    #     n-guarded broadcasts), q151 (tie-break), q153 (state
+    #     eviction), q142 (auto-compact), q100 (bloom cap/projection);
+    #   * the other 39 slots are the STALEST-evidence queries in the
+    #     tree — the round-2/3 geometry-core set last driver-checked
+    #     5-6 rounds ago (q01... q49 below), all multi-round green and
+    #     byte-unchanged since (modulo the value-neutral presentation-
+    #     sort sweep, which the row-sorted compare cannot observe).
+    # Displaced to below-cut: the round-7/8 window (q84/q87/q94/q108/
+    # q115/q117/q122/q126-q129/q131/q136-q141/q143-q146/q149/q150/q152/
+    # q154-q158 and the spatial reps q02/q07/q12/q15/q28/q31/q53/q64/
+    # q66/q86/q88/q91/q109) — every one driver-green in r7 or r8 and
+    # byte-unchanged since. The usual family-spread convention yields
+    # to evidence freshness this round by design.
     return {
-        "q02_zone_pip_join": q02_zone_pip_join,
-        "q109_geoparquet_covering": q109_geoparquet_covering,
-        "q07_wkt_area": q07_wkt_area,
-        "q96_pagerank": q96_pagerank,
-        "q12_npoints": q12_npoints,
-        "q15_tpch_q1": q15_tpch_q1,
-        # q127 (exact edit-distance dedup, NEW round 6) takes the dedup
-        # slot of q107 hamming (green r5, unchanged; dedup keeps
-        # q99+q100+q127 in-window).
-        "q127_edit_distance_dedup": q127_edit_distance_dedup,
-        "q28_union_agg": q28_union_agg,
-        "q31_predicate_matrix": q31_predicate_matrix,
-        # q135 (NEW round 7: cluster-balanced sampling) takes q105's
-        # slot (DSIR, green r6, unchanged; selection family keeps
-        # q135/q136 in-window, q90/q105 below).
-        # q128 (triangle counting, NEW round 6) takes this slot; q102 c4
-        # filters moved below (green r5, unchanged; quality family keeps
-        # q89 sentence stats + q106 NB classifier in-window).
-        # q84 rotated IN round 7 (score_col fusion changed its code);
-        # q113 (r6-green, unchanged) moves below — temporal keeps
-        # q112+q122+q126.
-        "q84_quality_buckets": q84_quality_buckets,
-        # q147 (NEW round 7: weighted sampling) takes q41's slot
-        # (casts, green r6, unchanged; the cast family's golden corpus
-        # coverage rides tests/test_reference_golden.py).
-        "q108_lm_kneser_ney": q108_lm_kneser_ney,
-        # q137 (NEW round 7: z-order CRUD cycle) takes q103's slot
-        # (BM25 term saliency, green r6, unchanged — q131 exercises the
-        # same BM25 arithmetic off the scored index, so ranking keeps an
-        # in-window rep).
-        "q137_zorder_crud": q137_zorder_crud,
-        # q146 (NEW round 7: PMI collocations) takes q50's slot
-        # (validity trio, green r6, unchanged; predicates/validity keep
-        # q31 in-window).
-        "q146_collocations": q146_collocations,
-        "q106_nb_quality_classifier": q106_nb_quality_classifier,
-        # q87 rotated IN round 7 (small-vocab fused plan + carry_cols);
-        # q119 (r6-green, unchanged) moves below — sketches keep
-        # q115+q123.
-        "q87_lm_perplexity": q87_lm_perplexity,
-        # q144 (NEW round 7: JSON props extraction — semi-structured
-        # family) takes q54's slot (langid, green r6, unchanged; text
-        # analysis keeps q141 in-window).
-        "q144_json_extract": q144_json_extract,
-        "q117_dbscan": q117_dbscan,
-        # q143 (NEW round 7: ordered funnel) takes q118's slot (salted
-        # join, green r6, unchanged; the skew family keeps q97/q118
-        # below with q126-family temporal coverage in-window).
-        "q143_funnel": q143_funnel,
-        "q115_count_min": q115_count_min,
-        # ROUND-8 rotation: q94 (train switched to pinned deflated
-        # power iteration + first value-oracle), q74 (oracle position
-        # enumeration rewritten), q148-q150 (added below-cut at round-7
-        # close, never driver-checked) take the slots of q76/q95/q98/
-        # q124/q60 — all driver-green r7 and byte-unchanged except the
-        # presentation-sort sweep, which the row-sorted compare cannot
-        # observe.
-        "q94_pca_project": q94_pca_project,
-        "q74_repetition_filter": q74_repetition_filter,
         "q148_group_zscore": q148_group_zscore,
-        "q149_topk_per_group": q149_topk_per_group,
-        "q150_time_bucket_ohlc": q150_time_bucket_ohlc,
-        # q129 (layout CRUD: append+DELETE+compact, NEW round 7) holds the
-        # layout-family slot — it exercises q125's append/compact path as
-        # a superset; q125 (green r6, unchanged) and q61 (static
-        # rtree_points, green r1-r5, unchanged) sit below.
-        "q129_cluster_delete": q129_cluster_delete,
-        "q64_mixed_overlay": q64_mixed_overlay,
-        "q66_multimodal": q66_multimodal,
-        # q145 (NEW round 7: cohort retention) takes q68's slot (GDB
-        # roundtrip, green r6, unchanged; sinks/containers keep q109
-        # geoparquet in-window, q65/q68/q80 below).
-        "q145_cohort_retention": q145_cohort_retention,
-        "q53_transform_utm": q53_transform_utm,
-        # q140 (NEW round 7: token-budget domain mixing) takes q57's
-        # slot (shortestline, green r6, unchanged; measures keep q07,
-        # processing keeps q64 in-window).
-        "q140_token_budget_mix": q140_token_budget_mix,
-        # q138 (NEW round 7: streaming index maintenance) takes q75's
-        # slot (streaming extent, green r6, unchanged; streaming keeps
-        # q91 + q138 in-window).
-        "q138_streaming_index": q138_streaming_index,
-        # q130 (NEW round 7: inverted-index layout) takes this slot;
-        # q80 webdataset (r6-green, unchanged) moves below — containers
-        # keep q68+q109 in-window.
-        "q86_bpe_pipeline": q86_bpe_pipeline,
-        "q88_knn_join": q88_knn_join,
-        # q139 (NEW round 7: hybrid BM25+cosine retrieval) takes q89's
-        # slot (sentence stats, green r6, unchanged; quality keeps
-        # q84+q106 in-window).
-        "q139_hybrid_search": q139_hybrid_search,
-        # q131 (NEW round 7: BM25 search off the scored inverted index)
-        # takes q90's slot (domain quota, green r6, unchanged; sampling
-        # keeps q105 in-window).
-        "q131_bm25_search": q131_bm25_search,
-        "q91_streaming_interval_join": q91_streaming_interval_join,
-        # q142 (NEW round 7: streaming layout ingest) takes q94's slot
-        # (PCA project, rows-only, green r6, unchanged; vectors keep
-        # q88 + q135 in-window).
-        "q142_streaming_layout": q142_streaming_layout,
-        # q133 (NEW round 7: multi-column Z-order layout) takes q97's
-        # slot (salted agg, green r6, unchanged; skew keeps q118
-        # in-window) — layout family holds q129 (hilbert CRUD) + q133.
-        # q136 (NEW round 7: exact-count per-group sampling) takes
-        # q99's slot (minhash index, green r6, unchanged; dedup keeps
-        # q127+q100 in-window).
-        "q136_group_sample": q136_group_sample,
-        "q100_bloom_decontaminate": q100_bloom_decontaminate,
-        # q134 (NEW round 7: positional index + exact-phrase search)
-        # takes q110's slot (unigram tokenizer, green r6, unchanged;
-        # tokenizers keep q86+q120 in-window).
-        # q141 (NEW round 7: n-gram novelty scoring) takes q120's slot
-        # (WordPiece, green r6, unchanged; tokenizers keep q86
-        # in-window).
-        "q141_ngram_novelty": q141_ngram_novelty,
-        # q122 rotated IN round 7 (VERDICT r6 ask #1): the one query that
-        # never earned a driver CORRECTNESS row; q121 (green r6,
-        # unchanged) moves below — temporal keeps q112+q113+q122+q126.
-        "q122_rolling_window": q122_rolling_window,
-        # ROUND-8 additions (all in-window): MMR re-rank, session
-        # funnel, streaming funnel, char entropy. Displaced to make
-        # room: q130/q134 (text-index keeps q131/q138/q139 in-window),
-        # q133 (layout keeps q129/q137/q142), q132 (sampling keeps
-        # q135/q136/q147) — all driver-green r7, byte-unchanged.
-        "q151_mmr_rerank": q151_mmr_rerank,
-        "q152_session_funnel": q152_session_funnel,
-        "q153_streaming_funnel": q153_streaming_funnel,
-        "q154_char_entropy": q154_char_entropy,
-        # q155-q157 (relational-substrate closers: ROLLUP grouping
-        # sets, exact percentiles, PIVOT) take the slots of q112/
-        # q135/q128 — all driver-green and byte-unchanged; temporal
-        # keeps q122/q126/q143/q152, sampling keeps q136/q147,
-        # graph keeps q96 in-window.
-        "q155_rollup_aggregate": q155_rollup_aggregate,
-        "q156_exact_percentiles": q156_exact_percentiles,
-        "q157_pivot_table": q157_pivot_table,
-        # q158 BFS hop distances takes the q147 slot (weighted
-        # sampling, driver-green r7, byte-unchanged; sampling
-        # keeps q136 + q152-adjacent reps in-window).
-        "q158_bfs_hops": q158_bfs_hops,
-        # q126 (batch sessionize, NEW round 6; oracle tie-break touched
-        # round 7 — stays in-window to re-earn a fresh row).
-        "q126_sessionize": q126_sessionize,
-        # q132 (NEW round 7: deterministic shard permutation) takes
-        # q123's slot (HLL overlap, green r6, unchanged; sketches keep
-        # q115 in-window, q114/q119/q123 below).
-        # ---- driver cut line (round 6). Displaced THIS round — all were
-        # driver-green in CORRECTNESS_r05 and are byte-unchanged; each
-        # family keeps an in-window representative (mapping above):
-        # q85 vocab (tokenizers: q86/q110/q120), q84 quality buckets
-        # (q89/q102/q106), q05 centroid+collect (measures q07+q57, spatial
-        # agg q28), q101 substring dedup (dedup q99+q100+q107), q92 clean
-        # (regex family q102), q111 exact PCA (q94 projects the same
-        # model), q35 transform (q53 UTM), q38 LSH (q99 derives the same
-        # signatures), q83 URL stats (q89/q90 text+domain stats), q82 WARC
-        # (containers q80+q68+q109), q77 chunking (q76 packing + q89
-        # sentence segmentation), q78 temperature mix (sampling q90+q105),
-        # q79 dedup pipeline / q70 decontaminate (q99+q100 are its stages),
-        # q114 HLL distinct (q123 merges the same sketch), q116 IVF-PQ
-        # (similarity q88 exact-KNN; q55/q24 below), q81 stateful sessions
-        # (streaming q75+q91), q104 semdedup (embeddings q88+q94),
-        # q74 repetition filter (quality q89+q102+q106), q65 GPKG roundtrip
-        # (sinks q68+q80+q109), q69 components (graph q96).
-        # q90 quota + q123 HLL overlap + q97 salted agg displaced round 7
-        # by q131/q132/q133 (all driver-green r6, byte-unchanged).
-        "q76_pack_sequences": q76_pack_sequences,
-        "q95_profile_table": q95_profile_table,
-        "q98_corpus_diff": q98_corpus_diff,
-        "q124_corpus_divergence": q124_corpus_divergence,
-        "q60_spheroid": q60_spheroid,
-        "q130_inverted_index": q130_inverted_index,
-        "q134_phrase_search": q134_phrase_search,
-        "q133_zorder_layout": q133_zorder_layout,
-        "q132_shard_permutation": q132_shard_permutation,
-        "q112_asof_join": q112_asof_join,
-        "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
-        "q128_triangle_count": q128_triangle_count,
-        "q147_weighted_sample": q147_weighted_sample,
-        "q90_domain_quota": q90_domain_quota,
-        "q123_hll_overlap": q123_hll_overlap,
-        "q97_salted_agg": q97_salted_agg,
-        "q110_unigram_tokenizer": q110_unigram_tokenizer,
-        "q105_dsir_select": q105_dsir_select,
-        "q99_minhash_index": q99_minhash_index,
-        "q103_bm25_topk": q103_bm25_topk,
-        "q75_streaming_extent": q75_streaming_extent,
-        "q89_sentence_stats": q89_sentence_stats,
-        "q57_shortestline": q57_shortestline,
-        "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
-        "q118_salted_join": q118_salted_join,
-        "q54_langid_ngram": q54_langid_ngram,
-        "q68_gdb_roundtrip": q68_gdb_roundtrip,
-        "q50_validity": q50_validity,
-        "q41_casts": q41_casts,
-        "q85_vocab_build": q85_vocab_build,
-        "q05_centroid_collect": q05_centroid_collect,
-        "q101_substring_dedup": q101_substring_dedup,
-        "q92_text_clean": q92_text_clean,
-        "q111_pca_power_iteration": q111_pca_power_iteration,
-        "q35_transform": q35_transform,
-        "q38_minhash_lsh": q38_minhash_lsh,
-        "q83_url_domain_stats": q83_url_domain_stats,
-        "q82_warc_pipeline": q82_warc_pipeline,
-        "q77_chunk_documents": q77_chunk_documents,
-        "q78_temperature_mix": q78_temperature_mix,
-        "q79_dedup_pipeline": q79_dedup_pipeline,
         "q70_decontaminate": q70_decontaminate,
-        "q114_hll_distinct": q114_hll_distinct,
-        "q116_ann_ivfpq": q116_ann_ivfpq,
-        "q81_streaming_sessions": q81_streaming_sessions,
-        "q104_semdedup": q104_semdedup,
-        "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
-        "q69_dedup_components": q69_dedup_components,
-        "q61_rtree_points": q61_rtree_points,
-        "q125_cluster_append": q125_cluster_append,
-        "q121_resample_ffill": q121_resample_ffill,
-        "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
-        "q113_interval_join": q113_interval_join,
-        "q119_histogram_quantiles": q119_histogram_quantiles,
+        "q54_langid_ngram": q54_langid_ngram,
+        "q105_dsir_select": q105_dsir_select,
+        "q106_nb_quality_classifier": q106_nb_quality_classifier,
         "q107_hamming_image_dedup": q107_hamming_image_dedup,
-        "q102_c4_filters": q102_c4_filters,
-        # ---- displaced in rounds 2-5 (driver-green in an earlier round,
-        # unchanged since; redundant family coverage above).
-        "q55_ann_ivf": q55_ann_ivf,
-        "q93_vec_quantize": q93_vec_quantize,
-        "q72_pii_redact": q72_pii_redact,
-        "q58_linemerge_normalize": q58_linemerge_normalize,
-        "q26_ngram_jaccard": q26_ngram_jaccard,
-        "q71_sample_stratified": q71_sample_stratified,
-        "q73_paragraph_dedup": q73_paragraph_dedup,
+        "q96_pagerank": q96_pagerank,
+        "q151_mmr_rerank": q151_mmr_rerank,
+        "q153_streaming_funnel": q153_streaming_funnel,
+        "q142_streaming_layout": q142_streaming_layout,
+        "q100_bloom_decontaminate": q100_bloom_decontaminate,
+        "q01_point_in_envelope": q01_point_in_envelope,
+        "q08_buffer_area": q08_buffer_area,
+        "q11_geometrytype": q11_geometrytype,
+        "q13_length": q13_length,
+        "q14_envelope_area": q14_envelope_area,
+        "q16_revenue_by_nation": q16_revenue_by_nation,
+        "q17_window_topk": q17_window_topk,
+        "q22_fingerprint": q22_fingerprint,
+        "q23_langid": q23_langid,
+        "q24_ann_topk": q24_ann_topk,
+        "q27_generatepoints": q27_generatepoints,
+        "q29_accessors": q29_accessors,
+        "q30_pointn_ring": q30_pointn_ring,
+        "q32_intersection_area": q32_intersection_area,
+        "q43_flip_reverse": q43_flip_reverse,
+        "q45_removerepeated": q45_removerepeated,
+        "q19_minhash": q19_minhash,
         "q25_embedding_neardup": q25_embedding_neardup,
         "q06_convexhull_area": q06_convexhull_area,
         "q20_simhash": q20_simhash,
@@ -5554,31 +5349,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_force_dims": q44_force_dims,
         "q46_geojson_roundtrip": q46_geojson_roundtrip,
         "q49_collectionextract": q49_collectionextract,
+        # ---- below the 50-query driver window (all driver-green r7/r8, byte-unchanged) ----
+        "q02_zone_pip_join": q02_zone_pip_join,
+        "q109_geoparquet_covering": q109_geoparquet_covering,
+        "q07_wkt_area": q07_wkt_area,
+        "q12_npoints": q12_npoints,
+        "q15_tpch_q1": q15_tpch_q1,
+        "q127_edit_distance_dedup": q127_edit_distance_dedup,
+        "q28_union_agg": q28_union_agg,
+        "q31_predicate_matrix": q31_predicate_matrix,
+        "q84_quality_buckets": q84_quality_buckets,
+        "q108_lm_kneser_ney": q108_lm_kneser_ney,
+        "q137_zorder_crud": q137_zorder_crud,
+        "q146_collocations": q146_collocations,
+        "q87_lm_perplexity": q87_lm_perplexity,
+        "q144_json_extract": q144_json_extract,
+        "q117_dbscan": q117_dbscan,
+        "q143_funnel": q143_funnel,
+        "q115_count_min": q115_count_min,
+        "q94_pca_project": q94_pca_project,
+        "q74_repetition_filter": q74_repetition_filter,
+        "q149_topk_per_group": q149_topk_per_group,
+        "q150_time_bucket_ohlc": q150_time_bucket_ohlc,
+        "q129_cluster_delete": q129_cluster_delete,
+        "q64_mixed_overlay": q64_mixed_overlay,
+        "q66_multimodal": q66_multimodal,
+        "q145_cohort_retention": q145_cohort_retention,
+        "q53_transform_utm": q53_transform_utm,
+        "q140_token_budget_mix": q140_token_budget_mix,
+        "q138_streaming_index": q138_streaming_index,
+        "q86_bpe_pipeline": q86_bpe_pipeline,
+        "q88_knn_join": q88_knn_join,
+        "q139_hybrid_search": q139_hybrid_search,
+        "q131_bm25_search": q131_bm25_search,
+        "q91_streaming_interval_join": q91_streaming_interval_join,
+        "q136_group_sample": q136_group_sample,
+        "q141_ngram_novelty": q141_ngram_novelty,
+        "q122_rolling_window": q122_rolling_window,
+        "q152_session_funnel": q152_session_funnel,
+        "q154_char_entropy": q154_char_entropy,
+        "q155_rollup_aggregate": q155_rollup_aggregate,
+        "q156_exact_percentiles": q156_exact_percentiles,
+        "q157_pivot_table": q157_pivot_table,
+        "q158_bfs_hops": q158_bfs_hops,
+        "q126_sessionize": q126_sessionize,
+        "q76_pack_sequences": q76_pack_sequences,
+        "q95_profile_table": q95_profile_table,
+        "q98_corpus_diff": q98_corpus_diff,
+        "q124_corpus_divergence": q124_corpus_divergence,
+        "q60_spheroid": q60_spheroid,
+        "q130_inverted_index": q130_inverted_index,
+        "q134_phrase_search": q134_phrase_search,
+        "q133_zorder_layout": q133_zorder_layout,
+        "q132_shard_permutation": q132_shard_permutation,
+        "q112_asof_join": q112_asof_join,
+        "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
+        "q128_triangle_count": q128_triangle_count,
+        "q147_weighted_sample": q147_weighted_sample,
+        "q90_domain_quota": q90_domain_quota,
+        "q123_hll_overlap": q123_hll_overlap,
+        "q97_salted_agg": q97_salted_agg,
+        "q110_unigram_tokenizer": q110_unigram_tokenizer,
+        "q99_minhash_index": q99_minhash_index,
+        "q103_bm25_topk": q103_bm25_topk,
+        "q75_streaming_extent": q75_streaming_extent,
+        "q89_sentence_stats": q89_sentence_stats,
+        "q57_shortestline": q57_shortestline,
+        "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
+        "q118_salted_join": q118_salted_join,
+        "q68_gdb_roundtrip": q68_gdb_roundtrip,
+        "q50_validity": q50_validity,
+        "q41_casts": q41_casts,
+        "q85_vocab_build": q85_vocab_build,
+        "q05_centroid_collect": q05_centroid_collect,
+        "q101_substring_dedup": q101_substring_dedup,
+        "q92_text_clean": q92_text_clean,
+        "q111_pca_power_iteration": q111_pca_power_iteration,
+        "q35_transform": q35_transform,
+        "q38_minhash_lsh": q38_minhash_lsh,
+        "q83_url_domain_stats": q83_url_domain_stats,
+        "q82_warc_pipeline": q82_warc_pipeline,
+        "q77_chunk_documents": q77_chunk_documents,
+        "q78_temperature_mix": q78_temperature_mix,
+        "q79_dedup_pipeline": q79_dedup_pipeline,
+        "q114_hll_distinct": q114_hll_distinct,
+        "q116_ann_ivfpq": q116_ann_ivfpq,
+        "q81_streaming_sessions": q81_streaming_sessions,
+        "q104_semdedup": q104_semdedup,
+        "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
+        "q69_dedup_components": q69_dedup_components,
+        "q61_rtree_points": q61_rtree_points,
+        "q125_cluster_append": q125_cluster_append,
+        "q121_resample_ffill": q121_resample_ffill,
+        "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
+        "q113_interval_join": q113_interval_join,
+        "q119_histogram_quantiles": q119_histogram_quantiles,
+        "q102_c4_filters": q102_c4_filters,
+        "q55_ann_ivf": q55_ann_ivf,
+        "q93_vec_quantize": q93_vec_quantize,
+        "q72_pii_redact": q72_pii_redact,
+        "q58_linemerge_normalize": q58_linemerge_normalize,
+        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q71_sample_stratified": q71_sample_stratified,
+        "q73_paragraph_dedup": q73_paragraph_dedup,
         "q10_quadkey": q10_quadkey,
         "q48_pointonsurface": q48_pointonsurface,
         "q51_buffer_line": q51_buffer_line,
         "q52_buffer_polygon": q52_buffer_polygon,
         "q59_reduceprecision": q59_reduceprecision,
         "q63_intersection_agg": q63_intersection_agg,
-        "q01_point_in_envelope": q01_point_in_envelope,
-        "q08_buffer_area": q08_buffer_area,
-        "q11_geometrytype": q11_geometrytype,
-        "q13_length": q13_length,
-        "q14_envelope_area": q14_envelope_area,
-        "q16_revenue_by_nation": q16_revenue_by_nation,
-        "q17_window_topk": q17_window_topk,
-        "q22_fingerprint": q22_fingerprint,
-        "q23_langid": q23_langid,
-        "q24_ann_topk": q24_ann_topk,
-        "q27_generatepoints": q27_generatepoints,
-        "q29_accessors": q29_accessors,
-        "q30_pointn_ring": q30_pointn_ring,
-        "q32_intersection_area": q32_intersection_area,
-        "q43_flip_reverse": q43_flip_reverse,
-        "q45_removerepeated": q45_removerepeated,
-        "q19_minhash": q19_minhash,
-            # ---- round-7 below-cut additions (appended at the end; judge-
-        # verified, no window rotation needed).
     }
 
 

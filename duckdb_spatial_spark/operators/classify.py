@@ -183,7 +183,16 @@ def nb_train_score_split(df: DataFrame, train_pred,
     of broadcasting: a broadcast exchange of a derived frame is its own
     job barrier in local mode, while the extra hash exchange moves only
     the ≤ 2·buckets+1 model rows. Arithmetic identical to
-    nb_train + nb_score (same smoothing-floor decomposition)."""
+    nb_train + nb_score (same smoothing-floor decomposition).
+
+    Documented FLOOR (round 9, sf0.1 bench profile): ~1.2 s — explode
+    0.34 s warm + the shared aggregate + two branch reads + the hinted
+    join + the final agg, all in ONE job. Both alternative topologies
+    measured worse: collect-model two-job 2.3 s, bucket-pre-partitioned
+    (repartition before the agg to co-locate the model join) 2.0-2.5 s
+    because the raw gram shuffle loses map-side combine. DuckDB replays
+    the same query in ~0.3 s (its own job floor), so the ratio is
+    per-row engine overhead, not plan shape."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (log of the smoothed counts)")
     from pyspark.sql import Window
