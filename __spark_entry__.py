@@ -2800,8 +2800,11 @@ def q105_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
                            gumbel_seed=7)
     return out.select(
         "doc_id", "n_grams",
-        F.round("logw", 6).alias("logw"),
-        F.round("key", 6).alias("key"),
+        # + 0.0 normalizes IEEE -0.0 (the q147/q148 signed-zero class:
+        # logw and the Gumbel key are signed quantities whose 6-dp
+        # rounding can hit zero, and the engines disagree on its sign)
+        (F.round("logw", 6) + F.lit(0.0)).alias("logw"),
+        (F.round("key", 6) + F.lit(0.0)).alias("key"),
     ).transform(_ssort, F.col("key").desc(), "doc_id")
 
 
@@ -7112,8 +7115,8 @@ def _q105_oracle_sql() -> str:
     )
     return f"""
         SELECT doc_id, n_grams,
-               round(logw, 6) AS logw,
-               round(key, 6) AS key
+               round(logw, 6) + 0.0 AS logw,
+               round(key, 6) + 0.0 AS key
         FROM ({inner})
         ORDER BY key DESC, doc_id
     """

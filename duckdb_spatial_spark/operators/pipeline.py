@@ -478,8 +478,13 @@ def weighted_sample(
         / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)
+        # + 0.0 normalizes IEEE -0.0: the key is a NEGATIVE value whose
+        # 6-dp rounding hits zero for large weights (u near 1), and the
+        # engines disagree on the rounded zero's sign (sf0.1 gate caught
+        # DuckDB -0.0 vs Spark +0.0 on doc 957) — same normalization as
+        # the SQL twin
         .select(F.col(id_col), F.col(weight_col).alias("weight"),
-                F.round(key, 6).alias("key"))
+                (F.round(key, 6) + F.lit(0.0)).alias("key"))
         .orderBy(F.col("key").desc(), F.col(id_col))
         .limit(k)
     )
@@ -489,8 +494,8 @@ def weighted_sample_sql(id_expr: str, weight_expr: str,
                         seed: int = 0) -> str:
     """DuckDB twin of :func:`weighted_sample`'s Gumbel key."""
     u = portable_uniform_sql(id_expr, 1_000_003 * seed + 211)
-    return (f"round(ln(greatest({u}, 1e-12)) "
-            f"/ CAST({weight_expr} AS DOUBLE), 6)")
+    return (f"(round(ln(greatest({u}, 1e-12)) "
+            f"/ CAST({weight_expr} AS DOUBLE), 6) + 0.0)")
 
 
 def token_budget_sql(id_expr: str, seed: int = 0) -> str:
