@@ -596,10 +596,19 @@ def main() -> None:
         pts = df.select("event_id", "x", "y")
         zorder_cluster(pts.filter(F.col("event_id") % (gens + 1) == 0),
                        ["x", "y"], num_partitions=8).write.parquet(path)
+        # the shipped streaming hook's discipline (round 9): compaction
+        # triggers INLINE once the small-file population reaches the
+        # threshold, so footer overhead stays bounded no matter how many
+        # generations arrive — the round-8 probe's single trailing
+        # compact let 30 generations accumulate first (7.25x ratio)
+        from duckdb_spatial_spark.streaming.ops import _small_parquet_files
         for g in range(gens):
             zorder_append(
                 pts.filter(F.col("event_id") % (gens + 1) == g + 1),
                 path, ["x", "y"])
+            if _small_parquet_files(path, 1 << 22) >= 16:
+                zorder_compact(spark, path, ["x", "y"],
+                               small_file_bytes=1 << 22)
         zorder_compact(spark, path, ["x", "y"],
                        small_file_bytes=1 << 22)
         back = spark.read.parquet(path)
