@@ -466,7 +466,8 @@ def q24_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = ann_bruteforce_topk(emb, queries, k=5)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank"
+        "query_id", "vec_id",
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cos4"), "rank"
     ).transform(_ssort, "query_id", "rank")
 
 
@@ -2747,7 +2748,7 @@ def q103_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     out = bm25_topk(d, "doc_id", "text", k=3, k1=1.2, b=0.75)
     return out.select(
         "doc_id", "term", "tf", "dfreq", "dl",
-        F.round(F.col("score"), 6).alias("score"),
+        (F.round(F.col("score"), 6) + F.lit(0.0)).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     ).transform(_ssort, "doc_id", "rank")
 
@@ -2827,7 +2828,8 @@ def q106_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") % 2 == 0,
         buckets=2048, alpha=1.0)
     return out.select(
-        "doc_id", "n_grams", F.round("nb_score", 6).alias("nb_score"),
+        "doc_id", "n_grams",
+        (F.round("nb_score", 6) + F.lit(0.0)).alias("nb_score"),
     ).orderBy(F.col("nb_score").desc(), "doc_id").limit(20)
 
 
@@ -4129,8 +4131,8 @@ def q148_group_zscore(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", z.alias("z"))
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n"),
-             F.round(F.min("z"), 6).alias("z_min"),
-             F.round(F.max("z"), 6).alias("z_max"),
+             (F.round(F.min("z"), 6) + F.lit(0.0)).alias("z_min"),
+             (F.round(F.max("z"), 6) + F.lit(0.0)).alias("z_max"),
              # + 0.0 normalizes IEEE -0.0 → +0.0: avg(z) is mathematically
              # zero, so the float residue (~1e-16) has an order-dependent
              # SIGN and round(...,6) yields ±0.0 engine-dependently — the
@@ -4149,7 +4151,7 @@ _Q148_ORACLE = """
       FROM events e JOIN s USING (event_type)
     )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           round(min(z), 6) AS z_min, round(max(z), 6) AS z_max,
+           round(min(z), 6) + 0.0 AS z_min, round(max(z), 6) + 0.0 AS z_max,
            round(avg(z), 6) + 0.0 AS z_avg
     FROM z GROUP BY event_type ORDER BY event_type
 """
@@ -4697,7 +4699,7 @@ _Q146_ORACLE = """
       SELECT a || ' ' || b AS pair, c_ab,
              round(ln((CAST(c_ab AS DOUBLE) / n2)
                       / ((CAST(ua.c AS DOUBLE) / n1)
-                         * (CAST(ub.c AS DOUBLE) / n1))), 6) AS pmi
+                         * (CAST(ub.c AS DOUBLE) / n1))), 6) + 0.0 AS pmi
       FROM c2 JOIN u ua ON ua.t = c2.a JOIN u ub ON ub.t = c2.b,
            n1, n2
       WHERE c_ab >= 5
@@ -5040,9 +5042,9 @@ def q139_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     rer = (
         cands.join(e, cands["doc_id"] == e["vec_id"])
         .select(cands["doc_id"], "bm25",
-                F.round(cosine_similarity(
+                (F.round(cosine_similarity(
                     F.col("embedding").cast("array<double>"), qlit), 6)
-                 .alias("cos"))
+                 + F.lit(0.0)).alias("cos"))
     )
     return rer.orderBy(F.col("cos").desc(), F.col("doc_id")).limit(10)
 
@@ -5059,7 +5061,7 @@ def _q139_oracle_sql() -> str:
                WHERE vec_id = 0)
         SELECT c.doc_id, c.score AS bm25,
                round(list_cosine_similarity(
-                 CAST(e.embedding AS DOUBLE[]), qv.v), 6) AS cos
+                 CAST(e.embedding AS DOUBLE[]), qv.v), 6) + 0.0 AS cos
         FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id, qv
         ORDER BY cos DESC, c.doc_id LIMIT 10
     """
@@ -6174,7 +6176,7 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (PARTITION BY q.query_id
                               ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id ASC) AS rank
                    FROM embeddings e, q)
-            SELECT query_id, vec_id, round(c, 4) AS cos4, rank
+            SELECT query_id, vec_id, round(c, 4) + 0.0 AS cos4, rank
             FROM scored WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "q25_embedding_neardup": """
@@ -7083,7 +7085,7 @@ def _q106_oracle_sql() -> str:
         "lang = 'en'", "doc_id", "text", buckets=2048, alpha=1.0,
     )
     return f"""
-        SELECT doc_id, n_grams, round(nb_score, 6) AS nb_score
+        SELECT doc_id, n_grams, round(nb_score, 6) + 0.0 AS nb_score
         FROM ({inner})
         ORDER BY nb_score DESC, doc_id
         LIMIT 20
@@ -7221,6 +7223,6 @@ def _q103_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
           FROM scored
         )
         SELECT doc_id, term, tf, dfreq, dl,
-               round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+               round(score, 6) + 0.0 AS score, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
     """

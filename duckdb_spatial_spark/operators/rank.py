@@ -177,7 +177,9 @@ def mmr_rerank(df, query_vec, id_col: str = "vec_id",
         .limit(pool)
         .collect()
     )
-    cand = {r["__id"]: (r["__rel"], [float(x) for x in r["__e"]])
+    # + 0.0 normalizes IEEE -0.0 out of the collected rounded relevance
+    # (the SQL twin's outputs are +0.0-normalized the same way)
+    cand = {r["__id"]: (r["__rel"] + 0.0, [float(x) for x in r["__e"]])
             for r in top}
 
     def cos(a, b):
@@ -268,6 +270,10 @@ def mmr_sql(table: str, vec_expr: str, id_col: str, query_table: str,
         )""")
     all_rows = " UNION ALL ".join(f"SELECT id, rel, mmr, rank FROM sel{i}"
                                   for i in range(1, k + 1))
+    # + 0.0 normalizes IEEE -0.0 on the OUTPUT columns: the Python side
+    # never emits -0.0 (its sign-aware rounding goes through an int), so
+    # a rel/mmr that rounds to zero must come out +0.0 here too
     return ("WITH" + pre + "," + ",".join(rounds)
-            + f" SELECT CAST(rank AS BIGINT) AS rank, id, rel, mmr"
+            + f" SELECT CAST(rank AS BIGINT) AS rank, id,"
+              f" rel + 0.0 AS rel, mmr + 0.0 AS mmr"
               f" FROM ({all_rows}) ORDER BY rank")

@@ -539,11 +539,13 @@ def collocations(
         .select(
             F.concat_ws(" ", "a", "b").alias("pair"),
             F.col("c_ab"),
-            F.round(F.log(
+            # + 0.0 normalizes IEEE -0.0 (signed-zero class: a PMI of
+            # exactly ~0 rounds to a sign the engines disagree on)
+            (F.round(F.log(
                 (F.col("c_ab").cast("double") / F.col("n2"))
                 / ((F.col("c_a").cast("double") / F.col("n1"))
                    * (F.col("c_b").cast("double") / F.col("n1")))), 6)
-             .alias("pmi"),
+             + F.lit(0.0)).alias("pmi"),
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("pair")).limit(k)
