@@ -85,3 +85,34 @@ def test_oracle_emits_no_negative_zero(con, name, sql):
         f"distinguishes ±0.0 and Spark's summation order differs; "
         f"normalize with `+ 0.0` on BOTH engines"
     )
+
+
+def test_cross_engine_round_sign_divergence_and_normalization(spark):
+    """Pin the MECHANISM of the signed-zero class: DuckDB's round() of a
+    tiny negative yields -0.0 while Spark's yields +0.0 — so any rounded
+    signed output diverges the moment data lands inside the rounding
+    epsilon — and `+ 0.0` restores agreement in both engines."""
+    from pyspark.sql import functions as F
+
+    vals = [-1e-9, -4.9e-7, 1e-9, -0.0, 0.0]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    srows = sdf.select(
+        F.round("x", 6).alias("raw"),
+        (F.round("x", 6) + F.lit(0.0)).alias("norm"),
+    ).collect()
+    con = duckdb.connect()
+    for v, srow in zip(vals, srows):
+        draw, dnorm = con.execute(
+            "SELECT round(CAST(? AS DOUBLE), 6),"
+            " round(CAST(? AS DOUBLE), 6) + 0.0", [v, v]).fetchone()
+        # normalized values agree INCLUDING the sign bit
+        assert math.copysign(1.0, srow["norm"]) == math.copysign(1.0, dnorm), v
+        assert srow["norm"] == dnorm == 0.0
+    # and the divergence is real: raw rounding disagrees on the sign for
+    # a tiny negative (if an engine ever changes this, the class is gone
+    # and the + 0.0 sweep becomes optional — update the notes)
+    draw = con.execute(
+        "SELECT round(CAST(-1e-9 AS DOUBLE), 6)").fetchone()[0]
+    sraw = srows[0]["raw"]
+    assert math.copysign(1.0, draw) == -1.0, "DuckDB stopped emitting -0.0"
+    assert math.copysign(1.0, sraw) == 1.0, "Spark started emitting -0.0"
