@@ -400,3 +400,72 @@ def test_decontaminate_bloom_equals_exact(spark):
             decontaminate(docs, bench, n=8, bloom_fpp=0.01)
             .select("doc_id").collect())
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_decontaminate_flag_projection_schema_stable_across_paths(spark):
+    """mode='flag' + flag_projection must return the SAME projected
+    (id, carry, contaminated) schema and values on EVERY path: the
+    literal-bloom fast path, the distributed-bloom fallback (benchmark
+    over the plan-literal cap — forced here with a tiny fpp so cap_items
+    shrinks below the benchmark size), and the plain broadcast path
+    (round-8 review: the fallback silently widened back to df.*)."""
+    from duckdb_spatial_spark.operators import pipeline as pl
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", 25),
+         (2, "pack my box with five dozen", 27),
+         (3, "unrelated text about nothing", 28)],
+        ["doc_id", "text", "n_chars"])
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], ["doc_id", "text"])
+
+    def run(**kw):
+        out = pl.decontaminate(corpus, bench, n=4, mode="flag",
+                               flag_projection=["n_chars"], **kw)
+        assert out.columns == ["doc_id", "n_chars", "contaminated"], kw
+        return sorted(map(tuple, out.collect()))
+
+    plain = run()                                # broadcast path
+    lit = run(bloom_fpp=0.01)                    # literal-bloom path
+    # shrink the literal cap below the benchmark gram count to force the
+    # distributed-bloom fallback
+    import duckdb_spatial_spark.operators.pipeline as pmod
+    import duckdb_spatial_spark.operators.bloom as bmod
+    old = bmod.LITERAL_BLOOM_MAX_BITS
+    try:
+        bmod.LITERAL_BLOOM_MAX_BITS = 64
+        pmod_fallback = run(bloom_fpp=0.01)      # distributed path
+    finally:
+        bmod.LITERAL_BLOOM_MAX_BITS = old
+    assert plain == lit == pmod_fallback
+    assert [r[2] for r in plain] == [True, False, False]
+
+
+def test_streaming_cluster_auto_compact_bounds_file_count(spark, tmp_path):
+    """Hilbert-side twin of the zorder auto-compact pin: 12 micro-batches
+    with auto_compact_files=4 may not accumulate 12 generation files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from duckdb_spatial_spark.streaming import streaming_cluster_append
+
+    df = spark.range(1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("x"),
+        ((F.col("id") * 31) % 89).cast("double").alias("y"))
+    src = str(tmp_path / "src")
+    df.repartition(12).write.parquet(src)
+    path = str(tmp_path / "h")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_cluster_append(stream, path, "x", "y",
+                                 extent=(0.0, 0.0, 97.0, 89.0),
+                                 checkpoint=str(tmp_path / "ckpt"),
+                                 auto_compact_files=4)
+    q.awaitTermination()
+    n_files = len(glob.glob(path + "/*.parquet"))
+    assert n_files <= 5, f"auto-compact did not bound files: {n_files}"
+    back = spark.read.parquet(path)
+    assert back.count() == 1200
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(1200))
