@@ -39,6 +39,11 @@ def pagerank(
              .distinct()
              .persist())
     n = nodes.count()
+    if n == 0:
+        # empty graph: empty (node, rank) frame, not a ZeroDivisionError
+        # from the 1/n uniform start
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # out-links with degree attached — reused every iteration, persist once
     links = e.join(deg, "src").persist()

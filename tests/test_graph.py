@@ -85,3 +85,14 @@ def test_triangle_count_vs_brute(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 9)],
                                  "src long, dst long")
     assert triangle_count(star).collect()[0]["n_triangles"] == 0
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """Empty edge set → empty (node, rank) frame, not a
+    ZeroDivisionError from the 1/n uniform start."""
+    from duckdb_spatial_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, iters=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
