@@ -4125,7 +4125,10 @@ def q148_group_zscore(spark: SparkSession, sf: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("__m"),
         F.stddev_samp("value").alias("__s"))
-    z = (F.col("value") - F.col("__m")) / F.col("__s")
+    # try_divide: a CONSTANT group has stddev 0 and Spark's ANSI mode
+    # throws DIVIDE_BY_ZERO where DuckDB yields NULL — NULL z-scores for
+    # degenerate groups are the cross-engine semantics (probed round 9)
+    z = F.try_divide(F.col("value") - F.col("__m"), F.col("__s"))
     return (
         ev.join(stats, "event_type")
         .select("event_type", z.alias("z"))
@@ -6128,7 +6131,9 @@ def oracle_sql() -> dict[str, str]:
         "q21_text_quality": """
             WITH m AS (
               SELECT lang,
-                     len(string_split_regex(trim(text), '\\s+')) AS tokens,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS tokens,
                      CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                        / greatest(length(text), 1) AS punct,
                      CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -6858,7 +6863,9 @@ def oracle_sql() -> dict[str, str]:
         "q76_pack_sequences": """
             WITH t AS (
               SELECT doc_id,
-                     len(string_split_regex(trim(text), '\\s+')) AS tokens
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS tokens
               FROM documents
             ), p AS (
               SELECT doc_id, tokens,
@@ -6869,7 +6876,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs,
                    CAST(sum(tokens) AS BIGINT) AS total_tokens,
                    CAST(max(so // 512) + 1 AS BIGINT) AS n_bins,
-                   CAST(sum(CASE WHEN so // 512 <> (so + tokens - 1) // 512
+                   CAST(sum(CASE WHEN tokens > 0
+                                  AND so // 512 <> (so + tokens - 1) // 512
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
                    CAST(sum(CASE WHEN (so // 512) % 2 = 0 THEN tokens ELSE 0 END)
                         AS BIGINT) AS even_bin_tokens

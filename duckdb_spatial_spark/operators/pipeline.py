@@ -852,8 +852,13 @@ def pack_sequences(
         out.withColumn("bin_id", F.floor(F.col("start_off") / capacity).cast("long"))
         .withColumn(
             "spans_boundary",
-            F.floor(F.col("start_off") / capacity)
-            != F.floor((F.col("start_off") + F.col(token_col) - 1) / capacity),
+            # a zero-token doc occupies no window and can never span one
+            # (the raw end-offset formula reads one token BACKWARD for
+            # tokens=0 and mislabels docs sitting exactly on a cut)
+            (F.col(token_col) > 0)
+            & (F.floor(F.col("start_off") / capacity)
+               != F.floor((F.col("start_off") + F.col(token_col) - 1)
+                          / capacity)),
         )
         .drop("_pid")
     )

@@ -186,7 +186,9 @@ def mmr_rerank(df, query_vec, id_col: str = "vec_id",
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        return _r6(d / (na * nb)) if na > 0 and nb > 0 else 0.0
+        # zero-norm → -1.0, matching DuckDB's list_cosine_similarity
+        # (the SQL twin's pairwise sims) and the Spark kernel
+        return _r6(d / (na * nb)) if na > 0 and nb > 0 else -1.0
 
     sel = []
     out = []

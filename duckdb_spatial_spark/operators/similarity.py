@@ -32,7 +32,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # a zero-norm side yields -1.0, matching DuckDB's
+    # list_cosine_similarity (the oracle function) exactly — the raw
+    # division would THROW under Spark's ANSI mode (DIVIDE_BY_ZERO),
+    # found by the round-9 degenerate-data gate
+    n = l2_norm(a) * l2_norm(b)
+    return F.when(n == 0.0, F.lit(-1.0)).otherwise(dot(a, b) / n)
 
 
 def ann_bruteforce_topk(
@@ -233,9 +238,17 @@ def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
         sims = (X / norms) @ C.T  # (n, n_centroids)
         p = min(nprobe, sims.shape[1])
         if p == 1:
+            # argmax returns the FIRST maximum — lowest cell id on ties,
+            # matching the SQL twin's (sim DESC, cid ASC)
             tops = sims.argmax(axis=1)[:, None]
         else:
-            tops = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            # stable argsort, NOT argpartition: ties at the probe-set
+            # boundary (e.g. a zero-norm query, equally similar to every
+            # centroid) must resolve to the lowest cell ids — the SQL
+            # twin's row_number ORDER BY sim DESC, cid — not to whatever
+            # partial order argpartition leaves (found by the round-9
+            # degenerate-data gate)
+            tops = np.argsort(-sims, axis=1, kind="stable")[:, :p]
         lists = np.empty(len(tops), dtype=object)
         lists[:] = [[int(t) for t in row] for row in tops]
         out = np.empty(len(vals), dtype=object)
