@@ -1010,7 +1010,8 @@ def q55_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings", fan_out=False)
     cent_rows = (
-        emb.filter(F.col("vec_id") < 32).orderBy("vec_id")
+        emb.filter((F.col("vec_id") < 32)
+                   & F.col("embedding").isNotNull()).orderBy("vec_id")
         .select("embedding").collect()
     )
     C = np.asarray([r["embedding"] for r in cent_rows], dtype=np.float64)
@@ -2765,7 +2766,8 @@ def q104_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings", fan_out=False)
     cent_rows = (
-        e.filter(F.col("vec_id") < 32).orderBy("vec_id")
+        e.filter((F.col("vec_id") < 32)
+                 & F.col("embedding").isNotNull()).orderBy("vec_id")
         .select("embedding").collect()
     )
     C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
@@ -3000,7 +3002,8 @@ def q116_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings", fan_out=False)
     rows = (
-        emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        emb.filter((F.col("vec_id") < 16)
+                   & F.col("embedding").isNotNull()).orderBy("vec_id")
         .select("embedding").collect()
     )
     codebooks = subvectors_from_rows(
@@ -3029,7 +3032,7 @@ def _q116_oracle_sql() -> str:
         ),
         cb AS (
           SELECT j, CAST(vec_id AS INT) AS c, sv AS cent
-          FROM sub WHERE vec_id < 16
+          FROM sub WHERE vec_id < 16 AND sv IS NOT NULL
         ),
         enc AS (
           SELECT vec_id, j, c FROM (
@@ -5141,7 +5144,8 @@ def q135_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings", fan_out=False)
     cent_rows = (
-        e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        e.filter((F.col("vec_id") < 16)
+                 & F.col("embedding").isNotNull()).orderBy("vec_id")
         .select("embedding").collect()
     )
     C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
@@ -5159,7 +5163,7 @@ def _q135_oracle_sql() -> str:
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), cent AS (
-          SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16
+          SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16 AND v IS NOT NULL
         ), asgn AS (
           SELECT vec_id,
                  (SELECT cid FROM cent
@@ -5872,19 +5876,22 @@ def oracle_sql() -> dict[str, str]:
         "q61_rtree_points": _q61_oracle_sql(),
         "q54_langid_ngram": _q54_oracle_sql(),
         "q55_ann_ivf": """
-            WITH cent AS (
-              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-              FROM embeddings WHERE vec_id < 32
+            WITH ee AS MATERIALIZED (
+              -- null vectors never rank; MATERIALIZED so decorrelation
+              -- cannot evaluate list_cosine_similarity before the filter
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS evec
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), cent AS (
+              SELECT vec_id AS cid, evec AS cvec FROM ee WHERE vec_id < 32
             ), q AS (
-              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
-              FROM embeddings WHERE vec_id < 5
+              SELECT vec_id AS qid, evec AS qvec FROM ee WHERE vec_id < 5
             ), asgn AS (
-              SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS evec,
+              SELECT e.vec_id, e.evec,
                      (SELECT cid FROM cent
-                      ORDER BY list_cosine_similarity(
-                          CAST(e.embedding AS DOUBLE[]), cvec) DESC, cid
+                      ORDER BY list_cosine_similarity(e.evec, cvec)
+                        DESC, cid
                       LIMIT 1) AS cell
-              FROM embeddings e
+              FROM ee e
             ), probe AS (
               SELECT qid, cid FROM (
                 SELECT q.qid, cent.cid,
@@ -5911,11 +5918,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.qid, e.vec_id,
                        row_number() OVER (
                          PARTITION BY q.qid
-                         ORDER BY list_cosine_similarity(
-                             CAST(e.embedding AS DOUBLE[]), q.qvec) DESC,
-                             e.vec_id
+                         ORDER BY list_cosine_similarity(e.evec, q.qvec)
+                           DESC, e.vec_id
                        ) AS rn
-                FROM embeddings e CROSS JOIN q
+                FROM ee e CROSS JOIN q
               ) WHERE rn <= 5
             )
             SELECT count(*) AS n_hits
@@ -6928,7 +6934,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings
             ), cent AS (
-              SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 32
+              SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 32 AND v IS NOT NULL
             ), asgn AS (
               SELECT vec_id, label, v,
                      (SELECT cid FROM cent

@@ -47,7 +47,8 @@ __all__ = ["train_pq", "pq_encode", "pq_codebook_df", "ann_pq_topk",
 
 def subvectors_from_rows(rows: Iterable, m: int) -> np.ndarray:
     """(n, d) sample rows → (m, n, d/m) subvector blocks (float64)."""
-    X = np.asarray([list(r) for r in rows], dtype=np.float64)
+    X = np.asarray([list(r) for r in rows if r is not None],
+                   dtype=np.float64)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -114,9 +115,12 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def _encode(v: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        if len(X) == 0:
-            return pd.Series([], dtype=object)
+        vals = v.to_numpy(dtype=object)
+        mask = np.array([isinstance(x, (list, np.ndarray)) for x in vals])
+        if not mask.any():
+            return pd.Series([None] * len(vals))
+        X = np.asarray([np.asarray(x, dtype=np.float64)
+                        for x in vals[mask]])
         S = X.reshape(len(X), m, dsub)
         codes = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
@@ -127,7 +131,12 @@ def pq_encode(
             # dsub temporaries stay small (Arrow batch ≤10k rows).
             diff = S[:, j, :][:, None, :] - books[j][None, :, :]
             codes[:, j] = (diff * diff).sum(axis=2).argmin(axis=1)
-        return pd.Series(list(codes))
+        out = np.empty(len(vals), dtype=object)
+        out[~mask] = None                      # null vector → null code
+        tmp = np.empty(len(codes), dtype=object)
+        tmp[:] = [list(map(int, c)) for c in codes]
+        out[mask] = tmp
+        return pd.Series(list(out))
 
     return df.withColumn(out_col, _encode(F.col(vec_col)))
 
@@ -142,6 +151,8 @@ def _adc_lut(
     qrows = queries.select(query_id, query_vec).collect()
     out = []
     for r in qrows:
+        if r[query_vec] is None:
+            continue                 # a null query vector has no LUT
         q = np.asarray(r[query_vec], dtype=np.float64).reshape(m, dsub)
         for j in range(m):
             d2 = ((q[j][None, :] - codebooks[j]) ** 2).sum(axis=1)

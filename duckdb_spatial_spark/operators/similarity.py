@@ -51,7 +51,11 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k: corpus × broadcast(queries) → cosine → rank ≤ k.
     One scan of the corpus; queries must be broadcastable."""
-    j = corpus.crossJoin(F.broadcast(queries))
+    # null vectors never rank (a null cosine is not a similarity) —
+    # and DuckDB's list_cosine_similarity ERRORS on them, so excluding
+    # them on both sides is the only consistent cross-engine semantic
+    j = corpus.filter(F.col(corpus_vec).isNotNull()) \
+        .crossJoin(F.broadcast(queries.filter(F.col(query_vec).isNotNull())))
     sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec)).alias("cosine")
     scored = j.select(query_id, corpus_id, sim)
     w = Window.partitionBy(query_id).orderBy(
@@ -99,8 +103,11 @@ def ann_lsh_topk(
     equi-join on bucket, exact cosine re-rank within buckets. Recall < 1.0
     by design; raise n_planes↓/multiprobe for higher recall (round-2)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("__bucket", lsh_signature(F.col(corpus_vec), planes))
-    q = queries.withColumn("__bucket", lsh_signature(F.col(query_vec), planes))
+    # null vectors never rank (see ann_bruteforce_topk)
+    c = corpus.filter(F.col(corpus_vec).isNotNull()) \
+        .withColumn("__bucket", lsh_signature(F.col(corpus_vec), planes))
+    q = queries.filter(F.col(query_vec).isNotNull()) \
+        .withColumn("__bucket", lsh_signature(F.col(query_vec), planes))
     j = c.join(F.broadcast(q), on="__bucket")
     sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec)).alias("cosine")
     scored = j.select(query_id, corpus_id, sim)
@@ -229,7 +236,10 @@ def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
         # one (batch, dim) stack + one matmul against the centroid matrix
         # per Arrow batch — not a per-row python loop
         vals = s.to_numpy(dtype=object)
-        mask = np.array([v is not None for v in vals])
+        # a NULL array element may arrive as None OR a float NaN
+        # depending on the Arrow→pandas path — type-check, don't
+        # None-check
+        mask = np.array([isinstance(v, (list, np.ndarray)) for v in vals])
         if not mask.any():
             return pd.Series([None] * len(vals))
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vals[mask]])
@@ -283,10 +293,11 @@ def ann_ivf_topk(
         )
     c_assign = _assign_cells_udf(centroids, 1)
     q_assign = _assign_cells_udf(centroids, nprobe)
-    c = corpus.withColumn(
+    # null vectors never rank (see ann_bruteforce_topk)
+    c = corpus.filter(F.col(corpus_vec).isNotNull()).withColumn(
         "__cell", F.element_at(c_assign(F.col(corpus_vec)), 1)
     )
-    q = queries.withColumn(
+    q = queries.filter(F.col(query_vec).isNotNull()).withColumn(
         "__cell", F.explode(q_assign(F.col(query_vec)))
     )
     j = c.join(F.broadcast(q), on="__cell")

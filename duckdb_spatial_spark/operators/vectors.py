@@ -42,7 +42,13 @@ def _moment_partials(df: DataFrame, vec_col: str):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            # drop NULL vectors — the SQL-aggregate convention (sums
+            # skip NULLs), and np.asarray would crash on them
+            vals = [v for v in pdf[vec_col]
+                    if isinstance(v, (list, np.ndarray))]
+            if not vals:
+                continue
+            x = np.asarray(vals, dtype=np.float64)
             n += x.shape[0]
             s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
             gt = x.T @ x
@@ -108,9 +114,20 @@ def pca_apply(
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _proj(s: pd.Series) -> pd.Series:
         m, c = b.value
-        x = np.asarray(list(s), dtype=np.float64)
-        p = (x - m) @ c.T
-        return pd.Series(list(p))
+        vals = s.to_numpy(dtype=object)
+        mask = np.array([isinstance(v, (list, np.ndarray)) for v in vals])
+        out = np.empty(len(vals), dtype=object)
+        out[~mask] = None                  # null vector → null projection
+        if mask.any():
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in vals[mask]])
+            proj = (x - m) @ c.T
+            # stage through a 1-D object array: a bare list-of-lists
+            # coerces to 2-D and masked assignment rejects it
+            tmp = np.empty(len(proj), dtype=object)
+            tmp[:] = [row.tolist() for row in proj]
+            out[mask] = tmp
+        return pd.Series(list(out))
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
 

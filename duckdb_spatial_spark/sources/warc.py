@@ -249,6 +249,10 @@ def st_write_warc(
         n = 0
         with open(out, "wb") as raw:
             for _, row in pdf.iterrows():
+                if row[uri_col] is None or row[payload_col] is None:
+                    # a record needs a target URI and a payload; null
+                    # rows are skipped rather than crashing the task
+                    continue
                 uri = str(row[uri_col])
                 body = bytes(row[payload_col])
                 ctype = (str(row[content_type_col]) if content_type_col
