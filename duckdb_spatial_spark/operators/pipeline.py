@@ -124,11 +124,12 @@ def decontaminate(
 
     ``mode='drop'`` returns the clean subset of ``df``; ``mode='flag'``
     returns ``df`` plus a boolean ``contaminated`` column.
-    ``flag_projection`` (flag mode + bounded benchmark only) narrows the
-    result to ``(id_col, *flag_projection, contaminated)`` — the named
-    columns ride the gram explode, so the flag computes as ONE scan +
-    one per-doc aggregate with no join back to ``df`` (the join re-scans
-    the corpus; a downstream aggregate rarely needs every column).
+    ``flag_projection`` (flag mode) narrows the result to
+    ``(id_col, *flag_projection, contaminated)`` on EVERY path: with a
+    bounded benchmark the named columns ride the gram explode, so the
+    flag computes as ONE scan + one per-doc aggregate with no join back
+    to ``df``; the distributed-bloom and plain broadcast paths return
+    the same projected schema via a join against the projected base.
 
     Scale shape: the benchmark n-gram set is broadcast (eval sets are
     small by construction); the corpus side is one explode + broadcast
@@ -162,15 +163,24 @@ def decontaminate(
             # second hash from the 8-byte first hash — half the string
             # hashing on the (much larger) corpus probe side
             F.xxhash64(F.xxhash64("gram"), F.lit(0xB10F)).alias("__h2"))
+        if not 0.0 < bloom_fpp < 1.0:
+            raise ValueError(
+                f"bloom_fpp must be in (0, 1), got {bloom_fpp!r}")
         # largest n whose bloom_size(n, fpp) geometry still fits the
         # plan-literal bit budget (the old `// 10` hardcoded the
         # fpp=0.01 sizing: a smaller fpp made bloom_size exceed
-        # LITERAL_BLOOM_MAX_BITS and broke bloom.py's documented bound)
+        # LITERAL_BLOOM_MAX_BITS and broke bloom.py's documented bound).
+        # Also clamped ABSOLUTELY: as fpp → 1 the geometry formula
+        # diverges, and the literal path collects cap_items gram rows to
+        # the driver and builds an isin() plan literal from them — the
+        # clamp keeps both bounded no matter the fpp.
         import math as _math
 
-        cap_items = max(1, int(LITERAL_BLOOM_MAX_BITS
-                               * (_math.log(2) ** 2)
-                               / -_math.log(bloom_fpp)))
+        cap_items = max(1, min(
+            int(LITERAL_BLOOM_MAX_BITS * (_math.log(2) ** 2)
+                / -_math.log(bloom_fpp)),
+            LITERAL_BLOOM_MAX_BITS // 8,
+        ))
         # coalesce(1): one CollectLimit wave (limit-collect on an
         # aggregate otherwise re-runs reduce partitions wave by wave)
         head = probe.coalesce(1).limit(cap_items + 1).collect()

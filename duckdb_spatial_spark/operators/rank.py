@@ -171,8 +171,11 @@ def mmr_rerank(df, query_vec, id_col: str = "vec_id",
     qn = math.sqrt(sum(x * x for x in q))
     rel = cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in q]))
     top = (
-        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"),
-                  F.round(rel, 6).alias("__rel"))
+        # null vectors never rank (the ANN-kernel contract): a NULL
+        # reaching the pool would land on `__rel + 0.0` as None + float
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"),
+                F.round(rel, 6).alias("__rel"))
         .orderBy(F.col("__rel").desc(), F.col("__id"))
         .limit(pool)
         .collect()

@@ -395,6 +395,21 @@ def _small_parquet_files(path: str, small_file_bytes: int) -> int:
     )
 
 
+def _append_with_auto_compact(append_fn, compact_fn, path: str,
+                              auto_compact_files: int,
+                              small_file_bytes: int):
+    """The shared self-bounding ingest hook: append the batch, then run
+    the minor compaction inline once the small-file population reaches
+    the threshold (0 = opt out). One policy, both layout kinds."""
+    def _ingest(b: DataFrame) -> None:
+        append_fn(b)
+        if auto_compact_files and _small_parquet_files(
+                path, small_file_bytes) >= auto_compact_files:
+            compact_fn(b.sparkSession)
+
+    return _ingest
+
+
 def streaming_cluster_append(
     stream: DataFrame,
     path: str,
@@ -424,15 +439,13 @@ def streaming_cluster_append(
     offline."""
     from ..operators.cluster import st_cluster_append, st_cluster_compact
 
-    def _ingest(b: DataFrame) -> None:
-        st_cluster_append(b, path, x, y, extent=extent)
-        if auto_compact_files and _small_parquet_files(
-                path, small_file_bytes) >= auto_compact_files:
-            st_cluster_compact(b.sparkSession, path, x, y,
-                               small_file_bytes=small_file_bytes,
-                               extent=extent)
-
-    return _foreach_batch_append(stream, _ingest, checkpoint,
+    ingest = _append_with_auto_compact(
+        lambda b: st_cluster_append(b, path, x, y, extent=extent),
+        lambda s: st_cluster_compact(s, path, x, y,
+                                     small_file_bytes=small_file_bytes,
+                                     extent=extent),
+        path, auto_compact_files, small_file_bytes)
+    return _foreach_batch_append(stream, ingest, checkpoint,
                                  available_now)
 
 
@@ -455,15 +468,13 @@ def streaming_zorder_append(
     out)."""
     from ..operators.zorder import zorder_append, zorder_compact
 
-    def _ingest(b: DataFrame) -> None:
-        zorder_append(b, path, cols, ranges=ranges)
-        if auto_compact_files and _small_parquet_files(
-                path, small_file_bytes) >= auto_compact_files:
-            zorder_compact(b.sparkSession, path, cols,
-                           small_file_bytes=small_file_bytes,
-                           ranges=ranges)
-
-    return _foreach_batch_append(stream, _ingest, checkpoint,
+    ingest = _append_with_auto_compact(
+        lambda b: zorder_append(b, path, cols, ranges=ranges),
+        lambda s: zorder_compact(s, path, cols,
+                                 small_file_bytes=small_file_bytes,
+                                 ranges=ranges),
+        path, auto_compact_files, small_file_bytes)
+    return _foreach_batch_append(stream, ingest, checkpoint,
                                  available_now)
 
 
