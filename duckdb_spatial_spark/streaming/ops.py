@@ -535,9 +535,12 @@ def streaming_funnel(
       eligibility set only grows as earlier step-(k-1) events arrive,
       so its minimum only decreases — larger values can never win);
     * once the event-time watermark passes the step-(k-1) match, that
-      match is frozen (late rows below the watermark are dropped by
-      Spark before they reach state), so step-k times at or below it
-      are dead and evicted.
+      match is frozen, so step-k times at or below it are dead and
+      evicted. The operator itself drops below-watermark rows on entry:
+      Spark only auto-drops late rows for AGGREGATIONS, not for
+      arbitrary stateful operators, and the freeze argument requires
+      that no sub-watermark event can still arrive — so the
+      allowed-lateness contract is enforced here.
 
     After the watermark passes a user's matches, their state is three
     ≤1-element lists; before that it is bounded by the user's events
@@ -565,11 +568,20 @@ def streaming_funnel(
         return 3, m1, min(elig3)
 
     def update(key, pdfs, state: GroupState):
+        # Spark does NOT drop below-watermark rows for arbitrary
+        # stateful operators (it only does for aggregations) — enforce
+        # the allowed-lateness contract HERE, because the state
+        # eviction's correctness proof depends on it: a frozen match
+        # assumes no earlier event can still arrive. Found by the
+        # round-9 multi-batch out-of-order test.
+        wm_us = state.getCurrentWatermarkMs() * 1000
         t1s, t2s, t3s, n = ([], [], [], 0)
         if state.exists:
             p1, p2, p3, n = state.get
             t1s, t2s, t3s = list(p1), list(p2), list(p3)
         for pdf in pdfs:
+            if wm_us > 0:
+                pdf = pdf[pdf["__us"] >= wm_us]
             n += len(pdf)
             tt = pdf[type_col]
             us = pdf["__us"]
@@ -577,9 +589,7 @@ def streaming_funnel(
             t2s.extend(int(v) for v in us[tt == s_b])
             t3s.extend(int(v) for v in us[tt == s_c])
         depth, tf, tl = greedy(t1s, t2s, t3s)
-        t1s, t2s, t3s = _funnel_compact(t1s, t2s, t3s,
-                                        state.getCurrentWatermarkMs()
-                                        * 1000)
+        t1s, t2s, t3s = _funnel_compact(t1s, t2s, t3s, wm_us)
         state.update((t1s, t2s, t3s, n))
         yield pd.DataFrame(
             [[int(key[0]), depth, tf, tl, n]],
