@@ -65,6 +65,17 @@ def pagerank(
     # exponential-lineage trap (PLANS.md trap 19).
     _mass = ranks.join(dangling, "node").agg(F.sum("rank"))
     dang_mass = _mass.collect()[0][0] or 0.0
+    # Ranks start uniform-POSITIVE (1/n), so the initial mass is
+    # |dangling|/n — zero iff the dangling set is empty. Decide the loop
+    # shape on that, with no extra job: when there are no dangling
+    # nodes, the per-iteration mass join must NOT be the cache
+    # materializer — AQE (Spark's default; only the bench profile turns
+    # it off) empty-propagates the inner join with an empty dangling
+    # set and may never scan new_ranks, leaving the persisted cache
+    # unfilled while the previous generation is unpersisted — every
+    # iteration would recompute an ever-deeper lineage (ADVICE r9;
+    # values stay correct, perf does not).
+    has_dangling = dang_mass > 0.0
 
     # node-cardinality frames broadcast only under an EXPLICIT n-guard:
     # n is exact (just counted), so this is a measured decision, not an
@@ -94,10 +105,13 @@ def pagerank(
             )
             .persist()
         )
-        dang_mass = (
-            new_ranks.join(bcast(dangling), "node").agg(F.sum("rank"))
-            .collect()[0][0] or 0.0
-        )
+        if has_dangling:
+            dang_mass = (
+                new_ranks.join(bcast(dangling), "node").agg(F.sum("rank"))
+                .collect()[0][0] or 0.0
+            )
+        else:
+            new_ranks.count()   # dang_mass stays 0.0; fill the cache
         ranks.unpersist()
         ranks = new_ranks
     nodes.unpersist()

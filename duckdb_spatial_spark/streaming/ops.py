@@ -478,6 +478,11 @@ def streaming_zorder_append(
                                  available_now)
 
 
+# n_seen counts the user's events ACCEPTED under allowed lateness —
+# rows below the event-time watermark are dropped on entry (see
+# streaming_funnel's update) and are NOT counted. A consumer counting
+# all delivered events will diverge from n_seen exactly on late data;
+# the out-of-order tests pin this accepted-only contract.
 _FUNNEL_OUT_SCHEMA = ("user_id long, depth int, t_first_us long, "
                       "t_last_us long, n_seen long")
 _FUNNEL_STATE_SCHEMA = ("s1 array<long>, s2 array<long>, s3 array<long>, "
@@ -488,8 +493,9 @@ def _funnel_compact(t1s, t2s, t3s, wm_us):
     """Output-neutral funnel-state eviction (see
     :func:`streaming_funnel`): drop every stored time that can never
     change a future greedy match. ``wm_us`` is the event-time
-    watermark in µs — Spark drops rows below it before they reach
-    state, so a match below the watermark is frozen."""
+    watermark in µs — the operator drops rows below it on entry
+    (``update`` in :func:`streaming_funnel`), so every FUTURE event has
+    time ≥ ``wm_us`` and a match below the watermark is frozen."""
     if not t1s:
         return t1s, t2s, t3s
     m1 = min(t1s)
@@ -507,6 +513,15 @@ def _funnel_compact(t1s, t2s, t3s, wm_us):
             t3s = [t for t in t3s if t <= m3]
         if wm_us > m2:                     # m2 frozen by watermark
             t3s = [t for t in t3s if t > m2]
+    elif wm_us > m1:
+        # No step-2 match yet and m1 is frozen: t2s holds nothing above
+        # m1 (filtered just above) and every future event arrives
+        # ≥ wm_us, so any FUTURE step-2 match is ≥ wm_us — a step-3
+        # time ≤ wm_us can never become strictly greater than it.
+        # Without this a user stuck at depth 1 with a high-volume
+        # step-3 event type retains every step-3 timestamp forever
+        # (ADVICE r9 — unbounded state, output unaffected).
+        t3s = [t for t in t3s if t > wm_us]
     return t1s, t2s, t3s
 
 
@@ -526,6 +541,9 @@ def streaming_funnel(
     emitted depth is EXACTLY the batch funnel over the prefix of the
     stream — depth and n_seen are monotone per user, making the final
     update row per user the final answer (how the oracle checks it).
+    ``n_seen`` counts only events accepted under the allowed-lateness
+    bound — rows below the watermark are dropped before they are
+    counted (the contract stated on ``_FUNNEL_OUT_SCHEMA``).
 
     State size — bounded, output-neutral eviction each update:
 

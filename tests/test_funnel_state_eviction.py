@@ -65,6 +65,30 @@ def test_state_bounded_once_watermark_passes_matches():
     assert greedy(c1, c2, c3) == greedy(t1s, t2s, t3s)
 
 
+def test_depth1_user_evicts_dead_step3_times():
+    # ADVICE r9: a user stuck at depth 1 (no eligible step-2 match) with
+    # a high-volume step-3 event type must not retain step-3 times
+    # forever. Once the watermark freezes m1 and t2s holds nothing above
+    # it, any FUTURE step-2 match is >= wm, so step-3 times <= wm are
+    # dead.
+    t1s, t2s, t3s = [10], [5, 8], list(range(11, 100))
+    c1, c2, c3 = _funnel_compact(t1s, t2s, t3s, wm_us=100)
+    assert c1 == [10]
+    assert c2 == []          # all <= frozen m1
+    assert c3 == []          # all <= wm: never strictly above a future m2
+    # keep a step-3 time strictly above the watermark — still live
+    _, _, c3b = _funnel_compact([10], [5], [50, 150], 100)
+    assert c3b == [150]
+    # output-neutrality: a future step-2 event (>= wm per the lateness
+    # contract) must produce the same funnel from compacted state
+    for t2_new in (100, 101, 140, 149, 151, 200):
+        full = ([10], [5, 8], list(range(11, 100)) + [150])
+        comp = _funnel_compact(*[list(x) for x in full], 100)
+        full[1].append(t2_new)
+        comp2 = (comp[0], comp[1] + [t2_new], comp[2])
+        assert greedy(*full) == greedy(*comp2), t2_new
+
+
 def test_no_watermark_keeps_late_candidates():
     # wm below m1: a later, earlier step-1 event could still arrive and
     # make the small step-2 times eligible — they must be retained

@@ -87,6 +87,20 @@ def test_triangle_count_vs_brute(spark):
     assert triangle_count(star).collect()[0]["n_triangles"] == 0
 
 
+def test_pagerank_no_dangling_nodes(spark):
+    """Dangling-free graph (every node has an outlink): values must match
+    the reference, and the loop takes the count()-materialized branch —
+    the one ADVICE r9 flagged, where an AQE empty-relation-propagated
+    mass join could skip filling the per-generation cache."""
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(cycle, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=6).collect()}
+    want = ref_pagerank(cycle, 6)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
 def test_pagerank_empty_graph_returns_empty(spark):
     """Empty edge set → empty (node, rank) frame, not a
     ZeroDivisionError from the 1/n uniform start."""
