@@ -5289,37 +5289,117 @@ _Q129_ORACLE = """
 """
 
 
+def q159_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (PAV) probability calibration — the step between a
+    quality classifier's raw score and the filter threshold (Zadrozny &
+    Elkan KDD'02; completes the q106 NB tier). Score = the q21/q84
+    quality heuristic, label = long-document indicator; one map-side-
+    combined shuffle bins the corpus into ≤32 (count, positives) rows,
+    the PAV fit runs on that bounded state via the minimax
+    characterization (max_{j<=i} min_{k>=i} block mean), every block
+    mean ONE double division of exact BIGINT prefix sums — the oracle
+    replays it bit-for-bit as a bounded self-join over the bin CTE."""
+    from duckdb_spatial_spark.operators.classify import isotonic_calibrate
+    from duckdb_spatial_spark.operators.textops import quality_score
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    # text IS NOT NULL on BOTH engines: DuckDB's CASE WHEN length(NULL)
+    # falls to ELSE 0 where Spark's boolean->int cast yields NULL — the
+    # explicit filter keeps q159 value-parity even on null-injected data
+    scored = d.where(F.col("text").isNotNull()).select(
+        quality_score(F.col("text")).alias("score"),
+        (F.length("text") > 300).cast("int").alias("label"))
+    return isotonic_calibrate(scored, "score", "label", n_bins=32)
+
+
+def _q159_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.classify import isotonic_sql
+    from duckdb_spatial_spark.operators.textops import quality_score_sql
+
+    scored = (f"SELECT {quality_score_sql('text')} AS score, "
+              f"CASE WHEN length(text) > 300 THEN 1 ELSE 0 END AS label "
+              f"FROM documents WHERE text IS NOT NULL")
+    return isotonic_sql(scored, n_bins=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. ROUND-9 window — staleness-first, per the round-8
-    # verdict's ask #6 ("rotate the long-displaced greens back through"):
-    #   * the 11 queries whose CODE or ORACLE changed this round lead:
-    #     q148 (signed-zero checksum fix), q70+q54 (oracle fixed-range
-    #     bounds closed), q105/q106/q107 (conv bucket hash + zip_with
-    #     bigrams + broadcast model), q96 (one job per iteration +
-    #     n-guarded broadcasts), q151 (tie-break), q153 (state
-    #     eviction), q142 (auto-compact), q100 (bloom cap/projection);
-    #   * the other 39 slots are the STALEST-evidence queries in the
-    #     tree — the round-2/3 geometry-core set last driver-checked
-    #     5-6 rounds ago (q01... q49 below), all multi-round green and
-    #     byte-unchanged since (modulo the value-neutral presentation-
-    #     sort sweep, which the row-sorted compare cannot observe).
-    # Displaced to below-cut: the round-7/8 window (q84/q87/q94/q108/
-    # q115/q117/q122/q126-q129/q131/q136-q141/q143-q146/q149/q150/q152/
-    # q154-q158 and the spatial reps q02/q07/q12/q15/q28/q31/q53/q64/
-    # q66/q86/q88/q91/q109) — every one driver-green in r7 or r8 and
-    # byte-unchanged since. The usual family-spread convention yields
-    # to evidence freshness this round by design.
+    # entries. ROUND-10 window — staleness-first continuation of the
+    # round-9 rotation (round-9 verdict ask #1):
+    #   * round-10 changed/new code leads: q159 (new isotonic/PAV
+    #     calibration), q96 (pagerank cache-fill fix), q153 (funnel
+    #     step-3 eviction fix);
+    #   * then every query whose latest driver check is round 3-5 —
+    #     the full stale tier the verdict names (q10/q48/q51/q52/q59/
+    #     q63 r3; q26/q55/q58/q71/q72/q73/q93 r4; q05/q101 + the rest
+    #     of the r5 block) — 33 queries;
+    #   * the remaining 14 slots take the oldest r6-checked queries;
+    #     5 r6 queries (q57 q75 q103 q118 q123) wait for round 11,
+    #     each with an in-window family sibling (geometry core fresh
+    #     r9, q81 streaming, q131-family BM25 fresh r8, q97 salts,
+    #     q114 HLL).
+    # Displaced: the round-9 window (all 50 driver-green in r9,
+    # byte-unchanged except q96/q153 which stay in) and the r7/r8
+    # tiers (driver-green r7/r8, byte-unchanged).
     return {
+        "q159_isotonic_calibration": q159_isotonic_calibration,
+        "q96_pagerank": q96_pagerank,
+        "q153_streaming_funnel": q153_streaming_funnel,
+        "q10_quadkey": q10_quadkey,
+        "q48_pointonsurface": q48_pointonsurface,
+        "q51_buffer_line": q51_buffer_line,
+        "q52_buffer_polygon": q52_buffer_polygon,
+        "q59_reduceprecision": q59_reduceprecision,
+        "q63_intersection_agg": q63_intersection_agg,
+        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q55_ann_ivf": q55_ann_ivf,
+        "q58_linemerge_normalize": q58_linemerge_normalize,
+        "q71_sample_stratified": q71_sample_stratified,
+        "q72_pii_redact": q72_pii_redact,
+        "q73_paragraph_dedup": q73_paragraph_dedup,
+        "q93_vec_quantize": q93_vec_quantize,
+        "q05_centroid_collect": q05_centroid_collect,
+        "q101_substring_dedup": q101_substring_dedup,
+        "q102_c4_filters": q102_c4_filters,
+        "q104_semdedup": q104_semdedup,
+        "q111_pca_power_iteration": q111_pca_power_iteration,
+        "q114_hll_distinct": q114_hll_distinct,
+        "q116_ann_ivfpq": q116_ann_ivfpq,
+        "q35_transform": q35_transform,
+        "q38_minhash_lsh": q38_minhash_lsh,
+        "q61_rtree_points": q61_rtree_points,
+        "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
+        "q69_dedup_components": q69_dedup_components,
+        "q77_chunk_documents": q77_chunk_documents,
+        "q78_temperature_mix": q78_temperature_mix,
+        "q79_dedup_pipeline": q79_dedup_pipeline,
+        "q81_streaming_sessions": q81_streaming_sessions,
+        "q82_warc_pipeline": q82_warc_pipeline,
+        "q83_url_domain_stats": q83_url_domain_stats,
+        "q85_vocab_build": q85_vocab_build,
+        "q92_text_clean": q92_text_clean,
+        "q110_unigram_tokenizer": q110_unigram_tokenizer,
+        "q113_interval_join": q113_interval_join,
+        "q119_histogram_quantiles": q119_histogram_quantiles,
+        "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
+        "q121_resample_ffill": q121_resample_ffill,
+        "q125_cluster_append": q125_cluster_append,
+        "q41_casts": q41_casts,
+        "q50_validity": q50_validity,
+        "q68_gdb_roundtrip": q68_gdb_roundtrip,
+        "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
+        "q89_sentence_stats": q89_sentence_stats,
+        "q90_domain_quota": q90_domain_quota,
+        "q97_salted_agg": q97_salted_agg,
+        "q99_minhash_index": q99_minhash_index,
+        # ---- below the 50-query driver window (latest driver check r6-r9, byte-unchanged) ----
         "q148_group_zscore": q148_group_zscore,
         "q70_decontaminate": q70_decontaminate,
         "q54_langid_ngram": q54_langid_ngram,
         "q105_dsir_select": q105_dsir_select,
         "q106_nb_quality_classifier": q106_nb_quality_classifier,
         "q107_hamming_image_dedup": q107_hamming_image_dedup,
-        "q96_pagerank": q96_pagerank,
         "q151_mmr_rerank": q151_mmr_rerank,
-        "q153_streaming_funnel": q153_streaming_funnel,
         "q142_streaming_layout": q142_streaming_layout,
         "q100_bloom_decontaminate": q100_bloom_decontaminate,
         "q01_point_in_envelope": q01_point_in_envelope,
@@ -5361,7 +5441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_force_dims": q44_force_dims,
         "q46_geojson_roundtrip": q46_geojson_roundtrip,
         "q49_collectionextract": q49_collectionextract,
-        # ---- below the 50-query driver window (all driver-green r7/r8, byte-unchanged) ----
         "q02_zone_pip_join": q02_zone_pip_join,
         "q109_geoparquet_covering": q109_geoparquet_covering,
         "q07_wkt_area": q07_wkt_area,
@@ -5418,58 +5497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
         "q128_triangle_count": q128_triangle_count,
         "q147_weighted_sample": q147_weighted_sample,
-        "q90_domain_quota": q90_domain_quota,
         "q123_hll_overlap": q123_hll_overlap,
-        "q97_salted_agg": q97_salted_agg,
-        "q110_unigram_tokenizer": q110_unigram_tokenizer,
-        "q99_minhash_index": q99_minhash_index,
         "q103_bm25_topk": q103_bm25_topk,
         "q75_streaming_extent": q75_streaming_extent,
-        "q89_sentence_stats": q89_sentence_stats,
         "q57_shortestline": q57_shortestline,
-        "q120_wordpiece_tokenizer": q120_wordpiece_tokenizer,
         "q118_salted_join": q118_salted_join,
-        "q68_gdb_roundtrip": q68_gdb_roundtrip,
-        "q50_validity": q50_validity,
-        "q41_casts": q41_casts,
-        "q85_vocab_build": q85_vocab_build,
-        "q05_centroid_collect": q05_centroid_collect,
-        "q101_substring_dedup": q101_substring_dedup,
-        "q92_text_clean": q92_text_clean,
-        "q111_pca_power_iteration": q111_pca_power_iteration,
-        "q35_transform": q35_transform,
-        "q38_minhash_lsh": q38_minhash_lsh,
-        "q83_url_domain_stats": q83_url_domain_stats,
-        "q82_warc_pipeline": q82_warc_pipeline,
-        "q77_chunk_documents": q77_chunk_documents,
-        "q78_temperature_mix": q78_temperature_mix,
-        "q79_dedup_pipeline": q79_dedup_pipeline,
-        "q114_hll_distinct": q114_hll_distinct,
-        "q116_ann_ivfpq": q116_ann_ivfpq,
-        "q81_streaming_sessions": q81_streaming_sessions,
-        "q104_semdedup": q104_semdedup,
-        "q65_gpkg_roundtrip": q65_gpkg_roundtrip,
-        "q69_dedup_components": q69_dedup_components,
-        "q61_rtree_points": q61_rtree_points,
-        "q125_cluster_append": q125_cluster_append,
-        "q121_resample_ffill": q121_resample_ffill,
-        "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
-        "q113_interval_join": q113_interval_join,
-        "q119_histogram_quantiles": q119_histogram_quantiles,
-        "q102_c4_filters": q102_c4_filters,
-        "q55_ann_ivf": q55_ann_ivf,
-        "q93_vec_quantize": q93_vec_quantize,
-        "q72_pii_redact": q72_pii_redact,
-        "q58_linemerge_normalize": q58_linemerge_normalize,
-        "q26_ngram_jaccard": q26_ngram_jaccard,
-        "q71_sample_stratified": q71_sample_stratified,
-        "q73_paragraph_dedup": q73_paragraph_dedup,
-        "q10_quadkey": q10_quadkey,
-        "q48_pointonsurface": q48_pointonsurface,
-        "q51_buffer_line": q51_buffer_line,
-        "q52_buffer_polygon": q52_buffer_polygon,
-        "q59_reduceprecision": q59_reduceprecision,
-        "q63_intersection_agg": q63_intersection_agg,
     }
 
 
@@ -6960,6 +6992,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q105_dsir_select": _q105_oracle_sql(),
         "q106_nb_quality_classifier": _q106_oracle_sql(),
+        "q159_isotonic_calibration": _q159_oracle_sql(),
         "q107_hamming_image_dedup": _q107_oracle_sql(),
         "q108_lm_kneser_ney": _q108_oracle_sql(),
         "q109_geoparquet_covering": """

@@ -36,7 +36,8 @@ from .dsir import (_bigrams_zip, _gram_rows, bucket_sql, gram_rows_sql,
 from .pipeline import normalized_words
 
 __all__ = ["nb_train", "nb_score", "nb_score_sql",
-           "nb_train_score", "nb_train_score_split"]
+           "nb_train_score", "nb_train_score_split",
+           "isotonic_calibrate", "isotonic_sql"]
 
 
 def nb_train(labeled_df: DataFrame, label_col: str = "label",
@@ -433,4 +434,142 @@ def nb_score_sql(train_table: str, score_table: str, label_expr: str,
           CROSS JOIN fl
         ) j
         GROUP BY 1
+    """
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration over bounded score bins —
+    the step after a quality classifier (Zadrozny & Elkan KDD'02): map
+    raw classifier scores to empirical P(label=1 | score) constrained to
+    be non-decreasing in the score. This is the deployment shape of a
+    quality filter: train NB/fastText, calibrate on held-out labels,
+    threshold on the CALIBRATED probability.
+
+    Scale shape (the reason for the bins): one map-side-combined shuffle
+    aggregates (count, positives) per fixed-width score bin — the only
+    data-scale pass; the fit then runs on ≤ ``n_bins`` rows of driver
+    state (the centroid/codebook discipline), and applying it is a
+    broadcast join on the bin id. Exact isotonic regression on raw
+    per-example scores needs a global sort + sequential pool scan —
+    inherently serial; the binned fit is PAV on the grouped data, the
+    standard large-scale formulation.
+
+    The fitted value uses the minimax characterization (Ayer et al.
+    1955, Robertson-Wright-Dykstra 1988):
+
+        fit(i) = max_{j<=i} min_{k>=i} (pos_{j..k}) / (cnt_{j..k})
+
+    over the NONEMPTY bins in score order, with block sums taken off
+    exact BIGINT prefix sums and ONE double division per (j, k) — the
+    q114 integer-sum discipline, so the DuckDB oracle (see
+    :func:`isotonic_sql`) replays every double bit-for-bit: identical
+    int differences, identical IEEE division, and min/max over
+    identical value sets.
+
+    Rows with a NULL score or label are excluded (both engines).
+    Returns (bin, n_docs, n_pos, calibrated) for every nonempty bin,
+    calibrated non-decreasing in bin.
+    """
+    if n_bins < 1 or not (hi > lo):
+        raise ValueError("isotonic_calibrate: need n_bins >= 1 and hi > lo")
+    span = float(hi) - float(lo)
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(span)
+                    * F.lit(float(n_bins))).cast("int"),
+            F.lit(0)),
+        F.lit(n_bins - 1))
+    bins = (
+        df.where(F.col(score_col).isNotNull()
+                 & F.col(label_col).isNotNull())
+        .select(b.alias("bin"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("y").alias("n_pos"))
+    )
+    rows = sorted(((r["bin"], r["n_docs"], r["n_pos"])
+                   for r in bins.collect()))          # <= n_bins rows
+    spark = df.sparkSession
+    schema = "bin int, n_docs long, n_pos long, calibrated double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    m = len(rows)
+    ccum, scum, c, s = [], [], 0, 0
+    for _, cnt, pos in rows:
+        c += cnt
+        s += pos
+        ccum.append(c)
+        scum.append(s)
+
+    def block(j: int, k: int) -> float:
+        # pos/cnt over nonempty bins j..k via exact int prefix sums;
+        # the single division is the only float op (IEEE-identical to
+        # the oracle's CAST(..AS DOUBLE)/CAST(..AS DOUBLE))
+        cj = ccum[j] - rows[j][1]
+        sj = scum[j] - rows[j][2]
+        return (scum[k] - sj) / (ccum[k] - cj)
+
+    # M[j][i] = min over k>=i of block(j, k), then fit(i) = max_{j<=i}
+    fit = [None] * m
+    for i in range(m):
+        best = None
+        for j in range(i + 1):
+            mn = min(block(j, k) for k in range(i, m))
+            best = mn if best is None or mn > best else best
+        fit[i] = best
+    out = [(int(bn), int(cnt), int(pos), fit[i])
+           for i, (bn, cnt, pos) in enumerate(rows)]
+    return spark.createDataFrame(out, schema)
+
+
+def isotonic_sql(
+    scored_sql: str,
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> str:
+    """DuckDB replica of :func:`isotonic_calibrate`. ``scored_sql`` must
+    SELECT columns (score, label). Replays the same minimax over the
+    same BIGINT prefix sums: the (j, k) enumeration is a bounded
+    self-join of the <= n_bins nonempty-bin CTE, MIN per (i, j) then MAX
+    per i — double-identical to the Spark fit."""
+    span = repr(float(hi) - float(lo))
+    return f"""
+        WITH scored AS ({scored_sql}),
+        b AS (
+          SELECT least(greatest(CAST(floor((score - {repr(float(lo))})
+                                           / {span} * {repr(float(n_bins))})
+                                     AS INT), 0), {n_bins - 1}) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(label) AS BIGINT) AS pos
+          FROM scored
+          WHERE score IS NOT NULL AND label IS NOT NULL
+          GROUP BY 1
+        ),
+        c AS (
+          SELECT bin, cnt, pos,
+                 CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS ccum,
+                 CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS scum
+          FROM b
+        ),
+        mn AS (
+          SELECT i.bin AS bin, j.bin AS jbin,
+                 MIN(CAST(k.scum - (j.scum - j.pos) AS DOUBLE)
+                     / CAST(k.ccum - (j.ccum - j.cnt) AS DOUBLE)) AS mnv
+          FROM c i
+          JOIN c j ON j.bin <= i.bin
+          JOIN c k ON k.bin >= i.bin
+          GROUP BY 1, 2
+        ),
+        f AS (SELECT bin, MAX(mnv) AS calibrated FROM mn GROUP BY 1)
+        SELECT c.bin AS bin, c.cnt AS n_docs, c.pos AS n_pos,
+               f.calibrated AS calibrated
+        FROM c JOIN f USING (bin)
+        ORDER BY bin
     """

@@ -3,7 +3,8 @@ extension if available, else plain SQL oracles) at the same sf as bench.py
 and print one JSON line {query: sec}. This is the denominator for the
 "within 2x of baseline" criterion in BASELINE.json.
 
-Usage: python scripts/bench_duckdb.py [sf_dir]
+Usage: python scripts/bench_duckdb.py [sf_dir] [query_name ...]
+       (query names filter the run, like bench.py's argv filter)
 """
 from __future__ import annotations
 
@@ -16,7 +17,9 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+_dirs = [a for a in sys.argv[1:] if os.path.sep in a]
+ONLY = {a for a in sys.argv[1:] if os.path.sep not in a}
+SF = _dirs[0] if _dirs else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 TABLES = [
@@ -43,6 +46,8 @@ def main() -> None:
     oracles = entry.oracle_sql()
     timings: dict[str, float] = {}
     for name, sql in oracles.items():
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.perf_counter()
         try:
             con.execute(sql).fetchall()
