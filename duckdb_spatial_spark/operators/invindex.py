@@ -161,12 +161,20 @@ def _scored_generation(df: DataFrame, path: str, id_col: str,
         .sortWithinPartitions("term", "seg")
         .write.mode(mode).parquet(path.rstrip("/") + "/postings")
     )
-    stats = df.agg(
-        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs")
-    ).crossJoin(F.broadcast(dl.agg(
-        F.sum("dl").cast("long").alias("sum_dl"),
-        F.count(F.lit(1)).cast("long").alias("n_dl"),
-    )))
+    # stats in ONE self-contained pass over df — no broadcast of the
+    # derived dl aggregate (a derived-frame broadcast build is its own
+    # job barrier, trap 13; measured 5 jobs/generation before, 4 after).
+    # Identities: Σ dl over docs == Σ per-row token counts (dl is the
+    # doc's total token count even across repeated id rows), and the dl
+    # frame's row count == distinct ids with ≥1 token.
+    ntok = F.size(F.filter(normalized_words(F.col(text_col)),
+                           lambda w: w != ""))
+    stats = df.select(F.col(id_col).alias("__d"), ntok.alias("__nt")).agg(
+        F.countDistinct("__d").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("sum_dl"),
+        F.countDistinct(F.when(F.col("__nt") > 0, F.col("__d")))
+         .cast("long").alias("n_dl"),
+    )
     stats.coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/stats")
 
 
