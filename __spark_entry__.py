@@ -5322,6 +5322,73 @@ def _q159_oracle_sql() -> str:
     return isotonic_sql(scored, n_bins=32)
 
 
+def q160_streaming_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING Maximal-Marginal-Relevance re-ranking per event-time
+    window — the stateful twin of q151 (retrieval diversity over a
+    live candidate stream, e.g. dedup-aware context assembly as
+    embeddings arrive). Vectors drain as a file stream into four
+    1-hour windows; per window the state keeps only the top-``pool``
+    candidates by (rounded cos DESC, id) — an ASSOCIATIVE merge, so
+    the final update per window equals the batch MMR exactly. The
+    oracle replays each window with the q151 unrolled-argmax CTE
+    generator (a lost batch, a pool-merge bug, or a tie-break drift
+    desyncs the hash)."""
+    from duckdb_spatial_spark.streaming import streaming_mmr_rerank
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = load_table(spark, sf, "embeddings", fan_out=False)
+    qv = batch.filter(F.col("vec_id") == 0).select(
+        "embedding").collect()[0][0]
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    ev = (
+        stream.filter(F.col("vec_id") > 0)
+        .withColumn("ts", F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("vec_id") % 4) * 3600
+            + F.col("vec_id") % 60))
+    )
+    out = streaming_mmr_rerank(ev, qv, id_col="vec_id",
+                               vec_col="embedding", ts_col="ts",
+                               k=5, pool=24, lam=0.7, window="1 hour")
+    _Q75_SINK_SEQ[0] += 1
+    sink = f"q160_sink_{_Q75_SINK_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    upd = spark.table(sink)
+    w = Window.partitionBy("win", "rank").orderBy(F.col("n_seen").desc())
+    final = (upd.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1))
+    return final.select(
+        ((F.col("win") - F.lit(1704067200)) / F.lit(3600))
+        .cast("int").alias("win_idx"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("id").alias("vec_id"),
+        "rel", "mmr",
+    ).transform(_ssort, "win_idx", "rank")
+
+
+def _q160_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.rank import mmr_sql
+
+    parts = []
+    for w in range(4):
+        sub = mmr_sql(
+            f"(SELECT * FROM embeddings "
+            f"WHERE vec_id > 0 AND vec_id % 4 = {w})",
+            "embedding", "vec_id", "embeddings", "vec_id = 0",
+            k=5, pool=24, lam=0.7)
+        parts.append(f"SELECT CAST({w} AS INT) AS win_idx, rank, "
+                     f"id AS vec_id, rel, mmr FROM ({sub})")
+    return " UNION ALL ".join(parts) + " ORDER BY win_idx, rank"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. ROUND-10 window — staleness-first continuation of the
@@ -5343,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tiers (driver-green r7/r8, byte-unchanged).
     return {
         "q159_isotonic_calibration": q159_isotonic_calibration,
+        "q160_streaming_mmr": q160_streaming_mmr,
         "q96_pagerank": q96_pagerank,
         "q153_streaming_funnel": q153_streaming_funnel,
         "q10_quadkey": q10_quadkey,
@@ -5391,8 +5459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_sentence_stats": q89_sentence_stats,
         "q90_domain_quota": q90_domain_quota,
         "q97_salted_agg": q97_salted_agg,
-        "q99_minhash_index": q99_minhash_index,
         # ---- below the 50-query driver window (latest driver check r6-r9, byte-unchanged) ----
+        "q99_minhash_index": q99_minhash_index,
         "q148_group_zscore": q148_group_zscore,
         "q70_decontaminate": q70_decontaminate,
         "q54_langid_ngram": q54_langid_ngram,
@@ -6993,6 +7061,7 @@ def oracle_sql() -> dict[str, str]:
         "q105_dsir_select": _q105_oracle_sql(),
         "q106_nb_quality_classifier": _q106_oracle_sql(),
         "q159_isotonic_calibration": _q159_oracle_sql(),
+        "q160_streaming_mmr": _q160_oracle_sql(),
         "q107_hamming_image_dedup": _q107_oracle_sql(),
         "q108_lm_kneser_ney": _q108_oracle_sql(),
         "q109_geoparquet_covering": """

@@ -31,7 +31,57 @@ from .pipeline import normalized_words
 from .similarity import cosine_similarity
 
 __all__ = ["doc_terms", "tf_idf", "tf_idf_topk", "bm25", "bm25_topk",
-           "mmr_rerank", "mmr_sql"]
+           "mmr_rerank", "mmr_greedy", "mmr_sql"]
+
+
+def _round6(x: float) -> float:
+    """DuckDB's round(DOUBLE, 6) arithmetic exactly (floor of
+    x*1e6 + 0.5, sign-aware) — Python's round() is half-EVEN and
+    desyncs on the exact-half decimals that λ·(6-dp value) products
+    produce systematically."""
+    import math
+
+    return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+            else math.ceil(x * 1e6 - 0.5) / 1e6)
+
+
+def _cos_r6(a, b) -> float:
+    """6-dp-rounded cosine; zero-norm → -1.0, matching DuckDB's
+    list_cosine_similarity (the SQL twins' pairwise sims) and the Spark
+    kernel."""
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return _round6(d / (na * nb)) if na > 0 and nb > 0 else -1.0
+
+
+def mmr_greedy(cand: dict, k: int, lam: float) -> list:
+    """The bounded-pool greedy MMR selection shared by the batch
+    re-ranker and the streaming window re-ranker: ``cand`` maps id →
+    (6-dp relevance, vector); returns [(rank, id, rel, mmr)] with the
+    exact tie-break the SQL twin replays (score DESC, id ASC, both
+    compared AFTER 6-dp rounding)."""
+    cand = dict(cand)
+    sel = []
+    out = []
+    while cand and len(sel) < k:
+        best = None
+        for i, (r, e) in cand.items():
+            ms = max((_cos_r6(e, se) for _, se in sel), default=0.0)
+            score = _round6(lam * r - (1.0 - lam) * ms)
+            # score DESC, id ASC — compare without negating the id so a
+            # string/any-orderable id works exactly like the SQL twin's
+            # ORDER BY score DESC, id (arithmetic -i raised TypeError)
+            if (best is None or score > best[3]
+                    or (score == best[3] and i < best[1])):
+                best = (None, i, r, score)
+        _, i, r, score = best
+        sel.append((i, cand[i][1]))
+        cand.pop(i)
+        out.append((len(sel), i, r, score))
+    return out
 
 
 def doc_terms(df: DataFrame, id_col: str = "doc_id",
@@ -157,18 +207,7 @@ def mmr_rerank(df, query_vec, id_col: str = "vec_id",
 
     Returns list of (rank, id, rel, mmr) with 6-dp rounded scores.
     """
-    import math
-
-    def _r6(x):
-        # DuckDB's round(DOUBLE, 6) arithmetic exactly (floor of
-        # x*1e6 + 0.5, sign-aware) — Python's round() is half-EVEN and
-        # desyncs on the exact-half decimals that λ·(6-dp value)
-        # products produce systematically.
-        return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
-                else math.ceil(x * 1e6 - 0.5) / 1e6)
-
     q = [float(x) for x in query_vec]
-    qn = math.sqrt(sum(x * x for x in q))
     rel = cosine_similarity(F.col(vec_col), F.array(*[F.lit(x) for x in q]))
     top = (
         # null vectors never rank (the ANN-kernel contract): a NULL
@@ -184,33 +223,7 @@ def mmr_rerank(df, query_vec, id_col: str = "vec_id",
     # (the SQL twin's outputs are +0.0-normalized the same way)
     cand = {r["__id"]: (r["__rel"] + 0.0, [float(x) for x in r["__e"]])
             for r in top}
-
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        # zero-norm → -1.0, matching DuckDB's list_cosine_similarity
-        # (the SQL twin's pairwise sims) and the Spark kernel
-        return _r6(d / (na * nb)) if na > 0 and nb > 0 else -1.0
-
-    sel = []
-    out = []
-    while cand and len(sel) < k:
-        best = None
-        for i, (r, e) in cand.items():
-            ms = max((cos(e, se) for _, se in sel), default=0.0)
-            score = _r6(lam * r - (1.0 - lam) * ms)
-            # score DESC, id ASC — compare without negating the id so a
-            # string/any-orderable id works exactly like the SQL twin's
-            # ORDER BY score DESC, id (arithmetic -i raised TypeError)
-            if (best is None or score > best[3]
-                    or (score == best[3] and i < best[1])):
-                best = (None, i, r, score)
-        _, i, r, score = best
-        sel.append((i, cand[i][1]))
-        cand.pop(i)
-        out.append((len(sel), i, r, score))
-    return out
+    return mmr_greedy(cand, k, lam)
 
 
 def mmr_sql(table: str, vec_expr: str, id_col: str, query_table: str,

@@ -631,3 +631,95 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# the streaming pool's output row: n_seen counts the window's vectors
+# merged so far (monotone per window — the LAST update per window is
+# the batch answer over the window's full data)
+_MMR_OUT_SCHEMA = ("win long, n_seen long, rank int, id long, "
+                   "rel double, mmr double")
+_MMR_STATE_SCHEMA = ("ids array<long>, rels array<double>, "
+                     "vecs array<array<double>>, n_seen long")
+
+
+def streaming_mmr_rerank(
+    stream: DataFrame,
+    query_vec,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    k: int = 8,
+    pool: int = 32,
+    lam: float = 0.7,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming Maximal-Marginal-Relevance re-ranking per event-time
+    window — the stateful twin of ``operators.rank.mmr_rerank`` (same
+    λ-tradeoff greedy, same 6-dp rounding and id tie-breaks, via the
+    SHARED ``mmr_greedy``). Relevance is computed in-plan (one codegen
+    cosine against the broadcast-literal query vector, rounded to 6 dp);
+    per window the state keeps only the ``pool`` best candidates by
+    (rel DESC, id ASC) — top-``pool`` selection is ASSOCIATIVE under
+    that total order (top-P(top-P(A) ∪ B) = top-P(A ∪ B)), so after the
+    last micro-batch the pool equals the batch pool and the emitted
+    selection equals the batch MMR exactly (how the oracle checks it).
+
+    State per window: ≤ ``pool`` (id, rel, vector) triples + a count —
+    bounded by parameters, never by stream volume. Null vectors never
+    rank (the ANN-kernel contract). Output rows carry ``n_seen`` (the
+    window's merged vector count, monotone) so the final update per
+    window is selectable downstream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.rank import mmr_greedy
+    from ..operators.similarity import cosine_similarity
+
+    q = [float(x) for x in query_vec]
+    rel = F.round(
+        cosine_similarity(F.col(vec_col),
+                          F.array(*[F.lit(x) for x in q])), 6)
+    ev = (
+        stream.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.unix_seconds(F.window(F.col(ts_col), window)["start"])
+             .cast("long").alias("win"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+            rel.alias("rel"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ids, rels, vecs, n = [], [], [], 0
+        if state.exists:
+            p_ids, p_rels, p_vecs, n = state.get
+            ids = list(p_ids)
+            rels = list(p_rels)
+            vecs = [list(v) for v in p_vecs]
+        for pdf in pdfs:
+            n += len(pdf)
+            ids.extend(int(v) for v in pdf["id"])
+            rels.extend(float(v) for v in pdf["rel"])
+            vecs.extend([float(x) for x in v] for v in pdf["e"])
+        order = sorted(range(len(ids)),
+                       key=lambda i: (-rels[i], ids[i]))[:pool]
+        ids = [ids[i] for i in order]
+        rels = [rels[i] for i in order]
+        vecs = [vecs[i] for i in order]
+        state.update((ids, rels, vecs, n))
+        # +0.0 normalizes IEEE -0.0 out of the rounded relevance (the
+        # SQL twin's outputs are +0.0-normalized the same way)
+        cand = {i: (r + 0.0, e) for i, r, e in zip(ids, rels, vecs)}
+        rows = mmr_greedy(cand, k, lam)
+        yield pd.DataFrame(
+            [[int(key[0]), n, rank, i, r, s] for rank, i, r, s in rows],
+            columns=["win", "n_seen", "rank", "id", "rel", "mmr"])
+
+    return ev.groupBy("win").applyInPandasWithState(
+        update,
+        outputStructType=_MMR_OUT_SCHEMA,
+        stateStructType=_MMR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
