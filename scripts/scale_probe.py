@@ -616,6 +616,29 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
+    def isotonic_w(d):
+        # round 10: one bin shuffle + bounded driver fit — expect the
+        # agg pass to dominate, ≈flat at 10x under the job floor
+        from duckdb_spatial_spark.operators.classify import isotonic_calibrate
+        from duckdb_spatial_spark.operators.textops import quality_score
+
+        scored = d.select(
+            quality_score(F.col("text")).alias("score"),
+            (F.length("text") > 300).cast("int").alias("label"))
+        return isotonic_calibrate(scored, "score", "label",
+                                  n_bins=32).count()
+
+    _MMR_Q = [float(x) for x in
+              emb.orderBy("vec_id").first()["embedding"]]
+
+    def mmr_w(d):
+        # round 10: the batch kernel under q160's streaming pool — one
+        # codegen cosine scan + TakeOrdered(pool); greedy is bounded
+        from duckdb_spatial_spark.operators.rank import mmr_rerank
+
+        return len(mmr_rerank(d, _MMR_Q, id_col="vec_id",
+                              vec_col="embedding", k=8, pool=32))
+
     workloads = [
         ("funnel", events, ["event_id"], funnel_w),
         ("ohlc_windows", events, ["event_id"], ohlc_w),
@@ -627,6 +650,8 @@ def main() -> None:
         ("token_budget_mix", docs, ["doc_id"], token_budget_w),
         ("invindex_bm25", docs, ["doc_id"], invindex_w),
         ("shard_permutation", docs, ["doc_id"], shard_w),
+        ("isotonic_calibrate", docs, ["doc_id"], isotonic_w),
+        ("mmr_rerank", emb, ["vec_id"], mmr_w),
         ("zorder_layout", events, ["event_id"], zorder_w),
         ("zorder_crud", events, ["event_id"], zorder_crud_w),
         ("phrase_search", docs, ["doc_id"], phrase_w),
