@@ -5389,6 +5389,47 @@ def _q160_oracle_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY win_idx, rank"
 
 
+def q161_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (Raghavan 2007) — completes the graph tier next to PageRank (q96),
+    components (q69), triangles (q128), and BFS (q158). Five fixed
+    iterations over the part→supplier co-occurrence graph; the whole
+    recurrence is INTEGER-only (labels are node ids, votes are counts),
+    so the unrolled-CTE oracle matches exactly with no float discipline
+    needed. Returns the 10 largest communities by (size DESC, label)."""
+    from duckdb_spatial_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    edges = li.select((F.col("l_partkey") % 300).alias("src"),
+                      (300 + F.col("l_suppkey") % 150).alias("dst"))
+    r = label_propagation(edges, iters=5)
+    comm = r.groupBy("lab").agg(F.count("*").cast("long").alias("sz"))
+    w = Window.orderBy(F.col("sz").desc(), F.col("lab").asc())
+    return (comm.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "lab", "sz")
+            .transform(_ssort, "rank"))
+
+
+def _q161_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.graph import label_propagation_sql
+
+    lpa = label_propagation_sql(
+        "SELECT l_partkey % 300 AS src, 300 + l_suppkey % 150 AS dst "
+        "FROM lineitem", iters=5)
+    return f"""
+        WITH comm AS (
+          SELECT lab, CAST(count(*) AS BIGINT) AS sz
+          FROM ({lpa}) res GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY sz DESC, lab ASC)
+                    AS BIGINT) AS rank, lab, sz
+        FROM comm
+        ORDER BY sz DESC, lab ASC
+        LIMIT 10
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. ROUND-10 window — staleness-first continuation of the
@@ -5411,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q159_isotonic_calibration": q159_isotonic_calibration,
         "q160_streaming_mmr": q160_streaming_mmr,
+        "q161_label_propagation": q161_label_propagation,
         "q96_pagerank": q96_pagerank,
         "q153_streaming_funnel": q153_streaming_funnel,
         "q10_quadkey": q10_quadkey,
@@ -5458,8 +5500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q89_sentence_stats": q89_sentence_stats,
         "q90_domain_quota": q90_domain_quota,
-        "q97_salted_agg": q97_salted_agg,
         # ---- below the 50-query driver window (latest driver check r6-r9, byte-unchanged) ----
+        "q97_salted_agg": q97_salted_agg,
         "q99_minhash_index": q99_minhash_index,
         "q148_group_zscore": q148_group_zscore,
         "q70_decontaminate": q70_decontaminate,
@@ -7062,6 +7104,7 @@ def oracle_sql() -> dict[str, str]:
         "q106_nb_quality_classifier": _q106_oracle_sql(),
         "q159_isotonic_calibration": _q159_oracle_sql(),
         "q160_streaming_mmr": _q160_oracle_sql(),
+        "q161_label_propagation": _q161_oracle_sql(),
         "q107_hamming_image_dedup": _q107_oracle_sql(),
         "q108_lm_kneser_ney": _q108_oracle_sql(),
         "q109_geoparquet_covering": """

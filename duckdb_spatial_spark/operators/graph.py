@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "label_propagation",
+           "label_propagation_sql"]
 
 
 def pagerank(
@@ -219,3 +220,117 @@ def triangle_count(
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return n
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan-Albert-Kumara 2007) —
+    community detection, the fourth member of the graph tier next to
+    PageRank/components/triangles/BFS. Undirected simple graph (both
+    directions materialized, self-loops dropped); every node starts
+    labeled with its own id and each iteration relabels every node with
+    the most frequent label among its neighbors, ties to the SMALLEST
+    label. A fixed iteration count keeps the run deterministic and
+    SQL-replayable (:func:`label_propagation_sql` unrolls the same
+    rounds — aggregates cannot appear in a recursive CTE term).
+
+    EXACT cross-engine by construction: labels are node ids and votes
+    are counts — the whole recurrence is integer-only, so there is no
+    float drift to manage (unlike PageRank's mass arithmetic).
+    Synchronous updates can oscillate on bipartite-ish structure (the
+    classic LPA caveat); with fixed iterations that is still a
+    deterministic, checkable answer.
+
+    Plan per iteration: one equi-join (labels ⋈ edges on src, under the
+    same explicit n ≤ 1M broadcast guard as :func:`pagerank` — above it
+    a shuffle equi-join, the 100-TB shape) → one map-side-combined
+    (node, label) count → a per-node window argmax (partition = one
+    node's distinct neighbor labels, bounded by degree). Labels persist
+    per generation, previous generation unpersisted — O(1) lineage.
+    Returns (node, lab).
+    """
+    from pyspark.sql import Window
+
+    e0 = (edges.select(F.col(src_col).cast("long").alias("src"),
+                       F.col(dst_col).cast("long").alias("dst"))
+          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst")))
+          .distinct())
+    e = (e0.union(e0.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+         .distinct().persist())
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("lab", F.col("node"))
+
+    small = n <= 1_000_000
+    bcast = F.broadcast if small else (lambda df: df)
+    labels = nodes.select("node", F.col("node").alias("lab")).persist()
+    labels.count()
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(),
+                                           F.col("lab").asc())
+    for _ in range(iters):
+        votes = (
+            e.join(bcast(labels.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        picked = (votes.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).select("node", "lab"))
+        new_labels = (
+            labels.select("node", F.col("lab").alias("__prev"))
+            .join(bcast(picked), "node", "left")
+            .select("node",
+                    F.coalesce(F.col("lab"), F.col("__prev")).alias("lab"))
+            .persist()
+        )
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+    e.unpersist()
+    nodes.unpersist()
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, iters: int = 5) -> str:
+    """DuckDB replica of :func:`label_propagation`: the same synchronous
+    rounds unrolled as chained CTEs — per round, per node, row_number
+    over (count DESC, label ASC) picks the same winner the Spark window
+    does, and the whole recurrence is BIGINT-only. ``edges_cte`` must
+    SELECT (src, dst). Returns SQL producing (node, lab)."""
+    parts = [
+        (f"e0 AS (SELECT DISTINCT src, dst FROM ({edges_cte}) "
+         f"WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"),
+        "e AS (SELECT src, dst FROM e0 UNION "
+        "SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "l0 AS (SELECT node, node AS lab FROM nodes)",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+          SELECT e.dst AS node, p.lab, count(*) AS c
+          FROM e JOIN {prev} p ON p.node = e.src
+          GROUP BY 1, 2
+        )""")
+        parts.append(f"""p{i} AS (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+            FROM c{i}
+          ) WHERE rn = 1
+        )""")
+        parts.append(f"""l{i} AS (
+          SELECT n.node, COALESCE(p.lab, n.lab) AS lab
+          FROM {prev} n LEFT JOIN p{i} p ON p.node = n.node
+        )""")
+        prev = f"l{i}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, lab FROM {prev}")

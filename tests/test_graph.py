@@ -110,3 +110,91 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(empty, iters=3)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def ref_lpa(edges, iters):
+    """Independent pure-Python synchronous LPA with the same
+    (count DESC, label ASC) tie-break."""
+    und = {tuple(sorted(e)) for e in edges
+           if e[0] != e[1] and e[0] is not None and e[1] is not None}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            cnt = {}
+            for u in adj[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            if cnt:
+                new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+            else:
+                new[v] = lab[v]
+        lab = new
+    return lab
+
+
+def test_label_propagation_vs_reference_fuzz(spark):
+    import random
+
+    from duckdb_spatial_spark.operators.graph import label_propagation
+
+    rng = random.Random(13)
+    for trial in range(6):
+        n = rng.randint(5, 35)
+        m = rng.randint(n, 4 * n)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        iters = rng.randint(1, 5)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["lab"]
+               for r in label_propagation(df, iters=iters).collect()}
+        want = ref_lpa(edges, iters)
+        assert got == want, (trial, iters)
+
+
+def test_label_propagation_sql_twin(spark):
+    import duckdb
+    import random
+
+    from duckdb_spatial_spark.operators.graph import (label_propagation,
+                                                      label_propagation_sql)
+
+    rng = random.Random(99)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(180)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["lab"]
+           for r in label_propagation(df, iters=4).collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = label_propagation_sql(
+        f"SELECT * FROM (VALUES {vals}) v(src, dst)", iters=4)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge: labels converge to each
+    clique's minimum id."""
+    import itertools
+
+    from duckdb_spatial_spark.operators.graph import label_propagation
+
+    c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["lab"]
+           for r in label_propagation(df, iters=5).collect()}
+    assert got == ref_lpa(edges, 5)
+    assert {got[v] for v in (0, 1, 2)} == {0}
+    assert {got[v] for v in (11, 12, 13)} == {10}
+
+
+def test_label_propagation_empty(spark):
+    from duckdb_spatial_spark.operators.graph import label_propagation
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = label_propagation(empty, iters=3)
+    assert out.columns == ["node", "lab"]
+    assert out.count() == 0
