@@ -639,6 +639,20 @@ def main() -> None:
         return len(mmr_rerank(d, _MMR_Q, id_col="vec_id",
                               vec_col="embedding", k=8, pool=32))
 
+    def lpa_w(d):
+        # round 10: node space grows WITH the rows (replicate shifts
+        # event_id, and both endpoints derive from it) — the regime the
+        # linearity claim is about, per the triangle-count probe lesson
+        from duckdb_spatial_spark.operators.graph import label_propagation
+
+        edges = d.select((F.col("event_id") % 10_000_000 % 500
+                          + (F.col("event_id") / 10_000_000).cast("long")
+                          * 1000).alias("src"),
+                         ((F.col("event_id") * 7 + 13) % 10_000_000 % 500
+                          + (F.col("event_id") / 10_000_000).cast("long")
+                          * 1000 + 500).alias("dst"))
+        return label_propagation(edges, iters=3).count()
+
     workloads = [
         ("funnel", events, ["event_id"], funnel_w),
         ("ohlc_windows", events, ["event_id"], ohlc_w),
@@ -652,6 +666,7 @@ def main() -> None:
         ("shard_permutation", docs, ["doc_id"], shard_w),
         ("isotonic_calibrate", docs, ["doc_id"], isotonic_w),
         ("mmr_rerank", emb, ["vec_id"], mmr_w),
+        ("label_propagation", events, ["event_id"], lpa_w),
         ("zorder_layout", events, ["event_id"], zorder_w),
         ("zorder_crud", events, ["event_id"], zorder_crud_w),
         ("phrase_search", docs, ["doc_id"], phrase_w),
