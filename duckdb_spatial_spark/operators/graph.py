@@ -274,16 +274,25 @@ def label_propagation(
     bcast = F.broadcast if small else (lambda df: df)
     labels = nodes.select("node", F.col("node").alias("lab")).persist()
     labels.count()
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(),
-                                           F.col("lab").asc())
     for _ in range(iters):
         votes = (
             e.join(bcast(labels.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.count("*").alias("c"))
         )
-        picked = (votes.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1).select("node", "lab"))
+        # argmax by (c DESC, lab ASC) as ONE aggregate — min of
+        # (-c, lab) picks the highest count, ties to the smallest
+        # label, and is sign-safe for ANY label domain (negating the
+        # label instead would invert ties for negative node ids). No
+        # per-node window sort; the SQL twin keeps the row_number
+        # formulation, so the two engines reach the same winner by
+        # different routes.
+        picked = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("lab"))).alias("m"))
+            .select("node", F.col("m.lab").alias("lab"))
+        )
         new_labels = (
             labels.select("node", F.col("lab").alias("__prev"))
             .join(bcast(picked), "node", "left")

@@ -198,3 +198,16 @@ def test_label_propagation_empty(spark):
     out = label_propagation(empty, iters=3)
     assert out.columns == ["node", "lab"]
     assert out.count() == 0
+
+
+def test_label_propagation_negative_ids(spark):
+    """Tie-break must stay (count DESC, label ASC) for NEGATIVE node
+    ids too — the min(struct(-c, lab)) aggregate is sign-safe where a
+    label negation would invert ties."""
+    from duckdb_spatial_spark.operators.graph import label_propagation
+
+    edges = [(-5, 1), (-5, 2), (1, 2), (-9, -5), (3, -9), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["lab"]
+           for r in label_propagation(df, iters=4).collect()}
+    assert got == ref_lpa(edges, 4)
