@@ -293,9 +293,15 @@ def label_propagation(
                                 F.col("lab"))).alias("m"))
             .select("node", F.col("m.lab").alias("lab"))
         )
+        # prev ⋈ picked stays a SHUFFLE join at every scale: both sides
+        # are node-cardinality and co-partition on the key, while a
+        # broadcast of the DERIVED picked frame costs its own build-job
+        # barrier per iteration (trap 13; measured 19 jobs → 13 for the
+        # query with no warm-time win). Only the edge-scale votes join
+        # above benefits from broadcasting the node-scale labels.
         new_labels = (
             labels.select("node", F.col("lab").alias("__prev"))
-            .join(bcast(picked), "node", "left")
+            .join(picked, "node", "left")
             .select("node",
                     F.coalesce(F.col("lab"), F.col("__prev")).alias("lab"))
             .persist()
