@@ -82,3 +82,35 @@ def test_streaming_mmr_null_vectors_never_rank(spark, tmp_path):
     got, _ = _drive(spark, tmp_path, [rows], qvec, 3, 8)
     ids = {i for _, i, _, _ in list(got.values())[0]}
     assert ids == {0, 2}
+
+
+def test_streaming_mmr_random_streams_equal_batch(spark, tmp_path):
+    """Randomized multi-trial drive: random vectors, random batch
+    splits, random pool/k — every trial's final per-window selection
+    must equal the batch re-ranker exactly."""
+    rng = random.Random(31)
+    dim = 4
+    for trial in range(3):
+        qvec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        n = rng.randint(10, 40)
+        ts = {0: "2024-01-01 05:00:07", 1: "2024-01-01 06:00:07",
+              2: "2024-01-01 07:00:07"}
+        rows = [(i, i % 3,
+                 [round(rng.uniform(-1, 1), 3) for _ in range(dim)],
+                 ts[i % 3]) for i in range(n)]
+        rng.shuffle(rows)
+        cuts = sorted(rng.sample(range(1, n), min(3, n - 1)))
+        batches = [rows[a:b] for a, b in
+                   zip([0] + cuts, cuts + [n]) if rows[a:b]]
+        k = rng.randint(2, 5)
+        pool = rng.randint(k, 12)
+        got, batch_df = _drive(spark, tmp_path / f"t{trial}", batches,
+                               qvec, k, pool)
+        for win_id, win_start in ((0, 1704085200), (1, 1704088800),
+                                  (2, 1704092400)):
+            want = mmr_rerank(
+                batch_df.filter(F.col("win_id") == win_id), qvec,
+                id_col="vec_id", vec_col="embedding", k=k, pool=pool)
+            if win_start in got or want:
+                assert got.get(win_start, []) == sorted(want), (
+                    trial, win_id, k, pool)
