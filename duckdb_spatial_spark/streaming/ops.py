@@ -357,8 +357,17 @@ def streaming_index_append(
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # num_partitions=1: a micro-batch generation is SMALL by
+        # definition, so it lands as one sorted file — same small-file
+        # discipline as streaming_cluster/zorder_append — and
+        # repartitionByRange(1, ...) has no range bounds to estimate,
+        # which skips the range-partitioner SAMPLING job every batch
+        # would otherwise pay (measured: 2 jobs → 1 for the postings
+        # write). Term pruning still works: the single file is
+        # (term, seg)-sorted, so row-group min/max stats stay tight.
         scored_index_append(batch_df, path, id_col=id_col,
-                            text_col=text_col, segment_size=segment_size)
+                            text_col=text_col, segment_size=segment_size,
+                            num_partitions=1)
 
     w = stream.writeStream.foreachBatch(_append).option(
         "checkpointLocation",
