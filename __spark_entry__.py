@@ -5430,6 +5430,53 @@ def _q161_oracle_sql() -> str:
     """
 
 
+def q162_k_core(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983) — the
+    graph-quality filter (spam farms and weakly-connected fringe peel
+    away; the dense core survives), sixth member of the graph tier.
+    4-core of the natural-key order↔part bipartite graph, 8 peel
+    rounds; the recurrence is INTEGER-only (degrees among survivors),
+    so the unrolled peel CTEs replay it exactly. Early stop at a fixed
+    point is output-neutral: the oracle's remaining rounds are no-ops.
+    Returns one summary row of the surviving core (strict non-trivial
+    subset at every test sf)."""
+    from duckdb_spatial_spark.operators.graph import k_core
+
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      (-F.lit(1) - F.col("l_partkey")).alias("dst"))
+    core = k_core(edges, k=4, rounds=8)
+    return core.agg(
+        F.count("*").cast("long").alias("n_core"),
+        F.sum(F.when(F.col("node") >= 0, 1).otherwise(0))
+         .cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("node") < 0, 1).otherwise(0))
+         .cast("long").alias("n_parts"),
+        F.sum("node").cast("long").alias("checksum"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+
+
+def _q162_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.graph import k_core_sql
+
+    core = k_core_sql(
+        "SELECT l_orderkey AS src, -1 - l_partkey AS dst FROM lineitem",
+        k=4, rounds=8)
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_core,
+               CAST(sum(CASE WHEN node >= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN node < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_parts,
+               CAST(sum(node) AS BIGINT) AS checksum,
+               CAST(min(node) AS BIGINT) AS min_node,
+               CAST(max(node) AS BIGINT) AS max_node
+        FROM ({core}) core
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. ROUND-10 window — staleness-first continuation of the
@@ -5453,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_isotonic_calibration": q159_isotonic_calibration,
         "q160_streaming_mmr": q160_streaming_mmr,
         "q161_label_propagation": q161_label_propagation,
+        "q162_k_core": q162_k_core,
         "q96_pagerank": q96_pagerank,
         "q153_streaming_funnel": q153_streaming_funnel,
         "q10_quadkey": q10_quadkey,
@@ -5499,8 +5547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q89_sentence_stats": q89_sentence_stats,
-        "q90_domain_quota": q90_domain_quota,
         # ---- below the 50-query driver window (latest driver check r6-r9, byte-unchanged) ----
+        "q90_domain_quota": q90_domain_quota,
         "q97_salted_agg": q97_salted_agg,
         "q99_minhash_index": q99_minhash_index,
         "q148_group_zscore": q148_group_zscore,
@@ -7105,6 +7153,7 @@ def oracle_sql() -> dict[str, str]:
         "q159_isotonic_calibration": _q159_oracle_sql(),
         "q160_streaming_mmr": _q160_oracle_sql(),
         "q161_label_propagation": _q161_oracle_sql(),
+        "q162_k_core": _q162_oracle_sql(),
         "q107_hamming_image_dedup": _q107_oracle_sql(),
         "q108_lm_kneser_ney": _q108_oracle_sql(),
         "q109_geoparquet_covering": """

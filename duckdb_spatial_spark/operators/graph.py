@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "label_propagation",
-           "label_propagation_sql"]
+           "label_propagation_sql", "k_core", "k_core_sql"]
 
 
 def pagerank(
@@ -349,3 +349,97 @@ def label_propagation_sql(edges_cte: str, iters: int = 5) -> str:
         prev = f"l{i}"
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, lab FROM {prev}")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 16,
+) -> DataFrame:
+    """Nodes of the graph's k-core (the maximal subgraph where every
+    node keeps degree ≥ k) by iterative peeling (Seidman 1983 /
+    Batagelj-Zaveršnik): each round drops every node whose degree among
+    SURVIVING nodes is < k, for at most ``rounds`` rounds — the
+    spam-farm / link-quality filter of the graph tier. INTEGER-only
+    like :func:`label_propagation`, so the unrolled twin
+    (:func:`k_core_sql`) is exact with zero float discipline.
+
+    Early stop is output-neutral by construction: the loop breaks only
+    at a FIXED POINT (no node dropped), and peeling is idempotent
+    there, so the oracle's remaining unrolled rounds are no-ops — the
+    two engines agree whether the graph converges in 2 rounds or runs
+    the full budget. A graph that has not converged in ``rounds``
+    rounds yields the well-defined ``rounds``-peel over-approximation
+    (both engines, same rounds).
+
+    Plan per round: two semi-joins of the symmetric edge set against
+    the ≤node-cardinality alive set (broadcast under the q96-style
+    explicit n-guard) + one map-side-combined degree count. The alive
+    set persists per generation, previous unpersisted — O(1) lineage.
+    Returns (node) — the surviving set.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    e0 = (edges.select(F.col(src_col).cast("long").alias("src"),
+                       F.col(dst_col).cast("long").alias("dst"))
+          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                  & (F.col("src") != F.col("dst")))
+          .distinct())
+    e = (e0.union(e0.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+         .distinct().persist())
+    alive = e.select(F.col("src").alias("node")).distinct().persist()
+    n = alive.count()
+    if n == 0:
+        e.unpersist()
+        return alive
+    small = n <= 1_000_000
+    bcast = F.broadcast if small else (lambda df: df)
+    for _ in range(rounds):
+        ea = (e.join(bcast(alive.withColumnRenamed("node", "src")),
+                     "src", "leftsemi")
+              .join(bcast(alive.withColumnRenamed("node", "dst")),
+                    "dst", "leftsemi"))
+        new_alive = (ea.groupBy(F.col("src").alias("node"))
+                     .agg(F.count("*").alias("__d"))
+                     .filter(F.col("__d") >= k)
+                     .select("node").persist())
+        n_new = new_alive.count()
+        alive.unpersist()
+        alive = new_alive
+        if n_new == n:       # fixed point: further peels are no-ops
+            break
+        n = n_new
+    e.unpersist()
+    return alive
+
+
+def k_core_sql(edges_cte: str, k: int, rounds: int = 16) -> str:
+    """DuckDB replica of :func:`k_core`: the peel unrolled as chained
+    CTEs (a0 = all endpoints; a{i} = nodes with ≥ k surviving
+    neighbors in a{i-1}) — BIGINT-only. ``edges_cte`` must SELECT
+    (src, dst). Returns SQL producing (node)."""
+    parts = [
+        (f"e0 AS (SELECT DISTINCT src, dst FROM ({edges_cte}) "
+         f"WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"),
+        # MATERIALIZED is load-bearing: every a{i} is referenced by TWO
+        # IN-subqueries of round i+1 — inlined, DuckDB re-evaluates the
+        # whole peel chain per reference (measured minutes vs 0.1-1 s)
+        "e AS MATERIALIZED "
+        "(SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)",
+    ]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+          SELECT e.src AS node
+          FROM e
+          WHERE e.src IN (SELECT node FROM {prev})
+            AND e.dst IN (SELECT node FROM {prev})
+          GROUP BY 1
+          HAVING count(*) >= {int(k)}
+        )""")
+        prev = f"a{i}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node FROM {prev}"

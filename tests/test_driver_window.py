@@ -13,7 +13,7 @@ import __spark_entry__ as entry  # noqa: E402
 # round-10 rotation: new/changed code + the r3-r5 stale tier (33) — see
 # the queries() docstring for the full composition
 ROUND_CHANGED = {"q159_isotonic_calibration", "q160_streaming_mmr",
-                 "q161_label_propagation",
+                 "q161_label_propagation", "q162_k_core",
                  "q96_pagerank", "q153_streaming_funnel"}
 STALE_TIER = {
     "q10_quadkey", "q48_pointonsurface", "q51_buffer_line",

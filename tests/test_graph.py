@@ -211,3 +211,71 @@ def test_label_propagation_negative_ids(spark):
     got = {r["node"]: r["lab"]
            for r in label_propagation(df, iters=4).collect()}
     assert got == ref_lpa(edges, 4)
+
+
+def ref_k_core(edges, k):
+    """Independent pure-Python peel to convergence."""
+    und = {tuple(sorted(e)) for e in edges
+           if e[0] != e[1] and e[0] is not None and e[1] is not None}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive
+                if len(adj[v] & alive) < k}
+        if not drop:
+            return alive
+        alive -= drop
+
+
+def test_k_core_vs_reference_fuzz(spark):
+    import random
+
+    from duckdb_spatial_spark.operators.graph import k_core
+
+    rng = random.Random(17)
+    for trial in range(5):
+        n = rng.randint(6, 40)
+        m = rng.randint(n, 4 * n)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        k = rng.randint(1, 4)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"] for r in k_core(df, k).collect()}
+        assert got == ref_k_core(edges, k), (trial, k)
+
+
+def test_k_core_sql_twin(spark):
+    import random
+
+    import duckdb
+
+    from duckdb_spatial_spark.operators.graph import k_core, k_core_sql
+
+    rng = random.Random(23)
+    edges = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(160)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"] for r in k_core(df, 3, rounds=8).collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = k_core_sql(f"SELECT * FROM (VALUES {vals}) v(src, dst)",
+                     3, rounds=8)
+    want = {r[0] for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want
+
+
+def test_k_core_clique_plus_tail(spark):
+    """A 5-clique with a pendant path: the 4-core is exactly the clique,
+    the 1-core is everything, k=6 empties the graph."""
+    import itertools
+
+    from duckdb_spatial_spark.operators.graph import k_core
+
+    clique = list(itertools.combinations(range(5), 2))
+    tail = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + tail, "src long, dst long")
+    assert ({r["node"] for r in k_core(df, 4).collect()}
+            == {0, 1, 2, 3, 4})
+    assert ({r["node"] for r in k_core(df, 1).collect()}
+            == {0, 1, 2, 3, 4, 10, 11, 12})
+    assert k_core(df, 6).count() == 0
