@@ -653,6 +653,18 @@ def main() -> None:
                           * 1000 + 500).alias("dst"))
         return label_propagation(edges, iters=3).count()
 
+    def kcore_w(d):
+        # round 10: same block-structured graph, 3-core peel
+        from duckdb_spatial_spark.operators.graph import k_core
+
+        edges = d.select((F.col("event_id") % 10_000_000 % 500
+                          + (F.col("event_id") / 10_000_000).cast("long")
+                          * 1000).alias("src"),
+                         ((F.col("event_id") * 7 + 13) % 10_000_000 % 500
+                          + (F.col("event_id") / 10_000_000).cast("long")
+                          * 1000 + 500).alias("dst"))
+        return k_core(edges, 3, rounds=6).count()
+
     workloads = [
         ("funnel", events, ["event_id"], funnel_w),
         ("ohlc_windows", events, ["event_id"], ohlc_w),
@@ -667,6 +679,7 @@ def main() -> None:
         ("isotonic_calibrate", docs, ["doc_id"], isotonic_w),
         ("mmr_rerank", emb, ["vec_id"], mmr_w),
         ("label_propagation", events, ["event_id"], lpa_w),
+        ("k_core", events, ["event_id"], kcore_w),
         ("zorder_layout", events, ["event_id"], zorder_w),
         ("zorder_crud", events, ["event_id"], zorder_crud_w),
         ("phrase_search", docs, ["doc_id"], phrase_w),
