@@ -473,21 +473,25 @@ def isotonic_calibrate(
     int differences, identical IEEE division, and min/max over
     identical value sets.
 
-    Rows with a NULL score or label are excluded (both engines).
-    Returns (bin, n_docs, n_pos, calibrated) for every nonempty bin,
-    calibrated non-decreasing in bin.
+    Rows with a NULL or NaN score, or a NULL label, are excluded (both
+    engines). Returns (bin, n_docs, n_pos, calibrated) for every
+    nonempty bin, calibrated non-decreasing in bin.
     """
     if n_bins < 1 or not (hi > lo):
         raise ValueError("isotonic_calibrate: need n_bins >= 1 and hi > lo")
     span = float(hi) - float(lo)
-    b = F.least(
-        F.greatest(
-            F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(span)
-                    * F.lit(float(n_bins))).cast("int"),
-            F.lit(0)),
-        F.lit(n_bins - 1))
+    # clamp in DOUBLE space BEFORE the int cast: a far-out-of-range
+    # score (±1e300) would overflow/wrap the INT cast, and NaN would
+    # yield NULL in Spark but raise in the DuckDB twin — clamping the
+    # double keeps the cast always in [0, n_bins-1] on both engines
+    scaled = ((F.col(score_col) - F.lit(float(lo))) / F.lit(span)
+              * F.lit(float(n_bins)))
+    b = (F.floor(F.least(F.greatest(scaled, F.lit(0.0)),
+                         F.lit(float(n_bins - 1))))
+         .cast("int"))
     bins = (
         df.where(F.col(score_col).isNotNull()
+                 & ~F.isnan(F.col(score_col).cast("double"))
                  & F.col(label_col).isNotNull())
         .select(b.alias("bin"), F.col(label_col).cast("long").alias("y"))
         .groupBy("bin")
@@ -543,13 +547,16 @@ def isotonic_sql(
     return f"""
         WITH scored AS ({scored_sql}),
         b AS (
-          SELECT least(greatest(CAST(floor((score - {repr(float(lo))})
-                                           / {span} * {repr(float(n_bins))})
-                                     AS INT), 0), {n_bins - 1}) AS bin,
+          SELECT CAST(floor(least(greatest((score - {repr(float(lo))})
+                                           / {span} * {repr(float(n_bins))},
+                                           0.0),
+                                  {repr(float(n_bins - 1))}))
+                      AS INT) AS bin,
                  CAST(count(*) AS BIGINT) AS cnt,
                  CAST(sum(label) AS BIGINT) AS pos
           FROM scored
-          WHERE score IS NOT NULL AND label IS NOT NULL
+          WHERE score IS NOT NULL AND NOT isnan(CAST(score AS DOUBLE))
+            AND label IS NOT NULL
           GROUP BY 1
         ),
         c AS (

@@ -688,8 +688,11 @@ def streaming_mmr_rerank(
     rel = F.round(
         cosine_similarity(F.col(vec_col),
                           F.array(*[F.lit(x) for x in q])), 6)
+    # the ANN-kernel null contract covers the key too: a null id would
+    # reach the pandas state update where int(NaN) raises at runtime
     ev = (
-        stream.filter(F.col(vec_col).isNotNull())
+        stream.filter(F.col(vec_col).isNotNull()
+                      & F.col(id_col).isNotNull())
         .select(
             F.unix_seconds(F.window(F.col(ts_col), window)["start"])
              .cast("long").alias("win"),

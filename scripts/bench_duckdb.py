@@ -17,8 +17,12 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_dirs = [a for a in sys.argv[1:] if os.path.sep in a]
-ONLY = {a for a in sys.argv[1:] if os.path.sep not in a}
+# an argument is the sf dir when it IS a directory (so a bare relative
+# 'sf0.1' works); the path-separator heuristic is only the fallback for
+# not-yet-existing paths. Everything else is a query-name filter.
+_dirs = [a for a in sys.argv[1:]
+         if os.path.isdir(a) or os.path.sep in a]
+ONLY = {a for a in sys.argv[1:] if a not in _dirs}
 SF = _dirs[0] if _dirs else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -44,6 +48,9 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     oracles = entry.oracle_sql()
+    unknown = ONLY - set(oracles)
+    if unknown:
+        sys.exit(f"bench_duckdb: unknown query name(s): {sorted(unknown)}")
     timings: dict[str, float] = {}
     for name, sql in oracles.items():
         if ONLY and name not in ONLY:

@@ -110,3 +110,31 @@ def test_out_of_range_scores_clamp_to_edge_bins(spark):
             isotonic_calibrate(df, "score", "label", n_bins=8).collect()}
     assert 0 in rows and 7 in rows
     assert rows[0]["n_docs"] == 1 and rows[7]["n_docs"] == 1
+
+
+def test_nan_and_extreme_scores_cross_engine(spark):
+    """ADVICE r10: NaN / far-out-of-range scores must not desync the
+    engines — NaN rows are excluded on both; ±1e300 clamps to the edge
+    bins on both (the double-space clamp BEFORE the int cast)."""
+    data = [(0.2, 1), (float("nan"), 1), (1e300, 0), (-1e300, 1),
+            (0.7, 0)]
+    df = spark.createDataFrame(data, "score double, label int")
+    got = {r["bin"]: (r["n_docs"], r["n_pos"], r["calibrated"])
+           for r in isotonic_calibrate(df, "score", "label",
+                                       n_bins=8).collect()}
+    con = duckdb.connect()
+
+    def lit(s):
+        return ("CAST('nan' AS DOUBLE)" if s != s
+                else f"CAST({repr(s)} AS DOUBLE)")
+
+    vals = ", ".join(f"({lit(s)}, {y})" for s, y in data)
+    sql = isotonic_sql(
+        f"SELECT * FROM (VALUES {vals}) t(score, label)", 8)
+    want = {b: (n, p, cal) for b, n, p, cal in con.execute(sql).fetchall()}
+    assert got.keys() == want.keys()
+    assert sum(n for n, _, _ in got.values()) == 4  # NaN row dropped
+    assert 0 in got and 7 in got                    # ±1e300 clamped
+    for b in want:
+        assert got[b][:2] == want[b][:2]
+        assert got[b][2].hex() == want[b][2].hex(), b

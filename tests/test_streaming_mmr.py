@@ -114,3 +114,15 @@ def test_streaming_mmr_random_streams_equal_batch(spark, tmp_path):
             if win_start in got or want:
                 assert got.get(win_start, []) == sorted(want), (
                     trial, win_id, k, pool)
+
+
+def test_streaming_mmr_null_ids_never_rank(spark, tmp_path):
+    """ADVICE r10: a null id must be filtered at entry (it would reach
+    the pandas state update where int(NaN) raises, killing the query)."""
+    qvec = [1.0, 0.0]
+    rows = [(0, 0, [1.0, 0.1], "2024-01-01 05:00:07"),
+            (None, 0, [0.9, 0.0], "2024-01-01 05:00:08"),
+            (2, 0, [0.5, 0.5], "2024-01-01 05:00:09")]
+    got, _ = _drive(spark, tmp_path, [rows], qvec, 3, 8)
+    ids = {i for _, i, _, _ in list(got.values())[0]}
+    assert ids == {0, 2}
