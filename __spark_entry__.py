@@ -5477,6 +5477,121 @@ def _q162_oracle_sql() -> str:
     """
 
 
+def q163_pca_rotation_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA-rotation product quantization (OPQ-lite — the parametric
+    variant of Ge et al. CVPR'13): rotate the 64-dim embeddings into
+    the top-16 PCA basis with components allocated to the m=4 subspaces
+    ROUND-ROBIN by eigenvalue rank (balanced subspace variance — the
+    OPQ benefit naive PCA-then-slice forfeits), then PQ-encode against
+    codebooks pinned to the first 16 rotated vectors (the q116
+    pattern). Output: the per-(subspace, code) histogram with mean
+    quantization distortion — train + rotate + encode exercised end to
+    end, ≤64 rows.
+
+    Exactness: the rotation is the pinned deflated power iteration
+    (q111/q94 discipline) so the oracle replays the train as unrolled
+    MATERIALIZED CTEs; rotated coordinates round to 6 dp on BOTH
+    engines before encode, so argmins see identical doubles (ties
+    break on code index, matching numpy argmin). Plan: one Gramian
+    pass + one rotate+encode stage (two chained Arrow UDFs, no
+    shuffle between) + a 16-row codebook probe + ONE ≤64-group
+    map-side-combined aggregate."""
+    from duckdb_spatial_spark.operators.pq import (pq_codebook_df,
+                                                   pq_encode,
+                                                   rotate_vectors,
+                                                   subvectors_from_rows,
+                                                   train_pca_rotation)
+
+    e = (load_table(spark, sf, "embeddings", fan_out=False)
+         .filter(F.col("embedding").isNotNull()))
+    mean, R, _lams = train_pca_rotation(e, "embedding", dim=64, k=16, m=4)
+    rot = rotate_vectors(e.select("vec_id", "embedding"), "embedding",
+                         mean, R)
+    cb_rows = (rot.filter(F.col("vec_id") < 16).orderBy("vec_id")
+               .select("rot").collect())
+    books = subvectors_from_rows([r["rot"] for r in cb_rows], 4)
+    coded = pq_encode(rot.select("vec_id", "rot"), "rot", books)
+    ex = coded.select(
+        "vec_id", "rot", F.posexplode("pq_code").alias("j", "c"))
+    cb = pq_codebook_df(spark, books)
+    d2 = F.aggregate(
+        F.zip_with(F.slice("rot", F.col("j") * 4 + 1, 4),
+                   F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        ex.join(F.broadcast(cb), ["j", "c"])
+        .withColumn("d2", d2)
+        .groupBy("j", "c")
+        .agg(F.count("*").cast("long").alias("n_vecs"),
+             (F.round(F.avg("d2"), 6) + F.lit(0.0)).alias("avg_d2"))
+        .transform(_ssort, "j", "c")
+    )
+
+
+def _q163_oracle_sql() -> str:
+    """SQL replay of the full OPQ-lite pipeline: pca_power_sql train
+    (k=16 deflated chains), 6-dp rotated projection (the q94 proj
+    shape), (comp-1)%4 round-robin subspace bucketing, positional
+    codebook over the first 16 non-null vectors per subspace, argmin
+    encode with code-index tie-break, per-(j, c) distortion."""
+    from duckdb_spatial_spark.operators.vectors import pca_power_sql
+
+    comps = pca_power_sql(
+        "(SELECT embedding FROM embeddings WHERE embedding IS NOT NULL)",
+        "embedding", dim=64, k=16, iters=8)
+    return f"""
+        WITH comps AS MATERIALIZED ({comps}),
+        idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+        x AS MATERIALIZED (
+          SELECT vec_id, embedding AS e FROM embeddings
+          WHERE embedding IS NOT NULL
+        ),
+        xi AS MATERIALIZED (
+          SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS x
+          FROM x CROSS JOIN idx
+        ),
+        nn AS (SELECT count(*) AS n FROM x),
+        mu AS (SELECT i, sum(x) / nn.n AS m
+               FROM xi CROSS JOIN nn GROUP BY i, nn.n),
+        proj AS MATERIALIZED (
+          SELECT xi.vec_id, comps.comp,
+                 round(sum((xi.x - mu.m) * comps.loading), 6) AS p
+          FROM xi JOIN mu USING (i) JOIN comps USING (i)
+          GROUP BY 1, 2
+        ),
+        sub AS MATERIALIZED (
+          SELECT vec_id, CAST((comp - 1) % 4 AS INT) AS j,
+                 list(p ORDER BY comp) AS sv
+          FROM proj GROUP BY 1, 2
+        ),
+        cb AS (
+          SELECT j, CAST(row_number() OVER (PARTITION BY j
+                                            ORDER BY vec_id) - 1
+                         AS INT) AS c,
+                 sv AS cent
+          FROM sub WHERE vec_id < 16
+        ),
+        enc AS (
+          SELECT vec_id, j, c, d2 FROM (
+            SELECT s.vec_id, s.j, cb.c,
+                   list_sum(list_transform(range(1, 5),
+                     t -> (s.sv[t] - cb.cent[t])
+                          * (s.sv[t] - cb.cent[t]))) AS d2,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.j
+                     ORDER BY list_sum(list_transform(range(1, 5),
+                       t -> (s.sv[t] - cb.cent[t])
+                            * (s.sv[t] - cb.cent[t]))),
+                       cb.c) AS rn
+            FROM sub s JOIN cb ON s.j = cb.j
+          ) WHERE rn = 1
+        )
+        SELECT j, c, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(d2), 6) + 0.0 AS avg_d2
+        FROM enc GROUP BY 1, 2 ORDER BY j, c
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. ROUND-10 window — staleness-first continuation of the
@@ -5497,6 +5612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # byte-unchanged except q96/q153 which stay in) and the r7/r8
     # tiers (driver-green r7/r8, byte-unchanged).
     return {
+        "q163_pca_rotation_pq": q163_pca_rotation_pq,
         "q159_isotonic_calibration": q159_isotonic_calibration,
         "q160_streaming_mmr": q160_streaming_mmr,
         "q161_label_propagation": q161_label_propagation,
@@ -7154,6 +7270,7 @@ def oracle_sql() -> dict[str, str]:
         "q160_streaming_mmr": _q160_oracle_sql(),
         "q161_label_propagation": _q161_oracle_sql(),
         "q162_k_core": _q162_oracle_sql(),
+        "q163_pca_rotation_pq": _q163_oracle_sql(),
         "q107_hamming_image_dedup": _q107_oracle_sql(),
         "q108_lm_kneser_ney": _q108_oracle_sql(),
         "q109_geoparquet_covering": """

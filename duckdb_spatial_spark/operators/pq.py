@@ -42,7 +42,71 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["train_pq", "pq_encode", "pq_codebook_df", "ann_pq_topk",
-           "ann_ivfpq_topk", "subvectors_from_rows"]
+           "ann_ivfpq_topk", "subvectors_from_rows",
+           "train_pca_rotation", "rotate_vectors"]
+
+
+def train_pca_rotation(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    m: int,
+    iters: int = 8,
+):
+    """OPQ-lite rotation train (the parametric variant of Ge et al.,
+    "Optimized Product Quantization", CVPR 2013): PCA-rotate the space,
+    then allocate the k rotated dimensions to the ``m`` PQ subspaces
+    ROUND-ROBIN by eigenvalue rank — component ranked r (descending λ)
+    lands in subspace ``r % m``.  For the descending eigenvalue sequence
+    PCA produces, round-robin is the deterministic stand-in for OPQ's
+    eigenvalue-product balancing: every subspace receives one component
+    from each eigenvalue tier, so subspace variances equalize and no
+    single product quantizer starves (the failure mode of naive
+    PCA-then-slice, where subspace 0 absorbs all the variance).  Unlike
+    full OPQ's per-iteration trained SVD rotation, this train is a pure
+    function of the pinned deflated power iteration
+    (:func:`~..vectors.pca_power_train`), so the whole computation
+    replays exactly in SQL (``pca_power_sql`` + a ``(comp-1) % m``
+    bucketing) — the repo's exact-oracle standard is preserved.
+
+    Returns ``(mean[dim], R[k, dim], lams[k])`` with R's rows in
+    SUBSPACE-CONTIGUOUS order (subspace j = rows [j·k/m, (j+1)·k/m)),
+    ready for :func:`rotate_vectors` + :func:`pq_encode`'s contiguous
+    subvector slicing.  Scale shape: ONE distributed Gramian pass; the
+    k×iters mat-vecs are dim×dim driver-side (the train/apply split —
+    train state is O(dim²) no matter the corpus size)."""
+    from .vectors import pca_power_train
+
+    if k % m:
+        raise ValueError(f"k={k} not divisible by m={m}")
+    mean, comps, lams = pca_power_train(df, vec_col, dim, k, iters)
+    perm = [c for j in range(m) for c in range(j, k, m)]
+    return mean, comps[perm], [float(lams[c]) for c in perm]
+
+
+def rotate_vectors(
+    df: DataFrame,
+    vec_col: str,
+    mean: np.ndarray,
+    R: np.ndarray,
+    out_col: str = "rot",
+    round_digits: Optional[int] = 6,
+) -> DataFrame:
+    """Apply a trained rotation: one Arrow pass of batched
+    ``(X - mean) @ Rᵀ`` (reuses :func:`~..vectors.pca_apply`), then
+    round each coordinate to ``round_digits`` so downstream encode
+    argmins see IDENTICAL doubles on both engines (the 6-dp
+    cross-engine discipline; None keeps raw doubles)."""
+    from .vectors import pca_apply
+
+    out = pca_apply(df, vec_col, mean, R, out_col=out_col)
+    if round_digits is not None:
+        out = out.withColumn(
+            out_col,
+            F.transform(F.col(out_col),
+                        lambda x: F.round(x, round_digits)))
+    return out
 
 
 def subvectors_from_rows(rows: Iterable, m: int) -> np.ndarray:

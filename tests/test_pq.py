@@ -150,3 +150,91 @@ def test_refine_rerank_recovers_exact_topk(spark, corpus, vecs):
         got = [v for _, v in sorted(by_q[q])]
         exact = _brute_l2_topk(vecs, vecs[q], 5)
         assert got == exact, (q, got, exact)
+
+
+# ---------------------------------------------------------------------------
+# PCA-rotation PQ (OPQ-lite)
+# ---------------------------------------------------------------------------
+
+def _total_distortion(df, vec_col, books):
+    """Σ||x - c(x)||² over the encoded corpus, computed driver-side from
+    the collected codes (test-scale only)."""
+    m, ks, dsub = books.shape
+    rows = pq_encode(df, vec_col, books).select(vec_col, "pq_code").collect()
+    tot = 0.0
+    for r in rows:
+        x = np.asarray(r[vec_col]).reshape(m, dsub)
+        for j, c in enumerate(r["pq_code"]):
+            tot += float(((x[j] - books[j][c]) ** 2).sum())
+    return tot
+
+
+def test_pca_rotation_reduces_distortion_on_correlated_vectors(spark):
+    """The OPQ claim: on correlated data, rotating into the balanced
+    PCA basis before PQ strictly reduces quantization distortion at the
+    same code budget (m, ks). Low-rank latent signal mixed into 8 dims:
+    raw subspaces are mutually correlated (product quantizer wastes
+    bits); the rotation decorrelates and round-robin balances them."""
+    from duckdb_spatial_spark.operators.pq import (rotate_vectors,
+                                                   train_pca_rotation)
+
+    rng = np.random.RandomState(17)
+    Z = rng.randn(500, 2) * [6.0, 3.0]          # strong 2-dim latent
+    W = rng.randn(2, 8)                          # mixing to 8 dims
+    X = Z @ W + rng.randn(500, 8) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+
+    m, ks = 2, 8
+    raw_books = train_pq(df, "embedding", m=m, ks=ks, iters=4)
+    raw_d = _total_distortion(df, "embedding", raw_books)
+
+    mean, R, lams = train_pca_rotation(df, "embedding", dim=8, k=8, m=m)
+    rot = rotate_vectors(df, "embedding", mean, R, round_digits=None)
+    rot_books = train_pq(rot, "rot", m=m, ks=ks, iters=4)
+    rot_d = _total_distortion(rot, "rot", rot_books)
+
+    # eigenvalues come back descending within the round-robin permutation
+    assert lams[0] == max(lams)
+    # the rotation is orthonormal-ish (deflated power iteration), so the
+    # distortions are comparable in one space; demand a real win
+    assert rot_d < 0.7 * raw_d, (rot_d, raw_d)
+
+
+def test_train_pca_rotation_shapes_and_interleave(spark):
+    from duckdb_spatial_spark.operators.pq import train_pca_rotation
+    from duckdb_spatial_spark.operators.vectors import pca_power_train
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+    mean, R, lams = train_pca_rotation(df, "embedding", dim=8, k=8, m=4)
+    assert R.shape == (8, 8) and len(lams) == 8 and len(mean) == 8
+    _, comps, lams0 = pca_power_train(df, "embedding", dim=8, k=8)
+    # subspace j rows are components j, j+4 (round-robin by rank)
+    perm = [0, 4, 1, 5, 2, 6, 3, 7]
+    assert np.allclose(R, comps[perm])
+    assert lams == [float(lams0[c]) for c in perm]
+    with pytest.raises(ValueError):
+        train_pca_rotation(df, "embedding", dim=8, k=6, m=4)
+
+
+def test_rotate_vectors_rounds_and_propagates_nulls(spark):
+    from duckdb_spatial_spark.operators.pq import (rotate_vectors,
+                                                   train_pca_rotation)
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(40, 4)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, R, _ = train_pca_rotation(df, "embedding", dim=4, k=4, m=2)
+    out = {r["vec_id"]: r["rot"]
+           for r in rotate_vectors(df, "embedding", mean, R).collect()}
+    assert out[99] is None
+    v = np.asarray(out[0])
+    want = (X[0] - mean) @ R.T
+    assert np.allclose(v, np.round(want, 6), atol=5e-7)
