@@ -5477,6 +5477,64 @@ def _q162_oracle_sql() -> str:
     """
 
 
+def q164_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — completes the classic
+    link-analysis pair next to PageRank (q96), seventh member of the
+    graph tier. Four unnormalized double-steps over the order→supplier
+    bipartite purchase graph (hubs = buyer keys, authorities =
+    supplier keys); scores are scale-invariant so normalization happens
+    ONCE in-plan (divide by the per-kind max, round 6 dp) — zero
+    driver round-trips inside the loop, one materializing job per
+    iteration. Output: top-10 per kind by (normalized score DESC,
+    node ASC). Oracle: the same recurrence unrolled as chained
+    MATERIALIZED CTEs (hits_sql) + the same window normalize."""
+    from duckdb_spatial_spark.operators.graph import hits
+
+    li = load_table(spark, sf, "lineitem", fan_out=False)
+    edges = li.select((F.col("l_orderkey") % 500).alias("src"),
+                      (1000 + F.col("l_suppkey") % 200).alias("dst"))
+    r = hits(edges, iters=4)
+    w = Window.partitionBy("kind")
+    scored = r.withColumn(
+        "score_n",
+        (F.round(F.col("score") / F.max("score").over(w), 6)
+         + F.lit(0.0)))
+    w2 = Window.partitionBy("kind").orderBy(
+        F.col("score_n").desc(), F.col("node").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("kind", "rank", "node", "score_n")
+        .transform(_ssort, "kind", "rank")
+    )
+
+
+def _q164_oracle_sql() -> str:
+    from duckdb_spatial_spark.operators.graph import hits_sql
+
+    inner = hits_sql(
+        "SELECT l_orderkey % 500 AS src, 1000 + l_suppkey % 200 AS dst "
+        "FROM lineitem", iters=4)
+    return f"""
+        WITH raw AS MATERIALIZED ({inner}),
+        scored AS (
+          SELECT kind, node,
+                 round(score / max(score) OVER (PARTITION BY kind), 6)
+                   + 0.0 AS score_n
+          FROM raw
+        ),
+        ranked AS (
+          SELECT kind, node, score_n,
+                 row_number() OVER (PARTITION BY kind
+                                    ORDER BY score_n DESC, node ASC)
+                   AS rank
+          FROM scored
+        )
+        SELECT kind, CAST(rank AS BIGINT) AS rank, node, score_n
+        FROM ranked WHERE rank <= 10 ORDER BY kind, rank
+    """
+
+
 def q163_pca_rotation_pq(spark: SparkSession, sf: str) -> DataFrame:
     """PCA-rotation product quantization (OPQ-lite — the parametric
     variant of Ge et al. CVPR'13): rotate the 64-dim embeddings into
@@ -5613,6 +5671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tiers (driver-green r7/r8, byte-unchanged).
     return {
         "q163_pca_rotation_pq": q163_pca_rotation_pq,
+        "q164_hits": q164_hits,
         "q159_isotonic_calibration": q159_isotonic_calibration,
         "q160_streaming_mmr": q160_streaming_mmr,
         "q161_label_propagation": q161_label_propagation,
@@ -7271,6 +7330,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_label_propagation": _q161_oracle_sql(),
         "q162_k_core": _q162_oracle_sql(),
         "q163_pca_rotation_pq": _q163_oracle_sql(),
+        "q164_hits": _q164_oracle_sql(),
         "q107_hamming_image_dedup": _q107_oracle_sql(),
         "q108_lm_kneser_ney": _q108_oracle_sql(),
         "q109_geoparquet_covering": """

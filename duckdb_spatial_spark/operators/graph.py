@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "label_propagation",
-           "label_propagation_sql", "k_core", "k_core_sql"]
+           "label_propagation_sql", "k_core", "k_core_sql",
+           "hits", "hits_sql"]
 
 
 def pagerank(
@@ -443,3 +444,110 @@ def k_core_sql(edges_cte: str, k: int, rounds: int = 16) -> str:
         )""")
         prev = f"a{i}"
     return "WITH " + ",\n".join(parts) + f"\nSELECT node FROM {prev}"
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) — the classic
+    link-analysis pair next to :func:`pagerank`: authorities are pages
+    good hubs point AT, hubs are pages that point at good authorities.
+    ``iters`` synchronous double-steps from h₀ = 1 on every source
+    node:
+
+        a_t(v) = Σ_{u→v} h_{t-1}(u)        (authority update)
+        h_t(u) = Σ_{u→v} a_t(v)            (hub update)
+
+    UNNORMALIZED on purpose: intra-iteration normalization needs a
+    global-scalar round trip per step, but HITS scores are
+    scale-invariant (the recurrence is power iteration on AᵀA / AAᵀ),
+    so the caller normalizes ONCE at the end (q164 divides by the
+    per-kind max in-plan). Magnitudes grow ~λ₁ᵗ — with bounded-degree
+    graphs and the default 4 double-steps that stays far inside double
+    range. Skipping the scalar keeps the loop at ONE materializing job
+    per iteration with zero driver round-trips — fewer jobs than
+    PageRank's mass collect.
+
+    Cross-engine: every value is a sum of products of previous doubles
+    replayed identically by :func:`hits_sql` (fixed iteration count,
+    unrolled CTEs); the ~1e-13 relative drift from summation order
+    disappears under the caller's 6-dp rounding after max-normalize.
+
+    Plan per iteration: two edge-scale equi-joins + two map-side
+    combined sums, node-scale frames broadcast only under the explicit
+    n ≤ 1M guard (above it both joins shuffle on the key — the 100-TB
+    shape); generations persist/unpersist so lineage stays O(1).
+    Returns a tall (kind, node, score) frame — kind ∈ ('auth', 'hub'),
+    nodes with zero score omitted (no in-/out-links respectively).
+    """
+    e = (edges.select(F.col(src_col).cast("long").alias("src"),
+                      F.col(dst_col).cast("long").alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().persist())
+    hubs = (e.select(F.col("src").alias("node")).distinct()
+            .withColumn("s", F.lit(1.0)).persist())
+    n = hubs.count()
+    if n == 0:
+        e.unpersist()
+        return hubs.select(F.lit("hub").alias("kind"), "node", "s") \
+            .withColumnRenamed("s", "score")
+    small = n <= 1_000_000
+    bcast = F.broadcast if small else (lambda df: df)
+    auths = None
+    for _ in range(iters):
+        a = (
+            e.join(bcast(hubs.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("s"))
+            .persist()
+        )
+        new_h = (
+            e.join(bcast(a.withColumnRenamed("node", "dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("s"))
+            .persist()
+        )
+        # ONE job: materializing new_h scans a in full, filling BOTH
+        # caches (the pagerank mass-join trick, without the collect)
+        new_h.count()
+        hubs.unpersist()
+        if auths is not None:
+            auths.unpersist()
+        hubs, auths = new_h, a
+    e.unpersist()
+    out = (auths.select(F.lit("auth").alias("kind"), "node", "s")
+           .unionAll(hubs.select(F.lit("hub").alias("kind"), "node", "s"))
+           .withColumnRenamed("s", "score"))
+    return out
+
+
+def hits_sql(edges_cte: str, iters: int = 4) -> str:
+    """DuckDB replica of :func:`hits`: the same unnormalized
+    double-step recurrence unrolled as chained MATERIALIZED CTEs.
+    ``edges_cte`` must SELECT (src, dst). Returns SQL producing
+    (kind, node, score)."""
+    parts = [
+        (f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+         f"({edges_cte}) WHERE src IS NOT NULL AND dst IS NOT NULL)"),
+        ("h0 AS (SELECT DISTINCT src AS node, 1.0 AS s FROM e)"),
+    ]
+    prev = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+          SELECT e.dst AS node, sum(h.s) AS s
+          FROM e JOIN {prev} h ON h.node = e.src
+          GROUP BY 1
+        )""")
+        parts.append(f"""h{i} AS MATERIALIZED (
+          SELECT e.src AS node, sum(a.s) AS s
+          FROM e JOIN a{i} a ON a.node = e.dst
+          GROUP BY 1
+        )""")
+        prev = f"h{i}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT 'auth' AS kind, node, s AS score FROM a{iters}"
+            + f"\nUNION ALL SELECT 'hub' AS kind, node, s AS score "
+            + f"FROM h{iters}")

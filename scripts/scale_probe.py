@@ -665,7 +665,41 @@ def main() -> None:
                           * 1000 + 500).alias("dst"))
         return k_core(edges, 3, rounds=6).count()
 
+    def hits_w(d):
+        # round 11: same block-structured bipartite graph family as
+        # lpa/k_core — node space grows with rows, 3 double-steps
+        from duckdb_spatial_spark.operators.graph import hits
+
+        edges = d.select((F.col("event_id") % 10_000_000 % 500
+                          + (F.col("event_id") / 10_000_000).cast("long")
+                          * 1000).alias("src"),
+                         ((F.col("event_id") * 7 + 13) % 10_000_000 % 500
+                          + (F.col("event_id") / 10_000_000).cast("long")
+                          * 1000 + 500).alias("dst"))
+        return hits(edges, iters=3).count()
+
+    def pca_pq_w(d):
+        # round 11: Gramian pass + rotate/encode Arrow stage + bounded
+        # agg — every data-scale pass is one scan, expect ~linear
+        from duckdb_spatial_spark.operators.pq import (pq_encode,
+                                                       rotate_vectors,
+                                                       subvectors_from_rows,
+                                                       train_pca_rotation)
+
+        mean, R, _ = train_pca_rotation(d, "embedding", dim=64, k=16,
+                                        m=4)
+        rot = rotate_vectors(d.select("vec_id", "embedding"),
+                             "embedding", mean, R)
+        cb = (rot.filter(F.col("vec_id") < 16).orderBy("vec_id")
+              .select("rot").collect())
+        books = subvectors_from_rows([r["rot"] for r in cb], 4)
+        coded = pq_encode(rot, "rot", books)
+        return (coded.select(F.posexplode("pq_code").alias("j", "c"))
+                .groupBy("j", "c").count().count())
+
     workloads = [
+        ("hits", events, ["event_id"], hits_w),
+        ("pca_rotation_pq", emb, ["vec_id"], pca_pq_w),
         ("funnel", events, ["event_id"], funnel_w),
         ("ohlc_windows", events, ["event_id"], ohlc_w),
         ("hybrid_retrieval", docs, ["doc_id"], hybrid_w),

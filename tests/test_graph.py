@@ -279,3 +279,88 @@ def test_k_core_clique_plus_tail(spark):
     assert ({r["node"] for r in k_core(df, 1).collect()}
             == {0, 1, 2, 3, 4, 10, 11, 12})
     assert k_core(df, 6).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+def ref_hits(edges, iters):
+    """Independent pure-Python replay of the unnormalized double-step."""
+    e = sorted(set(edges))
+    h = {u: 1.0 for u, _ in e}
+    a = {}
+    for _ in range(iters):
+        a = {}
+        for u, v in e:
+            if u in h:
+                a[v] = a.get(v, 0.0) + h[u]
+        nh = {}
+        for u, v in e:
+            if v in a:
+                nh[u] = nh.get(u, 0.0) + a[v]
+        h = nh
+    return h, a
+
+
+def test_hits_matches_reference(spark):
+    from duckdb_spatial_spark.operators.graph import hits
+
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12),
+             (10, 1),  # a cycle back — 1 is also an authority
+             (1, 10)]  # duplicate must count once
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["kind"], r["node"]): r["score"]
+           for r in hits(df, iters=3).collect()}
+    h, a = ref_hits(edges, 3)
+    want = {("hub", u): s for u, s in h.items() if s}
+    want.update({("auth", v): s for v, s in a.items() if s})
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_hits_sql_twin_matches_spark(spark):
+    from duckdb_spatial_spark.operators.graph import hits, hits_sql
+
+    edges = [(i % 7, 100 + (i * 3) % 5) for i in range(40)] + \
+            [(100 + i % 5, i % 3) for i in range(15)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r["kind"], r["node"], round(r["score"], 6))
+                 for r in hits(df, iters=4).collect())
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = hits_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", iters=4)
+    con = duckdb.connect()
+    want = sorted((k, n, round(s, 6))
+                  for k, n, s in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_hits_null_and_empty(spark):
+    from duckdb_spatial_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 11), (2, None)], "src long, dst long")
+    got = {(r["kind"], r["node"]) for r in hits(df, iters=2).collect()}
+    assert got == {("hub", 1), ("auth", 10)}
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty, iters=2).count() == 0
+
+
+def test_hits_bipartite_hub_ordering(spark):
+    """On a pure bipartite star mix, the buyer covering the most
+    distinct suppliers is the top hub and the most-covered supplier the
+    top authority — sanity of the semantics, not just the recurrence."""
+    from duckdb_spatial_spark.operators.graph import hits
+
+    edges = ([(1, v) for v in (10, 11, 12, 13)]
+             + [(2, v) for v in (10, 11)]
+             + [(3, 10)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["kind"], r["node"]): r["score"]
+           for r in hits(df, iters=4).collect()}
+    hubs = {n: s for (k, n), s in out.items() if k == "hub"}
+    auths = {n: s for (k, n), s in out.items() if k == "auth"}
+    assert max(hubs, key=hubs.get) == 1
+    assert max(auths, key=auths.get) == 10
