@@ -4277,11 +4277,16 @@ def q152_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     >30-minute gaps per user, then each session runs the ordered
     view→click→purchase funnel independently (greedy earliest-match
     WITHIN the session — the composite session key bounds matching, no
-    extra time window needed). Same one-shuffle sessionize + K-1
-    session-keyed min-joins; the oracle replays the lag/cumsum
-    sessionization and the iterative min-CTE funnel on the identical
-    composite key."""
-    from duckdb_spatial_spark.operators.temporal import funnel, sessionize
+    extra time window needed). Round 11: the funnel runs as
+    session_funnel's chained unordered window mins — funnel()'s
+    step-scans re-executed the sessionize window once per step and
+    shuffled two joins on top (1.7 s warm, 2 jobs); the one-pass form
+    is one shuffle on the session key, zero joins, ONE job. The oracle
+    replays the lag/cumsum sessionization and the iterative min-CTE
+    funnel on the identical composite key (plan-independent
+    semantics)."""
+    from duckdb_spatial_spark.operators.temporal import (session_funnel,
+                                                         sessionize)
 
     e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
     ev = e.select("user_id", "event_type", "ts",
@@ -4289,13 +4294,17 @@ def q152_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
                   F.col("event_id").alias("eid"))
     sess = sessionize(ev, ["user_id"], "t", gap_us=30 * 60 * 1_000_000,
                       order_cols=["eid"])
-    # composite session key: sessions-per-user is gap-bounded tiny, so
-    # user_id*1000+session_id is collision-free and checksummable
-    keyed = sess.select(
+    # funnel windows partition by (user_id, session_id): the sessionize
+    # user hash already satisfies that clustering (hash keys ⊆ window
+    # keys), so the funnel adds NO second exchange — only a partition-
+    # local re-sort. The composite sk (sessions-per-user is gap-bounded
+    # tiny, so user_id*1000+session_id is collision-free) is projected
+    # AFTER the per-session row exists, for the checksums only.
+    out = session_funnel(sess, ["view", "click", "purchase"],
+                         key_col=["user_id", "session_id"], ts_col="ts")
+    out = out.select(
         (F.col("user_id") * F.lit(1000) + F.col("session_id")).alias("sk"),
-        "event_type", "ts")
-    out = funnel(keyed, ["view", "click", "purchase"], user_col="sk",
-                 ts_col="ts")
+        "steps_completed", "t_first_us", "t_last_us")
     return (
         out.groupBy("steps_completed")
         .agg(F.count("*").cast("long").alias("n_sessions"),

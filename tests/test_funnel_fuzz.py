@@ -91,3 +91,46 @@ def test_funnel_tie_on_equal_timestamps_is_strictly_after(spark):
     want = ref_funnel(events, STEPS)
     got = _run(spark, events)
     assert got == want == {1: (2, 1_000_000, 2_000_000)}
+
+
+def test_session_funnel_equals_funnel_fuzz(spark):
+    """session_funnel (one-pass chained window mins, round 11) must be
+    RESULT-identical to funnel() on the same keyed input — same greedy
+    earliest-match semantics, different plan. Multi-key form included
+    (the q152 no-second-exchange shape)."""
+    from duckdb_spatial_spark.operators.temporal import session_funnel
+
+    rng = random.Random(23)
+    for trial in range(5):
+        events = []
+        for u in range(rng.randint(3, 12)):
+            t = 0
+            for _ in range(rng.randint(0, 25)):
+                t += rng.randint(0, 5) * 1_000_000
+                ty = rng.choice(STEPS + NOISE + STEPS)
+                events.append((u, t, ty))
+        rng.shuffle(events)
+        rows = [(u,
+                 datetime.datetime.fromtimestamp(
+                     t / 1e6, tz=datetime.timezone.utc)
+                 .replace(tzinfo=None), ty)
+                for u, t, ty in events]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        want = sorted(tuple(r) for r in funnel(df, STEPS).collect())
+        got = sorted(tuple(r) for r in
+                     session_funnel(df, STEPS, key_col="user_id").collect())
+        assert got == want, trial
+        # multi-key: (user, parity-of-second) as composite session key
+        df2 = df.withColumn("g", (F.unix_micros("ts") % 2).cast("long"))
+        got2 = sorted(
+            tuple(r) for r in
+            session_funnel(df2, STEPS,
+                           key_col=["user_id", "g"]).collect())
+        keyed = df2.select(
+            (F.col("user_id") * 2 + F.col("g")).alias("k"),
+            "ts", "event_type")
+        want2 = sorted(
+            (r[0] // 2, r[0] % 2, r[1], r[2], r[3])
+            for r in funnel(keyed, STEPS, user_col="k").collect())
+        assert got2 == want2, trial
