@@ -5661,28 +5661,72 @@ def _q163_oracle_sql() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. ROUND-10 window — staleness-first continuation of the
-    # round-9 rotation (round-9 verdict ask #1):
-    #   * round-10 changed/new code leads: q159 (new isotonic/PAV
-    #     calibration), q96 (pagerank cache-fill fix), q153 (funnel
-    #     step-3 eviction fix);
-    #   * then every query whose latest driver check is round 3-5 —
-    #     the full stale tier the verdict names (q10/q48/q51/q52/q59/
-    #     q63 r3; q26/q55/q58/q71/q72/q73/q93 r4; q05/q101 + the rest
-    #     of the r5 block) — 33 queries;
-    #   * the remaining 14 slots take the oldest r6-checked queries;
-    #     5 r6 queries (q57 q75 q103 q118 q123) wait for round 11,
-    #     each with an in-window family sibling (geometry core fresh
-    #     r9, q81 streaming, q131-family BM25 fresh r8, q97 salts,
-    #     q114 HLL).
-    # Displaced: the round-9 window (all 50 driver-green in r9,
-    # byte-unchanged except q96/q153 which stay in) and the r7/r8
-    # tiers (driver-green r7/r8, byte-unchanged).
+    # entries. ROUND-11 window — staleness-first continuation of the
+    # round-10 rotation (round-10 verdict ask #1):
+    #   * round-11 new/changed code leads: q163 (new PCA-rotation PQ),
+    #     q164 (new HITS), q159 (NaN/out-of-range bin clamp), q160
+    #     (null-id entry filter), q152 (session_funnel one-pass plan);
+    #   * then EVERY query whose latest driver check is round 6
+    #     (8: q57 q75 q90 q97 q99 q103 q118 q123) or round 7
+    #     (13: q60 q76 q95 q98 q112 q124 q128 q130 q132-q135 q147);
+    #   * the remaining 24 slots take the r8 tier ranked by OLDEST
+    #     prior evidence: the first-ever-r8 rows (q149/q150/q154-q158),
+    #     q74/q94, the round-1 evergreens (q02 q07 q12 q15 q28 q31),
+    #     then q108/q109/q115/q117/q64/q66/q84/q87/q126.
+    # Displaced: the whole round-10 window (all 50 driver-green in r10,
+    # byte-unchanged) and the fresher r8/r9 rows.
     return {
         "q163_pca_rotation_pq": q163_pca_rotation_pq,
         "q164_hits": q164_hits,
         "q159_isotonic_calibration": q159_isotonic_calibration,
         "q160_streaming_mmr": q160_streaming_mmr,
+        "q152_session_funnel": q152_session_funnel,
+        "q57_shortestline": q57_shortestline,
+        "q75_streaming_extent": q75_streaming_extent,
+        "q90_domain_quota": q90_domain_quota,
+        "q97_salted_agg": q97_salted_agg,
+        "q99_minhash_index": q99_minhash_index,
+        "q103_bm25_topk": q103_bm25_topk,
+        "q118_salted_join": q118_salted_join,
+        "q123_hll_overlap": q123_hll_overlap,
+        "q60_spheroid": q60_spheroid,
+        "q76_pack_sequences": q76_pack_sequences,
+        "q95_profile_table": q95_profile_table,
+        "q98_corpus_diff": q98_corpus_diff,
+        "q112_asof_join": q112_asof_join,
+        "q124_corpus_divergence": q124_corpus_divergence,
+        "q128_triangle_count": q128_triangle_count,
+        "q130_inverted_index": q130_inverted_index,
+        "q132_shard_permutation": q132_shard_permutation,
+        "q133_zorder_layout": q133_zorder_layout,
+        "q134_phrase_search": q134_phrase_search,
+        "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
+        "q147_weighted_sample": q147_weighted_sample,
+        "q149_topk_per_group": q149_topk_per_group,
+        "q150_time_bucket_ohlc": q150_time_bucket_ohlc,
+        "q154_char_entropy": q154_char_entropy,
+        "q155_rollup_aggregate": q155_rollup_aggregate,
+        "q156_exact_percentiles": q156_exact_percentiles,
+        "q157_pivot_table": q157_pivot_table,
+        "q158_bfs_hops": q158_bfs_hops,
+        "q74_repetition_filter": q74_repetition_filter,
+        "q94_pca_project": q94_pca_project,
+        "q02_zone_pip_join": q02_zone_pip_join,
+        "q07_wkt_area": q07_wkt_area,
+        "q12_npoints": q12_npoints,
+        "q15_tpch_q1": q15_tpch_q1,
+        "q28_union_agg": q28_union_agg,
+        "q31_predicate_matrix": q31_predicate_matrix,
+        "q108_lm_kneser_ney": q108_lm_kneser_ney,
+        "q109_geoparquet_covering": q109_geoparquet_covering,
+        "q115_count_min": q115_count_min,
+        "q117_dbscan": q117_dbscan,
+        "q64_mixed_overlay": q64_mixed_overlay,
+        "q66_multimodal": q66_multimodal,
+        "q84_quality_buckets": q84_quality_buckets,
+        "q87_lm_perplexity": q87_lm_perplexity,
+        "q126_sessionize": q126_sessionize,
+        # ---- below the 50-query driver window (latest driver check r8-r10, byte-unchanged) ----
         "q161_label_propagation": q161_label_propagation,
         "q162_k_core": q162_k_core,
         "q96_pagerank": q96_pagerank,
@@ -5731,10 +5775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_gdb_roundtrip": q68_gdb_roundtrip,
         "q80_webdataset_roundtrip": q80_webdataset_roundtrip,
         "q89_sentence_stats": q89_sentence_stats,
-        # ---- below the 50-query driver window (latest driver check r6-r9, byte-unchanged) ----
-        "q90_domain_quota": q90_domain_quota,
-        "q97_salted_agg": q97_salted_agg,
-        "q99_minhash_index": q99_minhash_index,
         "q148_group_zscore": q148_group_zscore,
         "q70_decontaminate": q70_decontaminate,
         "q54_langid_ngram": q54_langid_ngram,
@@ -5783,30 +5823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_force_dims": q44_force_dims,
         "q46_geojson_roundtrip": q46_geojson_roundtrip,
         "q49_collectionextract": q49_collectionextract,
-        "q02_zone_pip_join": q02_zone_pip_join,
-        "q109_geoparquet_covering": q109_geoparquet_covering,
-        "q07_wkt_area": q07_wkt_area,
-        "q12_npoints": q12_npoints,
-        "q15_tpch_q1": q15_tpch_q1,
         "q127_edit_distance_dedup": q127_edit_distance_dedup,
-        "q28_union_agg": q28_union_agg,
-        "q31_predicate_matrix": q31_predicate_matrix,
-        "q84_quality_buckets": q84_quality_buckets,
-        "q108_lm_kneser_ney": q108_lm_kneser_ney,
         "q137_zorder_crud": q137_zorder_crud,
         "q146_collocations": q146_collocations,
-        "q87_lm_perplexity": q87_lm_perplexity,
         "q144_json_extract": q144_json_extract,
-        "q117_dbscan": q117_dbscan,
         "q143_funnel": q143_funnel,
-        "q115_count_min": q115_count_min,
-        "q94_pca_project": q94_pca_project,
-        "q74_repetition_filter": q74_repetition_filter,
-        "q149_topk_per_group": q149_topk_per_group,
-        "q150_time_bucket_ohlc": q150_time_bucket_ohlc,
         "q129_cluster_delete": q129_cluster_delete,
-        "q64_mixed_overlay": q64_mixed_overlay,
-        "q66_multimodal": q66_multimodal,
         "q145_cohort_retention": q145_cohort_retention,
         "q53_transform_utm": q53_transform_utm,
         "q140_token_budget_mix": q140_token_budget_mix,
@@ -5819,31 +5841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_group_sample": q136_group_sample,
         "q141_ngram_novelty": q141_ngram_novelty,
         "q122_rolling_window": q122_rolling_window,
-        "q152_session_funnel": q152_session_funnel,
-        "q154_char_entropy": q154_char_entropy,
-        "q155_rollup_aggregate": q155_rollup_aggregate,
-        "q156_exact_percentiles": q156_exact_percentiles,
-        "q157_pivot_table": q157_pivot_table,
-        "q158_bfs_hops": q158_bfs_hops,
-        "q126_sessionize": q126_sessionize,
-        "q76_pack_sequences": q76_pack_sequences,
-        "q95_profile_table": q95_profile_table,
-        "q98_corpus_diff": q98_corpus_diff,
-        "q124_corpus_divergence": q124_corpus_divergence,
-        "q60_spheroid": q60_spheroid,
-        "q130_inverted_index": q130_inverted_index,
-        "q134_phrase_search": q134_phrase_search,
-        "q133_zorder_layout": q133_zorder_layout,
-        "q132_shard_permutation": q132_shard_permutation,
-        "q112_asof_join": q112_asof_join,
-        "q135_cluster_balanced_sample": q135_cluster_balanced_sample,
-        "q128_triangle_count": q128_triangle_count,
-        "q147_weighted_sample": q147_weighted_sample,
-        "q123_hll_overlap": q123_hll_overlap,
-        "q103_bm25_topk": q103_bm25_topk,
-        "q75_streaming_extent": q75_streaming_extent,
-        "q57_shortestline": q57_shortestline,
-        "q118_salted_join": q118_salted_join,
     }
 
 

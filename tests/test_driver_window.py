@@ -10,23 +10,23 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry  # noqa: E402
 
-# round-10 rotation: new/changed code + the r3-r5 stale tier (33) — see
-# the queries() docstring for the full composition
-ROUND_CHANGED = {"q159_isotonic_calibration", "q160_streaming_mmr",
-                 "q161_label_propagation", "q162_k_core",
-                 "q96_pagerank", "q153_streaming_funnel"}
+# round-11 rotation: new/changed code + the full r6/r7 stale tier (21)
+# + the 24 oldest-prior-evidence r8 rows — see the queries() docstring
+ROUND_CHANGED = {"q163_pca_rotation_pq", "q164_hits",
+                 "q159_isotonic_calibration", "q160_streaming_mmr",
+                 "q152_session_funnel"}
 STALE_TIER = {
-    "q10_quadkey", "q48_pointonsurface", "q51_buffer_line",
-    "q52_buffer_polygon", "q59_reduceprecision", "q63_intersection_agg",
-    "q26_ngram_jaccard", "q55_ann_ivf", "q58_linemerge_normalize",
-    "q71_sample_stratified", "q72_pii_redact", "q73_paragraph_dedup",
-    "q93_vec_quantize", "q05_centroid_collect", "q101_substring_dedup",
-    "q102_c4_filters", "q104_semdedup", "q111_pca_power_iteration",
-    "q114_hll_distinct", "q116_ann_ivfpq", "q35_transform",
-    "q38_minhash_lsh", "q61_rtree_points", "q65_gpkg_roundtrip",
-    "q69_dedup_components", "q77_chunk_documents", "q78_temperature_mix",
-    "q79_dedup_pipeline", "q81_streaming_sessions", "q82_warc_pipeline",
-    "q83_url_domain_stats", "q85_vocab_build", "q92_text_clean",
+    # r6 (all 8)
+    "q57_shortestline", "q75_streaming_extent", "q90_domain_quota",
+    "q97_salted_agg", "q99_minhash_index", "q103_bm25_topk",
+    "q118_salted_join", "q123_hll_overlap",
+    # r7 (all 13)
+    "q60_spheroid", "q76_pack_sequences", "q95_profile_table",
+    "q98_corpus_diff", "q112_asof_join", "q124_corpus_divergence",
+    "q128_triangle_count", "q130_inverted_index",
+    "q132_shard_permutation", "q133_zorder_layout",
+    "q134_phrase_search", "q135_cluster_balanced_sample",
+    "q147_weighted_sample",
 }
 
 
