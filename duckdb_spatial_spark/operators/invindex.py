@@ -49,6 +49,24 @@ def _terms(text_col: str) -> Column:
     )
 
 
+def _adaptive_partitions(df: DataFrame, target_bytes: int = 64 << 20) -> int:
+    """Output-partition count derived from the INPUT size estimate, not
+    from cluster parallelism (guide §6: size output files to
+    64 MB-1 GB). Catalyst's optimizedPlan stats are a driver-side
+    estimate (no job); posting layouts are roughly corpus-sized, so
+    input bytes are the right yardstick. Clamped to
+    [1, defaultParallelism]: a tiny corpus yields ONE sorted file (no
+    range-sampling job, no 32 near-empty files), a 100-TB corpus still
+    fans out to every core."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        est = 1 << 60  # unknown → keep the old fan-out behavior
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(par, -(-est // int(target_bytes))))
+
+
 def build_inverted_index(
     df: DataFrame,
     path: str,
@@ -85,7 +103,7 @@ def build_inverted_index(
         F.sum("__n").over(Window.partitionBy("term")).cast("long").alias("df"),
         "docs",
     )
-    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    np_ = num_partitions or _adaptive_partitions(df)
     (
         out.repartitionByRange(np_, "term", "seg")
         .sortWithinPartitions("term", "seg")
@@ -131,6 +149,9 @@ def conjunctive_query(spark: SparkSession, path: str,
 def _scored_generation(df: DataFrame, path: str, id_col: str,
                        text_col: str, segment_size: int,
                        num_partitions: Optional[int], mode: str) -> None:
+    from pyspark.sql import Window
+    from pyspark import StorageLevel
+
     from .pipeline import normalized_words
 
     terms = (
@@ -140,8 +161,19 @@ def _scored_generation(df: DataFrame, path: str, id_col: str,
     )
     tf = terms.groupBy("__d", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf"))
-    dl = tf.groupBy("__d").agg(F.sum("tf").cast("long").alias("dl"))
-    rows = tf.join(dl, "__d")
+    # dl as a WINDOW sum over tf, not a tf ⋈ dl self-join: the join
+    # planned the derived dl aggregate as a broadcast build — its own
+    # job barrier that re-ran the tokenize+tf pipeline a second time
+    # per generation (measured: one ~0.3 s CompletableFuture job per
+    # generation at sf0.1). The window reuses tf's exchange output and
+    # keeps ONE tokenize pass. Integer sum — identical either way.
+    rows = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("__d")).cast("long"))
+    # rows is the bounded (doc, term, tf, dl) frame BOTH sinks need;
+    # persist it so the stats pass reads the cache instead of
+    # re-tokenizing the corpus a third time (guide §1.2: don't compute
+    # things twice). Spills to disk at scale; unpersisted before return.
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
 
     seg = F.floor(F.col("__d") / F.lit(int(segment_size))).cast("long")
     segs = (
@@ -155,27 +187,47 @@ def _scored_generation(df: DataFrame, path: str, id_col: str,
         F.transform("__p", lambda x: x["tf"]).alias("tfs"),
         F.transform("__p", lambda x: x["dl"]).alias("dls"),
     )
-    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    np_ = num_partitions or _adaptive_partitions(df)
     (
         out.repartitionByRange(np_, "term", "seg")
         .sortWithinPartitions("term", "seg")
         .write.mode(mode).parquet(path.rstrip("/") + "/postings")
     )
-    # stats in ONE self-contained pass over df — no broadcast of the
-    # derived dl aggregate (a derived-frame broadcast build is its own
-    # job barrier, trap 13; measured 5 jobs/generation before, 4 after).
-    # Identities: Σ dl over docs == Σ per-row token counts (dl is the
-    # doc's total token count even across repeated id rows), and the dl
-    # frame's row count == distinct ids with ≥1 token.
-    ntok = F.size(F.filter(normalized_words(F.col(text_col)),
-                           lambda w: w != ""))
-    stats = df.select(F.col(id_col).alias("__d"), ntok.alias("__nt")).agg(
-        F.countDistinct("__d").cast("long").alias("n_docs"),
-        F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("sum_dl"),
-        F.countDistinct(F.when(F.col("__nt") > 0, F.col("__d")))
-         .cast("long").alias("n_dl"),
-    )
-    stats.coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/stats")
+    # Stats from the persisted rows frame + one column-pruned id scan —
+    # no tokenize re-run. Identities (exact, integer-only; they hold
+    # across duplicate and null ids exactly like the old one-pass
+    # form): Σ tf over (doc, term) == Σ per-row token counts (sum_dl);
+    # distinct __d in tf == distinct ids with ≥ 1 token (n_dl); n_docs
+    # counts ALL distinct ids including zero-token docs, so it comes
+    # from df's id column alone (column pruning reaches the scan).
+    sum_dl, n_dl = rows.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("sum_dl"),
+        F.countDistinct("__d").cast("long").alias("n_dl"),
+    ).collect()[0]
+    n_docs = df.agg(
+        F.countDistinct(F.col(id_col)).cast("long")).collect()[0][0]
+    rows.unpersist()
+    # the stats ROW is a driver scalar by construction (one row per
+    # generation); write it driver-side — a Spark write job (plus the
+    # 1-row exchange it drags in) is pure overhead for one row. The
+    # aggregations above still run distributed.
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats_dir = path.rstrip("/") + "/stats"
+    if mode == "overwrite" and os.path.isdir(stats_dir):
+        import shutil
+
+        shutil.rmtree(stats_dir)
+    os.makedirs(stats_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                  "sum_dl": pa.array([sum_dl], pa.int64()),
+                  "n_dl": pa.array([n_dl], pa.int64())}),
+        os.path.join(stats_dir, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def build_scored_index(
@@ -350,7 +402,7 @@ def build_positional_index(
         F.transform("__p", lambda x: x["__d"]).alias("docs"),
         F.transform("__p", lambda x: x["positions"]).alias("pos_lists"),
     )
-    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    np_ = num_partitions or _adaptive_partitions(df)
     (
         out.repartitionByRange(np_, "term", "seg")
         .sortWithinPartitions("term", "seg")
