@@ -34,7 +34,7 @@ from duckdb_spatial_spark.operators import (
 )
 from duckdb_spatial_spark.operators.similarity import cosine_similarity
 from duckdb_spatial_spark.sources import st_generatepoints
-from duckdb_spatial_spark.sources.tables import load_table
+from duckdb_spatial_spark.sources.tables import load_table, read_layout
 
 
 # --------------------------------------------------------------- helpers
@@ -3291,19 +3291,53 @@ def q122_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
     window — §2.J relational breadth the reference gets from DuckDB's
     RANGE frames."""
     e = _events_utc(spark, load_table(spark, sf, "events", fan_out=False))
+    look = 7 * 86400 * 1_000_000
     pts = e.select(
+        F.col("event_id").alias("eid"),
         (F.col("user_id") % 20).alias("k"),
         F.unix_micros("ts").alias("t"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = (
-        Window.partitionBy("k").orderBy("t")
-        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    # Sliding RANGE frames are O(rows x frame) in Spark's WindowExec (the
+    # aggregate buffer is rebuilt per row — ~100k rows x ~1k-row frames =
+    # 10^8 updates here, and frame width grows with data density at
+    # scale). Rewritten as O(rows): trailing sum == running RANGE-cum at
+    # the row minus the cum at a probe row planted at (t - look - 1µs);
+    # RANGE unbounded..current includes ties, so the probe's cum is
+    # exactly the mass strictly before the window start. Integer sums —
+    # bit-identical to the frame form (verified row-level incl. null
+    # ts/cents: null-t rows form their own peer-group frame, handled by
+    # the whole-partition window below; roll_cents NULL-vs-0 differences
+    # are erased by the final sum()).
+    nn = pts.filter(F.col("t").isNotNull())
+    probes = nn.select(
+        "eid", "k", (F.col("t") - F.lit(look) - 1).alias("t"),
+        F.lit(None).cast("long").alias("cents"), F.lit(1).alias("probe"))
+    un = nn.withColumn("probe", F.lit(0)).unionByName(probes)
+    wc = (Window.partitionBy("k").orderBy("t")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    cnt_w = F.when((F.col("probe") == 0) & F.col("cents").isNotNull(),
+                   F.lit(1)).otherwise(F.lit(0))
+    per = (
+        un.select("eid", "k", "probe",
+                  F.sum("cents").over(wc).alias("cum_c"),
+                  F.sum(cnt_w).over(wc).alias("cum_n"))
+        .groupBy("eid")
+        .agg(F.max("k").alias("k"),
+             F.max(F.when(F.col("probe") == 0, F.col("cum_c"))).alias("ac"),
+             F.max(F.when(F.col("probe") == 0, F.col("cum_n"))).alias("an"),
+             F.max(F.when(F.col("probe") == 1, F.col("cum_c"))).alias("bc"),
+             F.max(F.when(F.col("probe") == 1, F.col("cum_n"))).alias("bn"))
+        .select("k",
+                (F.col("ac") - F.coalesce("bc", F.lit(0))).alias("roll_cents"),
+                (F.col("an") - F.coalesce("bn", F.lit(0))).alias("roll_n"))
     )
-    out = pts.withColumn("roll_cents", F.sum("cents").over(w)) \
-             .withColumn("roll_n", F.count("cents").over(w))
+    wnull = Window.partitionBy("k")
+    nulls = pts.filter(F.col("t").isNull()).select(
+        "k", F.sum("cents").over(wnull).alias("roll_cents"),
+        F.count("cents").over(wnull).alias("roll_n"))
     return (
-        out.groupBy("k")
+        per.unionByName(nulls).groupBy("k")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("roll_cents").cast("long").alias("sum_roll_cents"),
@@ -3654,7 +3688,7 @@ def q125_cluster_append(spark: SparkSession, sf: str) -> DataFrame:
     st_cluster_append(sup.filter(F.col("k") % 4 == 1), path, "x", "y")
     st_cluster_append(sup.filter(F.col("k") % 4 == 3), path, "x", "y")
     st_cluster_compact(spark, path, "x", "y", small_file_bytes=256 << 10)
-    ds = spark.read.parquet(path)
+    ds = read_layout(spark, path)
     win = ds.filter(
         (F.col("x") >= 50.0) & (F.col("x") <= 120.0)
         & (F.col("y") >= -1000.0) & (F.col("y") <= 5000.0)
@@ -3844,7 +3878,7 @@ def q129_cluster_delete(spark: SparkSession, sf: str) -> DataFrame:
     nd = st_cluster_delete(
         spark, path, "x >= 80.0 AND x <= 130.0 AND y < 0.0")
     st_cluster_compact(spark, path, "x", "y", small_file_bytes=256 << 10)
-    ds = spark.read.parquet(path)
+    ds = read_layout(spark, path)
     win = ds.filter(
         (F.col("x") >= 50.0) & (F.col("x") <= 120.0)
         & (F.col("y") >= -1000.0) & (F.col("y") <= 5000.0)
@@ -4018,7 +4052,7 @@ def q133_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="dss_q133_"), "z")
     zorder_cluster(ev.select("event_id", "user_id", "value"),
                    ["value", "user_id"], num_partitions=8).write.parquet(path)
-    back = spark.read.parquet(path)
+    back = read_layout(spark, path)
     return (
         back.filter(F.col("value").between(100.0, 250.0)
                     & F.col("user_id").between(20, 80))
@@ -4899,7 +4933,7 @@ def q142_streaming_layout(spark: SparkSession, sf: str) -> DataFrame:
     q = streaming_zorder_append(stream, path, ["value", "user_id"],
                                 ranges=ranges)
     q.awaitTermination()
-    back = spark.read.parquet(path)
+    back = read_layout(spark, path)
     return (
         back.filter(F.col("value").between(50.0, 300.0)
                     & F.col("user_id").between(5, 100))
@@ -5112,7 +5146,7 @@ def q137_zorder_crud(spark: SparkSession, sf: str) -> DataFrame:
         "value >= 300.0 AND value < 350.0 AND user_id % 3 = 0")
     zorder_compact(spark, path, ["value", "user_id"],
                    small_file_bytes=1 << 20)
-    back = spark.read.parquet(path)
+    back = read_layout(spark, path)
     return (
         back.filter(F.col("value").between(100.0, 400.0)
                     & F.col("user_id").between(10, 120))

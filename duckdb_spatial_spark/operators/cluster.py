@@ -135,7 +135,9 @@ def st_cluster_compact(
     )
     if len(files) < 2:
         return 0
-    small = spark.read.parquet(*files)
+    from ..sources.tables import read_layout
+
+    small = read_layout(spark, *files)
     st_cluster(
         small, x, y, extent=extent,
         num_partitions=num_partitions or 1, order=order,
@@ -183,8 +185,10 @@ def st_cluster_delete(
     import os
     from urllib.parse import unquote, urlparse
 
+    from ..sources.tables import read_layout
+
     pred = F.expr(where)
-    ds = spark.read.parquet(path)
+    ds = read_layout(spark, path)
     # one job: per-file deleted-row counts == the affected-file list
     hits = (
         ds.filter(pred)
@@ -197,7 +201,7 @@ def st_cluster_delete(
     files = sorted(unquote(urlparse(r["__f"]).path) for r in hits)
     deleted = sum(r["__n"] for r in hits)
     survivors = (
-        spark.read.parquet(*files)
+        spark.read.schema(ds.schema).parquet(*files)
         .filter(~F.coalesce(pred, F.lit(False)))
     )
     # each rewritten file keeps rows from hilbert-contiguous source files

@@ -116,8 +116,10 @@ def index_term_stats(spark: SparkSession, path: str,
     """(term, df) for the requested terms — reads ONLY their rows (the
     term filter reaches the Parquet scan as a PushedFilter; min/max
     stats on the sorted layout prune everything else)."""
+    from ..sources.tables import read_layout
+
     return (
-        spark.read.parquet(path)
+        read_layout(spark, path)
         .filter(F.col("term").isin(list(terms)))
         .groupBy("term").agg(F.max("df").cast("long").alias("df"))
     )
@@ -133,9 +135,11 @@ def conjunctive_query(spark: SparkSession, path: str,
     terms (never corpus-sized); a query for stopwords degrades to their
     posting mass, which is the inherent cost of the ANSWER, not a plan
     artifact."""
+    from ..sources.tables import read_layout
+
     k = len(set(terms))
     idx = (
-        spark.read.parquet(path)
+        read_layout(spark, path)
         .filter(F.col("term").isin(list(terms)))
     )
     hits = idx.select("term", F.explode("docs").alias("doc_id")).distinct()
@@ -306,13 +310,15 @@ def bm25_search(
     """
     from pyspark.sql import Window
 
-    stats = spark.read.parquet(path.rstrip("/") + "/stats").agg(
+    from ..sources.tables import read_layout
+
+    stats = read_layout(spark, path.rstrip("/") + "/stats").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         (F.sum("sum_dl").cast("double")
          / F.sum("n_dl").cast("double")).alias("avgdl"),
     )
     idx = (
-        spark.read.parquet(path.rstrip("/") + "/postings")
+        read_layout(spark, path.rstrip("/") + "/postings")
         .filter(F.col("term").isin(list(terms)))
     )
     # document frequency recomputed from the pruned scan: Σ segment
@@ -426,8 +432,10 @@ def phrase_query(spark: SparkSession, path: str,
     """
     if not phrase:
         raise ValueError("phrase_query: empty phrase")
+    from ..sources.tables import read_layout
+
     idx = (
-        spark.read.parquet(path.rstrip("/") + "/postings")
+        read_layout(spark, path.rstrip("/") + "/postings")
         .filter(F.col("term").isin(list(set(phrase))))
     )
     hits = (

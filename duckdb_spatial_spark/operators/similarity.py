@@ -329,7 +329,9 @@ def save_ivf_centroids(spark, centroids: np.ndarray, path: str) -> None:
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
     """(n_centroids, dim) float64 back from :func:`save_ivf_centroids`,
     row order restored by cid."""
-    rows = spark.read.parquet(path).orderBy("cid").collect()
+    from ..sources.tables import read_layout
+
+    rows = read_layout(spark, path).orderBy("cid").collect()
     return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
 

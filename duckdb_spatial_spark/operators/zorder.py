@@ -155,7 +155,9 @@ def zorder_compact(
     )
     if len(files) < 2:
         return 0
-    small = spark.read.parquet(*files)
+    from ..sources.tables import read_layout
+
+    small = read_layout(spark, *files)
     zorder_cluster(
         small, cols, ranges=ranges,
         num_partitions=num_partitions or 1, bits=bits,
