@@ -87,32 +87,44 @@ def dbscan(
     # adoption) — without a cut Catalyst replays the cell join per branch.
     # localCheckpoint, not persist: nothing downstream can schedule an
     # unpersist, and CacheManager never frees Dataset caches on its own.
-    nbr = nbr.localCheckpoint(eager=True)
-    # neighbor count includes the point itself
-    counts = (
-        nbr.groupBy(F.col("id_a").alias("id"))
-        .agg((F.count("*") + F.lit(1)).alias("n_nbr"))
+    # Coreness is annotated as WINDOW counts over the (symmetric) edge
+    # list — count per id_a == a's neighbor count, count per id_b ==
+    # b's — instead of joining a derived `core` frame back in three
+    # places: each of those joins planned a broadcast build of the
+    # derived frame, its own job barrier (trap 13), where a window is
+    # just a stage inside the consuming job.
+    from pyspark.sql import Window
+
+    nbr = (
+        nbr.withColumn(
+            "na", F.count(F.lit(1)).over(Window.partitionBy("id_a")) + 1)
+        .withColumn(
+            "nb", F.count(F.lit(1)).over(Window.partitionBy("id_b")) + 1)
+        .localCheckpoint(eager=True)
     )
+    # neighbor count includes the point itself
+    counts = nbr.select(F.col("id_a").alias("id"), F.col("na").alias("n_nbr")
+                        ).distinct()
     labelled = pts.select("id").join(counts, "id", "left").select(
         "id", F.coalesce("n_nbr", F.lit(1)).alias("n_nbr"))
+    # full core set (includes isolated points when min_pts <= 1) — used
+    # ONLY as the component node universe, never joined back into the
+    # nbr branches (those use the window flags).
     core = labelled.filter(F.col("n_nbr") >= min_pts).select("id")
 
-    core_edges = (
-        nbr.join(core.withColumnRenamed("id", "id_a"), "id_a")
-        .join(core.withColumnRenamed("id", "id_b"), "id_b")
-        .select("id_a", "id_b")
-    )
+    core_edges = nbr.filter(
+        (F.col("na") >= min_pts) & (F.col("nb") >= min_pts)
+    ).select("id_a", "id_b")
     # (id, comp) — comp = smallest member id of the core component
     comp = connected_components(
         core_edges, "id_a", "id_b", nodes=core, id_col="id")
 
     # border: non-core points adopt the smallest label among core neighbors
     border = (
-        nbr.join(core.withColumnRenamed("id", "id_b"), "id_b")
+        nbr.filter((F.col("na") < min_pts) & (F.col("nb") >= min_pts))
         .join(comp.withColumnRenamed("id", "id_b"), "id_b")
         .groupBy(F.col("id_a").alias("id"))
         .agg(F.min("comp").alias("b_label"))
-        .join(core.withColumn("__c", F.lit(1)), "id", "left_anti")
     )
 
     out = (

@@ -569,9 +569,17 @@ def connected_components(
     star_schema = T.StructType([
         T.StructField("src", node_t), T.StructField("dst", node_t)])
     # Tier 1: per-partition union-find contraction (no shuffle).
+    # Lazy persist, not eager localCheckpoint: the guard count below is
+    # the materializing action (compute + cache in ONE pass/job); the
+    # tier-2 collect then reads the cache. An eager checkpoint spent a
+    # dedicated job materializing and the count scanned it again —
+    # 3 jobs/passes where 2 suffice. Tier 2 unpersists after its
+    # collect; tier 3 unpersists after checkpointing its edge frame.
+    from pyspark import StorageLevel
+
     star = raw.mapInPandas(
         lambda it: _local_union_find(it, "src", "dst"), schema=star_schema
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_star = star.count()
 
     if n_star <= driver_node_limit:
@@ -590,6 +598,7 @@ def connected_components(
             return r
 
         rows = star.collect()
+        star.unpersist()
         for row in rows:
             a, b = row["src"], row["dst"]
             ra, rb = find(a), find(b)
@@ -624,6 +633,7 @@ def connected_components(
     # labels against frames derived from labels — ambiguous otherwise)
     # and keeps every round's plan O(1)
     edges = edges.localCheckpoint(eager=True)
+    star.unpersist()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("comp"))
