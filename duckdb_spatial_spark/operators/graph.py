@@ -46,15 +46,27 @@ def pagerank(
         # from the 1/n uniform start
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # out-links with degree attached — reused every iteration, persist once
-    links = e.join(deg, "src").persist()
-    links.count()
+    from pyspark.sql import Window
+
+    # out-links with degree attached — reused every iteration, persist
+    # once. Degree is a WINDOW count over the src-partitioned layout,
+    # not an e ⋈ groupBy(deg) self-join: the derived deg aggregate
+    # planned as a broadcast build, its own job barrier (trap 13), and
+    # re-ran the distinct. The explicit repartition("src") also fixes
+    # the cache's partitioning so every iteration's contribs join is
+    # co-partitioned with the rank generations (zero per-iteration
+    # exchange or broadcast of the edges — the q161/q164 loop shape).
+    links = (
+        e.repartition("src")
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()
+    )
 
     d = float(damping)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     dangling = nodes.join(
-        deg.select(F.col("src").alias("node")), "node", "left_anti"
+        links.select(F.col("src").alias("node")).hint("merge"),
+        "node", "left_anti"
     ).persist()
     # ONE job materializes the generation AND returns the dangling mass
     # the NEXT iteration needs: the inner join with the (persisted)
@@ -62,10 +74,12 @@ def pagerank(
     # side effect — the separate per-iteration `.count()` +
     # dangling-collect pair cost two driver job barriers per iteration
     # (~0.25-0.3 s each at the local-mode job floor; q96 = 14 jobs
-    # before, 9 after). The mass still leaves the plan through a 1-row
-    # collect — the single-reference loop shape that avoids the
-    # exponential-lineage trap (PLANS.md trap 19).
-    _mass = ranks.join(dangling, "node").agg(F.sum("rank"))
+    # before, 9 after). This initial mass job also back-fills the links
+    # and dangling caches (links has no dedicated count job). The mass
+    # still leaves the plan through a 1-row collect — the
+    # single-reference loop shape that avoids the exponential-lineage
+    # trap (PLANS.md trap 19).
+    _mass = ranks.hint("merge").join(dangling, "node").agg(F.sum("rank"))
     dang_mass = _mass.collect()[0][0] or 0.0
     # Ranks start uniform-POSITIVE (1/n), so the initial mass is
     # |dangling|/n — zero iff the dangling set is empty. Decide the loop
@@ -79,26 +93,28 @@ def pagerank(
     # values stay correct, perf does not).
     has_dangling = dang_mass > 0.0
 
-    # node-cardinality frames broadcast only under an EXPLICIT n-guard:
-    # n is exact (just counted), so this is a measured decision, not an
-    # estimate — at sf0.1 it converts the two per-iteration rank joins
-    # from shuffle joins (3 exchanges each on 8 reduce partitions) into
-    # broadcast probes; above the guard the same code stays a shuffle
-    # equi-join on the key, the 100-TB shape
-    small = n <= 1_000_000
-    bcast = F.broadcast if small else (lambda df: df)
-
+    # Every per-iteration join below is CO-PARTITIONED on 8-ish shuffle
+    # partitions: links is cached hash(src), every rank/contrib
+    # generation comes out of a distinct/groupBy/SMJ hash(node), and
+    # dangling is cached hash(node) — so the only exchange per
+    # iteration is the contribs groupBy, and the only job is the mass
+    # collect (or cache-fill count). The joins are pinned to sort-merge
+    # because a small cached generation would otherwise re-trigger an
+    # auto-broadcast, and each derived-frame broadcast build is its own
+    # job barrier (trap 13; this loop previously spent ~1 broadcast
+    # job/iteration on exactly that). Same plan shape at any scale —
+    # nothing here keys off n.
     for _ in range(iters):
         contribs = (
-            links.join(bcast(ranks.withColumnRenamed("node", "src")),
-                       "src")
+            links.hint("merge")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"),
                     (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
         new_ranks = (
-            nodes.join(bcast(contribs), "node", "left")
+            nodes.hint("merge").join(contribs, "node", "left")
             .select(
                 "node",
                 (F.lit((1.0 - d) / n)
@@ -109,7 +125,8 @@ def pagerank(
         )
         if has_dangling:
             dang_mass = (
-                new_ranks.join(bcast(dangling), "node").agg(F.sum("rank"))
+                new_ranks.hint("merge").join(dangling, "node")
+                .agg(F.sum("rank"))
                 .collect()[0][0] or 0.0
             )
         else:
@@ -476,36 +493,49 @@ def hits(
     unrolled CTEs); the ~1e-13 relative drift from summation order
     disappears under the caller's 6-dp rounding after max-normalize.
 
-    Plan per iteration: two edge-scale equi-joins + two map-side
-    combined sums, node-scale frames broadcast only under the explicit
-    n ≤ 1M guard (above it both joins shuffle on the key — the 100-TB
-    shape); generations persist/unpersist so lineage stays O(1).
+    Plan per iteration: two edge-scale CO-PARTITIONED equi-joins + two
+    map-side combined sums and ONE materializing job — the edge list is
+    pre-partitioned ONCE by each join key (src for the authority step,
+    dst for the hub step) and every iteration's aggregate comes out of
+    its groupBy already partitioned on the next join's key, so no
+    per-iteration exchange of the edges and no broadcast builds (a
+    derived-frame broadcast is its own job barrier per join — trap 13;
+    measured 13 jobs → 6 for 4 double-steps). The joins are pinned to
+    sort-merge so a small cached generation can't re-trigger an
+    auto-broadcast. This is also the 100-TB shape: the q161 LPA loop
+    made the same broadcast-vs-co-partition call. Generations
+    persist/unpersist so lineage stays O(1).
     Returns a tall (kind, node, score) frame — kind ∈ ('auth', 'hub'),
     nodes with zero score omitted (no in-/out-links respectively).
     """
     e = (edges.select(F.col(src_col).cast("long").alias("src"),
                       F.col(dst_col).cast("long").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .distinct().persist())
-    hubs = (e.select(F.col("src").alias("node")).distinct()
+         .distinct())
+    e_src = e.repartition("src").persist()
+    # derive the dst layout FROM the src cache: one extra exchange once,
+    # no second distinct pass
+    e_dst = e_src.repartition("dst").persist()
+    hubs = (e_src.select(F.col("src").alias("node")).distinct()
             .withColumn("s", F.lit(1.0)).persist())
     n = hubs.count()
     if n == 0:
-        e.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
         return hubs.select(F.lit("hub").alias("kind"), "node", "s") \
             .withColumnRenamed("s", "score")
-    small = n <= 1_000_000
-    bcast = F.broadcast if small else (lambda df: df)
     auths = None
     for _ in range(iters):
         a = (
-            e.join(bcast(hubs.withColumnRenamed("node", "src")), "src")
+            e_src.hint("merge")
+            .join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("s"))
             .persist()
         )
         new_h = (
-            e.join(bcast(a.withColumnRenamed("node", "dst")), "dst")
+            e_dst.hint("merge")
+            .join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("s"))
             .persist()
@@ -517,7 +547,8 @@ def hits(
         if auths is not None:
             auths.unpersist()
         hubs, auths = new_h, a
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     out = (auths.select(F.lit("auth").alias("kind"), "node", "s")
            .unionAll(hubs.select(F.lit("hub").alias("kind"), "node", "s"))
            .withColumnRenamed("s", "score"))
