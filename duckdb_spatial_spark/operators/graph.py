@@ -263,16 +263,16 @@ def label_propagation(
     classic LPA caveat); with fixed iterations that is still a
     deterministic, checkable answer.
 
-    Plan per iteration: one equi-join (labels ⋈ edges on src, under the
-    same explicit n ≤ 1M broadcast guard as :func:`pagerank` — above it
-    a shuffle equi-join, the 100-TB shape) → one map-side-combined
-    (node, label) count → a per-node window argmax (partition = one
-    node's distinct neighbor labels, bounded by degree). Labels persist
-    per generation, previous generation unpersisted — O(1) lineage.
-    Returns (node, lab).
+    Plan per iteration: one CO-PARTITIONED equi-join (labels ⋈ edges on
+    src — the edge cache is hash(src)-partitioned once up front and
+    every label generation comes out of its join/groupBy hash(node)
+    partitioned, so the join needs no exchange and no broadcast; a
+    per-iteration broadcast of the derived labels frame was its own
+    build-job barrier, trap 13 — the same fix measured ~2× on the HITS
+    loop) → one map-side-combined (node, label) count → a sign-safe
+    min-struct argmax. Labels persist per generation, previous
+    generation unpersisted — O(1) lineage. Returns (node, lab).
     """
-    from pyspark.sql import Window
-
     e0 = (edges.select(F.col(src_col).cast("long").alias("src"),
                        F.col(dst_col).cast("long").alias("dst"))
           .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
@@ -280,7 +280,7 @@ def label_propagation(
           .distinct())
     e = (e0.union(e0.select(F.col("dst").alias("src"),
                             F.col("src").alias("dst")))
-         .distinct().persist())
+         .distinct().repartition("src").persist())
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()
     if n == 0:
@@ -288,13 +288,13 @@ def label_propagation(
         nodes.unpersist()
         return nodes.withColumn("lab", F.col("node"))
 
-    small = n <= 1_000_000
-    bcast = F.broadcast if small else (lambda df: df)
+    # no dedicated materializing count: labels is a projection over the
+    # (already counted) nodes cache; iteration 1 fills it in-job
     labels = nodes.select("node", F.col("node").alias("lab")).persist()
-    labels.count()
     for _ in range(iters):
         votes = (
-            e.join(bcast(labels.withColumnRenamed("node", "src")), "src")
+            e.hint("merge")
+            .join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.count("*").alias("c"))
         )
@@ -311,14 +311,15 @@ def label_propagation(
                                 F.col("lab"))).alias("m"))
             .select("node", F.col("m.lab").alias("lab"))
         )
-        # prev ⋈ picked stays a SHUFFLE join at every scale: both sides
-        # are node-cardinality and co-partition on the key, while a
-        # broadcast of the DERIVED picked frame costs its own build-job
-        # barrier per iteration (trap 13; measured 19 jobs → 13 for the
-        # query with no warm-time win). Only the edge-scale votes join
-        # above benefits from broadcasting the node-scale labels.
+        # prev ⋈ picked is CO-PARTITIONED at every scale: both sides are
+        # node-cardinality hash(node) frames (labels from its cache,
+        # picked from its groupBy), so the merge join needs no exchange;
+        # a broadcast of the DERIVED picked frame would cost its own
+        # build-job barrier per iteration (trap 13; measured 19 jobs →
+        # 13 for the query with no warm-time win in r10).
         new_labels = (
             labels.select("node", F.col("lab").alias("__prev"))
+            .hint("merge")
             .join(picked, "node", "left")
             .select("node",
                     F.coalesce(F.col("lab"), F.col("__prev")).alias("lab"))
@@ -392,11 +393,17 @@ def k_core(
     rounds yields the well-defined ``rounds``-peel over-approximation
     (both engines, same rounds).
 
-    Plan per round: two semi-joins of the symmetric edge set against
-    the ≤node-cardinality alive set (broadcast under the q96-style
-    explicit n-guard) + one map-side-combined degree count. The alive
-    set persists per generation, previous unpersisted — O(1) lineage.
-    Returns (node) — the surviving set.
+    Plan per round: one CO-PARTITIONED semi-join of the dst-partitioned
+    edge cache against the alive set (count v-alive neighbors per u for
+    ALL u), one map-side-combined degree count, then a node-scale
+    co-partitioned semi-join filtering to alive u — algebraically the
+    same peel (counting both-alive edges per alive u ≡ counting v-alive
+    edges per u, then keeping alive u), with ZERO per-round broadcast
+    builds (each n-guarded broadcast of the derived alive set was its
+    own job barrier, trap 13 — the HITS/LPA loop fix) and the same
+    single edge-scale exchange (the groupBy) the broadcast path already
+    paid. The alive set persists per generation, previous unpersisted —
+    O(1) lineage. Returns (node) — the surviving set.
     """
     if k < 1:
         raise ValueError("k_core: k must be >= 1")
@@ -407,23 +414,22 @@ def k_core(
           .distinct())
     e = (e0.union(e0.select(F.col("dst").alias("src"),
                             F.col("src").alias("dst")))
-         .distinct().persist())
+         .distinct().repartition("dst").persist())
     alive = e.select(F.col("src").alias("node")).distinct().persist()
     n = alive.count()
     if n == 0:
         e.unpersist()
         return alive
-    small = n <= 1_000_000
-    bcast = F.broadcast if small else (lambda df: df)
     for _ in range(rounds):
-        ea = (e.join(bcast(alive.withColumnRenamed("node", "src")),
-                     "src", "leftsemi")
-              .join(bcast(alive.withColumnRenamed("node", "dst")),
-                    "dst", "leftsemi"))
-        new_alive = (ea.groupBy(F.col("src").alias("node"))
-                     .agg(F.count("*").alias("__d"))
-                     .filter(F.col("__d") >= k)
-                     .select("node").persist())
+        new_alive = (
+            e.hint("merge")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "leftsemi")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("__d"))
+            .filter(F.col("__d") >= k)
+            .hint("merge")
+            .join(alive, "node", "leftsemi")
+            .select("node").persist())
         n_new = new_alive.count()
         alive.unpersist()
         alive = new_alive
