@@ -404,7 +404,7 @@ def q19_minhash(spark: SparkSession, sf: str) -> DataFrame:
     shingles) for doc_id < 50 — byte-for-byte reproducible in SQL."""
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
     sig = minhash_table(d, "doc_id", "text", num_hashes=2, k=4, hash_fn="md5")
-    return sig.select("doc_id", "mh0", "mh1").orderBy("doc_id")
+    return sig.select("doc_id", "mh0", "mh1").transform(_ssort, "doc_id")
 
 
 def q20_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -2873,7 +2873,7 @@ def q107_hamming_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
         pairs.select(
             F.col("id_a"), F.col("id_b"),
             F.col("hamming").cast("long").alias("hamming"))
-        .orderBy("id_a", "id_b")
+        .transform(_ssort, "id_a", "id_b")
     )
 
 
@@ -3789,11 +3789,13 @@ def q127_edit_distance_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # cut the candidate join ~7x (the bound stays positive: heads are
     # >= 24 chars > q*(d+1)-1 = 17)
     pairs = edit_distance_pairs(s, "doc_id", "head", max_distance=2, q=6)
+    # _ssort, not a global orderBy: the trailing orderBy's range-bounds
+    # sampling job re-executed the whole verification join (trap 15)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("distance").cast("int").alias("distance"),
-    ).orderBy("id_a", "id_b")
+    ).transform(_ssort, "id_a", "id_b")
 
 
 def _q127_oracle_sql() -> str:

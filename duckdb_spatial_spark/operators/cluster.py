@@ -135,9 +135,17 @@ def st_cluster_compact(
     )
     if len(files) < 2:
         return 0
-    from ..sources.tables import read_layout
+    from ..sources.tables import parquet_minmax, read_layout
 
     small = read_layout(spark, *files)
+    if extent is None:
+        # the batch extent is exactly the footers' min/max stats on the
+        # small files (driver-side metadata) — skips st_cluster's
+        # extent-agg job; degenerate stats (NaN/all-null) fall back to
+        # the agg inside st_cluster
+        mm = parquet_minmax(files, [x, y])
+        if mm:
+            extent = (mm[x][0], mm[y][0], mm[x][1], mm[y][1])
     st_cluster(
         small, x, y, extent=extent,
         num_partitions=num_partitions or 1, order=order,

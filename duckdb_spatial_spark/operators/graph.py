@@ -192,9 +192,18 @@ def triangle_count(
     join's fanout — the quadratic hazard in a hub's neighborhood — is
     capped; hub wedges are enumerated from the LOW-degree side only.
 
-    Three shuffles total (degree agg, wedge self-join, closure join),
-    all on integer keys. Returns a 1-row DataFrame (n_triangles long).
+    One pass over the input: endpoint degrees are WINDOW counts over
+    the symmetric (v, other) view folded back per edge by one groupBy —
+    the old deg-frame equi-joins planned as broadcast builds whose
+    subtrees each re-ran the scan + distinct (measured: 5 async
+    broadcast jobs ≈ 5 input scans for one count). The oriented edge
+    set is checkpointed once and feeds the wedge self-join and the
+    closure join as co-partitioned merge joins (pinned — a small
+    checkpointed frame would re-trigger auto-broadcast builds).
+    Returns a 1-row DataFrame (n_triangles long).
     """
+    from pyspark.sql import Window
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -204,31 +213,32 @@ def triangle_count(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    deg = (
-        e.select(F.col("a").alias("v")).unionAll(
-            e.select(F.col("b").alias("v")))
-        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    u = e.select(F.col("a").alias("v"), F.col("b").alias("o")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("o")))
+    u = u.withColumn("dv", F.count(F.lit(1)).over(Window.partitionBy("v")))
+    pairs = (
+        u.groupBy(F.least("v", "o").alias("a"),
+                  F.greatest("v", "o").alias("b"))
+        .agg(F.max(F.when(F.col("v") < F.col("o"), F.col("dv"))).alias("da"),
+             F.max(F.when(F.col("v") > F.col("o"), F.col("dv"))).alias("db"))
     )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    ranked = e.join(da, "a").join(db, "b")
     lower_is_a = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    oriented = ranked.select(
+    oriented = pairs.select(
         F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=True)
     w1 = oriented.select(F.col("lo"), F.col("hi").alias("u"))
     w2 = oriented.select(F.col("lo"), F.col("hi").alias("w"))
     wedges = (
-        w1.join(w2, "lo")
+        w1.hint("merge").join(w2, "lo")
         .filter(F.col("u") < F.col("w"))  # each unordered wedge once
         .select("u", "w")
     )
-    closure = e.select(
-        F.col("a").alias("u2"), F.col("b").alias("w2"))
+    closure = oriented.select(
+        F.least("lo", "hi").alias("u2"), F.greatest("lo", "hi").alias("w2"))
     n = (
-        wedges.join(
+        wedges.hint("merge").join(
             closure,
             (  # wedge endpoints are unordered-normalized by u < w, but
                # the closing edge is stored (a < b), so match directly

@@ -57,6 +57,26 @@ _KERNELS = {
 BBOX_IMPLIED = frozenset(_KERNELS)  # all of these imply bbox intersection
 
 
+def _probe_limit_collect(df: DataFrame, n: int):
+    """``df.limit(n).collect()`` in ONE job. CollectLimit's default
+    escalation (1 partition, then 4×, …) re-runs the child subtree per
+    wave whenever the input holds fewer than ``n`` rows — measured 4
+    jobs for a broadcast-guard probe of a small build side. Scanning
+    all partitions at once transfers at most min(partition_rows, n)
+    rows per task, the same bound as the escalation's final wave."""
+    sess = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    old = sess.conf.get(key, None)
+    sess.conf.set(key, str(1 << 30))
+    try:
+        return df.limit(n).collect()
+    finally:
+        if old is None:
+            sess.conf.unset(key)
+        else:
+            sess.conf.set(key, old)
+
+
 def _norm_pred(predicate: str) -> str:
     p = predicate.lower().replace("st_", "").replace("_", "")
     if p == "containsproperly":
@@ -320,7 +340,7 @@ def st_join(
     # 200k-row side of huge polygons is still never broadcast.
     if broadcast_threshold > 0:
         try:
-            sample = right.limit(broadcast_threshold + 1).collect()
+            sample = _probe_limit_collect(right, broadcast_threshold + 1)
         except Exception:
             sample = None
         if sample is not None and len(sample) <= broadcast_threshold:
@@ -648,7 +668,7 @@ def st_join_points(
     # right plan), and the sampled rows double as the build side. An
     # over-budget right side redirects to the grid tier (st_join) instead
     # of OOMing the driver/executors with an unguarded collect.
-    right_rows = right.limit(broadcast_threshold + 1).collect()
+    right_rows = _probe_limit_collect(right, broadcast_threshold + 1)
     geom_bytes = sum(
         len(r[right_geom]) for r in right_rows if r[right_geom] is not None
     )

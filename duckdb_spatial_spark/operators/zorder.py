@@ -155,9 +155,16 @@ def zorder_compact(
     )
     if len(files) < 2:
         return 0
-    from ..sources.tables import read_layout
+    from ..sources.tables import parquet_minmax, read_layout
 
     small = read_layout(spark, *files)
+    if ranges is None:
+        # per-column batch ranges are exactly the footers' min/max stats
+        # (driver-side metadata) — skips zorder_cluster's extent-agg
+        # job; degenerate stats (NaN/all-null) fall back to the agg
+        mm = parquet_minmax(files, list(cols))
+        if mm:
+            ranges = {c: (float(mm[c][0]), float(mm[c][1])) for c in cols}
     zorder_cluster(
         small, cols, ranges=ranges,
         num_partitions=num_partitions or 1, bits=bits,

@@ -91,6 +91,43 @@ def read_layout(spark: SparkSession, *paths: str) -> DataFrame:
     return reader.parquet(*paths)
 
 
+def parquet_minmax(files, cols):
+    """Exact per-column (min, max) over ``files`` from parquet footers —
+    driver-side metadata, no Spark job. Parquet stores exact min/max
+    stats for doubles/longs; row groups with zero non-null values are
+    skipped. Returns ``{col: (min, max)}``, or None when any requested
+    stat is missing (absent column, suppressed stats — e.g. NaN
+    payloads — or an all-null column): callers fall back to the agg-job
+    path so behavior is unchanged in the degenerate cases."""
+    import pyarrow.parquet as pq
+
+    out = {c: [None, None] for c in cols}
+    for f in files:
+        try:
+            meta = pq.ParquetFile(f).metadata
+        except Exception:
+            return None
+        idx = {meta.schema.column(i).name: i
+               for i in range(meta.num_columns)}
+        for c in cols:
+            i = idx.get(c)
+            if i is None:
+                return None
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(i)
+                if col.num_values == 0:
+                    continue
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    return None
+                lo, hi = out[c]
+                out[c][0] = s.min if lo is None else min(lo, s.min)
+                out[c][1] = s.max if hi is None else max(hi, s.max)
+    if any(v[0] is None or v[1] is None for v in out.values()):
+        return None
+    return {c: (v[0], v[1]) for c, v in out.items()}
+
+
 _RG_CACHE: dict = {}
 
 
