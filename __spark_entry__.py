@@ -40,6 +40,17 @@ from duckdb_spatial_spark.sources.tables import load_table, read_layout
 # --------------------------------------------------------------- helpers
 
 
+def _probe_sorted(df: DataFrame, key: str, col: str) -> list:
+    """Bounded model-probe collect (centroids/codebook rows), sorted
+    DRIVER-side: an ``orderBy`` before a tiny collect plans a global
+    sort whose range-bounds SAMPLING job re-runs the probe subtree —
+    2 jobs for <=32 rows (trap 15 applied to probes). Returns the
+    ``col`` values in ``key`` order."""
+    rows = df.select(key, col).collect()
+    rows.sort(key=lambda r: r[0])
+    return [r[1] for r in rows]
+
+
 def _ssort(df: DataFrame, *cols) -> DataFrame:
     """Presentation sort for a SMALL (bounded-by-construction) result:
     one-partition exchange + in-partition sort. A trailing global
@@ -1009,12 +1020,11 @@ def q55_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators import ann_ivf_topk
 
     emb = load_table(spark, sf, "embeddings", fan_out=False)
-    cent_rows = (
+    cent_rows = _probe_sorted(
         emb.filter((F.col("vec_id") < 32)
-                   & F.col("embedding").isNotNull()).orderBy("vec_id")
-        .select("embedding").collect()
-    )
-    C = np.asarray([r["embedding"] for r in cent_rows], dtype=np.float64)
+                   & F.col("embedding").isNotNull()),
+        "vec_id", "embedding")
+    C = np.asarray(cent_rows, dtype=np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     queries = (
         emb.filter(F.col("vec_id") < 5)
@@ -2765,12 +2775,11 @@ def q104_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators.similarity import semdedup
 
     e = load_table(spark, sf, "embeddings", fan_out=False)
-    cent_rows = (
+    cent_rows = _probe_sorted(
         e.filter((F.col("vec_id") < 32)
-                 & F.col("embedding").isNotNull()).orderBy("vec_id")
-        .select("embedding").collect()
-    )
-    C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+                 & F.col("embedding").isNotNull()),
+        "vec_id", "embedding")
+    C = np.asarray(cent_rows, dtype=np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     flagged = semdedup(e, "vec_id", "embedding", threshold=0.45,
                        centroids=C, mode="flag")
@@ -3001,13 +3010,11 @@ def q116_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
                                                    subvectors_from_rows)
 
     emb = load_table(spark, sf, "embeddings", fan_out=False)
-    rows = (
+    rows = _probe_sorted(
         emb.filter((F.col("vec_id") < 16)
-                   & F.col("embedding").isNotNull()).orderBy("vec_id")
-        .select("embedding").collect()
-    )
-    codebooks = subvectors_from_rows(
-        [r["embedding"] for r in rows], 8)  # (8,16,8)
+                   & F.col("embedding").isNotNull()),
+        "vec_id", "embedding")
+    codebooks = subvectors_from_rows(rows, 8)  # (8,16,8)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"))
@@ -5188,12 +5195,11 @@ def q135_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators import cluster_balanced_sample
 
     e = load_table(spark, sf, "embeddings", fan_out=False)
-    cent_rows = (
+    cent_rows = _probe_sorted(
         e.filter((F.col("vec_id") < 16)
-                 & F.col("embedding").isNotNull()).orderBy("vec_id")
-        .select("embedding").collect()
-    )
-    C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+                 & F.col("embedding").isNotNull()),
+        "vec_id", "embedding")
+    C = np.asarray(cent_rows, dtype=np.float64)
     out = cluster_balanced_sample(e, "vec_id", "embedding",
                                   centroids=C, k=4, seed=3)
     return out.transform(_ssort, "cluster", "rk")
@@ -5610,9 +5616,9 @@ def q163_pca_rotation_pq(spark: SparkSession, sf: str) -> DataFrame:
     mean, R, _lams = train_pca_rotation(e, "embedding", dim=64, k=16, m=4)
     rot = rotate_vectors(e.select("vec_id", "embedding"), "embedding",
                          mean, R)
-    cb_rows = (rot.filter(F.col("vec_id") < 16).orderBy("vec_id")
-               .select("rot").collect())
-    books = subvectors_from_rows([r["rot"] for r in cb_rows], 4)
+    cb_rows = _probe_sorted(rot.filter(F.col("vec_id") < 16),
+                            "vec_id", "rot")
+    books = subvectors_from_rows(cb_rows, 4)
     coded = pq_encode(rot.select("vec_id", "rot"), "rot", books)
     ex = coded.select(
         "vec_id", "rot", F.posexplode("pq_code").alias("j", "c"))

@@ -331,7 +331,10 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
     row order restored by cid."""
     from ..sources.tables import read_layout
 
-    rows = read_layout(spark, path).orderBy("cid").collect()
+    # sorted driver-side: an orderBy before this bounded collect plans
+    # a global sort whose range-sampling job doubles the probe cost
+    rows = read_layout(spark, path).collect()
+    rows.sort(key=lambda r: r["cid"])
     return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
 
