@@ -204,12 +204,23 @@ def _scored_generation(df: DataFrame, path: str, id_col: str,
     # distinct __d in tf == distinct ids with ≥ 1 token (n_dl); n_docs
     # counts ALL distinct ids including zero-token docs, so it comes
     # from df's id column alone (column pruning reaches the scan).
-    sum_dl, n_dl = rows.agg(
-        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("sum_dl"),
-        F.countDistinct("__d").cast("long").alias("n_dl"),
-    ).collect()[0]
-    n_docs = df.agg(
-        F.countDistinct(F.col(id_col)).cast("long")).collect()[0][0]
+    # both aggregates leave the cluster through ONE union collect (two
+    # independent 1-row subplans in a single job) instead of two driver
+    # job barriers per generation
+    srow, drow = (
+        rows.agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("a"),
+            F.countDistinct("__d").cast("long").alias("b"))
+        .select(F.lit(0).alias("k"), "a", "b")
+        .unionAll(
+            df.agg(F.countDistinct(F.col(id_col)).cast("long").alias("a"))
+            .select(F.lit(1).alias("k"), "a",
+                    F.lit(0).cast("long").alias("b")))
+        .collect()
+    )
+    if srow["k"] != 0:
+        srow, drow = drow, srow
+    sum_dl, n_dl, n_docs = srow["a"], srow["b"], drow["a"]
     rows.unpersist()
     # the stats ROW is a driver scalar by construction (one row per
     # generation); write it driver-side — a Spark write job (plus the
