@@ -353,11 +353,19 @@ def interval_join(
     # Size-guard the diversion: with a badly chosen bucket_width (e.g. a
     # sampled median far below typical lengths) the "rare" long side can
     # be most of the table, and broadcasting it would OOM the executors
-    # silently. A limit(K+1).count() probe short-circuits once K+1 rows
-    # are seen, so the common zero-long case costs one near-empty scan.
-    for side, frame in (("left", l_long_c), ("right", r_long_c)):
-        probe = frame.limit(max_diverted_rows + 1).count()
-        if probe > max_diverted_rows:
+    # silently. BOTH sides are counted in ONE union job (two map-side-
+    # combined counts) — the previous per-side limit(K+1).count() probes
+    # cost a driver job barrier each and still scanned the full frame in
+    # the common near-empty case (CollectLimit escalates to all
+    # partitions when under the limit).
+    cnt_rows = (
+        l_long_c.select(F.lit(0).alias("__side"))
+        .unionByName(r_long_c.select(F.lit(1).alias("__side")))
+        .groupBy("__side").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    counts = {r["__side"]: r["n"] for r in cnt_rows}
+    for side, n in (("left", counts.get(0, 0)), ("right", counts.get(1, 0))):
+        if n > max_diverted_rows:
             raise ValueError(
                 f"interval_join: >{max_diverted_rows} {side} intervals span"
                 f" >= {cap} buckets (bucket_width={bw:g}) — the broadcast"
