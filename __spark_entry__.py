@@ -61,6 +61,72 @@ def _ssort(df: DataFrame, *cols) -> DataFrame:
     single-partition sort is strictly cheaper and scale-safe."""
     return df.repartition(1).sortWithinPartitions(*cols)
 
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _stream_single_pass(spark: SparkSession):
+    """Disable NO-DATA micro-batches for one availableNow streaming
+    drain. The engine fires an empty trailing batch to advance the
+    watermark — needed only when the SINK contents depend on it
+    (append-mode aggregations flush windows then; event-time timeouts
+    fire then). For an inner stream-stream join (output emitted in the
+    data batch; the watermark only EVICTS state a terminating query
+    discards anyway) and for update-mode monotone-state operators (the
+    last DATA update per key already carries the final values), the
+    empty batch is pure fixed cost: one extra round of planning + a
+    state-store commit per store instance (measured 1.27 s of trigger
+    time for q91's empty batch, 0.72 s for q81's). Scoped set-and-
+    restore; the conf is read live per batch, so it must stay set until
+    the query terminates — call inside the ``with``, drain inside the
+    ``with``. NEVER use for append-mode aggregations."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@_contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, batch_df: DataFrame):
+    """Scoped shuffle-partition count for a streaming query, derived
+    from the INPUT-size estimate (the `_adaptive_partitions` yardstick
+    applied to state layout; guide §2.2 "fewer, larger partitions").
+    Each state partition instantiates one state-store provider per
+    stateful operator and pays a per-batch commit; a stream whose
+    batches are KBs spreads that fixed cost over near-empty stores
+    (measured: q75 0.94 s of state commit across 8 stores holding 150
+    rows total). Clamped to [1, defaultParallelism]: a 100-TB stream
+    still fans out to every core — scale-adaptive, not a local tune.
+    The count is pinned into the query's offset log at batch 0, so the
+    conf can be restored after ``start()`` returns a running query —
+    but keeping the scope until termination is the simple, safe shape.
+
+    Use ONLY where the per-batch stateful work is bounded by operator
+    parameters or map-side partials (windowed min/max partials, a
+    pool-bounded re-rank): a row-bound Python state stage (per-user
+    funnel merges) needs the ambient data-parallel fan-out even when
+    the byte estimate is small (measured 2.4x slower at 1 partition on
+    q153)."""
+    from duckdb_spatial_spark.operators.invindex import _adaptive_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(_adaptive_partitions(batch_df)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
 def _events_pts(spark: SparkSession, sf: str, fan_out: bool = True) -> DataFrame:
     """Point substrate from events: x = value ∈ (0, ~490), y = user_id.
     ``fan_out=False`` for pure col-expr consumers (no Python stage)."""
@@ -1619,11 +1685,15 @@ def q75_streaming_extent(spark: SparkSession, sf: str) -> DataFrame:
     )
     _Q75_SINK_SEQ[0] += 1
     sink = f"q75_sink_{_Q75_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    # complete-mode min/max partials: per-batch state rows are bounded
+    # by open windows x event_type, so state partitions follow the
+    # input-size estimate (1 here, defaultParallelism at scale)
+    with _stream_state_partitions(spark, batch):
+        q = (
+            agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .select(
@@ -1785,27 +1855,32 @@ def q81_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
     _Q75_SINK_SEQ[0] += 1
     sink = f"q81_sink_{_Q75_SINK_SEQ[0]}"
-    q = (
-        sess.writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    # Drain protocol: availableNow + ProcessingTimeTimeout never
-    # self-terminates (the engine keeps firing empty micro-batches to
-    # service potential timeouts — measured 99+ epochs). The update-mode
-    # rows grow monotonically per key, so once the DATA batches are done
-    # (a completed batch with numInputRows == 0 after one with > 0) the
-    # per-key max-n aggregate is final; stop the query then.
+    # Single-pass drain: with no-data micro-batches disabled the
+    # availableNow query terminates right after the data batches
+    # instead of firing empty timeout-service epochs (ProcessingTime
+    # timeouts only re-emit each closed session's last extents, which
+    # the min/max/max-n sink aggregate already carries — row-level
+    # verified + oracle-green both SFs). The drain loop keeps the old
+    # empty-batch condition as a fallback and adds the is-active check
+    # the self-terminating form needs.
     import time as _time
 
-    deadline = _time.time() + 300
-    while _time.time() < deadline:
-        prog = q.recentProgress
-        if any(p["numInputRows"] > 0 for p in prog) and prog and \
-                prog[-1]["numInputRows"] == 0:
-            break
-        _time.sleep(0.2)
-    q.stop()
-    q.awaitTermination()
+    with _stream_single_pass(spark):
+        q = (
+            sess.writeStream.format("memory").queryName(sink)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if not q.isActive:
+                break
+            prog = q.recentProgress
+            if any(p["numInputRows"] > 0 for p in prog) and prog and \
+                    prog[-1]["numInputRows"] == 0:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
     return (
         spark.table(sink)
         .groupBy("key")
@@ -2306,9 +2381,14 @@ def q91_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
                                 watermark="365 days")
     _Q75_SINK_SEQ[0] += 1
     sink = f"q91_sink_{_Q75_SINK_SEQ[0]}"
-    q = (j.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # inner-join append output is emitted IN the data batch; the empty
+    # trailing batch only advances the watermark to evict state this
+    # terminating drain discards — skipping it removes one full round
+    # of planning + 32 state-store commits (measured 1.27 s trigger)
+    with _stream_single_pass(spark):
+        q = (j.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return (
         spark.table(sink)
         .groupBy("k")
@@ -5407,11 +5487,15 @@ def q160_streaming_mmr(spark: SparkSession, sf: str) -> DataFrame:
                                k=5, pool=24, lam=0.7, window="1 hour")
     _Q75_SINK_SEQ[0] += 1
     sink = f"q160_sink_{_Q75_SINK_SEQ[0]}"
-    q = (
-        out.writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    # pool-bounded state (<= pool triples x 4 windows): state partitions
+    # follow the input-size estimate (1 here, defaultParallelism at
+    # scale — the shuffle fans out exactly when the stream does)
+    with _stream_state_partitions(spark, batch):
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     upd = spark.table(sink)
     w = Window.partitionBy("win", "rank").orderBy(F.col("n_seen").desc())
     final = (upd.withColumn("__rn", F.row_number().over(w))
