@@ -580,9 +580,20 @@ def connected_components(
     star = raw.mapInPandas(
         lambda it: _local_union_find(it, "src", "dst"), schema=star_schema
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_star = star.count()
+    # ONE job decides the tier AND (in the common tier-2 case) returns
+    # the rows: a single-wave limit-collect of at most guard+1 rows
+    # (the q02 probe pattern — CollectLimit's default escalation would
+    # re-run the child per wave, and the old count()+collect() pair was
+    # two driver job barriers). When tier 2 applies the transfer equals
+    # the old collect's (every star row, <= guard); when the star is
+    # over the guard, the worst case is min(partition_rows, guard+1)
+    # rows per task — the documented P x limit bound, and the probe
+    # job doubles as the cache materializer tier 3 reads.
+    from .join import _probe_limit_collect
 
-    if n_star <= driver_node_limit:
+    rows = _probe_limit_collect(star, driver_node_limit + 1)
+
+    if len(rows) <= driver_node_limit:
         # Tier 2: the star mapping is one row per edge-touched node and
         # under the guard — finish with one union-find over the collected
         # stars and broadcast the labels back (collect is of the REDUCED
@@ -597,7 +608,6 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = star.collect()
         star.unpersist()
         for row in rows:
             a, b = row["src"], row["dst"]

@@ -224,10 +224,17 @@ def triangle_count(
     )
     lower_is_a = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # LAZY checkpoint: still truncates lineage (the wedge/closure self-
+    # references would be ambiguous otherwise) and still computes the
+    # oriented set ONCE, but materialization piggybacks on the caller's
+    # first job instead of a dedicated eager job — the eager form
+    # serialized a full scan+distinct+window job BEFORE the join job,
+    # costing ~0.5 s wall at sf0.1 (the one driver-read regression of
+    # the r11 single-scan rewrite); lazy keeps the 1-scan/1-job shape.
     oriented = pairs.select(
         F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     w1 = oriented.select(F.col("lo"), F.col("hi").alias("u"))
     w2 = oriented.select(F.col("lo"), F.col("hi").alias("w"))
     wedges = (
