@@ -40,15 +40,50 @@ from duckdb_spatial_spark.sources.tables import load_table, read_layout
 # --------------------------------------------------------------- helpers
 
 
+def _probe_pairs(df: DataFrame, key: str, col: str) -> list:
+    """Bounded model-probe collect, sorted DRIVER-side (trap 15 applied
+    to probes — an ``orderBy`` before a tiny collect plans a global sort
+    whose range-bounds SAMPLING job re-runs the probe subtree). Returns
+    ``(key, col)`` pairs in ``key`` order so one probe job can feed both
+    a driver-side model (centroids/codebooks) and an inlined
+    LocalRelation of the query rows."""
+    rows = df.select(key, col).collect()
+    rows.sort(key=lambda r: r[0])
+    return [(r[0], r[1]) for r in rows]
+
+
 def _probe_sorted(df: DataFrame, key: str, col: str) -> list:
     """Bounded model-probe collect (centroids/codebook rows), sorted
     DRIVER-side: an ``orderBy`` before a tiny collect plans a global
     sort whose range-bounds SAMPLING job re-runs the probe subtree —
     2 jobs for <=32 rows (trap 15 applied to probes). Returns the
     ``col`` values in ``key`` order."""
-    rows = df.select(key, col).collect()
-    rows.sort(key=lambda r: r[0])
-    return [r[1] for r in rows]
+    return [v for _, v in _probe_pairs(df, key, col)]
+
+
+def _local_queries(spark: SparkSession, emb: DataFrame, pairs: list,
+                   n: int) -> DataFrame:
+    """Inline the bounded ANN query set (ids < ``n`` from an already-
+    collected probe) as a TRUE LocalRelation with the corpus frame's
+    EXACT types (query_id keeps vec_id's type; query_vec keeps
+    array<float>, so the float32 roundtrip is bit-exact and every
+    downstream cosine sees identical inputs). Each ANN branch previously
+    broadcast the query subtree separately, and each derived-frame
+    broadcast build is its own job that re-scans the corpus (trap 13);
+    ``createDataFrame`` would instead parallelize into a 32-partition
+    RDD scan whose broadcast build is a 32-task Python job — a
+    LocalRelation build side collects with no job and no scan."""
+    from pyspark.sql import types as T
+
+    from duckdb_spatial_spark.sources.tables import local_relation
+
+    return local_relation(
+        spark,
+        [(k, v) for k, v in pairs if k < n],
+        T.StructType([
+            T.StructField("query_id", emb.schema["vec_id"].dataType),
+            T.StructField("query_vec", emb.schema["embedding"].dataType),
+        ]))
 
 
 def _ssort(df: DataFrame, *cols) -> DataFrame:
@@ -1086,27 +1121,31 @@ def q55_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from duckdb_spatial_spark.operators import ann_ivf_topk
 
     emb = load_table(spark, sf, "embeddings", fan_out=False)
-    cent_rows = _probe_sorted(
+    probe = _probe_pairs(
         emb.filter((F.col("vec_id") < 32)
                    & F.col("embedding").isNotNull()),
         "vec_id", "embedding")
-    C = np.asarray(cent_rows, dtype=np.float64)
+    C = np.asarray([v for _, v in probe], dtype=np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    queries = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("query_vec"))
-    )
+    # the <=5 query vectors are a PREFIX of the probe rows already on
+    # the driver — inline them so neither ANN branch pays a broadcast-
+    # build job that re-scans the corpus (null embeddings are excluded
+    # by the probe exactly as both branches' isNotNull filters would)
+    queries = _local_queries(spark, emb, probe, 5)
     exact = ann_bruteforce_topk(emb, queries, k=5).select(
         "query_id", F.col("vec_id").alias("exact_id")
     )
     approx = ann_ivf_topk(emb, queries, k=5, centroids=C, nprobe=8).select(
         "query_id", F.col("vec_id").alias("ivf_id")
     )
-    # both sides are (n_queries × k) rows — broadcast kills the plan's
-    # only sort-merge join (found by the round-3 explain audit)
+    # both sides are (n_queries × k) rows; a MERGE hint keeps the final
+    # compare inside ONE job — a broadcast(approx) build is its own job
+    # that runs the whole IVF subtree before the main job starts
+    # (trap 13), while the SMJ's two tiny exchanges are stages of the
+    # same job (the r3 audit's broadcast pick predates job-count
+    # currency)
     hits = exact.join(
-        F.broadcast(approx),
+        approx.hint("merge"),
         (exact["query_id"] == approx["query_id"])
         & (exact["exact_id"] == approx["ivf_id"]),
     )
@@ -3090,14 +3129,15 @@ def q116_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
                                                    subvectors_from_rows)
 
     emb = load_table(spark, sf, "embeddings", fan_out=False)
-    rows = _probe_sorted(
+    probe = _probe_pairs(
         emb.filter((F.col("vec_id") < 16)
                    & F.col("embedding").isNotNull()),
         "vec_id", "embedding")
-    codebooks = subvectors_from_rows(rows, 8)  # (8,16,8)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"))
+    codebooks = subvectors_from_rows([v for _, v in probe], 8)  # (8,16,8)
+    # query vectors are a prefix of the codebook probe already on the
+    # driver — inlined, the ADC-LUT build's queries.collect() reads a
+    # LocalRelation instead of running a second corpus-scan job
+    queries = _local_queries(spark, emb, probe, 5)
     return (
         ann_pq_topk(emb, queries, codebooks, k=5)
         .withColumn("rank", F.col("rank").cast("long"))

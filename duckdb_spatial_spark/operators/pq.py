@@ -161,7 +161,12 @@ def pq_codebook_df(spark, codebooks: np.ndarray) -> DataFrame:
         (j, c, [float(v) for v in codebooks[j, c]])
         for j in range(m) for c in range(ks)
     ]
-    return spark.createDataFrame(rows, "j int, c int, centroid array<double>")
+    from ..sources.tables import local_relation
+
+    # TRUE LocalRelation: the codebook frame exists to be broadcast
+    # (q163) — a parallelized local list's broadcast build is a whole
+    # 32-task job; a LocalRelation build side costs zero jobs
+    return local_relation(spark, rows, "j int, c int, centroid array<double>")
 
 
 def pq_encode(
@@ -202,7 +207,15 @@ def pq_encode(
         out[mask] = tmp
         return pd.Series(list(out))
 
-    return df.withColumn(out_col, _encode(F.col(vec_col)))
+    # asNondeterministic (guide §4.4): posexplode over the code column
+    # makes InferFiltersFromGenerate plant `size(code)>0 AND
+    # isnotnull(code)`, and pushing that below the projection
+    # substitutes the UDF call into the filter — the corpus then pays
+    # the encode (and any CHAINED upstream Arrow pass, e.g. q163's
+    # rotation) twice. The UDF is pure; the marker only stops the
+    # optimizer duplicating it. No caller filters on columns that would
+    # want to push below this projection.
+    return df.withColumn(out_col, _encode.asNondeterministic()(F.col(vec_col)))
 
 
 def _adc_lut(
@@ -225,6 +238,8 @@ def _adc_lut(
     spark = queries.sparkSession
     from pyspark.sql import types as T
 
+    from ..sources.tables import local_relation
+
     qid_field = queries.schema[query_id]
     schema = T.StructType([
         T.StructField(query_id, qid_field.dataType),
@@ -232,7 +247,10 @@ def _adc_lut(
         T.StructField("c", T.IntegerType()),
         T.StructField("d2", T.DoubleType()),
     ])
-    return spark.createDataFrame(out, schema)
+    # a TRUE LocalRelation: the LUT exists only to be broadcast, and a
+    # parallelized local list's broadcast build is a whole 32-task
+    # Python-runner job; a LocalRelation build side costs zero jobs
+    return local_relation(spark, out, schema)
 
 
 def ann_pq_topk(

@@ -266,7 +266,17 @@ def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
         out[mask] = lists
         return pd.Series(list(out))
 
-    return pandas_udf(assign, T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+    # asNondeterministic (guide §4.4): a join key or inferred filter on
+    # the assigned cell otherwise pushes BELOW the projection by
+    # substituting the UDF call into the filter, so the whole corpus
+    # pays the matmul twice (×4 in cluster_balanced_sample's self-join
+    # branches — seen in the round-11 plan census). The UDF is pure;
+    # the marker only forbids the optimizer to duplicate/reorder it.
+    # Input filters (isNotNull etc.) are applied before the projection
+    # in every caller, so no wanted pushdown is lost.
+    return pandas_udf(
+        assign, T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR
+    ).asNondeterministic()
 
 
 def ann_ivf_topk(

@@ -37,6 +37,78 @@ def _read_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(s).parquet(path)
 
 
+def _sql_value(v, dt) -> str:
+    """Render one Python value as a FOLDABLE SQL expression of type ``dt``
+    (see :func:`local_relation`). Floats go through shortest-repr string
+    casts — Java's parseDouble/parseFloat are correctly rounded, so the
+    round-trip is bit-exact for any double (and any float32 widened to
+    double, which is exact). Strings that carry quotes/backslashes/control
+    or non-ASCII characters are routed through unbase64 so no SQL escaping
+    rules are ever load-bearing."""
+    from pyspark.sql import types as T
+
+    s = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {s})"
+    if isinstance(dt, T.ArrayType):
+        inner = ",".join(_sql_value(x, dt.elementType) for x in v)
+        return f"ARRAY({inner})" if inner else f"CAST(ARRAY() AS {s})"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        f = float(v)
+        if f != f:
+            return f"CAST('NaN' AS {s})"
+        if f == float("inf"):
+            return f"CAST('Infinity' AS {s})"
+        if f == float("-inf"):
+            return f"CAST('-Infinity' AS {s})"
+        return f"CAST('{f!r}' AS {s})"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return f"CAST({int(v)} AS {s})"
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, T.StringType):
+        txt = str(v)
+        if txt.isascii() and txt.isprintable() and "'" not in txt \
+                and "\\" not in txt:
+            return f"'{txt}'"
+        import base64
+
+        b64 = base64.b64encode(txt.encode("utf-8")).decode("ascii")
+        return f"CAST(unbase64('{b64}') AS STRING)"
+    raise TypeError(f"local_relation: unsupported type {s}")
+
+
+def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
+    """Bounded driver-side rows as a TRUE LocalRelation via inline-VALUES
+    SQL (every expression foldable, so ResolveInlineTables folds the whole
+    table at analysis time). ``spark.createDataFrame(list)`` instead
+    parallelizes the list into a defaultParallelism-partition RDD scan, so
+    every broadcast build or collect of such a frame is a full
+    Python-runner JOB (32 tasks on local[32]); a LocalRelation answers
+    broadcast builds and collects from ``executeCollect`` with ZERO jobs.
+    Use for the bounded model frames (query sets, LUTs, vocab heads) the
+    engine inlines on query paths. ``schema`` is a StructType; ``rows``
+    are sequences in field order."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    rows = list(rows)
+    if not rows:
+        sel = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in schema.fields)
+        return spark.sql(f"SELECT {sel} WHERE false")
+    vals = ",".join(
+        "(" + ",".join(
+            _sql_value(v, f.dataType) for v, f in zip(r, schema.fields)
+        ) + ")"
+        for r in rows)
+    cols = ", ".join(
+        f"col{i + 1} AS `{f.name}`" for i, f in enumerate(schema.fields))
+    return spark.sql(f"SELECT {cols} FROM VALUES {vals}")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
 ) -> DataFrame:
